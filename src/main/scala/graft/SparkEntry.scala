@@ -1,13 +1,156 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Cols
+import graft.ops.{BinaryOps, Coverage, UnaryOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * One `queries` entry per implemented operator (SURVEY.md §2), each with
+  * the equivalent DuckDB SQL in `oracleSql` (column names aligned; all
+  * outputs integer/string-typed so the hash compare is exact).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import Cols._
+  import Tables._
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * count annotation overlaps per read (SURVEY.md §7.1). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    out(BinaryOps.countOverlaps(gr(spark, dir), gr2(spark, dir), Seq(Chrom)))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational passthrough (SURVEY.md §2.4) ----
+    "q01_agg" -> ((s, dir) =>
+      pq(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+             count(lit(1)).as("n"))),
+
+    // ---- unary window-sweep ops (SURVEY.md §2.2) ----
+    "q02_boundaries" -> ((s, dir) =>
+      out(UnaryOps.boundaries(gr(s, dir), Seq(Chrom, Strand), Some("n")))),
+    "q03_merge" -> ((s, dir) =>
+      out(UnaryOps.merge(gr(s, dir), Seq(Chrom, Strand), 0, Some("n")))),
+    "q04_cluster" -> ((s, dir) =>
+      out(UnaryOps.cluster(gr(s, dir), Seq(Chrom), 0, "cid"))),
+    "q05_complement" -> ((s, dir) =>
+      out(UnaryOps.complement(grSparse(s, dir), Seq(Chrom, Strand)))),
+    "q06_extend" -> ((s, dir) =>
+      out(UnaryOps.extend(gr(s, dir), ext5 = 3, ext3 = 7, useStrand = true))),
+    "q07_window" -> ((s, dir) =>
+      out(UnaryOps.windowRanges(gr(s, dir), 7, useStrand = false)
+        .select(col(RowId), col(Chrom), col(Start), col(End)))),
+    "q08_tile" -> ((s, dir) =>
+      out(UnaryOps.tile(gr(s, dir), 10, Some("ov"))
+        .select(col(RowId), col(Chrom), col(Start), col(End), col("ov")))),
+    "q09_cumsum" -> ((s, dir) =>
+      out(UnaryOps.groupCumsum(gr(s, dir), Seq(Chrom, Strand), useStrand = true,
+          cumStartCol = "cumstart", cumEndCol = "cumend",
+          tieBreak = Seq(col(RowId))))),
+    "q10_split" -> ((s, dir) =>
+      out(UnaryOps.split(gr(s, dir), Seq(Chrom), between = false))),
+    "q11_rle" -> ((s, dir) =>
+      out(Coverage.toRle(gr(s, dir), Seq(Chrom), None, "score"))
+        .withColumn("score", col("score").cast("long"))),
+
+    // ---- binary range-join ops (SURVEY.md §2.1) ----
+    "q12_overlap" -> ((s, dir) =>
+      out(BinaryOps.overlap(gr(s, dir), gr2Sparse(s, dir), Seq(Chrom)))),
+    "q13_overlap_invert" -> ((s, dir) =>
+      out(BinaryOps.overlap(gr(s, dir), gr2Sparse(s, dir), Seq(Chrom), invert = true))),
+    "q14_join" -> ((s, dir) =>
+      out(BinaryOps.joinOverlaps(gr(s, dir), gr2(s, dir), Seq(Chrom, Strand),
+          reportOverlapCol = Some("ov"))
+        .withColumnRenamed(Start + "_b", "istart_b")
+        .withColumnRenamed(End + "_b", "iend_b"))),
+    "q15_intersect" -> ((s, dir) =>
+      out(BinaryOps.intersect(gr(s, dir), gr2(s, dir), Seq(Chrom)))
+        .drop("Strand_b")),
+    "q16_count" -> ((s, dir) =>
+      out(BinaryOps.countOverlaps(gr(s, dir), gr2(s, dir), Seq(Chrom), countCol = "n"))),
+    "q17_subtract" -> ((s, dir) =>
+      out(BinaryOps.subtract(gr(s, dir), gr2Sparse(s, dir), Seq(Chrom)))),
+    "q18_nearest" -> ((s, dir) =>
+      out(BinaryOps.nearest(gr(s, dir).filter(col(RowId) % 50 === 0),
+          gr2(s, dir), Seq(Chrom), distCol = "dist")
+        .withColumnRenamed(Start + "_b", "istart_b")
+        .withColumnRenamed(End + "_b", "iend_b"))),
+    "q19_setint" -> ((s, dir) =>
+      out(BinaryOps.setIntersect(gr(s, dir), gr2(s, dir), Seq(Chrom)))),
+    "q20_setunion" -> ((s, dir) =>
+      out(BinaryOps.setUnion(gr(s, dir), gr2(s, dir), Seq(Chrom)))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      "SELECT l_returnflag, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+
+    "q02_boundaries" -> sql(Seq(GR_CTE),
+      "SELECT chrom, strand, min(istart) AS istart, max(iend) AS iend, count(*) AS n FROM gr GROUP BY chrom, strand"),
+
+    "q03_merge" -> sql(Seq(GR_CTE, mergeCte("m", "gr", "chrom, strand")),
+      "SELECT chrom, strand, istart, iend, n FROM m"),
+
+    "q04_cluster" -> sql(Seq(GR_CTE),
+      "SELECT row_id, chrom, strand, istart, iend, CAST(sum(nf) OVER (PARTITION BY chrom ORDER BY istart, iend, row_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cid FROM (SELECT row_id, chrom, strand, istart, iend, CASE WHEN pm IS NULL OR istart > pm THEN 1 ELSE 0 END AS nf FROM (SELECT row_id, chrom, strand, istart, iend, max(iend) OVER (PARTITION BY chrom ORDER BY istart, iend, row_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM gr))"),
+
+    "q05_complement" -> sql(Seq(GR_CTE, GRS_CTE, mergeCte("m", "grs", "chrom, strand")),
+      "SELECT chrom, strand, iend AS istart, ns AS iend FROM (SELECT chrom, strand, iend, lead(istart) OVER (PARTITION BY chrom, strand ORDER BY istart) AS ns FROM m) WHERE ns IS NOT NULL AND ns > iend"),
+
+    "q06_extend" -> sql(Seq(GR_CTE),
+      "SELECT row_id, chrom, strand, CASE WHEN strand='-' THEN istart-7 ELSE istart-3 END AS istart, CASE WHEN strand='-' THEN iend+3 ELSE iend+7 END AS iend FROM gr"),
+
+    "q07_window" -> sql(Seq(GR_CTE),
+      "SELECT row_id, chrom, ws AS istart, least(ws+7, iend) AS iend FROM (SELECT row_id, chrom, iend, unnest(generate_series(istart, iend-1, 7)) AS ws FROM gr)"),
+
+    "q08_tile" -> sql(Seq(GR_CTE),
+      "SELECT row_id, chrom, ts AS istart, te AS iend, least(iend, te) - greatest(istart, ts) AS ov FROM (SELECT row_id, chrom, istart, iend, t*10 AS ts, (t+1)*10 AS te FROM (SELECT row_id, chrom, istart, iend, unnest(generate_series(CAST(floor(istart/10.0) AS BIGINT), CAST(floor((iend-1)/10.0) AS BIGINT))) AS t FROM gr))"),
+
+    "q09_cumsum" -> sql(Seq(GR_CTE),
+      "SELECT row_id, chrom, strand, istart, iend, CAST(cs - (iend - istart) AS BIGINT) AS cumstart, CAST(cs AS BIGINT) AS cumend FROM (SELECT *, sum(iend - istart) OVER (PARTITION BY chrom, strand ORDER BY CASE WHEN strand='-' THEN -iend ELSE istart END, CASE WHEN strand='-' THEN -istart ELSE iend END, row_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs FROM gr)"),
+
+    "q10_split" -> sql(Seq(GR_CTE),
+      "SELECT chrom, pos AS istart, np AS iend FROM (SELECT chrom, pos, sum(d) OVER (PARTITION BY chrom ORDER BY pos) AS depth, lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS np FROM (SELECT chrom, pos, sum(d) AS d FROM (SELECT chrom, istart AS pos, 1 AS d FROM gr UNION ALL SELECT chrom, iend AS pos, -1 AS d FROM gr) GROUP BY chrom, pos)) WHERE np IS NOT NULL AND depth > 0"),
+
+    "q11_rle" -> sql(Seq(GR_CTE),
+      "SELECT chrom, pos AS istart, np AS iend, CAST(depth AS BIGINT) AS score FROM (SELECT chrom, pos, sum(d) OVER (PARTITION BY chrom ORDER BY pos) AS depth, lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS np FROM (SELECT chrom, pos, sum(d) AS d FROM (SELECT chrom, istart AS pos, 1 AS d FROM gr UNION ALL SELECT chrom, iend AS pos, -1 AS d FROM gr) GROUP BY chrom, pos)) WHERE np IS NOT NULL"),
+
+    "q12_overlap" -> sql(Seq(GR_CTE, GR2_CTE, GR2S_CTE),
+      "SELECT row_id, chrom, strand, istart, iend FROM gr g WHERE EXISTS (SELECT 1 FROM gr2s o WHERE o.chrom = g.chrom AND o.istart < g.iend AND o.iend > g.istart)"),
+
+    "q13_overlap_invert" -> sql(Seq(GR_CTE, GR2_CTE, GR2S_CTE),
+      "SELECT row_id, chrom, strand, istart, iend FROM gr g WHERE NOT EXISTS (SELECT 1 FROM gr2s o WHERE o.chrom = g.chrom AND o.istart < g.iend AND o.iend > g.istart)"),
+
+    "q14_join" -> sql(Seq(GR_CTE, GR2_CTE),
+      "SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, o.row_id AS row_id_b, o.istart AS istart_b, o.iend AS iend_b, least(g.iend, o.iend) - greatest(g.istart, o.istart) AS ov FROM gr g JOIN gr2 o ON g.chrom = o.chrom AND g.strand = o.strand AND g.istart < o.iend AND g.iend > o.istart"),
+
+    "q15_intersect" -> sql(Seq(GR_CTE, GR2_CTE),
+      "SELECT g.row_id, g.chrom, g.strand, greatest(g.istart, o.istart) AS istart, least(g.iend, o.iend) AS iend, o.row_id AS row_id_b FROM gr g JOIN gr2 o ON g.chrom = o.chrom AND g.istart < o.iend AND g.iend > o.istart"),
+
+    "q16_count" -> sql(Seq(GR_CTE, GR2_CTE),
+      "SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, count(o.row_id) AS n FROM gr g LEFT JOIN gr2 o ON g.chrom = o.chrom AND o.istart < g.iend AND o.iend > g.istart GROUP BY g.row_id, g.chrom, g.strand, g.istart, g.iend"),
+
+    "q17_subtract" -> sql(Seq(GR_CTE, GR2_CTE, GR2S_CTE, mergeCte("m", "gr2s", "chrom"),
+      """j AS (SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, m.istart AS ms, m.iend AS me FROM gr g JOIN m ON g.chrom = m.chrom AND m.istart < g.iend AND m.iend > g.istart)""",
+      """pre AS (SELECT row_id, chrom, strand, greatest(istart, coalesce(lag(me) OVER (PARTITION BY row_id ORDER BY ms), istart)) AS s, least(iend, ms) AS e FROM j)""",
+      """tl AS (SELECT row_id, chrom, strand, greatest(istart, max(me)) AS s, iend AS e FROM j GROUP BY row_id, chrom, strand, istart, iend)""",
+      """noov AS (SELECT row_id, chrom, strand, istart, iend FROM gr g WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.chrom = g.chrom AND m.istart < g.iend AND m.iend > g.istart))"""),
+      "SELECT row_id, chrom, strand, s AS istart, e AS iend FROM (SELECT * FROM pre UNION ALL SELECT * FROM tl) WHERE s < e UNION ALL SELECT row_id, chrom, strand, istart, iend FROM noov"),
+
+    "q18_nearest" -> sql(Seq(GR_CTE, GR2_CTE,
+      "grn AS (SELECT * FROM gr WHERE row_id % 50 = 0)",
+      "c AS (SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, o.row_id AS row_id_b, o.istart AS istart_b, o.iend AS iend_b, CASE WHEN o.istart < g.iend AND o.iend > g.istart THEN 0 WHEN o.istart >= g.iend THEN o.istart - g.iend + 1 ELSE g.istart - o.iend + 1 END AS dist FROM grn g JOIN gr2 o ON g.chrom = o.chrom)"),
+      "SELECT row_id, chrom, strand, istart, iend, row_id_b, istart_b, iend_b, dist FROM (SELECT *, row_number() OVER (PARTITION BY row_id ORDER BY dist, row_id_b) AS rn FROM c) WHERE rn = 1"),
+
+    "q19_setint" -> sql(Seq(GR_CTE, GR2_CTE, mergeCte("m1", "gr", "chrom"),
+      mergeCte("m2", "gr2", "chrom")),
+      "SELECT a.chrom, greatest(a.istart, b.istart) AS istart, least(a.iend, b.iend) AS iend FROM m1 a JOIN m2 b ON a.chrom = b.chrom AND a.istart < b.iend AND a.iend > b.istart"),
+
+    "q20_setunion" -> sql(Seq(GR_CTE, GR2_CTE,
+      "u AS (SELECT chrom, istart, iend FROM gr UNION ALL SELECT chrom, istart, iend FROM gr2)",
+      mergeCte("mu", "u", "chrom")),
+      "SELECT chrom, istart, iend FROM mu"),
+  )
 }

@@ -1,0 +1,112 @@
+package graft.join
+
+import graft.core.Cols
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed interval (range) join.
+  *
+  * A naive `a.join(b, keyEq && a.Start < b.End && a.End > b.Start)` plans
+  * as a per-key cartesian product — quadratic on hot chromosomes. This is
+  * the *binned* range join (SURVEY.md §4.3 option (a)): both sides explode
+  * into fixed-size genomic bins, equi-join on (key..., bin), post-filter
+  * the true overlap predicate. Duplicate pairs (a pair sharing several
+  * bins) are eliminated shuffle-free by keeping only the bin containing
+  * `greatest(leftStart, rightStart)` — every overlapping pair has exactly
+  * one such bin, so no `distinct` pass is needed.
+  *
+  * At 100 TB the equi-join on (chromosome, bin) hash-partitions evenly
+  * (the bin fans hot chromosomes out across executors — built-in skew
+  * mitigation), supports AQE skew splitting, and broadcast when one side
+  * is small. Bin size trades explode fan-out (long intervals hit
+  * ceil(len/binSize) bins) against per-bin candidate count; callers with
+  * long intervals should merge/clip first or raise binSize.
+  *
+  * Reference semantics: ruranges `overlaps` kernel (reference
+  * methods/overlap.py:20-47) — sort-sweep per (factorized) key; `slack`
+  * extends the LEFT side's intervals for matching only (reference
+  * core/pyranges_main.py:2393-2615).
+  */
+object RangeJoin {
+  import Cols.{Start, End}
+
+  /** floor(x / b) as a Column, exact for |x| < 2^52. */
+  private def floorDiv(x: Column, b: Long): Column =
+    floor(x.cast("double") / b).cast("long")
+
+  /** Explode `df` into (row, bin) with the interval extended by `pad`. */
+  private def binned(df: DataFrame, binSize: Long, pad: Long,
+                     s: String, e: String): DataFrame =
+    df.withColumn("_bin", explode(sequence(
+      floorDiv(col(s) - pad, binSize), floorDiv(col(e) + pad - 1, binSize))))
+
+  /** Rename right-side columns that collide with the left, suffixing
+    * (pyranges suffix contract, reference methods/join.py:34-35). */
+  def suffixRight(left: DataFrame, right: DataFrame, suffix: String): DataFrame = {
+    val lcols = left.columns.toSet
+    right.columns.foldLeft(right)((d, c) =>
+      if (lcols.contains(c)) d.withColumnRenamed(c, c + suffix) else d)
+  }
+
+  /** Inner pair join: left columns + suffixed right columns, one output
+    * row per truly-overlapping pair. `contained` restricts to left
+    * intervals fully inside a right interval (reference
+    * contained_intervals_only). */
+  def pairs(left: DataFrame, right: DataFrame, keys: Seq[String],
+            slack: Long = 0, binSize: Long = 4096, suffix: String = "_b",
+            contained: Boolean = false): DataFrame = {
+    val r0 = suffixRight(left, right, suffix)
+    val rKeys = keys.map(_ + suffix)  // keys always collide by contract
+    val rs = Start + suffix
+    val re = End + suffix
+    val lb = binned(left, binSize, slack, Start, End).alias("l")
+    val rb = binned(r0, binSize, 0, rs, re).alias("r")
+    val keyEq = keys.zip(rKeys).map { case (k, rk) => col(s"l.$k") === col(s"r.$rk") }
+    val overlap =
+      if (contained)
+        col(s"r.$rs") <= col(s"l.$Start") && col(s"l.$End") <= col(s"r.$re")
+      else
+        col(s"l.$Start") - slack < col(s"r.$re") && col(s"l.$End") + slack > col(s"r.$rs")
+    val dedup = col("l._bin") ===
+      floorDiv(greatest(col(s"l.$Start") - slack, col(s"r.$rs")), binSize)
+    val cond = (keyEq :+ (col("l._bin") === col("r._bin")) :+ overlap :+ dedup).reduce(_ && _)
+    lb.join(rb, cond, "inner")
+      .drop(rKeys: _*).drop("_bin")
+  }
+
+  /** Existence-only range join: left_semi / left_anti. No dedup predicate
+    * needed (semi/anti dedup inherently); the right side should usually be
+    * pre-merged per key by the caller for speed. */
+  def exists(left: DataFrame, right: DataFrame, keys: Seq[String],
+             slack: Long = 0, binSize: Long = 4096,
+             contained: Boolean = false, anti: Boolean = false): DataFrame = {
+    val suffix = "_b"
+    val r0 = suffixRight(left, right, suffix)
+    val rKeys = keys.map(_ + suffix)
+    val rs = Start + suffix
+    val re = End + suffix
+    val rb = binned(r0.select((rKeys :+ rs :+ re).map(col): _*), binSize, 0, rs, re)
+    val lb = binned(left, binSize, slack, Start, End).alias("l")
+    val keyEq = keys.zip(rKeys).map { case (k, rk) => col(s"l.$k") === col(s"r.$rk") }
+    val overlap =
+      if (contained)
+        col(s"r.$rs") <= col(s"l.$Start") && col(s"l.$End") <= col(s"r.$re")
+      else
+        col(s"l.$Start") - slack < col(s"r.$re") && col(s"l.$End") + slack > col(s"r.$rs")
+    val cond = (keyEq :+ (col("l._bin") === col("r._bin")) :+ overlap).reduce(_ && _)
+    if (anti) {
+      // anti semantics: drop left rows overlapping ANY right row. A binned
+      // left_anti would only drop (row, bin) copies that match in that
+      // bin, then the surviving copies of a matched row would wrongly
+      // reappear — so anti = left minus semi via left_anti on row bins is
+      // wrong. Instead: semi on the binned copies, collect matched rows,
+      // then anti-join the ORIGINAL left against those matches on all
+      // original columns. Cheaper and simpler: semi first, then left
+      // left_anti semiResult on a unique id if present, else on all cols.
+      val matched = lb.join(rb.alias("r"), cond, "left_semi").drop("_bin").distinct()
+      left.join(matched, left.columns.toSeq, "left_anti")
+    } else {
+      lb.join(rb.alias("r"), cond, "left_semi").drop("_bin").distinct()
+    }
+  }
+}

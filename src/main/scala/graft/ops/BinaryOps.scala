@@ -1,0 +1,229 @@
+package graft.ops
+
+import graft.core.Cols
+import graft.join.RangeJoin
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary interval operators (the heart of the library — SURVEY.md §2.1).
+  * All are pure DataFrame plans over the binned range join; `keys` is the
+  * resolved group key (Chromosome [+ Strand] [+ match_by]); `left` must
+  * carry a unique `row_id` column (the pandas-index replacement) for the
+  * ops whose contract needs input-row identity.
+  */
+object BinaryOps {
+  import Cols.{Start, End, RowId}
+
+  /** overlap (reference core/pyranges_main.py:2393-2615): keep left rows
+    * overlapping >= 1 right row; invert => keep non-overlapping.
+    * multiple first/all both collapse to existence here (row set is the
+    * same; the reference differs only in output ordering). */
+  def overlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+              slack: Long = 0, contained: Boolean = false,
+              invert: Boolean = false, binSize: Long = 4096): DataFrame = {
+    // Merging right first shrinks the probe side and cannot change
+    // existence (except for containment, which needs original intervals).
+    val probe = if (contained) right else UnaryOps.merge(right, keys)
+    RangeJoin.exists(left, probe, keys, slack, binSize, contained, anti = invert)
+  }
+
+  /** join_overlaps (reference core/pyranges_main.py:1147-1401): relational
+    * join on interval overlap, right columns suffixed; joinType in
+    * {inner, left, right, outer}; multiple in {all, first, last} picks one
+    * right match per left row (first = smallest Start_b, last = largest
+    * End_b); reportOverlapCol adds the overlap length. */
+  def joinOverlaps(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   joinType: String = "inner", multiple: String = "all",
+                   slack: Long = 0, suffix: String = "_b",
+                   reportOverlapCol: Option[String] = None,
+                   contained: Boolean = false, binSize: Long = 4096): DataFrame = {
+    val rs = Start + suffix
+    val re = End + suffix
+    var p = RangeJoin.pairs(left, right, keys, slack, binSize, suffix, contained)
+    multiple match {
+      case "first" =>
+        val w = Window.partitionBy(col(RowId)).orderBy(col(rs), col(re))
+        p = p.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+      case "last" =>
+        val w = Window.partitionBy(col(RowId)).orderBy(col(re).desc, col(rs).desc)
+        p = p.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+      case _ => ()
+    }
+    p = reportOverlapCol.fold(p)(c => p.withColumn(c,
+      least(col(End), col(re)) - greatest(col(Start), col(rs))))
+    def nullRight(d: DataFrame): DataFrame =
+      p.columns.filterNot(d.columns.contains).foldLeft(d)((acc, c) =>
+        acc.withColumn(c, lit(null).cast(p.schema(c).dataType)))
+    def nullLeft(d0: DataFrame): DataFrame = {
+      // unmatched right rows, projected into the pair schema
+      val d = RangeJoin.suffixRight(left, d0, suffix)
+      p.columns.filterNot(d.columns.contains).foldLeft(d)((acc, c) =>
+        acc.withColumn(c, lit(null).cast(p.schema(c).dataType)))
+    }
+    joinType match {
+      case "inner" => p
+      case "left" =>
+        val unmatched = overlap(left, right, keys, slack, contained, invert = true, binSize)
+        p.unionByName(nullRight(unmatched).select(p.columns.map(col): _*))
+      case "right" =>
+        val unmatchedR = overlap(right, left, keys, slack, contained = false, invert = true, binSize)
+        p.unionByName(nullLeft(unmatchedR).select(p.columns.map(col): _*))
+      case "outer" | "full" =>
+        val ul = overlap(left, right, keys, slack, contained, invert = true, binSize)
+        val ur = overlap(right, left, keys, slack, contained = false, invert = true, binSize)
+        p.unionByName(nullRight(ul).select(p.columns.map(col): _*))
+          .unionByName(nullLeft(ur).select(p.columns.map(col): _*))
+    }
+  }
+
+  /** intersect_overlaps (reference core/pyranges_main.py:5309-5436):
+    * overlap join with output coordinates clipped to the overlapping
+    * segment. */
+  def intersect(left: DataFrame, right: DataFrame, keys: Seq[String],
+                slack: Long = 0, binSize: Long = 4096): DataFrame = {
+    val p = RangeJoin.pairs(left, right, keys, slack, binSize)
+    p.withColumn(Start, greatest(col(Start), col(Start + "_b")))
+      .withColumn(End, least(col(End), col(End + "_b")))
+      .drop(Start + "_b", End + "_b")
+  }
+
+  /** count_overlaps (reference core/pyranges_main.py:769-876): per left
+    * row, the number of overlapping right rows (0 kept). */
+  def countOverlaps(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    slack: Long = 0, countCol: String = "NumberOverlaps",
+                    binSize: Long = 4096): DataFrame = {
+    val p = RangeJoin.pairs(left, right, keys, slack, binSize)
+    val counts = p.groupBy(col(RowId)).agg(count(lit(1)).as(countCol))
+    left.join(counts, Seq(RowId), "left")
+      .na.fill(0L, Seq(countCol))
+  }
+
+  /** subtract_overlaps (reference core/pyranges_main.py:3522-3643): remove
+    * from each left interval the parts covered by right (one row may split
+    * into many; rows fully covered disappear; rows with no overlap pass
+    * through). Plan: merge right per key; pair-join; per left row the
+    * merged overlaps are disjoint and sorted, so the surviving pieces are
+    * the gaps — window over row_id, no collect. */
+  def subtract(left: DataFrame, right: DataFrame, keys: Seq[String],
+               binSize: Long = 4096): DataFrame = {
+    val merged = UnaryOps.merge(right, keys)
+    val p = RangeJoin.pairs(left, merged, keys, 0, binSize)
+    val rs = col(Start + "_b")
+    val re = col(End + "_b")
+    val w = Window.partitionBy(col(RowId)).orderBy(rs)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pieces = p
+      .withColumn("_gapS", greatest(col(Start), coalesce(lag(re, 1).over(w), col(Start))))
+      .withColumn("_gapE", least(col(End), rs))
+      .withColumn("_runMax", max(re).over(wAll))
+      .withColumn("_isLast", lead(rs, 1).over(w).isNull)
+      .withColumn("_segs", array(
+        struct(col("_gapS").as("s"), col("_gapE").as("e")),
+        struct(when(col("_isLast"), greatest(col(Start), col("_runMax"))).as("s"),
+               when(col("_isLast"), col(End)).as("e"))))
+      .withColumn("_seg", explode(col("_segs")))
+      .filter(col("_seg.s").isNotNull && col("_seg.s") < col("_seg.e"))
+      .withColumn(Start, col("_seg.s"))
+      .withColumn(End, col("_seg.e"))
+      .select(left.columns.map(col): _*)
+    val untouched = overlap(left, merged, keys, 0, contained = false, invert = true, binSize)
+    pieces.unionByName(untouched.select(left.columns.map(col): _*))
+  }
+
+  /** set_intersect_overlaps (reference core/pyranges_main.py:2617-2721):
+    * merge both sides per key, then intersect the merged segments. */
+  def setIntersect(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   binSize: Long = 4096): DataFrame =
+    intersect(UnaryOps.merge(left, keys).withColumn(RowId, monotonically_increasing_id()),
+              UnaryOps.merge(right, keys), keys, 0, binSize)
+      .drop(RowId)
+
+  /** set_union_overlaps (reference core/pyranges_main.py:2723-2820):
+    * concat + merge. */
+  def setUnion(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = (keys ++ Seq(Start, End)).map(col)
+    UnaryOps.merge(left.select(cols: _*).unionByName(right.select(cols: _*)), keys)
+  }
+
+  /** nearest_ranges, k=1 (reference core/pyranges_main.py:2143-2391):
+    * for each left row the nearest right interval; overlap => distance 0,
+    * touching => distance 1 (reference README.md:51-53). Left rows whose
+    * key has no right rows are dropped (inner semantics).
+    *
+    * Plan: three candidate generators — overlap pairs (range join), the
+    * closest right interval ending at-or-before left's Start (as-of sweep
+    * over the unioned tables, one sort), and the closest right interval
+    * starting at-or-after left's End (mirror sweep) — then a min(struct)
+    * per row_id. Ties broken by smallest right row_id.
+    */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              suffix: String = "_b", distCol: String = "Distance",
+              excludeOverlaps: Boolean = false, binSize: Long = 4096): DataFrame = {
+    val rId = RowId + suffix
+    val rs = Start + suffix
+    val re = End + suffix
+    val rSel = right.select(
+      keys.map(col) ++ Seq(col(RowId).as(rId), col(Start).as(rs), col(End).as(re)): _*)
+
+    // --- directional sweeps over the union (one sort each) ---
+    val lTag = left.select(
+      keys.map(col) ++ Seq(col(RowId), col(Start), col(End), lit(1).as("_self"),
+        lit(null).cast("long").as(rId), lit(null).cast("long").as(rs),
+        lit(null).cast("long").as(re)): _*)
+    val rTag = rSel.select(
+      keys.map(col) ++ Seq(lit(null).cast("long").as(RowId),
+        lit(null).cast("long").as(Start), lit(null).cast("long").as(End),
+        lit(0).as("_self"), col(rId), col(rs), col(re)): _*)
+    val u = lTag.unionByName(rTag)
+
+    // left-scan: for each self row, the right struct with max End_b <= Start
+    // (max End first, then min row_id on ties) carried as a running "best"
+    // struct; ordering others-before-self at equal coordinate keeps
+    // touching intervals (End_b == Start, distance 1) eligible.
+    val lPos = coalesce(col(re), col(Start))
+    val wL = Window.partitionBy(keys.map(col): _*)
+      .orderBy(lPos.asc, col("_self").asc, col(rId).desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leftCand = u
+      .withColumn("_best", last(when(col("_self") === 0,
+        struct(col(rs), col(re), col(rId))), ignoreNulls = true).over(wL))
+      .filter(col("_self") === 1 && col("_best").isNotNull)
+      .select(col(RowId), col(Start), col("_best.*"))
+      .withColumn(distCol, col(Start) - col(re) + 1)
+
+    // right-scan mirror: min Start_b >= End.
+    val rPos = coalesce(col(rs), col(End))
+    val wR = Window.partitionBy(keys.map(col): _*)
+      .orderBy(rPos.desc, col("_self").asc, col(rId).desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rightCand = u
+      .withColumn("_best", last(when(col("_self") === 0,
+        struct(col(rs), col(re), col(rId))), ignoreNulls = true).over(wR))
+      .filter(col("_self") === 1 && col("_best").isNotNull)
+      .select(col(RowId), col(End), col("_best.*"))
+      .withColumn(distCol, col(rs) - col(End) + 1)
+
+    // overlap candidates: distance 0.
+    val ovCand =
+      if (excludeOverlaps) None
+      else Some(RangeJoin.pairs(left, rSel.withColumnRenamed(rId, RowId + "_tmp")
+            .withColumnRenamed(rs, Start).withColumnRenamed(re, End),
+            keys, 0, binSize, suffix = "_o")
+        .select(col(RowId), col(Start + "_o").as(rs), col(End + "_o").as(re),
+                col(RowId + "_tmp").as(rId))
+        .withColumn(distCol, lit(0L)))
+
+    val lc = leftCand.select(RowId, rs, re, rId, distCol)
+    val rc = rightCand.select(RowId, rs, re, rId, distCol)
+    val all = ovCand.fold(lc.unionByName(rc))(o =>
+      lc.unionByName(rc).unionByName(o.select(RowId, rs, re, rId, distCol)))
+    // exclude_overlaps: directional sweeps only produce non-overlapping
+    // candidates already (End_b <= Start / Start_b >= End).
+    val best = all.groupBy(col(RowId)).agg(
+      min(struct(col(distCol), col(rId), col(rs), col(re))).as("_best"))
+      .select(col(RowId), col(s"_best.$rId").as(rId), col(s"_best.$rs").as(rs),
+              col(s"_best.$re").as(re), col(s"_best.$distCol").as(distCol))
+    left.join(best, Seq(RowId), "inner")
+  }
+}

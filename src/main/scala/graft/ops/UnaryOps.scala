@@ -1,0 +1,256 @@
+package graft.ops
+
+import graft.core.Cols
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unary per-group interval kernels. Each takes the explicit group key
+  * (Chromosome [+ Strand] [+ match_by]) — the reference factorizes the key
+  * to dense uint32 before a Rust sort-sweep kernel (reference
+  * core/pyranges_helpers.py:35-61); here the key is the window/hash
+  * partition key, and the sort-sweep becomes a window-function plan that
+  * whole-stage-codegens and scales horizontally.
+  *
+  * Design rule: one shuffle per operator where the reference does one
+  * factorize+sort (SURVEY.md §3). All window columns in one op share a
+  * single WindowSpec so Catalyst plans a single Window node.
+  */
+object UnaryOps {
+  import Cols.{Start, End, Strand}
+
+  private def keyCols(keys: Seq[String]): Seq[Column] = keys.map(col)
+
+  /** Sweep preamble shared by merge/cluster: per-key running max of End
+    * over rows ordered (Start, End), flagging rows that start a new
+    * cluster (Start > runningMaxEnd + slack). Reference kernel:
+    * ruranges merge/cluster sort-sweep (reference methods/merge.py:10-45,
+    * range_frame/range_frame.py:216-264).
+    */
+  private def clusterFlag(keys: Seq[String], slack: Long, tieBreak: Seq[Column]) = {
+    val w = Window.partitionBy(keyCols(keys): _*)
+      .orderBy(Seq(col(Start), col(End)) ++ tieBreak: _*)
+    val prevMax = max(col(End)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flag = when(prevMax.isNull || col(Start) > prevMax + slack, 1L).otherwise(0L)
+    (w, flag)
+  }
+
+  /** merge_overlaps (reference core/pyranges_main.py:2048-2141): union
+    * overlapping (or within-`slack`, touching included) intervals into
+    * super-intervals per key; optional count of constituent rows.
+    *
+    * Single shuffle: cluster start/end/count are recovered inside the same
+    * window (last-row-of-cluster trick) instead of a second groupBy.
+    */
+  def merge(df: DataFrame, keys: Seq[String], slack: Long = 0,
+            countCol: Option[String] = None): DataFrame = {
+    val (w, flag) = clusterFlag(keys, slack, Nil)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df
+      .withColumn("_new", flag)
+      .withColumn("_runMax", max(col(End)).over(wRun))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_clStart", last(when(col("_new") === 1L, col(Start)), ignoreNulls = true).over(wRun))
+      .withColumn("_clRn", last(when(col("_new") === 1L, col("_rn")), ignoreNulls = true).over(wRun))
+      .withColumn("_isLast", lead(col("_new"), 1, 1L).over(w) === 1L)
+    val out = base.filter(col("_isLast"))
+      .withColumn(Start, col("_clStart"))
+      .withColumn(End, col("_runMax"))
+    val withCount = countCol.fold(out)(c => out.withColumn(c, col("_rn") - col("_clRn") + 1L))
+    withCount.select((keys ++ Seq(Start, End) ++ countCol.toSeq).map(col): _*)
+  }
+
+  /** cluster_overlaps (reference core/pyranges_main.py:645-751): annotate
+    * each row with a per-key cluster id (1-based, in (Start, End) sweep
+    * order) instead of collapsing. */
+  def cluster(df: DataFrame, keys: Seq[String], slack: Long = 0,
+              clusterCol: String = "Cluster"): DataFrame = {
+    val (w, flag) = clusterFlag(keys, slack, Nil)
+    df.withColumn(clusterCol,
+      sum(flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** complement_ranges (reference core/pyranges_main.py:5705-5896): gaps
+    * strictly between merged intervals per key; optional chromSizes
+    * (Chromosome, size) adds the [0, firstStart) and [lastEnd, size)
+    * flanks (include_first_interval semantics). */
+  def complement(df: DataFrame, keys: Seq[String],
+                 chromSizes: Option[DataFrame] = None): DataFrame = {
+    val merged = merge(df, keys)
+    val w = Window.partitionBy(keyCols(keys): _*).orderBy(col(Start))
+    val gaps = merged
+      .withColumn("_nextStart", lead(col(Start), 1).over(w))
+      .filter(col("_nextStart").isNotNull && col("_nextStart") > col(End))
+      .select(keyCols(keys) ++ Seq(col(End).as(Start), col("_nextStart").as(End)): _*)
+    chromSizes match {
+      case None => gaps
+      case Some(cs) =>
+        // flanks from per-key outer bounds joined to chromsizes
+        val bounds = merged.groupBy(keyCols(keys): _*)
+          .agg(min(col(Start)).as("_minS"), max(col(End)).as("_maxE"))
+          .join(broadcast(cs), Seq(Cols.Chrom))
+        val left = bounds.filter(col("_minS") > 0)
+          .select(keyCols(keys) ++ Seq(lit(0L).as(Start), col("_minS").as(End)): _*)
+        val right = bounds.filter(col("_maxE") < col("size"))
+          .select(keyCols(keys) ++ Seq(col("_maxE").as(Start), col("size").as(End)): _*)
+        gaps.unionByName(left).unionByName(right)
+    }
+  }
+
+  /** outer_ranges / boundaries (reference core/pyranges_main.py:534-609):
+    * min(Start), max(End) [, count] per key. Pure hash aggregate. */
+  def boundaries(df: DataFrame, keys: Seq[String],
+                 countCol: Option[String] = None): DataFrame = {
+    val aggs = Seq(min(col(Start)).as(Start), max(col(End)).as(End)) ++
+      countCol.map(c => count(lit(1)).as(c)).toSeq
+    df.groupBy(keyCols(keys): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** extend_ranges (reference core/pyranges_main.py:879-1039): extend
+    * (or contract, negative values) interval ends; strand-aware: ext5
+    * moves Start on "+" rows but End on "-" rows, ext3 the converse. */
+  def extend(df: DataFrame, ext5: Long = 0, ext3: Long = 0,
+             useStrand: Boolean = true): DataFrame = {
+    val neg = if (useStrand && df.columns.contains(Strand))
+      col(Strand) === Cols.RevStrand else lit(false)
+    df.withColumn(Start, when(neg, col(Start) - ext3).otherwise(col(Start) - ext5))
+      .withColumn(End, when(neg, col(End) + ext5).otherwise(col(End) + ext3))
+  }
+
+  /** clip_ranges / genome_bounds (reference core/pyranges_main.py:
+    * 6075-6233): clamp intervals into [0, chromSize); rows entirely
+    * outside are dropped. chromSizes: (Chromosome, size). */
+  def clip(df: DataFrame, chromSizes: DataFrame,
+           onlyRight: Boolean = false): DataFrame = {
+    val joined = df.join(broadcast(chromSizes), Seq(Cols.Chrom))
+    val clipped = joined
+      .withColumn(Start, if (onlyRight) col(Start) else greatest(col(Start), lit(0L)))
+      .withColumn(End, least(col(End), col("size")))
+    clipped.filter(col(End) > col(Start)).drop("size")
+  }
+
+  /** split_overlaps (reference core/pyranges_main.py:3264-3415): cut the
+    * key-space at every Start/End boundary into atomic segments;
+    * between=false keeps only segments covered by >=1 input interval,
+    * between=true also emits the uncovered gaps between them.
+    *
+    * Event plan (no join): +1/-1 boundary events, per-key prefix sum =
+    * coverage depth of each inter-boundary segment.
+    */
+  def split(df: DataFrame, keys: Seq[String], between: Boolean = false): DataFrame = {
+    val ev = df.select(keyCols(keys) :+ explode(array(
+      struct(col(Start).as("_pos"), lit(1L).as("_d")),
+      struct(col(End).as("_pos"), lit(-1L).as("_d")))).as("_ev"): _*)
+      .select(keyCols(keys) ++ Seq(col("_ev._pos").as("_pos"), col("_ev._d").as("_d")): _*)
+      .groupBy(keyCols(keys) :+ col("_pos"): _*).agg(sum(col("_d")).as("_d"))
+    val w = Window.partitionBy(keyCols(keys): _*).orderBy(col("_pos"))
+    val seg = ev
+      .withColumn("_depth", sum(col("_d")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_next", lead(col("_pos"), 1).over(w))
+      .filter(col("_next").isNotNull && (if (between) lit(true) else col("_depth") > 0))
+    seg.select(keyCols(keys) ++ Seq(col("_pos").as(Start), col("_next").as(End)): _*)
+  }
+
+  /** group_cumsum (reference core/pyranges_main.py:5209-5307): 5'→3'
+    * running total of interval lengths per key (transcript), the basis of
+    * all local-coordinate math. Minus-strand groups run right-to-left.
+    * Adds cumStart/cumEnd columns. */
+  def groupCumsum(df: DataFrame, keys: Seq[String], useStrand: Boolean = true,
+                  cumStartCol: String = "cumStart", cumEndCol: String = "cumEnd",
+                  tieBreak: Seq[Column] = Nil): DataFrame = {
+    val neg = if (useStrand && df.columns.contains(Strand))
+      col(Strand) === Cols.RevStrand else lit(false)
+    val pos1 = when(neg, -col(End)).otherwise(col(Start))
+    val pos2 = when(neg, -col(Start)).otherwise(col(End))
+    val w = Window.partitionBy(keyCols(keys): _*)
+      .orderBy(Seq(pos1, pos2) ++ tieBreak: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(cumEndCol, sum(col(End) - col(Start)).over(w))
+      .withColumn(cumStartCol, col(cumEndCol) - (col(End) - col(Start)))
+  }
+
+  /** window_ranges (reference core/pyranges_main.py:4838-5096): chop each
+    * interval into fixed-size windows from its 5' end (last window may be
+    * shorter). Generator plan: explode(sequence(...)) — no shuffle. */
+  def windowRanges(df: DataFrame, size: Long, useStrand: Boolean = true): DataFrame = {
+    val neg = if (useStrand && df.columns.contains(Strand))
+      col(Strand) === Cols.RevStrand else lit(false)
+    // "+" rows window left→right from Start; "-" rows right→left from End.
+    val fwd = df.filter(!neg)
+      .withColumn("_ws", explode(sequence(col(Start), col(End) - 1, lit(size))))
+      .withColumn(End, least(col("_ws") + size, col(End)))
+      .withColumn(Start, col("_ws")).drop("_ws")
+    val rev = df.filter(neg)
+      .withColumn("_we", explode(sequence(col(End), col(Start) + 1, lit(-size))))
+      .withColumn(Start, greatest(col("_we") - size, col(Start)))
+      .withColumn(End, col("_we")).drop("_we")
+    fwd.unionByName(rev)
+  }
+
+  /** tile_ranges (reference core/pyranges_main.py:3719-3846): snap
+    * intervals onto the global grid of `size`; one row per overlapped
+    * tile; optional overlap length (bp of interval inside the tile). */
+  def tile(df: DataFrame, size: Long, overlapCol: Option[String] = None): DataFrame = {
+    val t = df.withColumn("_t",
+      explode(sequence(floor(col(Start).cast("double") / size).cast("long"),
+                       floor((col(End) - 1).cast("double") / size).cast("long"))))
+    val withBounds = t
+      .withColumn("_ts", col("_t") * size)
+      .withColumn("_te", (col("_t") + 1) * size)
+    val withOv = overlapCol.fold(withBounds)(c => withBounds.withColumn(c,
+      least(col(End), col("_te")) - greatest(col(Start), col("_ts"))))
+    withOv.withColumn(Start, col("_ts")).withColumn(End, col("_te"))
+      .drop("_t", "_ts", "_te")
+  }
+
+  /** tile_genome (reference methods/tile_genome.py:13-109): tile the whole
+    * genome from a chromSizes table (Chromosome, size). */
+  def tileGenome(chromSizes: DataFrame, size: Long,
+                 fullLastTile: Boolean = false): DataFrame = {
+    val t = chromSizes.withColumn("_t",
+      explode(sequence(lit(0L), floor((col("size") - 1).cast("double") / size).cast("long"))))
+    t.withColumn(Start, col("_t") * size)
+      .withColumn(End, if (fullLastTile) (col("_t") + 1) * size
+                       else least((col("_t") + 1) * size, col("size")))
+      .drop("_t", "size")
+  }
+
+  /** max_disjoint_overlaps (reference core/pyranges_main.py:1911-2046):
+    * maximum-cardinality non-overlapping subset per key — the classic
+    * greedy-by-end scan. Inherently sequential per key: repartition by
+    * key, sort within partitions by (key, End), single-pass sweep with
+    * carried lastEnd state (reference kernel: ruranges max_disjoint,
+    * range_frame/range_frame.py:397-449). */
+  def maxDisjoint(df: DataFrame, keys: Seq[String], slack: Long = 0): DataFrame = {
+    val schema = df.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    val sIdx = schema.fieldIndex(Start)
+    val eIdx = schema.fieldIndex(End)
+    val sorted = df.repartition(keyCols(keys): _*)
+      .sortWithinPartitions((keys :+ End).map(col) :+ col(Start): _*)
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var lastEnd = Long.MinValue
+      it.filter { r =>
+        val k = keyIdx.map(r.get)
+        if (curKey == null || k != curKey) { curKey = k; lastEnd = Long.MinValue }
+        val s = r.getLong(sIdx)
+        if (s + slack >= lastEnd || lastEnd == Long.MinValue) { lastEnd = r.getLong(eIdx); true }
+        else false
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** sort_ranges (reference core/pyranges_main.py:2822-2997): sort by
+    * natural chromosome order, then Start, End; use_strand sorts
+    * minus-strand groups 3'→5' descending (5'→3' transcript order). */
+  def sortRanges(df: DataFrame, keys: Seq[String] = Seq(Cols.Chrom),
+                 useStrand: Boolean = false): DataFrame = {
+    val natKeys = keys.map(k => graft.expr.NatSort.natsortKey(col(k)))
+    val neg = if (useStrand && df.columns.contains(Strand))
+      col(Strand) === Cols.RevStrand else lit(false)
+    val pos1 = when(neg, -col(End)).otherwise(col(Start))
+    val pos2 = when(neg, -col(Start)).otherwise(col(End))
+    df.orderBy(natKeys ++ Seq(pos1, pos2): _*)
+  }
+}
