@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.Cols
+import graft.ml.{Dedup, Similarity, TextOps}
 import graft.ops.{BinaryOps, Coverage, UnaryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -81,6 +82,33 @@ object SparkEntry {
       out(BinaryOps.setIntersect(gr(s, dir), gr2(s, dir), Seq(Chrom)))),
     "q20_setunion" -> ((s, dir) =>
       out(BinaryOps.setUnion(gr(s, dir), gr2(s, dir), Seq(Chrom)))),
+
+    // ---- training-data pipeline ops (BASELINE.json north_star) ----
+    "q21_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(pq(s, dir, "documents"),
+        md5(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5))), "doc_id", "h")),
+    "q22_text_stats" -> ((s, dir) =>
+      TextOps.qualityStats(pq(s, dir, "documents")).select(col("doc_id"),
+        col("n_chars2").cast("long").as("n_chars2"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct_tokens").cast("long").as("n_distinct_tokens"),
+        col("n_spaces").cast("long").as("n_spaces"),
+        col("mean_token_len_x100"), col("distinct_ratio_x100"))),
+    "q23_minhash" -> ((s, dir) =>
+      Dedup.minhashSignature(pq(s, dir, "documents"), "text", "doc_id", 4, 3)
+        .withColumn("n_shingles", col("n_shingles").cast("long"))),
+    "q24_lsh_jaccard" -> ((s, dir) =>
+      Dedup.nearDuplicatePairs(pq(s, dir, "documents"), "text", "doc_id",
+        numHashes = 4, bandSize = 1, shingleK = 3, minJaccardPct = 0)),
+    "q25_knn" -> ((s, dir) =>
+      Similarity.bruteForceTopK(pq(s, dir, "embeddings"), 3)
+        .withColumnRenamed("rank", "rnk")
+        .withColumn("rnk", col("rnk").cast("long"))),
+    "q26_langid" -> ((s, dir) =>
+      pq(s, dir, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("pred"),
+        TextOps.wordlistHits(col("text"), TextOps.defaultWordlists("en"))
+          .cast("long").as("en_hits"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -152,5 +180,40 @@ object SparkEntry {
       "u AS (SELECT chrom, istart, iend FROM gr UNION ALL SELECT chrom, istart, iend FROM gr2)",
       mergeCte("mu", "u", "chrom")),
       "SELECT chrom, istart, iend FROM mu"),
+
+    "q21_dedup_exact" ->
+      """SELECT md5(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ')) AS h, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1""",
+
+    "q22_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens, CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens, CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, CAST(floor(length(regexp_replace(text, '\s', '', 'g')) * 100.0 / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS mean_token_len_x100, CAST(floor(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 100.0 / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS distinct_ratio_x100 FROM documents""",
+
+    "q23_minhash" -> (
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents), """ +
+      """sh AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)) """ +
+      """SELECT doc_id, min(md5('1' || shingle)) AS h1, min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3, min(md5('4' || shingle)) AS h4, count(*) AS n_shingles FROM sh GROUP BY doc_id"""),
+
+    "q24_lsh_jaccard" -> (
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents), """ +
+      """sh AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)), """ +
+      """sig AS (SELECT doc_id, min(md5('1' || shingle)) AS h1, min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3, min(md5('4' || shingle)) AS h4 FROM sh GROUP BY doc_id), """ +
+      """bd AS (SELECT doc_id, 1 AS band, h1 AS bh FROM sig UNION ALL SELECT doc_id, 2, h2 FROM sig UNION ALL SELECT doc_id, 3, h3 FROM sig UNION ALL SELECT doc_id, 4, h4 FROM sig), """ +
+      """cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bd l JOIN bd r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id), """ +
+      """dsh AS (SELECT DISTINCT doc_id, shingle FROM sh), """ +
+      """sz AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id), """ +
+      """inter AS (SELECT c.a, c.b, count(*) AS ni FROM cand c JOIN dsh s1 ON s1.doc_id = c.a JOIN dsh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle GROUP BY c.a, c.b) """ +
+      """SELECT c.a, c.b, coalesce(i.ni, 0) AS n_intersect, sa.ns + sb.ns - coalesce(i.ni, 0) AS n_union FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b"""),
+
+    "q25_knn" -> (
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), """ +
+      """p AS (SELECT a.vec_id, b.vec_id AS nb, CAST(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) AS BIGINT) AS dot FROM q a JOIN q b ON a.vec_id <> b.vec_id) """ +
+      """SELECT vec_id, nb, dot, CAST(rn AS BIGINT) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, nb) AS rn FROM p) WHERE rn <= 3"""),
+
+    "q26_langid" -> (
+      """SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN hf = m THEN 'fr' WHEN hs = m THEN 'es' WHEN he = m THEN 'en' ELSE 'de' END AS pred, CAST(he AS BIGINT) AS en_hits FROM (""" +
+      """SELECT doc_id, he, hd, hf, hs, greatest(he, hd, hf, hs) AS m FROM (""" +
+      """SELECT doc_id, len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS he, """ +
+      """len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS hd, """ +
+      """len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['le','la','les','et','est','une','des'], x))) AS hf, """ +
+      """len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['el','la','los','y','es','una','que'], x))) AS hs FROM documents))"""),
   )
 }

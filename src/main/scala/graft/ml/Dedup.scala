@@ -1,0 +1,127 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * groupBy), MinHash + LSH banding, SimHash, and exact n-gram Jaccard
+  * verification of candidate pairs.
+  *
+  * Scale design: every step is a hash-partitioned groupBy/join on a
+  * well-distributed key (content hash, (band, bandHash) bucket), so the
+  * plan scales linearly with corpus size; the quadratic step (candidate
+  * pair verification) only runs within LSH buckets, which stay small for
+  * any reasonable band width.
+  */
+object Dedup {
+
+  /** Exact dedup on an arbitrary normalization key (e.g. md5 of the raw
+    * text, or of a normalized prefix): one row per group with the
+    * smallest id as the keeper and the duplicate count. */
+  def exactGroups(df: DataFrame, key: Column, idCol: String = "doc_id",
+                  keyName: String = "h"): DataFrame =
+    df.groupBy(key.as(keyName))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Drop exact duplicates, keeping the smallest id per key. */
+  def dropExactDuplicates(df: DataFrame, key: Column,
+                          idCol: String = "doc_id"): DataFrame = {
+    val keep = df.groupBy(key.as("_k")).agg(min(col(idCol)).as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signature as `numHashes` string-min md5 values over k-word
+    * shingles. Using the lexicographic min of seeded md5 hex digests
+    * makes the signature portable across engines (identical in DuckDB)
+    * while preserving the MinHash property (md5 ~ random permutation of
+    * the shingle universe per seed). Docs with < k words get an empty
+    * signature and are excluded. */
+  def minhashSignature(df: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", numHashes: Int = 4,
+                       shingleK: Int = 3): DataFrame = {
+    val sh = TextOps.wordShingles(col(textCol), shingleK)
+    val sigCols = (1 to numHashes).map(i =>
+      array_min(transform(sh, x => md5(concat(lit(i.toString), x)))).as(s"h$i"))
+    df.filter(size(TextOps.tokens(col(textCol))) >= shingleK)
+      .select(col(idCol) +: sigCols :+ size(sh).as("n_shingles"): _*)
+  }
+
+  /** LSH candidate pairs: documents sharing at least one signature band.
+    * bandSize=1 => a band per hash (highest recall). Output: (a, b)
+    * id pairs with a < b, distinct. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String = "doc_id",
+                        numHashes: Int = 4, bandSize: Int = 1): DataFrame = {
+    val bands = (1 to numHashes by bandSize).map { start =>
+      val cols = (start until math.min(start + bandSize, numHashes + 1))
+        .map(i => col(s"h$i"))
+      struct(lit(start).as("band"), concat_ws("|", cols: _*).as("bh"))
+    }
+    val exploded = sig.select(col(idCol), explode(array(bands: _*)).as("_b"))
+      .select(col(idCol), col("_b.band"), col("_b.bh"))
+    val l = exploded.alias("l")
+    val r = exploded.alias("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs: returns (a, b,
+    * n_intersect, n_union) — integer-valued so the similarity is exact.
+    * `docs` must carry (idCol, textCol). */
+  def pairJaccard(docs: DataFrame, candidates: DataFrame,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  shingleK: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("ns"))
+    val inter = candidates
+      .join(sh.select(col(idCol).as("a"), col("sh")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
+    candidates.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("ni"))
+      .join(sizes.select(col(idCol).as("a"), col("ns").as("nsa")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("ns").as("nsb")), Seq("b"))
+      .select(col("a"), col("b"), col("ni").as("n_intersect"),
+        (col("nsa") + col("nsb") - col("ni")).as("n_union"))
+  }
+
+  /** MinHash near-dup pipeline: signature -> LSH buckets -> exact Jaccard
+    * >= threshold (numerator/denominator compare, no floats). */
+  def nearDuplicatePairs(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", numHashes: Int = 4,
+                         bandSize: Int = 1, shingleK: Int = 3,
+                         minJaccardPct: Int = 50): DataFrame = {
+    val sig = minhashSignature(docs, textCol, idCol, numHashes, shingleK)
+    val cand = lshCandidatePairs(sig, idCol, numHashes, bandSize)
+    pairJaccard(docs, cand, textCol, idCol, shingleK)
+      .filter(col("n_intersect") * 100 >= col("n_union") * minJaccardPct)
+  }
+
+  /** 60-bit SimHash over whitespace tokens: per token take the first 15
+    * hex chars of md5 (60 bits), vote each bit +1/-1, sign of the vote
+    * is the fingerprint bit. Near-dups differ in few bits (use
+    * `bit_count(a ^ b) <= t` on the result to pair). */
+  def simhash60(df: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id",
+                outCol: String = "simhash"): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("_t"))
+    val md5c = md5(col("_t"))
+    // one ±1 vote column per bit; b is compile-time so every substring
+    // position and shift amount is a literal (codegen-friendly, single
+    // shuffle: one groupBy with 60 sums).
+    def vote(b: Int): Column = {
+      val hexChar = substring(md5c, b / 4 + 1, 1)
+      val v = conv(hexChar, 16, 10).cast("int")
+      val bit = shiftright(v, 3 - b % 4).bitwiseAND(lit(1))
+      when(bit === 1, 1).otherwise(-1)
+    }
+    val aggs = (0 until 60).map(b => sum(vote(b)).as(s"_v$b"))
+    val fp = (0 until 60).map(b =>
+      when(col(s"_v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), fp.as(outCol))
+  }
+}

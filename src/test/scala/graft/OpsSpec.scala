@@ -1,0 +1,286 @@
+package graft
+
+import graft.core.Cols
+import graft.join.RangeJoin
+import graft.ml.{Dedup, Similarity, TextOps}
+import graft.ops.{BinaryOps, Coverage, UnaryOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests mirroring the reference's doctest examples (cited per
+  * test) plus algebraic properties the reference asserts implicitly. */
+class OpsSpec extends AnyFunSuite {
+  import Cols._
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def gf(rows: (String, Long, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF(Chrom, Start, End)
+      .withColumn(RowId, monotonically_increasing_id())
+  }
+  def gfs(rows: (String, String, Long, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF(Chrom, Strand, Start, End)
+      .withColumn(RowId, monotonically_increasing_id())
+  }
+  def rows3(df: DataFrame): Set[(String, Long, Long)] =
+    df.select(Chrom, Start, End).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  // merge_overlaps: overlapping + bookended merged (reference
+  // core/pyranges_main.py:2048-2141 doctest).
+  test("merge merges overlapping and touching intervals") {
+    val df = gf(("chr1", 1, 5), ("chr1", 4, 9), ("chr1", 9, 11), ("chr1", 15, 20),
+                ("chr2", 1, 3))
+    val m = UnaryOps.merge(df, Seq(Chrom), 0, Some("n"))
+    assert(rows3(m) == Set(("chr1", 1L, 11L), ("chr1", 15L, 20L), ("chr2", 1L, 3L)))
+    val counts = m.select(Chrom, Start, "n").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(counts == Set(("chr1", 1L, 3L), ("chr1", 15L, 1L), ("chr2", 1L, 1L)))
+  }
+
+  test("merge slack bridges gaps <= slack") {
+    val df = gf(("c", 1, 5), ("c", 7, 9))
+    assert(rows3(UnaryOps.merge(df, Seq(Chrom), slack = 2)) == Set(("c", 1L, 9L)))
+    assert(rows3(UnaryOps.merge(df, Seq(Chrom), slack = 1)) ==
+      Set(("c", 1L, 5L), ("c", 7L, 9L)))
+  }
+
+  test("merge is idempotent") {
+    val df = gf(("c", 1, 5), ("c", 4, 9), ("c", 20, 30), ("c", 25, 26))
+    val once = UnaryOps.merge(df, Seq(Chrom))
+    val twice = UnaryOps.merge(once, Seq(Chrom))
+    assert(rows3(once) == rows3(twice))
+  }
+
+  // cluster_overlaps (reference core/pyranges_main.py:645-751): cluster
+  // ids per key in sweep order.
+  test("cluster annotates rows, same id iff same island") {
+    val df = gf(("c", 1, 5), ("c", 4, 9), ("c", 12, 14))
+    val got = UnaryOps.cluster(df, Seq(Chrom), 0, "cid")
+      .select(Start, "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == got(4L) && got(12L) != got(1L))
+  }
+
+  // complement_ranges (reference core/pyranges_main.py:5705-5896).
+  test("complement emits gaps between merged islands") {
+    val df = gf(("c", 1, 5), ("c", 4, 9), ("c", 12, 14), ("c", 20, 25))
+    assert(rows3(UnaryOps.complement(df, Seq(Chrom))) ==
+      Set(("c", 9L, 12L), ("c", 14L, 20L)))
+  }
+
+  // split_overlaps (reference core/pyranges_main.py:3264-3415 doctest:
+  // between=False keeps covered segments only).
+  test("split cuts at every boundary; between=true adds gaps") {
+    val df = gf(("c", 3, 10), ("c", 5, 7), ("c", 11, 12))
+    assert(rows3(UnaryOps.split(df, Seq(Chrom))) ==
+      Set(("c", 3L, 5L), ("c", 5L, 7L), ("c", 7L, 10L), ("c", 11L, 12L)))
+    assert(rows3(UnaryOps.split(df, Seq(Chrom), between = true)) ==
+      Set(("c", 3L, 5L), ("c", 5L, 7L), ("c", 7L, 10L), ("c", 10L, 11L), ("c", 11L, 12L)))
+  }
+
+  // extend_ranges strand semantics (reference core/pyranges_main.py:
+  // 879-1039: ext_5 moves Start on "+", End on "-").
+  test("extend is strand-aware") {
+    val df = gfs(("c", "+", 10, 20), ("c", "-", 10, 20))
+    val got = UnaryOps.extend(df, ext5 = 3, ext3 = 7)
+      .select(Strand, Start, End).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("+", 7L, 27L), ("-", 3L, 23L)))
+  }
+
+  // window_ranges (reference core/pyranges_main.py:4838-5096): minus
+  // strand windows run from the 5' end = the End coordinate.
+  test("windowRanges chops from the 5' end per strand") {
+    val df = gfs(("c", "+", 0, 10), ("c", "-", 0, 10))
+    val got = UnaryOps.windowRanges(df, 4)
+      .select(Strand, Start, End).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("+", 0L, 4L), ("+", 4L, 8L), ("+", 8L, 10L),
+                      ("-", 6L, 10L), ("-", 2L, 6L), ("-", 0L, 2L)))
+  }
+
+  // tile_ranges (reference core/pyranges_main.py:3719-3846): global grid.
+  test("tile snaps to the global grid") {
+    val df = gf(("c", 5, 21))
+    assert(rows3(UnaryOps.tile(df, 10)) ==
+      Set(("c", 0L, 10L), ("c", 10L, 20L), ("c", 20L, 30L)))
+  }
+
+  // max_disjoint_overlaps (reference core/pyranges_main.py:1911-2046):
+  // greedy by end keeps the maximum non-overlapping subset.
+  test("maxDisjoint keeps greedy-by-end subset") {
+    val df = gf(("c", 1, 10), ("c", 2, 3), ("c", 4, 5), ("c", 4, 12))
+    assert(rows3(UnaryOps.maxDisjoint(df, Seq(Chrom))) ==
+      Set(("c", 2L, 3L), ("c", 4L, 5L)))
+  }
+
+  // group_cumsum (reference core/pyranges_main.py:5209-5307): 5'->3'.
+  test("groupCumsum runs 5'->3' (reversed on minus strand)") {
+    val df = gfs(("c", "-", 0, 5), ("c", "-", 10, 12))
+    val got = UnaryOps.groupCumsum(df, Seq(Chrom, Strand))
+      .select(Start, "cumStart", "cumEnd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // minus strand: [10,12) is 5'-most -> cum [0,2); [0,5) -> cum [2,7)
+    assert(got == Set((10L, 0L, 2L), (0L, 2L, 7L)))
+  }
+
+  // overlap/invert (reference core/pyranges_main.py:2393-2615).
+  test("overlap keeps hit rows; invert keeps the complement; union is all") {
+    val l = gf(("c", 1, 5), ("c", 10, 12), ("d", 1, 2))
+    val r = gf(("c", 4, 11))
+    val hit = BinaryOps.overlap(l, r, Seq(Chrom))
+    val miss = BinaryOps.overlap(l, r, Seq(Chrom), invert = true)
+    assert(rows3(hit) == Set(("c", 1L, 5L), ("c", 10L, 12L)))
+    assert(rows3(miss) == Set(("d", 1L, 2L)))
+  }
+
+  test("overlap slack extends matching range; contained restricts") {
+    val l = gf(("c", 1, 5), ("c", 8, 9))
+    val r = gf(("c", 6, 7))
+    assert(rows3(BinaryOps.overlap(l, r, Seq(Chrom))) == Set.empty[(String, Long, Long)])
+    // slack=1 only touches (half-open: extended [1,6) vs [6,7) is no overlap)
+    assert(rows3(BinaryOps.overlap(l, r, Seq(Chrom), slack = 1)) ==
+      Set.empty[(String, Long, Long)])
+    assert(rows3(BinaryOps.overlap(l, r, Seq(Chrom), slack = 2)) ==
+      Set(("c", 1L, 5L), ("c", 8L, 9L)))
+    val l2 = gf(("c", 2, 4), ("c", 1, 9))
+    val r2 = gf(("c", 1, 5))
+    assert(rows3(BinaryOps.overlap(l2, r2, Seq(Chrom), contained = true)) ==
+      Set(("c", 2L, 4L)))
+  }
+
+  // subtract_overlaps (reference core/pyranges_main.py:3522-3643 doctest:
+  // one row can split into many; covered rows disappear).
+  test("subtract splits and drops covered rows") {
+    val l = gf(("c", 0, 10), ("c", 20, 22), ("c", 30, 35))
+    val r = gf(("c", 2, 4), ("c", 6, 8), ("c", 19, 23))
+    assert(rows3(BinaryOps.subtract(l, r, Seq(Chrom))) ==
+      Set(("c", 0L, 2L), ("c", 4L, 6L), ("c", 8L, 10L), ("c", 30L, 35L)))
+  }
+
+  test("subtract output is always within self") {
+    val l = gf(("c", 5, 15))
+    val r = gf(("c", 0, 7), ("c", 9, 11), ("c", 14, 30))
+    assert(rows3(BinaryOps.subtract(l, r, Seq(Chrom))) ==
+      Set(("c", 7L, 9L), ("c", 11L, 14L)))
+  }
+
+  // nearest_ranges (reference core/pyranges_main.py:2143-2391; touching
+  // intervals have distance 1, overlap 0 per README.md:51-53).
+  test("nearest: overlap=0, touching=1, else gap+1; min dist wins") {
+    val l = gf(("c", 10, 12), ("c", 0, 2), ("c", 50, 60))
+    val r = gf(("c", 12, 14), ("c", 5, 8), ("c", 55, 56))
+    val got = BinaryOps.nearest(l, r, Seq(Chrom), distCol = "dist")
+      .select(Start, "dist").collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got(10L) == 1L)   // [10,12) vs [12,14) touching
+    assert(got(0L) == 4L)    // [0,2) vs [5,8): gap 3 -> dist 4
+    assert(got(50L) == 0L)   // overlap
+  }
+
+  test("nearest ties break to smallest right row_id") {
+    val l = gf(("c", 10, 11))
+    val r = gf(("c", 5, 8), ("c", 13, 16))  // both dist 3+1=... left: 10-8+1=3; right: 13-11+1=3
+    val got = BinaryOps.nearest(l, r, Seq(Chrom), distCol = "dist").collect()
+    assert(got.length == 1)
+    val rid = got.head.getAs[Long](RowId + "_b")
+    assert(rid == 0L)  // first right row (smaller id) wins the tie
+  }
+
+  // join_overlaps left/outer keep unmatched with nulls (reference
+  // core/pyranges_main.py:1267-1288 doctest, NaN -> null deviation).
+  test("joinOverlaps left keeps unmatched left rows with null right") {
+    val l = gf(("c", 1, 5), ("c", 10, 12))
+    val r = gf(("c", 4, 6))
+    val j = BinaryOps.joinOverlaps(l, r, Seq(Chrom), joinType = "left")
+    assert(j.count() == 2)
+    assert(j.filter(col(Start + "_b").isNull).select(Start).collect()
+      .head.getLong(0) == 10L)
+  }
+
+  test("joinOverlaps multiple=first picks smallest Start_b") {
+    val l = gf(("c", 0, 100))
+    val r = gf(("c", 50, 60), ("c", 10, 20), ("c", 70, 80))
+    val j = BinaryOps.joinOverlaps(l, r, Seq(Chrom), multiple = "first")
+    assert(j.count() == 1 && j.select(Start + "_b").collect().head.getLong(0) == 10L)
+  }
+
+  // RangeJoin binning: pairs must be unique even when intervals span
+  // many bins (the greatest-start-bin dedup trick).
+  test("rangeJoin emits each overlapping pair exactly once across bins") {
+    val l = gf(("c", 0, 10000))           // spans many bins at binSize=64
+    val r = gf(("c", 500, 9000), ("c", 9990, 20000))
+    val p = RangeJoin.pairs(l, r, Seq(Chrom), binSize = 64)
+    assert(p.count() == 2)
+  }
+
+  // Coverage/RLE (reference core/pyranges_main.py:4344-4466 doctest).
+  test("toRle computes depth runs incl. interior zeros") {
+    val df = gf(("c", 1, 3), ("c", 2, 5), ("c", 7, 8))
+    val got = Coverage.toRle(df, Seq(Chrom)).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set((1L, 2L, 1.0), (2L, 3L, 2.0), (3L, 5L, 1.0),
+                      (5L, 7L, 0.0), (7L, 8L, 1.0)))
+  }
+
+  // natural sort (reference methods/sort.py:12-40).
+  test("natsortKey orders chr2 before chr10") {
+    import spark.implicits._
+    val got = Seq("chr10", "chr2", "chrX", "chr1_alt", "chr1")
+      .toDF("c").orderBy(graft.expr.NatSort.natsortKey(col("c")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("chr1", "chr1_alt", "chr2", "chr10", "chrX"))
+  }
+
+  // ---- training-data ops ----
+  test("simhash60: identical text same hash; different text different") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+                 (3L, "completely unrelated words entirely")).toDF("doc_id", "text")
+    val got = Dedup.simhash60(df).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == got(2L) && got(1L) != got(3L))
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1L, base), (2L, base + " lambda"),
+                 (3L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(df, numHashes = 4, bandSize = 1,
+      shingleK = 3, minJaccardPct = 50).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("bruteForceTopK returns k ranked neighbors; lshTopK subset agrees on buckets") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+                 (3L, Array(-1.0f, 0.0f)), (4L, Array(0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceTopK(df, 1)
+    val best = knn.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(best(1L) == 4L || best(1L) == 2L)
+    assert(best(3L) == 2L || best(3L) == 1L || best(3L) == 4L)
+    assert(knn.count() == 4)
+  }
+
+  test("langId picks the wordlist with most hits") {
+    import spark.implicits._
+    val df = Seq("the cat is on the mat and that", "der hund ist nicht ein",
+                 "xyzzy plugh").toDF("text")
+    val got = df.select(TextOps.langId(col("text"))).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint equals for identical shingle sets") {
+    import spark.implicits._
+    val df = Seq("a b c d e", "a b c d e", "v w x y z").toDF("text")
+    val fps = df.select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+}
