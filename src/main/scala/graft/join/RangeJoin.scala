@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
   import Cols.{Start, End}
 
+  /** Default genomic bin width. Tune toward the typical interval length:
+    * too large makes per-bin candidate sets quadratic, too small explodes
+    * long intervals into many bins. Overridable per call. */
+  var defaultBinSize: Long = 256
+
   /** floor(x / b) as a Column, exact for |x| < 2^52. */
   private def floorDiv(x: Column, b: Long): Column =
     floor(x.cast("double") / b).cast("long")
@@ -53,7 +58,7 @@ object RangeJoin {
     * intervals fully inside a right interval (reference
     * contained_intervals_only). */
   def pairs(left: DataFrame, right: DataFrame, keys: Seq[String],
-            slack: Long = 0, binSize: Long = 4096, suffix: String = "_b",
+            slack: Long = 0, binSize: Long = RangeJoin.defaultBinSize, suffix: String = "_b",
             contained: Boolean = false): DataFrame = {
     val r0 = suffixRight(left, right, suffix)
     val rKeys = keys.map(_ + suffix)  // keys always collide by contract
@@ -78,7 +83,7 @@ object RangeJoin {
     * needed (semi/anti dedup inherently); the right side should usually be
     * pre-merged per key by the caller for speed. */
   def exists(left: DataFrame, right: DataFrame, keys: Seq[String],
-             slack: Long = 0, binSize: Long = 4096,
+             slack: Long = 0, binSize: Long = RangeJoin.defaultBinSize,
              contained: Boolean = false, anti: Boolean = false): DataFrame = {
     val suffix = "_b"
     val r0 = suffixRight(left, right, suffix)

@@ -88,14 +88,33 @@ object Dedup {
   }
 
   /** MinHash near-dup pipeline: signature -> LSH buckets -> exact Jaccard
-    * >= threshold (numerator/denominator compare, no floats). */
+    * >= threshold (numerator/denominator compare, no floats).
+    *
+    * The distinct (doc, shingle) table is the single shared input of
+    * signature, set-size, and intersection stages — persisted so the
+    * expensive tokenize+shingle scan runs once instead of three times. */
   def nearDuplicatePairs(docs: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id", numHashes: Int = 4,
                          bandSize: Int = 1, shingleK: Int = 3,
                          minJaccardPct: Int = 50): DataFrame = {
-    val sig = minhashSignature(docs, textCol, idCol, numHashes, shingleK)
+    val dsh = docs.select(col(idCol),
+        explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigAggs = (1 to numHashes).map(i =>
+      min(md5(concat(lit(i.toString), col("sh")))).as(s"h$i"))
+    val sig = dsh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
     val cand = lshCandidatePairs(sig, idCol, numHashes, bandSize)
-    pairJaccard(docs, cand, textCol, idCol, shingleK)
+    val sizes = dsh.groupBy(col(idCol)).agg(count(lit(1)).as("ns"))
+    val inter = cand
+      .join(dsh.select(col(idCol).as("a"), col("sh")), Seq("a"))
+      .join(dsh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
+    cand.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("ni"))
+      .join(sizes.select(col(idCol).as("a"), col("ns").as("nsa")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("ns").as("nsb")), Seq("b"))
+      .select(col("a"), col("b"), col("ni").as("n_intersect"),
+        (col("nsa") + col("nsb") - col("ni")).as("n_union"))
       .filter(col("n_intersect") * 100 >= col("n_union") * minJaccardPct)
   }
 

@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   * a per-bucket quadratic with bucket sizes ~ n / 2^planes, distributed
   * by bucket hash.
   */
+/** One KNN result row (rank is 1-based, ordered by dot desc, nb asc). */
+case class KnnHit(vec_id: Long, nb: Long, dot: Long, rank: Int)
+
 object Similarity {
 
   /** Element-wise quantization to integers (exact cross-engine math:
@@ -36,20 +39,58 @@ object Similarity {
   }
 
   /** Exact brute-force top-k by quantized dot product (descending), ties
-    * broken by neighbor id. Output: (idCol, nb, dot, rank). The pair join
-    * is a cross join per id — only for modest n or as the verification
-    * step after LSH pruning. */
+    * broken by neighbor id. Output: (idCol, nb, dot, rank).
+    *
+    * Physical shape: broadcast block nested loop — the reference side is
+    * collected (n*d longs; 5k x 64 = 2.5 MB) and broadcast, each
+    * partition streams its probe rows through a primitive-array top-k
+    * scan. This keeps the O(n^2 d) inner loop in tight JVM code instead
+    * of 25M interpreted higher-order-function calls, and distributes
+    * linearly over probe partitions. For reference sets beyond executor
+    * memory use lshTopK (bucketed candidates). */
   def bruteForceTopK(df: DataFrame, k: Int, idCol: String = "vec_id",
                      vecCol: String = "embedding", scale: Int = 1000): DataFrame = {
-    val q = df.select(col(idCol), quantize(col(vecCol), scale).as("_q"))
-    val l = q.select(col(idCol), col("_q"))
-    val r = q.select(col(idCol).as("nb"), col("_q").as("_qb"))
-    val pairs = l.crossJoin(r).filter(col(idCol) =!= col("nb"))
-      .withColumn("dot", dotLong(col("_q"), col("_qb")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("dot").desc, col("nb"))
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col(idCol), col("nb"), col("dot"), col("rank"))
+    val spark = df.sparkSession
+    val q = df.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol), scale).as("v"))
+    val ref: Array[(Long, Array[Long])] = q.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(ref)
+    val out = q.mapPartitions { it =>
+      val refs = bc.value
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val v = row.getSeq[Long](1).toArray
+        val dots = new Array[Long](k)
+        val nbs = new Array[Long](k)
+        var filled = 0
+        var i = 0
+        while (i < refs.length) {
+          val (nb, w) = refs(i)
+          if (nb != id) {
+            var d = 0L
+            var j = 0
+            val n = math.min(v.length, w.length)
+            while (j < n) { d += v(j) * w(j); j += 1 }
+            // insertion position: ordered by (dot desc, nb asc); refs are
+            // nb-ascending so equal dots never displace an earlier nb.
+            var pos = filled
+            while (pos > 0 && d > dots(pos - 1)) pos -= 1
+            if (pos < k) {
+              val upto = math.min(filled, k - 1)
+              var m = upto
+              while (m > pos) { dots(m) = dots(m - 1); nbs(m) = nbs(m - 1); m -= 1 }
+              dots(pos) = d
+              nbs(pos) = nb
+              if (filled < k) filled += 1
+            }
+          }
+          i += 1
+        }
+        (0 until filled).iterator.map(r2 => KnnHit(id, nbs(r2), dots(r2), r2 + 1))
+      }
+    }(org.apache.spark.sql.Encoders.product[KnnHit])
+    out.toDF(idCol, "nb", "dot", "rank")
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):

@@ -21,7 +21,7 @@ object BinaryOps {
     * same; the reference differs only in output ordering). */
   def overlap(left: DataFrame, right: DataFrame, keys: Seq[String],
               slack: Long = 0, contained: Boolean = false,
-              invert: Boolean = false, binSize: Long = 4096): DataFrame = {
+              invert: Boolean = false, binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
     // Merging right first shrinks the probe side and cannot change
     // existence (except for containment, which needs original intervals).
     val probe = if (contained) right else UnaryOps.merge(right, keys)
@@ -37,7 +37,7 @@ object BinaryOps {
                    joinType: String = "inner", multiple: String = "all",
                    slack: Long = 0, suffix: String = "_b",
                    reportOverlapCol: Option[String] = None,
-                   contained: Boolean = false, binSize: Long = 4096): DataFrame = {
+                   contained: Boolean = false, binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
     val rs = Start + suffix
     val re = End + suffix
     var p = RangeJoin.pairs(left, right, keys, slack, binSize, suffix, contained)
@@ -81,7 +81,7 @@ object BinaryOps {
     * overlap join with output coordinates clipped to the overlapping
     * segment. */
   def intersect(left: DataFrame, right: DataFrame, keys: Seq[String],
-                slack: Long = 0, binSize: Long = 4096): DataFrame = {
+                slack: Long = 0, binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
     val p = RangeJoin.pairs(left, right, keys, slack, binSize)
     p.withColumn(Start, greatest(col(Start), col(Start + "_b")))
       .withColumn(End, least(col(End), col(End + "_b")))
@@ -92,7 +92,7 @@ object BinaryOps {
     * row, the number of overlapping right rows (0 kept). */
   def countOverlaps(left: DataFrame, right: DataFrame, keys: Seq[String],
                     slack: Long = 0, countCol: String = "NumberOverlaps",
-                    binSize: Long = 4096): DataFrame = {
+                    binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
     val p = RangeJoin.pairs(left, right, keys, slack, binSize)
     val counts = p.groupBy(col(RowId)).agg(count(lit(1)).as(countCol))
     left.join(counts, Seq(RowId), "left")
@@ -106,7 +106,7 @@ object BinaryOps {
     * merged overlaps are disjoint and sorted, so the surviving pieces are
     * the gaps — window over row_id, no collect. */
   def subtract(left: DataFrame, right: DataFrame, keys: Seq[String],
-               binSize: Long = 4096): DataFrame = {
+               binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
     val merged = UnaryOps.merge(right, keys)
     val p = RangeJoin.pairs(left, merged, keys, 0, binSize)
     val rs = col(Start + "_b")
@@ -134,7 +134,7 @@ object BinaryOps {
   /** set_intersect_overlaps (reference core/pyranges_main.py:2617-2721):
     * merge both sides per key, then intersect the merged segments. */
   def setIntersect(left: DataFrame, right: DataFrame, keys: Seq[String],
-                   binSize: Long = 4096): DataFrame =
+                   binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame =
     intersect(UnaryOps.merge(left, keys).withColumn(RowId, monotonically_increasing_id()),
               UnaryOps.merge(right, keys), keys, 0, binSize)
       .drop(RowId)
@@ -159,7 +159,7 @@ object BinaryOps {
     */
   def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
               suffix: String = "_b", distCol: String = "Distance",
-              excludeOverlaps: Boolean = false, binSize: Long = 4096): DataFrame = {
+              excludeOverlaps: Boolean = false, binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
     val rId = RowId + suffix
     val rs = Start + suffix
     val re = End + suffix
