@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Cols
 import graft.ml.{Dedup, Similarity, TextOps}
-import graft.ops.{BinaryOps, Coverage, UnaryOps}
+import graft.ops.{BinaryOps, Composites, Coverage, UnaryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -109,6 +109,31 @@ object SparkEntry {
         TextOps.langId(col("text")).as("pred"),
         TextOps.wordlistHits(col("text"), TextOps.defaultWordlists("en"))
           .cast("long").as("en_hits"))),
+
+    // ---- composite coordinate ops (SURVEY.md §2.3) ----
+    "q27_slice" -> ((s, dir) =>
+      out(Composites.sliceRanges(gr(s, dir), Seq(Chrom, Strand), 5, Some(105),
+        useStrand = true, tieBreak = Seq(col(RowId))))),
+    "q28_fiveend" -> ((s, dir) =>
+      out(Composites.fiveEnd(gr(s, dir)))),
+    "q29_upstream" -> ((s, dir) =>
+      out(Composites.upstream(gr(s, dir), 10, 2))),
+    "q30_maptoglobal" -> ((s, dir) => {
+      val ex = gr(s, dir).withColumn("tx", concat(col(Chrom), col(Strand)))
+      val loc = gr2(s, dir).select(col(RowId),
+        concat(col(Chrom), col(Strand)).as("tx"),
+        (col(Start) % 1000).as(Start),
+        (col(Start) % 1000 + col(End) - col(Start)).as(End))
+      out(Composites.mapToGlobal(loc, ex, "tx", tieBreak = Seq(col(RowId))))
+    }),
+    "q31_maptolocal" -> ((s, dir) => {
+      val ex = gr(s, dir).withColumn("tx", concat(col(Chrom), col(Strand)))
+      out(Composites.mapToLocal(gr2(s, dir), ex, "tx", Seq(Chrom),
+          tieBreak = Seq(col(RowId))))
+        .select(col("row_id"), col("chrom"), col("strand"), col("tx"),
+          col("row_id_b"), col("Strand_b").as("strand_b"),
+          col("istart"), col("iend"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -215,5 +240,27 @@ object SparkEntry {
       """len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS hd, """ +
       """len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['le','la','les','et','est','une','des'], x))) AS hf, """ +
       """len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['el','la','los','y','es','una','que'], x))) AS hs FROM documents))"""),
+
+    "q27_slice" -> sql(Seq(GR_CTE, cumCte("c", "gr", "chrom, strand")),
+      "SELECT row_id, chrom, strand, CASE WHEN strand='-' THEN iend - (least(cen, 105) - cst) ELSE istart + (greatest(cst, 5) - cst) END AS istart, CASE WHEN strand='-' THEN iend - (greatest(cst, 5) - cst) ELSE istart + (least(cen, 105) - cst) END AS iend FROM c WHERE greatest(cst, 5) < least(cen, 105)"),
+
+    "q28_fiveend" -> sql(Seq(GR_CTE),
+      "SELECT row_id, chrom, strand, CASE WHEN strand='-' THEN iend-1 ELSE istart END AS istart, CASE WHEN strand='-' THEN iend ELSE istart+1 END AS iend FROM gr"),
+
+    "q29_upstream" -> sql(Seq(GR_CTE),
+      "SELECT row_id, chrom, strand, CASE WHEN strand='-' THEN iend+2 ELSE istart-12 END AS istart, CASE WHEN strand='-' THEN iend+12 ELSE istart-2 END AS iend FROM gr"),
+
+    "q30_maptoglobal" -> sql(Seq(GR_CTE, GR2_CTE,
+      "ex AS (SELECT row_id, chrom, strand, istart, iend, chrom || strand AS tx FROM gr)",
+      cumCte("cum", "ex", "tx"),
+      "loc AS (SELECT row_id, chrom || strand AS tx, istart % 1000 AS ls, istart % 1000 + iend - istart AS le FROM gr2)",
+      "j AS (SELECT l.row_id, l.tx, c.chrom, c.strand, c.istart AS es, c.iend AS ee, c.cst, greatest(c.cst, l.ls) AS lo, least(c.cen, l.le) AS hi FROM loc l JOIN cum c ON l.tx = c.tx AND l.ls < c.cen AND l.le > c.cst)"),
+      "SELECT row_id, tx, chrom, strand, CASE WHEN strand='-' THEN ee - (hi - cst) ELSE es + (lo - cst) END AS istart, CASE WHEN strand='-' THEN ee - (lo - cst) ELSE es + (hi - cst) END AS iend FROM j"),
+
+    "q31_maptolocal" -> sql(Seq(GR_CTE, GR2_CTE,
+      "ex AS (SELECT row_id, chrom, strand, istart, iend, chrom || strand AS tx FROM gr)",
+      cumCte("cum", "ex", "tx"),
+      "j AS (SELECT g.row_id, g.chrom, g.strand, c.tx, c.row_id AS row_id_b, c.strand AS strand_b, c.cst, c.istart AS es, c.iend AS ee, greatest(g.istart, c.istart) AS gs, least(g.iend, c.iend) AS ge FROM gr2 g JOIN cum c ON g.chrom = c.chrom AND g.istart < c.iend AND g.iend > c.istart)"),
+      "SELECT row_id, chrom, strand, tx, row_id_b, strand_b, CASE WHEN strand_b='-' THEN cst + (ee - ge) ELSE cst + (gs - es) END AS istart, CASE WHEN strand_b='-' THEN cst + (ee - gs) ELSE cst + (ge - es) END AS iend FROM j"),
   )
 }

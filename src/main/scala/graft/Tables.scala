@@ -66,6 +66,11 @@ object Tables {
     s"""$name AS (SELECT $k, min(istart) AS istart, max(iend) AS iend, count(*) AS n FROM (SELECT $k, istart, iend, sum(nf) OVER (PARTITION BY $k ORDER BY istart, iend ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl FROM (SELECT $k, istart, iend, CASE WHEN pm IS NULL OR istart > pm THEN 1 ELSE 0 END AS nf FROM (SELECT $k, istart, iend, max(iend) OVER (PARTITION BY $k ORDER BY istart, iend ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM $src))) GROUP BY $k, cl)"""
   }
 
+  /** Strand-aware 5'->3' cumsum CTE (mirror of UnaryOps.groupCumsum with
+    * row_id tie-break): adds cst/cen (cumulative start/end) to `src`. */
+  def cumCte(name: String, src: String, partCols: String): String =
+    s"""$name AS (SELECT * EXCLUDE (cs), CAST(cs - (iend - istart) AS BIGINT) AS cst, CAST(cs AS BIGINT) AS cen FROM (SELECT *, sum(iend - istart) OVER (PARTITION BY $partCols ORDER BY CASE WHEN strand='-' THEN -iend ELSE istart END, CASE WHEN strand='-' THEN -istart ELSE iend END, row_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs FROM $src))"""
+
   def sql(ctes: Seq[String], body: String): String =
     s"WITH ${ctes.mkString(", ")} $body"
 

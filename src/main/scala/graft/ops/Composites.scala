@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.core.Cols
+import graft.join.RangeJoin
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composite coordinate-system operators (SURVEY.md §2.1/§2.3): spliced
+  * subsequence (slice_ranges), 5'/3' ends, upstream/downstream flanks,
+  * and the transcript-local <-> genomic lifts. All are built from
+  * group_cumsum + window/projection algebra, mirroring the reference's
+  * own decomposition (reference core/pyranges_main.py:3235-3261 shows
+  * count_introns = outer_ranges -> slice_ranges -> intersect_overlaps).
+  */
+object Composites {
+  import Cols.{Start, End, Strand, Chrom, RowId}
+
+  private def neg(useStrand: Boolean, df: DataFrame): Column =
+    if (useStrand && df.columns.contains(Strand)) col(Strand) === Cols.RevStrand
+    else lit(false)
+
+  /** slice_ranges (reference core/pyranges_main.py:2999-3262): cut each
+    * group's spliced transcript to [sliceStart, sliceEnd) in 5'->3'
+    * transcript-relative coordinates; negative offsets count from the 3'
+    * end; sliceEnd None = transcript end. One row per surviving exon
+    * fragment, coordinates mapped back to genomic space. */
+  def sliceRanges(df: DataFrame, keys: Seq[String], sliceStart: Long,
+                  sliceEnd: Option[Long], useStrand: Boolean = true,
+                  tieBreak: Seq[Column] = Nil): DataFrame = {
+    val cum = UnaryOps.groupCumsum(df, keys, useStrand, "_cs", "_ce", tieBreak)
+    val w = Window.partitionBy(keys.map(col): _*)
+    val withLen = cum.withColumn("_tl", max(col("_ce")).over(w))
+    val s0 = if (sliceStart >= 0) lit(sliceStart)
+             else greatest(col("_tl") + sliceStart, lit(0L))
+    val e0 = sliceEnd match {
+      case Some(e) if e >= 0 => least(lit(e), col("_tl"))
+      case Some(e)           => greatest(col("_tl") + e, lit(0L))
+      case None              => col("_tl")
+    }
+    val lo = greatest(col("_cs"), s0)
+    val hi = least(col("_ce"), e0)
+    val isNeg = neg(useStrand, df)
+    withLen.filter(lo < hi)
+      .withColumn("_ns", when(isNeg, col(End) - (hi - col("_cs")))
+        .otherwise(col(Start) + (lo - col("_cs"))))
+      .withColumn("_ne", when(isNeg, col(End) - (lo - col("_cs")))
+        .otherwise(col(Start) + (hi - col("_cs"))))
+      .withColumn(Start, col("_ns")).withColumn(End, col("_ne"))
+      .drop("_cs", "_ce", "_tl", "_ns", "_ne")
+  }
+
+  /** five_end (reference core/pyranges_main.py:1041-1132): the 1-bp 5'
+    * point of each interval (or of each transcript with groupBy keys). */
+  def fiveEnd(df: DataFrame, useStrand: Boolean = true,
+              groupKeys: Option[Seq[String]] = None): DataFrame =
+    groupKeys match {
+      case Some(keys) => sliceRanges(df, keys, 0, Some(1), useStrand)
+      case None =>
+        val isNeg = neg(useStrand, df)
+        df.withColumn("_s", when(isNeg, col(End) - 1).otherwise(col(Start)))
+          .withColumn(End, col("_s") + 1).withColumn(Start, col("_s")).drop("_s")
+    }
+
+  /** three_end (reference core/pyranges_main.py:3848-3929). */
+  def threeEnd(df: DataFrame, useStrand: Boolean = true,
+               groupKeys: Option[Seq[String]] = None): DataFrame =
+    groupKeys match {
+      case Some(keys) => sliceRanges(df, keys, -1, None, useStrand)
+      case None =>
+        val isNeg = neg(useStrand, df)
+        df.withColumn("_s", when(isNeg, col(Start)).otherwise(col(End) - 1))
+          .withColumn(End, col("_s") + 1).withColumn(Start, col("_s")).drop("_s")
+    }
+
+  /** upstream flank (reference core/pyranges_main.py:4468-4601): region
+    * of `length` ending `gap` bp before the 5' end. */
+  def upstream(df: DataFrame, length: Long, gap: Long = 0,
+               useStrand: Boolean = true): DataFrame = {
+    val isNeg = neg(useStrand, df)
+    df.withColumn("_s", when(isNeg, col(End) + gap)
+        .otherwise(col(Start) - gap - length))
+      .withColumn(End, col("_s") + length)
+      .withColumn(Start, col("_s")).drop("_s")
+  }
+
+  /** downstream flank (reference core/pyranges_main.py:4603-4745). */
+  def downstream(df: DataFrame, length: Long, gap: Long = 0,
+                 useStrand: Boolean = true): DataFrame = {
+    val isNeg = neg(useStrand, df)
+    df.withColumn("_s", when(isNeg, col(Start) - gap - length)
+        .otherwise(col(End) + gap))
+      .withColumn(End, col("_s") + length)
+      .withColumn(Start, col("_s")).drop("_s")
+  }
+
+  /** map_to_global (reference core/pyranges_main.py:1481-1719): lift
+    * transcript-local intervals to genomic coordinates through an exon
+    * model. `local`: (txCol, Start, End, ...) in 5'->3' transcript space;
+    * `exons`: (Chromosome, Start, End, Strand, txCol). One output row per
+    * overlapped exon (splits across introns). Equi-join on the transcript
+    * id — broadcastable when the exon model is small. */
+  def mapToGlobal(local: DataFrame, exons: DataFrame, txCol: String,
+                  tieBreak: Seq[Column] = Nil): DataFrame = {
+    val cum = UnaryOps.groupCumsum(exons, Seq(txCol), useStrand = true, "_cs", "_ce", tieBreak)
+      .select(col(txCol), col(Chrom).as("_chr"), col(Strand).as("_str"),
+        col(Start).as("_es"), col(End).as("_ee"), col("_cs"), col("_ce"))
+    val j = local.join(cum, Seq(txCol))
+      .filter(col(Start) < col("_ce") && col(End) > col("_cs"))
+    val lo = greatest(col("_cs"), col(Start))
+    val hi = least(col("_ce"), col(End))
+    val isNeg = col("_str") === Cols.RevStrand
+    j.withColumn("_gs", when(isNeg, col("_ee") - (hi - col("_cs")))
+        .otherwise(col("_es") + (lo - col("_cs"))))
+      .withColumn("_ge", when(isNeg, col("_ee") - (lo - col("_cs")))
+        .otherwise(col("_es") + (hi - col("_cs"))))
+      .withColumn(Start, col("_gs")).withColumn(End, col("_ge"))
+      .withColumn(Chrom, col("_chr")).withColumn(Strand, col("_str"))
+      .drop("_chr", "_str", "_es", "_ee", "_cs", "_ce", "_gs", "_ge")
+  }
+
+  /** map_to_local (reference core/pyranges_main.py:1721-1909): genomic
+    * intervals -> transcript-local coordinates via overlap with the exon
+    * model (range join on Chromosome [+ Strand]), clipped to exons. */
+  def mapToLocal(genomic: DataFrame, exons: DataFrame, txCol: String,
+                 keys: Seq[String] = Seq(Chrom),
+                 tieBreak: Seq[Column] = Nil): DataFrame = {
+    val cum = UnaryOps.groupCumsum(exons, Seq(txCol), useStrand = true, "_cs", "_ce", tieBreak)
+    val p = RangeJoin.pairs(genomic, cum, keys)
+    val es = col(Start + "_b")
+    val ee = col(End + "_b")
+    val gs = greatest(col(Start), es)
+    val ge = least(col(End), ee)
+    val isNeg = col(if (p.columns.contains(Strand + "_b")) Strand + "_b" else Strand) === Cols.RevStrand
+    p.withColumn("_ls", when(isNeg, col("_cs") + (ee - ge))
+        .otherwise(col("_cs") + (gs - es)))
+      .withColumn("_le", when(isNeg, col("_cs") + (ee - gs))
+        .otherwise(col("_cs") + (ge - es)))
+      .withColumn(Start, col("_ls")).withColumn(End, col("_le"))
+      .drop("_cs", "_ce", "_ls", "_le", Start + "_b", End + "_b")
+  }
+}
