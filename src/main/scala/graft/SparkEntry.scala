@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.Cols
+import graft.ext.{Seqs, Stats}
 import graft.ml.{Dedup, Similarity, TextOps}
 import graft.ops.{BinaryOps, Composites, Coverage, UnaryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -134,6 +135,48 @@ object SparkEntry {
           col("row_id_b"), col("Strand_b").as("strand_b"),
           col("istart"), col("iend"))
     }),
+
+    // ---- remaining unary / metric / stat ops ----
+    "q32_maxdisjoint" -> ((s, dir) =>   // sequential greedy: no SQL oracle
+      out(UnaryOps.maxDisjoint(gr(s, dir), Seq(Chrom, Strand)))),
+    "q33_clip" -> ((s, dir) => {
+      import s.implicits._
+      val cs = Seq(("A", 12000L), ("N", 12000L), ("R", 12000L)).toDF(Chrom, "size")
+      out(UnaryOps.clip(gr(s, dir), cs))
+    }),
+    "q34_metrics" -> ((s, dir) =>
+      out(BinaryOps.joinOverlaps(gr(s, dir).filter(col(RowId) % 25 === 0),
+          gr2(s, dir), Seq(Chrom))
+        .withColumn("ov", graft.ops.Metrics.overlapLength())
+        .withColumn("un", graft.ops.Metrics.unionLength())
+        .withColumn("mid2", graft.ops.Metrics.midpointDistance2())
+        .withColumn("frac100", floor(graft.ops.Metrics.overlapLength()
+          .cast("double") * 100 / (col(End) - col(Start))).cast("long"))
+        .select(col(RowId), col(RowId + "_b").as("row_id_b"), col("ov"),
+          col("un"), col("mid2"), col("frac100")))),
+    "q35_multioverlap" -> ((s, dir) =>
+      out(BinaryOps.multiCountOverlaps(gr(s, dir),
+        Seq("n1" -> gr2Sparse(s, dir), "n2" -> grSparse(s, dir)), Seq(Chrom)))),
+    "q36_window_strand" -> ((s, dir) =>
+      out(UnaryOps.windowRanges(gr(s, dir), 7, useStrand = true)
+        .select(col(RowId), col(Chrom), col(Strand), col(Start), col(End)))),
+    "q37_fdr" -> ((s, dir) =>
+      out(Stats.fdr(gr(s, dir).withColumn("p", ((col(RowId) % 9973) + 1) / 10000.0),
+          "p", Seq(Chrom), "fdr", Seq(col(RowId)))
+        .select(col(RowId), col(Chrom), floor(col("fdr") * 1000000).cast("long").as("fdr_x1e6")))),
+    "q38_simes" -> ((s, dir) =>
+      out(Stats.simes(gr(s, dir).withColumn("p", ((col(RowId) % 9973) + 1) / 10000.0),
+          "p", Seq(Chrom, Strand), "simes")
+        .select(col(Chrom), col(Strand), floor(col("simes") * 1000000).cast("long").as("simes_x1e6")))),
+    "q39_revcomp" -> ((s, dir) =>
+      pq(s, dir, "documents").select(col("doc_id"),
+        translate(substring(md5(col("text")), 1, 30),
+          "0123456789abcdef", "ACGTACGTACGTACGT").as("seq"))
+        .withColumn("rc", Seqs.reverseComplement(col("seq")))),
+    "q40_jaccard_stat" -> ((s, dir) =>
+      out(Stats.jaccardStat(gr(s, dir), gr2(s, dir), Seq(Chrom)))),
+    "q41_reldist" -> ((s, dir) =>
+      Stats.relativeDistance(gr(s, dir), gr2(s, dir), Seq(Chrom))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -262,5 +305,46 @@ object SparkEntry {
       cumCte("cum", "ex", "tx"),
       "j AS (SELECT g.row_id, g.chrom, g.strand, c.tx, c.row_id AS row_id_b, c.strand AS strand_b, c.cst, c.istart AS es, c.iend AS ee, greatest(g.istart, c.istart) AS gs, least(g.iend, c.iend) AS ge FROM gr2 g JOIN cum c ON g.chrom = c.chrom AND g.istart < c.iend AND g.iend > c.istart)"),
       "SELECT row_id, chrom, strand, tx, row_id_b, strand_b, CASE WHEN strand_b='-' THEN cst + (ee - ge) ELSE cst + (gs - es) END AS istart, CASE WHEN strand_b='-' THEN cst + (ee - gs) ELSE cst + (ge - es) END AS iend FROM j"),
+
+    // q32_maxdisjoint: greedy scan is not SQL-expressible — rows-only check.
+
+    "q33_clip" -> sql(Seq(GR_CTE),
+      "SELECT row_id, chrom, strand, greatest(istart, 0) AS istart, least(iend, 12000) AS iend FROM gr WHERE least(iend, 12000) > greatest(istart, 0)"),
+
+    "q34_metrics" -> sql(Seq(GR_CTE, GR2_CTE),
+      "SELECT g.row_id, o.row_id AS row_id_b, least(g.iend, o.iend) - greatest(g.istart, o.istart) AS ov, (g.iend - g.istart) + (o.iend - o.istart) - (least(g.iend, o.iend) - greatest(g.istart, o.istart)) AS un, abs((g.istart + g.iend) - (o.istart + o.iend)) AS mid2, CAST(floor((least(g.iend, o.iend) - greatest(g.istart, o.istart)) * 100.0 / (g.iend - g.istart)) AS BIGINT) AS frac100 FROM gr g JOIN gr2 o ON g.chrom = o.chrom AND g.istart < o.iend AND g.iend > o.istart WHERE g.row_id % 25 = 0"),
+
+    "q35_multioverlap" -> sql(Seq(GR_CTE, GR2_CTE, GR2S_CTE, GRS_CTE),
+      "SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, (SELECT count(*) FROM gr2s o WHERE o.chrom = g.chrom AND o.istart < g.iend AND o.iend > g.istart) AS n1, (SELECT count(*) FROM grs o WHERE o.chrom = g.chrom AND o.istart < g.iend AND o.iend > g.istart) AS n2 FROM gr g"),
+
+    "q36_window_strand" -> sql(Seq(GR_CTE),
+      "SELECT row_id, chrom, strand, ws AS istart, least(ws+7, iend) AS iend FROM (SELECT row_id, chrom, strand, iend, unnest(generate_series(istart, iend-1, 7)) AS ws FROM gr WHERE strand = '+') UNION ALL SELECT row_id, chrom, strand, greatest(we-7, istart) AS istart, we AS iend FROM (SELECT row_id, chrom, strand, istart, unnest(generate_series(iend, istart+1, -7)) AS we FROM gr WHERE strand = '-')"),
+
+    "q37_fdr" -> sql(Seq(GR_CTE,
+      "t AS (SELECT row_id, chrom, ((row_id % 9973) + 1) / 10000.0 AS p FROM gr)",
+      "a AS (SELECT row_id, chrom, p, p * (count(*) OVER (PARTITION BY chrom)) / (row_number() OVER (PARTITION BY chrom ORDER BY p, row_id)) AS adj FROM t)",
+      "f AS (SELECT row_id, chrom, least(min(adj) OVER (PARTITION BY chrom ORDER BY p DESC, row_id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS fdr FROM a)"),
+      "SELECT row_id, chrom, CAST(floor(fdr * 1000000) AS BIGINT) AS fdr_x1e6 FROM f"),
+
+    "q38_simes" -> sql(Seq(GR_CTE,
+      "t AS (SELECT row_id, chrom, strand, ((row_id % 9973) + 1) / 10000.0 AS p FROM gr)",
+      "r AS (SELECT chrom, strand, p, count(*) OVER (PARTITION BY chrom, strand) AS n, row_number() OVER (PARTITION BY chrom, strand ORDER BY p) AS rnk FROM t)"),
+      "SELECT chrom, strand, CAST(floor(min(p * n / rnk) * 1000000) AS BIGINT) AS simes_x1e6 FROM r GROUP BY chrom, strand"),
+
+    "q39_revcomp" ->
+      """SELECT doc_id, translate(substr(md5(text), 1, 30), '0123456789abcdef', 'ACGTACGTACGTACGT') AS seq, reverse(translate(translate(substr(md5(text), 1, 30), '0123456789abcdef', 'ACGTACGTACGTACGT'), 'ACGTUacgtu', 'TGCAAtgcaa')) AS rc FROM documents""",
+
+    "q40_jaccard_stat" -> sql(Seq(GR_CTE, GR2_CTE, mergeCte("m1", "gr", "chrom"),
+      mergeCte("m2", "gr2", "chrom"),
+      "la AS (SELECT chrom, CAST(sum(iend - istart) AS BIGINT) AS len_a FROM m1 GROUP BY chrom)",
+      "lb AS (SELECT chrom, CAST(sum(iend - istart) AS BIGINT) AS len_b FROM m2 GROUP BY chrom)",
+      "li AS (SELECT a.chrom, CAST(sum(least(a.iend, b.iend) - greatest(a.istart, b.istart)) AS BIGINT) AS len_i FROM m1 a JOIN m2 b ON a.chrom = b.chrom AND a.istart < b.iend AND a.iend > b.istart GROUP BY a.chrom)"),
+      "SELECT la.chrom, coalesce(len_i, 0) AS jaccard_num, len_a + len_b - coalesce(len_i, 0) AS jaccard_den FROM la JOIN lb ON la.chrom = lb.chrom LEFT JOIN li ON li.chrom = la.chrom"),
+
+    "q41_reldist" -> sql(Seq(GR_CTE, GR2_CTE,
+      "am AS (SELECT chrom, istart + iend AS m2 FROM gr)",
+      "bm AS (SELECT chrom, istart + iend AS bm2 FROM gr2)",
+      "nb AS (SELECT a.chrom, a.m2, (SELECT max(bm2) FROM bm WHERE bm.chrom = a.chrom AND bm.bm2 <= a.m2) AS prev, (SELECT min(bm2) FROM bm WHERE bm.chrom = a.chrom AND bm.bm2 >= a.m2) AS next FROM am a)"),
+      "SELECT CAST(floor(least(m2 - prev, next - m2) * 100.0 / (next - prev)) AS BIGINT) AS reldist_x100, count(*) AS n FROM nb WHERE prev IS NOT NULL AND next IS NOT NULL AND next > prev GROUP BY 1"),
   )
 }

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence string functions (reference ext/seqs.py).
+  * reverse_complement is pure built-ins (codegen'd); codon translation is
+  * a Scala UDF over the standard NCBI genetic code (per-row, no state).
+  */
+object Seqs {
+
+  /** DNA/RNA reverse complement, case-preserving (reference
+    * ext/seqs.py:53-144). */
+  def reverseComplement(seq: Column): Column =
+    reverse(translate(seq, "ACGTUacgtu", "TGCAAtgcaa"))
+
+  def complement(seq: Column): Column =
+    translate(seq, "ACGTUacgtu", "TGCAAtgcaa")
+
+  /** Standard genetic code (NCBI table 1; reference ext/seqs.py:40-50). */
+  val standardCode: Map[String, String] = {
+    val bases = "TCAG"
+    val aas = "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
+    (for {
+      (b1, i) <- bases.zipWithIndex
+      (b2, j) <- bases.zipWithIndex
+      (b3, k) <- bases.zipWithIndex
+    } yield s"$b1$b2$b3" -> aas(i * 16 + j * 4 + k).toString).toMap
+  }
+
+  /** Codon -> amino-acid translation (reference ext/seqs.py:150-340):
+    * unknown/ambiguous codons -> 'X', trailing partial codon dropped.
+    * UDF (per-row pure function); promote to a codegen Expression if it
+    * shows up hot. */
+  val translateCds = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val up = s.toUpperCase.replace('U', 'T')
+      val sb = new StringBuilder(up.length / 3)
+      var i = 0
+      while (i + 3 <= up.length) {
+        sb += standardCode.getOrElse(up.substring(i, i + 3), "X").head
+        i += 3
+      }
+      sb.toString
+    }
+  }
+
+  /** get_sequence (reference core/pyranges_main.py:5898-6073): extract
+    * interval sequences from a per-chromosome sequence table
+    * (Chromosome, seq) — broadcast equi-join + substring, strand-aware
+    * reverse complement. 0-based half-open in, 1-based substring. */
+  def getSequence(df: DataFrame, chromSeqs: DataFrame,
+                  outCol: String = "sequence"): DataFrame = {
+    import graft.core.Cols._
+    val joined = df.join(broadcast(chromSeqs), Seq(Chrom))
+    val sub = expr(s"substring(seq, $Start + 1, $End - $Start)")
+    val stranded =
+      if (df.columns.contains(Strand))
+        when(col(Strand) === RevStrand, reverseComplement(sub)).otherwise(sub)
+      else sub
+    joined.withColumn(outCol, stranded).drop("seq")
+  }
+
+  /** Per-transcript spliced sequence: concat exon sequences 5'->3'
+    * (reference core/pyranges_main.py:6036-6073: sorts then concats). */
+  def getSplicedSequence(df: DataFrame, chromSeqs: DataFrame, txCol: String,
+                         outCol: String = "sequence"): DataFrame = {
+    import graft.core.Cols._
+    val withSeq = getSequence(df, chromSeqs, "_exonSeq")
+    val ordered = graft.ops.UnaryOps.groupCumsum(withSeq, Seq(txCol),
+      useStrand = true, "_cs", "_ce")
+    // collect_list has no order guarantee: sort the (cumStart, seq) structs
+    // then join — cumStart is the 5'->3' position within the transcript.
+    ordered.groupBy(col(txCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_cs"), col("_exonSeq")))),
+        s => s.getField("_exonSeq")), "").as(outCol))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ext
+
+import graft.core.Cols
+import graft.ops.{BinaryOps, UnaryOps}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical helpers (reference ext/stats.py): multiple-testing
+  * adjustment, per-group Simes, interval-set association coefficients.
+  * All window/aggregate plans — no UDFs, no driver-side math.
+  */
+object Stats {
+  import Cols.{Start, End}
+
+  /** Benjamini-Hochberg FDR adjustment (reference ext/stats.py:124):
+    * adj_i = min_{j>=i}(p_j * n / j) capped at 1, over p ascending.
+    * Optional per-group keys; tieBreak makes rank assignment total. */
+  def fdr(df: DataFrame, pCol: String, keys: Seq[String] = Nil,
+          outCol: String = "fdr", tieBreak: Seq[Column] = Nil): DataFrame = {
+    val part = if (keys.isEmpty) Window.partitionBy()
+               else Window.partitionBy(keys.map(col): _*)
+    val asc = part.orderBy(col(pCol).asc +: tieBreak: _*)
+    val n = count(lit(1)).over(part.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing))
+    val rank = row_number().over(asc)
+    val raw = col(pCol) * n / rank
+    // reverse running min: min over rows with rank >= current
+    val desc = part.orderBy(col(pCol).desc +: tieBreak.map(_.desc): _*)
+    df.withColumn("_adj", raw)
+      .withColumn(outCol, least(min(col("_adj"))
+        .over(desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)), lit(1.0)))
+      .drop("_adj")
+  }
+
+  /** Simes combined p-value per group (reference ext/stats.py:569-680):
+    * min_i(p_i * n / rank_i). */
+  def simes(df: DataFrame, pCol: String, keys: Seq[String],
+            outCol: String = "simes"): DataFrame = {
+    val part = Window.partitionBy(keys.map(col): _*)
+    val rank = row_number().over(part.orderBy(col(pCol).asc))
+    val n = count(lit(1)).over(part)
+    df.withColumn("_s", col(pCol) * n / rank)
+      .groupBy(keys.map(col): _*).agg(min(col("_s")).as(outCol))
+  }
+
+  /** Jaccard coefficient of two interval sets per key (reference
+    * ext/stats.py:745-797): |A ∩ B| / |A ∪ B| in base pairs. Returns
+    * integer numerator/denominator (exact; divide at the edge). */
+  def jaccardStat(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    val ma = UnaryOps.merge(a, keys)
+    val mb = UnaryOps.merge(b, keys)
+    val la = ma.groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_a"))
+    val lb = mb.groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_b"))
+    val inter = BinaryOps.setIntersect(a, b, keys)
+      .groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_i"))
+    la.join(lb, keys).join(inter, keys.toSeq, "left").na.fill(0L, Seq("len_i"))
+      .select(keys.map(col) :+ col("len_i").as("jaccard_num") :+
+        (col("len_a") + col("len_b") - col("len_i")).as("jaccard_den"): _*)
+  }
+
+  /** Forbes coefficient (reference ext/stats.py:687-742):
+    * N * |A ∩ B| / (|A| * |B|) with N the key-space size (chromSizes).
+    * Returned as exact integer numerator/denominator. */
+  def forbesStat(a: DataFrame, b: DataFrame, keys: Seq[String],
+                 chromSizes: DataFrame): DataFrame = {
+    val ma = UnaryOps.merge(a, keys)
+    val mb = UnaryOps.merge(b, keys)
+    val la = ma.groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_a"))
+    val lb = mb.groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_b"))
+    val inter = BinaryOps.setIntersect(a, b, keys)
+      .groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_i"))
+    la.join(lb, keys).join(inter, keys.toSeq, "left").na.fill(0L, Seq("len_i"))
+      .join(broadcast(chromSizes), Seq(Cols.Chrom))
+      .select(keys.map(col) :+ (col("size") * col("len_i")).as("forbes_num") :+
+        (col("len_a") * col("len_b")).as("forbes_den"): _*)
+  }
+
+  /** Relative-distance distribution (reference ext/stats.py:800-865):
+    * histogram of floor(100 * reldist) where reldist is each a-midpoint's
+    * distance to the nearest b-midpoint divided by the distance between
+    * its two flanking b-midpoints. */
+  def relativeDistance(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    val amid = a.select(keys.map(col) :+ (col(Start) + col(End)).as("_m2"): _*)
+    val bmid = b.select(keys.map(col) :+ (col(Start) + col(End)).as("_bm2"): _*)
+    // as-of via union sweep: previous and next b midpoint around each a
+    val aTag = amid.withColumn("_isA", lit(1)).withColumn("_bm2", lit(null).cast("long"))
+    val bTag = bmid.withColumn("_isA", lit(0)).withColumn("_m2", lit(null).cast("long"))
+      .select(aTag.columns.map(col): _*)
+    val u = aTag.unionByName(bTag)
+    val pos = coalesce(col("_bm2"), col("_m2"))
+    val wPrev = Window.partitionBy(keys.map(col): _*)
+      .orderBy(pos.asc, col("_isA").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keys.map(col): _*)
+      .orderBy(pos.desc, col("_isA").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withNbrs = u
+      .withColumn("_prev", last(when(col("_isA") === 0, col("_bm2")), ignoreNulls = true).over(wPrev))
+      .withColumn("_next", last(when(col("_isA") === 0, col("_bm2")), ignoreNulls = true).over(wNext))
+      .filter(col("_isA") === 1 && col("_prev").isNotNull && col("_next").isNotNull &&
+        col("_next") > col("_prev"))
+    withNbrs
+      .withColumn("_rd100", floor(least(col("_m2") - col("_prev"), col("_next") - col("_m2"))
+        .cast("double") * 100 / (col("_next") - col("_prev"))).cast("long"))
+      .groupBy(col("_rd100").as("reldist_x100")).agg(count(lit(1)).as("n"))
+  }
+}

@@ -99,6 +99,14 @@ object BinaryOps {
       .na.fill(0L, Seq(countCol))
   }
 
+  /** Multi-set count_overlaps (reference core/multioverlap.py:11-143):
+    * one count column per named input set. */
+  def multiCountOverlaps(left: DataFrame, others: Seq[(String, DataFrame)],
+                         keys: Seq[String]): DataFrame =
+    others.foldLeft(left) { case (acc, (name, df)) =>
+      countOverlaps(acc, df, keys, countCol = name)
+    }
+
   /** subtract_overlaps (reference core/pyranges_main.py:3522-3643): remove
     * from each left interval the parts covered by right (one row may split
     * into many; rows fully covered disappear; rows with no overlap pass
