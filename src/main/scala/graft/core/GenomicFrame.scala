@@ -87,4 +87,192 @@ final case class GenomicFrame(df: DataFrame) {
   def withRowId: GenomicFrame =
     if (df.columns.contains(RowId)) this
     else GenomicFrame(df.withColumn(RowId, monotonically_increasing_id()))
+
+  // ------------------------------------------------------------------
+  // pyranges-parity operator surface. Each method resolves the group key
+  // (Chromosome [+ Strand] [+ matchBy]) the way prepare_by_single /
+  // prepare_by_binary do (reference core/pyranges_helpers.py:157-227),
+  // then delegates to the pure DataFrame operator. strandBehavior
+  // "opposite" flips other's strand before grouping (reference :222-224).
+  // ------------------------------------------------------------------
+
+  import graft.ops.{BinaryOps, Composites, Coverage, UnaryOps}
+
+  private def k1(useStrand: Option[Boolean], matchBy: Seq[String]): Seq[String] =
+    groupCols(resolveUseStrand(useStrand), matchBy)
+
+  /** Resolve binary keys + possibly strand-flipped other. */
+  private def prepareBinary(other: GenomicFrame, behavior: StrandBehavior,
+                            matchBy: Seq[String]): (Seq[String], DataFrame) = {
+    val bothStranded = hasStrand && other.hasStrand
+    behavior match {
+      case StrandBehavior.Ignore => (groupCols(false, matchBy), other.df)
+      case StrandBehavior.Same   => (groupCols(true, matchBy), other.df)
+      case StrandBehavior.Opposite =>
+        (groupCols(true, matchBy), other.flipStrand.df)
+      case StrandBehavior.Auto =>
+        if (bothStranded) (groupCols(true, matchBy), other.df)
+        else (groupCols(false, matchBy), other.df)
+    }
+  }
+
+  def mergeOverlaps(useStrand: Option[Boolean] = None, slack: Long = 0,
+                    countCol: Option[String] = None,
+                    matchBy: Seq[String] = Nil): GenomicFrame =
+    GenomicFrame(UnaryOps.merge(df, k1(useStrand, matchBy), slack, countCol))
+
+  def clusterOverlaps(useStrand: Option[Boolean] = None, slack: Long = 0,
+                      clusterCol: String = "Cluster",
+                      matchBy: Seq[String] = Nil): GenomicFrame =
+    GenomicFrame(UnaryOps.cluster(df, k1(useStrand, matchBy), slack, clusterCol))
+
+  def complementRanges(useStrand: Option[Boolean] = None,
+                       chromSizes: Option[DataFrame] = None,
+                       matchBy: Seq[String] = Nil): GenomicFrame =
+    GenomicFrame(UnaryOps.complement(df, k1(useStrand, matchBy), chromSizes))
+
+  def outerRanges(useStrand: Option[Boolean] = None,
+                  countCol: Option[String] = None,
+                  matchBy: Seq[String] = Nil): GenomicFrame =
+    GenomicFrame(UnaryOps.boundaries(df, k1(useStrand, matchBy), countCol))
+
+  def extendRanges(ext5: Long = 0, ext3: Long = 0,
+                   useStrand: Option[Boolean] = None): GenomicFrame =
+    GenomicFrame(UnaryOps.extend(df, ext5, ext3, resolveUseStrand(useStrand)))
+
+  def clipRanges(chromSizes: DataFrame, onlyRight: Boolean = false): GenomicFrame =
+    GenomicFrame(UnaryOps.clip(df, chromSizes, onlyRight))
+
+  def splitOverlaps(useStrand: Option[Boolean] = None, between: Boolean = false,
+                    matchBy: Seq[String] = Nil): GenomicFrame =
+    GenomicFrame(UnaryOps.split(df, k1(useStrand, matchBy), between))
+
+  def groupCumsum(matchBy: Seq[String] = Nil,
+                  useStrand: Option[Boolean] = None,
+                  cumStartCol: String = "cumStart",
+                  cumEndCol: String = "cumEnd"): GenomicFrame =
+    GenomicFrame(UnaryOps.groupCumsum(df, k1(useStrand, matchBy),
+      resolveUseStrand(useStrand), cumStartCol, cumEndCol))
+
+  def windowRanges(size: Long, useStrand: Option[Boolean] = None): GenomicFrame =
+    GenomicFrame(UnaryOps.windowRanges(df, size, resolveUseStrand(useStrand)))
+
+  def tileRanges(size: Long, overlapCol: Option[String] = None): GenomicFrame =
+    GenomicFrame(UnaryOps.tile(df, size, overlapCol))
+
+  def maxDisjointOverlaps(useStrand: Option[Boolean] = None, slack: Long = 0,
+                          matchBy: Seq[String] = Nil): GenomicFrame =
+    GenomicFrame(UnaryOps.maxDisjoint(df, k1(useStrand, matchBy), slack))
+
+  def sortRanges(useStrand: Option[Boolean] = None): GenomicFrame =
+    GenomicFrame(UnaryOps.sortRanges(df, Seq(Chrom), resolveUseStrand(useStrand)))
+
+  def overlap(other: GenomicFrame,
+              strandBehavior: StrandBehavior = StrandBehavior.Auto,
+              slack: Long = 0, contained: Boolean = false,
+              invert: Boolean = false,
+              matchBy: Seq[String] = Nil): GenomicFrame = {
+    val (keys, o) = prepareBinary(other, strandBehavior, matchBy)
+    GenomicFrame(BinaryOps.overlap(df, o, keys, slack, contained, invert))
+  }
+
+  def joinOverlaps(other: GenomicFrame,
+                   strandBehavior: StrandBehavior = StrandBehavior.Auto,
+                   joinType: String = "inner", multiple: String = "all",
+                   slack: Long = 0, suffix: String = "_b",
+                   reportOverlapCol: Option[String] = None,
+                   contained: Boolean = false,
+                   matchBy: Seq[String] = Nil): GenomicFrame = {
+    val (keys, o) = prepareBinary(other, strandBehavior, matchBy)
+    GenomicFrame(BinaryOps.joinOverlaps(withRowId.df, o, keys, joinType,
+      multiple, slack, suffix, reportOverlapCol, contained))
+  }
+
+  def intersectOverlaps(other: GenomicFrame,
+                        strandBehavior: StrandBehavior = StrandBehavior.Auto,
+                        matchBy: Seq[String] = Nil): GenomicFrame = {
+    val (keys, o) = prepareBinary(other, strandBehavior, matchBy)
+    GenomicFrame(BinaryOps.intersect(df, o, keys))
+  }
+
+  def setIntersectOverlaps(other: GenomicFrame,
+                           strandBehavior: StrandBehavior = StrandBehavior.Auto): GenomicFrame = {
+    val (keys, o) = prepareBinary(other, strandBehavior, Nil)
+    GenomicFrame(BinaryOps.setIntersect(df, o, keys))
+  }
+
+  def setUnionOverlaps(other: GenomicFrame,
+                       strandBehavior: StrandBehavior = StrandBehavior.Auto): GenomicFrame = {
+    val (keys, o) = prepareBinary(other, strandBehavior, Nil)
+    GenomicFrame(BinaryOps.setUnion(df, o, keys))
+  }
+
+  def subtractOverlaps(other: GenomicFrame,
+                       strandBehavior: StrandBehavior = StrandBehavior.Auto,
+                       matchBy: Seq[String] = Nil): GenomicFrame = {
+    val (keys, o) = prepareBinary(other, strandBehavior, matchBy)
+    GenomicFrame(BinaryOps.subtract(withRowId.df, o, keys))
+  }
+
+  def countOverlaps(other: GenomicFrame,
+                    strandBehavior: StrandBehavior = StrandBehavior.Auto,
+                    slack: Long = 0, countCol: String = "NumberOverlaps",
+                    matchBy: Seq[String] = Nil): GenomicFrame = {
+    val (keys, o) = prepareBinary(other, strandBehavior, matchBy)
+    GenomicFrame(BinaryOps.countOverlaps(withRowId.df, o, keys, slack, countCol))
+  }
+
+  def nearestRanges(other: GenomicFrame,
+                    strandBehavior: StrandBehavior = StrandBehavior.Auto,
+                    suffix: String = "_b", distCol: String = "Distance",
+                    excludeOverlaps: Boolean = false,
+                    matchBy: Seq[String] = Nil): GenomicFrame = {
+    val (keys, o) = prepareBinary(other, strandBehavior, matchBy)
+    GenomicFrame(BinaryOps.nearest(withRowId.df, o.withColumn(RowId,
+      monotonically_increasing_id()), keys, suffix, distCol, excludeOverlaps))
+  }
+
+  def sliceRanges(sliceStart: Long, sliceEnd: Option[Long],
+                  matchBy: Seq[String] = Nil,
+                  useStrand: Option[Boolean] = None): GenomicFrame =
+    GenomicFrame(Composites.sliceRanges(df, k1(useStrand, matchBy), sliceStart,
+      sliceEnd, resolveUseStrand(useStrand)))
+
+  def fiveEnd(groupBy: Option[Seq[String]] = None,
+              useStrand: Option[Boolean] = None): GenomicFrame =
+    GenomicFrame(Composites.fiveEnd(df, resolveUseStrand(useStrand),
+      groupBy.map(m => k1(useStrand, m))))
+
+  def threeEnd(groupBy: Option[Seq[String]] = None,
+               useStrand: Option[Boolean] = None): GenomicFrame =
+    GenomicFrame(Composites.threeEnd(df, resolveUseStrand(useStrand),
+      groupBy.map(m => k1(useStrand, m))))
+
+  def upstream(length: Long, gap: Long = 0,
+               useStrand: Option[Boolean] = None): GenomicFrame =
+    GenomicFrame(Composites.upstream(df, length, gap, resolveUseStrand(useStrand)))
+
+  def downstream(length: Long, gap: Long = 0,
+                 useStrand: Option[Boolean] = None): GenomicFrame =
+    GenomicFrame(Composites.downstream(df, length, gap, resolveUseStrand(useStrand)))
+
+  def toRle(useStrand: Option[Boolean] = None,
+            valueCol: Option[String] = None): DataFrame =
+    Coverage.toRle(df, k1(useStrand, Nil), valueCol)
+
+  def getSequence(chromSeqs: DataFrame, outCol: String = "sequence"): GenomicFrame =
+    GenomicFrame(graft.ext.Seqs.getSequence(df, chromSeqs, outCol))
+}
+
+object GenomicFrame {
+  import Cols._
+
+  /** Wrap with schema validation, mirroring the reference constructor's
+    * demotion contract (reference core/pyranges_main.py:167-185): missing
+    * required columns -> Left(plain DataFrame). */
+  def of(df: DataFrame): Either[DataFrame, GenomicFrame] = {
+    val cols = df.columns.toSet
+    if (GenomeLoc.forall(cols.contains)) Right(GenomicFrame(df))
+    else Left(df)
+  }
 }

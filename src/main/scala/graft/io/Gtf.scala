@@ -1,0 +1,109 @@
+package graft.io
+
+import graft.core.Cols
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** GTF / GFF3 readers and writers (reference readers.py:243-352
+  * `read_gtf`, readers.py:391-449 `read_gff3`, core/out.py:233-315
+  * `to_gtf`/`to_gff3`).
+  *
+  * Both formats: 9 tab-separated columns, 1-based inclusive coordinates
+  * (converted to 0-based half-open on read, reference readers.py:273-276),
+  * '#' comment lines. They differ only in the attribute grammar:
+  * GTF `key "value"; ` (quoted values may contain ';', reference
+  * README.md:41-49) vs GFF3 `key=value;`. Attribute parsing is pure
+  * built-in expressions (regexp_extract_all / str_to_map) — codegen'd,
+  * partition-parallel, no UDF.
+  */
+object Gtf {
+  import Cols._
+
+  val fixedCols: Seq[String] =
+    Seq(Chrom, "Source", "Feature", Start, End, "Score", Strand, "Frame")
+
+  private def baseSchema: StructType = StructType(Seq(
+    StructField(Chrom, StringType), StructField("Source", StringType),
+    StructField("Feature", StringType), StructField("_start1", LongType),
+    StructField("_end1", LongType), StructField("Score", StringType),
+    StructField(Strand, StringType), StructField("Frame", StringType),
+    StructField("Attribute", StringType)))
+
+  private def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("delimiter", "\t").option("comment", "#")
+      .schema(baseSchema).csv(path)
+      .withColumn(Start, col("_start1") - 1)
+      .withColumn(End, col("_end1"))
+      .drop("_start1", "_end1")
+
+  /** GTF attribute string -> map<string,string>. Handles quoted values
+    * (';' inside quotes preserved) and unquoted numeric values. */
+  def gtfAttrMap(attr: Column): Column = {
+    val pairs = regexp_extract_all(attr, lit("(\\w+)\\s+(\"[^\"]*\"|[^;]+);"), lit(0))
+    map_from_entries(transform(pairs, p => struct(
+      regexp_extract(p, "(\\w+)\\s+", 1),
+      regexp_replace(regexp_extract(p, "\\w+\\s+(\"[^\"]*\"|[^;]+);", 1),
+        "^\"|\"$", ""))))
+  }
+
+  /** GFF3 attribute string -> map (reference readers.py:386 helper). */
+  def gff3AttrMap(attr: Column): Column = str_to_map(attr, lit(";"), lit("="))
+
+  /** read_gtf: attributes exploded into one column per requested key
+    * (reference explodes all; pass the keys you need — column pruning
+    * then skips the rest). */
+  def readGtf(spark: SparkSession, path: String,
+              attrKeys: Seq[String] = Seq("gene_id", "transcript_id")): DataFrame = {
+    val raw = readRaw(spark, path).withColumn("_attrs", gtfAttrMap(col("Attribute")))
+    attrKeys.foldLeft(raw)((d, k) => d.withColumn(k, col("_attrs").getItem(k)))
+      .drop("_attrs")
+      .select((fixedCols ++ attrKeys :+ "Attribute").map(col): _*)
+  }
+
+  def readGff3(spark: SparkSession, path: String,
+               attrKeys: Seq[String] = Seq("ID", "Parent")): DataFrame = {
+    val raw = readRaw(spark, path)
+      .withColumn("_attrs", gff3AttrMap(col("Attribute")))
+    attrKeys.foldLeft(raw)((d, k) => d.withColumn(k, col("_attrs").getItem(k)))
+      .drop("_attrs")
+      .select((fixedCols ++ attrKeys :+ "Attribute").map(col): _*)
+  }
+
+  /** to_gtf (reference core/out.py:233-315, gtf_formatter :297): fixed
+    * 8 columns (1-based inclusive out) + attributes rebuilt from the
+    * given metadata columns as `key "value"; `. */
+  def writeGtf(df: DataFrame, path: String, attrCols: Seq[String]): Unit = {
+    val attr = concat_ws(" ", attrCols.map(c =>
+      when(col(c).isNotNull, concat(lit(c + " \""), col(c).cast("string"), lit("\";")))): _*)
+    df.select(
+      col(Chrom).cast("string"),
+      coalesce(col("Source").cast("string"), lit(".")),
+      coalesce(col("Feature").cast("string"), lit(".")),
+      (col(Start) + 1).cast("string"),
+      col(End).cast("string"),
+      coalesce(col("Score").cast("string"), lit(".")),
+      coalesce(col(Strand), lit(".")),
+      coalesce(col("Frame").cast("string"), lit(".")),
+      attr)
+      .write.option("delimiter", "\t").option("header", "false")
+      .mode("overwrite").csv(path)
+  }
+
+  def writeGff3(df: DataFrame, path: String, attrCols: Seq[String]): Unit = {
+    val attr = concat_ws(";", attrCols.map(c =>
+      when(col(c).isNotNull, concat(lit(c + "="), col(c).cast("string")))): _*)
+    df.select(
+      col(Chrom).cast("string"),
+      coalesce(col("Source").cast("string"), lit(".")),
+      coalesce(col("Feature").cast("string"), lit(".")),
+      (col(Start) + 1).cast("string"),
+      col(End).cast("string"),
+      coalesce(col("Score").cast("string"), lit(".")),
+      coalesce(col(Strand), lit(".")),
+      coalesce(col("Frame").cast("string"), lit(".")),
+      attr)
+      .write.option("delimiter", "\t").option("header", "false")
+      .mode("overwrite").csv(path)
+  }
+}

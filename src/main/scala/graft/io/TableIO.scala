@@ -1,0 +1,56 @@
+package graft.io
+
+import graft.core.Cols
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Misc constructors (reference readers.py:22-57 `from_string`,
+  * core/random.py:14-92 `random`, core/empty.py). */
+object TableIO {
+  import Cols._
+
+  /** Parse a whitespace table literal with a header row — the reference's
+    * doctest-friendly constructor (reference readers.py:22-57). */
+  def fromString(spark: SparkSession, s: String): DataFrame = {
+    val lines = s.trim.split("\n").map(_.trim).filter(_.nonEmpty)
+    val header = lines.head.split("\\s+")
+    val rows = lines.tail.map(_.split("\\s+"))
+    import scala.jdk.CollectionConverters._
+    val rowObjs = rows.map(r =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq)).toList.asJava
+    val schema = org.apache.spark.sql.types.StructType(header.map(h =>
+      org.apache.spark.sql.types.StructField(h, org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(rowObjs, schema)
+    // cast the loc columns if present
+    Seq(Start, End).foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast("long")) else d)
+  }
+
+  /** Deterministic "random" intervals from a chromSizes table
+    * (Chromosome, size): n intervals of `length`, positions md5-derived
+    * from the row index (reproducible across engines/runs, unlike
+    * rand(seed) which depends on partitioning). */
+  def random(spark: SparkSession, chromSizes: DataFrame, n: Long,
+             length: Long = 100): DataFrame = {
+    val nChrom = chromSizes.count()
+    val ids = spark.range(n)
+    ids.withColumn("_h", conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10).cast("long"))
+      .withColumn("_ci", pmod(col("_h"), lit(nChrom)))
+      .join(broadcast(chromSizes.withColumn("_ci",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(Cols.Chrom)).cast("long") - 1)), Seq("_ci"))
+      .withColumn(Start, pmod(floor(col("_h") / nChrom).cast("long"), col("size") - length))
+      .withColumn(End, col(Start) + length)
+      .select(col("id").as(RowId), col(Chrom), col(Start), col(End))
+  }
+
+  /** Typed empty frame with the genomic schema contract. */
+  def empty(spark: SparkSession, withStrand: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = Seq(StructField(Chrom, StringType), StructField(Start, LongType),
+      StructField(End, LongType)) ++
+      (if (withStrand) Seq(StructField(Strand, StringType)) else Nil)
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(fields))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.core.{Cols, GenomicFrame, StrandBehavior}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** User-facing API surface tests: the pyranges-style method chain a
+  * reference user would write, end-to-end through the wrapper. */
+class GenomicFrameSpec extends AnyFunSuite {
+  import Cols._
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def mk(rows: (String, String, Long, Long)*): GenomicFrame = {
+    import spark.implicits._
+    GenomicFrame(rows.toSeq.toDF(Chrom, Strand, Start, End)
+      .withColumn(RowId, monotonically_increasing_id()))
+  }
+
+  test("wrap demotes when loc columns are missing") {
+    import spark.implicits._
+    assert(GenomicFrame.of(Seq((1, 2)).toDF("a", "b")).isLeft)
+    assert(GenomicFrame.of(Seq(("c", 1L, 2L)).toDF(Chrom, Start, End)).isRight)
+  }
+
+  test("strand_behavior=same restricts matches; opposite flips; ignore widens") {
+    val a = mk(("c", "+", 0, 10))
+    val b = mk(("c", "-", 5, 15))
+    assert(a.overlap(b, StrandBehavior.Same).df.count() == 0)
+    assert(a.overlap(b, StrandBehavior.Opposite).df.count() == 1)
+    assert(a.overlap(b, StrandBehavior.Ignore).df.count() == 1)
+    // auto: both stranded -> same
+    assert(a.overlap(b).df.count() == 0)
+  }
+
+  test("method chain: merge -> complement -> count vs other") {
+    val a = mk(("c", "+", 0, 5), ("c", "+", 3, 9), ("c", "+", 20, 30))
+    val gaps = a.mergeOverlaps().complementRanges()
+    val got = gaps.df.select(Start, End).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((9L, 20L)))
+    // [4,21) overlaps all three rows ([20,30) since 20 < 21)
+    val counted = a.countOverlaps(mk(("c", "+", 4, 21)), countCol = "n")
+    assert(counted.df.agg(sum("n")).head.getLong(0) == 3L)
+  }
+
+  test("joinOverlaps via wrapper suffixes and honors auto strand") {
+    val a = mk(("c", "+", 0, 10))
+    val b = mk(("c", "+", 5, 15), ("c", "-", 5, 15))
+    val j = a.joinOverlaps(b)
+    assert(j.df.count() == 1)
+    assert(j.df.columns.contains(Start + "_b"))
+  }
+
+  test("loci accessor filters chrom/strand/range") {
+    val a = mk(("c", "+", 0, 10), ("c", "-", 20, 30), ("d", "+", 0, 5))
+    assert(a.loci("c").df.count() == 2)
+    assert(a.loci("c", Some("+")).df.count() == 1)
+    assert(a.loci("c", None, Some(25L), Some(40L)).df.count() == 1)
+  }
+
+  test("invalidRanges reports empty/negative rows") {
+    import spark.implicits._
+    val bad = GenomicFrame(Seq(("c", 5L, 5L), ("c", -1L, 3L), ("c", 1L, 2L))
+      .toDF(Chrom, Start, End))
+    val reasons = bad.invalidRanges.select("invalid_reason").collect().map(_.getString(0))
+    assert(reasons.toSet == Set("empty_or_negative_length", "negative_positions"))
+  }
+
+  test("getSequence extracts and reverse-complements by strand") {
+    import spark.implicits._
+    val seqs = Seq(("c", "ACGTACGTAA")).toDF(Chrom, "seq")
+    val a = mk(("c", "+", 0, 4), ("c", "-", 0, 4))
+    val got = a.getSequence(seqs).df.select(Strand, "sequence").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("+") == "ACGT")
+    assert(got("-") == "ACGT")  // revcomp of ACGT is ACGT
+    // [1,5) of ACGTACGTAA is CGTA; revcomp = TACG
+    val b = mk(("c", "-", 1, 5))
+    assert(b.getSequence(seqs).df.head.getAs[String]("sequence") == "TACG")
+  }
+}

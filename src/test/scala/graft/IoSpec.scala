@@ -1,0 +1,97 @@
+package graft
+
+import graft.core.Cols
+import graft.io.{Bed, Gtf, TableIO}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** File-format round-trip tests (BED / GTF / GFF3 / from_string),
+  * mirroring the reference's reader semantics: 1-based GTF/GFF -> 0-based
+  * half-open, attribute grammar incl. quoted ';' (reference
+  * readers.py:273-276, README.md:41-49). */
+class IoSpec extends AnyFunSuite {
+  import Cols._
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("BED read: fixed schema, comment skip; write round-trips") {
+    val d = tmp("bed")
+    Files.writeString(java.nio.file.Paths.get(s"$d/a.bed"),
+      "# a comment\nchr1\t10\t20\tfeat1\t0\t+\nchr2\t5\t9\tfeat2\t3\t-\n")
+    val df = Bed.read(spark, s"$d/a.bed")
+    assert(df.count() == 2)
+    val r = df.orderBy(Start).collect()
+    assert(r(1).getString(0) == "chr1" || r(0).getString(0) == "chr2")
+    assert(df.filter(col(Chrom) === "chr1").select(Start).head.getLong(0) == 10L)
+    assert(df.schema(Start).dataType.typeName == "long")
+    // round-trip
+    val outDir = s"$d/out"
+    Bed.write(df, outDir)
+    val back = Bed.read(spark, outDir)
+    assert(back.orderBy(Start).collect().map(_.toSeq).toSeq ==
+      df.orderBy(Start).collect().map(_.toSeq).toSeq)
+  }
+
+  test("GTF read: 1-based -> half-open; quoted ';' in attribute survives") {
+    val d = tmp("gtf")
+    Files.writeString(java.nio.file.Paths.get(s"$d/a.gtf"),
+      "# hdr\n" +
+      "chr1\thavana\tgene\t11\t20\t.\t+\t.\tgene_id \"g1\"; note \"semi;colon\"; exon_number 2;\n" +
+      "chr1\thavana\texon\t11\t15\t.\t+\t.\tgene_id \"g1\"; transcript_id \"t1\";\n")
+    val df = Gtf.readGtf(spark, s"$d/a.gtf",
+      attrKeys = Seq("gene_id", "transcript_id", "note", "exon_number"))
+    assert(df.count() == 2)
+    val gene = df.filter(col("Feature") === "gene").head
+    assert(gene.getAs[Long](Start) == 10L && gene.getAs[Long](End) == 20L)
+    assert(gene.getAs[String]("gene_id") == "g1")
+    assert(gene.getAs[String]("note") == "semi;colon")
+    assert(gene.getAs[String]("exon_number") == "2")
+    assert(df.filter(col("Feature") === "exon").head.getAs[String]("transcript_id") == "t1")
+    // write and re-read
+    val outDir = s"$d/out"
+    Gtf.writeGtf(df, outDir, Seq("gene_id", "transcript_id", "note"))
+    val back = Gtf.readGtf(spark, outDir, Seq("gene_id", "note"))
+    assert(back.count() == 2)
+    assert(back.filter(col("Feature") === "gene").head.getAs[String]("note") == "semi;colon")
+    assert(back.filter(col("Feature") === "gene").head.getAs[Long](Start) == 10L)
+  }
+
+  test("GFF3 read: k=v attributes") {
+    val d = tmp("gff")
+    Files.writeString(java.nio.file.Paths.get(s"$d/a.gff3"),
+      "chr1\tsrc\tmRNA\t1\t100\t.\t-\t.\tID=m1;Parent=g1\n")
+    val df = Gtf.readGff3(spark, s"$d/a.gff3")
+    val r = df.head
+    assert(r.getAs[Long](Start) == 0L && r.getAs[Long](End) == 100L)
+    assert(r.getAs[String]("ID") == "m1" && r.getAs[String]("Parent") == "g1")
+  }
+
+  test("fromString parses whitespace tables with typed loc columns") {
+    val df = TableIO.fromString(spark,
+      """Chromosome Start End Name
+        |chr1 5 10 a
+        |chr2 0 3 b""".stripMargin)
+    assert(df.count() == 2)
+    assert(df.schema(Start).dataType.typeName == "long")
+    assert(df.filter(col("Name") === "a").head.getAs[Long](End) == 10L)
+  }
+
+  test("random generates n in-bounds deterministic intervals") {
+    import spark.implicits._
+    val cs = Seq(("chr1", 1000L), ("chr2", 500L)).toDF(Chrom, "size")
+    val r1 = TableIO.random(spark, cs, 50, 10)
+    val r2 = TableIO.random(spark, cs, 50, 10)
+    assert(r1.count() == 50)
+    assert(r1.join(cs, Seq(Chrom)).filter(col(End) > col("size") || col(Start) < 0).count() == 0)
+    assert(r1.exceptAll(r2).count() == 0)  // deterministic
+  }
+}
