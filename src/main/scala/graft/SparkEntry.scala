@@ -177,6 +177,19 @@ object SparkEntry {
       out(Stats.jaccardStat(gr(s, dir), gr2(s, dir), Seq(Chrom)))),
     "q41_reldist" -> ((s, dir) =>
       Stats.relativeDistance(gr(s, dir), gr2(s, dir), Seq(Chrom))),
+    "q42_nearest_k" -> ((s, dir) =>
+      out(graft.ops.NearestK.nearestK(gr(s, dir).filter(col(RowId) % 50 === 0),
+          gr2(s, dir), Seq(Chrom), 3, distCol = "dist")
+        .withColumnRenamed(Start + "_b", "istart_b")
+        .withColumnRenamed(End + "_b", "iend_b")
+        .withColumn("nearest_rank", col("nearest_rank").cast("long")))),
+    "q43_nearest_upstream" -> ((s, dir) =>
+      out(graft.ops.NearestK.nearestK(gr(s, dir).filter(col(RowId) % 50 === 0),
+          gr2(s, dir), Seq(Chrom), 1, direction = "upstream",
+          excludeOverlaps = true, distCol = "dist")
+        .withColumnRenamed(Start + "_b", "istart_b")
+        .withColumnRenamed(End + "_b", "iend_b")
+        .drop("nearest_rank"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -346,5 +359,16 @@ object SparkEntry {
       "bm AS (SELECT chrom, istart + iend AS bm2 FROM gr2)",
       "nb AS (SELECT a.chrom, a.m2, (SELECT max(bm2) FROM bm WHERE bm.chrom = a.chrom AND bm.bm2 <= a.m2) AS prev, (SELECT min(bm2) FROM bm WHERE bm.chrom = a.chrom AND bm.bm2 >= a.m2) AS next FROM am a)"),
       "SELECT CAST(floor(least(m2 - prev, next - m2) * 100.0 / (next - prev)) AS BIGINT) AS reldist_x100, count(*) AS n FROM nb WHERE prev IS NOT NULL AND next IS NOT NULL AND next > prev GROUP BY 1"),
+
+    "q42_nearest_k" -> sql(Seq(GR_CTE, GR2_CTE,
+      "grn AS (SELECT * FROM gr WHERE row_id % 50 = 0)",
+      "c AS (SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, o.row_id AS row_id_b, o.istart AS istart_b, o.iend AS iend_b, CASE WHEN o.istart < g.iend AND o.iend > g.istart THEN 0 WHEN o.istart >= g.iend THEN o.istart - g.iend + 1 ELSE g.istart - o.iend + 1 END AS dist FROM grn g JOIN gr2 o ON g.chrom = o.chrom)"),
+      "SELECT row_id, chrom, strand, istart, iend, row_id_b, istart_b, iend_b, dist, CAST(rn AS BIGINT) AS nearest_rank FROM (SELECT *, row_number() OVER (PARTITION BY row_id ORDER BY dist, row_id_b) AS rn FROM c) WHERE rn <= 3"),
+
+    "q43_nearest_upstream" -> sql(Seq(GR_CTE, GR2_CTE,
+      "grn AS (SELECT * FROM gr WHERE row_id % 50 = 0)",
+      "c AS (SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, o.row_id AS row_id_b, o.istart AS istart_b, o.iend AS iend_b, CASE WHEN o.iend <= g.istart THEN 'L' WHEN o.istart >= g.iend THEN 'R' ELSE 'O' END AS side, CASE WHEN o.iend <= g.istart THEN g.istart - o.iend + 1 WHEN o.istart >= g.iend THEN o.istart - g.iend + 1 ELSE 0 END AS dist FROM grn g JOIN gr2 o ON g.chrom = o.chrom)",
+      "f AS (SELECT * FROM c WHERE (strand = '+' AND side = 'L') OR (strand = '-' AND side = 'R'))"),
+      "SELECT row_id, chrom, strand, istart, iend, row_id_b, istart_b, iend_b, dist FROM (SELECT *, row_number() OVER (PARTITION BY row_id ORDER BY dist, row_id_b) AS rn FROM f) WHERE rn = 1"),
   )
 }

@@ -193,6 +193,29 @@ class OpsSpec extends AnyFunSuite {
     assert(rid == 0L)  // first right row (smaller id) wins the tie
   }
 
+  // k-nearest sweep (reference core/pyranges_main.py:2143-2391).
+  test("nearestK returns ranked k neighbors; buffer keeps tie-min ids") {
+    val l = gf(("c", 100, 110))
+    val r = gf(("c", 10, 20), ("c", 30, 40), ("c", 50, 60), ("c", 120, 130),
+               ("c", 105, 106))
+    val got = graft.ops.NearestK.nearestK(l, r, Seq(Chrom), 3, distCol = "dist")
+      .select("dist", "nearest_rank").collect()
+      .map(x => (x.getLong(0), x.getInt(1))).sortBy(_._2)
+    // overlap [105,106) d=0; [120,130) d=11; [50,60) d=41
+    assert(got.toSeq == Seq((0L, 1), (11L, 2), (41L, 3)))
+  }
+
+  test("nearestK upstream direction is strand-relative") {
+    val l = gfs(("c", "+", 100, 110), ("c", "-", 100, 110))
+    val r = gf(("c", 10, 20), ("c", 150, 160))
+    val got = graft.ops.NearestK.nearestK(l, r, Seq(Chrom), 1,
+        direction = "upstream", excludeOverlaps = true, distCol = "dist")
+      .select(Strand, Start + "_b").collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(got("+") == 10L)   // upstream of "+" = genomic left
+    assert(got("-") == 150L)  // upstream of "-" = genomic right
+  }
+
   // join_overlaps left/outer keep unmatched with nulls (reference
   // core/pyranges_main.py:1267-1288 doctest, NaN -> null deviation).
   test("joinOverlaps left keeps unmatched left rows with null right") {
