@@ -1,0 +1,102 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: opaque binary payload + typed metadata struct, with
+  * decode / feature-extract / frame-sample stages shaped for executor-
+  * side batch processing.
+  *
+  * The actual codecs are NOT available in this environment, so the
+  * decode kernels are STUBS — deterministic fakes clearly marked below —
+  * while everything Spark-side is real: schemas, partition balancing by
+  * payload bytes, per-partition batch iteration (the same shape a
+  * Pandas-UDF/mapInPandas or JNI decoder plugs into), and downstream
+  * feature columns that feed Similarity/Dedup.
+  */
+object Multimodal {
+
+  case class MediaMeta(format: String, width: Int, height: Int, nBytes: Long)
+  case class MediaFeature(media_id: Long, feature: Array[Float])
+  case class Frame(media_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Attach a typed metadata struct parsed from the payload header.
+    * STUB: header fields are derived from payload bytes arithmetically
+    * (a real impl reads magic numbers / container headers). */
+  def withMediaMeta(df: DataFrame, blobCol: String = "payload",
+                    metaCol: String = "meta"): DataFrame = {
+    val nb = length(col(blobCol)).cast("long")
+    df.withColumn(metaCol, struct(
+      when(pmod(nb, lit(3)) === 0, "png")
+        .when(pmod(nb, lit(3)) === 1, "jpeg").otherwise("webp").as("format"),
+      (pmod(nb, lit(640)) + 1).cast("int").as("width"),
+      (pmod(nb, lit(480)) + 1).cast("int").as("height"),
+      nb.as("nBytes")))
+  }
+
+  /** Balance partitions by cumulative payload size so one task doesn't
+    * get all the large blobs — range-partition on byte size. */
+  def balanceBySize(df: DataFrame, blobCol: String = "payload",
+                    partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartitionByRange(n, length(col(blobCol)))
+  }
+
+  /** Decode + feature-extract: per-partition batch loop over payloads
+    * producing a fixed-dim Float feature vector.
+    * STUB decode: features are a rolling byte histogram (deterministic);
+    * a real implementation decodes pixels/samples here — the signature,
+    * batching, and output schema are what a real kernel needs. */
+  def extractFeatures(df: DataFrame, idCol: String = "media_id",
+                      blobCol: String = "payload", dim: Int = 16): DataFrame = {
+    val src = df.select(col(idCol).cast("long"), col(blobCol))
+    src.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val f = new Array[Float](dim)
+        if (bytes != null) {
+          var i = 0
+          while (i < bytes.length) {
+            f(java.lang.Byte.toUnsignedInt(bytes(i)) % dim) += 1.0f
+            i += 1
+          }
+          // normalize by length so feature is scale-free
+          if (bytes.length > 0) {
+            var j = 0
+            while (j < dim) { f(j) /= bytes.length; j += 1 }
+          }
+        }
+        MediaFeature(id, f)
+      }
+    }(Encoders.product[MediaFeature])
+      .toDF(idCol, "feature")
+  }
+
+  /** Frame sampling for video-like payloads: one output row per sampled
+    * chunk of `frameBytes`, every `everyN`-th frame.
+    * STUB: frames are fixed-size byte slices (a real impl seeks by
+    * container index); the explode shape and payload slicing are real. */
+  def sampleFrames(df: DataFrame, frameBytes: Int, everyN: Int,
+                   idCol: String = "media_id",
+                   blobCol: String = "payload"): DataFrame = {
+    val src = df.select(col(idCol).cast("long"), col(blobCol))
+    src.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        if (bytes == null) Iterator.empty
+        else {
+          val nFrames = bytes.length / frameBytes
+          (0 until nFrames by everyN).iterator.map { fi =>
+            Frame(id, fi, java.util.Arrays.copyOfRange(bytes,
+              fi * frameBytes, (fi + 1) * frameBytes))
+          }
+        }
+      }
+    }(Encoders.product[Frame])
+      .toDF(idCol, "frame_idx", "payload")
+  }
+}

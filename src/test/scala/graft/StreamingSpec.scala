@@ -1,0 +1,80 @@
+package graft
+
+import graft.core.Cols
+import graft.ml.Multimodal
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured-Streaming interval ops + multimodal plumbing. */
+class StreamingSpec extends AnyFunSuite {
+  import Cols._
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streamingMerge folds a start-sorted stream into islands incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.InInterval]
+    val q = StreamingOps.streamingMerge(in.toDS())
+      .writeStream.format("memory").queryName("islands")
+      .outputMode("append").start()
+    // batch 1: two overlapping + one far -> first island closable later
+    in.addData(StreamingOps.InInterval("c", 1, 5), StreamingOps.InInterval("c", 4, 9))
+    q.processAllAvailable()
+    assert(spark.table("islands").count() == 0)  // island still open
+    in.addData(StreamingOps.InInterval("c", 50, 60))  // beyond -> closes [1,9)
+    q.processAllAvailable()
+    val closed = spark.table("islands").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(closed.toSet == Set(("c", 1L, 9L, 2L)))
+    q.stop()
+  }
+
+  test("tileCoverage compiles to a streaming windowed agg and runs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long, java.sql.Timestamp)]
+    val df = in.toDF().toDF(Chrom, Start, End, "ts")
+    val q = StreamingOps.tileCoverage(df, 10, "ts", "0 seconds", "1 minute")
+      .writeStream.format("memory").queryName("cov")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:30")
+    in.addData(("c", 5L, 25L, t0))
+    q.processAllAvailable()
+    // advance watermark far so the window finalizes
+    in.addData(("c", 5L, 6L, java.sql.Timestamp.valueOf("2026-01-01 01:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("cov").collect()
+    // interval [5,25) covers tiles 0,10,20
+    assert(rows.map(r => r.getLong(1)).toSet == Set(0L, 10L, 20L))
+    q.stop()
+  }
+
+  test("multimodal: meta struct, size balancing, deterministic stub features, frame sampling") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefgh".getBytes), (2L, "aaaabbbbccccdddd".getBytes))
+      .toDF("media_id", "payload")
+    val withMeta = Multimodal.withMediaMeta(docs)
+    val m = withMeta.filter(col("media_id") === 1).select("meta.*").head
+    assert(m.getAs[Long]("nBytes") == 8L)
+    val feats = Multimodal.extractFeatures(docs, dim = 4)
+    assert(feats.count() == 2)
+    val f1a = feats.filter(col("media_id") === 1).head.getSeq[Float](1)
+    val f1b = Multimodal.extractFeatures(docs, dim = 4)
+      .filter(col("media_id") === 1).head.getSeq[Float](1)
+    assert(f1a.toList == f1b.toList)        // deterministic
+    assert(math.abs(f1a.sum - 1.0f) < 1e-5) // normalized histogram
+    val frames = Multimodal.sampleFrames(docs, frameBytes = 4, everyN = 2)
+    // 8 bytes -> frames 0,1 -> sampled 0; 16 bytes -> frames 0..3 -> 0,2
+    assert(frames.groupBy("media_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 1L), (2L, 2L)))
+    assert(Multimodal.balanceBySize(docs).count() == 2)
+  }
+}
