@@ -60,6 +60,28 @@ object UnaryOps {
     withCount.select((keys ++ Seq(Start, End) ++ countCol.toSeq).map(col): _*)
   }
 
+  /** Scalable merge for hot keys (the 100 TB path, SURVEY.md §7.4.5):
+    * a plain merge window-partitions by the group key alone, so one huge
+    * chromosome = one task. This variant salts by genomic mega-bin:
+    * (1) split every interval at `saltBin` boundaries, (2) locally merge
+    * the pieces per (key, bin) — parallelism = #bins, (3) globally merge
+    * the resulting islands per key (input orders of magnitude smaller,
+    * since phase 2 collapsed everything inside each bin). Identical
+    * result set to merge(); island counts are not preserved (pieces of
+    * one row would double-count), so no countCol here.
+    */
+  def mergeSalted(df: DataFrame, keys: Seq[String], slack: Long = 0,
+                  saltBin: Long = 1 << 20): DataFrame = {
+    val pieces = df
+      .withColumn("_mb", explode(sequence(
+        floor(col(Start).cast("double") / saltBin).cast("long"),
+        floor((col(End) - 1).cast("double") / saltBin).cast("long"))))
+      .withColumn(Start, greatest(col(Start), col("_mb") * saltBin))
+      .withColumn(End, least(col(End), (col("_mb") + 1) * saltBin))
+    val local = merge(pieces, keys :+ "_mb", slack).drop("_mb")
+    merge(local, keys, slack)
+  }
+
   /** cluster_overlaps (reference core/pyranges_main.py:645-751): annotate
     * each row with a per-key cluster id (1-based, in (Start, End) sweep
     * order) instead of collapsing. */

@@ -52,6 +52,18 @@ class OpsSpec extends AnyFunSuite {
       Set(("c", 1L, 5L), ("c", 7L, 9L)))
   }
 
+  test("mergeSalted equals merge (hot-key salting is transparent)") {
+    // deterministic pseudo-random intervals spanning several salt bins
+    val rows = (0 until 500).map { i =>
+      val s = (i * 2654435761L) % 4000
+      ("c" + (i % 2), s, s + 1 + (i * 40503L) % 120)
+    }
+    val df = gf(rows: _*)
+    val plain = rows3(UnaryOps.merge(df, Seq(Chrom), slack = 3))
+    val salted = rows3(UnaryOps.mergeSalted(df, Seq(Chrom), slack = 3, saltBin = 256))
+    assert(salted == plain)
+  }
+
   test("merge is idempotent") {
     val df = gf(("c", 1, 5), ("c", 4, 9), ("c", 20, 30), ("c", 25, 26))
     val once = UnaryOps.merge(df, Seq(Chrom))
