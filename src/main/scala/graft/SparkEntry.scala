@@ -190,6 +190,22 @@ object SparkEntry {
         .withColumnRenamed(Start + "_b", "istart_b")
         .withColumnRenamed(End + "_b", "iend_b")
         .drop("nearest_rank"))),
+    "q44_rowcorr" -> ((s, dir) =>
+      pq(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("x"))
+        .withColumn("y", reverse(col("x")))
+        .withColumn("m", Stats.rowbasedPearsonMoments(col("x"), col("y")))
+        .select(col("vec_id"), col("m.num").as("num"),
+          col("m.den_x").as("den_x"), col("m.den_y").as("den_y"))),
+    "q45_rle_divide" -> ((s, dir) =>
+      out(Coverage.rleBinary(gr(s, dir), gr2(s, dir), Seq(Chrom)))
+        .withColumn("score_a", col("score_a").cast("long"))
+        .withColumn("score_b", col("score_b").cast("long"))),
+    "q46_mcc" -> ((s, dir) => {
+      import s.implicits._
+      val cs = Seq(("A", 1000000L), ("N", 1000000L), ("R", 1000000L)).toDF(Chrom, "size")
+      out(Stats.mccStat(gr(s, dir), gr2(s, dir), Seq(Chrom), cs))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -370,5 +386,23 @@ object SparkEntry {
       "c AS (SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, o.row_id AS row_id_b, o.istart AS istart_b, o.iend AS iend_b, CASE WHEN o.iend <= g.istart THEN 'L' WHEN o.istart >= g.iend THEN 'R' ELSE 'O' END AS side, CASE WHEN o.iend <= g.istart THEN g.istart - o.iend + 1 WHEN o.istart >= g.iend THEN o.istart - g.iend + 1 ELSE 0 END AS dist FROM grn g JOIN gr2 o ON g.chrom = o.chrom)",
       "f AS (SELECT * FROM c WHERE (strand = '+' AND side = 'L') OR (strand = '-' AND side = 'R'))"),
       "SELECT row_id, chrom, strand, istart, iend, row_id_b, istart_b, iend_b, dist FROM (SELECT *, row_number() OVER (PARTITION BY row_id ORDER BY dist, row_id_b) AS rn FROM f) WHERE rn = 1"),
+
+    "q44_rowcorr" -> (
+      """WITH q AS (SELECT vec_id, list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*1000) AS BIGINT)) AS x FROM embeddings), """ +
+      """r AS (SELECT vec_id, x, list_reverse(x) AS y, CAST(len(x) AS BIGINT) AS n FROM q) """ +
+      """SELECT vec_id, CAST(n * list_sum(list_transform(list_zip(x, y), z -> z[1]*z[2])) - list_sum(x) * list_sum(y) AS BIGINT) AS num, CAST(n * list_sum(list_transform(x, v -> v*v)) - list_sum(x) * list_sum(x) AS BIGINT) AS den_x, CAST(n * list_sum(list_transform(y, v -> v*v)) - list_sum(y) * list_sum(y) AS BIGINT) AS den_y FROM r"""),
+
+    "q45_rle_divide" -> sql(Seq(GR_CTE, GR2_CTE,
+      "ev AS (SELECT chrom, pos, sum(da) AS da, sum(db) AS db FROM (SELECT chrom, istart AS pos, 1 AS da, 0 AS db FROM gr UNION ALL SELECT chrom, iend AS pos, -1 AS da, 0 AS db FROM gr UNION ALL SELECT chrom, istart AS pos, 0 AS da, 1 AS db FROM gr2 UNION ALL SELECT chrom, iend AS pos, 0 AS da, -1 AS db FROM gr2) GROUP BY chrom, pos)",
+      "sq AS (SELECT chrom, pos, CAST(sum(da) OVER w AS BIGINT) AS score_a, CAST(sum(db) OVER w AS BIGINT) AS score_b, lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS np FROM ev WINDOW w AS (PARTITION BY chrom ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"),
+      "SELECT chrom, pos AS istart, np AS iend, score_a, score_b FROM sq WHERE np IS NOT NULL"),
+
+    "q46_mcc" -> sql(Seq(GR_CTE, GR2_CTE, mergeCte("m1", "gr", "chrom"),
+      mergeCte("m2", "gr2", "chrom"),
+      "la AS (SELECT chrom, CAST(sum(iend - istart) AS BIGINT) AS len_a FROM m1 GROUP BY chrom)",
+      "lb AS (SELECT chrom, CAST(sum(iend - istart) AS BIGINT) AS len_b FROM m2 GROUP BY chrom)",
+      "li AS (SELECT a.chrom, CAST(sum(least(a.iend, b.iend) - greatest(a.istart, b.istart)) AS BIGINT) AS len_i FROM m1 a JOIN m2 b ON a.chrom = b.chrom AND a.istart < b.iend AND a.iend > b.istart GROUP BY a.chrom)",
+      "x AS (SELECT la.chrom, len_a, len_b, coalesce(len_i, 0) AS li0 FROM la JOIN lb ON la.chrom = lb.chrom LEFT JOIN li ON li.chrom = la.chrom)"),
+      "SELECT chrom, li0 AS tp, len_a - li0 AS fp, len_b - li0 AS fn, 1000000 - len_a - len_b + li0 AS tn, li0 * (1000000 - len_a - len_b + li0) - (len_a - li0) * (len_b - li0) AS mcc_num FROM x"),
   )
 }

@@ -262,6 +262,45 @@ final case class GenomicFrame(df: DataFrame) {
 
   def getSequence(chromSeqs: DataFrame, outCol: String = "sequence"): GenomicFrame =
     GenomicFrame(graft.ext.Seqs.getSequence(df, chromSeqs, outCol))
+
+  /** make_strand_valid (reference core/pyranges_main.py:3452-3520):
+    * anything not "+"/"-" becomes "+". */
+  def makeStrandValid: GenomicFrame =
+    if (!hasStrand) GenomicFrame(df.withColumn(Strand, lit(FwdStrand)))
+    else GenomicFrame(df.withColumn(Strand,
+      when(col(Strand).isin(FwdStrand, RevStrand), col(Strand)).otherwise(FwdStrand)))
+
+  /** remove_nonloc_columns (reference core/pyranges_main.py:5098-5121). */
+  def removeNonLocColumns: GenomicFrame =
+    GenomicFrame(df.select((GenomeLoc ++
+      (if (hasStrand) Seq(Strand) else Nil)).map(col): _*))
+
+  /** get_with_loc_columns (reference core/pyranges_main.py:5123-5207). */
+  def getWithLocColumns(cols: Seq[String]): GenomicFrame =
+    GenomicFrame(df.select((GenomeLoc ++
+      (if (hasStrand) Seq(Strand) else Nil) ++ cols).distinct.map(col): _*))
+
+  /** extend_ranges with group_by: only the transcript-outermost edges
+    * move (reference core/pyranges_main.py:879-1039 group_by arg). */
+  def extendRangesGrouped(txCols: Seq[String], ext5: Long = 0, ext3: Long = 0,
+                          useStrand: Option[Boolean] = None): GenomicFrame =
+    GenomicFrame(graft.ops.UnaryOps.extendGrouped(df,
+      k1(useStrand, txCols), ext5, ext3, resolveUseStrand(useStrand)))
+
+  /** summary (reference core/pyranges_main.py:3645; methods/summary.py:
+    * 17-57): describe() of interval lengths and of merged-coverage
+    * lengths per key. */
+  def summary(useStrand: Option[Boolean] = None): DataFrame = {
+    val keys = k1(useStrand, Nil)
+    def describe(d: DataFrame, label: String) =
+      d.withColumn("_len", col(End) - col(Start))
+        .groupBy(keys.map(col): _*)
+        .agg(lit(label).as("what"), count(lit(1)).as("n"),
+          min(col("_len")).as("min_len"), max(col("_len")).as("max_len"),
+          sum(col("_len")).as("total_len"), avg(col("_len")).as("mean_len"))
+    describe(df, "intervals")
+      .unionByName(describe(graft.ops.UnaryOps.merge(df, keys), "coverage"))
+  }
 }
 
 object GenomicFrame {
@@ -275,4 +314,10 @@ object GenomicFrame {
     if (GenomeLoc.forall(cols.contains)) Right(GenomicFrame(df))
     else Left(df)
   }
+
+  /** concat (reference methods/concat.py:12-87): union preserving the
+    * genomic contract, missing metadata columns null-filled. */
+  def concat(frames: Seq[GenomicFrame]): GenomicFrame =
+    GenomicFrame(frames.map(_.df).reduce(
+      _.unionByName(_, allowMissingColumns = true)))
 }

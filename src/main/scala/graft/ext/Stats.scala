@@ -76,6 +76,57 @@ object Stats {
         (col("len_a") * col("len_b")).as("forbes_den"): _*)
   }
 
+  /** Row-wise Pearson moments over two equal-length integer array
+    * columns (reference ext/stats.py:411-568 rowbased_pearson): exact
+    * integer moments n*Σxy−ΣxΣy (covariance numerator) and the two
+    * variance numerators — r = num / sqrt(denX*denY) at the caller's
+    * float edge. Higher-order functions over the arrays, no explode. */
+  def rowbasedPearsonMoments(x: Column, y: Column): Column = {
+    def s(c: Column) = aggregate(c, lit(0L), (a, v) => a + v)
+    val n = size(x).cast("long")
+    val sx = s(x)
+    val sy = s(y)
+    val sxy = s(zip_with(x, y, (a, b) => a * b))
+    val sxx = s(transform(x, v => v * v))
+    val syy = s(transform(y, v => v * v))
+    struct((n * sxy - sx * sy).as("num"),
+      (n * sxx - sx * sx).as("den_x"),
+      (n * syy - sy * sy).as("den_y"))
+  }
+
+  /** Row-wise Spearman = Pearson over within-row ranks (reference
+    * ext/stats.py rankdata): ranks computed per row via array sort +
+    * position lookup (average-rank ties are approximated by min-rank —
+    * documented deviation). */
+  def rowbasedSpearmanMoments(x: Column, y: Column): Column = {
+    def ranks(c: Column) = transform(c, v =>
+      aggregate(c, lit(0L), (acc, o) => acc + when(o < v, 1L).otherwise(0L)))
+    rowbasedPearsonMoments(ranks(x), ranks(y))
+  }
+
+  /** Matthews correlation of two interval sets against the genome
+    * background (reference ext/stats.py:249-408): confusion counts in
+    * base pairs from merged/intersection lengths + chromSizes
+    * (Chromosome, size). mcc = (TP*TN - FP*FN) / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN));
+    * exact integer numerator + the four factors returned. */
+  def mccStat(a: DataFrame, b: DataFrame, keys: Seq[String],
+              chromSizes: DataFrame): DataFrame = {
+    val ma = UnaryOps.merge(a, keys)
+    val mb = UnaryOps.merge(b, keys)
+    val la = ma.groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_a"))
+    val lb = mb.groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_b"))
+    val li = BinaryOps.setIntersect(a, b, keys)
+      .groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_i"))
+    la.join(lb, keys).join(li, keys.toSeq, "left").na.fill(0L, Seq("len_i"))
+      .join(broadcast(chromSizes), Seq(Cols.Chrom))
+      .withColumn("tp", col("len_i"))
+      .withColumn("fp", col("len_a") - col("len_i"))
+      .withColumn("fn", col("len_b") - col("len_i"))
+      .withColumn("tn", col("size") - col("len_a") - col("len_b") + col("len_i"))
+      .select(keys.map(col) :+ col("tp") :+ col("fp") :+ col("fn") :+ col("tn") :+
+        (col("tp") * col("tn") - col("fp") * col("fn")).as("mcc_num"): _*)
+  }
+
   /** Relative-distance distribution (reference ext/stats.py:800-865):
     * histogram of floor(100 * reldist) where reldist is each a-midpoint's
     * distance to the nearest b-midpoint divided by the distance between

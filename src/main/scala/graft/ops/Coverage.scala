@@ -34,4 +34,32 @@ object Coverage {
       .filter(col("_next").isNotNull)
       .select(k ++ Seq(col("_pos").as(Start), col("_next").as(End), col(scoreCol)): _*)
   }
+
+  /** Binary Rle algebra (reference to_bigwig `divide` mode and pyrle run
+    * arithmetic, core/out.py:164-224): depth of `a` and depth of `b` as
+    * aligned constant runs over the union of both breakpoint sets — one
+    * sweep, two prefix sums. Downstream columns combine them (ratio,
+    * log2-ratio, difference) without re-splitting. */
+  def rleBinary(a: DataFrame, b: DataFrame, keys: Seq[String],
+                scoreA: String = "score_a", scoreB: String = "score_b"): DataFrame = {
+    val k = keys.map(col)
+    def events(df: DataFrame, dA: Long, dB: Long): DataFrame =
+      df.select(k :+ explode(array(
+          struct(col(Start).as("_pos"), lit(dA).as("_da"), lit(dB).as("_db")),
+          struct(col(End).as("_pos"), lit(-dA).as("_da"), lit(-dB).as("_db")))).as("_ev"): _*)
+        .select(k ++ Seq(col("_ev._pos").as("_pos"), col("_ev._da").as("_da"),
+          col("_ev._db").as("_db")): _*)
+    val ev = events(a, 1, 0).unionByName(events(b, 0, 1))
+      .groupBy(k :+ col("_pos"): _*)
+      .agg(sum(col("_da")).as("_da"), sum(col("_db")).as("_db"))
+    val w = Window.partitionBy(k: _*).orderBy(col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w2 = Window.partitionBy(k: _*).orderBy(col("_pos"))
+    ev.withColumn(scoreA, sum(col("_da")).over(w))
+      .withColumn(scoreB, sum(col("_db")).over(w))
+      .withColumn("_next", lead(col("_pos"), 1).over(w2))
+      .filter(col("_next").isNotNull)
+      .select(k ++ Seq(col("_pos").as(Start), col("_next").as(End),
+        col(scoreA), col(scoreB)): _*)
+  }
 }

@@ -139,6 +139,26 @@ object UnaryOps {
       .withColumn(End, when(neg, col(End) + ext5).otherwise(col(End) + ext3))
   }
 
+  /** extend_ranges with group_by (reference core/pyranges_main.py:
+    * 879-1039, `group_by` arg): only the transcript's outermost 5'/3'
+    * interval is extended — the 5'-most exon's outer edge takes ext5, the
+    * 3'-most exon's outer edge ext3, strand-aware. Window projection per
+    * transcript, no extra shuffle beyond the window. */
+  def extendGrouped(df: DataFrame, txKeys: Seq[String], ext5: Long = 0,
+                    ext3: Long = 0, useStrand: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(keyCols(txKeys): _*)
+    val minS = min(col(Start)).over(w)
+    val maxE = max(col(End)).over(w)
+    val neg = if (useStrand && df.columns.contains(Strand))
+      col(Strand) === Cols.RevStrand else lit(false)
+    val leftExt = when(neg, ext3).otherwise(ext5)   // genomic-left edge
+    val rightExt = when(neg, ext5).otherwise(ext3)  // genomic-right edge
+    df.withColumn(Start, when(col(Start) === minS, col(Start) - leftExt)
+        .otherwise(col(Start)))
+      .withColumn(End, when(col(End) === maxE, col(End) + rightExt)
+        .otherwise(col(End)))
+  }
+
   /** clip_ranges / genome_bounds (reference core/pyranges_main.py:
     * 6075-6233): clamp intervals into [0, chromSize); rows entirely
     * outside are dropped. chromSizes: (Chromosome, size). */
