@@ -206,6 +206,33 @@ object SparkEntry {
       val cs = Seq(("A", 1000000L), ("N", 1000000L), ("R", 1000000L)).toDF(Chrom, "size")
       out(Stats.mccStat(gr(s, dir), gr2(s, dir), Seq(Chrom), cs))
     }),
+
+    // ---- event-stream analytics (events table) ----
+    // events.ts is parquet TIMESTAMP(NANOS) read as a nanos long
+    // (spark.sql.legacy.parquet.nanosAsLong); integer `div` keeps the
+    // bucket math exact where double division would lose bits past 2^53.
+    "q47_events_window" -> ((s, dir) =>
+      pq(s, dir, "events").groupBy(col("event_type"),
+          expr("ts div 300000000000").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value")).cast("long")).as("sv"))),
+    "q48_sessions" -> ((s, dir) => {
+      // sessionization IS the merge sweep in epoch-ms space: events gap
+      // <= 5 min fold into one session per user
+      val ev = pq(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000000").as(Start),
+        (expr("ts div 1000000") + 1).as(End))
+      out(UnaryOps.merge(ev, Seq("user_id"), slack = 300000, Some("n")))
+    }),
+    "q49_gtf_attrs" -> ((s, dir) => {
+      val d = pq(s, dir, "documents").withColumn("attr",
+        concat(lit("gene_id \""), substring(col("text"), 1, 8),
+          lit("\"; n_chars "), col("n_chars").cast("string"),
+          lit("; lang \""), col("lang"), lit("\";")))
+      val m = graft.io.Gtf.gtfAttrMap(col("attr"))
+      d.select(col("doc_id"), m.getItem("gene_id").as("gene_id"),
+        m.getItem("n_chars").as("nchars_s"), m.getItem("lang").as("lang2"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -404,5 +431,16 @@ object SparkEntry {
       "li AS (SELECT a.chrom, CAST(sum(least(a.iend, b.iend) - greatest(a.istart, b.istart)) AS BIGINT) AS len_i FROM m1 a JOIN m2 b ON a.chrom = b.chrom AND a.istart < b.iend AND a.iend > b.istart GROUP BY a.chrom)",
       "x AS (SELECT la.chrom, len_a, len_b, coalesce(len_i, 0) AS li0 FROM la JOIN lb ON la.chrom = lb.chrom LEFT JOIN li ON li.chrom = la.chrom)"),
       "SELECT chrom, li0 AS tp, len_a - li0 AS fp, len_b - li0 AS fn, 1000000 - len_a - len_b + li0 AS tn, li0 * (1000000 - len_a - len_b + li0) - (len_a - li0) * (len_b - li0) AS mcc_num FROM x"),
+
+    "q47_events_window" ->
+      "SELECT event_type, CAST(floor(epoch_ms(ts) / 300000.0) AS BIGINT) AS bucket, count(*) AS n, CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv FROM events GROUP BY 1, 2",
+
+    "q48_sessions" -> sql(Seq(
+      "se AS (SELECT user_id, epoch_ms(ts) AS istart, epoch_ms(ts) + 1 AS iend FROM events)",
+      mergeCte("m", "se", "user_id", slack = 300000)),
+      "SELECT user_id, istart, iend, n FROM m"),
+
+    "q49_gtf_attrs" ->
+      """SELECT doc_id, regexp_extract(attr, 'gene_id "([^"]*)"', 1) AS gene_id, regexp_extract(attr, 'n_chars ([^;]+);', 1) AS nchars_s, regexp_extract(attr, 'lang "([^"]*)"', 1) AS lang2 FROM (SELECT doc_id, 'gene_id "' || substr(text, 1, 8) || '"; n_chars ' || n_chars || '; lang "' || lang || '";' AS attr FROM documents)""",
   )
 }

@@ -255,6 +255,26 @@ class OpsSpec extends AnyFunSuite {
     assert(p.count() == 2)
   }
 
+  test("IntervalSweepJoin.pairs equals binned RangeJoin.pairs incl. long intervals") {
+    val lRows = (0 until 300).map { i =>
+      val s = (i * 2654435761L) % 3000
+      ("c" + (i % 2), s, s + 1 + (i * 97L) % 400)   // some very long
+    }
+    val rRows = (0 until 200).map { i =>
+      val s = (i * 40503L) % 3000
+      ("c" + (i % 2), s, s + 1 + (i * 31L) % 90)
+    }
+    val l = gf(lRows: _*)
+    val r = gf(rRows: _*).withColumnRenamed(RowId, "rid2")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    for (slack <- Seq(0L, 5L)) {
+      val binned = canon(RangeJoin.pairs(l, r, Seq(Chrom), slack = slack, binSize = 64))
+      val swept = canon(graft.join.IntervalSweepJoin.pairs(l, r, Seq(Chrom), slack = slack))
+      assert(swept == binned)
+    }
+  }
+
   // Coverage/RLE (reference core/pyranges_main.py:4344-4466 doctest).
   test("toRle computes depth runs incl. interior zeros") {
     val df = gf(("c", 1, 3), ("c", 2, 5), ("c", 7, 8))
