@@ -76,6 +76,30 @@ object Stats {
         (col("len_a") * col("len_b")).as("forbes_den"): _*)
   }
 
+  /** One-sided (greater) Fisher's exact test for 2x2 tables
+    * (reference ext/stats.py:174-246, via the `fisher` package):
+    * P[X >= a] under the hypergeometric null for table [[a,b],[c,d]].
+    * Log-gamma formulation, numerically stable; per-row UDF (pure). */
+  val fisherExactGreater = udf { (a: Long, b: Long, c: Long, d: Long) =>
+    def lg(x: Long): Double = org.apache.commons.math3.special.Gamma.logGamma(x + 1.0)
+    val n = a + b + c + d
+    val lDen = lg(n) - lg(a + b) - lg(c + d)
+    var p = 0.0
+    var i = a
+    val maxI = math.min(a + b, a + c)
+    while (i <= maxI) {
+      val bb = a + b - i
+      val cc = a + c - i
+      val dd = d - a + i
+      if (bb >= 0 && cc >= 0 && dd >= 0) {
+        val lp = lg(a + c) - lg(i) - lg(cc) + lg(b + d) - lg(bb) - lg(dd) - lDen
+        p += math.exp(lp)
+      }
+      i += 1
+    }
+    math.min(p, 1.0)
+  }
+
   /** Row-wise Pearson moments over two equal-length integer array
     * columns (reference ext/stats.py:411-568 rowbased_pearson): exact
     * integer moments n*Σxy−ΣxΣy (covariance numerator) and the two

@@ -324,6 +324,34 @@ class OpsSpec extends AnyFunSuite {
     assert(knn.count() == 4)
   }
 
+  test("translateCds: standard code, stops, partial codon dropped, unknown=X") {
+    import spark.implicits._
+    val got = Seq("ATGGCCTAA", "atggcc", "ATGNNNTGA", "AUGGCC", "ATGGC")
+      .toDF("s").select(graft.ext.Seqs.translateCds(col("s")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("MA*", "MA", "MX*", "MA", "M"))
+  }
+
+  test("reverseComplement preserves case and handles RNA") {
+    import spark.implicits._
+    val got = Seq("ACGTacgt", "AUGC").toDF("s")
+      .select(graft.ext.Seqs.reverseComplement(col("s")))
+      .collect().map(_.getString(0)).toSeq
+    // revcomp(AUGC): complement A→T, U→A, G→C, C→G then reverse = GCAT
+    assert(got == Seq("acgtACGT", "GCAT"))
+  }
+
+  test("fisherExactGreater matches known 2x2 values") {
+    import spark.implicits._
+    val got = Seq((1L, 9L, 11L, 3L), (9L, 1L, 3L, 11L))
+      .toDF("a", "b", "c", "d")
+      .select(graft.ext.Stats.fisherExactGreater(col("a"), col("b"), col("c"), col("d")))
+      .collect().map(_.getDouble(0))
+    // classic tea-tasting-style table: P[X>=1] ~ 0.9999; P[X>=9] ~ 0.00135
+    assert(got(0) > 0.999)
+    assert(math.abs(got(1) - 0.001346) < 1e-4)
+  }
+
   test("langId picks the wordlist with most hits") {
     import spark.implicits._
     val df = Seq("the cat is on the mat and that", "der hund ist nicht ein",
