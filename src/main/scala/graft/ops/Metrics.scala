@@ -34,18 +34,29 @@ object Metrics {
     overlapLength(suffix).cast("double") / d
   }
 
-  /** Unsigned gap distance; 0 when overlapping, 1 when touching
-    * (reference distance convention, README.md:51-53). */
+  /** Unsigned gap in bases; 0 when overlapping OR abutting (reference
+    * compute_interval_metrics doctest, core/pyranges_main.py:5485-5487 —
+    * note this differs from nearest's touching=1 convention,
+    * README.md:51-53, which BinaryOps.nearest/NearestK implement). */
   def distance(suffix: String = "_b"): Column =
-    when(col(Start) < e(suffix) && s(suffix) < col(End), lit(0L))
-      .when(s(suffix) >= col(End), s(suffix) - col(End) + 1)
-      .otherwise(col(Start) - e(suffix) + 1)
+    greatest(greatest(col(Start), s(suffix)) - least(col(End), e(suffix)), lit(0L))
 
-  /** Signed: positive when other is downstream (to the right) of self. */
+  /** Signed gap: positive when the second interval is downstream of the
+    * first, negative when upstream, 0 when touching/overlapping
+    * (reference core/pyranges_main.py:5492-5495). */
   def signedDistance(suffix: String = "_b"): Column =
-    when(col(Start) < e(suffix) && s(suffix) < col(End), lit(0L))
-      .when(s(suffix) >= col(End), s(suffix) - col(End) + 1)
-      .otherwise(e(suffix) - col(Start) - 1)
+    when(s(suffix) >= col(End), greatest(s(suffix) - col(End), lit(0L)))
+      .when(col(Start) >= e(suffix), -greatest(col(Start) - e(suffix), lit(0L)))
+      .otherwise(lit(0L))
+
+  /** Boolean overlap flag. */
+  def overlapFlag(suffix: String = "_b"): Column =
+    col(Start) < e(suffix) && s(suffix) < col(End)
+
+  /** 2*overlap / (len1 + len2), reference symmetric_coverage. */
+  def symmetricCoverage(suffix: String = "_b"): Column =
+    overlapLength(suffix).cast("double") * 2 /
+      ((col(End) - col(Start)) + (e(suffix) - s(suffix)))
 
   /** Midpoint distance ×2 (doubled to stay integral). */
   def midpointDistance2(suffix: String = "_b"): Column =

@@ -1,0 +1,110 @@
+package graft
+
+import graft.core.Cols
+import graft.ops.{BinaryOps, Composites, Metrics}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Literal ports of the reference's doctest golden examples — the
+  * reference's primary correctness corpus (SURVEY.md §5: doctests are
+  * the test strategy's backbone). Each test cites the docstring it
+  * reproduces; expected values are copied verbatim. */
+class DocTestParitySpec extends AnyFunSuite {
+  import Cols._
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // reference core/pyranges_main.py:1228-1290 (join_overlaps doctest)
+  test("join_overlaps doctest: f1 x f2 inner/left/outer") {
+    import spark.implicits._
+    val f1 = Seq(("chr1", 3L, 6L, "interval1"), ("chr1", 8L, 9L, "interval3"),
+                 ("chr1", 5L, 7L, "interval2"))
+      .toDF(Chrom, Start, End, "Name").withColumn(RowId, monotonically_increasing_id())
+    val f2 = Seq(("chr1", 1L, 2L, "a"), ("chr1", 6L, 7L, "b"))
+      .toDF(Chrom, Start, End, "Name")
+    val inner = BinaryOps.joinOverlaps(f1, f2, Seq(Chrom))
+    val got = inner.select("Name", "Start", "End", "Start_b", "End_b", "Name_b")
+      .collect().map(_.toSeq.toList)
+    assert(got.toList == List(List("interval2", 5L, 7L, 6L, 7L, "b")))
+
+    val left = BinaryOps.joinOverlaps(f1, f2, Seq(Chrom), joinType = "left")
+    assert(left.count() == 3)
+    assert(left.filter(col("Start_b").isNull).select("Name").collect()
+      .map(_.getString(0)).toSet == Set("interval1", "interval3"))
+
+    val outer = BinaryOps.joinOverlaps(f1, f2, Seq(Chrom), joinType = "outer")
+    assert(outer.count() == 4)
+    assert(outer.filter(col(Start).isNull).select("Name_b").collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  // reference core/pyranges_main.py:3061-3140 (slice_ranges doctest)
+  val pRows = Seq(
+    ("1", "+", 1L, 11L, "t1"), ("1", "+", 40L, 60L, "t1"),
+    ("2", "-", 10L, 25L, "t2"), ("2", "-", 70L, 80L, "t2"),
+    ("3", "+", 140L, 152L, "t3"))
+  def p: DataFrame = {
+    import spark.implicits._
+    pRows.toDF(Chrom, Strand, Start, End, "transcript_id")
+      .withColumn(RowId, monotonically_increasing_id())
+  }
+  def se(df: DataFrame): Set[(Long, Long, String)] =
+    df.select(Start, End, "transcript_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("slice_ranges doctest: first 5 nt of each interval (no group)") {
+    assert(se(Composites.sliceRanges(p, Seq(RowId), 0, Some(5))) == Set(
+      (1L, 6L, "t1"), (40L, 45L, "t1"), (20L, 25L, "t2"), (75L, 80L, "t2"),
+      (140L, 145L, "t3")))
+  }
+
+  test("slice_ranges doctest: last 10 nt of each interval") {
+    assert(se(Composites.sliceRanges(p, Seq(RowId), -10, None)) == Set(
+      (1L, 11L, "t1"), (50L, 60L, "t1"), (10L, 20L, "t2"), (70L, 80L, "t2"),
+      (142L, 152L, "t3")))
+  }
+
+  test("slice_ranges doctest: first 15 nt of each spliced transcript") {
+    assert(se(Composites.sliceRanges(p, Seq("transcript_id"), 0, Some(15))) == Set(
+      (1L, 11L, "t1"), (40L, 45L, "t1"), (20L, 25L, "t2"), (70L, 80L, "t2"),
+      (140L, 152L, "t3")))
+  }
+
+  test("slice_ranges doctest: last 20 nt of each spliced transcript") {
+    assert(se(Composites.sliceRanges(p, Seq("transcript_id"), -20, None)) == Set(
+      (40L, 60L, "t1"), (10L, 25L, "t2"), (70L, 75L, "t2"), (140L, 152L, "t3")))
+  }
+
+  // reference core/pyranges_main.py:5507-5557 (compute_interval_metrics)
+  test("compute_interval_metrics doctest values") {
+    import spark.implicits._
+    val gr = Seq(
+      ("chr1", 2L, 8L, "+", 5L, 7L, "+"), ("chr1", 10L, 12L, "-", 9L, 20L, "+"),
+      ("chr1", 20L, 25L, "+", 23L, 30L, "-"), ("chr1", 40L, 45L, "+", 60L, 70L, "-"),
+      ("chr1", 80L, 85L, "-", 70L, 75L, "+"))
+      .toDF(Chrom, Start, End, Strand, "Start_b", "End_b", "Strand_b")
+    def longs(c: org.apache.spark.sql.Column) =
+      gr.select(c).collect().map(_.getLong(0)).toList
+    assert(longs(Metrics.overlapLength()) == List(2L, 2L, 2L, 0L, 0L))
+    assert(longs(Metrics.distance()) == List(0L, 0L, 0L, 15L, 5L))
+    assert(longs(Metrics.signedDistance()) == List(0L, 0L, 0L, 15L, -5L))
+    assert(longs(Metrics.midpointDistance2()) == List(2L, 7L, 8L, 45L, 20L))
+    assert(gr.select(Metrics.relativeDirection()).collect().map(_.getString(0)).toList ==
+      List("same", "opposite", "opposite", "opposite", "opposite"))
+    val jac = gr.select(round(Metrics.jaccard(), 2)).collect().map(_.getDouble(0)).toList
+    assert(jac == List(0.33, 0.18, 0.2, 0.0, 0.0))
+    val frac = gr.select(round(Metrics.fractionOverlap("first"), 2))
+      .collect().map(_.getDouble(0)).toList
+    assert(frac == List(0.33, 1.0, 0.4, 0.0, 0.0))
+    val sym = gr.select(round(Metrics.symmetricCoverage(), 2))
+      .collect().map(_.getDouble(0)).toList
+    assert(sym == List(0.5, 0.31, 0.33, 0.0, 0.0))
+    assert(gr.select(Metrics.overlapFlag()).collect().map(_.getBoolean(0)).toList ==
+      List(true, true, true, false, false))
+  }
+}
