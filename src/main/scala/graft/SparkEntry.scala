@@ -233,6 +233,13 @@ object SparkEntry {
       d.select(col("doc_id"), m.getItem("gene_id").as("gene_id"),
         m.getItem("n_chars").as("nchars_s"), m.getItem("lang").as("lang2"))
     }),
+    "q50_window_grouped" -> ((s, dir) => {
+      val ex = gr(s, dir).withColumn("tx", concat(col(Chrom), col(Strand)))
+      out(Composites.windowRangesGrouped(ex, "tx", 50, Some("wid"),
+          tieBreak = Seq(col(RowId))))
+        .select(col("tx"), col("wid"), col("chrom"), col("strand"),
+          col("istart"), col("iend"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -442,5 +449,13 @@ object SparkEntry {
 
     "q49_gtf_attrs" ->
       """SELECT doc_id, regexp_extract(attr, 'gene_id "([^"]*)"', 1) AS gene_id, regexp_extract(attr, 'n_chars ([^;]+);', 1) AS nchars_s, regexp_extract(attr, 'lang "([^"]*)"', 1) AS lang2 FROM (SELECT doc_id, 'gene_id "' || substr(text, 1, 8) || '"; n_chars ' || n_chars || '; lang "' || lang || '";' AS attr FROM documents)""",
+
+    "q50_window_grouped" -> sql(Seq(GR_CTE,
+      "ex AS (SELECT row_id, chrom, strand, istart, iend, chrom || strand AS tx FROM gr)",
+      cumCte("cum", "ex", "tx"),
+      "tl AS (SELECT tx, max(cen) AS tl FROM cum GROUP BY tx)",
+      "wins AS (SELECT tx, ws AS ls, least(ws + 50, tl) AS le, CAST(ws // 50 AS BIGINT) AS wid FROM (SELECT tx, tl, unnest(generate_series(0, tl - 1, 50)) AS ws FROM tl))",
+      "j AS (SELECT w.tx, w.wid, c.chrom, c.strand, c.istart AS es, c.iend AS ee, c.cst, greatest(c.cst, w.ls) AS lo, least(c.cen, w.le) AS hi FROM wins w JOIN cum c ON w.tx = c.tx AND w.ls < c.cen AND w.le > c.cst)"),
+      "SELECT tx, wid, chrom, strand, CASE WHEN strand='-' THEN ee - (hi - cst) ELSE es + (lo - cst) END AS istart, CASE WHEN strand='-' THEN ee - (lo - cst) ELSE es + (hi - cst) END AS iend FROM j"),
   )
 }

@@ -99,19 +99,20 @@ object RangeJoin {
       else
         col(s"l.$Start") - slack < col(s"r.$re") && col(s"l.$End") + slack > col(s"r.$rs")
     val cond = (keyEq :+ (col("l._bin") === col("r._bin")) :+ overlap).reduce(_ && _)
-    if (anti) {
-      // anti semantics: drop left rows overlapping ANY right row. A binned
-      // left_anti would only drop (row, bin) copies that match in that
-      // bin, then the surviving copies of a matched row would wrongly
-      // reappear — so anti = left minus semi via left_anti on row bins is
-      // wrong. Instead: semi on the binned copies, collect matched rows,
-      // then anti-join the ORIGINAL left against those matches on all
-      // original columns. Cheaper and simpler: semi first, then left
-      // left_anti semiResult on a unique id if present, else on all cols.
-      val matched = lb.join(rb.alias("r"), cond, "left_semi").drop("_bin").distinct()
-      left.join(matched, left.columns.toSeq, "left_anti")
+    // A binned left_anti alone would be wrong: it only drops the (row,
+    // bin) copies that match in their own bin, and the surviving copies
+    // of a matched row would reappear. So: semi over the binned copies
+    // first, dedupe the matches, then semi/anti the ORIGINAL left against
+    // them. When the left carries the row_id contract the dedupe and the
+    // final join run on a single long column instead of full-width rows.
+    val joinType = if (anti) "left_anti" else "left_semi"
+    if (left.columns.contains(Cols.RowId)) {
+      val matchedIds = lb.join(rb.alias("r"), cond, "left_semi")
+        .select(col(s"l.${Cols.RowId}")).distinct()
+      left.join(matchedIds, Seq(Cols.RowId), joinType)
     } else {
-      lb.join(rb.alias("r"), cond, "left_semi").drop("_bin").distinct()
+      val matched = lb.join(rb.alias("r"), cond, "left_semi").drop("_bin").distinct()
+      left.join(matched, left.columns.toSeq, joinType)
     }
   }
 }

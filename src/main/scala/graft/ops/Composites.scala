@@ -126,6 +126,26 @@ object Composites {
       .drop("_chr", "_str", "_es", "_ee", Start + "_b", End + "_b", "_gs", "_ge")
   }
 
+  /** window_ranges with group_by (reference core/pyranges_main.py:
+    * 4838-5096): chop each SPLICED transcript into fixed-size windows
+    * from its 5' end; windows cross exon boundaries and split into one
+    * row per exon fragment. Composition: generate the windows in
+    * transcript-cumsum space, then lift them through the exon model —
+    * i.e. exactly mapToGlobal of a generated local table. */
+  def windowRangesGrouped(df: DataFrame, txCol: String, size: Long,
+                          windowIdCol: Option[String] = None,
+                          tieBreak: Seq[Column] = Nil): DataFrame = {
+    val cum = UnaryOps.groupCumsum(df, Seq(txCol), useStrand = true, "_cs", "_ce", tieBreak)
+    val lens = cum.groupBy(col(txCol)).agg(max(col("_ce")).as("_tl"))
+    val wins = lens
+      .withColumn("_ws", explode(sequence(lit(0L), col("_tl") - 1, lit(size))))
+      .select(col(txCol), col("_ws").as(Start),
+        least(col("_ws") + size, col("_tl")).as(End),
+        (col("_ws") / size).cast("long").as("_wid"))
+    val lifted = mapToGlobal(wins, df, txCol, tieBreak)
+    windowIdCol.fold(lifted.drop("_wid"))(c => lifted.withColumnRenamed("_wid", c))
+  }
+
   /** map_to_local (reference core/pyranges_main.py:1721-1909): genomic
     * intervals -> transcript-local coordinates via overlap with the exon
     * model (range join on Chromosome [+ Strand]), clipped to exons. */

@@ -80,6 +80,25 @@ class DocTestParitySpec extends AnyFunSuite {
       (40L, 60L, "t1"), (10L, 25L, "t2"), (70L, 75L, "t2"), (140L, 152L, "t3")))
   }
 
+  // reference core/pyranges_main.py:4838-5096 window_ranges group_by:
+  // spliced windows cross exon boundaries and split per exon fragment.
+  test("windowRangesGrouped chops the spliced transcript, splitting at introns") {
+    // t1 "+": exons [1,11)+[40,60) = 30 nt -> windows of 12 in cum space:
+    // [0,12) -> [1,11) + [40,42); [12,24) -> [42,54); [24,30) -> [54,60)
+    val t1 = Composites.windowRangesGrouped(
+      p.filter(col("transcript_id") === "t1"), "transcript_id", 12,
+      windowIdCol = Some("wid"))
+    val got = t1.select(Start, End, "wid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 11L, 0L), (40L, 42L, 0L), (42L, 54L, 1L), (54L, 60L, 2L)))
+    // t2 "-": exons [70,80)+[10,25) 5'->3' = 25 nt; windows of 12:
+    // [0,12) -> [70,80) + [23,25); [12,24) -> [11,23); [24,25) -> [10,11)
+    val t2 = Composites.windowRangesGrouped(
+      p.filter(col("transcript_id") === "t2"), "transcript_id", 12)
+    assert(se(t2) == Set((70L, 80L, "t2"), (23L, 25L, "t2"), (11L, 23L, "t2"),
+      (10L, 11L, "t2")))
+  }
+
   // reference core/pyranges_main.py:5507-5557 (compute_interval_metrics)
   test("compute_interval_metrics doctest values") {
     import spark.implicits._
