@@ -35,6 +35,44 @@ object Coverage {
       .select(k ++ Seq(col("_pos").as(Start), col("_next").as(End), col(scoreCol)): _*)
   }
 
+  /** Scalable RLE for hot keys (the 100 TB path, mirroring mergeSalted):
+    * the plain toRle window-partitions by key alone, so one huge
+    * chromosome = one sorted task. Classic two-phase distributed prefix
+    * sum instead: (1) per-(key, megabin) local prefix sums — parallelism
+    * = #bins; (2) per-key running offsets over the tiny bin-totals table;
+    * (3) join offsets back. Run ends crossing bin boundaries take the
+    * next non-empty bin's first breakpoint. Identical output to toRle
+    * (property-tested). */
+  def toRleSalted(df: DataFrame, keys: Seq[String],
+                  valueCol: Option[String] = None, scoreCol: String = "Score",
+                  saltBin: Long = 1 << 20): DataFrame = {
+    val k = keys.map(col)
+    val v = valueCol.map(col).getOrElse(lit(1L)).cast("double")
+    val ev = df.select(k :+ explode(array(
+        struct(col(Start).as("_pos"), v.as("_d")),
+        struct(col(End).as("_pos"), (-v).as("_d")))).as("_ev"): _*)
+      .select(k ++ Seq(col("_ev._pos").as("_pos"), col("_ev._d").as("_d")): _*)
+      .groupBy(k :+ col("_pos"): _*).agg(sum(col("_d")).as("_d"))
+      .withColumn("_mb", floor(col("_pos").cast("double") / saltBin).cast("long"))
+    val wLoc = Window.partitionBy(k :+ col("_mb"): _*).orderBy(col("_pos"))
+    val local = ev
+      .withColumn("_loc", sum(col("_d")).over(
+        wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_nextLoc", lead(col("_pos"), 1).over(wLoc))
+    val wBins = Window.partitionBy(k: _*).orderBy(col("_mb"))
+    val binInfo = ev.groupBy(k :+ col("_mb"): _*)
+      .agg(sum(col("_d")).as("_tot"), min(col("_pos")).as("_first"))
+      .withColumn("_off", coalesce(sum(col("_tot")).over(
+        wBins.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("_nextFirst", lead(col("_first"), 1).over(wBins))
+      .select(k ++ Seq(col("_mb"), col("_off"), col("_nextFirst")): _*)
+    local.join(binInfo, keys :+ "_mb")
+      .withColumn(scoreCol, col("_loc") + col("_off"))
+      .withColumn("_next", coalesce(col("_nextLoc"), col("_nextFirst")))
+      .filter(col("_next").isNotNull)
+      .select(k ++ Seq(col("_pos").as(Start), col("_next").as(End), col(scoreCol)): _*)
+  }
+
   /** Binary Rle algebra (reference to_bigwig `divide` mode and pyrle run
     * arithmetic, core/out.py:164-224): depth of `a` and depth of `b` as
     * aligned constant runs over the union of both breakpoint sets — one

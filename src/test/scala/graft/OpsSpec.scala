@@ -284,6 +284,18 @@ class OpsSpec extends AnyFunSuite {
                       (5L, 7L, 0.0), (7L, 8L, 1.0)))
   }
 
+  test("toRleSalted equals toRle across megabin boundaries") {
+    val rows = (0 until 400).map { i =>
+      val s = (i * 2654435761L) % 2000
+      ("c" + (i % 2), s, s + 1 + (i * 97L) % 300)
+    }
+    val df = gf(rows: _*)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(canon(Coverage.toRleSalted(df, Seq(Chrom), saltBin = 128)) ==
+      canon(Coverage.toRle(df, Seq(Chrom))))
+  }
+
   // natural sort (reference methods/sort.py:12-40).
   test("natsortKey orders chr2 before chr10") {
     import spark.implicits._
