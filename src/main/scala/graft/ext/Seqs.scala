@@ -62,6 +62,36 @@ object Seqs {
     joined.withColumn(outCol, stranded).drop("seq")
   }
 
+  /** Distributed get_sequence over a CHUNKED sequence table
+    * (Chromosome, cstart, chunk — from io.Fasta.readChunked): intervals
+    * range-join their overlapping chunks, each contributes a substring
+    * piece, pieces reassemble per row by chunk order. No executor holds a
+    * whole chromosome — the scale path for huge genomes. `df` must carry
+    * the row_id contract. */
+  def getSequenceChunked(df: DataFrame, chunks: DataFrame,
+                         outCol: String = "sequence"): DataFrame = {
+    import graft.core.Cols._
+    val ch = chunks.select(col(Chrom), col("cstart").as(Start),
+      (col("cstart") + length(col("chunk")).cast("long")).as(End), col("chunk"))
+    val p = graft.join.RangeJoin.pairs(df, ch, Seq(Chrom))
+    val cs = col(Start + "_b")
+    val piece = expr(
+      s"substring(chunk, CAST(greatest($Start - ${Start}_b, 0) AS INT) + 1, " +
+      s"CAST(least($End, ${End}_b) - greatest($Start, ${Start}_b) AS INT))")
+    val assembled = p.withColumn("_piece", piece)
+      .groupBy(col(RowId))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(cs.as("_o"), col("_piece").as("_p")))),
+        s => s.getField("_p")), "").as("_raw"))
+    val joined = df.join(assembled, Seq(RowId), "left")
+    val stranded =
+      if (df.columns.contains(Strand))
+        when(col(Strand) === RevStrand, reverseComplement(col("_raw")))
+          .otherwise(col("_raw"))
+      else col("_raw")
+    joined.withColumn(outCol, stranded).drop("_raw")
+  }
+
   /** Per-transcript spliced sequence: concat exon sequences 5'->3'
     * (reference core/pyranges_main.py:6036-6073: sorts then concats). */
   def getSplicedSequence(df: DataFrame, chromSeqs: DataFrame, txCol: String,

@@ -101,18 +101,32 @@ object Dedup {
         explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one groupBy yields signature AND set size; the band self-join then
+    // carries both sides' sizes through, so only the intersection count
+    // needs another join against the shingle table.
     val sigAggs = (1 to numHashes).map(i =>
-      min(md5(concat(lit(i.toString), col("sh")))).as(s"h$i"))
+      min(md5(concat(lit(i.toString), col("sh")))).as(s"h$i")) :+
+      count(lit(1)).as("ns")
     val sig = dsh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
-    val cand = lshCandidatePairs(sig, idCol, numHashes, bandSize)
-    val sizes = dsh.groupBy(col(idCol)).agg(count(lit(1)).as("ns"))
-    val inter = cand
+    val bands = (1 to numHashes by bandSize).map { start =>
+      val cols = (start until math.min(start + bandSize, numHashes + 1))
+        .map(i => col(s"h$i"))
+      struct(lit(start).as("band"), concat_ws("|", cols: _*).as("bh"))
+    }
+    val exploded = sig.select(col(idCol), col("ns"), explode(array(bands: _*)).as("_b"))
+      .select(col(idCol), col("ns"), col("_b.band"), col("_b.bh"))
+    val l = exploded.alias("l")
+    val r = exploded.alias("r")
+    val cand = l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
+        col("l.ns").as("nsa"), col("r.ns").as("nsb"))
+      .distinct()
+    val inter = cand.select("a", "b")
       .join(dsh.select(col(idCol).as("a"), col("sh")), Seq("a"))
       .join(dsh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
     cand.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("ni"))
-      .join(sizes.select(col(idCol).as("a"), col("ns").as("nsa")), Seq("a"))
-      .join(sizes.select(col(idCol).as("b"), col("ns").as("nsb")), Seq("b"))
       .select(col("a"), col("b"), col("ni").as("n_intersect"),
         (col("nsa") + col("nsb") - col("ni")).as("n_union"))
       .filter(col("n_intersect") * 100 >= col("n_union") * minJaccardPct)

@@ -85,6 +85,30 @@ class IoSpec extends AnyFunSuite {
     assert(df.filter(col("Name") === "a").head.getAs[Long](End) == 10L)
   }
 
+  test("FASTA read + chunked extraction equals whole-sequence extraction") {
+    import graft.ext.Seqs
+    val d = tmp("fa")
+    Files.writeString(java.nio.file.Paths.get(s"$d/g.fa"),
+      ">chrA test description\nACGTACGTAC\nGTACGTACGT\n>chrB\nTTTTCCCCGGGGAAAA\n")
+    val fa = graft.io.Fasta.read(spark, s"$d/g.fa")
+    assert(fa.count() == 2)
+    val seqs = fa.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(seqs("chrA") == "ACGTACGTACGTACGTACGT" && seqs("chrB").length == 16)
+
+    import spark.implicits._
+    val iv = Seq(("chrA", "+", 2L, 9L, 1L), ("chrA", "-", 5L, 15L, 2L),
+                 ("chrB", "+", 0L, 16L, 3L), ("chrA", "+", 18L, 20L, 4L))
+      .toDF(Chrom, Strand, Start, End, RowId)
+    val whole = Seqs.getSequence(iv, fa).select(RowId, "sequence").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // chunk size 4 forces every interval to span chunks
+    val chunks = graft.io.Fasta.readChunked(spark, s"$d/g.fa", chunkSize = 4)
+    val chunked = Seqs.getSequenceChunked(iv, chunks).select(RowId, "sequence")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(chunked == whole)
+    assert(whole(1L) == "GTACGTA")
+  }
+
   test("random generates n in-bounds deterministic intervals") {
     import spark.implicits._
     val cs = Seq(("chr1", 1000L), ("chr2", 500L)).toDF(Chrom, "size")
