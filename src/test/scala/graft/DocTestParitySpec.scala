@@ -99,6 +99,55 @@ class DocTestParitySpec extends AnyFunSuite {
       (10L, 11L, "t2")))
   }
 
+  // reference core/pyranges_main.py:2092-2131 (merge_overlaps doctest):
+  // the 11-row ensembl GTF sample merged per (chrom, strand) — exercised
+  // against the REAL reference data file through our GTF reader.
+  test("merge_overlaps doctest semantics on the real reference ensembl.gtf file") {
+    // The docstring uses an embedded 11-row variant; the on-disk file has
+    // 12 rows (extra 12010-13670 transcript+exon inside the first island,
+    // no 112700 exon). Expected islands recomputed for the file.
+    val gtf = graft.io.Gtf.readGtf(spark, "/root/reference/pyranges1/data/ensembl.gtf",
+      attrKeys = Seq("gene_name"))
+    assert(gtf.count() == 12)
+    assert(gtf.select("gene_name").distinct().collect().map(_.getString(0)).toSet ==
+      Set("DDX11L1", "AL627309.1"))
+    // 1-based 11869 in the file -> 0-based 11868 through our reader
+    val merged = graft.ops.UnaryOps.merge(gtf, Seq(Chrom, Strand), 0, Some("Count"))
+    val got = merged.select(Start, End, Strand, "Count").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set((11868L, 14409L, "+", 7L), (110952L, 111357L, "-", 1L),
+      (120724L, 133723L, "-", 4L)))
+  }
+
+  // reference core/pyranges_main.py:2222-2290 (nearest_ranges doctest):
+  // distances use the touching=1 convention (README.md:51-53).
+  test("nearest_ranges doctest: strand-aware, ignore, k=2, exclude_overlaps") {
+    import spark.implicits._
+    val f1 = Seq(("chr1", 3L, 6L, "+"), ("chr1", 8L, 9L, "+"), ("chr1", 5L, 7L, "-"))
+      .toDF(Chrom, Start, End, Strand).withColumn(RowId, monotonically_increasing_id())
+    val f2 = Seq(("chr1", 1L, 2L, "+"), ("chr1", 6L, 7L, "-"), ("chr1", 20L, 22L, "+"))
+      .toDF(Chrom, Start, End, Strand).withColumn(RowId, monotonically_increasing_id())
+    def dists(d: DataFrame) = d.select(Start, "Distance").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // strand-aware (same): (3,6)+ -> (1,2) d=2; (5,7)- -> (6,7) d=0; (8,9)+ -> (1,2) d=7
+    val same = BinaryOps.nearest(f1, f2, Seq(Chrom, Strand))
+    assert(dists(same) == Map(3L -> 2L, 5L -> 0L, 8L -> 7L))
+    // ignore: (3,6) -> (6,7) d=1; (5,7) -> (6,7) d=0; (8,9) -> (6,7) d=2
+    val ign = BinaryOps.nearest(f1, f2, Seq(Chrom))
+    assert(dists(ign) == Map(3L -> 1L, 5L -> 0L, 8L -> 2L))
+    // k=2 ignore: 6 rows with the doctest's distances
+    val k2 = graft.ops.NearestK.nearestK(f1, f2, Seq(Chrom), 2)
+    val gotK2 = k2.select(Start, "Distance").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k2.count() == 6)
+    assert(gotK2 == Set((3L, 1L), (3L, 2L), (5L, 0L), (5L, 4L), (8L, 2L), (8L, 7L)))
+    // exclude_overlaps ignore: (5,7) -> (1,2) d=4 instead of the overlap
+    val excl = graft.ops.NearestK.nearestK(f1, f2, Seq(Chrom), 1, excludeOverlaps = true)
+    val gotEx = excl.select(Start, "Distance").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotEx(5L) == 4L && gotEx(3L) == 1L && gotEx(8L) == 2L)
+  }
+
   // reference core/pyranges_main.py:5507-5557 (compute_interval_metrics)
   test("compute_interval_metrics doctest values") {
     import spark.implicits._
