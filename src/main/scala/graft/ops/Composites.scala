@@ -50,6 +50,27 @@ object Composites {
       .drop("_cs", "_ce", "_tl", "_ns", "_ne")
   }
 
+  /** slice_ranges(count_introns=True) (reference core/pyranges_main.py:
+    * 3235-3261): slice in UNSPLICED transcript coordinates — introns
+    * count toward the offsets. The reference's own decomposition,
+    * reproduced 1:1: outer_ranges per transcript -> slice the single
+    * span -> intersect the original exons with it (span table is tiny:
+    * broadcast equi-join on the transcript key + clip). */
+  def sliceRangesUnspliced(df: DataFrame, txKeys: Seq[String], sliceStart: Long,
+                           sliceEnd: Option[Long],
+                           useStrand: Boolean = true): DataFrame = {
+    val hasStrand = df.columns.contains(Strand)
+    val locKeys = Seq(Chrom) ++ (if (hasStrand) Seq(Strand) else Nil) ++ txKeys
+    val outer = UnaryOps.boundaries(df, locKeys)
+    val sliced = sliceRanges(outer, locKeys, sliceStart, sliceEnd, useStrand)
+      .select(txKeys.map(col) :+ col(Start).as("_ss") :+ col(End).as("_se"): _*)
+    df.join(broadcast(sliced), txKeys)
+      .withColumn(Start, greatest(col(Start), col("_ss")))
+      .withColumn(End, least(col(End), col("_se")))
+      .filter(col(End) > col(Start))
+      .drop("_ss", "_se")
+  }
+
   /** five_end (reference core/pyranges_main.py:1041-1132): the 1-bp 5'
     * point of each interval (or of each transcript with groupBy keys). */
   def fiveEnd(df: DataFrame, useStrand: Boolean = true,

@@ -99,6 +99,18 @@ class DocTestParitySpec extends AnyFunSuite {
       (10L, 11L, "t2")))
   }
 
+  // reference core/pyranges_main.py:3176-3207 (count_introns doctest):
+  // slicing in unspliced coords — introns count toward offsets.
+  test("slice_ranges count_introns doctest: 3 variants") {
+    assert(se(Composites.sliceRangesUnspliced(p, Seq("transcript_id"), 0, Some(50))) ==
+      Set((1L, 11L, "t1"), (40L, 51L, "t1"), (70L, 80L, "t2"), (140L, 152L, "t3")))
+    assert(se(Composites.sliceRangesUnspliced(p, Seq("transcript_id"), 0, Some(50),
+        useStrand = false)) ==
+      Set((1L, 11L, "t1"), (40L, 51L, "t1"), (10L, 25L, "t2"), (140L, 152L, "t3")))
+    assert(se(Composites.sliceRangesUnspliced(p, Seq("transcript_id"), -50, Some(-5))) ==
+      Set((10L, 11L, "t1"), (40L, 55L, "t1"), (15L, 25L, "t2"), (140L, 147L, "t3")))
+  }
+
   // reference core/pyranges_main.py:2092-2131 (merge_overlaps doctest):
   // the 11-row ensembl GTF sample merged per (chrom, strand) — exercised
   // against the REAL reference data file through our GTF reader.
