@@ -71,6 +71,26 @@ class GenomicFrameSpec extends AnyFunSuite {
     assert(reasons.toSet == Set("empty_or_negative_length", "negative_positions"))
   }
 
+  test("makeStrandValid, summary, concat, loc-column sugar") {
+    import spark.implicits._
+    val messy = GenomicFrame(Seq(("c", ".", 0L, 5L), ("c", "-", 10L, 20L))
+      .toDF(Chrom, Strand, Start, End))
+    assert(messy.makeStrandValid.df.select(Strand).collect()
+      .map(_.getString(0)).toSeq == Seq("+", "-"))
+    val a = mk(("c", "+", 0, 5), ("c", "+", 3, 9))
+    val s = a.summary()
+    // intervals row: n=2; coverage row: one merged island of length 9
+    val byWhat = s.collect().map(r => r.getAs[String]("what") ->
+      (r.getAs[Long]("n"), r.getAs[Long]("total_len"))).toMap
+    assert(byWhat("intervals") == ((2L, 11L)) && byWhat("coverage") == ((1L, 9L)))
+    val b = mk(("d", "-", 1, 2)).df.withColumn("extra", lit(7))
+    val cat = GenomicFrame.concat(Seq(a, GenomicFrame(b)))
+    assert(cat.df.count() == 3 && cat.df.columns.contains("extra"))
+    assert(cat.getWithLocColumns(Seq("extra")).df.columns.toSeq ==
+      Seq(Chrom, Start, End, Strand, "extra"))
+    assert(cat.removeNonLocColumns.df.columns.length == 4)
+  }
+
   test("getSequence extracts and reverse-complements by strand") {
     import spark.implicits._
     val seqs = Seq(("c", "ACGTACGTAA")).toDF(Chrom, "seq")
