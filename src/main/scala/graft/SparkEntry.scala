@@ -240,6 +240,23 @@ object SparkEntry {
         .select(col("tx"), col("wid"), col("chrom"), col("strand"),
           col("istart"), col("iend"))
     }),
+    "q51_split_between" -> ((s, dir) =>
+      out(UnaryOps.split(grSparse(s, dir), Seq(Chrom), between = true))),
+    "q52_join_first" -> ((s, dir) =>
+      out(BinaryOps.joinOverlaps(gr(s, dir), gr2(s, dir), Seq(Chrom),
+          multiple = "first")
+        .withColumnRenamed(Start + "_b", "istart_b")
+        .withColumnRenamed(End + "_b", "iend_b")
+        .drop("Strand_b"))),
+    "q53_overlap_contained" -> ((s, dir) =>
+      out(BinaryOps.overlap(gr(s, dir), gr2(s, dir), Seq(Chrom),
+        contained = true))),
+    "q54_extend_grouped" -> ((s, dir) => {
+      val ex = gr(s, dir).withColumn("tx", concat(col(Chrom), col(Strand)))
+      out(UnaryOps.extendGrouped(ex, Seq("tx"), ext5 = 5, ext3 = 11))
+        .select(col(RowId), col("tx"), col("chrom"), col("strand"),
+          col("istart"), col("iend"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -457,5 +474,20 @@ object SparkEntry {
       "wins AS (SELECT tx, ws AS ls, least(ws + 50, tl) AS le, CAST(ws // 50 AS BIGINT) AS wid FROM (SELECT tx, tl, unnest(generate_series(0, tl - 1, 50)) AS ws FROM tl))",
       "j AS (SELECT w.tx, w.wid, c.chrom, c.strand, c.istart AS es, c.iend AS ee, c.cst, greatest(c.cst, w.ls) AS lo, least(c.cen, w.le) AS hi FROM wins w JOIN cum c ON w.tx = c.tx AND w.ls < c.cen AND w.le > c.cst)"),
       "SELECT tx, wid, chrom, strand, CASE WHEN strand='-' THEN ee - (hi - cst) ELSE es + (lo - cst) END AS istart, CASE WHEN strand='-' THEN ee - (lo - cst) ELSE es + (hi - cst) END AS iend FROM j"),
+
+    "q51_split_between" -> sql(Seq(GR_CTE, GRS_CTE),
+      "SELECT chrom, pos AS istart, np AS iend FROM (SELECT chrom, pos, lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS np FROM (SELECT DISTINCT chrom, pos FROM (SELECT chrom, istart AS pos FROM grs UNION ALL SELECT chrom, iend AS pos FROM grs))) WHERE np IS NOT NULL"),
+
+    "q52_join_first" -> sql(Seq(GR_CTE, GR2_CTE,
+      "j AS (SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, o.row_id AS row_id_b, o.istart AS istart_b, o.iend AS iend_b, row_number() OVER (PARTITION BY g.row_id ORDER BY o.istart, o.iend) AS rn FROM gr g JOIN gr2 o ON g.chrom = o.chrom AND g.istart < o.iend AND g.iend > o.istart)"),
+      "SELECT row_id, chrom, strand, istart, iend, row_id_b, istart_b, iend_b FROM j WHERE rn = 1"),
+
+    "q53_overlap_contained" -> sql(Seq(GR_CTE, GR2_CTE),
+      "SELECT row_id, chrom, strand, istart, iend FROM gr g WHERE EXISTS (SELECT 1 FROM gr2 o WHERE o.chrom = g.chrom AND o.istart <= g.istart AND g.iend <= o.iend)"),
+
+    "q54_extend_grouped" -> sql(Seq(GR_CTE,
+      "ex AS (SELECT row_id, chrom, strand, istart, iend, chrom || strand AS tx FROM gr)",
+      "w AS (SELECT *, min(istart) OVER (PARTITION BY tx) AS mns, max(iend) OVER (PARTITION BY tx) AS mxe FROM ex)"),
+      "SELECT row_id, tx, chrom, strand, CASE WHEN istart = mns THEN istart - (CASE WHEN strand='-' THEN 11 ELSE 5 END) ELSE istart END AS istart, CASE WHEN iend = mxe THEN iend + (CASE WHEN strand='-' THEN 5 ELSE 11 END) ELSE iend END AS iend FROM w"),
   )
 }
