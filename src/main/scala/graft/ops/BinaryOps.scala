@@ -41,14 +41,27 @@ object BinaryOps {
     val rs = Start + suffix
     val re = End + suffix
     var p = RangeJoin.pairs(left, right, keys, slack, binSize, suffix, contained)
+    // multiple=first/last pick one right match per left row. A window
+    // over the full pair set would sort every pair; a min/max(struct)
+    // aggregation gets map-side partial combine — the pair set shrinks to
+    // one row per left row BEFORE the shuffle — then rejoins the (never
+    // exploded) left side.
+    def pickOne(minimize: Boolean): DataFrame = {
+      val rCols = p.columns.filterNot(left.columns.contains).toSeq
+      val sortKeys = if (minimize) Seq(rs, re) else Seq(re, rs)
+      val packed = struct((sortKeys ++ rCols.filterNot(sortKeys.contains)).map { c =>
+        if (minimize) col(c) else (if (c == re || c == rs) (-col(c)).as(c) else col(c))
+      }: _*)
+      val m = p.groupBy(col(RowId)).agg(min(packed).as("_m"))
+      val unpacked = rCols.foldLeft(m)((d, c) =>
+        d.withColumn(c, if (!minimize && (c == re || c == rs)) -col(s"_m.$c")
+                        else col(s"_m.$c"))).drop("_m")
+      left.join(unpacked, Seq(RowId), "inner")
+    }
     multiple match {
-      case "first" =>
-        val w = Window.partitionBy(col(RowId)).orderBy(col(rs), col(re))
-        p = p.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-      case "last" =>
-        val w = Window.partitionBy(col(RowId)).orderBy(col(re).desc, col(rs).desc)
-        p = p.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-      case _ => ()
+      case "first" => p = pickOne(minimize = true)
+      case "last"  => p = pickOne(minimize = false)
+      case _       => ()
     }
     p = reportOverlapCol.fold(p)(c => p.withColumn(c,
       least(col(End), col(re)) - greatest(col(Start), col(rs))))

@@ -100,4 +100,48 @@ object Coverage {
       .select(k ++ Seq(col("_pos").as(Start), col("_next").as(End),
         col(scoreA), col(scoreB)): _*)
   }
+
+  /** rleBinary via the two-phase distributed prefix sum (same structure
+    * as toRleSalted, two delta streams): local per-(key, megabin) prefix
+    * sums in parallel + per-key bin offsets joined back. Identical output
+    * to rleBinary (property-tested); the hot-key path. */
+  def rleBinarySalted(a: DataFrame, b: DataFrame, keys: Seq[String],
+                      scoreA: String = "score_a", scoreB: String = "score_b",
+                      saltBin: Long = 1 << 20): DataFrame = {
+    val k = keys.map(col)
+    def events(df: DataFrame, dA: Long, dB: Long): DataFrame =
+      df.select(k :+ explode(array(
+          struct(col(Start).as("_pos"), lit(dA).as("_da"), lit(dB).as("_db")),
+          struct(col(End).as("_pos"), lit(-dA).as("_da"), lit(-dB).as("_db")))).as("_ev"): _*)
+        .select(k ++ Seq(col("_ev._pos").as("_pos"), col("_ev._da").as("_da"),
+          col("_ev._db").as("_db")): _*)
+    val ev = events(a, 1, 0).unionByName(events(b, 0, 1))
+      .groupBy(k :+ col("_pos"): _*)
+      .agg(sum(col("_da")).as("_da"), sum(col("_db")).as("_db"))
+      .withColumn("_mb", floor(col("_pos").cast("double") / saltBin).cast("long"))
+    val wLoc = Window.partitionBy(k :+ col("_mb"): _*).orderBy(col("_pos"))
+    val local = ev
+      .withColumn("_la", sum(col("_da")).over(
+        wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_lb", sum(col("_db")).over(
+        wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_nextLoc", lead(col("_pos"), 1).over(wLoc))
+    val wBins = Window.partitionBy(k: _*).orderBy(col("_mb"))
+    val binInfo = ev.groupBy(k :+ col("_mb"): _*)
+      .agg(sum(col("_da")).as("_ta"), sum(col("_db")).as("_tb"),
+        min(col("_pos")).as("_first"))
+      .withColumn("_offA", coalesce(sum(col("_ta")).over(
+        wBins.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_offB", coalesce(sum(col("_tb")).over(
+        wBins.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_nextFirst", lead(col("_first"), 1).over(wBins))
+      .select(k ++ Seq(col("_mb"), col("_offA"), col("_offB"), col("_nextFirst")): _*)
+    local.join(binInfo, keys :+ "_mb")
+      .withColumn(scoreA, col("_la") + col("_offA"))
+      .withColumn(scoreB, col("_lb") + col("_offB"))
+      .withColumn("_next", coalesce(col("_nextLoc"), col("_nextFirst")))
+      .filter(col("_next").isNotNull)
+      .select(k ++ Seq(col("_pos").as(Start), col("_next").as(End),
+        col(scoreA), col(scoreB)): _*)
+  }
 }

@@ -284,6 +284,24 @@ class OpsSpec extends AnyFunSuite {
                       (5L, 7L, 0.0), (7L, 8L, 1.0)))
   }
 
+  test("rleBinarySalted equals rleBinary across megabin boundaries") {
+    val aRows = (0 until 300).map { i =>
+      val s = (i * 2654435761L) % 1500
+      ("c" + (i % 2), s, s + 1 + (i * 97L) % 250)
+    }
+    val bRows = (0 until 150).map { i =>
+      val s = (i * 40503L) % 1500
+      ("c" + (i % 2), s, s + 1 + (i * 31L) % 80)
+    }
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val plain = canon(Coverage.rleBinary(gf(aRows: _*), gf(bRows: _*), Seq(Chrom)))
+    val salted = canon(Coverage.rleBinarySalted(gf(aRows: _*), gf(bRows: _*),
+      Seq(Chrom), saltBin = 128))
+    assert(salted == plain)
+  }
+
   test("toRleSalted equals toRle across megabin boundaries") {
     val rows = (0 until 400).map { i =>
       val s = (i * 2654435761L) % 2000
