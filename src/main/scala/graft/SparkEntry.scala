@@ -260,6 +260,9 @@ object SparkEntry {
         .select(col(RowId), col("tx"), col("chrom"), col("strand"),
           col("istart"), col("iend"))
     }),
+    "q55_count_slack" -> ((s, dir) =>
+      out(BinaryOps.countOverlaps(gr(s, dir), gr2Sparse(s, dir), Seq(Chrom),
+        slack = 3, countCol = "n"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -492,5 +495,8 @@ object SparkEntry {
       "ex AS (SELECT row_id, chrom, strand, istart, iend, chrom || strand AS tx FROM gr)",
       "w AS (SELECT *, min(istart) OVER (PARTITION BY tx) AS mns, max(iend) OVER (PARTITION BY tx) AS mxe FROM ex)"),
       "SELECT row_id, tx, chrom, strand, CASE WHEN istart = mns THEN istart - (CASE WHEN strand='-' THEN 11 ELSE 5 END) ELSE istart END AS istart, CASE WHEN iend = mxe THEN iend + (CASE WHEN strand='-' THEN 5 ELSE 11 END) ELSE iend END AS iend FROM w"),
+
+    "q55_count_slack" -> sql(Seq(GR_CTE, GR2_CTE, GR2S_CTE),
+      "SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, count(o.row_id) AS n FROM gr g LEFT JOIN gr2s o ON g.chrom = o.chrom AND g.istart - 3 < o.iend AND g.iend + 3 > o.istart GROUP BY g.row_id, g.chrom, g.strand, g.istart, g.iend"),
   )
 }
