@@ -78,6 +78,14 @@ final case class GenomicFrame(df: DataFrame) {
 
   def lengths: DataFrame = df.withColumn("length", col(End) - col(Start))
 
+  /** Immutable analog of the reference's loci SETTER (reference
+    * core/loci_getter.py setitem): update columns on the rows matching a
+    * predicate, leave the rest unchanged. */
+  def updateWhere(cond: Column, updates: (String, Column)*): GenomicFrame =
+    GenomicFrame(updates.foldLeft(df) { case (d, (c, v)) =>
+      d.withColumn(c, when(cond, v).otherwise(col(c)))
+    })
+
   def flipStrand: GenomicFrame = GenomicFrame(
     df.withColumn(Strand, when(col(Strand) === FwdStrand, RevStrand).otherwise(FwdStrand)))
 

@@ -1,0 +1,100 @@
+package graft
+
+import graft.core.Cols
+import graft.ops.{BinaryOps, UnaryOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck-generator-driven property tests for the algebraic laws the
+  * reference asserts implicitly (SURVEY.md §5): merge idempotence,
+  * subtract containment, overlap/invert partition, split coverage
+  * conservation. Generators are sampled with fixed seeds (deterministic,
+  * a handful of cases — each case runs Spark jobs). */
+class PropertySpec extends AnyFunSuite {
+  import Cols._
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val params = Gen.Parameters.default.withSize(40)
+  def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (0 until 3).foreach(i => f(g.apply(params, Seed(42L + i)).get))
+  def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 3).foreach { i =>
+      f(g1.apply(params, Seed(42L + i)).get, g2.apply(params, Seed(1042L + i)).get)
+    }
+
+  val genIntervals: Gen[List[(String, Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      c <- Gen.oneOf("chr1", "chr2")
+      s <- Gen.chooseNum(0L, 500L)
+      len <- Gen.chooseNum(1L, 120L)
+    } yield (c, s, s + len))
+
+  def df(rows: List[(String, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF(Chrom, Start, End).withColumn(RowId, monotonically_increasing_id())
+  }
+  def totalCovered(d: DataFrame): Long = {
+    val m = UnaryOps.merge(d, Seq(Chrom))
+    if (m.isEmpty) 0L
+    else m.agg(sum(col(End) - col(Start))).head.getLong(0)
+  }
+
+  test("merge is idempotent and conserves covered length") {
+    forAll(genIntervals) { rows =>
+      val d = df(rows)
+      val once = UnaryOps.merge(d, Seq(Chrom))
+      val twice = UnaryOps.merge(once, Seq(Chrom))
+      assert(once.collect().toSet == twice.collect().toSet)
+      assert(totalCovered(d) == once.agg(sum(col(End) - col(Start))).head.getLong(0))
+    }
+  }
+
+  test("overlap and invert partition the left side") {
+    forAll(genIntervals, genIntervals) { (lr, rr) =>
+      val l = df(lr)
+      val r = df(rr)
+      val hit = BinaryOps.overlap(l, r, Seq(Chrom)).count()
+      val miss = BinaryOps.overlap(l, r, Seq(Chrom), invert = true).count()
+      assert(hit + miss == l.count())
+    }
+  }
+
+  test("subtract stays within self and removes exactly the covered length") {
+    forAll(genIntervals, genIntervals) { (lr, rr) =>
+      val l = df(lr)
+      val r = df(rr)
+      val sub = BinaryOps.subtract(l, r, Seq(Chrom))
+      // every output fragment sits inside some input row with the same id
+      val bad = sub.alias("s").join(l.alias("i"), col(s"s.$RowId") === col(s"i.$RowId") &&
+        (col(s"s.$Start") < col(s"i.$Start") || col(s"s.$End") > col(s"i.$End")), "inner")
+      assert(bad.count() == 0)
+      // covered(l) == covered(l minus r) + covered(l intersect r)
+      val inter = BinaryOps.setIntersect(l, r, Seq(Chrom))
+        .withColumn(RowId, monotonically_increasing_id())
+      assert(totalCovered(l) == totalCovered(sub) + totalCovered(inter))
+    }
+  }
+
+  test("split(between=false) segments exactly tile the merged islands") {
+    forAll(genIntervals) { rows =>
+      val d = df(rows)
+      val seg = UnaryOps.split(d, Seq(Chrom))
+      assert(totalCovered(d) == seg.agg(sum(col(End) - col(Start))).head.getLong(0))
+    }
+  }
+
+  test("updateWhere touches only matching rows") {
+    val g = graft.core.GenomicFrame(df(List(("chr1", 0L, 5L), ("chr2", 3L, 9L))))
+    val u = g.updateWhere(col(Chrom) === "chr1", Start -> lit(100L))
+    val got = u.df.select(Chrom, Start).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("chr1", 100L), ("chr2", 3L)))
+  }
+}
