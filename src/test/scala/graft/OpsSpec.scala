@@ -324,6 +324,18 @@ class OpsSpec extends AnyFunSuite {
   }
 
   // ---- training-data ops ----
+  test("exactGroups and dropExactDuplicates keep smallest id per key") {
+    import spark.implicits._
+    val df = Seq((5L, "aa"), (2L, "aa"), (9L, "bb"), (1L, "aa"))
+      .toDF("doc_id", "text")
+    val groups = graft.ml.Dedup.exactGroups(df, md5(col("text")), "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((1L, 3L), (9L, 1L)))
+    val kept = graft.ml.Dedup.dropExactDuplicates(df, md5(col("text")), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 9L))
+  }
+
   test("simhash60: identical text same hash; different text different") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),

@@ -1,0 +1,53 @@
+package graft
+
+import graft.core.Cols
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality contracts: the properties .explain should always show
+  * (column pruning to the scan, broadcast of small sides, single Window
+  * node for the merge sweep) — pinned as tests so a refactor that
+  * silently degrades the plan fails CI, not the 100 TB run. */
+class PlanContractSpec extends AnyFunSuite {
+  import Cols._
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("boundaries query prunes unused lineitem columns at the parquet scan") {
+    val plan = SparkEntry.queries("q02_boundaries")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(readSchemas.nonEmpty)
+    // the interval derivation needs 7 of lineitem's 11 columns; the scan
+    // must not read the money/date columns the query never touches
+    assert(readSchemas.forall(s => !s.contains("l_extendedprice") &&
+      !s.contains("l_tax") && !s.contains("l_shipdate")))
+  }
+
+  test("merge sweep shuffles exactly once (windows pipeline on one sort)") {
+    val plan = SparkEntry.queries("q03_merge")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // Spark splits dependent window expressions into several Window
+    // nodes, but they share the partitioning/ordering: one Exchange, one
+    // Sort — the one-shuffle-per-operator contract (SURVEY.md §3).
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert("Sort ".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
+
+  test("binned range join equi-joins on (key, bin) — no nested loop") {
+    val plan = SparkEntry.queries("q14_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("_bin"))
+  }
+}
