@@ -117,11 +117,14 @@ object Dedup {
       .select(col(idCol), col("ns"), col("_b.band"), col("_b.bh"))
     val l = exploded.alias("l")
     val r = exploded.alias("r")
+    // cand feeds both the intersection join and the final assembly —
+    // persist so the band self-join runs once, not twice.
     val cand = l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
         col("l.ns").as("nsa"), col("r.ns").as("nsb"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = cand.select("a", "b")
       .join(dsh.select(col(idCol).as("a"), col("sh")), Seq("a"))
       .join(dsh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
