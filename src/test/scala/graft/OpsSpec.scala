@@ -87,6 +87,27 @@ class OpsSpec extends AnyFunSuite {
       Set(("c", 9L, 12L), ("c", 14L, 20L)))
   }
 
+  test("complement with chromSizes adds the [0, first) and [last, size) flanks") {
+    import spark.implicits._
+    val df = gf(("c", 5, 10), ("c", 20, 25))
+    val cs = Seq(("c", 100L)).toDF(Chrom, "size")
+    assert(rows3(UnaryOps.complement(df, Seq(Chrom), Some(cs))) ==
+      Set(("c", 0L, 5L), ("c", 10L, 20L), ("c", 25L, 100L)))
+    // interval starting at 0 / ending at size: no empty flanks
+    val df2 = gf(("c", 0, 10), ("c", 90, 100))
+    assert(rows3(UnaryOps.complement(df2, Seq(Chrom), Some(cs))) ==
+      Set(("c", 10L, 90L)))
+  }
+
+  test("tileGenome tiles chromosomes from sizes; last tile clipped or full") {
+    import spark.implicits._
+    val cs = Seq(("c", 25L)).toDF(Chrom, "size")
+    assert(rows3(UnaryOps.tileGenome(cs, 10)) ==
+      Set(("c", 0L, 10L), ("c", 10L, 20L), ("c", 20L, 25L)))
+    assert(rows3(UnaryOps.tileGenome(cs, 10, fullLastTile = true)) ==
+      Set(("c", 0L, 10L), ("c", 10L, 20L), ("c", 20L, 30L)))
+  }
+
   // split_overlaps (reference core/pyranges_main.py:3264-3415 doctest:
   // between=False keeps covered segments only).
   test("split cuts at every boundary; between=true adds gaps") {
