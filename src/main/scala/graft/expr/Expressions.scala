@@ -1,0 +1,105 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass implementations behind the custom Catalyst expressions.
+  * Kept as static-style helpers so whole-stage codegen can call them
+  * directly (the standard pattern for non-arithmetic expressions: the
+  * generated Java invokes one static method — no Row boxing, no UDF
+  * serialization, stays inside the WholeStageCodegen span). */
+object ExprKernels {
+  /** Zero-pad every digit run to width 10 so lexicographic order equals
+    * natural order ("chr2" < "chr10"). One pass, no regex. */
+  def natsortKey(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length + 16)
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var j = i
+        while (j < n && str.charAt(j) >= '0' && str.charAt(j) <= '9') j += 1
+        var pad = 10 - (j - i)
+        while (pad > 0) { sb.append('0'); pad -= 1 }
+        sb.append(str, i, j)
+        i = j
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private val aas =
+    "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
+  private def baseIdx(c: Char): Int = c match {
+    case 'T' | 't' | 'U' | 'u' => 0
+    case 'C' | 'c' => 1
+    case 'A' | 'a' => 2
+    case 'G' | 'g' => 3
+    case _ => -1
+  }
+
+  /** Codon -> amino acid translation, standard NCBI table 1; unknown
+    * codons -> 'X', trailing partial codon dropped. One pass, no map
+    * lookups (direct base-4 indexing). */
+  def translateCds(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length / 3
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val a = baseIdx(str.charAt(3 * i))
+      val b = baseIdx(str.charAt(3 * i + 1))
+      val c = baseIdx(str.charAt(3 * i + 2))
+      sb.append(if (a < 0 || b < 0 || c < 0) 'X' else aas(a * 16 + b * 4 + c))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Natural-sort key as a native codegen'd Catalyst expression (replaces
+  * the 9-pass regexp_replace chain — reference natsort usage,
+  * methods/sort.py:12-40). */
+case class NatSortKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    ExprKernels.natsortKey(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ExprKernels.natsortKey($c)")
+  override protected def withNewChildInternal(c: Expression): NatSortKey = copy(c)
+}
+
+/** Codon translation as a native codegen'd expression (promotion of the
+  * Seqs.translateCds UDF per SURVEY.md §4.3.5). */
+case class TranslateCds(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    ExprKernels.translateCds(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ExprKernels.translateCds($c)")
+  override protected def withNewChildInternal(c: Expression): TranslateCds = copy(c)
+}
+
+object Exprs {
+  import org.apache.spark.sql.GraftColumnBridge
+  def natsort_key(c: Column): Column =
+    GraftColumnBridge.column(NatSortKey(GraftColumnBridge.expression(c)))
+  def translate_cds(c: Column): Column =
+    GraftColumnBridge.column(TranslateCds(GraftColumnBridge.expression(c)))
+
+  /** Register both for SQL use: natsort_key(s), translate_cds(s). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "natsort_key", exprs => NatSortKey(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "translate_cds", exprs => TranslateCds(exprs.head), "scala_udf")
+  }
+}

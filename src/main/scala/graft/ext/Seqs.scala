@@ -30,21 +30,10 @@ object Seqs {
 
   /** Codon -> amino-acid translation (reference ext/seqs.py:150-340):
     * unknown/ambiguous codons -> 'X', trailing partial codon dropped.
-    * UDF (per-row pure function); promote to a codegen Expression if it
-    * shows up hot. */
-  val translateCds = udf { (s: String) =>
-    if (s == null) null
-    else {
-      val up = s.toUpperCase.replace('U', 'T')
-      val sb = new StringBuilder(up.length / 3)
-      var i = 0
-      while (i + 3 <= up.length) {
-        sb += standardCode.getOrElse(up.substring(i, i + 3), "X").head
-        i += 3
-      }
-      sb.toString
-    }
-  }
+    * Backed by the codegen'd TranslateCds Catalyst expression (promoted
+    * from a UDF per SURVEY.md §4.3.5; `standardCode` above documents the
+    * table the kernel indexes directly). */
+  def translateCds(c: Column): Column = graft.expr.Exprs.translate_cds(c)
 
   /** get_sequence (reference core/pyranges_main.py:5898-6073): extract
     * interval sequences from a per-chromosome sequence table

@@ -335,6 +335,20 @@ class OpsSpec extends AnyFunSuite {
       canon(Coverage.toRle(df, Seq(Chrom))))
   }
 
+  test("custom expressions register for SQL and run under codegen") {
+    import spark.implicits._
+    graft.expr.Exprs.register(spark)
+    Seq(("chr10", "ATGTAA")).toDF("c", "s").createOrReplaceTempView("_exprs_t")
+    val r = spark.sql(
+      "SELECT natsort_key(c) AS k, translate_cds(s) AS p FROM _exprs_t").head
+    assert(r.getString(0) == "chr0000000010" && r.getString(1) == "M*")
+    // null propagation through the native expressions
+    val n = Seq((null: String, null: String)).toDF("c", "s")
+      .select(graft.expr.Exprs.natsort_key(col("c")),
+        graft.expr.Exprs.translate_cds(col("s"))).head
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   // natural sort (reference methods/sort.py:12-40).
   test("natsortKey orders chr2 before chr10") {
     import spark.implicits._
