@@ -379,6 +379,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) == got(2L) && got(1L) != got(3L))
   }
 
+  test("MinHashAgg aggregate matches the expression-based signature") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+                   (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val viaExpr = Dedup.minhashSignature(docs, "text", "doc_id", 4, 3)
+      .select("doc_id", "h1", "h2", "h3", "h4").collect()
+      .map(r => r.getLong(0) -> Seq(r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    val viaAgg = docs
+      .select(col("doc_id"), explode(graft.ml.TextOps.wordShingles(col("text"), 3)).as("sh"))
+      .groupBy("doc_id")
+      .agg(graft.ml.MinHashAgg.minhash(col("sh"), 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(viaAgg == viaExpr)
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
