@@ -93,6 +93,72 @@ object Similarity {
     out.toDF(idCol, "nb", "dot", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
+    * path next to LSH: KMeans centroids partition the vectors into
+    * coarse cells; each query probes its `nProbe` nearest cells and
+    * brute-forces only within them. Deterministic (fixed seed).
+    * Distributed shape: the candidate join is an equi-join on the cell
+    * id, so work scales with cell population, not n^2. */
+  def ivfTopK(df: DataFrame, k: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding", nCentroids: Int = 16,
+              nProbe: Int = 3, scale: Int = 1000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("long").as(idCol),
+      quantize(col(vecCol), scale).as("_q"),
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .fit(base.select("features"))
+    val centers = model.clusterCenters.map(_.toArray.map(v => math.floor(v * scale).toLong))
+    val bc = spark.sparkContext.broadcast(centers)
+    // assign each vector to its nProbe nearest centroids by euclidean
+    // distance — the metric KMeans optimized, so probe cells line up
+    // with membership cells (raw dot would bias toward long centroids)
+    val probeUdf = udf { (q: Seq[Long]) =>
+      val cs = bc.value
+      val dists = cs.indices.map { ci =>
+        var d = 0L; var j = 0
+        val c = cs(ci)
+        while (j < math.min(q.length, c.length)) {
+          val diff = q(j) - c(j); d += diff * diff; j += 1
+        }
+        (d, ci)
+      }
+      dists.sortBy(x => (x._1, x._2)).take(nProbe).map(_._2)
+    }
+    val memberCell = base.withColumn("_cell",
+      element_at(probeUdf(col("_q")), 1))  // each vector lives in its best cell
+    val queryCells = base.withColumn("_cell", explode(probeUdf(col("_q"))))
+    val pairs = queryCells.alias("l")
+      .join(memberCell.select(col(idCol).as("nb"), col("_q").as("_qb"),
+        col("_cell")).alias("r"), Seq("_cell"))
+      .filter(col(idCol) =!= col("nb"))
+      .withColumn("dot", dotLong(col("l._q"), col("_qb")))
+      .select(col(idCol), col("nb"), col("dot")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("dot").desc, col("nb"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: (a, b, dot) where the
+    * quantized dot product clears `minDot` (derive minDot from a cosine
+    * threshold x scale^2 for unit-norm vectors). exact=true compares all
+    * pairs (one global bucket); otherwise candidates share an LSH bucket
+    * — the same plan shape either way, an equi-join on the bucket id. */
+  def cosineNearDupPairs(df: DataFrame, minDot: Long, idCol: String = "vec_id",
+                         vecCol: String = "embedding", exact: Boolean = false,
+                         planes: Int = 8, scale: Int = 1000): DataFrame = {
+    val q = df.select(col(idCol).cast("long").as("a"),
+      quantize(col(vecCol), scale).as("_qa"),
+      (if (exact) lit(0L) else lshBucket(col(vecCol), planes)).as("_bkt"))
+    val r = q.select(col("a").as("b"), col("_qa").as("_qb"), col("_bkt"))
+    q.join(r, Seq("_bkt")).filter(col("a") < col("b"))
+      .withColumn("dot", dotLong(col("_qa"), col("_qb")))
+      .filter(col("dot") >= minDot)
+      .select(col("a"), col("b"), col("dot"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * md5-derived value in [-500, 500). Portable to SQL if ever needed. */
   private def planeComponent(plane: Int, dim: Column): Column =

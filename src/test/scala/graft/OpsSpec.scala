@@ -445,6 +445,31 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got(1) - 0.001346) < 1e-4)
   }
 
+  test("ivfTopK recalls the brute-force best neighbor on clustered data") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = graft.ml.Similarity.bruteForceTopK(emb, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = graft.ml.Similarity.ivfTopK(emb, 1, nCentroids = 8, nProbe = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (id, nb) => approx.get(id).contains(nb) }
+    // labeled clusters in the synthetic embeddings => IVF recall is high
+    assert(hits.toDouble / exact.size > 0.8, s"recall ${hits.toDouble / exact.size}")
+  }
+
+  test("cosineNearDupPairs exact equals LSH superset-filtered and thresholds correctly") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.99f, 0.01f, 0.0f)),
+                 (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(-1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val exact = graft.ml.Similarity.cosineNearDupPairs(df, minDot = 900000, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+    val lsh = graft.ml.Similarity.cosineNearDupPairs(df, minDot = 900000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))  // LSH may miss, never invents
+  }
+
   test("langId picks the wordlist with most hits") {
     import spark.implicits._
     val df = Seq("the cat is on the mat and that", "der hund ist nicht ein",
