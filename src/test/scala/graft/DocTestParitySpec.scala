@@ -160,6 +160,43 @@ class DocTestParitySpec extends AnyFunSuite {
     assert(gotEx(5L) == 4L && gotEx(3L) == 1L && gotEx(8L) == 2L)
   }
 
+  // reference core/pyranges_main.py:930-1005 (extend_ranges doctest).
+  test("extend_ranges doctest: symmetric, 5'/3', use_strand=False, negative, grouped") {
+    import spark.implicits._
+    def g = Seq(("chr1", 3L, 6L, "+"), ("chr1", 8L, 9L, "+"), ("chr1", 5L, 7L, "-"))
+      .toDF(Chrom, Start, End, Strand)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(Start, End, Strand).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows(graft.ops.UnaryOps.extend(g, 3, 3)) ==
+      Set((0L, 9L, "+"), (5L, 12L, "+"), (2L, 10L, "-")))
+    assert(rows(graft.ops.UnaryOps.extend(g, ext5 = 2, ext3 = 1)) ==
+      Set((1L, 7L, "+"), (6L, 10L, "+"), (4L, 9L, "-")))
+    assert(rows(graft.ops.UnaryOps.extend(g, ext5 = 2, ext3 = 1, useStrand = false)) ==
+      Set((1L, 7L, "+"), (6L, 10L, "+"), (3L, 8L, "-")))
+    assert(rows(graft.ops.UnaryOps.extend(g, -1, -1)) ==
+      Set((4L, 5L, "+"), (9L, 8L, "+"), (6L, 6L, "-")))  // invalids preserved
+    val tx = g.withColumn("transcript_id",
+      when(col(Strand) === "+", "a").otherwise("b"))
+    assert(rows(graft.ops.UnaryOps.extendGrouped(tx, Seq("transcript_id"), ext3 = 3)) ==
+      Set((3L, 6L, "+"), (8L, 12L, "+"), (2L, 7L, "-")))
+  }
+
+  // reference core/pyranges_main.py:810-852 (count_overlaps doctest).
+  test("count_overlaps doctest: strand auto and slack+ignore") {
+    import spark.implicits._
+    val f1 = Seq(("chr1", 3L, 6L, "+"), ("chr1", 5L, 7L, "-"), ("chr1", 8L, 9L, "+"))
+      .toDF(Chrom, Start, End, Strand).withColumn(RowId, monotonically_increasing_id())
+    val f2 = Seq(("chr1", 1L, 2L, "+"), ("chr1", 6L, 7L, "-"))
+      .toDF(Chrom, Start, End, Strand)
+    def counts(d: org.apache.spark.sql.DataFrame) =
+      d.select(Start, "Count").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val same = BinaryOps.countOverlaps(f1, f2, Seq(Chrom, Strand), countCol = "Count")
+    assert(counts(same) == Map(3L -> 0L, 5L -> 1L, 8L -> 0L))
+    val slack = BinaryOps.countOverlaps(f1, f2, Seq(Chrom), slack = 1, countCol = "Count")
+    assert(counts(slack) == Map(3L -> 1L, 5L -> 1L, 8L -> 0L))
+  }
+
   // reference core/pyranges_main.py:5507-5557 (compute_interval_metrics)
   test("compute_interval_metrics doctest values") {
     import spark.implicits._
