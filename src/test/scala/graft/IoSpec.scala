@@ -109,6 +109,25 @@ class IoSpec extends AnyFunSuite {
     assert(whole(1L) == "GTACGTA")
   }
 
+  test("Cli pipeline: read_bed | merge_overlaps | write_bed round-trips") {
+    val d = tmp("cli")
+    Files.writeString(java.nio.file.Paths.get(s"$d/in.bed"),
+      "chr1\t1\t5\tx\t0\t+\nchr1\t4\t9\ty\t0\t+\nchr1\t20\t22\tz\t0\t+\n")
+    val out = graft.Cli.run(spark,
+      s"read_bed $d/in.bed | merge_overlaps slack=0 | write_bed $d/out")
+    assert(out.isEmpty)  // writer stage terminates the chain
+    val back = Bed.read(spark, s"$d/out", nCols = 3)
+    assert(back.select(Start, End).collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 9L), (20L, 22L)))
+    // stage errors are loud
+    intercept[IllegalArgumentException] {
+      graft.Cli.run(spark, "merge_overlaps")
+    }
+    intercept[IllegalArgumentException] {
+      graft.Cli.run(spark, s"read_bed $d/in.bed | frobnicate")
+    }
+  }
+
   test("random generates n in-bounds deterministic intervals") {
     import spark.implicits._
     val cs = Seq(("chr1", 1000L), ("chr2", 500L)).toDF(Chrom, "size")
