@@ -160,6 +160,30 @@ class DocTestParitySpec extends AnyFunSuite {
     assert(gotEx(5L) == 4L && gotEx(3L) == 1L && gotEx(8L) == 2L)
   }
 
+  // reference core/pyranges_main.py:5760-5830 (complement_ranges doctest).
+  test("complement_ranges doctest: whole-set, grouped, chromsizes flanks") {
+    import spark.implicits._
+    val a = Seq(("chr1", 2L, 5L, "a"), ("chr1", 10L, 18L, "a"),
+                ("chr1", 20L, 30L, "b"), ("chr1", 40L, 46L, "b"))
+      .toDF(Chrom, Start, End, "ID")
+    def rows(d: DataFrame) = d.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(graft.ops.UnaryOps.complement(a, Seq(Chrom))) ==
+      Set((5L, 10L), (18L, 20L), (30L, 40L)))
+    val byId = graft.ops.UnaryOps.complement(a, Seq(Chrom, "ID"))
+      .select("ID", Start, End).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byId == Set(("a", 5L, 10L), ("b", 30L, 40L)))
+    val cs = Seq(("chr1", 10000L)).toDF(Chrom, "size")
+    assert(rows(graft.ops.UnaryOps.complement(a, Seq(Chrom), Some(cs))) ==
+      Set((0L, 2L), (5L, 10L), (18L, 20L), (30L, 40L), (46L, 10000L)))
+    val byIdCs = graft.ops.UnaryOps.complement(a, Seq(Chrom, "ID"), Some(cs))
+      .select("ID", Start, End).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byIdCs == Set(("a", 0L, 2L), ("a", 5L, 10L), ("a", 18L, 10000L),
+      ("b", 0L, 20L), ("b", 30L, 40L), ("b", 46L, 10000L)))
+  }
+
   // reference core/pyranges_main.py:930-1005 (extend_ranges doctest).
   test("extend_ranges doctest: symmetric, 5'/3', use_strand=False, negative, grouped") {
     import spark.implicits._

