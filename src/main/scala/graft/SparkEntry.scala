@@ -276,7 +276,7 @@ object SparkEntry {
       "SELECT chrom, strand, istart, iend, n FROM m"),
 
     "q04_cluster" -> sql(Seq(GR_CTE),
-      "SELECT row_id, chrom, strand, istart, iend, CAST(sum(nf) OVER (PARTITION BY chrom ORDER BY istart, iend, row_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cid FROM (SELECT row_id, chrom, strand, istart, iend, CASE WHEN pm IS NULL OR istart > pm THEN 1 ELSE 0 END AS nf FROM (SELECT row_id, chrom, strand, istart, iend, max(iend) OVER (PARTITION BY chrom ORDER BY istart, iend, row_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM gr))"),
+      "SELECT row_id, chrom, strand, istart, iend, CAST(sum(nf) OVER (PARTITION BY chrom ORDER BY istart, iend, row_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cid FROM (SELECT row_id, chrom, strand, istart, iend, CASE WHEN pm IS NULL OR istart >= pm THEN 1 ELSE 0 END AS nf FROM (SELECT row_id, chrom, strand, istart, iend, max(iend) OVER (PARTITION BY chrom ORDER BY istart, iend, row_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM gr))"),
 
     "q05_complement" -> sql(Seq(GR_CTE, GRS_CTE, mergeCte("m", "grs", "chrom, strand")),
       "SELECT chrom, strand, iend AS istart, ns AS iend FROM (SELECT chrom, strand, iend, lead(istart) OVER (PARTITION BY chrom, strand ORDER BY istart) AS ns FROM m) WHERE ns IS NOT NULL AND ns > iend"),

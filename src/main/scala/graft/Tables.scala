@@ -64,7 +64,7 @@ object Tables {
   def mergeCte(name: String, src: String, keyCols: String,
                slack: Long = 0): String = {
     val k = keyCols
-    s"""$name AS (SELECT $k, min(istart) AS istart, max(iend) AS iend, count(*) AS n FROM (SELECT $k, istart, iend, sum(nf) OVER (PARTITION BY $k ORDER BY istart, iend ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl FROM (SELECT $k, istart, iend, CASE WHEN pm IS NULL OR istart > pm + $slack THEN 1 ELSE 0 END AS nf FROM (SELECT $k, istart, iend, max(iend) OVER (PARTITION BY $k ORDER BY istart, iend ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM $src))) GROUP BY $k, cl)"""
+    s"""$name AS (SELECT $k, min(istart) AS istart, max(iend) AS iend, count(*) AS n FROM (SELECT $k, istart, iend, sum(nf) OVER (PARTITION BY $k ORDER BY istart, iend ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl FROM (SELECT $k, istart, iend, CASE WHEN pm IS NULL OR istart >= pm + $slack THEN 1 ELSE 0 END AS nf FROM (SELECT $k, istart, iend, max(iend) OVER (PARTITION BY $k ORDER BY istart, iend ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM $src))) GROUP BY $k, cl)"""
   }
 
   /** Strand-aware 5'->3' cumsum CTE (mirror of UnaryOps.groupCumsum with

@@ -23,7 +23,10 @@ object UnaryOps {
 
   /** Sweep preamble shared by merge/cluster: per-key running max of End
     * over rows ordered (Start, End), flagging rows that start a new
-    * cluster (Start > runningMaxEnd + slack). Reference kernel:
+    * cluster (Start >= runningMaxEnd + slack — STRICT overlap: bookended
+    * intervals are separate clusters at slack=0; slack=1 merges touching,
+    * per the reference cluster doctest core/pyranges_main.py:700-727
+    * "Slack=1 will cluster also bookended intervals"). Reference kernel:
     * ruranges merge/cluster sort-sweep (reference methods/merge.py:10-45,
     * range_frame/range_frame.py:216-264).
     */
@@ -31,7 +34,7 @@ object UnaryOps {
     val w = Window.partitionBy(keyCols(keys): _*)
       .orderBy(Seq(col(Start), col(End)) ++ tieBreak: _*)
     val prevMax = max(col(End)).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val flag = when(prevMax.isNull || col(Start) > prevMax + slack, 1L).otherwise(0L)
+    val flag = when(prevMax.isNull || col(Start) >= prevMax + slack, 1L).otherwise(0L)
     (w, flag)
   }
 
@@ -72,12 +75,20 @@ object UnaryOps {
     */
   def mergeSalted(df: DataFrame, keys: Seq[String], slack: Long = 0,
                   saltBin: Long = 1 << 20): DataFrame = {
+    // A piece CUT at its right bin edge extends 1bp into the next bin so
+    // the two halves of one interval strictly overlap in phase 2 — under
+    // the reference's strict sweep (bookended = separate at slack 0) a
+    // plain cut would otherwise split the interval forever. The +1 never
+    // bridges foreign islands: a cut piece's parent really covers the
+    // boundary, so anything starting there shares its island anyway.
     val pieces = df
       .withColumn("_mb", explode(sequence(
         floor(col(Start).cast("double") / saltBin).cast("long"),
         floor((col(End) - 1).cast("double") / saltBin).cast("long"))))
+      .withColumn("_pe", least(col(End), (col("_mb") + 1) * saltBin))
       .withColumn(Start, greatest(col(Start), col("_mb") * saltBin))
-      .withColumn(End, least(col(End), (col("_mb") + 1) * saltBin))
+      .withColumn(End, when(col("_pe") < col(End), col("_pe") + 1).otherwise(col("_pe")))
+      .drop("_pe")
     val local = merge(pieces, keys :+ "_mb", slack).drop("_mb")
     merge(local, keys, slack)
   }

@@ -62,7 +62,7 @@ object StreamingOps {
               case None =>
                 st = MergeState(Some(OpenIsland(r.start, r.end, 1)), r.start)
               case Some(oi) =>
-                if (r.start > oi.end + slack) {
+                if (r.start >= oi.end + slack) {
                   out += Island(chrom, oi.start, oi.end, oi.n)
                   st = MergeState(Some(OpenIsland(r.start, r.end, 1)), r.start)
                 } else {

@@ -160,6 +160,25 @@ class DocTestParitySpec extends AnyFunSuite {
     assert(gotEx(5L) == 4L && gotEx(3L) == 1L && gotEx(8L) == 2L)
   }
 
+  // reference core/pyranges_main.py:682-745 (cluster_overlaps doctest):
+  // bookended intervals cluster only from slack=1; reference ids are
+  // 0-based, ours 1-based — compare shifted.
+  test("cluster_overlaps doctest: slack 0/1/3 grouping") {
+    import spark.implicits._
+    val gr = Seq((5L, 9L), (6L, 8L), (12L, 16L), (16L, 18L), (20L, 23L),
+                 (22L, 25L), (24L, 27L))
+      .map { case (s, e) => ("1", s, e) }.toDF(Chrom, Start, End)
+    def cids(slack: Long) = graft.ops.UnaryOps.cluster(gr, Seq(Chrom), slack, "cid")
+      .select(Start, "cid").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) - 1)).toMap
+    assert(cids(0) == Map(5L -> 0L, 6L -> 0L, 12L -> 1L, 16L -> 2L,
+      20L -> 3L, 22L -> 3L, 24L -> 3L))
+    assert(cids(1) == Map(5L -> 0L, 6L -> 0L, 12L -> 1L, 16L -> 1L,
+      20L -> 2L, 22L -> 2L, 24L -> 2L))
+    assert(cids(3) == Map(5L -> 0L, 6L -> 0L, 12L -> 1L, 16L -> 1L,
+      20L -> 1L, 22L -> 1L, 24L -> 1L))
+  }
+
   // reference core/pyranges_main.py:5760-5830 (complement_ranges doctest).
   test("complement_ranges doctest: whole-set, grouped, chromsizes flanks") {
     import spark.implicits._

@@ -33,22 +33,27 @@ class OpsSpec extends AnyFunSuite {
     df.select(Chrom, Start, End).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
 
-  // merge_overlaps: overlapping + bookended merged (reference
-  // core/pyranges_main.py:2048-2141 doctest).
-  test("merge merges overlapping and touching intervals") {
+  // merge_overlaps: strictly-overlapping intervals merge; bookended stay
+  // separate at slack=0, slack=1 merges them (reference cluster doctest
+  // core/pyranges_main.py:700-727 "Slack=1 will cluster also bookended").
+  test("merge merges overlapping; bookended need slack=1") {
     val df = gf(("chr1", 1, 5), ("chr1", 4, 9), ("chr1", 9, 11), ("chr1", 15, 20),
                 ("chr2", 1, 3))
     val m = UnaryOps.merge(df, Seq(Chrom), 0, Some("n"))
-    assert(rows3(m) == Set(("chr1", 1L, 11L), ("chr1", 15L, 20L), ("chr2", 1L, 3L)))
+    assert(rows3(m) == Set(("chr1", 1L, 9L), ("chr1", 9L, 11L), ("chr1", 15L, 20L),
+      ("chr2", 1L, 3L)))
     val counts = m.select(Chrom, Start, "n").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    assert(counts == Set(("chr1", 1L, 3L), ("chr1", 15L, 1L), ("chr2", 1L, 1L)))
+    assert(counts == Set(("chr1", 1L, 2L), ("chr1", 9L, 1L), ("chr1", 15L, 1L),
+      ("chr2", 1L, 1L)))
+    assert(rows3(UnaryOps.merge(df, Seq(Chrom), slack = 1)) ==
+      Set(("chr1", 1L, 11L), ("chr1", 15L, 20L), ("chr2", 1L, 3L)))
   }
 
-  test("merge slack bridges gaps <= slack") {
-    val df = gf(("c", 1, 5), ("c", 7, 9))
-    assert(rows3(UnaryOps.merge(df, Seq(Chrom), slack = 2)) == Set(("c", 1L, 9L)))
-    assert(rows3(UnaryOps.merge(df, Seq(Chrom), slack = 1)) ==
+  test("merge slack bridges gaps strictly smaller than slack") {
+    val df = gf(("c", 1, 5), ("c", 7, 9))  // gap of 2
+    assert(rows3(UnaryOps.merge(df, Seq(Chrom), slack = 3)) == Set(("c", 1L, 9L)))
+    assert(rows3(UnaryOps.merge(df, Seq(Chrom), slack = 2)) ==
       Set(("c", 1L, 5L), ("c", 7L, 9L)))
   }
 
