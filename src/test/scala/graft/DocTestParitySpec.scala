@@ -203,6 +203,24 @@ class DocTestParitySpec extends AnyFunSuite {
       ("b", 0L, 20L), ("b", 30L, 40L), ("b", 46L, 10000L)))
   }
 
+  // reference core/pyranges_main.py:3568-3635 (subtract_overlaps doctest).
+  test("subtract_overlaps doctest: plain and match_by") {
+    import spark.implicits._
+    val gr = Seq(("chr1", 1L, 3L, "a", "x"), ("chr1", 4L, 9L, "b", "y"),
+                 ("chr1", 10L, 11L, "c", "z"))
+      .toDF(Chrom, Start, End, "ID", "tag").withColumn(RowId, monotonically_increasing_id())
+    val gr2 = Seq(("chr1", 2L, 3L, "x"), ("chr1", 2L, 9L, "w"), ("chr1", 9L, 10L, "z"))
+      .toDF(Chrom, Start, End, "tag")
+    val plain = BinaryOps.subtract(gr, gr2.drop("tag"), Seq(Chrom))
+      .select("ID", Start, End).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(plain == Set(("a", 1L, 2L), ("c", 10L, 11L)))
+    val byTag = BinaryOps.subtract(gr, gr2, Seq(Chrom, "tag"))
+      .select("ID", Start, End).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byTag == Set(("a", 1L, 2L), ("b", 4L, 9L), ("c", 10L, 11L)))
+  }
+
   // reference core/pyranges_main.py:930-1005 (extend_ranges doctest).
   test("extend_ranges doctest: symmetric, 5'/3', use_strand=False, negative, grouped") {
     import spark.implicits._
