@@ -203,6 +203,25 @@ class DocTestParitySpec extends AnyFunSuite {
       ("b", 0L, 20L), ("b", 30L, 40L), ("b", 46L, 10000L)))
   }
 
+  // reference core/pyranges_main.py:3300-3365 (split_overlaps doctest).
+  test("split_overlaps doctest: stranded/unstranded x between") {
+    import spark.implicits._
+    val gr = Seq(("chr1", 3L, 6L, "+"), ("chr1", 5L, 9L, "+"),
+                 ("chr1", 5L, 7L, "-"), ("chr1", 11L, 12L, "-"))
+      .toDF(Chrom, Start, End, Strand)
+    def rows(keys: Seq[String], between: Boolean) =
+      graft.ops.UnaryOps.split(gr, keys, between)
+        .select(Start, End).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(Seq(Chrom, Strand), between = false) ==
+      Set((3L, 5L), (5L, 6L), (6L, 9L), (5L, 7L), (11L, 12L)))
+    assert(rows(Seq(Chrom, Strand), between = true) ==
+      Set((3L, 5L), (5L, 6L), (6L, 9L), (5L, 7L), (7L, 11L), (11L, 12L)))
+    assert(rows(Seq(Chrom), between = false) ==
+      Set((3L, 5L), (5L, 6L), (6L, 7L), (7L, 9L), (11L, 12L)))
+    assert(rows(Seq(Chrom), between = true) ==
+      Set((3L, 5L), (5L, 6L), (6L, 7L), (7L, 9L), (9L, 11L), (11L, 12L)))
+  }
+
   // reference core/pyranges_main.py:3568-3635 (subtract_overlaps doctest).
   test("subtract_overlaps doctest: plain and match_by") {
     import spark.implicits._
