@@ -166,7 +166,7 @@ final case class GenomicFrame(df: DataFrame) {
     GenomicFrame(UnaryOps.windowRanges(df, size, resolveUseStrand(useStrand)))
 
   def tileRanges(size: Long, overlapCol: Option[String] = None): GenomicFrame =
-    GenomicFrame(UnaryOps.tile(df, size, overlapCol))
+    GenomicFrame(UnaryOps.tile(df, size, overlapCol, fraction = true))
 
   def maxDisjointOverlaps(useStrand: Option[Boolean] = None, slack: Long = 0,
                           matchBy: Seq[String] = Nil): GenomicFrame =

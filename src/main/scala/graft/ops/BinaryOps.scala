@@ -92,11 +92,14 @@ object BinaryOps {
 
   /** intersect_overlaps (reference core/pyranges_main.py:5309-5436):
     * overlap join with output coordinates clipped to the overlapping
-    * segment. */
+    * segment; multiple=first/last keeps one segment per left row (by
+    * smallest Start_b / largest End_b). */
   def intersect(left: DataFrame, right: DataFrame, keys: Seq[String],
-                slack: Long = 0, binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
-    val p = RangeJoin.pairs(left, right, keys, slack, binSize)
-    p.withColumn(Start, greatest(col(Start), col(Start + "_b")))
+                slack: Long = 0, multiple: String = "all",
+                binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
+    val p0 = joinOverlaps(left, right, keys, joinType = "inner",
+      multiple = multiple, slack = slack, binSize = binSize)
+    p0.withColumn(Start, greatest(col(Start), col(Start + "_b")))
       .withColumn(End, least(col(End), col(End + "_b")))
       .drop(Start + "_b", End + "_b")
   }
@@ -155,9 +158,10 @@ object BinaryOps {
   /** set_intersect_overlaps (reference core/pyranges_main.py:2617-2721):
     * merge both sides per key, then intersect the merged segments. */
   def setIntersect(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   multiple: String = "all",
                    binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame =
     intersect(UnaryOps.merge(left, keys).withColumn(RowId, monotonically_increasing_id()),
-              UnaryOps.merge(right, keys), keys, 0, binSize)
+              UnaryOps.merge(right, keys), keys, 0, multiple, binSize)
       .drop(RowId)
 
   /** set_union_overlaps (reference core/pyranges_main.py:2723-2820):

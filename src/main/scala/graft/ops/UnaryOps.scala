@@ -242,16 +242,20 @@ object UnaryOps {
 
   /** tile_ranges (reference core/pyranges_main.py:3719-3846): snap
     * intervals onto the global grid of `size`; one row per overlapped
-    * tile; optional overlap length (bp of interval inside the tile). */
-  def tile(df: DataFrame, size: Long, overlapCol: Option[String] = None): DataFrame = {
+    * tile; optional overlap column — the FRACTION of the tile covered
+    * (reference doctest :3805 TileOverlap 0.32) when fraction=true, the
+    * overlap length in bp otherwise. */
+  def tile(df: DataFrame, size: Long, overlapCol: Option[String] = None,
+           fraction: Boolean = false): DataFrame = {
     val t = df.withColumn("_t",
       explode(sequence(floor(col(Start).cast("double") / size).cast("long"),
                        floor((col(End) - 1).cast("double") / size).cast("long"))))
     val withBounds = t
       .withColumn("_ts", col("_t") * size)
       .withColumn("_te", (col("_t") + 1) * size)
+    val ovLen = least(col(End), col("_te")) - greatest(col(Start), col("_ts"))
     val withOv = overlapCol.fold(withBounds)(c => withBounds.withColumn(c,
-      least(col(End), col("_te")) - greatest(col(Start), col("_ts"))))
+      if (fraction) ovLen.cast("double") / size else ovLen))
     withOv.withColumn(Start, col("_ts")).withColumn(End, col("_te"))
       .drop("_t", "_ts", "_te")
   }

@@ -203,6 +203,30 @@ class DocTestParitySpec extends AnyFunSuite {
       ("b", 0L, 20L), ("b", 30L, 40L), ("b", 46L, 10000L)))
   }
 
+  // reference core/pyranges_main.py:2663-2709 (set_intersect doctest).
+  test("set_intersect_overlaps doctest: all and multiple=first") {
+    import spark.implicits._
+    val r1 = Seq(("chr1", 5L, 10L), ("chr1", 20L, 30L), ("chr1", 40L, 50L))
+      .toDF(Chrom, Start, End)
+    val r2 = Seq(("chr1", 7L, 9L), ("chr1", 18L, 22L), ("chr1", 25L, 33L),
+                 ("chr1", 28L, 32L)).toDF(Chrom, Start, End)
+    def rows(d: DataFrame) = d.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(BinaryOps.setIntersect(r1, r2, Seq(Chrom))) ==
+      Set((7L, 9L), (20L, 22L), (25L, 30L)))
+    assert(rows(BinaryOps.setIntersect(r1, r2, Seq(Chrom), multiple = "first")) ==
+      Set((7L, 9L), (20L, 22L)))
+  }
+
+  // reference core/pyranges_main.py:3805 (tile_ranges overlap fraction).
+  test("tile_ranges doctest: TileOverlap fraction 0.32") {
+    import spark.implicits._
+    val gr = Seq(("1", 11868L, 14409L)).toDF(Chrom, Start, End)
+    val first = graft.ops.UnaryOps.tile(gr, 100, Some("TileOverlap"), fraction = true)
+      .orderBy(Start).head
+    assert(first.getLong(1) == 11800L && math.abs(first.getDouble(3) - 0.32) < 1e-9)
+  }
+
   // reference core/pyranges_main.py:3300-3365 (split_overlaps doctest).
   test("split_overlaps doctest: stranded/unstranded x between") {
     import spark.implicits._
