@@ -16,16 +16,22 @@ object BinaryOps {
   import Cols.{Start, End, RowId}
 
   /** overlap (reference core/pyranges_main.py:2393-2615): keep left rows
-    * overlapping >= 1 right row; invert => keep non-overlapping.
-    * multiple first/all both collapse to existence here (row set is the
-    * same; the reference differs only in output ordering). */
+    * overlapping >= 1 right row; invert => keep non-overlapping;
+    * keepDuplicates mirrors the reference's multiple=True (one output
+    * row PER matching right row, left columns only). */
   def overlap(left: DataFrame, right: DataFrame, keys: Seq[String],
               slack: Long = 0, contained: Boolean = false,
-              invert: Boolean = false, binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
-    // Merging right first shrinks the probe side and cannot change
-    // existence (except for containment, which needs original intervals).
-    val probe = if (contained) right else UnaryOps.merge(right, keys)
-    RangeJoin.exists(left, probe, keys, slack, binSize, contained, anti = invert)
+              invert: Boolean = false, keepDuplicates: Boolean = false,
+              binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
+    if (keepDuplicates && !invert) {
+      RangeJoin.pairs(left, right, keys, slack, binSize, contained = contained)
+        .select(left.columns.map(col): _*)
+    } else {
+      // Merging right first shrinks the probe side and cannot change
+      // existence (except containment, which needs original intervals).
+      val probe = if (contained) right else UnaryOps.merge(right, keys)
+      RangeJoin.exists(left, probe, keys, slack, binSize, contained, anti = invert)
+    }
   }
 
   /** join_overlaps (reference core/pyranges_main.py:1147-1401): relational
@@ -77,14 +83,14 @@ object BinaryOps {
     joinType match {
       case "inner" => p
       case "left" =>
-        val unmatched = overlap(left, right, keys, slack, contained, invert = true, binSize)
+        val unmatched = overlap(left, right, keys, slack, contained, invert = true, binSize = binSize)
         p.unionByName(nullRight(unmatched).select(p.columns.map(col): _*))
       case "right" =>
-        val unmatchedR = overlap(right, left, keys, slack, contained = false, invert = true, binSize)
+        val unmatchedR = overlap(right, left, keys, slack, contained = false, invert = true, binSize = binSize)
         p.unionByName(nullLeft(unmatchedR).select(p.columns.map(col): _*))
       case "outer" | "full" =>
-        val ul = overlap(left, right, keys, slack, contained, invert = true, binSize)
-        val ur = overlap(right, left, keys, slack, contained = false, invert = true, binSize)
+        val ul = overlap(left, right, keys, slack, contained, invert = true, binSize = binSize)
+        val ur = overlap(right, left, keys, slack, contained = false, invert = true, binSize = binSize)
         p.unionByName(nullRight(ul).select(p.columns.map(col): _*))
           .unionByName(nullLeft(ur).select(p.columns.map(col): _*))
     }
@@ -151,7 +157,7 @@ object BinaryOps {
       .withColumn(Start, col("_seg.s"))
       .withColumn(End, col("_seg.e"))
       .select(left.columns.map(col): _*)
-    val untouched = overlap(left, merged, keys, 0, contained = false, invert = true, binSize)
+    val untouched = overlap(left, merged, keys, 0, contained = false, invert = true, binSize = binSize)
     pieces.unionByName(untouched.select(left.columns.map(col): _*))
   }
 

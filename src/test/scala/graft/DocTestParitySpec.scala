@@ -203,6 +203,27 @@ class DocTestParitySpec extends AnyFunSuite {
       ("b", 0L, 20L), ("b", 30L, 40L), ("b", 46L, 10000L)))
   }
 
+  // reference core/pyranges_main.py:2455-2560 (overlap doctest).
+  test("overlap doctest: plain/multiple/invert/slack/contained") {
+    import spark.implicits._
+    val gr = Seq(("chr1", 1L, 3L, "A"), ("chr1", 1L, 3L, "a"), ("chr2", 4L, 9L, "b"),
+                 ("chr1", 10L, 11L, "c"), ("chr3", 0L, 1L, "d"))
+      .toDF(Chrom, Start, End, "ID").withColumn(RowId, monotonically_increasing_id())
+    val gr2 = Seq(("chr1", 2L, 3L), ("chr1", 2L, 9L), ("chr2", 1L, 10L))
+      .toDF(Chrom, Start, End)
+    def ids(d: DataFrame) = d.select("ID").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids(BinaryOps.overlap(gr, gr2, Seq(Chrom))) == Seq("A", "a", "b"))
+    assert(ids(BinaryOps.overlap(gr, gr2, Seq(Chrom), keepDuplicates = true)) ==
+      Seq("A", "A", "a", "a", "b"))
+    assert(ids(BinaryOps.overlap(gr, gr2, Seq(Chrom), invert = true)) == Seq("c", "d"))
+    assert(ids(BinaryOps.overlap(gr, gr2, Seq(Chrom), slack = 2)) ==
+      Seq("A", "a", "b", "c"))
+    assert(ids(BinaryOps.overlap(gr, gr2, Seq(Chrom), slack = 2, invert = true)) == Seq("d"))
+    assert(ids(BinaryOps.overlap(gr, gr2, Seq(Chrom), contained = true)) == Seq("b"))
+    assert(ids(BinaryOps.overlap(gr, gr2, Seq(Chrom), contained = true, invert = true)) ==
+      Seq("A", "a", "c", "d"))
+  }
+
   // reference core/pyranges_main.py:2663-2709 (set_intersect doctest).
   test("set_intersect_overlaps doctest: all and multiple=first") {
     import spark.implicits._
