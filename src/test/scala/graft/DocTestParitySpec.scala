@@ -203,6 +203,22 @@ class DocTestParitySpec extends AnyFunSuite {
       ("b", 0L, 20L), ("b", 30L, 40L), ("b", 46L, 10000L)))
   }
 
+  // reference core/pyranges_main.py:4887-4950 (window_ranges doctest).
+  test("window_ranges doctest: plus tail, minus 5'->3', use_strand=False") {
+    import spark.implicits._
+    val gr = Seq(("1", 800L, 1012L)).toDF(Chrom, Start, End)
+    def rows(d: DataFrame) = d.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(graft.ops.UnaryOps.windowRanges(gr, 100)) ==
+      Set((800L, 900L), (900L, 1000L), (1000L, 1012L)))
+    val gs = Seq(("1", 200L, 332L, "+"), ("1", 600L, 787L, "-"))
+      .toDF(Chrom, Start, End, Strand)
+    assert(rows(graft.ops.UnaryOps.windowRanges(gs, 100)) ==
+      Set((200L, 300L), (300L, 332L), (687L, 787L), (600L, 687L)))
+    assert(rows(graft.ops.UnaryOps.windowRanges(gs, 100, useStrand = false)) ==
+      Set((200L, 300L), (300L, 332L), (600L, 700L), (700L, 787L)))
+  }
+
   // reference core/pyranges_main.py:2455-2560 (overlap doctest).
   test("overlap doctest: plain/multiple/invert/slack/contained") {
     import spark.implicits._
