@@ -148,8 +148,12 @@ final case class GenomicFrame(df: DataFrame) {
                    useStrand: Option[Boolean] = None): GenomicFrame =
     GenomicFrame(UnaryOps.extend(df, ext5, ext3, resolveUseStrand(useStrand)))
 
-  def clipRanges(chromSizes: DataFrame, onlyRight: Boolean = false): GenomicFrame =
-    GenomicFrame(UnaryOps.clip(df, chromSizes, onlyRight))
+  def clipRanges(chromSizes: Option[DataFrame] = None,
+                 onlyRight: Boolean = false): GenomicFrame =
+    GenomicFrame(chromSizes match {
+      case Some(cs) => UnaryOps.clip(df, cs, onlyRight)
+      case None     => UnaryOps.clipZero(df)
+    })
 
   def splitOverlaps(useStrand: Option[Boolean] = None, between: Boolean = false,
                     matchBy: Seq[String] = Nil): GenomicFrame =

@@ -173,6 +173,12 @@ object UnaryOps {
   /** clip_ranges / genome_bounds (reference core/pyranges_main.py:
     * 6075-6233): clamp intervals into [0, chromSize); rows entirely
     * outside are dropped. chromSizes: (Chromosome, size). */
+  /** clip_ranges() without chromsizes (reference doctest
+    * core/pyranges_main.py:6160-6170): clamp only at 0. */
+  def clipZero(df: DataFrame): DataFrame =
+    df.withColumn(Start, greatest(col(Start), lit(0L)))
+      .filter(col(End) > col(Start))
+
   def clip(df: DataFrame, chromSizes: DataFrame,
            onlyRight: Boolean = false): DataFrame = {
     val joined = df.join(broadcast(chromSizes), Seq(Cols.Chrom))

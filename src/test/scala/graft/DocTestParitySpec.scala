@@ -203,6 +203,20 @@ class DocTestParitySpec extends AnyFunSuite {
       ("b", 0L, 20L), ("b", 30L, 40L), ("b", 46L, 10000L)))
   }
 
+  // reference core/pyranges_main.py:6130-6190 (clip_ranges doctest).
+  test("clip_ranges doctest: no-chromsizes clamps at 0; only_right clips ends") {
+    import spark.implicits._
+    val w = Seq(("1", -10L, 2L), ("1", 249250600L, 249250640L), ("1", 100L, 150L))
+      .toDF(Chrom, Start, End)
+    def rows(d: DataFrame) = d.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(graft.ops.UnaryOps.clipZero(w)) ==
+      Set((0L, 2L), (249250600L, 249250640L), (100L, 150L)))
+    val cs = Seq(("1", 249250620L)).toDF(Chrom, "size")
+    assert(rows(graft.ops.UnaryOps.clip(w, cs, onlyRight = true)) ==
+      Set((-10L, 2L), (249250600L, 249250620L), (100L, 150L)))
+  }
+
   // reference core/pyranges_main.py:4887-4950 (window_ranges doctest).
   test("window_ranges doctest: plus tail, minus 5'->3', use_strand=False") {
     import spark.implicits._
