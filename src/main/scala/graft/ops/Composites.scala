@@ -138,13 +138,21 @@ object Composites {
     val lo = greatest(cs, col(Start))
     val hi = least(ce, col(End))
     val isNeg = col("_str") === Cols.RevStrand
+    // Output strand is the PRODUCT of local and exon strand (reference
+    // doctest core/pyranges_main.py:1580-1600: a '-' local feature on a
+    // '+' transcript points '-' in genome space, and '-'x'-' = '+').
+    val outStrand =
+      if (local.columns.contains(Strand))
+        when(col(Strand) === col("_str"), Cols.FwdStrand).otherwise(Cols.RevStrand)
+      else col("_str")
     p.withColumn("_gs", when(isNeg, col("_ee") - (hi - cs))
         .otherwise(col("_es") + (lo - cs)))
       .withColumn("_ge", when(isNeg, col("_ee") - (lo - cs))
         .otherwise(col("_es") + (hi - cs)))
+      .withColumn("_ostr", outStrand)
       .withColumn(Start, col("_gs")).withColumn(End, col("_ge"))
-      .withColumn(Chrom, col("_chr")).withColumn(Strand, col("_str"))
-      .drop("_chr", "_str", "_es", "_ee", Start + "_b", End + "_b", "_gs", "_ge")
+      .withColumn(Chrom, col("_chr")).withColumn(Strand, col("_ostr"))
+      .drop("_chr", "_str", "_es", "_ee", Start + "_b", End + "_b", "_gs", "_ge", "_ostr")
   }
 
   /** window_ranges with group_by (reference core/pyranges_main.py:

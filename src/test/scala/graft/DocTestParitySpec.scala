@@ -203,6 +203,42 @@ class DocTestParitySpec extends AnyFunSuite {
       ("b", 0L, 20L), ("b", 30L, 40L), ("b", 46L, 10000L)))
   }
 
+  // reference core/pyranges_main.py:1540-1655 (map_to_global doctest).
+  test("map_to_global doctest: strand product, junction split, truncation") {
+    import spark.implicits._
+    val gr = Seq(("chr1", 100L, 200L, "+", "tx1"), ("chr1", 300L, 400L, "+", "tx1"),
+                 ("chr1", 1000L, 1050L, "-", "tx2"), ("chr1", 1100L, 1200L, "-", "tx2"))
+      .toDF(Chrom, Start, End, Strand, "transcript_id")
+    val tr = Seq(("tx1", 0L, 80L, "-", "a"), ("tx1", 120L, 140L, "-", "b"),
+                 ("tx1", 160L, 170L, "+", "c"), ("tx2", 0L, 20L, "+", "d"),
+                 ("tx2", 100L, 130L, "+", "e"))
+      .toDF("transcript_id", Start, End, Strand, "label")
+    val got = Composites.mapToGlobal(tr, gr, "transcript_id")
+      .select("label", Chrom, Start, End, Strand).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(got == Set(
+      ("a", "chr1", 100L, 180L, "-"), ("b", "chr1", 320L, 340L, "-"),
+      ("c", "chr1", 360L, 370L, "+"), ("d", "chr1", 1180L, 1200L, "-"),
+      ("e", "chr1", 1020L, 1050L, "-")))
+    // junction-spanning locals split; output per overlapped exon
+    val tr2 = Seq(("tx1", 90L, 110L, "+", "q"), ("tx2", 80L, 120L, "+", "w"),
+                  ("tx2", 50L, 120L, "-", "e"))
+      .toDF("transcript_id", Start, End, Strand, "label")
+    val got2 = Composites.mapToGlobal(tr2, gr, "transcript_id")
+      .select("label", Start, End, Strand).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got2 == Set(
+      ("q", 190L, 200L, "+"), ("q", 300L, 310L, "+"),
+      ("w", 1030L, 1050L, "-"), ("w", 1100L, 1120L, "-"),
+      ("e", 1030L, 1050L, "+"), ("e", 1100L, 1150L, "+")))
+    // locals longer than the transcript truncate
+    val tr3 = Seq(("tx1", 20L, 1000L, "+", "t")).toDF("transcript_id", Start, End, Strand, "label")
+    val got3 = Composites.mapToGlobal(tr3, gr, "transcript_id")
+      .select(Start, End).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3 == Set((120L, 200L), (300L, 400L)))
+  }
+
   // reference core/pyranges_main.py:6130-6190 (clip_ranges doctest).
   test("clip_ranges doctest: no-chromsizes clamps at 0; only_right clips ends") {
     import spark.implicits._
