@@ -131,9 +131,8 @@ object SparkEntry {
       val ex = gr(s, dir).withColumn("tx", concat(col(Chrom), col(Strand)))
       out(Composites.mapToLocal(gr2(s, dir), ex, "tx", Seq(Chrom),
           tieBreak = Seq(col(RowId))))
-        .select(col("row_id"), col("chrom"), col("strand"), col("tx"),
-          col("row_id_b"), col("Strand_b").as("strand_b"),
-          col("istart"), col("iend"))
+        .select(col("row_id"), col("chrom"), col("strand"),
+          col("row_id_b"), col("istart"), col("iend"))
     }),
 
     // ---- remaining unary / metric / stat ops ----
@@ -389,8 +388,8 @@ object SparkEntry {
     "q31_maptolocal" -> sql(Seq(GR_CTE, GR2_CTE,
       "ex AS (SELECT row_id, chrom, strand, istart, iend, chrom || strand AS tx FROM gr)",
       cumCte("cum", "ex", "tx"),
-      "j AS (SELECT g.row_id, g.chrom, g.strand, c.tx, c.row_id AS row_id_b, c.strand AS strand_b, c.cst, c.istart AS es, c.iend AS ee, greatest(g.istart, c.istart) AS gs, least(g.iend, c.iend) AS ge FROM gr2 g JOIN cum c ON g.chrom = c.chrom AND g.istart < c.iend AND g.iend > c.istart)"),
-      "SELECT row_id, chrom, strand, tx, row_id_b, strand_b, CASE WHEN strand_b='-' THEN cst + (ee - ge) ELSE cst + (gs - es) END AS istart, CASE WHEN strand_b='-' THEN cst + (ee - gs) ELSE cst + (ge - es) END AS iend FROM j"),
+      "j AS (SELECT g.row_id, c.tx, CASE WHEN g.strand = c.strand THEN '+' ELSE '-' END AS pstrand, c.row_id AS row_id_b, c.strand AS strand_b, c.cst, c.istart AS es, c.iend AS ee, greatest(g.istart, c.istart) AS gs, least(g.iend, c.iend) AS ge FROM gr2 g JOIN cum c ON g.chrom = c.chrom AND g.istart < c.iend AND g.iend > c.istart)"),
+      "SELECT row_id, tx AS chrom, pstrand AS strand, row_id_b, CASE WHEN strand_b='-' THEN cst + (ee - ge) ELSE cst + (gs - es) END AS istart, CASE WHEN strand_b='-' THEN cst + (ee - gs) ELSE cst + (ge - es) END AS iend FROM j"),
 
     // q32_maxdisjoint: greedy scan is not SQL-expressible — rows-only check.
 

@@ -177,22 +177,46 @@ object Composites {
 
   /** map_to_local (reference core/pyranges_main.py:1721-1909): genomic
     * intervals -> transcript-local coordinates via overlap with the exon
-    * model (range join on Chromosome [+ Strand]), clipped to exons. */
+    * model (range join on Chromosome [+ match_by]), clipped to exons.
+    * Parity shape per the doctest (:1816-1830): output Chromosome IS the
+    * transcript id, output Strand is the genomic x exon strand product;
+    * keepChrom/keepLoc retain the genomic columns as *_global. */
   def mapToLocal(genomic: DataFrame, exons: DataFrame, txCol: String,
                  keys: Seq[String] = Seq(Chrom),
-                 tieBreak: Seq[Column] = Nil): DataFrame = {
+                 tieBreak: Seq[Column] = Nil,
+                 keepChrom: Boolean = false, keepLoc: Boolean = false): DataFrame = {
     val cum = UnaryOps.groupCumsum(exons, Seq(txCol), useStrand = true, "_cs", "_ce", tieBreak)
     val p = RangeJoin.pairs(genomic, cum, keys)
     val es = col(Start + "_b")
     val ee = col(End + "_b")
     val gs = greatest(col(Start), es)
     val ge = least(col(End), ee)
-    val isNeg = col(if (p.columns.contains(Strand + "_b")) Strand + "_b" else Strand) === Cols.RevStrand
-    p.withColumn("_ls", when(isNeg, col("_cs") + (ee - ge))
+    val exonStrand = if (p.columns.contains(Strand + "_b")) col(Strand + "_b") else col(Strand)
+    val isNeg = exonStrand === Cols.RevStrand
+    val outStrand =
+      if (genomic.columns.contains(Strand))
+        when(col(Strand) === exonStrand, Cols.FwdStrand).otherwise(Cols.RevStrand)
+      else exonStrand
+    val base = p
+      .withColumn("_ls", when(isNeg, col("_cs") + (ee - ge))
         .otherwise(col("_cs") + (gs - es)))
       .withColumn("_le", when(isNeg, col("_cs") + (ee - gs))
         .otherwise(col("_cs") + (ge - es)))
+      .withColumn("_ostr", outStrand)
+    val withGlobals = base
+      .withColumn("Chromosome_global", col(Chrom))
+      .withColumn("Start_global", col(Start))
+      .withColumn("End_global", col(End))
+      .withColumn("Strand_global",
+        if (genomic.columns.contains(Strand)) col(Strand) else lit(null).cast("string"))
+    val renamed = withGlobals
+      .withColumn(Chrom, col(txCol))
       .withColumn(Start, col("_ls")).withColumn(End, col("_le"))
-      .drop("_cs", "_ce", "_ls", "_le", Start + "_b", End + "_b")
+      .withColumn(Strand, col("_ostr"))
+      .drop("_cs", "_ce", "_ls", "_le", "_ostr", Start + "_b", End + "_b", txCol)
+    val dropGlobals =
+      (if (keepChrom) Nil else Seq("Chromosome_global")) ++
+      (if (keepLoc) Nil else Seq("Start_global", "End_global", "Strand_global"))
+    renamed.drop(dropGlobals: _*)
   }
 }

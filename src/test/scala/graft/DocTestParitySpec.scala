@@ -239,6 +239,40 @@ class DocTestParitySpec extends AnyFunSuite {
     assert(got3 == Set((120L, 200L), (300L, 400L)))
   }
 
+  // reference core/pyranges_main.py:1775-1900 (map_to_local doctest).
+  test("map_to_local doctest: tx as chromosome, strand product, splits, keep flags") {
+    import spark.implicits._
+    val tr = Seq(("chr1", 100L, 200L, "+", "tx1"), ("chr1", 300L, 400L, "+", "tx1"),
+                 ("chr1", 1000L, 1050L, "-", "tx2"), ("chr1", 1100L, 1200L, "-", "tx2"))
+      .toDF(Chrom, Start, End, Strand, "transcript_id")
+    val g1 = Seq(("chr1", 110L, 180L, "+", "a"), ("chr1", 220L, 240L, "+", "ni"),
+                 ("chr1", 320L, 340L, "+", "b"), ("chr1", 340L, 360L, "-", "c"),
+                 ("chr1", 500L, 550L, "+", "ng"), ("chr1", 1030L, 1050L, "-", "d"),
+                 ("chr1", 1180L, 1200L, "+", "e"))
+      .toDF(Chrom, Start, End, Strand, "label")
+      .withColumn(RowId, monotonically_increasing_id())
+    val got = Composites.mapToLocal(g1, tr, "transcript_id")
+      .select("label", Chrom, Start, End, Strand).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(got == Set(
+      ("a", "tx1", 10L, 80L, "+"), ("b", "tx1", 120L, 140L, "+"),
+      ("c", "tx1", 140L, 160L, "-"), ("d", "tx2", 100L, 120L, "+"),
+      ("e", "tx2", 0L, 20L, "-")))
+    // exon-junction genomic interval splits into two local fragments
+    val g2 = Seq(("chr1", 180L, 330L, "+", "q")).toDF(Chrom, Start, End, Strand, "label")
+      .withColumn(RowId, monotonically_increasing_id())
+    val got2 = Composites.mapToLocal(g2, tr, "transcript_id")
+      .select(Start, End).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((80L, 100L), (100L, 130L)))
+    // keepChrom / keepLoc expose the genomic columns as *_global
+    val kept = Composites.mapToLocal(g2, tr, "transcript_id",
+      keepChrom = true, keepLoc = true)
+    assert(kept.columns.contains("Chromosome_global") &&
+      kept.columns.contains("Start_global") && kept.columns.contains("Strand_global"))
+    assert(kept.select("Chromosome_global").head.getString(0) == "chr1")
+  }
+
   // reference core/pyranges_main.py:6130-6190 (clip_ranges doctest).
   test("clip_ranges doctest: no-chromsizes clamps at 0; only_right clips ends") {
     import spark.implicits._
