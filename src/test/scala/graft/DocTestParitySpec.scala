@@ -239,6 +239,25 @@ class DocTestParitySpec extends AnyFunSuite {
     assert(got3 == Set((120L, 200L), (300L, 400L)))
   }
 
+  // reference core/pyranges_main.py:5249-5279 (group_cumsum doctest).
+  test("group_cumsum doctest: minus-strand groups accumulate 5'->3'") {
+    import spark.implicits._
+    val gr = Seq(
+      ("1", 11868L, 12227L, "+", "DDX11L1"), ("1", 12612L, 12721L, "+", "DDX11L1"),
+      ("1", 13220L, 14409L, "+", "DDX11L1"), ("1", 112699L, 112804L, "-", "AL"),
+      ("1", 110952L, 111357L, "-", "AL"), ("1", 133373L, 133723L, "-", "AL"),
+      ("1", 129054L, 129223L, "-", "AL"), ("1", 120873L, 120932L, "-", "AL"))
+      .toDF(Chrom, Start, End, Strand, "gene_name")
+    val got = graft.ops.UnaryOps.groupCumsum(gr, Seq("gene_name"), useStrand = true)
+      .select(Start, "cumStart", "cumEnd").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(11868L) == ((0L, 359L)) && got(12612L) == ((359L, 468L)) &&
+      got(13220L) == ((468L, 1657L)))
+    assert(got(133373L) == ((0L, 350L)) && got(129054L) == ((350L, 519L)) &&
+      got(120873L) == ((519L, 578L)) && got(112699L) == ((578L, 683L)) &&
+      got(110952L) == ((683L, 1088L)))
+  }
+
   // reference core/pyranges_main.py:1775-1900 (map_to_local doctest).
   test("map_to_local doctest: tx as chromosome, strand product, splits, keep flags") {
     import spark.implicits._
