@@ -279,10 +279,13 @@ object UnaryOps {
   }
 
   /** max_disjoint_overlaps (reference core/pyranges_main.py:1911-2046):
-    * maximum-cardinality non-overlapping subset per key — the classic
-    * greedy-by-end scan. Inherently sequential per key: repartition by
-    * key, sort within partitions by (key, End), single-pass sweep with
-    * carried lastEnd state (reference kernel: ruranges max_disjoint,
+    * greedy non-overlapping subset per key. The reference kernel scans in
+    * START order and keeps an interval iff it doesn't overlap the last
+    * kept one (its doctest :1987-2000 keeps [19,27) over the
+    * higher-cardinality {[20,22),[24,25)} — first-fit by start, not the
+    * classic by-end maximum-cardinality greedy). Inherently sequential
+    * per key: repartition + sortWithinPartitions + mapPartitions with
+    * carried lastEnd (reference kernel: ruranges max_disjoint,
     * range_frame/range_frame.py:397-449). */
   def maxDisjoint(df: DataFrame, keys: Seq[String], slack: Long = 0): DataFrame = {
     val schema = df.schema
@@ -290,7 +293,7 @@ object UnaryOps {
     val sIdx = schema.fieldIndex(Start)
     val eIdx = schema.fieldIndex(End)
     val sorted = df.repartition(keyCols(keys): _*)
-      .sortWithinPartitions((keys :+ End).map(col) :+ col(Start): _*)
+      .sortWithinPartitions((keys :+ Start).map(col) :+ col(End): _*)
     sorted.mapPartitions { it =>
       var curKey: Seq[Any] = null
       var lastEnd = Long.MinValue
@@ -298,8 +301,11 @@ object UnaryOps {
         val k = keyIdx.map(r.get)
         if (curKey == null || k != curKey) { curKey = k; lastEnd = Long.MinValue }
         val s = r.getLong(sIdx)
-        if (s + slack >= lastEnd || lastEnd == Long.MinValue) { lastEnd = r.getLong(eIdx); true }
-        else false
+        // keep iff no strict overlap with the last kept (bookended kept
+        // at slack=0, mirroring the cluster boundary convention)
+        if (lastEnd == Long.MinValue || s >= lastEnd + slack) {
+          lastEnd = math.max(lastEnd, r.getLong(eIdx)); true
+        } else false
       }
     }(Encoders.row(schema))
   }

@@ -239,6 +239,22 @@ class DocTestParitySpec extends AnyFunSuite {
     assert(got3 == Set((120L, 200L), (300L, 400L)))
   }
 
+  // reference core/pyranges_main.py:1965-2018 (max_disjoint doctest).
+  test("max_disjoint doctest: start-order first-fit, strand-aware") {
+    import spark.implicits._
+    val gr = Seq(("chr1", 3L, 6L, "+"), ("chr1", 5L, 7L, "-"), ("chr1", 8L, 9L, "+"))
+      .toDF(Chrom, Start, End, Strand)
+    def rows(d: DataFrame) = d.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(graft.ops.UnaryOps.maxDisjoint(gr, Seq(Chrom))) ==
+      Set((3L, 6L), (8L, 9L)))
+    val c = Seq((1L, 5L, "+"), (4L, 7L, "+"), (10L, 14L, "+"), (12L, 16L, "-"),
+                (19L, 27L, "+"), (20L, 22L, "+"), (24L, 25L, "+"), (28L, 30L, "+"))
+      .map { case (s, e, st) => ("chr1", s, e, st) }.toDF(Chrom, Start, End, Strand)
+    assert(rows(graft.ops.UnaryOps.maxDisjoint(c, Seq(Chrom, Strand))) ==
+      Set((1L, 5L), (10L, 14L), (12L, 16L), (19L, 27L), (28L, 30L)))
+  }
+
   // reference core/pyranges_main.py:5249-5279 (group_cumsum doctest).
   test("group_cumsum doctest: minus-strand groups accumulate 5'->3'") {
     import spark.implicits._

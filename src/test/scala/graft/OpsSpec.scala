@@ -152,11 +152,13 @@ class OpsSpec extends AnyFunSuite {
   }
 
   // max_disjoint_overlaps (reference core/pyranges_main.py:1911-2046):
-  // greedy by end keeps the maximum non-overlapping subset.
-  test("maxDisjoint keeps greedy-by-end subset") {
+  // first-fit greedy in START order (see doctest :1987-2000).
+  test("maxDisjoint keeps the start-order first-fit subset") {
     val df = gf(("c", 1, 10), ("c", 2, 3), ("c", 4, 5), ("c", 4, 12))
-    assert(rows3(UnaryOps.maxDisjoint(df, Seq(Chrom))) ==
-      Set(("c", 2L, 3L), ("c", 4L, 5L)))
+    assert(rows3(UnaryOps.maxDisjoint(df, Seq(Chrom))) == Set(("c", 1L, 10L)))
+    val df2 = gf(("c", 1, 5), ("c", 5, 7), ("c", 6, 9))
+    assert(rows3(UnaryOps.maxDisjoint(df2, Seq(Chrom))) ==
+      Set(("c", 1L, 5L), ("c", 5L, 7L)))  // bookended kept at slack=0
   }
 
   // group_cumsum (reference core/pyranges_main.py:5209-5307): 5'->3'.
