@@ -72,48 +72,68 @@ object Composites {
   }
 
   /** five_end (reference core/pyranges_main.py:1041-1132): the 1-bp 5'
-    * point of each interval (or of each transcript with groupBy keys). */
+    * point of each interval (or of each transcript with groupBy keys);
+    * ext expands the point symmetrically (doctest :1115-1122). */
   def fiveEnd(df: DataFrame, useStrand: Boolean = true,
-              groupKeys: Option[Seq[String]] = None): DataFrame =
-    groupKeys match {
+              groupKeys: Option[Seq[String]] = None, ext: Long = 0): DataFrame = {
+    val point = groupKeys match {
       case Some(keys) => sliceRanges(df, keys, 0, Some(1), useStrand)
       case None =>
         val isNeg = neg(useStrand, df)
         df.withColumn("_s", when(isNeg, col(End) - 1).otherwise(col(Start)))
           .withColumn(End, col("_s") + 1).withColumn(Start, col("_s")).drop("_s")
     }
+    if (ext == 0) point else UnaryOps.extend(point, ext, ext, useStrand)
+  }
 
   /** three_end (reference core/pyranges_main.py:3848-3929). */
   def threeEnd(df: DataFrame, useStrand: Boolean = true,
-               groupKeys: Option[Seq[String]] = None): DataFrame =
-    groupKeys match {
+               groupKeys: Option[Seq[String]] = None, ext: Long = 0): DataFrame = {
+    val point = groupKeys match {
       case Some(keys) => sliceRanges(df, keys, -1, None, useStrand)
       case None =>
         val isNeg = neg(useStrand, df)
         df.withColumn("_s", when(isNeg, col(Start)).otherwise(col(End) - 1))
           .withColumn(End, col("_s") + 1).withColumn(Start, col("_s")).drop("_s")
     }
+    if (ext == 0) point else UnaryOps.extend(point, ext, ext, useStrand)
+  }
+
+  private def outerPerGroup(df: DataFrame, txKeys: Seq[String]): DataFrame = {
+    val hasStrand = df.columns.contains(Strand)
+    val locKeys = Seq(Chrom) ++ (if (hasStrand) Seq(Strand) else Nil) ++ txKeys
+    UnaryOps.boundaries(df, locKeys)
+  }
 
   /** upstream flank (reference core/pyranges_main.py:4468-4601): region
-    * of `length` ending `gap` bp before the 5' end. */
+    * of `length` ending `gap` bp before the 5' end; with groupKeys, one
+    * flank per transcript at its outermost 5' end (doctest :4565-4575). */
   def upstream(df: DataFrame, length: Long, gap: Long = 0,
-               useStrand: Boolean = true): DataFrame = {
-    val isNeg = neg(useStrand, df)
-    df.withColumn("_s", when(isNeg, col(End) + gap)
-        .otherwise(col(Start) - gap - length))
-      .withColumn(End, col("_s") + length)
-      .withColumn(Start, col("_s")).drop("_s")
-  }
+               useStrand: Boolean = true,
+               groupKeys: Option[Seq[String]] = None): DataFrame =
+    groupKeys match {
+      case Some(tx) => upstream(outerPerGroup(df, tx), length, gap, useStrand)
+      case None =>
+        val isNeg = neg(useStrand, df)
+        df.withColumn("_s", when(isNeg, col(End) + gap)
+            .otherwise(col(Start) - gap - length))
+          .withColumn(End, col("_s") + length)
+          .withColumn(Start, col("_s")).drop("_s")
+    }
 
   /** downstream flank (reference core/pyranges_main.py:4603-4745). */
   def downstream(df: DataFrame, length: Long, gap: Long = 0,
-                 useStrand: Boolean = true): DataFrame = {
-    val isNeg = neg(useStrand, df)
-    df.withColumn("_s", when(isNeg, col(Start) - gap - length)
-        .otherwise(col(End) + gap))
-      .withColumn(End, col("_s") + length)
-      .withColumn(Start, col("_s")).drop("_s")
-  }
+                 useStrand: Boolean = true,
+                 groupKeys: Option[Seq[String]] = None): DataFrame =
+    groupKeys match {
+      case Some(tx) => downstream(outerPerGroup(df, tx), length, gap, useStrand)
+      case None =>
+        val isNeg = neg(useStrand, df)
+        df.withColumn("_s", when(isNeg, col(Start) - gap - length)
+            .otherwise(col(End) + gap))
+          .withColumn(End, col("_s") + length)
+          .withColumn(Start, col("_s")).drop("_s")
+    }
 
   /** map_to_global (reference core/pyranges_main.py:1481-1719): lift
     * transcript-local intervals to genomic coordinates through an exon

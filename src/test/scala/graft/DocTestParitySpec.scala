@@ -239,6 +239,37 @@ class DocTestParitySpec extends AnyFunSuite {
     assert(got3 == Set((120L, 200L), (300L, 400L)))
   }
 
+  // reference core/pyranges_main.py:1082-1122 (five_end doctest).
+  test("five_end doctest: per-row, grouped, with ext") {
+    import spark.implicits._
+    val gr = Seq(("chr1", 3L, 9L, "+", "a"), ("chr1", 10L, 14L, "+", "a"),
+                 ("chr1", 5L, 7L, "-", "b")).toDF(Chrom, Start, End, Strand, "Name")
+    def rows(d: DataFrame) = d.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(Composites.fiveEnd(gr)) == Set((3L, 4L), (10L, 11L), (6L, 7L)))
+    assert(rows(Composites.fiveEnd(gr, groupKeys = Some(Seq("Name")))) ==
+      Set((3L, 4L), (6L, 7L)))
+    assert(rows(Composites.fiveEnd(gr, groupKeys = Some(Seq("Name")), ext = 1)) ==
+      Set((2L, 5L), (5L, 8L)))
+  }
+
+  // reference core/pyranges_main.py:4510-4580 (upstream doctest).
+  test("upstream doctest: gap variants and transcript-aware flanks") {
+    import spark.implicits._
+    val a = Seq(("chr1", 100L, 150L, "+"), ("chr1", 180L, 220L, "-"))
+      .toDF(Chrom, Start, End, Strand)
+    def rows(d: DataFrame) = d.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(Composites.upstream(a, 10)) == Set((90L, 100L), (220L, 230L)))
+    assert(rows(Composites.upstream(a, 10, gap = 5)) == Set((85L, 95L), (225L, 235L)))
+    assert(rows(Composites.upstream(a, 10, gap = -5)) == Set((95L, 105L), (215L, 225L)))
+    val ex = Seq(("chr1", 0L, 5L, "+", "tx1"), ("chr1", 10L, 15L, "+", "tx1"),
+                 ("chr1", 30L, 40L, "-", "tx2"), ("chr1", 50L, 60L, "-", "tx2"))
+      .toDF(Chrom, Start, End, Strand, "Tx")
+    assert(rows(Composites.upstream(ex, 5, groupKeys = Some(Seq("Tx")))) ==
+      Set((-5L, 0L), (60L, 65L)))
+  }
+
   // reference core/pyranges_main.py:1965-2018 (max_disjoint doctest).
   test("max_disjoint doctest: start-order first-fit, strand-aware") {
     import spark.implicits._
