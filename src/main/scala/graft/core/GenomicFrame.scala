@@ -176,8 +176,9 @@ final case class GenomicFrame(df: DataFrame) {
                           matchBy: Seq[String] = Nil): GenomicFrame =
     GenomicFrame(UnaryOps.maxDisjoint(df, k1(useStrand, matchBy), slack))
 
-  def sortRanges(useStrand: Option[Boolean] = None): GenomicFrame =
-    GenomicFrame(UnaryOps.sortRanges(df, Seq(Chrom), resolveUseStrand(useStrand)))
+  def sortRanges(by: Seq[String] = Nil, useStrand: Option[Boolean] = None,
+                 natsort: Boolean = true): GenomicFrame =
+    GenomicFrame(UnaryOps.sortRanges(df, by, resolveUseStrand(useStrand), natsort))
 
   def overlap(other: GenomicFrame,
               strandBehavior: StrandBehavior = StrandBehavior.Auto,

@@ -311,15 +311,18 @@ object UnaryOps {
   }
 
   /** sort_ranges (reference core/pyranges_main.py:2822-2997): sort by
-    * natural chromosome order, then Start, End; use_strand sorts
-    * minus-strand groups 3'→5' descending (5'→3' transcript order). */
-  def sortRanges(df: DataFrame, keys: Seq[String] = Seq(Cols.Chrom),
-                 useStrand: Boolean = false): DataFrame = {
-    val natKeys = keys.map(k => graft.expr.NatSort.natsortKey(col(k)))
+    * Chromosome (natural order unless natsort=false), then Strand, then
+    * optional `by` columns, then Start/End — with minus-strand groups in
+    * DESCENDING genomic order (5'->3') when useStrand. */
+  def sortRanges(df: DataFrame, by: Seq[String] = Nil,
+                 useStrand: Boolean = true, natsort: Boolean = true): DataFrame = {
+    val chromKey = if (natsort) graft.expr.NatSort.natsortKey(col(Cols.Chrom))
+                   else col(Cols.Chrom)
+    val strandKey = if (df.columns.contains(Strand)) Seq(col(Strand)) else Nil
     val neg = if (useStrand && df.columns.contains(Strand))
       col(Strand) === Cols.RevStrand else lit(false)
     val pos1 = when(neg, -col(End)).otherwise(col(Start))
     val pos2 = when(neg, -col(Start)).otherwise(col(End))
-    df.orderBy(natKeys ++ Seq(pos1, pos2): _*)
+    df.orderBy(Seq(chromKey) ++ strandKey ++ by.map(col) ++ Seq(pos1, pos2): _*)
   }
 }

@@ -239,6 +239,31 @@ class DocTestParitySpec extends AnyFunSuite {
     assert(got3 == Set((120L, 200L), (300L, 400L)))
   }
 
+  // reference core/pyranges_main.py:2862-2950 (sort_ranges doctest).
+  test("sort_ranges doctest: natsort, strand-descending minus, by column") {
+    import spark.implicits._
+    val pp = Seq(("chr1", "+", 40L, 60L, "t3"), ("chr1", "+", 1L, 11L, "t3"),
+                 ("chr1", "-", 10L, 25L, "t2"), ("chr1", "-", 70L, 80L, "t2"),
+                 ("chr2", "+", 300L, 400L, "t4"), ("chr11", "+", 140L, 152L, "t5"),
+                 ("chr11", "+", 160L, 190L, "t5"), ("chr1", "+", 90L, 100L, "t1"))
+      .toDF(Chrom, Strand, Start, End, "transcript_id")
+    def order(d: DataFrame) = d.select(Chrom, Start).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(order(graft.ops.UnaryOps.sortRanges(pp, natsort = false)) == Seq(
+      ("chr1", 1L), ("chr1", 40L), ("chr1", 90L), ("chr1", 70L), ("chr1", 10L),
+      ("chr11", 140L), ("chr11", 160L), ("chr2", 300L)))
+    assert(order(graft.ops.UnaryOps.sortRanges(pp, useStrand = false, natsort = false)) == Seq(
+      ("chr1", 1L), ("chr1", 40L), ("chr1", 90L), ("chr1", 10L), ("chr1", 70L),
+      ("chr11", 140L), ("chr11", 160L), ("chr2", 300L)))
+    assert(order(graft.ops.UnaryOps.sortRanges(pp)) == Seq(
+      ("chr1", 1L), ("chr1", 40L), ("chr1", 90L), ("chr1", 70L), ("chr1", 10L),
+      ("chr2", 300L), ("chr11", 140L), ("chr11", 160L)))
+    assert(order(graft.ops.UnaryOps.sortRanges(pp, by = Seq("transcript_id"),
+        natsort = false)) == Seq(
+      ("chr1", 90L), ("chr1", 1L), ("chr1", 40L), ("chr1", 70L), ("chr1", 10L),
+      ("chr11", 140L), ("chr11", 160L), ("chr2", 300L)))
+  }
+
   // reference core/pyranges_main.py:1082-1122 (five_end doctest).
   test("five_end doctest: per-row, grouped, with ext") {
     import spark.implicits._
