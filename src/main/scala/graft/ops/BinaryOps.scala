@@ -52,9 +52,13 @@ object BinaryOps {
     // aggregation gets map-side partial combine — the pair set shrinks to
     // one row per left row BEFORE the shuffle — then rejoins the (never
     // exploded) left side.
+    // first = smallest (Start_b, End_b); last = LARGEST (Start_b, End_b)
+    // — position order of the other side (reference intersect doctest
+    // core/pyranges_main.py:5406-5415: "last" on [25,33),[28,32) picks
+    // the [28,32) row, i.e. max start, not max end).
     def pickOne(minimize: Boolean): DataFrame = {
       val rCols = p.columns.filterNot(left.columns.contains).toSeq
-      val sortKeys = if (minimize) Seq(rs, re) else Seq(re, rs)
+      val sortKeys = Seq(rs, re)
       val packed = struct((sortKeys ++ rCols.filterNot(sortKeys.contains)).map { c =>
         if (minimize) col(c) else (if (c == re || c == rs) (-col(c)).as(c) else col(c))
       }: _*)

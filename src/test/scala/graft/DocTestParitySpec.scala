@@ -415,6 +415,39 @@ class DocTestParitySpec extends AnyFunSuite {
       Seq("A", "a", "c", "d"))
   }
 
+  // reference core/pyranges_main.py:5360-5415 (intersect doctest).
+  test("intersect_overlaps doctest: all/first/last segment selection") {
+    import spark.implicits._
+    val r1 = Seq(("chr1", 5L, 10L, "a"), ("chr1", 20L, 30L, "b"), ("chr1", 40L, 50L, "c"))
+      .toDF(Chrom, Start, End, "ID").withColumn(RowId, monotonically_increasing_id())
+    val r2 = Seq(("chr1", 7L, 9L), ("chr1", 18L, 22L), ("chr1", 25L, 33L),
+                 ("chr1", 28L, 32L)).toDF(Chrom, Start, End)
+    def rows(d: DataFrame) = d.select("ID", Start, End).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(BinaryOps.intersect(r1, r2, Seq(Chrom))) == Set(
+      ("a", 7L, 9L), ("b", 20L, 22L), ("b", 25L, 30L), ("b", 28L, 30L)))
+    assert(rows(BinaryOps.intersect(r1, r2, Seq(Chrom), multiple = "first")) ==
+      Set(("a", 7L, 9L), ("b", 20L, 22L)))
+    assert(rows(BinaryOps.intersect(r1, r2, Seq(Chrom), multiple = "last")) ==
+      Set(("a", 7L, 9L), ("b", 28L, 30L)))
+  }
+
+  // reference core/pyranges_main.py:2760-2795 (set_union doctest — also
+  // confirms strict merge: bookended islands stay separate until slack=1).
+  test("set_union doctest: bookended islands separate, then merged with slack=1") {
+    import spark.implicits._
+    val gr = Seq(("chr1", 1L, 3L), ("chr1", 4L, 9L), ("chr1", 10L, 11L))
+      .toDF(Chrom, Start, End)
+    val gr2 = Seq(("chr1", 2L, 3L), ("chr1", 2L, 9L), ("chr1", 9L, 10L))
+      .toDF(Chrom, Start, End)
+    val u = BinaryOps.setUnion(gr, gr2, Seq(Chrom))
+    def rows(d: DataFrame) = d.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(u) == Set((1L, 9L), (9L, 10L), (10L, 11L)))
+    assert(rows(graft.ops.UnaryOps.merge(u, Seq(Chrom), slack = 1)) ==
+      Set((1L, 11L)))
+  }
+
   // reference core/pyranges_main.py:2663-2709 (set_intersect doctest).
   test("set_intersect_overlaps doctest: all and multiple=first") {
     import spark.implicits._
