@@ -415,6 +415,27 @@ class DocTestParitySpec extends AnyFunSuite {
       Seq("A", "a", "c", "d"))
   }
 
+  // reference core/pyranges_main.py:5606-5700 (combine_interval_columns).
+  test("combine_interval_columns doctest: intersect and union presets") {
+    import spark.implicits._
+    val gr1 = Seq(("chr1", 9916L, 10115L, "-"), ("chr1", 9939L, 10138L, "+"),
+                  ("chr1", 9951L, 10150L, "-")).toDF(Chrom, Start, End, Strand)
+      .withColumn(RowId, monotonically_increasing_id())
+    val gr2 = Seq(("chr1", 9988L, 10187L, "-"), ("chr1", 10073L, 10272L, "+"),
+                  ("chr1", 10079L, 10278L, "-")).toDF(Chrom, Start, End, Strand)
+    val j = BinaryOps.joinOverlaps(gr1, gr2, Seq(Chrom, Strand))
+    assert(j.count() == 5)
+    def rows(d: DataFrame) = d.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(graft.ops.Metrics.combineIntersect(j)) == Set(
+      (9988L, 10115L), (10079L, 10115L), (10073L, 10138L),
+      (9988L, 10150L), (10079L, 10150L)))
+    val j2 = BinaryOps.joinOverlaps(gr1, gr2, Seq(Chrom, Strand))
+    assert(rows(graft.ops.Metrics.combineUnion(j2)) == Set(
+      (9916L, 10187L), (9916L, 10278L), (9939L, 10272L),
+      (9951L, 10187L), (9951L, 10278L)))
+  }
+
   // reference core/pyranges_main.py:5360-5415 (intersect doctest).
   test("intersect_overlaps doctest: all/first/last segment selection") {
     import spark.implicits._
