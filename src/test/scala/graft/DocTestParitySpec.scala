@@ -415,6 +415,33 @@ class DocTestParitySpec extends AnyFunSuite {
       Seq("A", "a", "c", "d"))
   }
 
+  // reference core/pyranges_main.py:562-595 (outer_ranges doctest).
+  test("outer_ranges doctest: grouped and whole-chromosome bounds") {
+    import spark.implicits._
+    val gr = Seq(("1", 1L, 40L, "tr1"), ("1", 60L, 68L, "tr1"), ("1", 110L, 130L, "tr2"))
+      .toDF(Chrom, Start, End, "transcript_id")
+    val byTx = graft.ops.UnaryOps.boundaries(gr, Seq(Chrom, "transcript_id"))
+      .select("transcript_id", Start, End).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byTx == Set(("tr1", 1L, 68L), ("tr2", 110L, 130L)))
+    val whole = graft.ops.UnaryOps.boundaries(gr, Seq(Chrom))
+      .select(Start, End).head
+    assert((whole.getLong(0), whole.getLong(1)) == ((1L, 130L)))
+  }
+
+  // three_end / downstream mirror five_end / upstream (reference
+  // core/pyranges_main.py:3848-3929, 4603-4745).
+  test("three_end and downstream mirror their 5' counterparts") {
+    import spark.implicits._
+    val gr = Seq(("chr1", 3L, 9L, "+"), ("chr1", 5L, 7L, "-"))
+      .toDF(Chrom, Start, End, Strand)
+    def rows(d: DataFrame) = d.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(Composites.threeEnd(gr)) == Set((8L, 9L), (5L, 6L)))
+    assert(rows(Composites.downstream(gr, 4)) == Set((9L, 13L), (1L, 5L)))
+    assert(rows(Composites.downstream(gr, 4, gap = 2)) == Set((11L, 15L), (-1L, 3L)))
+  }
+
   // reference core/pyranges_main.py:5606-5700 (combine_interval_columns).
   test("combine_interval_columns doctest: intersect and union presets") {
     import spark.implicits._
