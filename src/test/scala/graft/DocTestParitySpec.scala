@@ -415,6 +415,33 @@ class DocTestParitySpec extends AnyFunSuite {
       Seq("A", "a", "c", "d"))
   }
 
+  // reference core/pyranges_main.py:1350-1380 (join slack doctest):
+  // slack joins bookended features; Overlap may be 0 or negative.
+  test("join_overlaps slack doctest: bookended joined at slack=1, negative overlaps") {
+    import spark.implicits._
+    val f1 = Seq(("chr1", 3L, 6L, "interval1"), ("chr1", 8L, 9L, "interval3"),
+                 ("chr1", 5L, 7L, "interval2"))
+      .toDF(Chrom, Start, End, "Name").withColumn(RowId, monotonically_increasing_id())
+    val f2 = Seq(("chr1", 1L, 2L, "a"), ("chr1", 6L, 7L, "b"))
+      .toDF(Chrom, Start, End, "Name")
+    val s1 = BinaryOps.joinOverlaps(f1, f2, Seq(Chrom), slack = 1)
+    assert(s1.select("Name", "Name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("interval1", "b"), ("interval2", "b")))
+    val s2 = BinaryOps.joinOverlaps(f1, f2, Seq(Chrom), slack = 2,
+      reportOverlapCol = Some("Overlap"))
+    assert(s2.select("Name", "Name_b", "Overlap").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      Set(("interval1", "a", -1L), ("interval1", "b", 0L),
+          ("interval3", "b", -1L), ("interval2", "b", 1L)))
+    // match_by restricts to equal metadata and drops the duplicated column
+    val gr = Seq(("chr1", 1L, 3L, "a")).toDF(Chrom, Start, End, "ID")
+      .withColumn(RowId, monotonically_increasing_id())
+    val gr2 = Seq(("chr1", 2L, 3L, "a"), ("chr1", 2L, 9L, "b")).toDF(Chrom, Start, End, "ID")
+    val m = BinaryOps.joinOverlaps(gr, gr2, Seq(Chrom, "ID"))
+    assert(m.count() == 1 && !m.columns.contains("ID_b"))
+  }
+
   // reference core/pyranges_main.py:562-595 (outer_ranges doctest).
   test("outer_ranges doctest: grouped and whole-chromosome bounds") {
     import spark.implicits._
