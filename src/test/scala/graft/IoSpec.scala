@@ -65,6 +65,16 @@ class IoSpec extends AnyFunSuite {
     assert(back.filter(col("Feature") === "gene").head.getAs[Long](Start) == 10L)
   }
 
+  test("BED gzip read is transparent") {
+    val d = tmp("bedgz")
+    val content = "chr1\t10\t20\tf\t0\t+\n".getBytes
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$d/a.bed.gz"))
+    gz.write(content); gz.close()
+    val df = Bed.read(spark, s"$d/a.bed.gz")
+    assert(df.count() == 1 && df.head.getLong(1) == 10L)
+  }
+
   test("GFF3 read: k=v attributes") {
     val d = tmp("gff")
     Files.writeString(java.nio.file.Paths.get(s"$d/a.gff3"),

@@ -299,6 +299,25 @@ class OpsSpec extends AnyFunSuite {
     assert(p.count() == 2)
   }
 
+  // reference skip_if_empty short-circuit (range_frame.py:35-43) — in
+  // Spark, PropagateEmptyRelation; ops must stay well-defined on empties.
+  test("operators are well-defined on empty inputs") {
+    val empty = gf().limit(0)
+    val some = gf(("c", 1, 5))
+    assert(UnaryOps.merge(empty, Seq(Chrom)).count() == 0)
+    assert(UnaryOps.split(empty, Seq(Chrom)).count() == 0)
+    assert(UnaryOps.complement(empty, Seq(Chrom)).count() == 0)
+    assert(BinaryOps.overlap(some, empty, Seq(Chrom)).count() == 0)
+    assert(BinaryOps.overlap(some, empty, Seq(Chrom), invert = true).count() == 1)
+    assert(BinaryOps.subtract(some, empty, Seq(Chrom)).count() == 1)
+    assert(BinaryOps.countOverlaps(some, empty, Seq(Chrom), countCol = "n")
+      .agg(sum("n")).head.getLong(0) == 0)
+    assert(BinaryOps.nearest(some, empty, Seq(Chrom)).count() == 0)
+    assert(graft.ops.NearestK.nearestK(some, empty, Seq(Chrom), 2).count() == 0)
+    assert(UnaryOps.maxDisjoint(empty, Seq(Chrom)).count() == 0)
+    assert(Coverage.toRle(empty, Seq(Chrom)).count() == 0)
+  }
+
   test("IntervalSweepJoin.pairs equals binned RangeJoin.pairs incl. long intervals") {
     val lRows = (0 until 300).map { i =>
       val s = (i * 2654435761L) % 3000
