@@ -61,6 +61,19 @@ object Gtf {
       .select((fixedCols ++ attrKeys :+ "Attribute").map(col): _*)
   }
 
+  /** read_gtf_full (reference readers.py:243-352): discover every
+    * attribute key present in the file and explode each into its own
+    * column — schema inference like Spark's JSON source (one extra
+    * pass over the attribute column to collect distinct keys). */
+  def readGtfFull(spark: SparkSession, path: String): DataFrame = {
+    val raw = readRaw(spark, path).withColumn("_attrs", gtfAttrMap(col("Attribute")))
+    val keys = raw.select(explode(map_keys(col("_attrs"))).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    keys.foldLeft(raw)((d, k) => d.withColumn(k, col("_attrs").getItem(k)))
+      .drop("_attrs", "Attribute")
+      .select((fixedCols ++ keys).map(col): _*)
+  }
+
   def readGff3(spark: SparkSession, path: String,
                attrKeys: Seq[String] = Seq("ID", "Parent")): DataFrame = {
     val raw = readRaw(spark, path)

@@ -65,6 +65,19 @@ class IoSpec extends AnyFunSuite {
     assert(back.filter(col("Feature") === "gene").head.getAs[Long](Start) == 10L)
   }
 
+  test("readGtfFull discovers all attribute keys from the real Ensembl file") {
+    val df = Gtf.readGtfFull(spark, "/root/reference/pyranges1/data/ensembl.gtf")
+    assert(df.count() == 12)
+    val cols = df.columns.toSet
+    assert(Set("gene_id", "gene_name", "transcript_id", "exon_number",
+      "gene_biotype", "tag").subsetOf(cols))
+    assert(df.filter(col("Feature") === "gene").head
+      .getAs[String]("gene_id") == "ENSG00000223972")
+    // rows lacking a key get null, not a parse failure
+    assert(df.filter(col("Feature") === "gene")
+      .head.getAs[String]("transcript_id") == null)
+  }
+
   test("BED gzip read is transparent") {
     val d = tmp("bedgz")
     val content = "chr1\t10\t20\tf\t0\t+\n".getBytes
