@@ -197,9 +197,8 @@ object SparkEntry {
         .select(col("vec_id"), col("m.num").as("num"),
           col("m.den_x").as("den_x"), col("m.den_y").as("den_y"))),
     "q45_rle_divide" -> ((s, dir) =>
-      // plain sweep: at bench scale the extra stages of the salted
-      // two-phase variant cost more than the 3-partition window saves;
-      // rleBinarySalted is the hot-key path for cluster scale
+      // rleBinary auto-switches: salted two-phase prefix sum above the
+      // input-size threshold (hot-key path), plain window sweep below
       out(Coverage.rleBinary(gr(s, dir), gr2(s, dir), Seq(Chrom)))
         .withColumn("score_a", col("score_a").cast("long"))
         .withColumn("score_b", col("score_b").cast("long"))),

@@ -39,6 +39,19 @@ object RangeJoin {
   private def floorDiv(x: Column, b: Long): Column =
     floor(x.cast("double") / b).cast("long")
 
+  /** Broadcast-eligibility heuristic from the optimizer's size estimate
+    * of the PRE-explode plan (bin fan-out is a small constant factor).
+    * Uses the session's own autoBroadcastJoinThreshold so cluster configs
+    * are respected; at 100 TB the scan stats blow past it and every join
+    * stays a shuffle join. */
+  private def broadcastable(df: DataFrame): Boolean = {
+    val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr)
+  }
+
+  private def maybeBroadcast(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
+
   /** Explode `df` into (row, bin) with the interval extended by `pad`. */
   private def binned(df: DataFrame, binSize: Long, pad: Long,
                      s: String, e: String): DataFrame =
@@ -65,7 +78,10 @@ object RangeJoin {
     val rs = Start + suffix
     val re = End + suffix
     val lb = binned(left, binSize, slack, Start, End).alias("l")
-    val rb = binned(r0, binSize, 0, rs, re).alias("r")
+    // hash-shuffle join on (keys, bin) by default; small right sides
+    // (dimension-table-sized annotation sets) broadcast instead, judged
+    // from the pre-explode optimizer estimate
+    val rb = maybeBroadcast(binned(r0, binSize, 0, rs, re), broadcastable(right)).alias("r")
     val keyEq = keys.zip(rKeys).map { case (k, rk) => col(s"l.$k") === col(s"r.$rk") }
     val overlap =
       if (contained)
@@ -90,29 +106,52 @@ object RangeJoin {
     val rKeys = keys.map(_ + suffix)
     val rs = Start + suffix
     val re = End + suffix
-    val rb = binned(r0.select((rKeys :+ rs :+ re).map(col): _*), binSize, 0, rs, re)
-    val lb = binned(left, binSize, slack, Start, End).alias("l")
-    val keyEq = keys.zip(rKeys).map { case (k, rk) => col(s"l.$k") === col(s"r.$rk") }
-    val overlap =
-      if (contained)
-        col(s"r.$rs") <= col(s"l.$Start") && col(s"l.$End") <= col(s"r.$re")
-      else
-        col(s"l.$Start") - slack < col(s"r.$re") && col(s"l.$End") + slack > col(s"r.$rs")
-    val cond = (keyEq :+ (col("l._bin") === col("r._bin")) :+ overlap).reduce(_ && _)
-    // A binned left_anti alone would be wrong: it only drops the (row,
-    // bin) copies that match in their own bin, and the surviving copies
-    // of a matched row would reappear. So: semi over the binned copies
-    // first, dedupe the matches, then semi/anti the ORIGINAL left against
-    // them. When the left carries the row_id contract the dedupe and the
-    // final join run on a single long column instead of full-width rows.
+    val rightSmall = broadcastable(right)
+    val rb = maybeBroadcast(
+      binned(r0.select((rKeys :+ rs :+ re).map(col): _*), binSize, 0, rs, re),
+      rightSmall).alias("r")
     val joinType = if (anti) "left_anti" else "left_semi"
-    if (left.columns.contains(Cols.RowId)) {
-      val matchedIds = lb.join(rb.alias("r"), cond, "left_semi")
-        .select(col(s"l.${Cols.RowId}")).distinct()
-      left.join(matchedIds, Seq(Cols.RowId), joinType)
+    if (contained) {
+      // Containment fast path: a containing right interval covers the
+      // left's Start, so the right's (exploded) bin set always includes
+      // floor(Start/binSize). The left needs NO explode — a single
+      // computed bin — hence semi/anti joins directly and there is no
+      // copy-dedup or rejoin: one join, zero extra shuffles (and zero
+      // shuffles at all when the right side broadcasts).
+      val lb = left.alias("l")
+      val keyEq = keys.zip(rKeys).map { case (k, rk) => col(s"l.$k") === col(s"r.$rk") }
+      val cond = (keyEq :+
+        (floorDiv(col(s"l.$Start"), binSize) === col("r._bin")) :+
+        (col(s"r.$rs") <= col(s"l.$Start") && col(s"l.$End") <= col(s"r.$re"))).reduce(_ && _)
+      lb.join(rb, cond, joinType)
     } else {
-      val matched = lb.join(rb.alias("r"), cond, "left_semi").drop("_bin").distinct()
-      left.join(matched, left.columns.toSeq, joinType)
+      // A binned left_anti alone would be wrong: it only drops the (row,
+      // bin) copies that match in their own bin, and the surviving copies
+      // of a matched row would reappear. So: semi over the binned copies
+      // first, dedupe the matches, then semi/anti the ORIGINAL left against
+      // them on a single long id column. A left without the row_id
+      // contract gets a positional id attached first — joining back on
+      // all columns would silently mis-handle rows with null metadata
+      // columns (null-unsafe equality) and conflate duplicate rows.
+      val (l0, tmpId) =
+        if (left.columns.contains(Cols.RowId)) (left, None)
+        else ("_gx_rid": String) match { case c =>
+          (left.withColumn(c, monotonically_increasing_id()), Some(c))
+        }
+      val idCol = tmpId.getOrElse(Cols.RowId)
+      val lb = binned(l0, binSize, slack, Start, End).alias("l")
+      val keyEq = keys.zip(rKeys).map { case (k, rk) => col(s"l.$k") === col(s"r.$rk") }
+      val overlap =
+        col(s"l.$Start") - slack < col(s"r.$re") && col(s"l.$End") + slack > col(s"r.$rs")
+      val cond = (keyEq :+ (col("l._bin") === col("r._bin")) :+ overlap).reduce(_ && _)
+      val matchedIds = lb.join(rb, cond, "left_semi")
+        .select(col(s"l.$idCol")).distinct()
+      // matched ids are <= left's row count of single longs: broadcast
+      // them back when the left side itself is modest, avoiding a full
+      // reshuffle of the left table.
+      val res = l0.join(maybeBroadcast(matchedIds, broadcastable(left)),
+        Seq(idCol), joinType)
+      tmpId.fold(res)(c => res.drop(c))
     }
   }
 }

@@ -97,10 +97,18 @@ object Dedup {
                          idCol: String = "doc_id", numHashes: Int = 4,
                          bandSize: Int = 1, shingleK: Int = 3,
                          minJaccardPct: Int = 50): DataFrame = {
-    val dsh = docs.select(col(idCol),
+    // Persist shared intermediates only when the corpus is big enough
+    // that recomputing the tokenize+shingle scan 3x costs more than the
+    // memory round-trip: below the threshold the persists just pin
+    // partition layouts (defeating AQE coalescing) and add stage
+    // boundaries — a 5x slowdown on small inputs at high core counts.
+    val big = docs.queryExecution.optimizedPlan.stats.sizeInBytes > (64L << 20)
+    def reuse(df: DataFrame): DataFrame =
+      if (big) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val dsh = reuse(docs.select(col(idCol),
         explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     // one groupBy yields signature AND set size; the band self-join then
     // carries both sides' sizes through, so only the intersection count
     // needs another join against the shingle table.
@@ -119,12 +127,11 @@ object Dedup {
     val r = exploded.alias("r")
     // cand feeds both the intersection join and the final assembly —
     // persist so the band self-join runs once, not twice.
-    val cand = l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+    val cand = reuse(l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
         col("l.ns").as("nsa"), col("r.ns").as("nsb"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     val inter = cand.select("a", "b")
       .join(dsh.select(col(idCol).as("a"), col("sh")), Seq("a"))
       .join(dsh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))

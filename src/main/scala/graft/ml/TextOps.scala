@@ -24,12 +24,21 @@ object TextOps {
       t => length(t) > 0))
 
   /** k-word shingles, space-joined; empty array when fewer than k words
-    * (guarding Spark's descending-sequence pitfall). */
+    * (guarding Spark's descending-sequence pitfall).
+    *
+    * Shape matters: a naive `transform(sequence(1, n-k+1), i ->
+    * concat_ws(slice(w, i, k)))` re-evaluates the tokenizing `split`
+    * inside the lambda once PER SHINGLE (interpreted higher-order
+    * functions don't cache subexpressions) — O(words²) regex work per
+    * document. Zipping k shifted slices instead evaluates the split k+1
+    * times per row and the lambda touches only its own variable. */
   def wordShingles(text: Column, k: Int): Column = {
     val w = tokens(text)
-    when(size(w) >= k,
-      transform(sequence(lit(1), size(w) - (k - 1)),
-        i => concat_ws(" ", slice(w, i, lit(k)))))
+    val n = size(w) - (k - 1)
+    val shifted = (0 until k).map(j => slice(w, lit(j + 1), n))
+    when(n >= 1,
+      transform(arrays_zip(shifted: _*),
+        s => concat_ws(" ", (0 until k).map(j => s.getField(j.toString)): _*)))
       .otherwise(array())
   }
 

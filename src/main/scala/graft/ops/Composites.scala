@@ -186,8 +186,18 @@ object Composites {
                           tieBreak: Seq[Column] = Nil): DataFrame = {
     val cum = UnaryOps.groupCumsum(df, Seq(txCol), useStrand = true, "_cs", "_ce", tieBreak)
     val lens = cum.groupBy(col(txCol)).agg(max(col("_ce")).as("_tl"))
-    val wins = lens
-      .withColumn("_ws", explode(sequence(lit(0L), col("_tl") - 1, lit(size))))
+    // Two-stage window generation: a single explode would materialize
+    // every window inside #transcripts tasks (a handful of long
+    // transcripts = a handful of tasks doing all the work). Explode into
+    // coarse chunks first, round-robin repartition, then explode chunks
+    // into windows — generation parallelism is #chunks, not #transcripts.
+    val chunk = size * 1024
+    val chunks = lens
+      .withColumn("_c0", explode(sequence(lit(0L), col("_tl") - 1, lit(chunk))))
+    val wins = chunks
+      .repartition(chunks.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("_ws", explode(sequence(col("_c0"),
+        least(col("_c0") + chunk, col("_tl")) - 1, lit(size))))
       .select(col(txCol), col("_ws").as(Start),
         least(col("_ws") + size, col("_tl")).as(End),
         (col("_ws") / size).cast("long").as("_wid"))

@@ -14,12 +14,32 @@ import org.apache.spark.sql.functions._
 object Coverage {
   import Cols.{Start, End}
 
+  /** Auto-switch: the plain per-key window sweep serializes each key into
+    * one task — fine for small inputs (fewer stages wins), a straggler
+    * for big ones (one hot chromosome = one task). Above this optimizer-
+    * estimated input size the salted two-phase prefix sum takes over.
+    * Measured at local[32]/sf0.1: plain rleBinary 4.7 s vs salted 2.5 s;
+    * at sf0.01 plain wins by stage count. */
+  private val saltedInputThreshold: Long = 8L << 20
+
+  private def bigInput(dfs: DataFrame*): Boolean =
+    dfs.map(_.queryExecution.optimizedPlan.stats.sizeInBytes).sum >
+      BigInt(saltedInputThreshold)
+
   /** Runs of constant coverage between min(Start) and max(End) per key.
     * valueCol: weight column (default 1 per interval). Zero-coverage runs
-    * interior to the span are included; flanking zero runs are not. */
+    * interior to the span are included; flanking zero runs are not.
+    * Dispatches to the salted two-phase sweep for large inputs (identical
+    * output — property-tested; exact for integer-valued weights). */
   def toRle(df: DataFrame, keys: Seq[String],
             valueCol: Option[String] = None,
-            scoreCol: String = "Score"): DataFrame = {
+            scoreCol: String = "Score"): DataFrame =
+    if (bigInput(df)) toRleSalted(df, keys, valueCol, scoreCol)
+    else toRlePlain(df, keys, valueCol, scoreCol)
+
+  def toRlePlain(df: DataFrame, keys: Seq[String],
+                 valueCol: Option[String] = None,
+                 scoreCol: String = "Score"): DataFrame = {
     val k = keys.map(col)
     val v = valueCol.map(col).getOrElse(lit(1L)).cast("double")
     val ev = df.select(k :+ explode(array(
@@ -45,7 +65,7 @@ object Coverage {
     * (property-tested). */
   def toRleSalted(df: DataFrame, keys: Seq[String],
                   valueCol: Option[String] = None, scoreCol: String = "Score",
-                  saltBin: Long = 1 << 20): DataFrame = {
+                  saltBin: Long = 16384): DataFrame = {
     val k = keys.map(col)
     val v = valueCol.map(col).getOrElse(lit(1L)).cast("double")
     val ev = df.select(k :+ explode(array(
@@ -79,7 +99,12 @@ object Coverage {
     * sweep, two prefix sums. Downstream columns combine them (ratio,
     * log2-ratio, difference) without re-splitting. */
   def rleBinary(a: DataFrame, b: DataFrame, keys: Seq[String],
-                scoreA: String = "score_a", scoreB: String = "score_b"): DataFrame = {
+                scoreA: String = "score_a", scoreB: String = "score_b"): DataFrame =
+    if (bigInput(a, b)) rleBinarySalted(a, b, keys, scoreA, scoreB)
+    else rleBinaryPlain(a, b, keys, scoreA, scoreB)
+
+  def rleBinaryPlain(a: DataFrame, b: DataFrame, keys: Seq[String],
+                     scoreA: String = "score_a", scoreB: String = "score_b"): DataFrame = {
     val k = keys.map(col)
     def events(df: DataFrame, dA: Long, dB: Long): DataFrame =
       df.select(k :+ explode(array(
@@ -107,7 +132,7 @@ object Coverage {
     * to rleBinary (property-tested); the hot-key path. */
   def rleBinarySalted(a: DataFrame, b: DataFrame, keys: Seq[String],
                       scoreA: String = "score_a", scoreB: String = "score_b",
-                      saltBin: Long = 1 << 20): DataFrame = {
+                      saltBin: Long = 16384): DataFrame = {
     val k = keys.map(col)
     def events(df: DataFrame, dA: Long, dB: Long): DataFrame =
       df.select(k :+ explode(array(
