@@ -11,6 +11,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup (uncounted): without it the first measured query
+    // absorbs ~5-8 s of one-off JVM cost that belongs to no query
+    locally {
+      import org.apache.spark.sql.functions._
+      val g = Tables.gr(spark, sfDir)
+      g.groupBy(col(graft.core.Cols.Chrom)).count().count()
+      graft.ops.UnaryOps.merge(g.limit(10000), Seq(graft.core.Cols.Chrom)).count()
+      graft.join.RangeJoin.pairs(g.limit(5000), Tables.gr2(spark, sfDir).limit(5000),
+        Seq(graft.core.Cols.Chrom)).count()
+    }
     // optional args: run only the named queries (local profiling; the
     // driver invokes with no args and gets the full suite)
     val only = args.toSet

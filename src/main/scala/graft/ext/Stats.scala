@@ -44,37 +44,40 @@ object Stats {
       .groupBy(keys.map(col): _*).agg(min(col("_s")).as(outCol))
   }
 
-  /** Jaccard coefficient of two interval sets per key (reference
-    * ext/stats.py:745-797): |A ∩ B| / |A ∪ B| in base pairs. Returns
-    * integer numerator/denominator (exact; divide at the edge). */
-  def jaccardStat(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+  /** Shared base of jaccard/forbes/mcc: merge EACH side once, take the
+    * per-key merged lengths, and intersect the already-merged islands
+    * directly (setIntersect would re-merge both sides — four window
+    * sweeps instead of two). Returns (len_a, len_b, len_i) keyed rows. */
+  private def mergedLens(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     val ma = UnaryOps.merge(a, keys)
     val mb = UnaryOps.merge(b, keys)
     val la = ma.groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_a"))
     val lb = mb.groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_b"))
-    val inter = BinaryOps.setIntersect(a, b, keys)
-      .groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_i"))
+    val rs = Start + "_b"
+    val re = End + "_b"
+    val inter = graft.join.RangeJoin.pairs(ma, mb, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(least(col(End), col(re)) - greatest(col(Start), col(rs))).as("len_i"))
     la.join(lb, keys).join(inter, keys.toSeq, "left").na.fill(0L, Seq("len_i"))
+  }
+
+  /** Jaccard coefficient of two interval sets per key (reference
+    * ext/stats.py:745-797): |A ∩ B| / |A ∪ B| in base pairs. Returns
+    * integer numerator/denominator (exact; divide at the edge). */
+  def jaccardStat(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    mergedLens(a, b, keys)
       .select(keys.map(col) :+ col("len_i").as("jaccard_num") :+
         (col("len_a") + col("len_b") - col("len_i")).as("jaccard_den"): _*)
-  }
 
   /** Forbes coefficient (reference ext/stats.py:687-742):
     * N * |A ∩ B| / (|A| * |B|) with N the key-space size (chromSizes).
     * Returned as exact integer numerator/denominator. */
   def forbesStat(a: DataFrame, b: DataFrame, keys: Seq[String],
-                 chromSizes: DataFrame): DataFrame = {
-    val ma = UnaryOps.merge(a, keys)
-    val mb = UnaryOps.merge(b, keys)
-    val la = ma.groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_a"))
-    val lb = mb.groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_b"))
-    val inter = BinaryOps.setIntersect(a, b, keys)
-      .groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_i"))
-    la.join(lb, keys).join(inter, keys.toSeq, "left").na.fill(0L, Seq("len_i"))
+                 chromSizes: DataFrame): DataFrame =
+    mergedLens(a, b, keys)
       .join(broadcast(chromSizes), Seq(Cols.Chrom))
       .select(keys.map(col) :+ (col("size") * col("len_i")).as("forbes_num") :+
         (col("len_a") * col("len_b")).as("forbes_den"): _*)
-  }
 
   /** One-sided (greater) Fisher's exact test for 2x2 tables
     * (reference ext/stats.py:174-246, via the `fisher` package):
@@ -135,13 +138,7 @@ object Stats {
     * exact integer numerator + the four factors returned. */
   def mccStat(a: DataFrame, b: DataFrame, keys: Seq[String],
               chromSizes: DataFrame): DataFrame = {
-    val ma = UnaryOps.merge(a, keys)
-    val mb = UnaryOps.merge(b, keys)
-    val la = ma.groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_a"))
-    val lb = mb.groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_b"))
-    val li = BinaryOps.setIntersect(a, b, keys)
-      .groupBy(keys.map(col): _*).agg(sum(col(End) - col(Start)).as("len_i"))
-    la.join(lb, keys).join(li, keys.toSeq, "left").na.fill(0L, Seq("len_i"))
+    mergedLens(a, b, keys)
       .join(broadcast(chromSizes), Seq(Cols.Chrom))
       .withColumn("tp", col("len_i"))
       .withColumn("fp", col("len_a") - col("len_i"))

@@ -59,14 +59,19 @@ object BinaryOps {
     def pickOne(minimize: Boolean): DataFrame = {
       val rCols = p.columns.filterNot(left.columns.contains).toSeq
       val sortKeys = Seq(rs, re)
-      val packed = struct((sortKeys ++ rCols.filterNot(sortKeys.contains)).map { c =>
+      // Left columns ride along INSIDE the struct (they are functionally
+      // determined by row_id, so appending them after the sort keys can't
+      // change which match wins) — one map-side-combining aggregation and
+      // no rejoin against the left table.
+      val lCols = left.columns.filterNot(_ == RowId).toSeq
+      val packed = struct((sortKeys ++ rCols.filterNot(sortKeys.contains) ++ lCols).map { c =>
         if (minimize) col(c) else (if (c == re || c == rs) (-col(c)).as(c) else col(c))
       }: _*)
       val m = p.groupBy(col(RowId)).agg(min(packed).as("_m"))
-      val unpacked = rCols.foldLeft(m)((d, c) =>
+      val unpacked = (rCols ++ lCols).foldLeft(m)((d, c) =>
         d.withColumn(c, if (!minimize && (c == re || c == rs)) -col(s"_m.$c")
                         else col(s"_m.$c"))).drop("_m")
-      left.join(unpacked, Seq(RowId), "inner")
+      unpacked.select(p.columns.map(col): _*)
     }
     multiple match {
       case "first" => p = pickOne(minimize = true)
