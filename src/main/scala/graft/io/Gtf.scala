@@ -38,13 +38,26 @@ object Gtf {
       .drop("_start1", "_end1")
 
   /** GTF attribute string -> map<string,string>. Handles quoted values
-    * (';' inside quotes preserved) and unquoted numeric values. */
+    * (';' inside quotes preserved), unquoted numeric values, a final
+    * attribute missing its terminating ';' (common in the wild), and
+    * repeated keys (e.g. multiple `tag "..."` entries — real
+    * Ensembl/GENCODE files carry them; the FIRST occurrence wins, since
+    * map_from_entries would otherwise throw DUPLICATED_MAP_KEY under
+    * Spark's default dedup policy). */
   def gtfAttrMap(attr: Column): Column = {
-    val pairs = regexp_extract_all(attr, lit("(\\w+)\\s+(\"[^\"]*\"|[^;]+);"), lit(0))
-    map_from_entries(transform(pairs, p => struct(
-      regexp_extract(p, "(\\w+)\\s+", 1),
-      regexp_replace(regexp_extract(p, "\\w+\\s+(\"[^\"]*\"|[^;]+);", 1),
-        "^\"|\"$", ""))))
+    val pairs = regexp_extract_all(attr,
+      lit("(\\w+)\\s+(\"[^\"]*\"|[^;]+)(?:;|$)"), lit(0))
+    val entries = transform(pairs, p => struct(
+      regexp_extract(p, "^(\\w+)\\s+", 1).as("k"),
+      regexp_replace(
+        regexp_extract(p, "^\\w+\\s+(\"[^\"]*\"|[^;]+)", 1),
+        "^\"|\"$", "").as("v")))
+    // keep the first entry per key (attrs per line are few — the O(n²)
+    // in-row scan is over a ~10-element array, no shuffle, no UDF)
+    val deduped = filter(entries, (e, i) =>
+      !exists(slice(entries, lit(1), i),
+        prev => prev.getField("k") === e.getField("k")))
+    map_from_entries(deduped)
   }
 
   /** GFF3 attribute string -> map (reference readers.py:386 helper). */
@@ -65,9 +78,15 @@ object Gtf {
     * attribute key present in the file and explode each into its own
     * column — schema inference like Spark's JSON source (one extra
     * pass over the attribute column to collect distinct keys). */
-  def readGtfFull(spark: SparkSession, path: String): DataFrame = {
+  /** keySampleRows: cap the schema-inference scan to the first N rows
+    * (like Spark's JSON samplingRatio) — at 100 TB a full second pass
+    * just to learn key names is waste; None = exact full scan. Keys the
+    * sample misses are still present inside the Attribute map column. */
+  def readGtfFull(spark: SparkSession, path: String,
+                  keySampleRows: Option[Int] = None): DataFrame = {
     val raw = readRaw(spark, path).withColumn("_attrs", gtfAttrMap(col("Attribute")))
-    val keys = raw.select(explode(map_keys(col("_attrs"))).as("k"))
+    val sampled = keySampleRows.fold(raw)(n => raw.limit(n))
+    val keys = sampled.select(explode(map_keys(col("_attrs"))).as("k"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     keys.foldLeft(raw)((d, k) => d.withColumn(k, col("_attrs").getItem(k)))
       .drop("_attrs", "Attribute")

@@ -35,7 +35,11 @@ object IntervalSweepJoin {
     val re = End + suffix
     val rOut = r0.columns.filterNot(rKeys.contains)
 
-    val key = concat_ws("", keys.map(col): _*)
+    // \u0001-separated tuple key with a null sentinel: concat_ws silently
+    // skips nulls, which would conflate ("a", null) with ("a")
+    def tupleKey(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      concat_ws("\u0001", cs.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*)
+    val key = tupleKey(keys.map(col))
     val lStruct = struct(left.columns.map(col): _*)
     val rStruct = struct(rOut.map(col): _*)
     val lSchema = left.schema
@@ -44,7 +48,7 @@ object IntervalSweepJoin {
     val lTag = left.select(key.as("_k"), (col(Start) - slack).as("_pos"),
       lit(0).as("_side"), lStruct.as("_l"),
       lit(null).cast(rSchema).as("_r"))
-    val rTag = r0.select(concat_ws("", rKeys.map(col): _*).as("_k"),
+    val rTag = r0.select(tupleKey(rKeys.map(col)).as("_k"),
       col(rs).as("_pos"), lit(1).as("_side"),
       lit(null).cast(lSchema).as("_l"), rStruct.as("_r"))
     val u = lTag.unionByName(rTag)

@@ -61,11 +61,20 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case (Some((lStart, rEnd)), Some((rStart, lEnd))) if hasEqui =>
           val binL = AttributeReference(BIN_PREFIX + "l", LongType, nullable = false)()
           val binR = AttributeReference(BIN_PREFIX + "r", LongType, nullable = false)()
-          def seqExpr(s: Expression, e: Expression) =
-            Explode(new Sequence(
-              floorDiv(s, binSize),
-              floorDiv(Subtract(Cast(e, LongType), Literal(1L)), binSize),
+          // The stop bound is clamped to >= the start bound so degenerate
+          // rows (End <= Start, or coincidental '<' predicates over
+          // unrelated columns) explode into exactly one bin instead of
+          // raising 'Illegal sequence boundaries'. Exactness survives the
+          // clamp: for any pair satisfying (lStart < rEnd && rStart < lEnd)
+          // the dedup bin floor(max(lStart, rStart)/binSize) lies within
+          // both sides' clamped bin ranges, and all original predicates
+          // are retained, so no pair is gained or lost.
+          def seqExpr(s: Expression, e: Expression) = {
+            val lo = floorDiv(s, binSize)
+            val hi = floorDiv(Subtract(Cast(e, LongType), Literal(1L)), binSize)
+            Explode(new Sequence(lo, Greatest(Seq(lo, hi)),
               Some(Literal(1L))).withTimeZone(conf.sessionLocalTimeZone))
+          }
           val lGen = Generate(seqExpr(lStart, lEnd), Nil, outer = false, None, Seq(binL), l)
           val rGen = Generate(seqExpr(rStart, rEnd), Nil, outer = false, None, Seq(binR), r)
           val dedup = EqualTo(binL,

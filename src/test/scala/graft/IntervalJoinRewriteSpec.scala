@@ -50,6 +50,31 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite is exact in the presence of degenerate (End <= Start) rows") {
+    import spark.implicits._
+    // degenerate left rows: End < Start and End == Start; such rows can
+    // still match (e.g. Start=500, End=3 needs s2<3 and e2>500) and the
+    // unclamped sequence() would throw Illegal sequence boundaries
+    val l = Seq(("c0", 500L, 3L, 0L), ("c0", 10L, 10L, 1L),
+      ("c0", 5L, 40L, 2L)).toDF(Chrom, Start, End, "id")
+    val r = Seq(("c0", 1L, 600L, 10L), ("c0", 30L, 35L, 11L))
+      .toDF(Chrom + "2", "s2", "e2", "id2")
+    def joined = l.join(r,
+      l(Chrom) === r(Chrom + "2") && l(Start) < r("e2") && r("s2") < l(End))
+    val naive = joined.collect().map(_.toSeq.toList).toSet
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IntervalJoinRewrite
+    try {
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("_graft_bin_"), s"rewrite did not fire:\n$plan")
+      assert(joined.collect().map(_.toSeq.toList).toSet == naive)
+      assert(naive.exists(_(1) == 500L)) // the degenerate match is real
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == IntervalJoinRewrite)
+    }
+  }
+
   test("rule leaves non-interval joins untouched") {
     val l = mkDF(50, 500, 30, 2654435761L)
     val r = mkDF(50, 500, 30, 40503L).toDF(Chrom + "2", "s2", "e2", "id2")

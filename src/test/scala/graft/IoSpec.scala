@@ -65,6 +65,20 @@ class IoSpec extends AnyFunSuite {
     assert(back.filter(col("Feature") === "gene").head.getAs[Long](Start) == 10L)
   }
 
+  test("GTF attrs: repeated keys keep first occurrence; final attr may lack ';'") {
+    val d = tmp("gtfdup")
+    Files.writeString(java.nio.file.Paths.get(s"$d/a.gtf"),
+      // two `tag` attributes (GENCODE-style) + last attribute unterminated
+      "chr1\thavana\texon\t11\t15\t.\t+\t.\t" +
+        "gene_id \"g1\"; tag \"basic\"; tag \"CCDS\"; level 2\n")
+    val df = Gtf.readGtf(spark, s"$d/a.gtf",
+      attrKeys = Seq("gene_id", "tag", "level"))
+    val r = df.head
+    assert(r.getAs[String]("gene_id") == "g1")
+    assert(r.getAs[String]("tag") == "basic")   // first occurrence wins
+    assert(r.getAs[String]("level") == "2")     // no trailing ';' needed
+  }
+
   test("readGtfFull discovers all attribute keys from the real Ensembl file") {
     val df = Gtf.readGtfFull(spark, "/root/reference/pyranges1/data/ensembl.gtf")
     assert(df.count() == 12)
