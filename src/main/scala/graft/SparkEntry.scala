@@ -136,8 +136,9 @@ object SparkEntry {
     }),
 
     // ---- remaining unary / metric / stat ops ----
-    "q32_maxdisjoint" -> ((s, dir) =>   // sequential greedy: no SQL oracle
-      out(UnaryOps.maxDisjoint(gr(s, dir), Seq(Chrom, Strand)))),
+    "q32_maxdisjoint" -> ((s, dir) =>
+      out(UnaryOps.maxDisjoint(gr(s, dir), Seq(Chrom, Strand),
+        tieBreak = Seq(col(RowId))))),
     "q33_clip" -> ((s, dir) => {
       import s.implicits._
       val cs = Seq(("A", 12000L), ("N", 12000L), ("R", 12000L)).toDF(Chrom, "size")
@@ -390,7 +391,24 @@ object SparkEntry {
       "j AS (SELECT g.row_id, c.tx, CASE WHEN g.strand = c.strand THEN '+' ELSE '-' END AS pstrand, c.row_id AS row_id_b, c.strand AS strand_b, c.cst, c.istart AS es, c.iend AS ee, greatest(g.istart, c.istart) AS gs, least(g.iend, c.iend) AS ge FROM gr2 g JOIN cum c ON g.chrom = c.chrom AND g.istart < c.iend AND g.iend > c.istart)"),
       "SELECT row_id, tx AS chrom, pstrand AS strand, row_id_b, CASE WHEN strand_b='-' THEN cst + (ee - ge) ELSE cst + (gs - es) END AS istart, CASE WHEN strand_b='-' THEN cst + (ee - gs) ELSE cst + (ge - es) END AS iend FROM j"),
 
-    // q32_maxdisjoint: greedy scan is not SQL-expressible — rows-only check.
+    // q32_maxdisjoint: first-fit-by-start IS SQL-expressible as a
+    // recursive CTE — each iteration picks, for every (chrom, strand)
+    // group in parallel, the lexicographically-least (istart, iend,
+    // row_id) row starting at-or-after the last kept row's end (gr has
+    // no degenerate intervals, so that row is exactly the next first-fit
+    // keeper).
+    "q32_maxdisjoint" -> (
+      "WITH RECURSIVE " + GR_CTE.replace("gr AS (", "gr AS MATERIALIZED (") + ", " +
+      "sel AS (" +
+      "SELECT row_id, chrom, strand, istart, iend FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY chrom, strand ORDER BY istart, iend, row_id) AS rn FROM gr) WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT nxt.row_id, nxt.chrom, nxt.strand, nxt.istart, nxt.iend " +
+      "FROM sel s, LATERAL (" +
+      "SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend FROM gr g " +
+      "WHERE g.chrom = s.chrom AND g.strand = s.strand AND g.istart >= s.iend " +
+      "ORDER BY g.istart, g.iend, g.row_id LIMIT 1) nxt) " +
+      "SELECT row_id, chrom, strand, istart, iend FROM sel"),
 
     "q33_clip" -> sql(Seq(GR_CTE),
       "SELECT row_id, chrom, strand, greatest(istart, 0) AS istart, least(iend, 12000) AS iend FROM gr WHERE least(iend, 12000) > greatest(istart, 0)"),

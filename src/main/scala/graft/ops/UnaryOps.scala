@@ -287,13 +287,17 @@ object UnaryOps {
     * per key: repartition + sortWithinPartitions + mapPartitions with
     * carried lastEnd (reference kernel: ruranges max_disjoint,
     * range_frame/range_frame.py:397-449). */
-  def maxDisjoint(df: DataFrame, keys: Seq[String], slack: Long = 0): DataFrame = {
+  def maxDisjoint(df: DataFrame, keys: Seq[String], slack: Long = 0,
+                  tieBreak: Seq[Column] = Nil): DataFrame = {
     val schema = df.schema
     val keyIdx = keys.map(schema.fieldIndex)
     val sIdx = schema.fieldIndex(Start)
     val eIdx = schema.fieldIndex(End)
+    // tieBreak totalizes the scan order: rows tied on (Start, End) keep
+    // a deterministic representative (the reference's row order is its
+    // input index)
     val sorted = df.repartition(keyCols(keys): _*)
-      .sortWithinPartitions((keys :+ Start).map(col) :+ col(End): _*)
+      .sortWithinPartitions(((keys :+ Start).map(col) :+ col(End)) ++ tieBreak: _*)
     sorted.mapPartitions { it =>
       var curKey: Seq[Any] = null
       var lastEnd = Long.MinValue
