@@ -49,7 +49,16 @@ object Similarity {
     * linearly over probe partitions. For reference sets beyond executor
     * memory use lshTopK (bucketed candidates). */
   def bruteForceTopK(df: DataFrame, k: Int, idCol: String = "vec_id",
-                     vecCol: String = "embedding", scale: Int = 1000): DataFrame = {
+                     vecCol: String = "embedding", scale: Int = 1000,
+                     maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    // the collect is CONDITIONAL: this exact kernel is only valid while
+    // the reference set fits the broadcast budget — beyond it, fail fast
+    // toward the bucketed paths instead of silently OOMing the driver
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(estBytes <= BigInt(maxBroadcastBytes),
+      s"bruteForceTopK: reference set estimate ($estBytes bytes) exceeds " +
+        s"the broadcast budget ($maxBroadcastBytes); use lshTopK or ivfTopK " +
+        "(bucketed candidate joins) for corpus-scale ANN")
     val spark = df.sparkSession
     val q = df.select(col(idCol).cast("long").as("id"),
       quantize(col(vecCol), scale).as("v"))

@@ -199,71 +199,13 @@ object BinaryOps {
     */
   def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
               suffix: String = "_b", distCol: String = "Distance",
-              excludeOverlaps: Boolean = false, binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
-    val rId = RowId + suffix
-    val rs = Start + suffix
-    val re = End + suffix
-    val rSel = right.select(
-      keys.map(col) ++ Seq(col(RowId).as(rId), col(Start).as(rs), col(End).as(re)): _*)
-
-    // --- directional sweeps over the union (one sort each) ---
-    val lTag = left.select(
-      keys.map(col) ++ Seq(col(RowId), col(Start), col(End), lit(1).as("_self"),
-        lit(null).cast("long").as(rId), lit(null).cast("long").as(rs),
-        lit(null).cast("long").as(re)): _*)
-    val rTag = rSel.select(
-      keys.map(col) ++ Seq(lit(null).cast("long").as(RowId),
-        lit(null).cast("long").as(Start), lit(null).cast("long").as(End),
-        lit(0).as("_self"), col(rId), col(rs), col(re)): _*)
-    val u = lTag.unionByName(rTag)
-
-    // left-scan: for each self row, the right struct with max End_b <= Start
-    // (max End first, then min row_id on ties) carried as a running "best"
-    // struct; ordering others-before-self at equal coordinate keeps
-    // touching intervals (End_b == Start, distance 1) eligible.
-    val lPos = coalesce(col(re), col(Start))
-    val wL = Window.partitionBy(keys.map(col): _*)
-      .orderBy(lPos.asc, col("_self").asc, col(rId).desc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val leftCand = u
-      .withColumn("_best", last(when(col("_self") === 0,
-        struct(col(rs), col(re), col(rId))), ignoreNulls = true).over(wL))
-      .filter(col("_self") === 1 && col("_best").isNotNull)
-      .select(col(RowId), col(Start), col("_best.*"))
-      .withColumn(distCol, col(Start) - col(re) + 1)
-
-    // right-scan mirror: min Start_b >= End.
-    val rPos = coalesce(col(rs), col(End))
-    val wR = Window.partitionBy(keys.map(col): _*)
-      .orderBy(rPos.desc, col("_self").asc, col(rId).desc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val rightCand = u
-      .withColumn("_best", last(when(col("_self") === 0,
-        struct(col(rs), col(re), col(rId))), ignoreNulls = true).over(wR))
-      .filter(col("_self") === 1 && col("_best").isNotNull)
-      .select(col(RowId), col(End), col("_best.*"))
-      .withColumn(distCol, col(rs) - col(End) + 1)
-
-    // overlap candidates: distance 0.
-    val ovCand =
-      if (excludeOverlaps) None
-      else Some(RangeJoin.pairs(left, rSel.withColumnRenamed(rId, RowId + "_tmp")
-            .withColumnRenamed(rs, Start).withColumnRenamed(re, End),
-            keys, 0, binSize, suffix = "_o")
-        .select(col(RowId), col(Start + "_o").as(rs), col(End + "_o").as(re),
-                col(RowId + "_tmp").as(rId))
-        .withColumn(distCol, lit(0L)))
-
-    val lc = leftCand.select(RowId, rs, re, rId, distCol)
-    val rc = rightCand.select(RowId, rs, re, rId, distCol)
-    val all = ovCand.fold(lc.unionByName(rc))(o =>
-      lc.unionByName(rc).unionByName(o.select(RowId, rs, re, rId, distCol)))
-    // exclude_overlaps: directional sweeps only produce non-overlapping
-    // candidates already (End_b <= Start / Start_b >= End).
-    val best = all.groupBy(col(RowId)).agg(
-      min(struct(col(distCol), col(rId), col(rs), col(re))).as("_best"))
-      .select(col(RowId), col(s"_best.$rId").as(rId), col(s"_best.$rs").as(rs),
-              col(s"_best.$re").as(re), col(s"_best.$distCol").as(distCol))
-    left.join(best, Seq(RowId), "inner")
-  }
+              excludeOverlaps: Boolean = false, binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame =
+    // single sweep implementation (NearestK) with k=1: the co-partitioned
+    // mapPartitions scan — salted per position-bin on large inputs — beats
+    // the old per-key window sweep, which serialized each chromosome into
+    // one task.
+    NearestK.nearestK(left, right, keys, 1, direction = "any",
+      excludeOverlaps = excludeOverlaps, suffix = suffix, distCol = distCol,
+      binSize = binSize)
+      .drop("nearest_rank")
 }

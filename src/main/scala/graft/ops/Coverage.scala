@@ -16,15 +16,12 @@ object Coverage {
 
   /** Auto-switch: the plain per-key window sweep serializes each key into
     * one task — fine for small inputs (fewer stages wins), a straggler
-    * for big ones (one hot chromosome = one task). Above this optimizer-
-    * estimated input size the salted two-phase prefix sum takes over.
+    * for big ones (one hot chromosome = one task). Above the shared
+    * input-size threshold the salted two-phase prefix sum takes over.
     * Measured at local[32]/sf0.1: plain rleBinary 4.7 s vs salted 2.5 s;
     * at sf0.01 plain wins by stage count. */
-  private val saltedInputThreshold: Long = 8L << 20
-
   private def bigInput(dfs: DataFrame*): Boolean =
-    dfs.map(_.queryExecution.optimizedPlan.stats.sizeInBytes).sum >
-      BigInt(saltedInputThreshold)
+    graft.core.Sizing.bigInput(dfs: _*)
 
   /** Runs of constant coverage between min(Start) and max(End) per key.
     * valueCol: weight column (default 1 per interval). Zero-coverage runs

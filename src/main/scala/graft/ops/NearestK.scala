@@ -71,6 +71,49 @@ object NearestK {
     }(enc).toDF()
   }
 
+  /** Salted directional scan — the hot-key path. The plain scan
+    * repartitions by group key alone, so one huge chromosome sweeps in a
+    * single task. Split the sweep at `saltBin` position boundaries and
+    * scan each (key, bin) independently; the only cross-bin state a bin
+    * needs is the trailing k other-rows at its left edge, which is
+    * derivable from per-bin suffix summaries:
+    *  - per (key, bin), keep the LAST k other-rows (no older row in that
+    *    bin can ever be among a later self row's trailing k);
+    *  - carry each summary row into subsequent bins until k fresher
+    *    summary rows exist (its expiry bin via lead(bin, k));
+    *  - rekey by (key, bin) and run the ordinary local scan — carried
+    *    rows sort before in-bin rows because they keep their original
+    *    (smaller) positions.
+    * Identical output to scan() (property-tested). */
+  private def scanSalted(u: DataFrame, k: Int, rightSide: Boolean,
+                         saltBin: Long): DataFrame = {
+    val d = u.withColumn("_mb", floor(col("pos").cast("double") / saltBin).cast("long"))
+    val wDesc = Window.partitionBy(col(KEY), col("_mb"))
+      .orderBy(col("pos").desc, col("sortId").desc)
+    val suffix = d.filter(col("isSelf") === 0)
+      .withColumn("_rn", row_number().over(wDesc)).filter(col("_rn") <= k).drop("_rn")
+    val wAsc = Window.partitionBy(col(KEY)).orderBy(col("pos").asc, col("sortId").asc)
+    val maxBin = d.groupBy(col(KEY)).agg(max(col("_mb")).as("_maxMb"))
+    val lo = col("_mb") + 1
+    val hi = least(coalesce(col("_expiry"), col("_maxMb")), col("_maxMb"))
+    val carried = suffix
+      .withColumn("_expiry", lead(col("_mb"), k).over(wAsc))
+      .join(maxBin, KEY)
+      .withColumn("_mb2", explode(when(hi >= lo, sequence(lo, hi))
+        .otherwise(array().cast("array<long>"))))
+      .drop("_mb", "_expiry", "_maxMb")
+      .withColumnRenamed("_mb2", "_mb")
+    val rekeyed = d.unionByName(carried.select(d.columns.map(col): _*))
+      .withColumn(KEY, concat_ws("", col(KEY), col("_mb")))
+      .drop("_mb")
+    scan(rekeyed, k, rightSide)
+  }
+
+  /** Dispatch: salted sweep for large inputs, plain otherwise. */
+  private def scanAuto(u: DataFrame, k: Int, rightSide: Boolean,
+                       big: Boolean, saltBin: Long = 16384): DataFrame =
+    if (big) scanSalted(u, k, rightSide, saltBin) else scan(u, k, rightSide)
+
   /** Build the tagged union for one scan direction. */
   private def union(left: DataFrame, right: DataFrame, keys: Seq[String],
                     rightSide: Boolean): DataFrame = {
@@ -92,13 +135,17 @@ object NearestK {
   def nearestK(left: DataFrame, right: DataFrame, keys: Seq[String], k: Int,
                direction: String = "any", excludeOverlaps: Boolean = false,
                suffix: String = "_b", distCol: String = "Distance",
-               binSize: Long = RangeJoin.defaultBinSize): DataFrame = {
+               binSize: Long = RangeJoin.defaultBinSize,
+               saltedHint: Option[Boolean] = None): DataFrame = {
     val rId = RowId + suffix
     val rs = Start + suffix
     val re = End + suffix
 
-    val lScan = scan(union(left, right, keys, rightSide = false), k, rightSide = false)
-    val rScan = scan(union(left, right, keys, rightSide = true), k, rightSide = true)
+    val big = saltedHint.getOrElse(graft.core.Sizing.bigInput(left, right))
+    val lScan = scanAuto(union(left, right, keys, rightSide = false), k,
+      rightSide = false, big)
+    val rScan = scanAuto(union(left, right, keys, rightSide = true), k,
+      rightSide = true, big)
     val ov =
       if (excludeOverlaps) None
       else Some(RangeJoin.pairs(left.select((keys :+ RowId :+ Start :+ End).map(col): _*),

@@ -216,7 +216,14 @@ object UnaryOps {
     * Adds cumStart/cumEnd columns. */
   def groupCumsum(df: DataFrame, keys: Seq[String], useStrand: Boolean = true,
                   cumStartCol: String = "cumStart", cumEndCol: String = "cumEnd",
-                  tieBreak: Seq[Column] = Nil): DataFrame = {
+                  tieBreak: Seq[Column] = Nil): DataFrame =
+    if (graft.core.Sizing.bigInput(df))
+      groupCumsumSalted(df, keys, useStrand, cumStartCol, cumEndCol, tieBreak)
+    else groupCumsumPlain(df, keys, useStrand, cumStartCol, cumEndCol, tieBreak)
+
+  def groupCumsumPlain(df: DataFrame, keys: Seq[String], useStrand: Boolean = true,
+                       cumStartCol: String = "cumStart", cumEndCol: String = "cumEnd",
+                       tieBreak: Seq[Column] = Nil): DataFrame = {
     val neg = if (useStrand && df.columns.contains(Strand))
       col(Strand) === Cols.RevStrand else lit(false)
     val pos1 = when(neg, -col(End)).otherwise(col(Start))
@@ -226,6 +233,40 @@ object UnaryOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(cumEndCol, sum(col(End) - col(Start)).over(w))
       .withColumn(cumStartCol, col(cumEndCol) - (col(End) - col(Start)))
+  }
+
+  /** group_cumsum via the two-phase distributed prefix sum (mirroring
+    * Coverage.toRleSalted): a plain cumsum window-partitions by the
+    * transcript key alone, so one hot transcript — or a key with few
+    * distinct values — serializes into one task. Phase 1 computes local
+    * running sums per (key, sweep-position megabin) with parallelism =
+    * #bins; phase 2 turns the tiny per-bin totals into per-bin offsets;
+    * phase 3 joins them back. Identical output to groupCumsumPlain
+    * (integer length sums — property-tested); requires tieBreak to make
+    * the sweep order total when (Start, End) ties are possible. */
+  def groupCumsumSalted(df: DataFrame, keys: Seq[String], useStrand: Boolean = true,
+                        cumStartCol: String = "cumStart", cumEndCol: String = "cumEnd",
+                        tieBreak: Seq[Column] = Nil, saltBin: Long = 16384): DataFrame = {
+    val neg = if (useStrand && df.columns.contains(Strand))
+      col(Strand) === Cols.RevStrand else lit(false)
+    val pos1 = when(neg, -col(End)).otherwise(col(Start))
+    val pos2 = when(neg, -col(Start)).otherwise(col(End))
+    val len = col(End) - col(Start)
+    val d = df.withColumn("_gcmb", floor(pos1.cast("double") / saltBin).cast("long"))
+    val wLoc = Window.partitionBy(keyCols(keys) :+ col("_gcmb"): _*)
+      .orderBy(Seq(pos1, pos2) ++ tieBreak: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = d.withColumn("_gcloc", sum(len).over(wLoc))
+    val wBins = Window.partitionBy(keyCols(keys): _*).orderBy(col("_gcmb"))
+    val binInfo = d.groupBy(keyCols(keys) :+ col("_gcmb"): _*)
+      .agg(sum(len).as("_gctot"))
+      .withColumn("_gcoff", coalesce(sum(col("_gctot")).over(
+        wBins.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(keyCols(keys) ++ Seq(col("_gcmb"), col("_gcoff")): _*)
+    local.join(binInfo, keys :+ "_gcmb")
+      .withColumn(cumEndCol, col("_gcloc") + col("_gcoff"))
+      .withColumn(cumStartCol, col(cumEndCol) - len)
+      .select(df.columns.map(col) ++ Seq(col(cumEndCol), col(cumStartCol)): _*)
   }
 
   /** window_ranges (reference core/pyranges_main.py:4838-5096): chop each

@@ -69,6 +69,22 @@ class OpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("groupCumsumSalted equals groupCumsumPlain (incl. minus strand)") {
+    val rows = (0 until 400).map { i =>
+      val s = (i * 2654435761L) % 4000
+      ("c" + (i % 2), s, s + 1 + (i * 40503L) % 90)
+    }
+    val df = gf(rows: _*)
+      .withColumn(Strand, when(col(RowId) % 2 === 0, "+").otherwise("-"))
+    def canon(d: DataFrame) = d.select(RowId, "cs", "ce").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = canon(UnaryOps.groupCumsumPlain(df, Seq(Chrom, Strand),
+      useStrand = true, "cs", "ce", Seq(col(RowId))))
+    val salted = canon(UnaryOps.groupCumsumSalted(df, Seq(Chrom, Strand),
+      useStrand = true, "cs", "ce", Seq(col(RowId)), saltBin = 256))
+    assert(salted == plain)
+  }
+
   test("merge is idempotent") {
     val df = gf(("c", 1, 5), ("c", 4, 9), ("c", 20, 30), ("c", 25, 26))
     val once = UnaryOps.merge(df, Seq(Chrom))
@@ -254,6 +270,30 @@ class OpsSpec extends AnyFunSuite {
       .map(x => (x.getString(0), x.getLong(1))).toMap
     assert(got("+") == 10L)   // upstream of "+" = genomic left
     assert(got("-") == 150L)  // upstream of "-" = genomic right
+  }
+
+  test("salted nearestK sweep equals plain across salt-bin boundaries") {
+    // pseudo-random intervals spanning many 16384-position salt bins,
+    // sparse rights so trailing-k state crosses bins regularly
+    val lRows = (0 until 300).map { i =>
+      val s = (i * 2654435761L) % 300000
+      ("c" + (i % 2), s, s + 1 + (i * 31L) % 50)
+    }
+    val rRows = (0 until 40).map { i =>
+      val s = (i * 40503L) % 300000
+      ("c" + (i % 2), s, s + 1 + (i * 17L) % 30)
+    }
+    val l = gf(lRows: _*)
+    val r = gf(rRows: _*)
+    def canon(d: DataFrame) = d.select(RowId, RowId + "_b", "dist", "nearest_rank")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3))).toSet
+    for (k <- Seq(1, 3)) {
+      val plain = canon(graft.ops.NearestK.nearestK(l, r, Seq(Chrom), k,
+        distCol = "dist", saltedHint = Some(false)))
+      val salted = canon(graft.ops.NearestK.nearestK(l, r, Seq(Chrom), k,
+        distCol = "dist", saltedHint = Some(true)))
+      assert(salted == plain, s"k=$k")
+    }
   }
 
   // join_overlaps left/outer keep unmatched with nulls (reference
