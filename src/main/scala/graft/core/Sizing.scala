@@ -13,7 +13,14 @@ object Sizing {
     * salted two-phase plans (measured crossover at local[32]/sf0.1). */
   val saltedInputThreshold: Long = 8L << 20
 
-  def bigInput(dfs: DataFrame*): Boolean =
+  /** Higher bar for the mapPartitions sweeps (nearest): their per-row
+    * cost is a single comparison, so per-key serialization only hurts
+    * once keys carry hundreds of MB each. */
+  val saltedSweepThreshold: Long = 64L << 20
+
+  def bigInput(dfs: DataFrame*): Boolean = bigInputOver(saltedInputThreshold, dfs: _*)
+
+  def bigInputOver(threshold: Long, dfs: DataFrame*): Boolean =
     dfs.map(_.queryExecution.optimizedPlan.stats.sizeInBytes).sum >
-      BigInt(saltedInputThreshold)
+      BigInt(threshold)
 }

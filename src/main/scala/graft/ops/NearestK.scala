@@ -141,7 +141,8 @@ object NearestK {
     val rs = Start + suffix
     val re = End + suffix
 
-    val big = saltedHint.getOrElse(graft.core.Sizing.bigInput(left, right))
+    val big = saltedHint.getOrElse(graft.core.Sizing.bigInputOver(
+      graft.core.Sizing.saltedSweepThreshold, left, right))
     val lScan = scanAuto(union(left, right, keys, rightSide = false), k,
       rightSide = false, big)
     val rScan = scanAuto(union(left, right, keys, rightSide = true), k,
