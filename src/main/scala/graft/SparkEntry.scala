@@ -262,6 +262,11 @@ object SparkEntry {
     "q55_count_slack" -> ((s, dir) =>
       out(BinaryOps.countOverlaps(gr(s, dir), gr2Sparse(s, dir), Seq(Chrom),
         slack = 3, countCol = "n"))),
+    "q56_slice_vec" -> ((s, dir) =>
+      // per-row vector offsets (reference methods/slice_ranges.py:19-54):
+      // each read sliced by its own window, no shuffle
+      out(Composites.sliceRangesCols(gr(s, dir), Nil,
+        (col(RowId) % 7) - 3, Some((col(RowId) % 11) + 1)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -514,5 +519,11 @@ object SparkEntry {
 
     "q55_count_slack" -> sql(Seq(GR_CTE, GR2_CTE, GR2S_CTE),
       "SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, count(o.row_id) AS n FROM gr g LEFT JOIN gr2s o ON g.chrom = o.chrom AND g.istart - 3 < o.iend AND g.iend + 3 > o.istart GROUP BY g.row_id, g.chrom, g.strand, g.istart, g.iend"),
+
+    "q56_slice_vec" -> sql(Seq(GR_CTE,
+      "v AS (SELECT row_id, chrom, strand, istart, iend, iend - istart AS len, row_id % 7 - 3 AS sv, row_id % 11 + 1 AS ev FROM gr)",
+      "rs AS (SELECT *, CASE WHEN sv >= 0 THEN sv ELSE greatest(len + sv, 0) END AS s0, least(ev, len) AS e0 FROM v)",
+      "cl AS (SELECT *, greatest(0, s0) AS lo, least(len, e0) AS hi FROM rs)"),
+      "SELECT row_id, chrom, strand, CASE WHEN strand='-' THEN iend - hi ELSE istart + lo END AS istart, CASE WHEN strand='-' THEN iend - lo ELSE istart + hi END AS iend FROM cl WHERE lo < hi"),
   )
 }

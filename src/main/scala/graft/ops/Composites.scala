@@ -27,27 +27,55 @@ object Composites {
     * fragment, coordinates mapped back to genomic space. */
   def sliceRanges(df: DataFrame, keys: Seq[String], sliceStart: Long,
                   sliceEnd: Option[Long], useStrand: Boolean = true,
-                  tieBreak: Seq[Column] = Nil): DataFrame = {
-    val cum = UnaryOps.groupCumsum(df, keys, useStrand, "_cs", "_ce", tieBreak)
-    val w = Window.partitionBy(keys.map(col): _*)
-    val withLen = cum.withColumn("_tl", max(col("_ce")).over(w))
-    val s0 = if (sliceStart >= 0) lit(sliceStart)
-             else greatest(col("_tl") + sliceStart, lit(0L))
-    val e0 = sliceEnd match {
-      case Some(e) if e >= 0 => least(lit(e), col("_tl"))
-      case Some(e)           => greatest(col("_tl") + e, lit(0L))
-      case None              => col("_tl")
-    }
-    val lo = greatest(col("_cs"), s0)
-    val hi = least(col("_ce"), e0)
+                  tieBreak: Seq[Column] = Nil): DataFrame =
+    sliceRangesCols(df, keys, lit(sliceStart), sliceEnd.map(lit(_)),
+      useStrand, tieBreak)
+
+  /** slice_ranges with per-row (vector) offsets (reference
+    * methods/slice_ranges.py:19-54 — start/end may be arrays aligned to
+    * rows; pyranges_main.py:3012-3015): each row carries its own slice
+    * window, expressed here as Columns. With `keys` empty, each interval
+    * is sliced independently — a pure strand-aware projection, no
+    * shuffle (reference ungrouped slice_ranges, where every row is its
+    * own group). `end` = None means "to the 3' end". */
+  def sliceRangesCols(df: DataFrame, keys: Seq[String], sliceStart: Column,
+                      sliceEnd: Option[Column], useStrand: Boolean = true,
+                      tieBreak: Seq[Column] = Nil): DataFrame = {
     val isNeg = neg(useStrand, df)
-    withLen.filter(lo < hi)
-      .withColumn("_ns", when(isNeg, col(End) - (hi - col("_cs")))
-        .otherwise(col(Start) + (lo - col("_cs"))))
-      .withColumn("_ne", when(isNeg, col(End) - (lo - col("_cs")))
-        .otherwise(col(Start) + (hi - col("_cs"))))
-      .withColumn(Start, col("_ns")).withColumn(End, col("_ne"))
-      .drop("_cs", "_ce", "_tl", "_ns", "_ne")
+    def resolve(tl: Column): (Column, Column) = {
+      val s0 = when(sliceStart >= 0, sliceStart)
+        .otherwise(greatest(tl + sliceStart, lit(0L)))
+      val e0 = sliceEnd match {
+        case Some(e) => when(e >= 0, least(e, tl)).otherwise(greatest(tl + e, lit(0L)))
+        case None    => tl
+      }
+      (s0, e0)
+    }
+    if (keys.isEmpty) {
+      val len = col(End) - col(Start)
+      val (s0, e0) = resolve(len)
+      val lo = greatest(lit(0L), s0)
+      val hi = least(len, e0)
+      df.filter(lo < hi)
+        .withColumn("_ns", when(isNeg, col(End) - hi).otherwise(col(Start) + lo))
+        .withColumn("_ne", when(isNeg, col(End) - lo).otherwise(col(Start) + hi))
+        .withColumn(Start, col("_ns")).withColumn(End, col("_ne"))
+        .drop("_ns", "_ne")
+    } else {
+      val cum = UnaryOps.groupCumsum(df, keys, useStrand, "_cs", "_ce", tieBreak)
+      val w = Window.partitionBy(keys.map(col): _*)
+      val withLen = cum.withColumn("_tl", max(col("_ce")).over(w))
+      val (s0, e0) = resolve(col("_tl"))
+      val lo = greatest(col("_cs"), s0)
+      val hi = least(col("_ce"), e0)
+      withLen.filter(lo < hi)
+        .withColumn("_ns", when(isNeg, col(End) - (hi - col("_cs")))
+          .otherwise(col(Start) + (lo - col("_cs"))))
+        .withColumn("_ne", when(isNeg, col(End) - (lo - col("_cs")))
+          .otherwise(col(Start) + (hi - col("_cs"))))
+        .withColumn(Start, col("_ns")).withColumn(End, col("_ne"))
+        .drop("_cs", "_ce", "_tl", "_ns", "_ne")
+    }
   }
 
   /** slice_ranges(count_introns=True) (reference core/pyranges_main.py:

@@ -80,6 +80,48 @@ class DocTestParitySpec extends AnyFunSuite {
       (40L, 60L, "t1"), (10L, 25L, "t2"), (70L, 75L, "t2"), (140L, 152L, "t3")))
   }
 
+  test("slice_ranges doctest: region 25..60 of each spliced transcript") {
+    assert(se(Composites.sliceRanges(p, Seq("transcript_id"), 25, Some(60))) == Set(
+      (55L, 60L, "t1")))
+  }
+
+  test("slice_ranges doctest: exclude first and last 3 nt (3, -3)") {
+    assert(se(Composites.sliceRanges(p, Seq("transcript_id"), 3, Some(-3))) == Set(
+      (4L, 11L, "t1"), (40L, 57L, "t1"), (13L, 25L, "t2"), (70L, 77L, "t2"),
+      (143L, 149L, "t3")))
+  }
+
+  test("slice_ranges doctest: use_strand=False treats all rows as plus") {
+    assert(se(Composites.sliceRanges(p, Seq("transcript_id"), 0, Some(15),
+        useStrand = false)) == Set(
+      (1L, 11L, "t1"), (40L, 45L, "t1"), (10L, 25L, "t2"), (140L, 152L, "t3")))
+  }
+
+  // reference methods/slice_ranges.py:19-54: start/end may be per-row
+  // vectors. Expressed as Columns; empty keys = per-row slicing with no
+  // shuffle (the reference's ungrouped form, each row its own group).
+  test("slice_ranges vector offsets: per-row windows, strand-aware") {
+    // row windows: t1a/t2a/t3 first 5, t1b/t2b last 10
+    val firstFive = col(Start).isin(1L, 10L, 140L)
+    val withOffs = p
+      .withColumn("_s", when(firstFive, 0L).otherwise(-10L))
+      .withColumn("_e", when(firstFive, 5L).otherwise(lit(null).cast("long")))
+    val sliced = Composites.sliceRangesCols(withOffs, Nil, col("_s"),
+      Some(coalesce(col("_e"), col(End) - col(Start))))
+    assert(se(sliced) == Set(
+      (1L, 6L, "t1"),     // + first 5
+      (50L, 60L, "t1"),   // + last 10
+      (20L, 25L, "t2"),   // - first 5 counts from right
+      (70L, 80L, "t2"),   // - last 10 (len 10 -> whole)
+      (140L, 145L, "t3")))
+    // per-row vector against a grouped (spliced) transcript
+    val grouped = Composites.sliceRangesCols(
+      p.withColumn("_s", lit(3L)), Seq("transcript_id"), col("_s"), Some(lit(-3L)))
+    assert(se(grouped) == Set(
+      (4L, 11L, "t1"), (40L, 57L, "t1"), (13L, 25L, "t2"), (70L, 77L, "t2"),
+      (143L, 149L, "t3")))
+  }
+
   // reference core/pyranges_main.py:4838-5096 window_ranges group_by:
   // spliced windows cross exon boundaries and split per exon fragment.
   test("windowRangesGrouped chops the spliced transcript, splitting at introns") {
