@@ -169,8 +169,23 @@ object Composites {
     * `exons`: (Chromosome, Start, End, Strand, txCol). One output row per
     * overlapped exon (splits across introns). Equi-join on the transcript
     * id — broadcastable when the exon model is small. */
+  /** keepId keeps the transcript-id column; keepLoc keeps the local
+    * coordinates as *_local columns; pepToCds multiplies local
+    * coordinates by 3 first (peptide -> CDS positions, reference
+    * pyranges_main.py:1489,1522-1526,1684-1707). */
   def mapToGlobal(local: DataFrame, exons: DataFrame, txCol: String,
-                  tieBreak: Seq[Column] = Nil): DataFrame = {
+                  tieBreak: Seq[Column] = Nil, keepId: Boolean = true,
+                  keepLoc: Boolean = false, pepToCds: Boolean = false): DataFrame = {
+    val local0 =
+      if (pepToCds)
+        local.withColumn(Start, col(Start) * 3).withColumn(End, col(End) * 3)
+      else local
+    mapToGlobalImpl(local0, exons, txCol, tieBreak, keepId, keepLoc)
+  }
+
+  private def mapToGlobalImpl(local: DataFrame, exons: DataFrame, txCol: String,
+                              tieBreak: Seq[Column], keepId: Boolean,
+                              keepLoc: Boolean): DataFrame = {
     // This is a RANGE join in transcript-cumsum space: a plain equi-join
     // on the transcript id degenerates (few distinct transcripts in one
     // model => quasi-cartesian, 220s at sf0.1). Present the exon cumsum
@@ -193,14 +208,23 @@ object Composites {
       if (local.columns.contains(Strand))
         when(col(Strand) === col("_str"), Cols.FwdStrand).otherwise(Cols.RevStrand)
       else col("_str")
-    p.withColumn("_gs", when(isNeg, col("_ee") - (hi - cs))
+    val mapped = p.withColumn("_gs", when(isNeg, col("_ee") - (hi - cs))
         .otherwise(col("_es") + (lo - cs)))
       .withColumn("_ge", when(isNeg, col("_ee") - (lo - cs))
         .otherwise(col("_es") + (hi - cs)))
       .withColumn("_ostr", outStrand)
+      .withColumn(Start + "_local", col(Start))
+      .withColumn(End + "_local", col(End))
+      .withColumn(Strand + "_local",
+        if (local.columns.contains(Strand)) col(Strand)
+        else lit(null).cast("string"))
       .withColumn(Start, col("_gs")).withColumn(End, col("_ge"))
       .withColumn(Chrom, col("_chr")).withColumn(Strand, col("_ostr"))
       .drop("_chr", "_str", "_es", "_ee", Start + "_b", End + "_b", "_gs", "_ge", "_ostr")
+    val dropLoc = if (keepLoc) Nil
+      else Seq(Start + "_local", End + "_local", Strand + "_local")
+    val dropId = if (keepId) Nil else Seq(txCol)
+    mapped.drop(dropLoc ++ dropId: _*)
   }
 
   /** window_ranges with group_by (reference core/pyranges_main.py:

@@ -279,6 +279,39 @@ class DocTestParitySpec extends AnyFunSuite {
     val got3 = Composites.mapToGlobal(tr3, gr, "transcript_id")
       .select(Start, End).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got3 == Set((120L, 200L), (300L, 400L)))
+
+    // keep_id=False drops the identifier; keep_loc retains the local
+    // coordinates as *_local (reference doctests :1593-1633)
+    val noId = Composites.mapToGlobal(tr, gr, "transcript_id", keepId = false)
+    assert(!noId.columns.contains("transcript_id"))
+    val withLoc = Composites.mapToGlobal(tr, gr, "transcript_id", keepLoc = true)
+      .filter(col("label") === "a")
+      .select(Start + "_local", End + "_local", Strand + "_local").head
+    assert(withLoc.getLong(0) == 0L && withLoc.getLong(1) == 80L &&
+      withLoc.getString(2) == "-")
+  }
+
+  // reference core/pyranges_main.py:1684-1707 (pep_to_cds doctest shape):
+  // peptide coordinates scale x3 into CDS space before lifting. A peptide
+  // residue [7, 8) on a "-"-strand 2-exon CDS maps to the 3-nt codon,
+  // split across exons when it straddles the junction.
+  test("map_to_global pep_to_cds: residue -> codon, junction-split codon") {
+    import spark.implicits._
+    val cds = Seq(("chrA", 100L, 122L, "-", "rna1"),   // 22 nt (5' part, "-")
+                  ("chrA", 50L, 70L, "-", "rna1"))     // 20 nt
+      .toDF(Chrom, Start, End, Strand, "transcript_id")
+    // residue 7 -> CDS [21, 24): last nt of exon1 + first 2 of exon2
+    val pep = Seq(("rna1", 7L, 8L, "R"), ("rna1", 0L, 1L, "M"))
+      .toDF("transcript_id", Start, End, "aa")
+    val got = Composites.mapToGlobal(pep, cds, "transcript_id",
+        pepToCds = true, keepId = true)
+      .select("aa", Start, End, Strand).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    // "-" strand: cum position c maps to End1 - c within exon1 (cum 0..22)
+    // M: cds [0,3) -> genomic [119,122); R: cds [21,24) -> [100,101) + [68,70)
+    assert(got == Set(
+      ("M", 119L, 122L, "-"),
+      ("R", 100L, 101L, "-"), ("R", 68L, 70L, "-")))
   }
 
   // reference core/pyranges_main.py:2862-2950 (sort_ranges doctest).
