@@ -267,6 +267,10 @@ object SparkEntry {
       // each read sliced by its own window, no shuffle
       out(Composites.sliceRangesCols(gr(s, dir), Nil,
         (col(RowId) % 7) - 3, Some((col(RowId) % 11) + 1)))),
+    "q57_bigwig_divide" -> ((s, dir) =>
+      // to_bigwig divide-mode payload: ratio-defragmented aligned runs,
+      // exact integer fractions (log2 at the float edge)
+      out(Coverage.bigwigDivideRanges(gr(s, dir), gr2(s, dir), Seq(Chrom)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -525,5 +529,14 @@ object SparkEntry {
       "rs AS (SELECT *, CASE WHEN sv >= 0 THEN sv ELSE greatest(len + sv, 0) END AS s0, least(ev, len) AS e0 FROM v)",
       "cl AS (SELECT *, greatest(0, s0) AS lo, least(len, e0) AS hi FROM rs)"),
       "SELECT row_id, chrom, strand, CASE WHEN strand='-' THEN iend - hi ELSE istart + lo END AS istart, CASE WHEN strand='-' THEN iend - lo ELSE istart + hi END AS iend FROM cl WHERE lo < hi"),
+
+    "q57_bigwig_divide" -> sql(Seq(GR_CTE, GR2_CTE,
+      "ev AS (SELECT chrom, pos, sum(da) AS da, sum(db) AS db FROM (SELECT chrom, istart AS pos, 1 AS da, 0 AS db FROM gr UNION ALL SELECT chrom, iend AS pos, -1 AS da, 0 AS db FROM gr UNION ALL SELECT chrom, istart AS pos, 0 AS da, 1 AS db FROM gr2 UNION ALL SELECT chrom, iend AS pos, 0 AS da, -1 AS db FROM gr2) GROUP BY chrom, pos)",
+      "sq AS (SELECT chrom, pos, CAST(sum(da) OVER w AS BIGINT) AS score_a, CAST(sum(db) OVER w AS BIGINT) AS score_b, lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS np FROM ev WINDOW w AS (PARTITION BY chrom ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))",
+      "runs AS (SELECT chrom, pos AS istart, np AS iend, score_a, score_b FROM sq WHERE np IS NOT NULL AND score_b <> 0)",
+      "fl AS (SELECT *, CASE WHEN lag(iend) OVER (PARTITION BY chrom ORDER BY istart) IS NULL OR lag(iend) OVER (PARTITION BY chrom ORDER BY istart) <> istart OR score_a * lag(score_b) OVER (PARTITION BY chrom ORDER BY istart) <> score_b * lag(score_a) OVER (PARTITION BY chrom ORDER BY istart) THEN 1 ELSE 0 END AS nf FROM runs)",
+      "g AS (SELECT *, sum(nf) OVER (PARTITION BY chrom ORDER BY istart ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM fl)",
+      "m AS (SELECT chrom, min(istart) AS istart, max(iend) AS iend, min(score_a) AS ma, min(score_b) AS mb FROM g GROUP BY chrom, gid)"),
+      "SELECT chrom, istart, iend, CAST(CASE WHEN gcd(ma, mb) = 0 THEN ma ELSE ma // gcd(ma, mb) END AS BIGINT) AS score_a, CAST(CASE WHEN gcd(ma, mb) = 0 THEN mb ELSE mb // gcd(ma, mb) END AS BIGINT) AS score_b FROM m"),
   )
 }

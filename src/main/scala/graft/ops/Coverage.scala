@@ -123,6 +123,55 @@ object Coverage {
         col(scoreA), col(scoreB)): _*)
   }
 
+  /** to_bigwig-shaped export (reference core/out.py:164-224,
+    * return_data=True): the RLE coverage as (Chromosome, Start, End,
+    * Score) rows, optionally RPM-normalized (Score x 1e6 / row count —
+    * computed as a lazy 1-row aggregate, no driver action). Writing the
+    * binary .bw container itself is out of scope offline; this table IS
+    * the addEntries payload. */
+  def toBigwigRanges(df: DataFrame, valueCol: Option[String] = None,
+                     rpm: Boolean = true): DataFrame = {
+    val r = toRle(df, Seq(Cols.Chrom), valueCol, "Score")
+    if (!rpm) r
+    else {
+      val n = df.groupBy().agg(count(lit(1)).as("_n"))
+      r.crossJoin(broadcast(n))
+        .withColumn("Score", col("Score") * 1e6 / col("_n"))
+        .drop("_n")
+    }
+  }
+
+  /** to_bigwig divide mode (reference core/out.py:183-196): aligned
+    * coverage runs of `cov` and `bg`, zero-divisor runs dropped, adjacent
+    * runs with EQUAL RATIO defragmented (the reference defragments after
+    * log2(cov/bg)). Scores are returned as the reduced integer fraction
+    * (score_a, score_b) so the result is exact across engines; take
+    * log2(score_a / score_b) at the caller's float edge (exactly the
+    * reference's log2 values, since equal ratios defragment equally). */
+  def bigwigDivideRanges(cov: DataFrame, bg: DataFrame,
+                         keys: Seq[String] = Seq(Cols.Chrom)): DataFrame = {
+    val k = keys.map(col)
+    val gcdReduce = udf { (a: Long, b: Long) =>
+      val g = BigInt(a).gcd(BigInt(b)).toLong
+      if (g == 0L) Array(a, b) else Array(a / g, b / g)
+    }
+    val runs = rleBinary(cov, bg, keys).filter(col("score_b") =!= 0)
+    val w = Window.partitionBy(k: _*).orderBy(col(Start))
+    val prevEnd = lag(col(End), 1).over(w)
+    val sameRatio = col("score_a") * lag(col("score_b"), 1).over(w) ===
+      col("score_b") * lag(col("score_a"), 1).over(w)
+    val flagged = runs.withColumn("_nf",
+      when(prevEnd.isNull || prevEnd =!= col(Start) || !sameRatio, 1L).otherwise(0L))
+    val grouped = flagged.withColumn("_gid",
+      sum(col("_nf")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grouped.groupBy(k :+ col("_gid"): _*)
+      .agg(min(col(Start)).as(Start), max(col(End)).as(End),
+        min(col("score_a")).as("_a"), min(col("score_b")).as("_b"))
+      .withColumn("_r", gcdReduce(col("_a"), col("_b")))
+      .select(k ++ Seq(col(Start), col(End),
+        col("_r").getItem(0).as("score_a"), col("_r").getItem(1).as("score_b")): _*)
+  }
+
   /** rleBinary via the two-phase distributed prefix sum (same structure
     * as toRleSalted, two delta streams): local per-(key, megabin) prefix
     * sums in parallel + per-key bin offsets joined back. Identical output
