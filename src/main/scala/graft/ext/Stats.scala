@@ -79,25 +79,55 @@ object Stats {
       .select(keys.map(col) :+ (col("size") * col("len_i")).as("forbes_num") :+
         (col("len_a") * col("len_b")).as("forbes_den"): _*)
 
-  /** One-sided (greater) Fisher's exact test for 2x2 tables
-    * (reference ext/stats.py:174-246, via the `fisher` package):
-    * P[X >= a] under the hypergeometric null for table [[a,b],[c,d]].
-    * Log-gamma formulation, numerically stable; per-row UDF (pure). */
-  val fisherExactGreater = udf { (a: Long, b: Long, c: Long, d: Long) =>
+  /** Fisher's exact test for 2x2 tables (reference ext/stats.py:174-246,
+    * via the `fisher` package — 'greater' / 'less' / 'two-sided'
+    * alternatives): hypergeometric tail under fixed margins for table
+    * [[a,b],[c,d]]. Log-gamma formulation, numerically stable; per-row
+    * UDF (pure, no state). */
+  private def hypergeomLogPmf(a: Long, b: Long, c: Long, d: Long)(i: Long): Double = {
     def lg(x: Long): Double = org.apache.commons.math3.special.Gamma.logGamma(x + 1.0)
     val n = a + b + c + d
     val lDen = lg(n) - lg(a + b) - lg(c + d)
+    val bb = a + b - i
+    val cc = a + c - i
+    val dd = d - a + i
+    lg(a + c) - lg(i) - lg(cc) + lg(b + d) - lg(bb) - lg(dd) - lDen
+  }
+
+  private def fisherRange(a: Long, b: Long, c: Long, d: Long): (Long, Long) =
+    (math.max(0L, a - d), math.min(a + b, a + c))
+
+  val fisherExactGreater = udf { (a: Long, b: Long, c: Long, d: Long) =>
+    val lp = hypergeomLogPmf(a, b, c, d) _
+    val (_, hi) = fisherRange(a, b, c, d)
     var p = 0.0
     var i = a
-    val maxI = math.min(a + b, a + c)
-    while (i <= maxI) {
-      val bb = a + b - i
-      val cc = a + c - i
-      val dd = d - a + i
-      if (bb >= 0 && cc >= 0 && dd >= 0) {
-        val lp = lg(a + c) - lg(i) - lg(cc) + lg(b + d) - lg(bb) - lg(dd) - lDen
-        p += math.exp(lp)
-      }
+    while (i <= hi) { p += math.exp(lp(i)); i += 1 }
+    math.min(p, 1.0)
+  }
+
+  /** P[X <= a] (alternative='less'). */
+  val fisherExactLess = udf { (a: Long, b: Long, c: Long, d: Long) =>
+    val lp = hypergeomLogPmf(a, b, c, d) _
+    val (lo, _) = fisherRange(a, b, c, d)
+    var p = 0.0
+    var i = lo
+    while (i <= a) { p += math.exp(lp(i)); i += 1 }
+    math.min(p, 1.0)
+  }
+
+  /** Two-sided: sum of all table probabilities <= P[observed] (the
+    * standard 'sum of small p' definition, with the usual 1+1e-7 slack
+    * for float round-off). */
+  val fisherExactTwoSided = udf { (a: Long, b: Long, c: Long, d: Long) =>
+    val lp = hypergeomLogPmf(a, b, c, d) _
+    val (lo, hi) = fisherRange(a, b, c, d)
+    val pObs = math.exp(lp(a)) * (1.0 + 1e-7)
+    var p = 0.0
+    var i = lo
+    while (i <= hi) {
+      val pi = math.exp(lp(i))
+      if (pi <= pObs) p += pi
       i += 1
     }
     math.min(p, 1.0)

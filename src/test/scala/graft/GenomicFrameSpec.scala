@@ -103,4 +103,17 @@ class GenomicFrameSpec extends AnyFunSuite {
     val b = mk(("c", "-", 1, 5))
     assert(b.getSequence(seqs).df.head.getAs[String]("sequence") == "TACG")
   }
+
+  test("repr renders a PyRanges-style preview with dtypes and footer") {
+    val g = mk(("chr1", "+", 1, 11), ("chr1", "-", 40, 60), ("chr2", "+", 5, 9))
+    val r = g.repr()
+    assert(r.contains("Chromosome"))
+    assert(r.contains("int64"))
+    assert(r.contains("str"))
+    assert(r.contains("GenomicFrame with 3 rows and 5 columns."))
+    assert(r.contains("Contains 2 chromosomes and 2 strands."))
+    // truncation marker appears once rows exceed the preview budget
+    val many = mk((1 to 20).map(i => ("chr1", "+", i.toLong, i + 5L)): _*)
+    assert(many.repr(maxRows = 8).contains("..."))
+  }
 }

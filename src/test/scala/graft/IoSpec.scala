@@ -79,6 +79,33 @@ class IoSpec extends AnyFunSuite {
     assert(r.getAs[String]("level") == "2")     // no trailing ';' needed
   }
 
+  test("BAM surface: mapq/flag filters match read_bam semantics over parquet") {
+    import spark.implicits._
+    val d = tmp("bam")
+    // rows: mapped fwd, mapped rev (16), unmapped (4), duplicate (1024),
+    // low mapq
+    Seq(
+      ("chr1", 100L, 125L, "+", 0, 60, "r1", "25M", "A" * 25),
+      ("chr1", 200L, 225L, "-", 16, 60, "r2", "25M", "C" * 25),
+      ("chr1", 0L, 0L, "+", 4, 0, "r3", "*", "G" * 25),
+      ("chr1", 300L, 325L, "+", 1024, 60, "r4", "25M", "T" * 25),
+      ("chr1", 400L, 425L, "+", 0, 5, "r5", "25M", "A" * 25))
+      .toDF(Chrom, Start, End, Strand, "Flag", "MapQ", "Name", "Cigar", "QuerySequence")
+      .write.parquet(s"$d/reads")
+    val sparse = graft.io.Bam.readBamParquet(spark, s"$d/reads")
+    // default filter_flag 1540 drops unmapped(4) and duplicate(1024)
+    assert(sparse.count() == 3)
+    assert(sparse.columns.toSeq ==
+      graft.io.Bam.sparseSchema.fieldNames.toSeq)
+    val hq = graft.io.Bam.readBamParquet(spark, s"$d/reads", mapq = 30,
+      sparse = false)
+    assert(hq.count() == 2)
+    assert(hq.columns.contains("Cigar"))
+    val revOnly = graft.io.Bam.readBamParquet(spark, s"$d/reads",
+      requiredFlag = 16)
+    assert(revOnly.count() == 1)
+  }
+
   test("readGtfFull discovers all attribute keys from the real Ensembl file") {
     val df = Gtf.readGtfFull(spark, "/root/reference/pyranges1/data/ensembl.gtf")
     assert(df.count() == 12)

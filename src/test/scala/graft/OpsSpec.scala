@@ -527,6 +527,20 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got(1) - 0.001346) < 1e-4)
   }
 
+  test("fisherExact less / two-sided match exact hand-computed values") {
+    import spark.implicits._
+    // [[3,1],[1,3]]: greater = 17/70, less = 69/70, two-sided = 34/70
+    val r = Seq((3L, 1L, 1L, 3L)).toDF("a", "b", "c", "d")
+      .select(
+        graft.ext.Stats.fisherExactGreater(col("a"), col("b"), col("c"), col("d")),
+        graft.ext.Stats.fisherExactLess(col("a"), col("b"), col("c"), col("d")),
+        graft.ext.Stats.fisherExactTwoSided(col("a"), col("b"), col("c"), col("d")))
+      .head
+    assert(math.abs(r.getDouble(0) - 17.0 / 70) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 69.0 / 70) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 34.0 / 70) < 1e-9)
+  }
+
   test("ivfTopK recalls the brute-force best neighbor on clustered data") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -50,4 +50,28 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(plan.contains("_bin"))
   }
+
+  test("contained-overlap semi join: no left explode, no distinct, <=1 shuffle") {
+    val q = SparkEntry.queries("q53_overlap_contained")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the contained fast path semi-joins the UNEXPLODED left against the
+    // binned right: one semi join, no dedup aggregation, and at most one
+    // exchange (zero when the right side broadcasts, as it does here)
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains("HashAggregate(keys=[row_id"), plan.take(2000))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"contained semi should not reshuffle: $exchanges exchanges")
+  }
+
+  test("nearest sweep parallelism scales with salt bins, not chromosomes") {
+    // forced-salted plan must repartition by the composite (key, bin)
+    // sweep key — i.e. the sweep is NOT a per-chromosome serial scan
+    val l = Tables.gr(spark, dir)
+    val r = Tables.gr2(spark, dir)
+    val salted = graft.ops.NearestK.nearestK(l, r, Seq(Chrom), 1,
+      distCol = "dist", saltedHint = Some(true))
+    val plan = salted.queryExecution.optimizedPlan.toString
+    // the salted path's carried-suffix machinery is present
+    assert(plan.contains("_mb"), plan.take(3000))
+  }
 }
