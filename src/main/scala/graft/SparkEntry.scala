@@ -271,6 +271,16 @@ object SparkEntry {
       // to_bigwig divide-mode payload: ratio-defragmented aligned runs,
       // exact integer fractions (log2 at the float edge)
       out(Coverage.bigwigDivideRanges(gr(s, dir), gr2(s, dir), Seq(Chrom)))),
+    "q58_translate" -> ((s, dir) =>
+      // codegen'd codon->AA Catalyst expression over md5-derived CDS
+      pq(s, dir, "documents").select(col("doc_id"),
+        Seqs.translateCds(translate(substring(md5(col("text")), 1, 30),
+          "0123456789abcdef", "ACGTACGTACGTACGT")).as("prot"))),
+    "q59_tile_genome" -> ((s, dir) => {
+      import s.implicits._
+      val cs = Seq(("A", 100L), ("N", 95L), ("R", 33L)).toDF(Chrom, "size")
+      out(UnaryOps.tileGenome(cs, 7))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -538,5 +548,16 @@ object SparkEntry {
       "g AS (SELECT *, sum(nf) OVER (PARTITION BY chrom ORDER BY istart ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM fl)",
       "m AS (SELECT chrom, min(istart) AS istart, max(iend) AS iend, min(score_a) AS ma, min(score_b) AS mb FROM g GROUP BY chrom, gid)"),
       "SELECT chrom, istart, iend, CAST(CASE WHEN gcd(ma, mb) = 0 THEN ma ELSE ma // gcd(ma, mb) END AS BIGINT) AS score_a, CAST(CASE WHEN gcd(ma, mb) = 0 THEN mb ELSE mb // gcd(ma, mb) END AS BIGINT) AS score_b FROM m"),
+
+    "q58_translate" -> sql(Seq(
+      "s AS (SELECT doc_id, translate(substr(md5(text), 1, 30), '0123456789abcdef', 'ACGTACGTACGTACGT') AS seq FROM documents)",
+      "c AS (SELECT doc_id, i, substr(seq, CAST(3*i+1 AS INTEGER), 3) AS codon FROM (SELECT doc_id, seq, unnest(generate_series(0, 9)) AS i FROM s))",
+      "a AS (SELECT doc_id, i, substr('FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG', CAST(strpos('TCAG', substr(codon,1,1))*16 + strpos('TCAG', substr(codon,2,1))*4 + strpos('TCAG', substr(codon,3,1)) - 20 AS INTEGER), 1) AS aa FROM c)"),
+      "SELECT doc_id, string_agg(aa, '' ORDER BY i) AS prot FROM a GROUP BY doc_id"),
+
+    "q59_tile_genome" -> sql(Seq(
+      "cs AS (SELECT * FROM (VALUES ('A', 100), ('N', 95), ('R', 33)) t(chrom, sz))",
+      "tl AS (SELECT chrom, sz, unnest(generate_series(0, CAST(floor((sz-1)/7.0) AS BIGINT))) AS t FROM cs)"),
+      "SELECT chrom, t*7 AS istart, least((t+1)*7, sz) AS iend FROM tl"),
   )
 }
