@@ -75,6 +75,36 @@ object Multimodal {
       .toDF(idCol, "feature")
   }
 
+  /** Resize stage: per-partition batch loop producing a reduced payload
+    * + updated meta. STUB resample: keeps every `factor`-th byte (a real
+    * impl decodes, scales pixels, re-encodes); the partition-preserving
+    * batch shape, payload rewrite, and meta update are what a real
+    * resize kernel needs. */
+  def resize(df: DataFrame, factor: Int, idCol: String = "media_id",
+             blobCol: String = "payload"): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    case class Resized(media_id: Long, payload: Array[Byte])
+    val src = df.select(col(idCol).cast("long"), col(blobCol))
+    val out = src.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val res =
+          if (bytes == null) Array.empty[Byte]
+          else {
+            val n = (bytes.length + factor - 1) / factor
+            val r = new Array[Byte](n)
+            var i = 0
+            while (i < n) { r(i) = bytes(i * factor); i += 1 }
+            r
+          }
+        (id, res)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF(idCol, blobCol)
+    withMediaMeta(out, blobCol)
+  }
+
   /** Frame sampling for video-like payloads: one output row per sampled
     * chunk of `frameBytes`, every `everyN`-th frame.
     * STUB: frames are fixed-size byte slices (a real impl seeks by

@@ -106,5 +106,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(frames.groupBy("media_id").count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 1L), (2L, 2L)))
     assert(Multimodal.balanceBySize(docs).count() == 2)
+    // resize: every 4th byte kept, meta recomputed from the new payload
+    val resized = Multimodal.resize(docs, factor = 4)
+    val r2 = resized.filter(col("media_id") === 2).head
+    assert(r2.getAs[Array[Byte]]("payload").toSeq == "abcd".getBytes.toSeq)
+    assert(resized.filter(col("media_id") === 2)
+      .select("meta.nBytes").head.getLong(0) == 4L)
   }
 }
