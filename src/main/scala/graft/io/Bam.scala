@@ -71,6 +71,23 @@ object Bam {
     filterReads(df, mapq, requiredFlag, filterFlag, sparse)
   }
 
+  /** read_bigwig surface (reference readers.py:452-533): value runs as
+    * (Chromosome, Start, End, Value). Like BAM, the .bw container needs
+    * a native codec — pre-convert once (`bigWigToBedGraph in.bw out.bg`,
+    * UCSC tools) and load the bedGraph/parquet; Coverage.toBigwigRanges
+    * produces the same shape for writing. */
+  val bigwigSchema: StructType = StructType(Seq(
+    StructField(Chrom, StringType), StructField(Start, LongType),
+    StructField(End, LongType), StructField("Value", DoubleType)))
+
+  def readBigwigParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(bigwigSchema.fieldNames.map(col): _*)
+
+  /** bedGraph emitted by bigWigToBedGraph. */
+  def readBedGraph(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("delimiter", "\t").option("comment", "#")
+      .schema(bigwigSchema).csv(path)
+
   /** mapq/flag filter + column projection shared by both sources. */
   def filterReads(df: DataFrame, mapq: Int, requiredFlag: Int,
                   filterFlag: Int, sparse: Boolean): DataFrame = {

@@ -106,6 +106,16 @@ class IoSpec extends AnyFunSuite {
     assert(revOnly.count() == 1)
   }
 
+  test("bigWig surface: bedGraph pre-conversion round-trips value runs") {
+    val d = tmp("bw")
+    Files.writeString(java.nio.file.Paths.get(s"$d/a.bedgraph"),
+      "1\t0\t1\t0.1\n1\t100\t150\t1.4\n10\t200\t300\t2.0\n")
+    val df = graft.io.Bam.readBedGraph(spark, s"$d/a.bedgraph")
+    assert(df.count() == 3)
+    assert(df.columns.toSeq == Seq(Chrom, Start, End, "Value"))
+    assert(df.filter(col(Start) === 100).head.getDouble(3) == 1.4)
+  }
+
   test("readGtfFull discovers all attribute keys from the real Ensembl file") {
     val df = Gtf.readGtfFull(spark, "/root/reference/pyranges1/data/ensembl.gtf")
     assert(df.count() == 12)
