@@ -35,6 +35,18 @@ object StreamingOps {
         ((col("_tile") + 1) * tileSize).as(End),
         col("window.start").as("window_start"), col("n_intervals"))
 
+  /** Streaming exact dedup for a document stream: content-hash key,
+    * state bounded by the watermark horizon (Spark evicts seen keys
+    * older than the watermark — the idiomatic scale-safe streaming
+    * dedup; an unbounded dropDuplicates would grow state forever at
+    * 100 TB/day ingest). */
+  def streamingDedupExact(df: DataFrame, textCol: String, tsCol: String,
+                          watermark: String = "1 hour"): DataFrame =
+    df.withColumn("_h", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
+
   case class OpenIsland(start: Long, end: Long, n: Long)
   case class MergeState(open: Option[OpenIsland], maxStartSeen: Long)
   case class Island(chromosome: String, start: Long, end: Long, n: Long)

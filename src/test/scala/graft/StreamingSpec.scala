@@ -57,6 +57,23 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streamingDedupExact drops within-watermark duplicate documents") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = in.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingOps.streamingDedupExact(df, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    in.addData((1L, "same text", t), (2L, "same text", t), (3L, "other", t))
+    q.processAllAvailable()
+    // one survivor per distinct content hash
+    assert(spark.table("dedup").select("text").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("other", "same text"))
+    q.stop()
+  }
+
   test("readStream on the driver's events parquet drives tileCoverage end-to-end") {
     // events as intervals over user-id space (Chromosome = event_type),
     // event-time = the real ts column: the parquet-file streaming source
