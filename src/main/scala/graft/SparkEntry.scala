@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Cols
-import graft.ext.{Seqs, Stats}
+import graft.ext.{Orfs, Seqs, Stats}
 import graft.ml.{Dedup, Similarity, TextOps}
 import graft.ops.{BinaryOps, Composites, Coverage, UnaryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -281,7 +281,94 @@ object SparkEntry {
       val cs = Seq(("A", 100L), ("N", 95L), ("R", 33L)).toDF(Chrom, "size")
       out(UnaryOps.tileGenome(cs, 7))
     }),
+    "q60_simhash" -> ((s, dir) =>
+      // 60-bit SimHash fingerprint: single groupBy with 60 codegen'd
+      // bit-vote sums (md5 hex digit -> +-1 per bit)
+      Dedup.simhash60(pq(s, dir, "documents"))),
+    "q61_cosine_lsh" -> ((s, dir) =>
+      // embedding-cosine near-dup via random-hyperplane LSH buckets;
+      // dim=64 folds the md5-derived plane matrix into array literals
+      // (no per-row md5), candidates join only within buckets
+      Similarity.cosineNearDupPairs(pq(s, dir, "embeddings"),
+        minDot = 320000L, dim = 64)),
+    "q62_frame" -> ((s, dir) => {
+      // calculate_frame (reference ext/orfs.py:42-129): 5'->3' cumsum %3
+      val ex = gr(s, dir).withColumn("tx", concat(col(Chrom), col(Strand)))
+      out(Orfs.calculateFrame(ex, "tx", "frame", tieBreak = Seq(col(RowId))))
+        .select(col(RowId), col("tx"), col("frame"))
+    }),
+    "q63_sort_rank" -> ((s, dir) => {
+      // natsort ordering check on names where lexicographic differs
+      // (chr10 < chr2 lexicographically; natural order is chr2 < chr10):
+      // the rank column materializes the sort position as data
+      val base = gr(s, dir).select(
+        concat(lit("chr"), (col(RowId) % 23).cast("string")).as(Chrom),
+        col(Strand), col(Start), col(End)).distinct()
+      out(UnaryOps.sortRanges(base, Nil, useStrand = true, natsort = true,
+        rankCol = Some("rank")))
+    }),
+    "q64_bed_read" -> ((s, dir) =>
+      // BED6 ingest against the reference repo's own data file, checked
+      // engine-vs-engine (DuckDB read_csv of the identical file)
+      out(graft.io.Bed.read(s, "/root/reference/pyranges1/data/exons.bed", 6))
+        .withColumnRenamed("Name", "name").withColumnRenamed("Score", "score")),
+    "q65_stream_window" -> ((s, dir) => {
+      // REAL Structured Streaming execution (availableNow trigger,
+      // memory sink, complete mode): the incremental stateful agg must
+      // equal the batch GROUP BY the oracle runs — streaming correctness
+      // checked by the same engine-vs-engine gate as the batch ops
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // glob (not a literal file path): FileStreamSource derives its
+      // basePath from the glob's parent directory; a bare file path
+      // fails ("Option 'basePath' must be a directory")
+      val src = s.readStream.schema(schema).parquet(s"$dir/events.parq*")
+      val agg = src.groupBy(col("event_type"),
+          expr("ts div 600000000000").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value")).cast("long")).as("sv"))
+      val name = s"q65_mem_${System.nanoTime}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
   )
+
+  /** DuckDB SQL for simhash60: identical md5 bit votes, generated
+    * per-bit (60 sums), fingerprint reassembled from the vote signs. */
+  private def simhashOracleSql: String = {
+    val votes = (0 until 60).map { b =>
+      val pos = b / 4 + 1
+      val shift = 3 - b % 4
+      s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, $pos, 1)) - 1) >> $shift) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(", ")
+    val fp = (0 until 60).map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    "WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents), " +
+      "hv AS (SELECT doc_id, md5(t) AS h FROM tok), " +
+      s"votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id) " +
+      s"SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes"
+  }
+
+  /** DuckDB SQL for the LSH cosine near-dup pairs: the identical
+    * md5-derived plane matrix is inlined as integer literals (computed
+    * once JVM-side — Similarity.planeMatrix), so bucket assignment and
+    * the integer dot products agree bit-for-bit across engines. */
+  private def cosineLshOracleSql(planes: Int, dim: Int, minDot: Long): String = {
+    val m = Similarity.planeMatrix(planes, dim)
+    val bucket = (0 until planes).map { p =>
+      val lst = m(p).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * ($lst)[i])) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v FROM embeddings), " +
+      s"bk AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bkt FROM q) " +
+      "SELECT a, b, dot FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
+      s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> l.v[i] * r.v[i])) AS BIGINT) AS dot " +
+      "FROM bk l JOIN bk r ON l.bkt = r.bkt AND l.vec_id < r.vec_id) " +
+      s"WHERE dot >= $minDot"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -559,5 +646,24 @@ object SparkEntry {
       "cs AS (SELECT * FROM (VALUES ('A', 100), ('N', 95), ('R', 33)) t(chrom, sz))",
       "tl AS (SELECT chrom, sz, unnest(generate_series(0, CAST(floor((sz-1)/7.0) AS BIGINT))) AS t FROM cs)"),
       "SELECT chrom, t*7 AS istart, least((t+1)*7, sz) AS iend FROM tl"),
+
+    "q60_simhash" -> simhashOracleSql,
+
+    "q61_cosine_lsh" -> cosineLshOracleSql(planes = 8, dim = 64, minDot = 320000L),
+
+    "q62_frame" -> sql(Seq(GR_CTE,
+      "g AS (SELECT *, chrom || strand AS tx FROM gr)",
+      cumCte("c", "g", "tx")),
+      "SELECT row_id, tx, CAST(cst % 3 AS BIGINT) AS frame FROM c"),
+
+    "q63_sort_rank" -> sql(Seq(GR_CTE,
+      "bs AS (SELECT DISTINCT 'chr' || CAST(row_id % 23 AS VARCHAR) AS chrom, strand, istart, iend FROM gr)"),
+      "SELECT chrom, strand, istart, iend, CAST(row_number() OVER (ORDER BY CAST(substr(chrom, 4) AS BIGINT), strand, CASE WHEN strand = '-' THEN -iend ELSE istart END, CASE WHEN strand = '-' THEN -istart ELSE iend END) AS BIGINT) AS rank FROM bs"),
+
+    "q64_bed_read" ->
+      "SELECT * FROM read_csv('/root/reference/pyranges1/data/exons.bed', delim='\t', header=false, columns={'chrom': 'VARCHAR', 'istart': 'BIGINT', 'iend': 'BIGINT', 'name': 'VARCHAR', 'score': 'VARCHAR', 'strand': 'VARCHAR'})",
+
+    "q65_stream_window" ->
+      "SELECT event_type, CAST(floor(epoch_ms(ts) / 600000.0) AS BIGINT) AS bucket, count(*) AS n, CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv FROM events GROUP BY 1, 2",
   )
 }

@@ -157,10 +157,15 @@ object Similarity {
     * — the same plan shape either way, an equi-join on the bucket id. */
   def cosineNearDupPairs(df: DataFrame, minDot: Long, idCol: String = "vec_id",
                          vecCol: String = "embedding", exact: Boolean = false,
-                         planes: Int = 8, scale: Int = 1000): DataFrame = {
+                         planes: Int = 8, scale: Int = 1000,
+                         dim: Int = 0): DataFrame = {
+    val bucket =
+      if (exact) lit(0L)
+      else if (dim > 0) lshBucketFixed(col(vecCol), planes, dim)
+      else lshBucket(col(vecCol), planes)
     val q = df.select(col(idCol).cast("long").as("a"),
       quantize(col(vecCol), scale).as("_qa"),
-      (if (exact) lit(0L) else lshBucket(col(vecCol), planes)).as("_bkt"))
+      bucket.as("_bkt"))
     val r = q.select(col("a").as("b"), col("_qa").as("_qb"), col("_bkt"))
     q.join(r, Seq("_bkt")).filter(col("a") < col("b"))
       .withColumn("dot", dotLong(col("_qa"), col("_qb")))
@@ -173,6 +178,36 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     (conv(substring(md5(concat(lit(s"p$plane-"), dim.cast("string"))), 1, 8), 16, 10)
       .cast("long") % 1000) - 500
+
+  /** The hyperplane coefficient matrix as JVM-computed literals — the
+    * exact same md5-derived values `planeComponent` produces row-side,
+    * but materialized once at plan-build time. Public so an external
+    * oracle (e.g. DuckDB SQL) can inline the identical coefficients. */
+  def planeMatrix(planes: Int, dim: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dim) { (p, d) =>
+      md.reset()
+      val hex = md.digest(s"p$p-$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000 - 500
+    }
+  }
+
+  /** lshBucket for a KNOWN embedding dimension: the plane matrix folds to
+    * array literals (no per-row md5), so the bucket computation is a pure
+    * codegen'd arithmetic pass. Produces bit-identical buckets to
+    * `lshBucket` (same md5-derived coefficients). */
+  def lshBucketFixed(vec: Column, planes: Int, dim: Int,
+                     scale: Int = 1000): Column = {
+    val m = planeMatrix(planes, dim)
+    val bits = (0 until planes).map { p =>
+      val coef = typedLit(m(p).toSeq)
+      val dot = aggregate(zip_with(quantize(vec, scale), coef, (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
 
   /** LSH bucket id: sign bits of dot(vec, plane_p) for p in [0, planes).
     * Vectors in the same bucket are near-ish; join within buckets for

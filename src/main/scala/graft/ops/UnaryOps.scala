@@ -360,7 +360,8 @@ object UnaryOps {
     * optional `by` columns, then Start/End — with minus-strand groups in
     * DESCENDING genomic order (5'->3') when useStrand. */
   def sortRanges(df: DataFrame, by: Seq[String] = Nil,
-                 useStrand: Boolean = true, natsort: Boolean = true): DataFrame = {
+                 useStrand: Boolean = true, natsort: Boolean = true,
+                 rankCol: Option[String] = None): DataFrame = {
     val chromKey = if (natsort) graft.expr.NatSort.natsortKey(col(Cols.Chrom))
                    else col(Cols.Chrom)
     val strandKey = if (df.columns.contains(Strand)) Seq(col(Strand)) else Nil
@@ -368,6 +369,13 @@ object UnaryOps {
       col(Strand) === Cols.RevStrand else lit(false)
     val pos1 = when(neg, -col(End)).otherwise(col(Start))
     val pos2 = when(neg, -col(Start)).otherwise(col(End))
-    df.orderBy(Seq(chromKey) ++ strandKey ++ by.map(col) ++ Seq(pos1, pos2): _*)
+    val keys = Seq(chromKey) ++ strandKey ++ by.map(col) ++ Seq(pos1, pos2)
+    // rankCol materializes the sort position as data (a 1-based global
+    // rank over the same key), making the ordering verifiable by an
+    // engine-vs-engine compare that re-sorts rows; the single-partition
+    // window is the price of a global rank and is for verification use
+    df.orderBy(keys: _*)
+      .transform(d => rankCol.fold(d)(rc => d.withColumn(rc,
+        row_number().over(Window.orderBy(keys: _*)).cast("long"))))
   }
 }

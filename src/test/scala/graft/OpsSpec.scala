@@ -566,6 +566,28 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))  // LSH may miss, never invents
   }
 
+  test("lshBucketFixed (literal plane matrix) equals md5-expression lshBucket") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val both = emb.select(
+      graft.ml.Similarity.lshBucket(col("embedding"), 8).as("a"),
+      graft.ml.Similarity.lshBucketFixed(col("embedding"), 8, 64).as("b"))
+    assert(both.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("sortRanges rankCol materializes natural-order positions") {
+    import spark.implicits._
+    val df = Seq(("chr10", "+", 5L, 9L), ("chr2", "+", 1L, 3L),
+                 ("chr2", "-", 1L, 3L), ("chr2", "-", 4L, 8L))
+      .toDF(Cols.Chrom, Cols.Strand, Cols.Start, Cols.End)
+    val got = UnaryOps.sortRanges(df, Nil, useStrand = true, natsort = true,
+        rankCol = Some("rank"))
+      .orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // natural order: chr2 before chr10; '-' strand 5'->3' = descending
+    assert(got == Seq(("chr2", "+", 1L), ("chr2", "-", 4L), ("chr2", "-", 1L),
+      ("chr10", "+", 5L)))
+  }
+
   test("langId picks the wordlist with most hits") {
     import spark.implicits._
     val df = Seq("the cat is on the mat and that", "der hund ist nicht ein",
