@@ -334,6 +334,25 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name)
     }),
+    "q66_pipeline" -> ((s, dir) => {
+      // End-to-end curation pass a pretraining pipeline actually runs —
+      // language gate -> quality gate -> exact dedup keeper -> per-
+      // language corpus stats — composed as ONE declarative plan:
+      // Catalyst fuses the scalar gates into the scan (single pass over
+      // the corpus), the dedup is the only shuffle (hash on content key),
+      // and the final stats aggregate map-side. The shape a 100 TB run
+      // needs: no intermediate materialization between stages.
+      val scored = TextOps.qualityStats(pq(s, dir, "documents"))
+        .withColumn("pred", TextOps.langId(col("text")))
+      val gated = scored.filter(col("pred") =!= "und" &&
+        col("n_tokens") >= 15 && col("distinct_ratio_x100") >= 30)
+      val kept = Dedup.dropExactDuplicates(gated, md5(col("text")), "doc_id")
+      kept.groupBy(col("pred"),
+          (col("n_tokens") divide 20).cast("long").as("tok_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -665,5 +684,18 @@ object SparkEntry {
 
     "q65_stream_window" ->
       "SELECT event_type, CAST(floor(epoch_ms(ts) / 600000.0) AS BIGINT) AS bucket, count(*) AS n, CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv FROM events GROUP BY 1, 2",
+
+    "q66_pipeline" -> (
+      """WITH st AS (SELECT doc_id, text, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens, """ +
+      """CAST(floor(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 100.0 / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS dr, """ +
+      """len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS he, """ +
+      """len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS hd, """ +
+      """len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['le','la','les','et','est','une','des'], x))) AS hf, """ +
+      """len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> list_contains(['el','la','los','y','es','una','que'], x))) AS hs FROM documents), """ +
+      """lp AS (SELECT *, CASE WHEN m = 0 THEN 'und' WHEN hf = m THEN 'fr' WHEN hs = m THEN 'es' WHEN he = m THEN 'en' ELSE 'de' END AS pred FROM (SELECT *, greatest(he, hd, hf, hs) AS m FROM st)), """ +
+      """g AS (SELECT * FROM lp WHERE pred <> 'und' AND n_tokens >= 15 AND dr >= 30), """ +
+      """k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)), """ +
+      """kk AS (SELECT g.* FROM g JOIN k USING (doc_id)) """ +
+      """SELECT pred, CAST(floor(n_tokens / 20.0) AS BIGINT) AS tok_bucket, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, min(doc_id) AS first_doc FROM kk GROUP BY 1, 2"""),
   )
 }
