@@ -334,6 +334,17 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name)
     }),
+    "q67_gtf_file" -> ((s, dir) =>
+      // real-file GTF ingest (reference's own ensembl.gtf fixture):
+      // comment skip, 1-based -> 0-based shift, quoted attr extraction —
+      // engine-vs-engine against DuckDB reading the identical file
+      out(graft.io.Gtf.readGtf(s,
+          "/root/reference/tests/unit/test_data/ensembl.gtf",
+          Seq("gene_id", "transcript_id")))
+        .select(col("chrom"), col("Source").as("source"),
+          col("Feature").as("feature"), col("istart"), col("iend"),
+          col("Score").as("score"), col("strand"), col("Frame").as("frame"),
+          col("gene_id"), col("transcript_id"))),
     "q66_pipeline" -> ((s, dir) => {
       // End-to-end curation pass a pretraining pipeline actually runs —
       // language gate -> quality gate -> exact dedup keeper -> per-
@@ -697,5 +708,13 @@ object SparkEntry {
       """k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)), """ +
       """kk AS (SELECT g.* FROM g JOIN k USING (doc_id)) """ +
       """SELECT pred, CAST(floor(n_tokens / 20.0) AS BIGINT) AS tok_bucket, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, min(doc_id) AS first_doc FROM kk GROUP BY 1, 2"""),
+
+    "q67_gtf_file" -> (
+      """SELECT c1 AS chrom, c2 AS source, c3 AS feature, c4 - 1 AS istart, c5 AS iend, c6 AS score, c7 AS strand, c8 AS frame, """ +
+      """nullif(regexp_extract(c9, '(^|; ?)gene_id "([^"]*)"', 2), '') AS gene_id, """ +
+      """nullif(regexp_extract(c9, '(^|; ?)transcript_id "([^"]*)"', 2), '') AS transcript_id """ +
+      """FROM read_csv('/root/reference/tests/unit/test_data/ensembl.gtf', delim='\t', header=false, null_padding=true, ignore_errors=true, """ +
+      """columns={'c1': 'VARCHAR', 'c2': 'VARCHAR', 'c3': 'VARCHAR', 'c4': 'BIGINT', 'c5': 'BIGINT', 'c6': 'VARCHAR', 'c7': 'VARCHAR', 'c8': 'VARCHAR', 'c9': 'VARCHAR'}) """ +
+      """WHERE c1 NOT LIKE '#%'"""),
   )
 }
