@@ -334,6 +334,20 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name)
     }),
+    "q68_fasta_seq" -> ((s, dir) => {
+      // FASTA ingest + strand-aware get_sequence on the reference's own
+      // ncbi.fasta (multi-line records, case-preserving revcomp on '-'),
+      // intervals derived from gr bounded into the shortest contig
+      val fa = graft.io.Fasta.read(s, "/root/reference/pyranges1/data/ncbi.fasta")
+      val iv = gr(s, dir).select(col(RowId),
+        when(col(Chrom) === "A", "CAJFCJ010000053.1")
+          .when(col(Chrom) === "N", "CAJFCJ010000097.1")
+          .otherwise("CAJFCJ010000121.1").as(Chrom),
+        col(Strand),
+        (col(Start) % 1000).as(Start),
+        (col(Start) % 1000 + (col(End) - col(Start)) % 100 + 1).as(End))
+      out(Seqs.getSequence(iv, fa, "seq2"))
+    }),
     "q67_gtf_file" -> ((s, dir) =>
       // real-file GTF ingest (reference's own ensembl.gtf fixture):
       // comment skip, 1-based -> 0-based shift, quoted attr extraction —
@@ -716,5 +730,12 @@ object SparkEntry {
       """FROM read_csv('/root/reference/tests/unit/test_data/ensembl.gtf', delim='\t', header=false, null_padding=true, ignore_errors=true, """ +
       """columns={'c1': 'VARCHAR', 'c2': 'VARCHAR', 'c3': 'VARCHAR', 'c4': 'BIGINT', 'c5': 'BIGINT', 'c6': 'VARCHAR', 'c7': 'VARCHAR', 'c8': 'VARCHAR', 'c9': 'VARCHAR'}) """ +
       """WHERE c1 NOT LIKE '#%'"""),
+
+    "q68_fasta_seq" -> sql(Seq(GR_CTE,
+      "t AS (SELECT content FROM read_text('/root/reference/pyranges1/data/ncbi.fasta'))",
+      "bl AS (SELECT unnest(string_split(content, '>')) AS b FROM t)",
+      "fa AS (SELECT string_split(string_split(b, chr(10))[1], ' ')[1] AS chrom, array_to_string(list_transform(string_split(b, chr(10))[2:], x -> trim(x)), '') AS seq FROM bl WHERE b <> '')",
+      "iv AS (SELECT row_id, CASE WHEN chrom = 'A' THEN 'CAJFCJ010000053.1' WHEN chrom = 'N' THEN 'CAJFCJ010000097.1' ELSE 'CAJFCJ010000121.1' END AS chrom, strand, istart % 1000 AS istart, istart % 1000 + (iend - istart) % 100 + 1 AS iend FROM gr)"),
+      "SELECT row_id, chrom, strand, istart, iend, CASE WHEN strand = '-' THEN reverse(translate(substr(seq, CAST(istart + 1 AS INTEGER), CAST(iend - istart AS INTEGER)), 'ACGTUacgtu', 'TGCAAtgcaa')) ELSE substr(seq, CAST(istart + 1 AS INTEGER), CAST(iend - istart AS INTEGER)) END AS seq2 FROM iv JOIN fa USING (chrom)"),
   )
 }
