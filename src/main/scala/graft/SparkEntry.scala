@@ -334,6 +334,21 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name)
     }),
+    "q69_gff3_file" -> ((s, dir) =>
+      // GFF3 ingest (k=v; attrs) on a real file: head of the reference's
+      // ncbi.gff (decompressed fixture; DuckDB's csv reader cannot sniff
+      // the gz) — comment skip, coordinate shift, ID/Parent extraction
+      out(graft.io.Gtf.readGff3(s, "/root/repo/fixtures/ncbi_head.gff",
+          Seq("ID", "Parent")))
+        .select(col("chrom"), col("Source").as("source"),
+          col("Feature").as("feature"), col("istart"), col("iend"),
+          col("strand"), col("ID").as("id"), col("Parent").as("parent"))),
+    "q70_lsh_topk" -> ((s, dir) =>
+      // approximate top-k through LSH buckets (the ANN scale path):
+      // per-bucket candidates only, window rank within query id
+      Similarity.lshTopK(pq(s, dir, "embeddings"), 3, dim = 64)
+        .select(col("vec_id"), col("nb"), col("dot"),
+          col("rank").cast("long").as("rank"))),
     "q68_fasta_seq" -> ((s, dir) => {
       // FASTA ingest + strand-aware get_sequence on the reference's own
       // ncbi.fasta (multi-line records, case-preserving revcomp on '-'),
@@ -400,19 +415,36 @@ object SparkEntry {
     * md5-derived plane matrix is inlined as integer literals (computed
     * once JVM-side — Similarity.planeMatrix), so bucket assignment and
     * the integer dot products agree bit-for-bit across engines. */
-  private def cosineLshOracleSql(planes: Int, dim: Int, minDot: Long): String = {
+  /** DuckDB SQL fragment: LSH bucket of quantized column `v`, planes
+    * inlined as integer literals (Similarity.planeMatrix). */
+  private def lshBucketSqlExpr(planes: Int, dim: Int): String = {
     val m = Similarity.planeMatrix(planes, dim)
-    val bucket = (0 until planes).map { p =>
+    (0 until planes).map { p =>
       val lst = m(p).mkString("[", ", ", "]")
       s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * ($lst)[i])) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
-    "WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v FROM embeddings), " +
-      s"bk AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bkt FROM q) " +
+  }
+
+  private def quantCte: String =
+    "q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v FROM embeddings)"
+
+  private def cosineLshOracleSql(planes: Int, dim: Int, minDot: Long): String =
+    s"WITH $quantCte, " +
+      s"bk AS (SELECT vec_id, v, CAST(${lshBucketSqlExpr(planes, dim)} AS BIGINT) AS bkt FROM q) " +
       "SELECT a, b, dot FROM (SELECT l.vec_id AS a, r.vec_id AS b, " +
       s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> l.v[i] * r.v[i])) AS BIGINT) AS dot " +
       "FROM bk l JOIN bk r ON l.bkt = r.bkt AND l.vec_id < r.vec_id) " +
       s"WHERE dot >= $minDot"
-  }
+
+  private def lshTopKOracleSql(planes: Int, dim: Int, k: Int): String =
+    s"WITH $quantCte, " +
+      s"bk AS (SELECT vec_id, v, CAST(${lshBucketSqlExpr(planes, dim)} AS BIGINT) AS bkt FROM q), " +
+      "p AS (SELECT l.vec_id, r.vec_id AS nb, " +
+      s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> l.v[i] * r.v[i])) AS BIGINT) AS dot " +
+      "FROM bk l JOIN bk r ON l.bkt = r.bkt AND l.vec_id <> r.vec_id) " +
+      "SELECT vec_id, nb, dot, CAST(rn AS BIGINT) AS rank FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, nb) AS rn FROM p) " +
+      s"WHERE rn <= $k"
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -727,7 +759,7 @@ object SparkEntry {
       """SELECT c1 AS chrom, c2 AS source, c3 AS feature, c4 - 1 AS istart, c5 AS iend, c6 AS score, c7 AS strand, c8 AS frame, """ +
       """nullif(regexp_extract(c9, '(^|; ?)gene_id "([^"]*)"', 2), '') AS gene_id, """ +
       """nullif(regexp_extract(c9, '(^|; ?)transcript_id "([^"]*)"', 2), '') AS transcript_id """ +
-      """FROM read_csv('/root/reference/tests/unit/test_data/ensembl.gtf', delim='\t', header=false, null_padding=true, ignore_errors=true, """ +
+      """FROM read_csv('/root/reference/tests/unit/test_data/ensembl.gtf', delim='\t', header=false, auto_detect=false, null_padding=true, ignore_errors=true, """ +
       """columns={'c1': 'VARCHAR', 'c2': 'VARCHAR', 'c3': 'VARCHAR', 'c4': 'BIGINT', 'c5': 'BIGINT', 'c6': 'VARCHAR', 'c7': 'VARCHAR', 'c8': 'VARCHAR', 'c9': 'VARCHAR'}) """ +
       """WHERE c1 NOT LIKE '#%'"""),
 
@@ -737,5 +769,15 @@ object SparkEntry {
       "fa AS (SELECT string_split(string_split(b, chr(10))[1], ' ')[1] AS chrom, array_to_string(list_transform(string_split(b, chr(10))[2:], x -> trim(x)), '') AS seq FROM bl WHERE b <> '')",
       "iv AS (SELECT row_id, CASE WHEN chrom = 'A' THEN 'CAJFCJ010000053.1' WHEN chrom = 'N' THEN 'CAJFCJ010000097.1' ELSE 'CAJFCJ010000121.1' END AS chrom, strand, istart % 1000 AS istart, istart % 1000 + (iend - istart) % 100 + 1 AS iend FROM gr)"),
       "SELECT row_id, chrom, strand, istart, iend, CASE WHEN strand = '-' THEN reverse(translate(substr(seq, CAST(istart + 1 AS INTEGER), CAST(iend - istart AS INTEGER)), 'ACGTUacgtu', 'TGCAAtgcaa')) ELSE substr(seq, CAST(istart + 1 AS INTEGER), CAST(iend - istart AS INTEGER)) END AS seq2 FROM iv JOIN fa USING (chrom)"),
+
+    "q69_gff3_file" -> (
+      """SELECT c1 AS chrom, c2 AS source, c3 AS feature, c4 - 1 AS istart, c5 AS iend, c7 AS strand, """ +
+      """nullif(regexp_extract(c9, '(^|;)ID=([^;]*)', 2), '') AS id, """ +
+      """nullif(regexp_extract(c9, '(^|;)Parent=([^;]*)', 2), '') AS parent """ +
+      """FROM read_csv('/root/repo/fixtures/ncbi_head.gff', delim='\t', header=false, auto_detect=false, null_padding=true, ignore_errors=true, """ +
+      """columns={'c1': 'VARCHAR', 'c2': 'VARCHAR', 'c3': 'VARCHAR', 'c4': 'BIGINT', 'c5': 'BIGINT', 'c6': 'VARCHAR', 'c7': 'VARCHAR', 'c8': 'VARCHAR', 'c9': 'VARCHAR'}) """ +
+      """WHERE c1 NOT LIKE '#%'"""),
+
+    "q70_lsh_topk" -> lshTopKOracleSql(planes = 8, dim = 64, k = 3),
   )
 }

@@ -228,9 +228,11 @@ object Similarity {
     * buckets / lower recall, lower for the reverse. */
   def lshTopK(df: DataFrame, k: Int, idCol: String = "vec_id",
               vecCol: String = "embedding", planes: Int = 8,
-              scale: Int = 1000): DataFrame = {
+              scale: Int = 1000, dim: Int = 0): DataFrame = {
+    val bucket = if (dim > 0) lshBucketFixed(col(vecCol), planes, dim, scale)
+                 else lshBucket(col(vecCol), planes)
     val q = df.select(col(idCol), quantize(col(vecCol), scale).as("_q"),
-      lshBucket(col(vecCol), planes).as("_bkt"))
+      bucket.as("_bkt"))
     val l = q.select(col(idCol), col("_q"), col("_bkt"))
     val r = q.select(col(idCol).as("nb"), col("_q").as("_qb"), col("_bkt"))
     val pairs = l.join(r, Seq("_bkt")).filter(col(idCol) =!= col("nb"))
