@@ -15,6 +15,33 @@ object PlanCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    // --summary: one markdown row of plan stats per query (all queries) —
+    // the PLANS.md generator for the plan-quality audit
+    if (args.length > 1 && args(1) == "--summary") {
+      println("| query | exchanges | sorts | broadcast joins | sort-merge joins | notes |")
+      println("|---|---|---|---|---|---|")
+      for ((n, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        try {
+          val df = fn(spark, dir)
+          val s = df.queryExecution.executedPlan.toString
+          val ex = "Exchange".r.findAllIn(s).size
+          val so = "Sort ".r.findAllIn(s).size
+          val bhj = "BroadcastHashJoin".r.findAllIn(s).size
+          val smj = "SortMergeJoin".r.findAllIn(s).size
+          val bnl = "BroadcastNestedLoopJoin".r.findAllIn(s).size
+          val cart = "CartesianProduct".r.findAllIn(s).size
+          val notes = (if (cart > 0) "CARTESIAN! " else "") +
+            (if (bnl > 0) s"bnl=$bnl " else "") +
+            (if (s.contains("PushedFilters: [")
+                 && !s.contains("PushedFilters: []")) "pushdown " else "")
+          println(s"| $n | $ex | $so | $bhj | $smj | ${notes.trim} |")
+        } catch { case e: Throwable =>
+          println(s"| $n | - | - | - | - | plan failed: ${e.getClass.getSimpleName} |")
+        }
+      }
+      spark.stop()
+      return
+    }
     val names = if (args.length > 1) args.drop(1).toSeq
                 else Seq("q03_merge", "q14_join", "q16_count", "q20_setunion")
     for (n <- names) {
