@@ -374,6 +374,29 @@ object SparkEntry {
           col("Feature").as("feature"), col("istart"), col("iend"),
           col("Score").as("score"), col("strand"), col("Frame").as("frame"),
           col("gene_id"), col("transcript_id"))),
+    "q71_stream_sessions" -> ((s, dir) => {
+      // the flatMapGroupsWithState streaming merge, oracled exactly: an
+      // availableNow run delivers every event in one (per-key in-memory
+      // sorted) batch, so the CLOSED islands it emits are precisely the
+      // batch-merged islands minus each key's last island — which the
+      // batch oracle computes with a window filter
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema).parquet(s"$dir/events.parq*")
+        .select(col("user_id").cast("string").as("chromosome"),
+          expr("ts div 1000000").as("start"),
+          (expr("ts div 1000000") + 1).as("end"))
+        .as[graft.streaming.StreamingOps.InInterval]
+      val islands = graft.streaming.StreamingOps.streamingMerge(ev, slack = 300000)
+      val name = s"q71_mem_${System.nanoTime}"
+      val q = islands.toDF("user_id", "istart", "iend", "n")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).withColumn("user_id", col("user_id").cast("long"))
+    }),
     "q66_pipeline" -> ((s, dir) => {
       // End-to-end curation pass a pretraining pipeline actually runs —
       // language gate -> quality gate -> exact dedup keeper -> per-
@@ -779,5 +802,10 @@ object SparkEntry {
       """WHERE c1 NOT LIKE '#%'"""),
 
     "q70_lsh_topk" -> lshTopKOracleSql(planes = 8, dim = 64, k = 3),
+
+    "q71_stream_sessions" -> sql(Seq(
+      "se AS (SELECT user_id, epoch_ms(ts) AS istart, epoch_ms(ts) + 1 AS iend FROM events)",
+      mergeCte("m", "se", "user_id", slack = 300000)),
+      "SELECT user_id, istart, iend, n FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY istart DESC) AS rn FROM m) WHERE rn > 1"),
   )
 }
