@@ -75,6 +75,42 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions wires rule + SQL functions into a session") {
+    // withExtensions is the programmatic form of
+    // --conf spark.sql.extensions=graft.plans.GraftExtensions (the config
+    // string only applies on a fresh SparkContext, which a shared test
+    // JVM cannot provide — same code path either way)
+    spark.sparkContext // force the shared context first
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      assert(s2.sql("SELECT natsort_key('chr2')").head.getString(0)
+        == "chr" + "0" * 9 + "2")
+      assert(s2.sql("SELECT translate_cds('ATGTAA')").head.getString(0) == "M*")
+      import s2.implicits._
+      val l = (0L until 50L).map(i => ("c", i * 7 % 100, i * 7 % 100 + 5, i))
+        .toDF(Chrom, Start, End, "id")
+      val r = (0L until 40L).map(i => ("c", i * 11 % 100, i * 11 % 100 + 3, i))
+        .toDF("k2", "s2", "e2", "id2")
+      val j = l.join(r, l(Chrom) === r("k2") && l(Start) < r("e2") && r("s2") < l(End))
+      assert(j.queryExecution.optimizedPlan.toString.contains("_graft_bin_"),
+        "extensions-injected rewrite did not fire")
+      assert(j.count() > 0)
+    } finally {
+      // restore the suite's sessions; do NOT stop s2 (shared context)
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("rule leaves non-interval joins untouched") {
     val l = mkDF(50, 500, 30, 2654435761L)
     val r = mkDF(50, 500, 30, 40503L).toDF(Chrom + "2", "s2", "e2", "id2")
