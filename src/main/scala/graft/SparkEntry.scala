@@ -374,6 +374,11 @@ object SparkEntry {
           col("Feature").as("feature"), col("istart"), col("iend"),
           col("Score").as("score"), col("strand"), col("Frame").as("frame"),
           col("gene_id"), col("transcript_id"))),
+    "q72_bpeish_fp" -> ((s, dir) =>
+      // BPE-ish pretokenization count + 1-permutation MinHash fingerprint
+      pq(s, dir, "documents").select(col("doc_id"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+        TextOps.fingerprint(col("text")).as("fp"))),
     "q71_stream_sessions" -> ((s, dir) => {
       // the flatMapGroupsWithState streaming merge, oracled exactly: an
       // availableNow run delivers every event in one (per-key in-memory
@@ -807,5 +812,12 @@ object SparkEntry {
       "se AS (SELECT user_id, epoch_ms(ts) AS istart, epoch_ms(ts) + 1 AS iend FROM events)",
       mergeCte("m", "se", "user_id", slack = 300000)),
       "SELECT user_id, istart, iend, n FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY istart DESC) AS rn FROM m) WHERE rn > 1"),
+
+    "q72_bpeish_fp" -> (
+      """WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS words FROM documents), """ +
+      """sh AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)), """ +
+      """fp AS (SELECT doc_id, min(md5(shingle)) AS fp FROM sh GROUP BY doc_id) """ +
+      """SELECT w.doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) + (length(text) - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS BIGINT) AS n_bpeish, fp.fp AS fp """ +
+      """FROM w LEFT JOIN fp USING (doc_id)"""),
   )
 }
