@@ -374,6 +374,16 @@ object SparkEntry {
           col("Feature").as("feature"), col("istart"), col("iend"),
           col("Score").as("score"), col("strand"), col("Frame").as("frame"),
           col("gene_id"), col("transcript_id"))),
+    "q73_media_meta" -> ((s, dir) =>
+      // multimodal metadata stage on binary payloads (text bytes stand in
+      // for media blobs): the typed meta struct is pure column arithmetic
+      // over the payload — the real, non-stub part of the media plumbing
+      graft.ml.Multimodal.withMediaMeta(
+          pq(s, dir, "documents").select(col("doc_id"),
+            col("text").cast("binary").as("payload")))
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.nBytes").as("n_bytes"))),
     "q72_bpeish_fp" -> ((s, dir) =>
       // BPE-ish pretokenization count + 1-permutation MinHash fingerprint
       pq(s, dir, "documents").select(col("doc_id"),
@@ -819,5 +829,10 @@ object SparkEntry {
       """fp AS (SELECT doc_id, min(md5(shingle)) AS fp FROM sh GROUP BY doc_id) """ +
       """SELECT w.doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) + (length(text) - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS BIGINT) AS n_bpeish, fp.fp AS fp """ +
       """FROM w LEFT JOIN fp USING (doc_id)"""),
+
+    "q73_media_meta" -> (
+      """SELECT doc_id, CASE WHEN length(text) % 3 = 0 THEN 'png' WHEN length(text) % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format, """ +
+      """CAST(length(text) % 640 + 1 AS INTEGER) AS width, CAST(length(text) % 480 + 1 AS INTEGER) AS height, """ +
+      """CAST(length(text) AS BIGINT) AS n_bytes FROM documents"""),
   )
 }
