@@ -374,6 +374,18 @@ object SparkEntry {
           col("Feature").as("feature"), col("istart"), col("iend"),
           col("Score").as("score"), col("strand"), col("Frame").as("frame"),
           col("gene_id"), col("transcript_id"))),
+    "q74_bed_roundtrip" -> ((s, dir) => {
+      // writer/reader inverse as an oracle: write BED6 from gr, read it
+      // back; the oracle recomputes the expected rows relationally, so a
+      // defect in EITHER direction breaks the hash
+      val path = "/tmp/graft_q74_bed"
+      val src = gr(s, dir).select(col(Chrom), col(Start), col(End),
+        concat(lit("r"), col(RowId)).as("Name"), lit(".").as("Score"),
+        col(Strand))
+      graft.io.Bed.write(src, path)
+      out(graft.io.Bed.read(s, path, 6))
+        .withColumnRenamed("Name", "name").withColumnRenamed("Score", "score")
+    }),
     "q73_media_meta" -> ((s, dir) =>
       // multimodal metadata stage on binary payloads (text bytes stand in
       // for media blobs): the typed meta struct is pure column arithmetic
@@ -834,5 +846,8 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN length(text) % 3 = 0 THEN 'png' WHEN length(text) % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format, """ +
       """CAST(length(text) % 640 + 1 AS INTEGER) AS width, CAST(length(text) % 480 + 1 AS INTEGER) AS height, """ +
       """CAST(length(text) AS BIGINT) AS n_bytes FROM documents"""),
+
+    "q74_bed_roundtrip" -> sql(Seq(GR_CTE),
+      "SELECT chrom, istart, iend, 'r' || CAST(row_id AS VARCHAR) AS name, '.' AS score, strand FROM gr"),
   )
 }

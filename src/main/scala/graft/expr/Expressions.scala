@@ -47,20 +47,34 @@ object ExprKernels {
   }
 
   /** Codon -> amino acid translation, standard NCBI table 1; unknown
-    * codons -> 'X', trailing partial codon dropped. One pass, no map
-    * lookups (direct base-4 indexing). */
-  def translateCds(s: UTF8String): UTF8String = {
+    * codons and the trailing partial codon -> 'X' (reference
+    * ext/seqs.py:150-162: "Incomplete codons at the end of the sequence,
+    * as well as non-canonical codons, result in the unknown character").
+    * One pass, no map lookups (direct base-4 indexing). */
+  def translateCds(s: UTF8String): UTF8String = translateCodons(s, aas)
+
+  /** Same pass against an arbitrary 64-char NCBI code string (TCAG-major
+    * codon order); '---' gap codons -> '-' (reference ext/seqs.py:43). */
+  def translateCodons(s: UTF8String, table: String): UTF8String = {
     val str = s.toString
-    val n = str.length / 3
-    val sb = new java.lang.StringBuilder(n)
+    val full = str.length / 3
+    val partial = str.length % 3 != 0
+    val sb = new java.lang.StringBuilder(full + 1)
     var i = 0
-    while (i < n) {
-      val a = baseIdx(str.charAt(3 * i))
-      val b = baseIdx(str.charAt(3 * i + 1))
-      val c = baseIdx(str.charAt(3 * i + 2))
-      sb.append(if (a < 0 || b < 0 || c < 0) 'X' else aas(a * 16 + b * 4 + c))
+    while (i < full) {
+      val c0 = str.charAt(3 * i)
+      val c1 = str.charAt(3 * i + 1)
+      val c2 = str.charAt(3 * i + 2)
+      if (c0 == '-' && c1 == '-' && c2 == '-') sb.append('-')
+      else {
+        val a = baseIdx(c0)
+        val b = baseIdx(c1)
+        val c = baseIdx(c2)
+        sb.append(if (a < 0 || b < 0 || c < 0) 'X' else table(a * 16 + b * 4 + c))
+      }
       i += 1
     }
+    if (partial) sb.append('X')
     UTF8String.fromString(sb.toString)
   }
 }
@@ -88,12 +102,31 @@ case class TranslateCds(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TranslateCds = copy(c)
 }
 
+/** Translation against an arbitrary genetic-code table (a 64-char AA
+  * string in TCAG-major codon order) — the table rides as a codegen
+  * reference object, so every NCBI variant stays inside whole-stage
+  * codegen with zero per-row lookup cost. */
+case class TranslateCodons(child: Expression, table: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    ExprKernels.translateCodons(v.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gcTable", table, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.expr.ExprKernels.translateCodons($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): TranslateCodons =
+    copy(child = c)
+}
+
 object Exprs {
   import org.apache.spark.sql.GraftColumnBridge
   def natsort_key(c: Column): Column =
     GraftColumnBridge.column(NatSortKey(GraftColumnBridge.expression(c)))
   def translate_cds(c: Column): Column =
     GraftColumnBridge.column(TranslateCds(GraftColumnBridge.expression(c)))
+  def translate_codons(c: Column, table: String): Column =
+    GraftColumnBridge.column(TranslateCodons(GraftColumnBridge.expression(c), table))
 
   /** Register both for SQL use: natsort_key(s), translate_cds(s). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

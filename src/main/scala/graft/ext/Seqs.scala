@@ -12,10 +12,68 @@ object Seqs {
   /** DNA/RNA reverse complement, case-preserving (reference
     * ext/seqs.py:53-144). */
   def reverseComplement(seq: Column): Column =
-    reverse(translate(seq, "ACGTUacgtu", "TGCAAtgcaa"))
+    reverse(org.apache.spark.sql.functions.translate(seq, "ACGTUacgtu", "TGCAAtgcaa"))
 
   def complement(seq: Column): Column =
-    translate(seq, "ACGTUacgtu", "TGCAAtgcaa")
+    org.apache.spark.sql.functions.translate(seq, "ACGTUacgtu", "TGCAAtgcaa")
+
+  /** NCBI genetic-code tables as 64-char AA strings in TCAG-major codon
+    * order (public NCBI constants; reference ext/seqs.py:14-40). A
+    * "+U" suffix on the id swaps TGA (index 14) to selenocysteine 'U'
+    * (reference ext/seqs.py:49-50). */
+  val geneticCodeAas: Map[String, String] = Map(
+    "1" -> "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "2" -> "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIMMTTTTNNKKSS**VVVVAAAADDEEGGGG",
+    "3" -> "FFLLSSSSYY**CCWWTTTTPPPPHHQQRRRRIIMMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "4" -> "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "5" -> "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIMMTTTTNNKKSSSSVVVVAAAADDEEGGGG",
+    "6" -> "FFLLSSSSYYQQCC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "9" -> "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIIMTTTTNNNKSSSSVVVVAAAADDEEGGGG",
+    "10" -> "FFLLSSSSYY**CCCWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "11" -> "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "12" -> "FFLLSSSSYY**CC*WLLLSPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "13" -> "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIMMTTTTNNKKSSGGVVVVAAAADDEEGGGG",
+    "14" -> "FFLLSSSSYYY*CCWWLLLLPPPPHHQQRRRRIIIMTTTTNNNKSSSSVVVVAAAADDEEGGGG",
+    "16" -> "FFLLSSSSYY*LCC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "21" -> "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIMMTTTTNNNKSSSSVVVVAAAADDEEGGGG",
+    "22" -> "FFLLSS*SYY*LCC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "23" -> "FF*LSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "24" -> "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSSKVVVVAAAADDEEGGGG",
+    "25" -> "FFLLSSSSYY**CCGWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "26" -> "FFLLSSSSYY**CC*WLLLAPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "27" -> "FFLLSSSSYYQQCCWWLLLAPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "28" -> "FFLLSSSSYYQQCCWWLLLAPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "29" -> "FFLLSSSSYYYYCC*WLLLAPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "30" -> "FFLLSSSSYYEECC*WLLLAPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "31" -> "FFLLSSSSYYEECCWWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",
+    "33" -> "FFLLSSSSYYY*CCWWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSSKVVVVAAAADDEEGGGG")
+
+  /** translate (reference ext/seqs.py:150-340): codon->AA against a
+    * chosen NCBI table id, "+U" variants (UGA as selenocysteine),
+    * unknown/partial codons -> 'X', '---' gaps -> '-'. Case- and
+    * RNA-insensitive (the reference's sanitize=True). Codegen'd — the
+    * table is a codegen reference object, not a per-row lookup. */
+  def translate(seq: Column, geneticCode: String = "1"): Column = {
+    val (base, sec) =
+      if (geneticCode.endsWith("+U")) (geneticCode.dropRight(2), true)
+      else (geneticCode, false)
+    val aas = geneticCodeAas.getOrElse(base,
+      throw new IllegalArgumentException(
+        s"unknown genetic code '$geneticCode' (NCBI ids: ${geneticCodeAas.keys.toSeq.sortBy(_.toInt).mkString(",")}, optionally +U)"))
+    val table = if (sec) aas.updated(14, 'U') else aas
+    graft.expr.Exprs.translate_codons(seq, table)
+  }
+
+  /** translate with a custom codon->AA map (reference's dict form):
+    * the map must cover all 64 codons; '---' gaps always map to '-'. */
+  def translateCustom(seq: Column, code: Map[String, String]): Column = {
+    val bases = "TCAG"
+    val table = (for {
+      b1 <- bases; b2 <- bases; b3 <- bases
+    } yield code.getOrElse(s"$b1$b2$b3", "X")).mkString
+    require(table.length == 64)
+    graft.expr.Exprs.translate_codons(seq, table)
+  }
 
   /** Standard genetic code (NCBI table 1; reference ext/seqs.py:40-50). */
   val standardCode: Map[String, String] = {
@@ -29,7 +87,7 @@ object Seqs {
   }
 
   /** Codon -> amino-acid translation (reference ext/seqs.py:150-340):
-    * unknown/ambiguous codons -> 'X', trailing partial codon dropped.
+    * unknown/ambiguous codons and the trailing partial codon -> 'X'.
     * Backed by the codegen'd TranslateCds Catalyst expression (promoted
     * from a UDF per SURVEY.md §4.3.5; `standardCode` above documents the
     * table the kernel indexes directly). */

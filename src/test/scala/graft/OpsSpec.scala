@@ -499,12 +499,34 @@ class OpsSpec extends AnyFunSuite {
     assert(knn.count() == 4)
   }
 
-  test("translateCds: standard code, stops, partial codon dropped, unknown=X") {
+  test("translateCds: standard code, stops, partial codon -> X, unknown=X") {
     import spark.implicits._
+    // trailing partial -> 'X' per reference ext/seqs.py:161 ("Incomplete
+    // codons at the end ... result in the unknown character")
     val got = Seq("ATGGCCTAA", "atggcc", "ATGNNNTGA", "AUGGCC", "ATGGC")
       .toDF("s").select(graft.ext.Seqs.translateCds(col("s")))
       .collect().map(_.getString(0)).toSeq
-    assert(got == Seq("MA*", "MA", "MX*", "MA", "M"))
+    assert(got == Seq("MA*", "MA", "MX*", "MA", "MX"))
+  }
+
+  test("translate doctests: NCBI tables, +U selenocysteine, gaps, custom code") {
+    import spark.implicits._
+    val df = Seq("ATGAAATTTGGGTGA").toDF("s")
+    def one(c: org.apache.spark.sql.Column): String =
+      df.select(c).head.getString(0)
+    // reference ext/seqs.py:201-215 doctest values
+    assert(one(graft.ext.Seqs.translate(col("s"))) == "MKFG*")
+    assert(one(graft.ext.Seqs.translate(col("s"), "2")) == "MKFGW")
+    assert(one(graft.ext.Seqs.translate(col("s"), "1+U")) == "MKFGU")
+    assert(Seq("ATGTTGCTGAA").toDF("s")
+      .select(graft.ext.Seqs.translate(col("s"))).head.getString(0) == "MLLX")
+    assert(Seq("ATG---TAA").toDF("s")
+      .select(graft.ext.Seqs.translate(col("s"))).head.getString(0) == "M-*")
+    // custom dict (reference :211-214): A-initial codons -> A, else Q
+    val custom = (for {
+      b1 <- "TCAG"; b2 <- "TCAG"; b3 <- "TCAG"
+    } yield s"$b1$b2$b3" -> (if (b1 == 'A') "A" else "Q")).toMap
+    assert(one(graft.ext.Seqs.translateCustom(col("s"), custom)) == "AAQQQ")
   }
 
   test("reverseComplement preserves case and handles RNA") {
