@@ -374,6 +374,20 @@ object SparkEntry {
           col("Feature").as("feature"), col("istart"), col("iend"),
           col("Score").as("score"), col("strand"), col("Frame").as("frame"),
           col("gene_id"), col("transcript_id"))),
+    "q75_gtf_roundtrip" -> ((s, dir) => {
+      // GTF writer/reader inverse: 0-based -> 1-based shift out, back in;
+      // quoted attribute formatting and re-parsing
+      val path = "/tmp/graft_q75_gtf"
+      val src = gr(s, dir).select(col(Chrom), lit("graft").as("Source"),
+        lit("exon").as("Feature"), col(Start), col(End),
+        lit(".").as("Score"), col(Strand), lit(".").as("Frame"),
+        concat(lit("g"), col(RowId) % 97).as("gene_id"),
+        concat(lit("t"), col(RowId) % 31).as("transcript_id"))
+      graft.io.Gtf.writeGtf(src, path, Seq("gene_id", "transcript_id"))
+      out(graft.io.Gtf.readGtf(s, path, Seq("gene_id", "transcript_id")))
+        .select(col("chrom"), col("istart"), col("iend"), col("strand"),
+          col("gene_id"), col("transcript_id"))
+    }),
     "q74_bed_roundtrip" -> ((s, dir) => {
       // writer/reader inverse as an oracle: write BED6 from gr, read it
       // back; the oracle recomputes the expected rows relationally, so a
@@ -849,5 +863,8 @@ object SparkEntry {
 
     "q74_bed_roundtrip" -> sql(Seq(GR_CTE),
       "SELECT chrom, istart, iend, 'r' || CAST(row_id AS VARCHAR) AS name, '.' AS score, strand FROM gr"),
+
+    "q75_gtf_roundtrip" -> sql(Seq(GR_CTE),
+      "SELECT chrom, istart, iend, strand, 'g' || CAST(row_id % 97 AS VARCHAR) AS gene_id, 't' || CAST(row_id % 31 AS VARCHAR) AS transcript_id FROM gr"),
   )
 }
