@@ -374,6 +374,19 @@ object SparkEntry {
           col("Feature").as("feature"), col("istart"), col("iend"),
           col("Score").as("score"), col("strand"), col("Frame").as("frame"),
           col("gene_id"), col("transcript_id"))),
+    "q76_gff3_roundtrip" -> ((s, dir) => {
+      // GFF3 writer/reader inverse (k=v attribute form)
+      val path = "/tmp/graft_q76_gff3"
+      val src = gr(s, dir).select(col(Chrom), lit("graft").as("Source"),
+        lit("exon").as("Feature"), col(Start), col(End),
+        lit(".").as("Score"), col(Strand), lit(".").as("Frame"),
+        concat(lit("id"), col(RowId)).as("ID"),
+        concat(lit("p"), col(RowId) % 53).as("Parent"))
+      graft.io.Gtf.writeGff3(src, path, Seq("ID", "Parent"))
+      out(graft.io.Gtf.readGff3(s, path, Seq("ID", "Parent")))
+        .select(col("chrom"), col("istart"), col("iend"), col("strand"),
+          col("ID").as("id"), col("Parent").as("parent"))
+    }),
     "q75_gtf_roundtrip" -> ((s, dir) => {
       // GTF writer/reader inverse: 0-based -> 1-based shift out, back in;
       // quoted attribute formatting and re-parsing
@@ -866,5 +879,8 @@ object SparkEntry {
 
     "q75_gtf_roundtrip" -> sql(Seq(GR_CTE),
       "SELECT chrom, istart, iend, strand, 'g' || CAST(row_id % 97 AS VARCHAR) AS gene_id, 't' || CAST(row_id % 31 AS VARCHAR) AS transcript_id FROM gr"),
+
+    "q76_gff3_roundtrip" -> sql(Seq(GR_CTE),
+      "SELECT chrom, istart, iend, strand, 'id' || CAST(row_id AS VARCHAR) AS id, 'p' || CAST(row_id % 53 AS VARCHAR) AS parent FROM gr"),
   )
 }
