@@ -374,6 +374,51 @@ object SparkEntry {
           col("Feature").as("feature"), col("istart"), col("iend"),
           col("Score").as("score"), col("strand"), col("Frame").as("frame"),
           col("gene_id"), col("transcript_id"))),
+    "q78_spliced_seq" -> ((s, dir) => {
+      // per-transcript spliced sequence: strand-aware exon extraction
+      // then 5'->3' concat, on the reference's own ncbi.fasta
+      val fa = graft.io.Fasta.read(s, "/root/reference/pyranges1/data/ncbi.fasta")
+      val txn = col(RowId) % 997
+      val iv = gr(s, dir).select(col(RowId),
+        concat(lit("t"), txn).as("tx"),
+        when(txn % 3 === 0, "CAJFCJ010000053.1")
+          .when(txn % 3 === 1, "CAJFCJ010000097.1")
+          .otherwise("CAJFCJ010000121.1").as(Chrom),
+        when(txn % 2 === 0, "+").otherwise("-").as(Strand),
+        (col(Start) % 1000).as(Start),
+        (col(Start) % 1000 + (col(End) - col(Start)) % 100 + 1).as(End))
+      Seqs.getSplicedSequence(iv, fa, "tx", "seq2")
+    }),
+    "q79_sugar_chain" -> ((s, dir) => {
+      // loc-column sugar as one pipeline: loci-setter update, strand
+      // flip, loci filter, lengths
+      val gf = graft.core.GenomicFrame(gr(s, dir))
+      out(gf.updateWhere(col(Start) % 7 === 0, End -> (col(End) + 5))
+        .flipStrand
+        .loci("A", Some("-"), Some(1000L), Some(500000L))
+        .lengths)
+    }),
+    "q80_summary" -> ((s, dir) =>
+      // summary describe-table (float mean dropped for exact compare)
+      out(graft.core.GenomicFrame(gr(s, dir)).summary(Some(true))
+        .drop("mean_len"))),
+    "q77_bam_flags" -> ((s, dir) => {
+      // read_bam query surface: deterministic reads TSV (samtools-recipe
+      // shape) -> readsFromTsv with mapq/filter_flag; DuckDB recomputes
+      // the bitwise filter relationally
+      val path = "/tmp/graft_q77_reads"
+      val flag = (col(RowId) % 4096).cast("int")
+      gr(s, dir).select(col(Chrom), col(Start), col(End),
+        when(flag.bitwiseAND(16) =!= 0, "-").otherwise("+").as(Strand),
+        flag.as("Flag"), (col(RowId) % 60).cast("int").as("MapQ"),
+        concat(lit("r"), col(RowId)).as("Name"),
+        lit("10M").as("Cigar"), lit("ACGT").as("QuerySequence"))
+        .write.option("delimiter", "\t").mode("overwrite").csv(path)
+      out(graft.io.Bam.readsFromTsv(s, path, mapq = 20, sparse = false))
+        .select(col("chrom"), col("istart"), col("iend"), col("strand"),
+          col("Flag").cast("long").as("flag"),
+          col("MapQ").cast("long").as("mapq"), col("Name").as("name"))
+    }),
     "q76_gff3_roundtrip" -> ((s, dir) => {
       // GFF3 writer/reader inverse (k=v attribute form)
       val path = "/tmp/graft_q76_gff3"
@@ -882,5 +927,22 @@ object SparkEntry {
 
     "q76_gff3_roundtrip" -> sql(Seq(GR_CTE),
       "SELECT chrom, istart, iend, strand, 'id' || CAST(row_id AS VARCHAR) AS id, 'p' || CAST(row_id % 53 AS VARCHAR) AS parent FROM gr"),
+
+    "q78_spliced_seq" -> sql(Seq(GR_CTE,
+      "t AS (SELECT content FROM read_text('/root/reference/pyranges1/data/ncbi.fasta'))",
+      "bl AS (SELECT unnest(string_split(content, '>')) AS b FROM t)",
+      "fa AS (SELECT string_split(string_split(b, chr(10))[1], ' ')[1] AS chrom, array_to_string(list_transform(string_split(b, chr(10))[2:], x -> trim(x)), '') AS seq FROM bl WHERE b <> '')",
+      "iv AS (SELECT row_id, 't' || CAST(row_id % 997 AS VARCHAR) AS tx, CASE WHEN row_id % 997 % 3 = 0 THEN 'CAJFCJ010000053.1' WHEN row_id % 997 % 3 = 1 THEN 'CAJFCJ010000097.1' ELSE 'CAJFCJ010000121.1' END AS chrom, CASE WHEN row_id % 997 % 2 = 0 THEN '+' ELSE '-' END AS strand, istart % 1000 AS istart, istart % 1000 + (iend - istart) % 100 + 1 AS iend FROM gr)",
+      "ex AS (SELECT row_id, tx, strand, istart, iend, CASE WHEN strand = '-' THEN reverse(translate(substr(seq, CAST(istart + 1 AS INTEGER), CAST(iend - istart AS INTEGER)), 'ACGTUacgtu', 'TGCAAtgcaa')) ELSE substr(seq, CAST(istart + 1 AS INTEGER), CAST(iend - istart AS INTEGER)) END AS es FROM iv JOIN fa USING (chrom))"),
+      "SELECT tx, string_agg(es, '' ORDER BY CASE WHEN strand = '-' THEN -iend ELSE istart END, CASE WHEN strand = '-' THEN -istart ELSE iend END, row_id) AS seq2 FROM ex GROUP BY tx"),
+
+    "q79_sugar_chain" -> sql(Seq(GR_CTE),
+      "SELECT row_id, chrom, CASE WHEN strand = '+' THEN '-' ELSE '+' END AS strand, istart, iend2 AS iend, iend2 - istart AS length FROM (SELECT row_id, chrom, strand, istart, CASE WHEN istart % 7 = 0 THEN iend + 5 ELSE iend END AS iend2 FROM gr) WHERE chrom = 'A' AND (CASE WHEN strand = '+' THEN '-' ELSE '+' END) = '-' AND iend2 > 1000 AND istart < 500000"),
+
+    "q80_summary" -> sql(Seq(GR_CTE, mergeCte("m", "gr", "chrom, strand")),
+      "SELECT chrom, strand, 'intervals' AS what, count(*) AS n, min(iend - istart) AS min_len, max(iend - istart) AS max_len, CAST(sum(iend - istart) AS BIGINT) AS total_len FROM gr GROUP BY chrom, strand UNION ALL SELECT chrom, strand, 'coverage' AS what, count(*) AS n, min(iend - istart) AS min_len, max(iend - istart) AS max_len, CAST(sum(iend - istart) AS BIGINT) AS total_len FROM m GROUP BY chrom, strand"),
+
+    "q77_bam_flags" -> sql(Seq(GR_CTE),
+      "SELECT chrom, istart, iend, CASE WHEN (row_id % 4096 & 16) != 0 THEN '-' ELSE '+' END AS strand, CAST(row_id % 4096 AS BIGINT) AS flag, CAST(row_id % 60 AS BIGINT) AS mapq, 'r' || CAST(row_id AS VARCHAR) AS name FROM gr WHERE (row_id % 4096 & 1540) = 0 AND row_id % 60 >= 20"),
   )
 }
