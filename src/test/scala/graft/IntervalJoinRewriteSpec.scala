@@ -75,6 +75,37 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("left_semi and left_anti overlap joins rewrite with equal results") {
+    import spark.implicits._
+    val l0 = mkDF(400, 4000, 200, 2654435761L)
+    // inject duplicate left rows and a null metadata column: multiplicity
+    // must be preserved and null columns must not drop rows (rid-based
+    // collapse, no value-equality join on left columns)
+    val l = l0.unionAll(l0.limit(25))
+      .withColumn("meta", when(col("id") % 3 === 0, lit(null: String)).otherwise(lit("m")))
+    val r = mkDF(250, 4000, 60, 40503L).toDF(Chrom + "2", "s2", "e2", "id2")
+
+    for (jt <- Seq("left_semi", "left_anti")) {
+      def joined = l.join(r,
+        l(Chrom) === r(Chrom + "2") && l(Start) < r("e2") && r("s2") < l(End), jt)
+      val naive = joined.collect().map(_.toSeq.toList)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntervalJoinRewrite
+      try {
+        val plan = joined.queryExecution.optimizedPlan.toString
+        assert(plan.contains("_graft_bin_"), s"$jt rewrite did not fire:\n$plan")
+        val rewritten = joined.collect().map(_.toSeq.toList)
+          .groupBy(identity).view.mapValues(_.size).toMap
+        assert(rewritten == naive, s"$jt mismatch")
+        assert(naive.nonEmpty)
+      } finally {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ == IntervalJoinRewrite)
+      }
+    }
+  }
+
   test("GraftExtensions wires rule + SQL functions into a session") {
     // withExtensions is the programmatic form of
     // --conf spark.sql.extensions=graft.plans.GraftExtensions (the config
