@@ -374,6 +374,23 @@ object SparkEntry {
           col("Feature").as("feature"), col("istart"), col("iend"),
           col("Score").as("score"), col("strand"), col("Frame").as("frame"),
           col("gene_id"), col("transcript_id"))),
+    "q81_extend_orfs" -> ((s, dir) => {
+      // full extend_orfs on real sequence: per-CDS groups, up to the
+      // leftmost in-frame ATG before a stop, down to the first in-frame
+      // stop (included), both bounded by maxExtension=90
+      val fa = graft.io.Fasta.read(s, "/root/reference/pyranges1/data/ncbi.fasta")
+      val iv = gr(s, dir).select(col(RowId), col(RowId).as("cds_id"),
+        when(col(RowId) % 3 === 0, "CAJFCJ010000053.1")
+          .when(col(RowId) % 3 === 1, "CAJFCJ010000097.1")
+          .otherwise("CAJFCJ010000121.1").as(Chrom),
+        col(Strand),
+        (col(Start) % 1000 + 300).as(Start),
+        (col(Start) % 1000 + 300 + ((col(End) - col(Start)) % 20 + 1) * 3).as(End))
+      out(Orfs.extendOrfs(iv, fa, groupKeys = Seq("cds_id"),
+          recordExtensions = true, maxExtension = 90))
+        .select(col(RowId), col("chrom"), col("strand"), col("istart"),
+          col("iend"), col("extension_up"), col("extension_down"))
+    }),
     "q78_spliced_seq" -> ((s, dir) => {
       // per-transcript spliced sequence: strand-aware exon extraction
       // then 5'->3' concat, on the reference's own ncbi.fasta
@@ -927,6 +944,18 @@ object SparkEntry {
 
     "q76_gff3_roundtrip" -> sql(Seq(GR_CTE),
       "SELECT chrom, istart, iend, strand, 'id' || CAST(row_id AS VARCHAR) AS id, 'p' || CAST(row_id % 53 AS VARCHAR) AS parent FROM gr"),
+
+    "q81_extend_orfs" -> sql(Seq(GR_CTE,
+      "t AS (SELECT content FROM read_text('/root/reference/pyranges1/data/ncbi.fasta'))",
+      "bl AS (SELECT unnest(string_split(content, '>')) AS b FROM t)",
+      "fa AS (SELECT string_split(string_split(b, chr(10))[1], ' ')[1] AS chrom, array_to_string(list_transform(string_split(b, chr(10))[2:], x -> trim(x)), '') AS seq FROM bl WHERE b <> '')",
+      "iv AS (SELECT row_id, CASE WHEN row_id % 3 = 0 THEN 'CAJFCJ010000053.1' WHEN row_id % 3 = 1 THEN 'CAJFCJ010000097.1' ELSE 'CAJFCJ010000121.1' END AS chrom, strand, istart % 1000 + 300 AS istart, istart % 1000 + 300 + ((iend - istart) % 20 + 1) * 3 AS iend FROM gr)",
+      "jv AS (SELECT iv.*, seq, length(seq) AS slen FROM iv JOIN fa USING (chrom))",
+      "av AS (SELECT *, 3 * CAST(floor(least(CASE WHEN strand = '-' THEN istart ELSE slen - iend END, 90) / 3) AS BIGINT) AS ad, 3 * CAST(floor(least(CASE WHEN strand = '-' THEN slen - iend ELSE istart END, 90) / 3) AS BIGINT) AS au FROM jv)",
+      "tl AS (SELECT *, replace(upper(CASE WHEN strand = '-' THEN reverse(translate(substr(seq, CAST(istart - ad + 1 AS INT), CAST(ad AS INT)), 'ACGTUacgtu', 'TGCAAtgcaa')) ELSE substr(seq, CAST(iend + 1 AS INT), CAST(ad AS INT)) END), 'U', 'T') AS dt, replace(upper(CASE WHEN strand = '-' THEN reverse(translate(substr(seq, CAST(iend + 1 AS INT), CAST(au AS INT)), 'ACGTUacgtu', 'TGCAAtgcaa')) ELSE substr(seq, CAST(istart - au + 1 AS INT), CAST(au AS INT)) END), 'U', 'T') AS ut FROM av)",
+      "jd AS (SELECT *, COALESCE(3 * list_min([i FOR i IN range(0, CAST(length(dt) / 3 AS BIGINT)) IF substr(dt, CAST(3 * i + 1 AS INT), 3) IN ('TAA', 'TAG', 'TGA')]) + 3, 0) AS ext_down, COALESCE(list_min([j FOR j IN range(1, CAST(length(ut) / 3 AS BIGINT) + 1) IF substr(ut, CAST(length(ut) - 3 * j + 1 AS INT), 3) IN ('TAA', 'TAG', 'TGA')]), CAST(length(ut) / 3 AS BIGINT) + 1) AS jstop FROM tl)",
+      "ju AS (SELECT *, COALESCE(3 * list_max([j FOR j IN range(1, CAST(length(ut) / 3 AS BIGINT) + 1) IF j < jstop AND substr(ut, CAST(length(ut) - 3 * j + 1 AS INT), 3) = 'ATG']), 0) AS ext_up FROM jd)"),
+      "SELECT row_id, chrom, strand, CAST(istart - CASE WHEN strand = '-' THEN ext_down ELSE ext_up END AS BIGINT) AS istart, CAST(iend + CASE WHEN strand = '-' THEN ext_up ELSE ext_down END AS BIGINT) AS iend, CAST(ext_up AS BIGINT) AS extension_up, CAST(ext_down AS BIGINT) AS extension_down FROM ju"),
 
     "q78_spliced_seq" -> sql(Seq(GR_CTE,
       "t AS (SELECT content FROM read_text('/root/reference/pyranges1/data/ncbi.fasta'))",

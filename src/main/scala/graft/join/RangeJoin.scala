@@ -35,6 +35,30 @@ object RangeJoin {
     * long intervals into many bins. Overridable per call. */
   var defaultBinSize: Long = 256
 
+  /** Statistics-driven bin width (the adaptive path promised in SURVEY
+    * §4.3): one bounded sample job estimates the mean interval length of
+    * both sides and returns the next power of four >= 4x the larger mean,
+    * clamped to [64, 65536]. Rationale: a bin ~4x the typical length keeps
+    * explode fan-out near 1 copy/row while per-bin candidate sets stay
+    * small; powers of four keep the choice stable run-to-run under
+    * sampling noise. The sample is a `limit(sampleRows)` scan — one small
+    * single-stage job, independent of table size, so it is safe to call
+    * when building a plan against 100 TB inputs (a fraction-based sample
+    * would still scan every partition). Callers opt in:
+    * `RangeJoin.pairs(l, r, keys, binSize = RangeJoin.autoBinSize(l, r))`. */
+  def autoBinSize(left: DataFrame, right: DataFrame,
+                  sampleRows: Int = 100000): Long = {
+    def meanLen(df: DataFrame): Double = {
+      val r = df.select((col(End) - col(Start)).cast("double").as("_len"))
+        .limit(sampleRows).agg(avg(col("_len"))).head()
+      if (r.isNullAt(0)) 1.0 else math.max(r.getDouble(0), 1.0)
+    }
+    val target = 4.0 * math.max(meanLen(left), meanLen(right))
+    var bin = 64L
+    while (bin < target && bin < 65536L) bin *= 4
+    bin
+  }
+
   /** floor(x / b) as a Column, exact for |x| < 2^52. */
   private def floorDiv(x: Column, b: Long): Column =
     floor(x.cast("double") / b).cast("long")

@@ -37,7 +37,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  val binSize: Long = 256
+  /** Bin width: tunable per session without recompiling —
+    * `SET spark.graft.binSize=1024` (e.g. to the value
+    * `RangeJoin.autoBinSize` reports for the workload's tables). */
+  private def binSize: Long =
+    conf.getConfString("spark.graft.binSize", "256").toLong
   private val BIN_PREFIX = "_graft_bin_"
 
   private def floorDiv(x: Expression, b: Long): Expression =

@@ -106,6 +106,42 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("autoBinSize scales with interval length; joins stay exact at any bin") {
+    import graft.join.RangeJoin
+    val short = mkDF(300, 5000, 10, 2654435761L)   // mean len ~5
+    val long = mkDF(300, 500000, 20000, 40503L)    // mean len ~10k
+    val bShort = RangeJoin.autoBinSize(short, short)
+    val bLong = RangeJoin.autoBinSize(long, long)
+    assert(bShort == 64, s"short intervals should pick the floor bin, got $bShort")
+    assert(bLong >= 16384, s"long intervals should pick a coarse bin, got $bLong")
+    assert(bLong <= 65536)
+    // equivalence: the auto-chosen width returns the same pairs as default
+    val r = mkDF(200, 5000, 40, 97L)
+    def pairSet(bin: Long) = RangeJoin.pairs(short, r, Seq(Chrom), binSize = bin)
+      .collect().map(_.toSeq.toList).toSet
+    assert(pairSet(bShort) == pairSet(RangeJoin.defaultBinSize))
+  }
+
+  test("spark.graft.binSize conf retunes the rewrite's bin width") {
+    val l = mkDF(100, 2000, 50, 2654435761L)
+    val r = mkDF(80, 2000, 30, 40503L).toDF(Chrom + "2", "s2", "e2", "id2")
+    def joined = l.join(r,
+      l(Chrom) === r(Chrom + "2") && l(Start) < r("e2") && r("s2") < l(End))
+    val naive = joined.collect().map(_.toSeq.toList).toSet
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IntervalJoinRewrite
+    spark.conf.set("spark.graft.binSize", "1024")
+    try {
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("1024"), s"conf bin width not used:\n$plan")
+      assert(joined.collect().map(_.toSeq.toList).toSet == naive)
+    } finally {
+      spark.conf.unset("spark.graft.binSize")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == IntervalJoinRewrite)
+    }
+  }
+
   test("GraftExtensions wires rule + SQL functions into a session") {
     // withExtensions is the programmatic form of
     // --conf spark.sql.extensions=graft.plans.GraftExtensions (the config
