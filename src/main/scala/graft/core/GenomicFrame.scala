@@ -86,6 +86,30 @@ final case class GenomicFrame(df: DataFrame) {
       d.withColumn(c, when(cond, v).otherwise(col(c)))
     })
 
+  /** strand_valid (reference core/pyranges_main.py:3418-3450): strand
+    * column present and every value '+'/'-'. One tiny boolean aggregate. */
+  def strandValid: Boolean =
+    hasStrand && df.agg(bool_and(col(Strand).isin(FwdStrand, RevStrand)))
+      .head().getBoolean(0)
+
+  /** chromosomes (reference core/pyranges_main.py:612-614): distinct
+    * chromosome names in natural-sort order. Small driver-side list — the
+    * distinct is a map-side-combined aggregate over one column. */
+  def chromosomes: Seq[String] =
+    df.select(col(Chrom)).distinct()
+      .orderBy(graft.expr.NatSort.natsortKey(col(Chrom)))
+      .collect().map(_.getString(0)).toSeq
+
+  /** chromosomes_and_strands (reference core/pyranges_main.py:617-632);
+    * requires valid strand info, like the reference. */
+  def chromosomesAndStrands: Seq[(String, String)] = {
+    require(strandValid,
+      "PyRanges contains non-genomic strands or no strand column. Only +/- are valid.")
+    df.select(col(Chrom), col(Strand)).distinct()
+      .orderBy(graft.expr.NatSort.natsortKey(col(Chrom)), col(Strand))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
   def flipStrand: GenomicFrame = GenomicFrame(
     df.withColumn(Strand, when(col(Strand) === FwdStrand, RevStrand).otherwise(FwdStrand)))
 

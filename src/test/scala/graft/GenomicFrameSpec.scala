@@ -104,6 +104,22 @@ class GenomicFrameSpec extends AnyFunSuite {
     assert(b.getSequence(seqs).df.head.getAs[String]("sequence") == "TACG")
   }
 
+  test("chromosomes / chromosomes_and_strands / strand_valid accessors") {
+    // reference doctest core/pyranges_main.py:617-632: natsorted pairs
+    val g = mk(("chr2", "-", 2, 3), ("chr2", "+", 3, 10),
+      ("chr11", "-", 9, 12), ("chr1", "+", 1, 3))
+    assert(g.strandValid)
+    // natsort: chr1 < chr2 < chr11 (lexicographic would put chr11 second)
+    assert(g.chromosomes == Seq("chr1", "chr2", "chr11"))
+    assert(g.chromosomesAndStrands ==
+      Seq(("chr1", "+"), ("chr2", "+"), ("chr2", "-"), ("chr11", "-")))
+    // '.' strand (reference :3431-3441) -> invalid; pairs accessor refuses
+    val dot = mk(("chr1", "+", 1, 5), ("chr1", ".", 6, 8))
+    assert(!dot.strandValid)
+    intercept[IllegalArgumentException](dot.chromosomesAndStrands)
+    assert(!GenomicFrame(g.df.drop(Strand)).strandValid)
+  }
+
   test("repr renders a PyRanges-style preview with dtypes and footer") {
     val g = mk(("chr1", "+", 1, 11), ("chr1", "-", 40, 60), ("chr2", "+", 5, 9))
     val r = g.repr()
