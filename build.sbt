@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads of string-heavy codegen in one JVM need heap
+  // headroom: 8g showed GC-driven 2-3x per-query variance across a full
+  // bench suite (e.g. 2.7s isolated vs 7.4s in-suite); 24g removes it.
+  // The host grants 128 GiB; override with SPARK_DRIVER_MEM if smaller.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
