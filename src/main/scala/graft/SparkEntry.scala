@@ -374,6 +374,14 @@ object SparkEntry {
           col("Feature").as("feature"), col("istart"), col("iend"),
           col("Score").as("score"), col("strand"), col("Frame").as("frame"),
           col("gene_id"), col("transcript_id"))),
+    "q82_ivf_topk" -> ((s, dir) =>
+      // IVF ANN with fixed md5-derived centroids (same literals inlined
+      // in the DuckDB oracle): nProbe cells per query, per-cell brute
+      // force, exact integer dots
+      Similarity.ivfTopK(pq(s, dir, "embeddings"), 3, nCentroids = 32,
+          nProbe = 2, centroids = Some(Similarity.ivfCentroids(32, 64)))
+        .select(col("vec_id"), col("nb"), col("dot"),
+          col("rank").cast("long").as("rank"))),
     "q81_extend_orfs" -> ((s, dir) => {
       // full extend_orfs on real sequence: per-CDS groups, up to the
       // leftmost in-frame ATG before a stop, down to the first in-frame
@@ -584,6 +592,22 @@ object SparkEntry {
       "SELECT vec_id, nb, dot, CAST(rn AS BIGINT) AS rank FROM " +
       "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, nb) AS rn FROM p) " +
       s"WHERE rn <= $k"
+
+  private def ivfTopKOracleSql(nCells: Int, dim: Int, nProbe: Int, k: Int): String = {
+    val cmLit = Similarity.ivfCentroids(nCells, dim)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"WITH $quantCte, " +
+      s"cm AS (SELECT $cmLit AS m), " +
+      s"cel AS (SELECT vec_id, v, list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)]) AS cl FROM q, cm), " +
+      "mem AS (SELECT vec_id AS nb, v AS vb, cl[1].c AS cell FROM cel), " +
+      s"prb AS (SELECT vec_id, v, unnest(list_transform(cl[1:$nProbe], s -> s.c)) AS cell FROM cel), " +
+      "p AS (SELECT DISTINCT l.vec_id, r.nb, " +
+      s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> l.v[i] * r.vb[i])) AS BIGINT) AS dot " +
+      "FROM prb l JOIN mem r ON l.cell = r.cell AND l.vec_id <> r.nb) " +
+      "SELECT vec_id, nb, dot, CAST(rn AS BIGINT) AS rank FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, nb) AS rn FROM p) " +
+      s"WHERE rn <= $k"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -944,6 +968,8 @@ object SparkEntry {
 
     "q76_gff3_roundtrip" -> sql(Seq(GR_CTE),
       "SELECT chrom, istart, iend, strand, 'id' || CAST(row_id AS VARCHAR) AS id, 'p' || CAST(row_id % 53 AS VARCHAR) AS parent FROM gr"),
+
+    "q82_ivf_topk" -> ivfTopKOracleSql(nCells = 32, dim = 64, nProbe = 2, k = 3),
 
     "q81_extend_orfs" -> sql(Seq(GR_CTE,
       "t AS (SELECT content FROM read_text('/root/reference/pyranges1/data/ncbi.fasta'))",

@@ -22,9 +22,11 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
-  /** Integer dot product of two equally-sized long arrays. */
-  def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Integer dot product of two equally-sized long arrays — a codegen'd
+    * Catalyst expression (graft.expr.DotLong); the previous
+    * aggregate(zip_with(...)) higher-order-function chain paid per-element
+    * interpreted lambda dispatch on every ANN candidate pair. */
+  def dotLong(a: Column, b: Column): Column = graft.expr.Exprs.dot_long(a, b)
 
   /** Double-precision cosine similarity (library API; not used in the
     * oracle queries because float-sum order is engine-dependent). */
@@ -110,35 +112,42 @@ object Similarity {
     * id, so work scales with cell population, not n^2. */
   def ivfTopK(df: DataFrame, k: Int, idCol: String = "vec_id",
               vecCol: String = "embedding", nCentroids: Int = 16,
-              nProbe: Int = 3, scale: Int = 1000): DataFrame = {
+              nProbe: Int = 3, scale: Int = 1000,
+              centroids: Option[Array[Array[Long]]] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = df.sparkSession
     val base = df.select(col(idCol).cast("long").as(idCol),
-      quantize(col(vecCol), scale).as("_q"),
-      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
-      .fit(base.select("features"))
-    val centers = model.clusterCenters.map(_.toArray.map(v => math.floor(v * scale).toLong))
-    val bc = spark.sparkContext.broadcast(centers)
+      quantize(col(vecCol), scale).as("_q"))
+    // centroids: pass a fixed matrix (e.g. ivfCentroids) to skip the
+    // KMeans fit — cross-engine-reproducible cells for oracle testing,
+    // or externally trained centers at production scale
+    val centers = centroids.getOrElse {
+      val feats = df.select(
+        array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+      val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+        .fit(feats)
+      model.clusterCenters.map(_.toArray.map(v => math.floor(v * scale).toLong))
+    }
     // assign each vector to its nProbe nearest centroids by euclidean
     // distance — the metric KMeans optimized, so probe cells line up
-    // with membership cells (raw dot would bias toward long centroids)
-    val probeUdf = udf { (q: Seq[Long]) =>
-      val cs = bc.value
-      val dists = cs.indices.map { ci =>
-        var d = 0L; var j = 0
-        val c = cs(ci)
-        while (j < math.min(q.length, c.length)) {
-          val diff = q(j) - c(j); d += diff * diff; j += 1
-        }
-        (d, ci)
-      }
-      dists.sortBy(x => (x._1, x._2)).take(nProbe).map(_._2)
-    }
-    val memberCell = base.withColumn("_cell",
-      element_at(probeUdf(col("_q")), 1))  // each vector lives in its best cell
-    val queryCells = base.withColumn("_cell", explode(probeUdf(col("_q"))))
+    // with membership cells (raw dot would bias toward long centroids).
+    // Pure codegen'd expressions, no UDF: |v-c|^2 orders identically to
+    // |c|^2 - 2*v.c (the |v|^2 term shifts every centroid's distance
+    // equally), so each centroid contributes one literal-array DotLong
+    // and the nProbe nearest cells fall out of one array_sort.
+    val distArr = array(centers.zipWithIndex.map { case (c, ci) =>
+      val c2 = c.map(v => v * v).sum
+      struct((lit(c2) - lit(2L) * dotLong(col("_q"), typedLit(c.toSeq))).as("d"),
+        lit(ci.toLong).as("c"))
+    }: _*)
+    val withCells = base.withColumn("_cells",
+      transform(slice(array_sort(distArr), 1, nProbe), s => s.getField("c")))
+    val memberCell = withCells  // each vector lives in its best cell
+      .withColumn("_cell", element_at(col("_cells"), 1)).drop("_cells")
+    val queryCells = (1 to nProbe).map(i => withCells
+        .withColumn("_cell", element_at(col("_cells"), i)).drop("_cells"))
+      .reduce(_ unionByName _)
+      .filter(col("_cell").isNotNull)  // nProbe may exceed live cells
     val pairs = queryCells.alias("l")
       .join(memberCell.select(col(idCol).as("nb"), col("_q").as("_qb"),
         col("_cell")).alias("r"), Seq("_cell"))
@@ -190,6 +199,30 @@ object Similarity {
       val hex = md.digest(s"p$p-$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map(b => f"${b & 0xff}%02x").mkString
       java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000 - 500
+    }
+  }
+
+  /** Deterministic pseudo-random IVF centroid matrix in quantized space
+    * (md5-derived like `planeMatrix`, components in [-scale, scale)) —
+    * for `ivfTopK(centroids = ...)` where cross-engine reproducibility
+    * matters more than cell quality; an external oracle inlines the
+    * identical literals. */
+  def ivfCentroids(nCells: Int, dim: Int, scale: Int = 1000): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val raw = Array.tabulate(nCells, dim) { (c, d) =>
+      md.reset()
+      val hex = md.digest(s"c$c-$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % (2L * scale) - scale
+    }
+    // normalize every row to a COMMON norm (~scale): with mixed norms the
+    // |c|^2 term dominates the euclidean argmin and most vectors collapse
+    // into whichever centroid happens to be shortest — one quadratic
+    // cell. Equal norms make assignment direction-only, so cells stay
+    // balanced. Integer rounding, literal-portable to SQL oracles.
+    raw.map { row =>
+      val norm = math.sqrt(row.map(v => v.toDouble * v).sum)
+      row.map(v => math.round(v * scale / norm))
     }
   }
 
