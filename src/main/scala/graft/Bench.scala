@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Benchmark main. Protocol (BASELINE.md): one timed `count()` per
+  * SparkEntry.queries entry at local[SPARK_GRAFT_CPUS] over
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Output contract: one JSON object per line. Per-query lines stream as
+  * results arrive (so a truncated capture still carries the heaviest
+  * timings), and the driver-parsed `{"metric":"total",...}` line prints
+  * LAST — BENCH_r02.json was tail-truncated mid-line and lost 15 queries
+  * plus the total because the total printed first.
+  *
+  * Measurement hygiene (the round-2 driver-vs-builder reconciliation):
+  * between queries the harness clears the Spark cache AND runs a full
+  * System.gc() — both uncounted — so one query's allocation debt is not
+  * billed to whichever query the JVM happens to collect under. Each
+  * per-query line carries the GC time that DID land inside the measured
+  * region (`gcMs`), and the total line carries heap/GC/load telemetry,
+  * making host pressure visible in BENCH_r{N}.json instead of
+  * indistinguishable from a plan regression. */
 object Bench {
+  private def gcMillis(): Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,6 +45,7 @@ object Bench {
       graft.join.RangeJoin.pairs(g.limit(5000), Tables.gr2(spark, sfDir).limit(5000),
         Seq(graft.core.Cols.Chrom)).count()
     }
+    println(s"""{"metric":"env","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"cpus":"$cpus","sf":"$sfDir"}""")
     // optional args: run only the named queries (local profiling; the
     // driver invokes with no args and gets the full suite)
     val only = args.toSet
@@ -28,18 +53,27 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
     val results = selected.map { case (name, fn) =>
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // queries are independent: drop any cached blocks a query pinned so
-      // they don't evict/ GC-pressure the remaining queries
+      val gcIn = gcMillis() - gc0
+      println(s"""{"q":"$name","sec":$dt,"gcMs":$gcIn}""")
+      // queries are independent: drop cached blocks a query pinned and
+      // collect its garbage NOW (uncounted) so neither is billed to the
+      // next query
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
     spark.stop()
+    // driver-parsed line: LAST, after even spark.stop(), so nothing can
+    // print below it and tail-capture always keeps it intact
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"gcTotalMs":${gcMillis()},"loadAvg":$load}""")
   }
 }

@@ -63,8 +63,19 @@ object Composites {
         .drop("_ns", "_ne")
     } else {
       val cum = UnaryOps.groupCumsum(df, keys, useStrand, "_cs", "_ce", tieBreak)
-      val w = Window.partitionBy(keys.map(col): _*)
-      val withLen = cum.withColumn("_tl", max(col("_ce")).over(w))
+      // Total spliced length per group = sum of interval lengths. A
+      // window max(_ce) over the raw key would serialize each group into
+      // one task (hot transcript = one straggler) and add an exchange on
+      // top of the salted cumsum; the groupBy aggregates map-side and the
+      // equi-join broadcasts at runtime (AQE) whenever the per-group
+      // table is small.
+      val lens = df.groupBy(keys.map(col): _*)
+        .agg(sum(col(End) - col(Start)).as("_tl"))
+      // null-safe key equality: a null group key (e.g. transcript_id on
+      // GTF gene rows) is a group like any other, and `===` would drop it
+      val lensR = keys.foldLeft(lens)((d, k) => d.withColumnRenamed(k, "_lk_" + k))
+      val cond = keys.map(k => col(k) <=> col("_lk_" + k)).reduce(_ && _)
+      val withLen = cum.join(lensR, cond).drop(keys.map("_lk_" + _): _*)
       val (s0, e0) = resolve(col("_tl"))
       val lo = greatest(col("_cs"), s0)
       val hi = least(col("_ce"), e0)
