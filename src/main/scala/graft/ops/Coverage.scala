@@ -21,7 +21,8 @@ object Coverage {
     * Measured at local[32]/sf0.1: plain rleBinary 4.7 s vs salted 2.5 s;
     * at sf0.01 plain wins by stage count. */
   private def bigInput(dfs: DataFrame*): Boolean =
-    graft.core.Sizing.bigInput(dfs: _*)
+    graft.core.Sizing.decide("rle", graft.core.Sizing.saltedInputThreshold,
+      dfs: _*)
 
   /** Runs of constant coverage between min(Start) and max(End) per key.
     * valueCol: weight column (default 1 per interval). Zero-coverage runs

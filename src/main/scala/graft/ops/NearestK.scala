@@ -141,7 +141,7 @@ object NearestK {
     val rs = Start + suffix
     val re = End + suffix
 
-    val big = saltedHint.getOrElse(graft.core.Sizing.bigInputOver(
+    val big = saltedHint.getOrElse(graft.core.Sizing.decide("nearestSweep",
       graft.core.Sizing.saltedSweepThreshold, left, right))
     val lScan = scanAuto(union(left, right, keys, rightSide = false), k,
       rightSide = false, big)

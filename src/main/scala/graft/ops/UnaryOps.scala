@@ -217,7 +217,8 @@ object UnaryOps {
   def groupCumsum(df: DataFrame, keys: Seq[String], useStrand: Boolean = true,
                   cumStartCol: String = "cumStart", cumEndCol: String = "cumEnd",
                   tieBreak: Seq[Column] = Nil): DataFrame =
-    if (graft.core.Sizing.bigInput(df))
+    if (graft.core.Sizing.decide("groupCumsum",
+          graft.core.Sizing.saltedInputThreshold, df))
       groupCumsumSalted(df, keys, useStrand, cumStartCol, cumEndCol, tieBreak)
     else groupCumsumPlain(df, keys, useStrand, cumStartCol, cumEndCol, tieBreak)
 

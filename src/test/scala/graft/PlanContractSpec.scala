@@ -74,4 +74,31 @@ class PlanContractSpec extends AnyFunSuite {
     // the salted path's carried-suffix machinery is present
     assert(plan.contains("_mb"), plan.take(3000))
   }
+
+  test("nearest auto-switch picks the plain sweep on small leaf scans and logs it") {
+    val l = Tables.gr(spark, dir)
+    val r = Tables.gr2(spark, dir)
+    graft.ops.NearestK.nearestK(l, r, Seq(Chrom), 1, distCol = "dist")
+      .queryExecution.executedPlan // force planning (decision happens at build)
+    val (op, bytes, salted) = graft.core.Sizing.lastDecision.get()
+    assert(op == "nearestSweep")
+    assert(bytes > 0 && bytes < graft.core.Sizing.saltedSweepThreshold)
+    assert(!salted, s"sf0.001 leaf scans ($bytes B) must take the plain sweep")
+  }
+
+  test("sizing gate reads LEAF scan bytes, stable under wide/narrow projections") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val narrow = graft.core.Sizing.leafScanBytes(li.select("l_orderkey"))
+    val wide = graft.core.Sizing.leafScanBytes(li.select(li.columns.map(col): _*))
+    // r2 bug: derived-plan estimates swung 2-5x with projection width and
+    // misfired the salted auto-switch; leaf bytes must not move at all
+    assert(narrow == wide, s"leaf bytes moved with projection: $narrow vs $wide")
+  }
+
+  test("plain nearest sweep plan: no cartesian, no nested loop join") {
+    val plan = SparkEntry.queries("q42_nearest_k")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
