@@ -528,9 +528,14 @@ object SparkEntry {
       // Catalyst fuses the scalar gates into the scan (single pass over
       // the corpus), the dedup is the only shuffle (hash on content key),
       // and the final stats aggregate map-side. The shape a 100 TB run
-      // needs: no intermediate materialization between stages.
-      val scored = TextOps.qualityStats(pq(s, dir, "documents"))
-        .withColumn("pred", TextOps.langId(col("text")))
+      // needs: no intermediate materialization between stages. The token
+      // array is materialized ONCE and shared by every stat and the
+      // language gates (HOFs are interpreted — each extra tokens() copy
+      // re-ran the regex per row and bloated the one-time plan cost).
+      val scored = TextOps.qualityStatsTokens(pq(s, dir, "documents")
+          .withColumn("_toks", TextOps.tokens(col("text"))))
+        .withColumn("pred", TextOps.langIdTokens(col("_toks")))
+        .drop("_toks")
       val gated = scored.filter(col("pred") =!= "und" &&
         col("n_tokens") >= 15 && col("distinct_ratio_x100") >= 30)
       val kept = Dedup.dropExactDuplicates(gated, md5(col("text")), "doc_id")

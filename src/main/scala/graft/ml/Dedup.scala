@@ -23,12 +23,20 @@ object Dedup {
     df.groupBy(key.as(keyName))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
-  /** Drop exact duplicates, keeping the smallest id per key. */
+  /** Drop exact duplicates, keeping the smallest id per key.
+    *
+    * Shape: ONE shuffle (hash on the content key) via a window min —
+    * the previous groupBy + left_semi spelling shuffled twice more AND
+    * evaluated the upstream plan in both join branches (expensive when
+    * the caller feeds a scored/gated projection, q66). Content-hash
+    * keys are near-unique, so the per-key window sort is tiny and
+    * cannot skew. */
   def dropExactDuplicates(df: DataFrame, key: Column,
-                          idCol: String = "doc_id"): DataFrame = {
-    val keep = df.groupBy(key.as("_k")).agg(min(col(idCol)).as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
-  }
+                          idCol: String = "doc_id"): DataFrame =
+    df.withColumn("_min_id", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(key)))
+      .where(col(idCol) === col("_min_id"))
+      .drop("_min_id")
 
   /** MinHash signature as `numHashes` string-min md5 values over k-word
     * shingles. Using the lexicographic min of seeded md5 hex digests

@@ -44,7 +44,10 @@ object TextOps {
 
   /** Count of tokens found in `vocab` (stopword / wordlist hits). */
   def wordlistHits(text: Column, vocab: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(vocab.map(lit): _*)))
+    wordlistHitsTokens(tokens(text), vocab)
+
+  def wordlistHitsTokens(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isin(vocab.map(lit): _*)))
 
   /** Language-ID heuristic: score per language = hits against that
     * language's function-word list (normalized per token), argmax wins.
@@ -57,9 +60,16 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "y", "es", "una", "que"))
 
   def langId(text: Column,
-             wordlists: Map[String, Seq[String]] = defaultWordlists): Column = {
+             wordlists: Map[String, Seq[String]] = defaultWordlists): Column =
+    langIdTokens(tokens(text), wordlists)
+
+  /** langId over a pre-tokenized array column — lets a pipeline that
+    * already materialized the token array (see `qualityStatsTokens`)
+    * score languages without re-running the tokenizing regex per list. */
+  def langIdTokens(toks: Column,
+                   wordlists: Map[String, Seq[String]] = defaultWordlists): Column = {
     val scored = wordlists.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(wordlistHits(text, words).as("hits"), lit(lang).as("lang"))
+      struct(wordlistHitsTokens(toks, words).as("hits"), lit(lang).as("lang"))
     }
     // max(struct(hits, lang)): highest hits, ties -> lexicographically
     // last language code; "und" (undetermined) when nothing hits.
@@ -68,19 +78,37 @@ object TextOps {
   }
 
   /** Quality-scoring stats (length / punct / stopword ratios, reference-
-    * style heuristics, integer-valued for exact cross-engine compare). */
-  def qualityStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    * style heuristics, integer-valued for exact cross-engine compare).
+    *
+    * Tokenizes ONCE into a temporary array column and derives every stat
+    * from it. The naive per-stat `tokens(t)` spelled the tokenizing
+    * regex split ~6 times in one Project; higher-order functions are
+    * interpreted (no whole-stage codegen, no subexpression elimination),
+    * so each copy both re-ran the regex per row AND inflated the
+    * generated/analyzed expression tree (measured: ~6 s of one-time
+    * plan+codegen cost on q66's doubled tree). CollapseProject keeps the
+    * barrier: it refuses to inline a non-cheap alias referenced more
+    * than once. */
+  def qualityStats(df: DataFrame, textCol: String = "text"): DataFrame =
+    qualityStatsTokens(df.withColumn("_toks", tokens(col(textCol))), textCol)
+      .drop("_toks")
+
+  /** As `qualityStats`, but keeps/reuses the materialized `_toks` token
+    * array column so downstream stages (langIdTokens, fingerprints) can
+    * share the single tokenization. */
+  def qualityStatsTokens(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    val toks = col("_toks")
     df.withColumn("n_chars2", length(t))
-      .withColumn("n_tokens", tokenCount(t))
-      .withColumn("n_distinct_tokens", size(array_distinct(tokens(t))))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)))
       .withColumn("n_spaces", length(t) - length(regexp_replace(t, " ", "")))
       .withColumn("mean_token_len_x100",
         floor(length(regexp_replace(t, "\\s", "")).cast("double") * 100 /
-          tokenCount(t)).cast("long"))
+          size(toks)).cast("long"))
       .withColumn("distinct_ratio_x100",
-        floor(size(array_distinct(tokens(t))).cast("double") * 100 /
-          tokenCount(t)).cast("long"))
+        floor(size(array_distinct(toks)).cast("double") * 100 /
+          size(toks)).cast("long"))
   }
 
   /** Document fingerprint: minimum md5 over k-word shingles (a 1-

@@ -50,6 +50,27 @@ class OpsSpec extends AnyFunSuite {
       Set(("chr1", 1L, 11L), ("chr1", 15L, 20L), ("chr2", 1L, 3L)))
   }
 
+  // Regression (round-2 advice): exists() on a left WITHOUT the row_id
+  // contract must not fall back to all-column equality — null metadata
+  // columns would then never match themselves (null-unsafe =), silently
+  // dropping overlapping rows from semi and keeping them in anti.
+  test("overlap semi/anti keep null-metadata and duplicate rows correct without row_id") {
+    import spark.implicits._
+    val l = Seq(
+      ("chr1", 1L, 5L, null.asInstanceOf[String]),   // overlaps, null meta
+      ("chr1", 2L, 6L, "m"),                          // overlaps
+      ("chr1", 2L, 6L, "m"),                          // exact duplicate row
+      ("chr1", 50L, 60L, null.asInstanceOf[String])  // no overlap, null meta
+    ).toDF(Chrom, Start, End, "meta") // deliberately NO RowId column
+    val r = gf(("chr1", 4, 10))
+    val semi = RangeJoin.exists(l, r, Seq(Chrom))
+    val anti = RangeJoin.exists(l, r, Seq(Chrom), anti = true)
+    assert(semi.count() == 3, "null-meta overlapping row and both duplicates survive semi")
+    assert(semi.where(col("meta").isNull).count() == 1)
+    assert(anti.count() == 1)
+    assert(anti.select(Start).as[Long].collect().toSeq == Seq(50L))
+  }
+
   test("merge slack bridges gaps strictly smaller than slack") {
     val df = gf(("c", 1, 5), ("c", 7, 9))  // gap of 2
     assert(rows3(UnaryOps.merge(df, Seq(Chrom), slack = 3)) == Set(("c", 1L, 9L)))
