@@ -545,6 +545,37 @@ object SparkEntry {
           sum(col("n_tokens").cast("long")).as("total_tokens"),
           min(col("doc_id")).as("first_doc"))
     }),
+
+    "q83_fisher" -> ((s, dir) => {
+      // Fisher's exact test, all three alternatives, over 2x2 quantity
+      // contingency tables (reference ext/stats.py:174-246). P-values
+      // reported as round(p * 1e6) integers so the DuckDB hash compare
+      // is float-stable: both engines sum exp(lgamma) terms, and the
+      // cross-engine ulp noise (~1e-15 relative) cannot move the 6th
+      // decimal of a p-value.
+      val t = pq(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          (col("l_partkey") % 10).as("bucket"))
+        .agg(
+          // quantity x discount is near-independent in the data, so the
+          // p-values spread across (0,1) — a degenerate all-0/all-1
+          // column would hash-match even across broken implementations
+          sum(when(col("l_quantity") < 25 && col("l_discount") < 0.05, 1L)
+            .otherwise(0L)).as("a"),
+          sum(when(col("l_quantity") < 25 && col("l_discount") >= 0.05, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("l_quantity") >= 25 && col("l_discount") < 0.05, 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(col("l_quantity") >= 25 && col("l_discount") >= 0.05, 1L)
+            .otherwise(0L)).as("d"))
+      t.select(col("flag"), col("bucket"), col("a"), col("b"), col("c"), col("d"),
+        round(Stats.fisherExactGreater(col("a"), col("b"), col("c"), col("d")) * 1e6)
+          .cast("long").as("p_greater_x1e6"),
+        round(Stats.fisherExactLess(col("a"), col("b"), col("c"), col("d")) * 1e6)
+          .cast("long").as("p_less_x1e6"),
+        round(Stats.fisherExactTwoSided(col("a"), col("b"), col("c"), col("d")) * 1e6)
+          .cast("long").as("p_two_x1e6"))
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1004,5 +1035,25 @@ object SparkEntry {
 
     "q77_bam_flags" -> sql(Seq(GR_CTE),
       "SELECT chrom, istart, iend, CASE WHEN (row_id % 4096 & 16) != 0 THEN '-' ELSE '+' END AS strand, CAST(row_id % 4096 AS BIGINT) AS flag, CAST(row_id % 60 AS BIGINT) AS mapq, 'r' || CAST(row_id AS VARCHAR) AS name FROM gr WHERE (row_id % 4096 & 1540) = 0 AND row_id % 60 >= 20"),
+
+    // hypergeometric log-pmf via lgamma, summed over the support
+    // [max(0, a-d), min(a+b, a+c)]; identical formulation to
+    // Stats.hypergeomLogPmf so the engines agree to float ulps, far
+    // inside the x1e6 rounding.
+    "q83_fisher" -> (
+      """WITH t AS (SELECT l_returnflag AS flag, l_partkey % 10 AS bucket, """ +
+      """CAST(sum(CASE WHEN l_quantity < 25 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS a, """ +
+      """CAST(sum(CASE WHEN l_quantity < 25 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b, """ +
+      """CAST(sum(CASE WHEN l_quantity >= 25 AND l_discount < 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS c, """ +
+      """CAST(sum(CASE WHEN l_quantity >= 25 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS d """ +
+      """FROM lineitem GROUP BY 1, 2), """ +
+      """ps AS (SELECT *, greatest(0, a - d) AS lo, least(a + b, a + c) AS hi, """ +
+      """(lgamma(a+b+c+d+1.0) - lgamma(a+b+1.0) - lgamma(c+d+1.0)) AS lden FROM t), """ +
+      """pv AS (SELECT *, list_transform(range(lo, hi + 1), i -> """ +
+      """exp(lgamma(a+c+1.0) - lgamma(i+1.0) - lgamma(a+c-i+1.0) + lgamma(b+d+1.0) - lgamma(a+b-i+1.0) - lgamma(d-a+i+1.0) - lden)) AS probs FROM ps) """ +
+      """SELECT flag, bucket, a, b, c, d, """ +
+      """CAST(round(least(list_sum(probs[(a - lo + 1):]), 1.0) * 1e6) AS BIGINT) AS p_greater_x1e6, """ +
+      """CAST(round(least(list_sum(probs[:(a - lo + 1)]), 1.0) * 1e6) AS BIGINT) AS p_less_x1e6, """ +
+      """CAST(round(least(list_sum(list_filter(probs, pp -> pp <= probs[CAST(a - lo + 1 AS INT)] * (1.0 + 1e-7))), 1.0) * 1e6) AS BIGINT) AS p_two_x1e6 FROM pv"""),
   )
 }
