@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Cols
 import graft.ext.{Orfs, Seqs, Stats}
-import graft.ml.{Dedup, Similarity, TextOps}
+import graft.ml.{Dedup, Multimodal, Similarity, TextOps}
 import graft.ops.{BinaryOps, Composites, Coverage, UnaryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -576,6 +576,36 @@ object SparkEntry {
         round(Stats.fisherExactTwoSided(col("a"), col("b"), col("c"), col("d")) * 1e6)
           .cast("long").as("p_two_x1e6"))
     }),
+
+    "q84_image_decode" -> ((s, dir) => {
+      // REAL image decode oracle: deterministic BMP (hand-built header)
+      // and PNG (JDK encoder) payloads from closed-form pixel values,
+      // decoded back with javax.imageio on the executors; the DuckDB
+      // side computes the same pixel checksums analytically. An
+      // ImageIO decode bug (channel order, orientation, padding) would
+      // break the position-weighted checksum.
+      import org.apache.spark.sql.Encoders
+      val src = pq(s, dir, "documents").select(col("doc_id").cast("long"))
+      val imgs = src.mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val sd = (id % 1000).toInt
+          val w = (id % 13).toInt + 2
+          val h = (id % 9).toInt + 2
+          def pix(x: Int, y: Int): (Int, Int, Int) =
+            ((sd + 7 * x + 13 * y) % 256, (3 * sd + 5 * x + y) % 256,
+              (sd + x * y) % 256)
+          val bytes =
+            if (id % 2 == 0) Multimodal.encodeBmp(w, h, pix _)
+            else Multimodal.encodePng(w, h, pix _)
+          (id, bytes)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("media_id", "payload")
+      Multimodal.decodeImageInfo(imgs)
+        .withColumn("width", col("width").cast("long"))
+        .withColumn("height", col("height").cast("long"))
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1055,5 +1085,14 @@ object SparkEntry {
       """CAST(round(least(list_sum(probs[(a - lo + 1):]), 1.0) * 1e6) AS BIGINT) AS p_greater_x1e6, """ +
       """CAST(round(least(list_sum(probs[:(a - lo + 1)]), 1.0) * 1e6) AS BIGINT) AS p_less_x1e6, """ +
       """CAST(round(least(list_sum(list_filter(probs, pp -> pp <= probs[CAST(a - lo + 1 AS INT)] * (1.0 + 1e-7))), 1.0) * 1e6) AS BIGINT) AS p_two_x1e6 FROM pv"""),
+
+    // closed-form pixel checksums for the BMP/PNG payloads the Spark
+    // side round-trips through javax.imageio
+    "q84_image_decode" -> (
+      """WITH d AS (SELECT doc_id AS media_id, doc_id % 1000 AS s, doc_id % 13 + 2 AS w, doc_id % 9 + 2 AS h FROM documents) """ +
+      """SELECT media_id, CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format, """ +
+      """CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, """ +
+      """CAST(list_sum(list_transform(range(h), y -> list_sum(list_transform(range(w), x -> (s+7*x+13*y)%256 + (3*s+5*x+y)%256 + (s+x*y)%256)))) AS BIGINT) AS px_sum, """ +
+      """CAST(list_sum(list_transform(range(h), y -> list_sum(list_transform(range(w), x -> (x+1)*(y+1)*((s+7*x+13*y)%256 + (3*s+5*x+y)%256 + (s+x*y)%256))))) AS BIGINT) AS px_weighted FROM d"""),
   )
 }

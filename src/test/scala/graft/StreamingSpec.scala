@@ -130,4 +130,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(resized.filter(col("media_id") === 2)
       .select("meta.nBytes").head.getLong(0) == 4L)
   }
+
+  test("multimodal: real javax.imageio decode of BMP and PNG, honest -1 on junk") {
+    import spark.implicits._
+    def pix(x: Int, y: Int): (Int, Int, Int) = (x * 10 % 256, y * 20 % 256, (x + y) % 256)
+    // known checksums for 3x2: sum over pixels of r+g+b and (x+1)(y+1)(r+g+b)
+    val exp = (for { y <- 0 until 2; x <- 0 until 3 } yield {
+      val (r, g, b) = pix(x, y); (r + g + b).toLong
+    }).sum
+    val expW = (for { y <- 0 until 2; x <- 0 until 3 } yield {
+      val (r, g, b) = pix(x, y); (x + 1).toLong * (y + 1) * (r + g + b)
+    }).sum
+    val rows = Seq(
+      (1L, Multimodal.encodeBmp(3, 2, pix)),
+      (2L, Multimodal.encodePng(3, 2, pix)),
+      (3L, "not an image at all".getBytes),            // unknown magic
+      (4L, Multimodal.encodePng(3, 2, pix).take(10)))  // truncated png
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeImageInfo(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) == (("bmp", 3, 2, exp, expW)))
+    assert(got(2L) == (("png", 3, 2, exp, expW)))
+    assert(got(3L) == (("unknown", -1, -1, -1L, -1L)))
+    assert(got(4L) == (("png", -1, -1, -1L, -1L)))
+  }
 }
