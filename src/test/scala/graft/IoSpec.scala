@@ -106,6 +106,23 @@ class IoSpec extends AnyFunSuite {
     assert(revOnly.count() == 1)
   }
 
+  test("BAM recipe TSV: documented samtools column order loads with documented schema") {
+    val d = tmp("bamtsv")
+    // exactly the README recipe's emitted columns:
+    // chrom, start0, end, strand, flag, mapq, name, cigar, seq
+    Files.writeString(java.nio.file.Paths.get(s"$d/reads.tsv"),
+      "chr1\t99\t124\t+\t0\t60\tr1\t25M\t" + "A" * 25 + "\n" +
+      "chr1\t199\t224\t-\t16\t60\tr2\t25M\t" + "C" * 25 + "\n" +
+      "chr1\t0\t0\t+\t4\t0\tr3\t*\t" + "G" * 25 + "\n")
+    val full = graft.io.Bam.readsFromTsv(spark, s"$d/reads.tsv", sparse = false)
+    assert(full.columns.toSeq == graft.io.Bam.fullSchema.fieldNames.toSeq)
+    assert(full.schema == graft.io.Bam.fullSchema)
+    assert(full.count() == 2) // default filterFlag 1540 drops the unmapped row
+    val sparse = graft.io.Bam.readsFromTsv(spark, s"$d/reads.tsv")
+    assert(sparse.schema == graft.io.Bam.sparseSchema)
+    assert(sparse.filter(col(Strand) === "-").count() == 1)
+  }
+
   test("bigWig surface: bedGraph pre-conversion round-trips value runs") {
     val d = tmp("bw")
     Files.writeString(java.nio.file.Paths.get(s"$d/a.bedgraph"),
