@@ -6,18 +6,24 @@ import org.apache.spark.sql.SparkSession
   * review (pushdown, broadcast, codegen spans, shuffle count). */
 object PlanCheck {
   def main(args: Array[String]): Unit = {
+    // audit at the BENCH config by default (round-2 verdict: auditing at
+    // local[4]/sf0.01 showed the plans the Sizing gates DON'T pick at the
+    // driver's local[32]/sf0.1 — the audit must match the config that runs)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     // --summary: one markdown row of plan stats per query (all queries) —
     // the PLANS.md generator for the plan-quality audit
     if (args.length > 1 && args(1) == "--summary") {
+      println(s"Config: local[$cpus], shuffle.partitions=$cpus, AQE on, data=$dir")
+      println()
       println("| query | exchanges | sorts | broadcast joins | sort-merge joins | notes |")
       println("|---|---|---|---|---|---|")
       for ((n, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -101,4 +101,40 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("EVERY query plans without CartesianProduct or BroadcastNestedLoopJoin") {
+    // blanket contract over the whole suite (incl. future queries): no
+    // plan may contain a |L|x|R| operator — the invariant PLANS.md's
+    // notes column audits, enforced here so a regression fails CI
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
+      } catch { case _: Throwable => None } // execution-path issues belong to Verify
+    }
+    assert(bad.isEmpty, s"quadratic join operators in: $bad")
+  }
+
+  test("text round-trip writers are single-stage projections (no shuffle)") {
+    // q74/q75/q76 write text then read back: neither side may introduce
+    // an exchange (a coalesce(1) or repartition in a writer would
+    // serialize the 100 TB export path)
+    for (q <- Seq("q74_bed_roundtrip", "q75_gtf_roundtrip", "q76_gff3_roundtrip")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).size == 0, s"$q reshuffles: ${plan.take(1500)}")
+    }
+  }
+
+  test("fisher and image-decode stay single-aggregation / mapPartitions plans") {
+    val fisher = SparkEntry.queries("q83_fisher")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // one hash-aggregate pair over one exchange; p-value UDFs are
+    // projections after the agg, not a second shuffle
+    assert("Exchange".r.findAllIn(fisher).size == 1, fisher.take(1500))
+    val img = SparkEntry.queries("q84_image_decode")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(img).size == 0, img.take(1500))
+  }
 }
