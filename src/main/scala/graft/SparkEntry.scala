@@ -606,6 +606,21 @@ object SparkEntry {
         .withColumn("width", col("width").cast("long"))
         .withColumn("height", col("height").cast("long"))
     }),
+
+    "q85_bam_native" -> ((s, dir) =>
+      // NATIVE binary BAM decode (BGZF + record layout, io/Bam.readBam)
+      // on the reference's real 10k-read sorted BAM, with the default
+      // mapq-20 read filter; the oracle replays the same filter over a
+      // golden TSV decoded by an INDEPENDENT parser (fixtures/,
+      // cross-checked against the reference's read_bam doctest).
+      out(graft.io.Bam.readBam(s,
+          "/root/reference/tests/unit/test_data/test_sorted.bam",
+          mapq = 20, sparse = false))
+        .select(col("chrom"), col("istart"), col("iend"), col("strand"),
+          col("Flag").cast("long").as("flag"),
+          col("MapQ").cast("long").as("mapq"),
+          col("Name").as("name"), col("Cigar").as("cigar"),
+          col("QuerySequence").as("seq"))),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1094,5 +1109,13 @@ object SparkEntry {
       """CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, """ +
       """CAST(list_sum(list_transform(range(h), y -> list_sum(list_transform(range(w), x -> (s+7*x+13*y)%256 + (3*s+5*x+y)%256 + (s+x*y)%256)))) AS BIGINT) AS px_sum, """ +
       """CAST(list_sum(list_transform(range(h), y -> list_sum(list_transform(range(w), x -> (x+1)*(y+1)*((s+7*x+13*y)%256 + (3*s+5*x+y)%256 + (s+x*y)%256))))) AS BIGINT) AS px_weighted FROM d"""),
+
+    // independent-parser golden of the same BAM file (fixtures/), with
+    // the reference's mapq/filter_flag read-filter replayed relationally
+    "q85_bam_native" -> (
+      """SELECT chrom, istart, iend, strand, CAST(flag AS BIGINT) AS flag, CAST(mapq AS BIGINT) AS mapq, name, cigar, seq """ +
+      """FROM read_csv('/root/repo/fixtures/test_sorted_bam_golden.tsv', delim='\t', header=false, quote='', """ +
+      """columns={'chrom':'VARCHAR','istart':'BIGINT','iend':'BIGINT','strand':'VARCHAR','flag':'INTEGER','mapq':'INTEGER','name':'VARCHAR','cigar':'VARCHAR','seq':'VARCHAR'}) """ +
+      """WHERE mapq >= 20 AND (flag & 1540) = 0"""),
   )
 }

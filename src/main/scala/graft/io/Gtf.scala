@@ -80,10 +80,12 @@ object Gtf {
     * pass over the attribute column to collect distinct keys). */
   /** keySampleRows: cap the schema-inference scan to the first N rows
     * (like Spark's JSON samplingRatio) — at 100 TB a full second pass
-    * just to learn key names is waste; None = exact full scan. Keys the
-    * sample misses are still present inside the Attribute map column. */
+    * just to learn key names is waste, so the DEFAULT samples 100k rows
+    * (annotation files declare their key vocabulary within the first few
+    * hundred lines); None = exact full scan, opt-in. Keys the sample
+    * misses are still present inside the Attribute map column. */
   def readGtfFull(spark: SparkSession, path: String,
-                  keySampleRows: Option[Int] = None): DataFrame = {
+                  keySampleRows: Option[Int] = Some(100000)): DataFrame = {
     val raw = readRaw(spark, path).withColumn("_attrs", gtfAttrMap(col("Attribute")))
     val sampled = keySampleRows.fold(raw)(n => raw.limit(n))
     val keys = sampled.select(explode(map_keys(col("_attrs"))).as("k"))

@@ -123,6 +123,32 @@ class IoSpec extends AnyFunSuite {
     assert(sparse.filter(col(Strand) === "-").count() == 1)
   }
 
+  test("native BAM reader decodes the reference's real BAM files, matching independent goldens") {
+    // goldens decoded by a separate stdlib parser (fixtures/*.tsv, whose
+    // head rows equal the reference's read_bam doctest readers.py:195-210)
+    def golden(p: String): Seq[(String, Long, Long, String, Int, Int, String, String, String)] =
+      scala.io.Source.fromFile(p).getLines().map { l =>
+        val f = l.split("\t")
+        (f(0), f(1).toLong, f(2).toLong, f(3), f(4).toInt, f(5).toInt, f(6), f(7), f(8))
+      }.toSeq
+    // no flag/mapq filter: compare the raw decode
+    val got = graft.io.Bam.readBam(spark,
+        "/root/reference/pyranges1/data/smaller.bam", filterFlag = 0, sparse = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getInt(4), r.getInt(5), r.getString(6), r.getString(7), r.getString(8))).toSeq
+    assert(got == golden("fixtures/smaller_bam_golden.tsv"))
+    // the larger sorted file: 10k records, spot-check count + bounds
+    val big = graft.io.Bam.readBam(spark,
+      "/root/reference/tests/unit/test_data/test_sorted.bam", filterFlag = 0, sparse = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getInt(4), r.getInt(5), r.getString(6), r.getString(7), r.getString(8))).toSeq
+    assert(big == golden("fixtures/test_sorted_bam_golden.tsv"))
+    // default filters match the pre-converted surface semantics
+    val sparse = graft.io.Bam.readBam(spark, "/root/reference/pyranges1/data/smaller.bam")
+    assert(sparse.schema == graft.io.Bam.sparseSchema)
+    assert(sparse.count() == 100) // doctest: "PyRanges with 100 rows"
+  }
+
   test("bigWig surface: bedGraph pre-conversion round-trips value runs") {
     val d = tmp("bw")
     Files.writeString(java.nio.file.Paths.get(s"$d/a.bedgraph"),
