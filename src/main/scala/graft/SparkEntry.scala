@@ -621,6 +621,30 @@ object SparkEntry {
           col("MapQ").cast("long").as("mapq"),
           col("Name").as("name"), col("Cigar").as("cigar"),
           col("QuerySequence").as("seq"))),
+
+    "q86_bigwig_native" -> ((s, dir) =>
+      // NATIVE bigWig decode (header + chrom B+ tree + R-tree + zlib
+      // sections, io/BigWig.readBigwig) on the reference's real
+      // bigwig.bw; oracle = golden TSV from the independent stdlib
+      // decoder (scripts/bigwig_golden.py), rows equal the read_bigwig
+      // doctest. Values float32-widened; x1e6 rounding makes the hash
+      // float-stable.
+      out(graft.io.BigWig.readBigwig(s, "/root/reference/pyranges1/data/bigwig.bw"))
+        .select(col("chrom"), col("istart"), col("iend"),
+          round(col("Value") * 1e6).cast("long").as("vx1e6"))),
+
+    "q87_bigwig_roundtrip" -> ((s, dir) => {
+      // REAL binary bigWig round-trip at table scale: RLE coverage runs
+      // -> writeBigwig (zlib bedGraph sections, B+ tree, R-tree) ->
+      // readBigwig. The oracle recomputes the runs relationally, so a
+      // defect in EITHER codec direction breaks the hash.
+      val path = "/tmp/graft_q87_bw.bw"
+      val runs = Coverage.toRle(gr(s, dir), Seq(Chrom), None, "score")
+      graft.io.BigWig.writeBigwig(runs, path, valueCol = "score")
+      out(graft.io.BigWig.readBigwig(s, path))
+        .select(col("chrom"), col("istart"), col("iend"),
+          col("Value").cast("long").as("score"))
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1117,5 +1141,15 @@ object SparkEntry {
       """FROM read_csv('/root/repo/fixtures/test_sorted_bam_golden.tsv', delim='\t', header=false, quote='', """ +
       """columns={'chrom':'VARCHAR','istart':'BIGINT','iend':'BIGINT','strand':'VARCHAR','flag':'INTEGER','mapq':'INTEGER','name':'VARCHAR','cigar':'VARCHAR','seq':'VARCHAR'}) """ +
       """WHERE mapq >= 20 AND (flag & 1540) = 0"""),
+
+    // independent stdlib decoder's golden of the same .bw file
+    "q86_bigwig_native" -> (
+      """SELECT chrom, istart, iend, CAST(round(value * 1e6) AS BIGINT) AS vx1e6 """ +
+      """FROM read_csv('/root/repo/fixtures/bigwig_bw_golden.tsv', delim='\t', header=false, quote='', """ +
+      """columns={'chrom':'VARCHAR','istart':'BIGINT','iend':'BIGINT','value':'DOUBLE'})"""),
+
+    // relational recompute of the RLE runs the .bw round-trips (q11 SQL)
+    "q87_bigwig_roundtrip" -> sql(Seq(GR_CTE),
+      "SELECT chrom, pos AS istart, np AS iend, CAST(depth AS BIGINT) AS score FROM (SELECT chrom, pos, sum(d) OVER (PARTITION BY chrom ORDER BY pos) AS depth, lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS np FROM (SELECT chrom, pos, sum(d) AS d FROM (SELECT chrom, istart AS pos, 1 AS d FROM gr UNION ALL SELECT chrom, iend AS pos, -1 AS d FROM gr) GROUP BY chrom, pos)) WHERE np IS NOT NULL"),
   )
 }

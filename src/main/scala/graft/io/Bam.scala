@@ -7,13 +7,11 @@ import org.apache.spark.sql.types._
 
 /** BAM ingestion (reference readers.py:149-240 `read_bam`).
   *
-  * The BAM container itself (BGZF blocks + binary records) has no
-  * offline JVM codec in this environment, so the *format decode* is a
-  * documented pre-conversion step and the *query surface* — schema,
-  * mapq/flag filter semantics, sparse/full column sets — is implemented
-  * here 1:1 over parquet. At cluster scale this split is also the right
-  * architecture: BAM is a single-threaded-decode format, so the standard
-  * pipeline converts once to parquet (partitioned by Chromosome) and
+  * `readBam` decodes the binary container natively (BGZF + record
+  * layout, see below) — no pre-conversion step. The TSV/parquet
+  * surfaces remain as the repeated-read scale path: BAM is a
+  * single-threaded-decode format, so at cluster scale the standard
+  * pipeline decodes once to parquet (partitioned by Chromosome) and
   * every downstream read is a parallel, predicate-pushdown columnar
   * scan rather than a re-decode.
   *

@@ -1,0 +1,355 @@
+package graft.io
+
+import graft.core.Cols
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** NATIVE bigWig codec (round-3): read and write the binary .bw container
+  * directly — no bigWigToBedGraph pre-conversion step. Implements the
+  * public format (Kent et al., "BigWig and BigBed", Bioinformatics 2010,
+  * supplementary spec): 64-byte little-endian header, chromosome B+ tree,
+  * zlib-compressed wig data sections (bedGraph/varStep/fixedStep), R-tree
+  * block index, total summary. Reference surface: readers.py:452-533
+  * (`read_bigwig` -> (Chromosome, Start, End, Value) value runs) and
+  * core/pyranges_main.py:3994+ (`to_bigwig`).
+  *
+  * Scale shape — the part that matters at 100 TB:
+  *  - READ: unlike BAM (one gzip stream), bigWig blocks are independently
+  *    compressed and indexed; the driver reads only the tiny header +
+  *    B+ tree + R-tree (KBs), then the (offset,size) block list is
+  *    parallelized so every executor seeks/inflates its own slice of the
+  *    file. A multi-GB .bw scans with full cluster parallelism.
+  *  - WRITE: a .bw is one indexed binary file, so the write is a
+  *    driver-side stream (toLocalIterator over the sorted runs — nothing
+  *    is materialized) mirroring the reference's single-file to_bigwig.
+  *    Only the 32-byte-per-section R-tree leaf records are held in memory.
+  *
+  * Validated against an independent stdlib decoder (scripts/
+  * bigwig_golden.py -> fixtures/bigwig_bw_golden.tsv) on the reference's
+  * own data/bigwig.bw, whose rows equal the read_bigwig doctest
+  * (readers.py:471-482).
+  */
+object BigWig {
+  import Cols._
+
+  private val BigWigMagic = 0x888FFC26
+  private val ChromTreeMagic = 0x78CA8C91
+  private val RTreeMagic = 0x2468ACE0
+
+  private def leBuf(bytes: Array[Byte]): java.nio.ByteBuffer =
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+  private def readAt(raf: java.io.RandomAccessFile, off: Long, n: Int): java.nio.ByteBuffer = {
+    val b = new Array[Byte](n)
+    raf.seek(off)
+    raf.readFully(b)
+    leBuf(b)
+  }
+
+  /** Driver-side index scan: chrom dictionary + R-tree leaf block list. */
+  private def readIndex(path: String): (Map[Int, String], Boolean, Seq[(Long, Long)]) = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val h = readAt(raf, 0, 64)
+      require(h.getInt == BigWigMagic, s"$path: not a bigWig (bad magic)")
+      h.getShort; h.getShort // version, zoomLevels
+      val chromTreeOff = h.getLong
+      h.getLong // fullDataOffset
+      val fullIndexOff = h.getLong
+      h.getShort; h.getShort; h.getLong; h.getLong
+      val compressed = h.getInt > 0 // uncompressBufSize
+
+      val ct = readAt(raf, chromTreeOff, 32)
+      require(ct.getInt == ChromTreeMagic, s"$path: bad chrom B+ tree")
+      ct.getInt // blockSize
+      val keySize = ct.getInt
+      val chroms = Map.newBuilder[Int, String]
+      def walkChrom(off: Long): Unit = {
+        val head = readAt(raf, off, 4)
+        val isLeaf = head.get() != 0
+        head.get()
+        val n = head.getShort & 0xffff
+        val itemSize = keySize + 8
+        val body = readAt(raf, off + 4, n * itemSize)
+        var i = 0
+        while (i < n) {
+          val key = new Array[Byte](keySize)
+          body.get(key)
+          val name = new String(key.takeWhile(_ != 0), "ISO-8859-1")
+          if (isLeaf) {
+            val cid = body.getInt
+            body.getInt // chromSize
+            chroms += cid -> name
+          } else {
+            val child = body.getLong
+            val save = body.position()
+            walkChrom(child)
+            body.position(save)
+          }
+          i += 1
+        }
+      }
+      walkChrom(chromTreeOff + 32)
+
+      val rt = readAt(raf, fullIndexOff, 48)
+      require(rt.getInt == RTreeMagic, s"$path: bad R-tree")
+      val blocks = Seq.newBuilder[(Long, Long)]
+      def walkRTree(off: Long): Unit = {
+        val head = readAt(raf, off, 4)
+        val isLeaf = head.get() != 0
+        head.get()
+        val n = head.getShort & 0xffff
+        val body = readAt(raf, off + 4, n * (if (isLeaf) 32 else 24))
+        var i = 0
+        while (i < n) {
+          body.getInt; body.getInt; body.getInt; body.getInt // bounds
+          if (isLeaf) blocks += ((body.getLong, body.getLong))
+          else {
+            val child = body.getLong
+            val save = body.position()
+            walkRTree(child)
+            body.position(save)
+          }
+          i += 1
+        }
+      }
+      walkRTree(fullIndexOff + 48)
+      (chroms.result(), compressed, blocks.result())
+    } finally raf.close()
+  }
+
+  private def inflate(in: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(in)
+    val out = new java.io.ByteArrayOutputStream(in.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput()) throw new java.io.IOException("truncated zlib section")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** One wig data section -> value-run rows. */
+  private def parseSection(raw: Array[Byte], chroms: Map[Int, String]): Iterator[Row] = {
+    val b = leBuf(raw)
+    val cid = b.getInt
+    val cstart = b.getInt
+    b.getInt // chromEnd
+    val step = b.getInt
+    val span = b.getInt
+    val secType = b.get()
+    b.get()
+    val n = b.getShort & 0xffff
+    val chrom = chroms(cid)
+    (0 until n).iterator.map { i =>
+      secType match {
+        case 1 => // bedGraph: start, end, value
+          val s = b.getInt.toLong; val e = b.getInt.toLong
+          Row(chrom, s, e, b.getFloat.toDouble)
+        case 2 => // varStep: start, value (end = start + span)
+          val s = b.getInt.toLong
+          Row(chrom, s, s + span, b.getFloat.toDouble)
+        case _ => // fixedStep: value only
+          val s = cstart.toLong + i.toLong * step
+          Row(chrom, s, s + span, b.getFloat.toDouble)
+      }
+    }
+  }
+
+  /** read_bigwig: value runs as (Chromosome, Start, End, Value), decoded
+    * natively. Block decompression is distributed: one partition per
+    * slice of the R-tree leaf list. */
+  def readBigwig(spark: SparkSession, path: String): DataFrame = {
+    val (chroms, compressed, blocks) = readIndex(path)
+    val chromsB = spark.sparkContext.broadcast(chroms)
+    val slices = math.max(1, math.min(blocks.size,
+      spark.sparkContext.defaultParallelism * 4))
+    val rdd = spark.sparkContext.parallelize(blocks, slices).mapPartitions { it =>
+      val mine = it.toArray.sortBy(_._1)
+      if (mine.isEmpty) Iterator.empty
+      else {
+        val raf = new java.io.RandomAccessFile(path, "r")
+        val rows = mine.iterator.flatMap { case (off, size) =>
+          val raw = new Array[Byte](size.toInt)
+          raf.seek(off)
+          raf.readFully(raw)
+          parseSection(if (compressed) inflate(raw) else raw, chromsB.value)
+        }
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h) raf.close()
+            h
+          }
+          override def next(): Row = rows.next()
+        }
+      }
+    }
+    spark.createDataFrame(rdd, Bam.bigwigSchema)
+  }
+
+  /** to_bigwig: write (Chromosome, Start, End, Value) runs as a real .bw
+    * file — bedGraph-type zlib sections, chrom B+ tree, R-tree index,
+    * total summary (zoom levels 0: readers that need zooms rebuild them;
+    * the interval payload is complete). Rows stream driver-side in
+    * (natsort chrom, Start) order via toLocalIterator. chromSizes
+    * defaults to each chromosome's max End. */
+  def writeBigwig(df: DataFrame, path: String,
+                  chromSizes: Map[String, Long] = Map.empty,
+                  valueCol: String = "Value",
+                  itemsPerSlot: Int = 512): Unit = {
+    val maxEnds = df.groupBy(col(Chrom)).agg(max(col(End)).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val names = maxEnds.keys.toSeq.sortBy(n => graft.expr.ExprKernels
+      .natsortKey(org.apache.spark.unsafe.types.UTF8String.fromString(n)).toString)
+    val chromId = names.zipWithIndex.toMap
+    val sizes = names.map(c => chromSizes.getOrElse(c, maxEnds(c)))
+    require(sizes.forall(_ <= 0xffffffffL), "bigWig chrom sizes are u32")
+
+    val sorted = df.select(col(Chrom).cast("string"), col(Start).cast("long"),
+        col(End).cast("long"), col(valueCol).cast("double"))
+      .orderBy(graft.expr.NatSort.natsortKey(col(Chrom)), col(Chrom), col(Start), col(End))
+
+    val out = new java.io.RandomAccessFile(path, "rw")
+    out.setLength(0)
+    val headerBytes = new Array[Byte](64 + 40) // header + total summary
+    out.write(headerBytes) // placeholder, backpatched below
+
+    // ---- chrom B+ tree (single leaf node) ----
+    val chromTreeOff = out.getFilePointer
+    val keySize = math.max(1, names.map(_.length).max)
+    require(names.size <= 0xffff, "chrom B+ tree: >65535 chromosomes needs multi-node layout")
+    val ctHead = leBuf(new Array[Byte](32 + 4))
+    ctHead.putInt(ChromTreeMagic).putInt(math.max(names.size, 1)).putInt(keySize)
+      .putInt(8).putLong(names.size.toLong).putLong(0L)
+    ctHead.put(1.toByte).put(0.toByte).putShort(names.size.toShort)
+    out.write(ctHead.array())
+    names.zip(sizes).zipWithIndex.foreach { case ((name, size), id) =>
+      val item = leBuf(new Array[Byte](keySize + 8))
+      val kb = name.getBytes("ISO-8859-1")
+      item.put(kb).position(keySize)
+      item.putInt(id).putInt(size.toInt)
+      out.write(item.array())
+    }
+
+    // ---- data sections (streamed) ----
+    val fullDataOff = out.getFilePointer
+    out.write(new Array[Byte](8)) // u64 sectionCount, backpatched
+    // R-tree leaf records: (startChromIx, startBase, endChromIx, endBase, off, size)
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Long, Long, Long)]
+    var nBases = 0L
+    var minV = Double.PositiveInfinity
+    var maxV = Double.NegativeInfinity
+    var sumData = 0.0
+    var sumSq = 0.0
+    val batch = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](itemsPerSlot)
+    var batchChrom: String = null
+
+    def flush(): Unit = if (batch.nonEmpty) {
+      val cid = chromId(batchChrom)
+      val raw = leBuf(new Array[Byte](24 + 12 * batch.size))
+      raw.putInt(cid).putInt(batch.head._1.toInt).putInt(batch.last._2.toInt)
+        .putInt(0).putInt(0).put(1.toByte).put(0.toByte).putShort(batch.size.toShort)
+      batch.foreach { case (s, e, v) =>
+        raw.putInt(s.toInt).putInt(e.toInt).putFloat(v.toFloat)
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw.array())
+      defl.finish()
+      val zbuf = new Array[Byte](raw.array().length + 64)
+      val zlen = defl.deflate(zbuf)
+      require(defl.finished(), "section deflate did not fit scratch buffer")
+      defl.end()
+      val off = out.getFilePointer
+      out.write(zbuf, 0, zlen)
+      leaves += ((cid, batch.head._1, cid, batch.last._2, off, zlen.toLong))
+      batch.clear()
+    }
+
+    val it = sorted.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val (c, s, e, v) = (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      require(e <= 0xffffffffL, s"bigWig coordinates are u32: $c:$s-$e")
+      if (c != batchChrom || batch.size >= itemsPerSlot) {
+        flush()
+        batchChrom = c
+      }
+      batch += ((s, e, v))
+      nBases += e - s
+      minV = math.min(minV, v)
+      maxV = math.max(maxV, v)
+      sumData += v * (e - s)
+      sumSq += v * v * (e - s)
+    }
+    flush()
+
+    // ---- R-tree index (root + one leaf level; blockSize sized so two
+    // levels always suffice: ceil(sqrt(n)) children per node) ----
+    val fullIndexOff = out.getFilePointer
+    val n = leaves.size
+    val blockSize = math.max(256, math.ceil(math.sqrt(math.max(n, 1))).toInt)
+    val groups = leaves.grouped(blockSize).toArray
+    val rtHead = leBuf(new Array[Byte](48))
+    val (sCx, sB, eCx, eB) =
+      if (n == 0) (0, 0L, 0, 0L)
+      else (leaves.head._1, leaves.head._2, leaves.last._3, leaves.map(_._4).max)
+    rtHead.putInt(RTreeMagic).putInt(blockSize).putLong(n.toLong)
+      .putInt(sCx).putInt(sB.toInt).putInt(eCx).putInt(eB.toInt)
+      .putLong(fullIndexOff).putInt(itemsPerSlot).putInt(0)
+    out.write(rtHead.array())
+    if (groups.length <= 1) {
+      // single leaf node
+      val node = leBuf(new Array[Byte](4 + 32 * n))
+      node.put(1.toByte).put(0.toByte).putShort(n.toShort)
+      leaves.foreach { case (sc, sb, ec, eb, off, size) =>
+        node.putInt(sc).putInt(sb.toInt).putInt(ec).putInt(eb.toInt)
+          .putLong(off).putLong(size)
+      }
+      out.write(node.array())
+    } else {
+      // root internal node, then leaf nodes
+      val rootBytes = 4 + 24 * groups.length
+      val rootOff = out.getFilePointer
+      var leafOff = rootOff + rootBytes
+      val root = leBuf(new Array[Byte](rootBytes))
+      root.put(0.toByte).put(0.toByte).putShort(groups.length.toShort)
+      groups.foreach { g =>
+        root.putInt(g.head._1).putInt(g.head._2.toInt)
+          .putInt(g.last._3).putInt(g.map(_._4).max.toInt).putLong(leafOff)
+        leafOff += 4 + 32 * g.size
+      }
+      out.write(root.array())
+      groups.foreach { g =>
+        val node = leBuf(new Array[Byte](4 + 32 * g.size))
+        node.put(1.toByte).put(0.toByte).putShort(g.size.toShort)
+        g.foreach { case (sc, sb, ec, eb, off, size) =>
+          node.putInt(sc).putInt(sb.toInt).putInt(ec).putInt(eb.toInt)
+            .putLong(off).putLong(size)
+        }
+        out.write(node.array())
+      }
+    }
+
+    // ---- backpatch header + summary + section count ----
+    val head = leBuf(new Array[Byte](64 + 40))
+    head.putInt(BigWigMagic).putShort(4.toShort).putShort(0.toShort)
+      .putLong(chromTreeOff).putLong(fullDataOff).putLong(fullIndexOff)
+      .putShort(0.toShort).putShort(0.toShort).putLong(0L)
+      .putLong(64L) // totalSummaryOffset (immediately after header)
+      .putInt(24 + 12 * itemsPerSlot) // uncompressBufSize
+      .putLong(0L)
+    head.putLong(nBases)
+    if (n == 0) { head.putDouble(0).putDouble(0).putDouble(0).putDouble(0) }
+    else head.putDouble(minV).putDouble(maxV).putDouble(sumData).putDouble(sumSq)
+    out.seek(0)
+    out.write(head.array())
+    out.seek(fullDataOff)
+    val cnt = leBuf(new Array[Byte](8)).putLong(n.toLong)
+    out.write(cnt.array())
+    out.close()
+  }
+}
