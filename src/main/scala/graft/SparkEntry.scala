@@ -645,6 +645,36 @@ object SparkEntry {
         .select(col("chrom"), col("istart"), col("iend"),
           col("Value").cast("long").as("score"))
     }),
+
+    "q88_fromstring" -> ((s, dir) =>
+      // from_string literal-table constructor (reference readers.py:22-57):
+      // whitespace table with header, Start/End auto-cast to long. Oracle
+      // is the same literal as DuckDB VALUES.
+      out(graft.io.TableIO.fromString(s,
+        """Chromosome Start End Strand name
+           chr1 5 10 + a
+           chr1 20 30 - b
+           chr2 7 9 + c"""))),
+
+    "q89_concat" -> ((s, dir) => {
+      // concat (reference methods/concat.py:12-87): unionByName with
+      // missing metadata null-filled — gr carries a `src` tag the gr2
+      // side lacks, so a positional union (wrong) or dropped-column
+      // union (also wrong) breaks the hash.
+      val a = graft.core.GenomicFrame(gr(s, dir).withColumn("src", lit("a")))
+      val b = graft.core.GenomicFrame(gr2Sparse(s, dir))
+      out(graft.core.GenomicFrame.concat(Seq(a, b)).df)
+    }),
+
+    "q90_random" -> ((s, dir) => {
+      // Deterministic random intervals (reference core/random.py:14-92):
+      // positions md5-derived from the row index so both engines can
+      // replay the exact draw — the oracle recomputes the same md5 12-hex
+      // 48-bit value, chromosome pick, and position clamp in DuckDB.
+      import s.implicits._
+      val cs = Seq(("A", 5000L), ("N", 4000L), ("R", 3000L)).toDF(Chrom, "size")
+      out(graft.io.TableIO.random(s, cs, 2000, length = 100))
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1151,5 +1181,20 @@ object SparkEntry {
     // relational recompute of the RLE runs the .bw round-trips (q11 SQL)
     "q87_bigwig_roundtrip" -> sql(Seq(GR_CTE),
       "SELECT chrom, pos AS istart, np AS iend, CAST(depth AS BIGINT) AS score FROM (SELECT chrom, pos, sum(d) OVER (PARTITION BY chrom ORDER BY pos) AS depth, lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS np FROM (SELECT chrom, pos, sum(d) AS d FROM (SELECT chrom, istart AS pos, 1 AS d FROM gr UNION ALL SELECT chrom, iend AS pos, -1 AS d FROM gr) GROUP BY chrom, pos)) WHERE np IS NOT NULL"),
+
+    "q88_fromstring" ->
+      "SELECT * FROM (VALUES ('chr1', CAST(5 AS BIGINT), CAST(10 AS BIGINT), '+', 'a'), ('chr1', CAST(20 AS BIGINT), CAST(30 AS BIGINT), '-', 'b'), ('chr2', CAST(7 AS BIGINT), CAST(9 AS BIGINT), '+', 'c')) AS t(chrom, istart, iend, strand, name)",
+
+    "q89_concat" -> sql(Seq(GR_CTE, GR2_CTE, GR2S_CTE),
+      "SELECT row_id, chrom, strand, istart, iend, 'a' AS src FROM gr UNION ALL SELECT row_id, chrom, strand, istart, iend, CAST(NULL AS VARCHAR) AS src FROM gr2s"),
+
+    // replays TableIO.random's md5 draw: hv = first 12 hex chars of
+    // md5(id) as a 48-bit int; chromosome = hv mod 3 over chrom-sorted
+    // sizes; istart = (hv div 3) mod (size - length)
+    "q90_random" -> (
+      "WITH ids AS (SELECT unnest(range(0, 2000)) AS id), " +
+      "hv AS (SELECT id, CAST(list_sum(list_transform(range(0, 12), i -> (strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1) * 16.0 ** (11 - i))) AS BIGINT) AS h FROM ids), " +
+      "csi AS (SELECT chrom, CAST(size AS BIGINT) AS size, row_number() OVER (ORDER BY chrom) - 1 AS ci FROM (VALUES ('A', 5000), ('N', 4000), ('R', 3000)) AS t(chrom, size)) " +
+      "SELECT id AS row_id, chrom, (h // 3) % (size - 100) AS istart, (h // 3) % (size - 100) + 100 AS iend FROM hv JOIN csi ON h % 3 = csi.ci"),
   )
 }
