@@ -79,6 +79,15 @@ object ExprKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Euclid gcd on longs (exact-fraction reduction in the bigWig divide
+    * payload). Plain long arithmetic — no BigInt allocation per row. */
+  def gcdLong(a0: Long, b0: Long): Long = {
+    var a = math.abs(a0)
+    var b = math.abs(b0)
+    while (b != 0) { val t = a % b; a = b; b = t }
+    a
+  }
+
   /** Integer dot product over two long arrays (quantized embeddings).
     * Tight primitive loop on Spark's columnar ArrayData — no per-element
     * lambda dispatch, no intermediate zip array. Arrays are assumed
@@ -149,6 +158,20 @@ case class DotLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Long gcd as a codegen'd expression — replaces a BigInt-allocating
+  * Scala UDF on the bigWig divide payload's hot tail. */
+case class GcdLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.gcdLong(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels.gcdLong($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GcdLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object Exprs {
   import org.apache.spark.sql.GraftColumnBridge
   def natsort_key(c: Column): Column =
@@ -159,6 +182,9 @@ object Exprs {
     GraftColumnBridge.column(TranslateCodons(GraftColumnBridge.expression(c), table))
   def dot_long(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotLong(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def gcd_long(a: Column, b: Column): Column =
+    GraftColumnBridge.column(GcdLong(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Register both for SQL use: natsort_key(s), translate_cds(s). */

@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   *    B+ tree + R-tree (KBs), then the (offset,size) block list is
   *    parallelized so every executor seeks/inflates its own slice of the
   *    file. A multi-GB .bw scans with full cluster parallelism.
-  *  - WRITE: a .bw is one indexed binary file, so the write is a
-  *    driver-side stream (toLocalIterator over the sorted runs — nothing
-  *    is materialized) mirroring the reference's single-file to_bigwig.
-  *    Only the 32-byte-per-section R-tree leaf records are held in memory.
+  *  - WRITE: a .bw is one indexed binary file, so final assembly is
+  *    driver-side — but the expensive part (sorting runs into sections
+  *    and zlib-compressing each) runs on the executors: sections are
+  *    keyed by per-chromosome row rank, compressed in parallel, and the
+  *    driver only concatenates the already-compressed blocks (collected
+  *    bytes are the compressed payload, strictly smaller than the data)
+  *    and writes the KB-scale trees around them.
   *
   * Validated against an independent stdlib decoder (scripts/
   * bigwig_golden.py -> fixtures/bigwig_bw_golden.tsv) on the reference's
@@ -194,24 +197,24 @@ object BigWig {
   /** to_bigwig: write (Chromosome, Start, End, Value) runs as a real .bw
     * file — bedGraph-type zlib sections, chrom B+ tree, R-tree index,
     * total summary (zoom levels 0: readers that need zooms rebuild them;
-    * the interval payload is complete). Rows stream driver-side in
-    * (natsort chrom, Start) order via toLocalIterator. chromSizes
+    * the interval payload is complete). Sections are compressed on the
+    * executors; the input is persisted across the two passes (chrom
+    * dictionary, then sections) so upstream plans run once. chromSizes
     * defaults to each chromosome's max End. */
   def writeBigwig(df: DataFrame, path: String,
                   chromSizes: Map[String, Long] = Map.empty,
                   valueCol: String = "Value",
                   itemsPerSlot: Int = 512): Unit = {
-    val maxEnds = df.groupBy(col(Chrom)).agg(max(col(End)).cast("long"))
+    val typed = df.select(col(Chrom).cast("string").as(Chrom),
+      col(Start).cast("long").as(Start), col(End).cast("long").as(End),
+      col(valueCol).cast("double").as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxEnds = typed.groupBy(col(Chrom)).agg(max(col(End)).cast("long"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val names = maxEnds.keys.toSeq.sortBy(n => graft.expr.ExprKernels
       .natsortKey(org.apache.spark.unsafe.types.UTF8String.fromString(n)).toString)
-    val chromId = names.zipWithIndex.toMap
     val sizes = names.map(c => chromSizes.getOrElse(c, maxEnds(c)))
     require(sizes.forall(_ <= 0xffffffffL), "bigWig chrom sizes are u32")
-
-    val sorted = df.select(col(Chrom).cast("string"), col(Start).cast("long"),
-        col(End).cast("long"), col(valueCol).cast("double"))
-      .orderBy(graft.expr.NatSort.natsortKey(col(Chrom)), col(Chrom), col(Start), col(End))
 
     val out = new java.io.RandomAccessFile(path, "rw")
     out.setLength(0)
@@ -235,26 +238,29 @@ object BigWig {
       out.write(item.array())
     }
 
-    // ---- data sections (streamed) ----
+    // ---- data sections (compressed on the EXECUTORS, assembled here) ----
     val fullDataOff = out.getFilePointer
     out.write(new Array[Byte](8)) // u64 sectionCount, backpatched
     // R-tree leaf records: (startChromIx, startBase, endChromIx, endBase, off, size)
     val leaves = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Long, Long, Long)]
-    var nBases = 0L
-    var minV = Double.PositiveInfinity
-    var maxV = Double.NegativeInfinity
-    var sumData = 0.0
-    var sumSq = 0.0
-    val batch = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](itemsPerSlot)
-    var batchChrom: String = null
 
-    def flush(): Unit = if (batch.nonEmpty) {
-      val cid = chromId(batchChrom)
-      val raw = leBuf(new Array[Byte](24 + 12 * batch.size))
-      raw.putInt(cid).putInt(batch.head._1.toInt).putInt(batch.last._2.toInt)
-        .putInt(0).putInt(0).put(1.toByte).put(0.toByte).putShort(batch.size.toShort)
-      batch.foreach { case (s, e, v) =>
-        raw.putInt(s.toInt).putInt(e.toInt).putFloat(v.toFloat)
+    val spark = df.sparkSession
+
+    // sections = consecutive itemsPerSlot runs per chromosome, never
+    // spanning chromosomes: per-chrom rank / itemsPerSlot is the section
+    // key, each section zlib-compressed where its rows live. The
+    // total-summary stats ride the SAME aggregate as per-section
+    // partials (reduced over the ~1-per-512-rows section list below), so
+    // the run table is evaluated exactly once.
+    val compressSection = udf { (cid: Int, items: Seq[Row]) =>
+      val raw = leBuf(new Array[Byte](24 + 12 * items.size))
+      raw.putInt(cid).putInt(items.head.getLong(0).toInt)
+        .putInt(items.last.getLong(1).toInt)
+        .putInt(0).putInt(0).put(1.toByte).put(0.toByte).putShort(items.size.toShort)
+      items.foreach { r =>
+        val (s, e) = (r.getLong(0), r.getLong(1))
+        require(e <= 0xffffffffL, s"bigWig coordinates are u32: $s-$e")
+        raw.putInt(s.toInt).putInt(e.toInt).putFloat(r.getDouble(2).toFloat)
       }
       val defl = new java.util.zip.Deflater()
       defl.setInput(raw.array())
@@ -263,29 +269,46 @@ object BigWig {
       val zlen = defl.deflate(zbuf)
       require(defl.finished(), "section deflate did not fit scratch buffer")
       defl.end()
+      (java.util.Arrays.copyOf(zbuf, zlen), items.head.getLong(0), items.last.getLong(1))
+    }
+    val cidDf = spark.createDataFrame(names.zipWithIndex.map { case (n, i) =>
+      (n, i) }).toDF(Chrom, "_cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(Chrom)).orderBy(col(Start), col(End))
+    val sections = typed
+      .withColumn("_sec",
+        floor((row_number().over(w) - 1) / itemsPerSlot.toDouble).cast("long"))
+      .groupBy(col(Chrom), col("_sec"))
+      .agg(sort_array(collect_list(struct(col(Start), col(End), col("_v")))).as("_items"),
+        sum(col(End) - col(Start)).as("_nb"), min(col("_v")).as("_mn"),
+        max(col("_v")).as("_mx"),
+        sum(col("_v") * (col(End) - col(Start))).as("_sd"),
+        sum(col("_v") * col("_v") * (col(End) - col(Start))).as("_sq"))
+      .join(broadcast(cidDf), Seq(Chrom))
+      .select(col("_cid"), col("_sec"),
+        compressSection(col("_cid"), col("_items")).as("_blk"),
+        col("_nb"), col("_mn"), col("_mx"), col("_sd"), col("_sq"))
+      .orderBy(col("_cid"), col("_sec"))
+      .collect()
+    typed.unpersist()
+    var nBases = 0L
+    var minV = Double.PositiveInfinity
+    var maxV = Double.NegativeInfinity
+    var sumData = 0.0
+    var sumSq = 0.0
+    sections.foreach { r =>
+      val cid = r.getInt(0)
+      val blk = r.getStruct(2)
+      val z = blk.getAs[Array[Byte]](0)
       val off = out.getFilePointer
-      out.write(zbuf, 0, zlen)
-      leaves += ((cid, batch.head._1, cid, batch.last._2, off, zlen.toLong))
-      batch.clear()
+      out.write(z)
+      leaves += ((cid, blk.getLong(1), cid, blk.getLong(2), off, z.length.toLong))
+      nBases += r.getLong(3)
+      minV = math.min(minV, r.getDouble(4))
+      maxV = math.max(maxV, r.getDouble(5))
+      sumData += r.getDouble(6)
+      sumSq += r.getDouble(7)
     }
-
-    val it = sorted.toLocalIterator()
-    while (it.hasNext) {
-      val r = it.next()
-      val (c, s, e, v) = (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
-      require(e <= 0xffffffffL, s"bigWig coordinates are u32: $c:$s-$e")
-      if (c != batchChrom || batch.size >= itemsPerSlot) {
-        flush()
-        batchChrom = c
-      }
-      batch += ((s, e, v))
-      nBases += e - s
-      minV = math.min(minV, v)
-      maxV = math.max(maxV, v)
-      sumData += v * (e - s)
-      sumSq += v * v * (e - s)
-    }
-    flush()
 
     // ---- R-tree index (root + one leaf level; blockSize sized so two
     // levels always suffice: ceil(sqrt(n)) children per node) ----

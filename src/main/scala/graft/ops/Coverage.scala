@@ -152,10 +152,6 @@ object Coverage {
   def bigwigDivideRanges(cov: DataFrame, bg: DataFrame,
                          keys: Seq[String] = Seq(Cols.Chrom)): DataFrame = {
     val k = keys.map(col)
-    val gcdReduce = udf { (a: Long, b: Long) =>
-      val g = BigInt(a).gcd(BigInt(b)).toLong
-      if (g == 0L) Array(a, b) else Array(a / g, b / g)
-    }
     val runs = rleBinary(cov, bg, keys).filter(col("score_b") =!= 0)
     val w = Window.partitionBy(k: _*).orderBy(col(Start))
     val prevEnd = lag(col(End), 1).over(w)
@@ -168,9 +164,14 @@ object Coverage {
     grouped.groupBy(k :+ col("_gid"): _*)
       .agg(min(col(Start)).as(Start), max(col(End)).as(End),
         min(col("score_a")).as("_a"), min(col("score_b")).as("_b"))
-      .withColumn("_r", gcdReduce(col("_a"), col("_b")))
+      // codegen'd long gcd; the quotients are exact (g divides both and
+      // depths are far below 2^53, so the double division cast is exact)
+      .withColumn("_g", graft.expr.Exprs.gcd_long(col("_a"), col("_b")))
       .select(k ++ Seq(col(Start), col(End),
-        col("_r").getItem(0).as("score_a"), col("_r").getItem(1).as("score_b")): _*)
+        when(col("_g") === 0, col("_a"))
+          .otherwise((col("_a") / col("_g")).cast("long")).as("score_a"),
+        when(col("_g") === 0, col("_b"))
+          .otherwise((col("_b") / col("_g")).cast("long")).as("score_b")): _*)
   }
 
   /** rleBinary via the two-phase distributed prefix sum (same structure
