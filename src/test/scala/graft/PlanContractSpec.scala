@@ -137,4 +137,22 @@ class PlanContractSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(img).size == 0, img.take(1500))
   }
+
+  test("constructor sugar plans: from_string/concat shuffle-free, random broadcasts the dim") {
+    // q88: a literal local table — no exchange, no scan
+    val fs = SparkEntry.queries("q88_fromstring")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(fs).size == 0, fs.take(1200))
+    // q89: unionByName of two scans — a union is NOT a shuffle
+    val cc = SparkEntry.queries("q89_concat")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(cc).size == 0, cc.take(1500))
+    assert(cc.contains("Union"), cc.take(1500))
+    // q90: chromSizes joins in as a broadcast (3-row dim table); the id
+    // spine never shuffles into a sort-merge join
+    val rnd = SparkEntry.queries("q90_random")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(rnd.contains("BroadcastHashJoin"), rnd.take(1500))
+    assert(!rnd.contains("SortMergeJoin"), rnd.take(1500))
+  }
 }
