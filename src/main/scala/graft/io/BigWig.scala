@@ -223,7 +223,7 @@ object BigWig {
 
     // ---- chrom B+ tree (single leaf node) ----
     val chromTreeOff = out.getFilePointer
-    val keySize = math.max(1, names.map(_.length).max)
+    val keySize = math.max(1, names.map(_.length).maxOption.getOrElse(1))
     require(names.size <= 0xffff, "chrom B+ tree: >65535 chromosomes needs multi-node layout")
     val ctHead = leBuf(new Array[Byte](32 + 4))
     ctHead.putInt(ChromTreeMagic).putInt(math.max(names.size, 1)).putInt(keySize)

@@ -188,6 +188,19 @@ class IoSpec extends AnyFunSuite {
     assert(compressed && blocks.size == 10) // ceil(24/4) + ceil(13/4)
   }
 
+  test("native bigWig writer: single-row and empty-table edges") {
+    val d = tmp("bwe")
+    import spark.implicits._
+    val one = Seq(("chr1", 5L, 9L, 2.5)).toDF(Chrom, Start, End, "Value")
+    graft.io.BigWig.writeBigwig(one, s"$d/one.bw")
+    val back = graft.io.BigWig.readBigwig(spark, s"$d/one.bw").collect()
+    assert(back.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq == Seq(("chr1", 5L, 9L, 2.5)))
+    val none = Seq.empty[(String, Long, Long, Double)].toDF(Chrom, Start, End, "Value")
+    graft.io.BigWig.writeBigwig(none, s"$d/none.bw")
+    assert(graft.io.BigWig.readBigwig(spark, s"$d/none.bw").count() == 0)
+  }
+
   test("bigWig surface: bedGraph pre-conversion round-trips value runs") {
     val d = tmp("bw")
     Files.writeString(java.nio.file.Paths.get(s"$d/a.bedgraph"),
