@@ -675,6 +675,33 @@ object SparkEntry {
       val cs = Seq(("A", 5000L), ("N", 4000L), ("R", 3000L)).toDF(Chrom, "size")
       out(graft.io.TableIO.random(s, cs, 2000, length = 100))
     }),
+
+    "q91_audio_decode" -> ((s, dir) => {
+      // REAL audio decode oracle: deterministic PCM16LE WAV payloads
+      // (closed-form samples) decoded back with javax.sound.sampled on
+      // the executors; the DuckDB side computes the same interleaved
+      // sample checksums analytically. A header-parse or byte-order bug
+      // breaks the position-weighted checksum.
+      import org.apache.spark.sql.Encoders
+      val src = pq(s, dir, "documents").select(col("doc_id").cast("long"))
+      val wavs = src.mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val ch = (id % 2).toInt + 1
+          val nf = (id % 50).toInt + 10
+          val rate = 8000 + (id % 3).toInt * 4000
+          val samples = Array.tabulate[Short](nf * ch)(j =>
+            (((id * 7 + j * 13) % 2048) - 1024).toShort)
+          (id, Multimodal.encodeWav(rate, ch, samples))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("media_id", "payload")
+      Multimodal.decodeAudioInfo(wavs)
+        .select(col("media_id"), col("format"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"), col("amp_sum"), col("amp_weighted"))
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1196,5 +1223,16 @@ object SparkEntry {
       "hv AS (SELECT id, CAST(list_sum(list_transform(range(0, 12), i -> (strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1) * 16.0 ** (11 - i))) AS BIGINT) AS h FROM ids), " +
       "csi AS (SELECT chrom, CAST(size AS BIGINT) AS size, row_number() OVER (ORDER BY chrom) - 1 AS ci FROM (VALUES ('A', 5000), ('N', 4000), ('R', 3000)) AS t(chrom, size)) " +
       "SELECT id AS row_id, chrom, (h // 3) % (size - 100) AS istart, (h // 3) % (size - 100) + 100 AS iend FROM hv JOIN csi ON h % 3 = csi.ci"),
+
+    // replays the closed-form PCM stream: ch=(id%2)+1 channels,
+    // nf=(id%50)+10 frames, interleaved s_j = ((id*7+j*13)%2048)-1024
+    "q91_audio_decode" -> (
+      "WITH p AS (SELECT doc_id AS id, (doc_id % 2) + 1 AS ch, (doc_id % 50) + 10 AS nf FROM documents), " +
+      "s AS (SELECT id, ch, nf, unnest(range(0, nf * ch)) AS j FROM p), " +
+      "v AS (SELECT id, ch, nf, j, abs(((id * 7 + j * 13) % 2048) - 1024) AS a FROM s) " +
+      "SELECT id AS media_id, 'wav' AS format, CAST(8000 + (id % 3) * 4000 AS BIGINT) AS sample_rate, " +
+      "CAST(ch AS BIGINT) AS channels, CAST(nf AS BIGINT) AS n_frames, " +
+      "CAST(sum(a) AS BIGINT) AS amp_sum, CAST(sum((j + 1) * a) AS BIGINT) AS amp_weighted " +
+      "FROM v GROUP BY id, ch, nf"),
   )
 }

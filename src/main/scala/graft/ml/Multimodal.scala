@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / frame-sample stages shaped for executor-
   * side batch processing.
   *
-  * The actual codecs are NOT available in this environment, so the
-  * decode kernels are STUBS — deterministic fakes clearly marked below —
-  * while everything Spark-side is real: schemas, partition balancing by
-  * payload bytes, per-partition batch iteration (the same shape a
-  * Pandas-UDF/mapInPandas or JNI decoder plugs into), and downstream
-  * feature columns that feed Similarity/Dedup.
+  * Image decode (PNG/BMP/JPEG/GIF via javax.imageio) and audio decode
+  * (WAV/PCM via javax.sound.sampled) are REAL — both ship in the JDK, so
+  * they work offline. Codecs with no JDK implementation (video
+  * containers, mp3/ogg, image resampling) remain STUBS — deterministic
+  * fakes clearly marked below — while everything Spark-side is real:
+  * schemas, partition balancing by payload bytes, per-partition batch
+  * iteration (the same shape a Pandas-UDF/mapInPandas or JNI decoder
+  * plugs into), and downstream feature columns that feed
+  * Similarity/Dedup.
   */
 object Multimodal {
 
@@ -87,6 +90,9 @@ object Multimodal {
     else if (bytes(0) == 'B' && bytes(1) == 'M') "bmp"
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') "gif"
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+      bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') "wav"
     else "unknown"
 
   /** REAL image decode (round-3): PNG/BMP/JPEG/GIF payloads are decoded
@@ -182,6 +188,86 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  case class AudioInfo(media_id: Long, format: String, sample_rate: Int,
+                       channels: Int, n_frames: Long, amp_sum: Long,
+                       amp_weighted: Long)
+
+  /** REAL audio decode (round-3): WAV/PCM payloads are decoded
+    * executor-side with the JDK's javax.sound.sampled (offline-safe, same
+    * rationale as decodeImageInfo). Emits container metadata (sample
+    * rate, channels, frame count) plus two sample checksums over the
+    * interleaved 16-bit PCM stream: amp_sum = Σ|s_j| and the
+    * position-weighted amp_weighted = Σ(j+1)|s_j|, which catches
+    * byte-order / channel-interleave decode bugs. Undecodable payloads
+    * and non-16-bit encodings degrade to -1 fields instead of failing
+    * the stage. Compressed codecs (mp3/ogg) have no JDK decoder — they
+    * stay stubbed by the generic feature kernel. */
+  def decodeAudioInfo(df: DataFrame, idCol: String = "media_id",
+                      blobCol: String = "payload"): DataFrame = {
+    val src = df.select(col(idCol).cast("long"), col(blobCol))
+    src.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val fmt = sniffFormat(bytes)
+        val parsed =
+          if (fmt != "wav") None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val f = ais.getFormat
+            val nFrames = ais.getFrameLength
+            val pcm16 = f.getSampleSizeInBits == 16 &&
+              f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val data = ais.readAllBytes()
+            ais.close()
+            Some((f.getSampleRate.toInt, f.getChannels, nFrames, pcm16,
+              f.isBigEndian, data))
+          } catch { case _: Exception => None }
+        parsed match {
+          case None => AudioInfo(id, fmt, -1, -1, -1L, -1L, -1L)
+          case Some((rate, ch, nFrames, pcm16, bigEndian, data)) =>
+            if (!pcm16) AudioInfo(id, fmt, rate, ch, nFrames, -1L, -1L)
+            else {
+              val n = data.length / 2
+              var s = 0L
+              var sw = 0L
+              var j = 0
+              while (j < n) {
+                val lo = if (bigEndian) data(2 * j + 1) else data(2 * j)
+                val hi = if (bigEndian) data(2 * j) else data(2 * j + 1)
+                val v = math.abs(((hi << 8) | (lo & 0xff)).toShort.toLong)
+                s += v
+                sw += (j + 1) * v
+                j += 1
+              }
+              AudioInfo(id, fmt, rate, ch, nFrames, s, sw)
+            }
+        }
+      }
+    }(Encoders.product[AudioInfo])
+      .toDF(idCol, "format", "sample_rate", "channels", "n_frames",
+        "amp_sum", "amp_weighted")
+  }
+
+  /** Minimal PCM16LE mono/stereo WAV encoder (44-byte RIFF header) —
+    * deterministic payload source for the decode path above. */
+  def encodeWav(sampleRate: Int, channels: Int,
+                samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
   }
 
   /** Resize stage: per-partition batch loop producing a reduced payload

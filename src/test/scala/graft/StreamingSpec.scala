@@ -155,4 +155,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(3L) == (("unknown", -1, -1, -1L, -1L)))
     assert(got(4L) == (("png", -1, -1, -1L, -1L)))
   }
+
+  test("real WAV decode recovers format, frame count, and sample checksums") {
+    import spark.implicits._
+    // stereo, 5 frames -> 10 interleaved samples with known values
+    val samples = Array.tabulate[Short](10)(j => ((j - 5) * 100).toShort)
+    val expSum = samples.map(s => math.abs(s.toLong)).sum
+    val expW = samples.zipWithIndex.map { case (s, j) =>
+      (j + 1).toLong * math.abs(s.toLong) }.sum
+    val rows = Seq(
+      (1L, Multimodal.encodeWav(16000, 2, samples)),
+      (2L, "RIFFgarbage!".getBytes),                 // RIFF but not WAVE
+      (3L, Multimodal.encodeWav(8000, 1, samples).take(20))) // truncated
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeAudioInfo(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got(1L) == (("wav", 16000, 2, 5L, expSum, expW)))
+    assert(got(2L) == (("unknown", -1, -1, -1L, -1L, -1L)))
+    assert(got(3L) == (("wav", -1, -1, -1L, -1L, -1L)))
+  }
 }
