@@ -59,18 +59,20 @@ object BinaryOps {
     def pickOne(minimize: Boolean): DataFrame = {
       val rCols = p.columns.filterNot(left.columns.contains).toSeq
       val sortKeys = Seq(rs, re)
-      // Left columns ride along INSIDE the struct (they are functionally
-      // determined by row_id, so appending them after the sort keys can't
-      // change which match wins) — one map-side-combining aggregation and
-      // no rejoin against the left table.
+      // min_by carries the full row as an OPAQUE payload and compares
+      // only the (deterministic) ordering struct — sort keys first, then
+      // the remaining right columns as tie-breaks. min(struct(...)) here
+      // instead re-compares every payload field on ties, which measurably
+      // drags on multi-million-pair sets. Left columns ride in the
+      // payload (functionally determined by row_id), so no rejoin.
       val lCols = left.columns.filterNot(_ == RowId).toSeq
-      val packed = struct((sortKeys ++ rCols.filterNot(sortKeys.contains) ++ lCols).map { c =>
+      val ord = struct((sortKeys ++ rCols.filterNot(sortKeys.contains)).map { c =>
         if (minimize) col(c) else (if (c == re || c == rs) (-col(c)).as(c) else col(c))
       }: _*)
-      val m = p.groupBy(col(RowId)).agg(min(packed).as("_m"))
+      val payload = struct((rCols ++ lCols).map(col): _*)
+      val m = p.groupBy(col(RowId)).agg(min_by(payload, ord).as("_m"))
       val unpacked = (rCols ++ lCols).foldLeft(m)((d, c) =>
-        d.withColumn(c, if (!minimize && (c == re || c == rs)) -col(s"_m.$c")
-                        else col(s"_m.$c"))).drop("_m")
+        d.withColumn(c, col(s"_m.$c"))).drop("_m")
       unpacked.select(p.columns.map(col): _*)
     }
     multiple match {
