@@ -142,15 +142,16 @@ object Similarity {
     }: _*)
     val withCells = base.withColumn("_cells",
       transform(slice(array_sort(distArr), 1, nProbe), s => s.getField("c")))
-    val memberCell = withCells  // each vector lives in its best cell
-      .withColumn("_cell", element_at(col("_cells"), 1)).drop("_cells")
-    val queryCells = (1 to nProbe).map(i => withCells
-        .withColumn("_cell", element_at(col("_cells"), i)).drop("_cells"))
-      .reduce(_ unionByName _)
-      .filter(col("_cell").isNotNull)  // nProbe may exceed live cells
-    val pairs = queryCells.alias("l")
-      .join(memberCell.select(col(idCol).as("nb"), col("_q").as("_qb"),
-        col("_cell")).alias("r"), Seq("_cell"))
+    // ONE posexplode instead of nProbe unioned element_at branches: the
+    // union re-planned (and re-codegen'd) the whole 16-centroid distance
+    // block per branch — 3x the generated source for identical rows.
+    // Position 0 of the exploded probe list IS the membership cell.
+    val exploded = withCells.select(col(idCol), col("_q"),
+      posexplode(col("_cells")).as(Seq("_p", "_cell")))
+    val memberCell = exploded.filter(col("_p") === 0)
+      .select(col(idCol).as("nb"), col("_q").as("_qb"), col("_cell"))
+    val pairs = exploded.alias("l")
+      .join(memberCell.alias("r"), Seq("_cell"))
       .filter(col(idCol) =!= col("nb"))
       .withColumn("dot", dotLong(col("l._q"), col("_qb")))
       .select(col(idCol), col("nb"), col("dot")).distinct()
