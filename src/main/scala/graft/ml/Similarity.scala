@@ -234,10 +234,12 @@ object Similarity {
   def lshBucketFixed(vec: Column, planes: Int, dim: Int,
                      scale: Int = 1000): Column = {
     val m = planeMatrix(planes, dim)
+    // codegen'd primitive dot (expr.DotLong) — the aggregate(zip_with)
+    // HOF form runs interpreted per element and defeats subexpression
+    // elimination of the shared quantize()
+    val q = quantize(vec, scale)
     val bits = (0 until planes).map { p =>
-      val coef = typedLit(m(p).toSeq)
-      val dot = aggregate(zip_with(quantize(vec, scale), coef, (x, y) => x * y),
-        lit(0L), (acc, v) => acc + v)
+      val dot = dotLong(q, typedLit(m(p).toSeq))
       when(dot >= 0, lit(1L << p)).otherwise(0L)
     }
     bits.reduce(_ + _)
