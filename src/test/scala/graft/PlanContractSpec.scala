@@ -136,6 +136,9 @@ class PlanContractSpec extends AnyFunSuite {
     val img = SparkEntry.queries("q84_image_decode")(spark, dir)
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(img).size == 0, img.take(1500))
+    val wav = SparkEntry.queries("q91_audio_decode")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(wav).size == 0, wav.take(1500))
   }
 
   test("constructor sugar plans: from_string/concat shuffle-free, random broadcasts the dim") {
