@@ -702,6 +702,32 @@ object SparkEntry {
           col("channels").cast("long").as("channels"),
           col("n_frames"), col("amp_sum"), col("amp_weighted"))
     }),
+
+    "q92_stream_dedup" -> ((s, dir) => {
+      // Streaming near-dup dedup: the per-row MinHash signature is
+      // STATELESS (array_min over the shingle array — no groupBy), so it
+      // streams as-is; dropDuplicatesWithinWatermark keeps one doc per
+      // signature class with state bounded by the watermark horizon. The
+      // output projects ONLY the signature columns: whichever row of a
+      // class arrives first (micro-batch order, nondeterministic), the
+      // emitted row is identical — so the batch oracle is a plain
+      // DISTINCT over the same signatures.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema).parquet(s"$dir/documents.parq*")
+      val sig = Dedup.minhashSignature(src, "text", "doc_id", 4, 3)
+        .withColumn("_et", timestamp_seconds(lit(1700000000L) +
+          pmod(col("doc_id"), lit(1000))))
+        .withWatermark("_et", "2 hours") // horizon covers the full replay
+        .dropDuplicatesWithinWatermark("h1", "h2", "h3", "h4")
+        .select(col("h1"), col("h2"), col("h3"), col("h4"))
+      val name = s"q92_mem_${System.nanoTime}"
+      val q = sig.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1234,5 +1260,13 @@ object SparkEntry {
       "CAST(ch AS BIGINT) AS channels, CAST(nf AS BIGINT) AS n_frames, " +
       "CAST(sum(a) AS BIGINT) AS amp_sum, CAST(sum((j + 1) * a) AS BIGINT) AS amp_weighted " +
       "FROM v GROUP BY id, ch, nf"),
+
+    // batch replay of the streamed MinHash dedup: one row per distinct
+    // signature class (same shingle/md5 min construction as q23)
+    "q92_stream_dedup" -> (
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents), """ +
+      """sh AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)), """ +
+      """sig AS (SELECT doc_id, min(md5('1' || shingle)) AS h1, min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3, min(md5('4' || shingle)) AS h4 FROM sh GROUP BY doc_id) """ +
+      """SELECT DISTINCT h1, h2, h3, h4 FROM sig"""),
   )
 }
