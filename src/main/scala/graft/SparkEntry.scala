@@ -728,6 +728,20 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name)
     }),
+
+    "q93_cli" -> ((s, dir) => {
+      // The pyranger-style CLI pipeline end-to-end (reference
+      // cli.py:94-208): write the reads as a real BED file, then run
+      // `read_bed | merge_overlaps slack=5` through the CLI's
+      // stage-parser itself; the oracle recomputes the merge
+      // relationally. Exercises parsing, stage dispatch, kv options,
+      // and the BED reader in one go.
+      val bedPath = "/tmp/graft_q93_cli.bed"
+      graft.io.Bed.write(grSparse(s, dir), bedPath)
+      out(graft.Cli.run(s,
+          s"read_bed $bedPath | merge_overlaps slack=5").get)
+        .select(col("chrom"), col("strand"), col("istart"), col("iend"))
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1268,5 +1282,9 @@ object SparkEntry {
       """sh AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)), """ +
       """sig AS (SELECT doc_id, min(md5('1' || shingle)) AS h1, min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3, min(md5('4' || shingle)) AS h4 FROM sh GROUP BY doc_id) """ +
       """SELECT DISTINCT h1, h2, h3, h4 FROM sig"""),
+
+    "q93_cli" -> sql(Seq(GR_CTE, GRS_CTE,
+        mergeCte("m", "grs", "chrom, strand", slack = 5)),
+      "SELECT chrom, strand, istart, iend FROM m"),
   )
 }
