@@ -23,6 +23,16 @@ object SparkEntry {
     out(BinaryOps.countOverlaps(gr(spark, dir), gr2(spark, dir), Seq(Chrom)))
   }
 
+  /** Run `body` with shuffle.partitions scoped down: a stream's state
+    * partition count freezes at first run, and stateful ops over a few
+    * hundred keys pay per-store create/commit overhead at every
+    * micro-batch — 32 HDFS-backed stores for 500 keys is pure tax. */
+  private def withStreamParts[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational passthrough (SURVEY.md §2.4) ----
     "q01_agg" -> ((s, dir) =>
@@ -327,11 +337,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value")).cast("long")).as("sv"))
       val name = s"q65_mem_${System.nanoTime}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamParts(s, 4) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
     }),
     "q69_gff3_file" -> ((s, dir) =>
@@ -513,12 +525,14 @@ object SparkEntry {
         .as[graft.streaming.StreamingOps.InInterval]
       val islands = graft.streaming.StreamingOps.streamingMerge(ev, slack = 300000)
       val name = s"q71_mem_${System.nanoTime}"
-      val q = islands.toDF("user_id", "istart", "iend", "n")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamParts(s, 4) {
+        val q = islands.toDF("user_id", "istart", "iend", "n")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name).withColumn("user_id", col("user_id").cast("long"))
     }),
     "q66_pipeline" -> ((s, dir) => {
@@ -721,11 +735,13 @@ object SparkEntry {
         .dropDuplicatesWithinWatermark("h1", "h2", "h3", "h4")
         .select(col("h1"), col("h2"), col("h3"), col("h4"))
       val name = s"q92_mem_${System.nanoTime}"
-      val q = sig.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamParts(s, 4) {
+        val q = sig.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
     }),
 
