@@ -97,4 +97,30 @@ class PropertySpec extends AnyFunSuite {
     val got = u.df.select(Chrom, Start).collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == Set(("chr1", 100L), ("chr2", 3L)))
   }
+
+  test("native bigWig codec round-trips generated run tables exactly") {
+    // values on the quarter grid are float32-exact, so write->read is an
+    // identity on the row SET (section layout is an internal detail);
+    // natsort chrom ids and multi-section splits get exercised by the
+    // generator's chr10/chr2 mix and the small itemsPerSlot
+    import spark.implicits._
+    val genRuns: Gen[List[(String, Long, Long, Double)]] =
+      Gen.nonEmptyListOf(for {
+        c <- Gen.oneOf("chr1", "chr2", "chr10")
+        s <- Gen.chooseNum(0L, 100000L)
+        len <- Gen.chooseNum(1L, 500L)
+        q <- Gen.chooseNum(-2000, 2000)
+      } yield (c, s, s + len, q / 4.0))
+    var i = 0
+    forAll(genRuns) { rows =>
+      val path = s"/tmp/graft_prop_bw_$i.bw"
+      i += 1
+      val d = rows.toDF(Chrom, Start, End, "Value")
+      graft.io.BigWig.writeBigwig(d, path, itemsPerSlot = 7)
+      val back = graft.io.BigWig.readBigwig(spark, path).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // multiset compare: duplicate rows must survive too
+      assert(back.toSeq.sorted == rows.map(t => (t._1, t._2, t._3, t._4)).sorted)
+    }
+  }
 }
