@@ -168,7 +168,10 @@ object BinaryOps {
       .withColumn(Start, col("_seg.s"))
       .withColumn(End, col("_seg.e"))
       .select(left.columns.map(col): _*)
-    val untouched = overlap(left, merged, keys, 0, contained = false, invert = true, binSize = binSize)
+    // anti-join directly against the already-merged right — overlap()
+    // would re-merge its probe side, a full extra window sweep
+    val untouched = RangeJoin.exists(left, merged, keys, 0, binSize,
+      contained = false, anti = true)
     pieces.unionByName(untouched.select(left.columns.map(col): _*))
   }
 
