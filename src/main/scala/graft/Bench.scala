@@ -66,14 +66,16 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     spark.stop()
     // driver-parsed line: LAST, after even spark.stop(), so nothing can
-    // print below it and tail-capture always keeps it intact
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"gcTotalMs":${gcMillis()},"loadAvg":$load}""")
+    // print below it and tail-capture always keeps it intact. It must also
+    // be SHORT: BENCH_r03.json embedded the whole 93-query map here (~3.3 KB)
+    // and the driver's tail-capture window cut the line's HEAD off — exactly
+    // where "metric":"total","value": lives. The per-query timings already
+    // stream above as individual lines; never duplicate them here.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"sf":"$sfDir","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"gcTotalMs":${gcMillis()},"loadAvg":$load}""")
   }
 }

@@ -253,9 +253,14 @@ object BigWig {
     // partials (reduced over the ~1-per-512-rows section list below), so
     // the run table is evaluated exactly once.
     val compressSection = udf { (cid: Int, items: Seq[Row]) =>
+      // section bound is max(End), NOT the last item's End: items are sorted
+      // by (Start, End), so with overlapping input an earlier long interval
+      // can extend past the last item — an external R-tree range query
+      // would miss it if the leaf bound understated
+      val maxEnd = items.iterator.map(_.getLong(1)).max
       val raw = leBuf(new Array[Byte](24 + 12 * items.size))
       raw.putInt(cid).putInt(items.head.getLong(0).toInt)
-        .putInt(items.last.getLong(1).toInt)
+        .putInt(maxEnd.toInt)
         .putInt(0).putInt(0).put(1.toByte).put(0.toByte).putShort(items.size.toShort)
       items.foreach { r =>
         val (s, e) = (r.getLong(0), r.getLong(1))
@@ -269,7 +274,7 @@ object BigWig {
       val zlen = defl.deflate(zbuf)
       require(defl.finished(), "section deflate did not fit scratch buffer")
       defl.end()
-      (java.util.Arrays.copyOf(zbuf, zlen), items.head.getLong(0), items.last.getLong(1))
+      (java.util.Arrays.copyOf(zbuf, zlen), items.head.getLong(0), maxEnd)
     }
     val cidDf = spark.createDataFrame(names.zipWithIndex.map { case (n, i) =>
       (n, i) }).toDF(Chrom, "_cid")
@@ -289,14 +294,18 @@ object BigWig {
         compressSection(col("_cid"), col("_items")).as("_blk"),
         col("_nb"), col("_mn"), col("_mx"), col("_sd"), col("_sq"))
       .orderBy(col("_cid"), col("_sec"))
-      .collect()
-    typed.unpersist()
+      .toLocalIterator() // stream: driver holds ONE compressed section at a
+                         // time, not the whole file — orderBy range-partitions
+                         // the plan and toLocalIterator fetches partitions in
+                         // order, so write order is preserved with bounded
+                         // driver memory (the r3 collect() materialized the
+                         // entire compressed payload at once)
     var nBases = 0L
     var minV = Double.PositiveInfinity
     var maxV = Double.NegativeInfinity
     var sumData = 0.0
     var sumSq = 0.0
-    sections.foreach { r =>
+    sections.forEachRemaining { r =>
       val cid = r.getInt(0)
       val blk = r.getStruct(2)
       val z = blk.getAs[Array[Byte]](0)
@@ -309,6 +318,7 @@ object BigWig {
       sumData += r.getDouble(6)
       sumSq += r.getDouble(7)
     }
+    typed.unpersist()
 
     // ---- R-tree index (root + one leaf level; blockSize sized so two
     // levels always suffice: ceil(sqrt(n)) children per node) ----
