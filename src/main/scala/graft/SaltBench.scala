@@ -1,0 +1,104 @@
+package graft
+
+import graft.core.Cols
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B harness for the salted-vs-plain crossover (the one unmeasured
+  * 100×-scale claim in BASELINE.md): generates a hot-key interval table
+  * ≥1 GB in parquet leaf bytes — sf0.1's `gr` exploded `factor`× with
+  * half of all copies forced onto one chromosome, so one key holds ~2/3
+  * of the rows — then times the plain window/sweep plan against the
+  * salted two-phase plan for merge / group_cumsum / to_rle / nearest at
+  * that size. The Sizing gates are also evaluated on the generated
+  * table so the run records whether the auto-switch would fire there.
+  *
+  * Results are recorded in BASELINE.md ("salted crossover" table).
+  * Usage: SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.SaltBench [factor]"
+  */
+object SaltBench {
+  import Cols._
+
+  /** Deterministic hot-key explosion of `gr`. Each source row becomes
+    * `factor` copies; even copy-indices land on chromosome "A" (the hot
+    * key), odd ones keep their source chromosome; starts are spread by a
+    * prime stride so the copies neither collapse into duplicates nor
+    * stay compressible enough for parquet to erase the size. */
+  def hotKeyTable(s: SparkSession, sfDir: String, factor: Int): DataFrame = {
+    val base = Tables.gr(s, sfDir)
+    base.withColumn("_k", explode(sequence(lit(0L), lit(factor - 1L))))
+      .withColumn(RowId, col(RowId) * factor + col("_k"))
+      .withColumn(Chrom, when(col("_k") % 2 === 0, lit("A")).otherwise(col(Chrom)))
+      .withColumn(Start, col(Start) + (col("_k") * 6151L) % 997331L)
+      .withColumn(End, col(Start) + (col(End) - col(Start)) % 5000L + 1L)
+      .drop("_k")
+  }
+
+  private def time[T](reps: Int)(body: => T): Double =
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factor = args.headOption.map(_.toInt).getOrElse(60)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val path = s"/tmp/graft_saltbench/gr_x$factor.parquet"
+    if (!new java.io.File(path).exists) {
+      println(s"[saltbench] generating $path ...")
+      hotKeyTable(spark, sfDir, factor).write.mode("overwrite").parquet(path)
+    }
+    val df = spark.read.parquet(path)
+    val leafBytes = graft.core.Sizing.leafScanBytes(df)
+    val nRows = df.count()
+    val hotShare = df.filter(col(Chrom) === "A").count().toDouble / nRows
+    println(f"[saltbench] rows=$nRows%d leafBytes=${leafBytes.toLong / (1 << 20)}%d MB hotShare=$hotShare%.2f")
+
+    // would the auto-switches fire at this size?
+    val fireInput = graft.core.Sizing.decide("saltbench/input",
+      graft.core.Sizing.saltedInputThreshold, df)
+    val fireSweep = graft.core.Sizing.decide("saltbench/sweep",
+      graft.core.Sizing.saltedSweepThreshold, df)
+    println(s"[saltbench] gate(input 256MB)=$fireInput gate(sweep 1GB)=$fireSweep")
+
+    val reps = 2
+    def report(op: String, plainSec: Double, saltedSec: Double): Unit =
+      println(f"""{"op":"$op","plain":$plainSec%.1f,"salted":$saltedSec%.1f,"speedup":${plainSec / saltedSec}%.2f}""")
+
+    // merge: plain single window vs mega-bin split + two-level merge
+    report("merge",
+      time(reps)(graft.ops.UnaryOps.merge(df, Seq(Chrom)).count()),
+      time(reps)(graft.ops.UnaryOps.mergeSalted(df, Seq(Chrom)).count()))
+
+    // group_cumsum: per-key running sum, row_id tie-break for total order
+    report("cumsum",
+      time(reps)(graft.ops.UnaryOps.groupCumsumPlain(df, Seq(Chrom),
+        tieBreak = Seq(col(RowId))).count()),
+      time(reps)(graft.ops.UnaryOps.groupCumsumSalted(df, Seq(Chrom),
+        tieBreak = Seq(col(RowId))).count()))
+
+    // to_rle: depth runs per key
+    report("rle",
+      time(reps)(graft.ops.Coverage.toRlePlain(df, Seq(Chrom)).count()),
+      time(reps)(graft.ops.Coverage.toRleSalted(df, Seq(Chrom)).count()))
+
+    // nearest (k=1, overlaps excluded to hit the sweep path on both sides)
+    val right = Tables.gr2(spark, sfDir)
+    report("nearest",
+      time(reps)(graft.ops.NearestK.nearestK(df, right, Seq(Chrom), 1,
+        excludeOverlaps = true, saltedHint = Some(false)).count()),
+      time(reps)(graft.ops.NearestK.nearestK(df, right, Seq(Chrom), 1,
+        excludeOverlaps = true, saltedHint = Some(true)).count()))
+
+    spark.stop()
+  }
+}

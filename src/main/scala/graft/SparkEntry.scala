@@ -26,7 +26,13 @@ object SparkEntry {
   /** Run `body` with shuffle.partitions scoped down: a stream's state
     * partition count freezes at first run, and stateful ops over a few
     * hundred keys pay per-store create/commit overhead at every
-    * micro-batch — 32 HDFS-backed stores for 500 keys is pure tax. */
+    * micro-batch — 32 HDFS-backed stores for 500 keys is pure tax.
+    * NOTE: the conf set/restore is session-global, not thread-scoped —
+    * safe under the sequential Verify/Bench harnesses that call these
+    * queries one at a time, but two queries racing on one SparkSession
+    * could observe each other's setting. A concurrent driver should use
+    * separate sessions (`spark.newSession()`), which each carry their
+    * own SQLConf. */
   private def withStreamParts[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -495,16 +501,45 @@ object SparkEntry {
       out(graft.io.Bed.read(s, path, 6))
         .withColumnRenamed("Name", "name").withColumnRenamed("Score", "score")
     }),
-    "q73_media_meta" -> ((s, dir) =>
-      // multimodal metadata stage on binary payloads (text bytes stand in
-      // for media blobs): the typed meta struct is pure column arithmetic
-      // over the payload — the real, non-stub part of the media plumbing
-      graft.ml.Multimodal.withMediaMeta(
-          pq(s, dir, "documents").select(col("doc_id"),
-            col("text").cast("binary").as("payload")))
+    "q73_media_meta" -> ((s, dir) => {
+      // REAL container-header metadata: deterministic BMP / PNG / WAV
+      // blobs are generated from doc_id with the Multimodal encoders,
+      // then withMediaMeta parses the headers back with pure column
+      // expressions (BMP info-header LE, PNG IHDR BE, WAV fmt chunk).
+      // The oracle predicts the GENERATOR parameters, so any header
+      // offset / endianness / magic-sniff bug breaks the match. (PNG
+      // n_bytes is zlib-dependent, so the projection is header fields
+      // only; nBytes = length() is covered by the multimodal specs.)
+      import org.apache.spark.sql.Encoders
+      val src = pq(s, dir, "documents").select(col("doc_id").cast("long"))
+      val blobs = src.mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val bytes = (id % 3) match {
+            case 0 =>
+              val w = (id % 253).toInt + 1; val h = (id % 199).toInt + 1
+              Multimodal.encodeBmp(w, h,
+                (x, y) => ((x + y) % 256, x % 256, y % 256))
+            case 1 =>
+              val w = (id % 37).toInt + 2; val h = (id % 29).toInt + 2
+              Multimodal.encodePng(w, h,
+                (x, y) => ((x * y) % 256, (x + 2 * y) % 256, (3 * x) % 256))
+            case _ =>
+              val rate = 8000 + ((id / 3) % 3).toInt * 4000
+              val ch = (id % 2).toInt + 1
+              Multimodal.encodeWav(rate, ch,
+                Array.tabulate[Short](((id % 50) + 10).toInt * ch)(j =>
+                  ((id + j) % 512 - 256).toShort))
+          }
+          (id, bytes)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("doc_id", "payload")
+      graft.ml.Multimodal.withMediaMeta(blobs)
         .select(col("doc_id"), col("meta.format").as("format"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.nBytes").as("n_bytes"))),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"))
+    }),
     "q72_bpeish_fp" -> ((s, dir) =>
       // BPE-ish pretokenization count + 1-permutation MinHash fingerprint
       pq(s, dir, "documents").select(col("doc_id"),
@@ -752,7 +787,9 @@ object SparkEntry {
       // stage-parser itself; the oracle recomputes the merge
       // relationally. Exercises parsing, stage dispatch, kv options,
       // and the BED reader in one go.
-      val bedPath = "/tmp/graft_q93_cli.bed"
+      // per-run unique path so concurrent harness runs can't clobber
+      // each other's BED mid-read
+      val bedPath = s"/tmp/graft_q93_cli_${java.util.UUID.randomUUID}.bed"
       graft.io.Bed.write(grSparse(s, dir), bedPath)
       out(graft.Cli.run(s,
           s"read_bed $bedPath | merge_overlaps slack=5").get)
@@ -1173,10 +1210,13 @@ object SparkEntry {
       """SELECT w.doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) + (length(text) - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS BIGINT) AS n_bpeish, fp.fp AS fp """ +
       """FROM w LEFT JOIN fp USING (doc_id)"""),
 
+    // predicts the blob-GENERATOR parameters; the Spark side re-derives
+    // them by parsing the real BMP/PNG/WAV container headers it wrote
     "q73_media_meta" -> (
-      """SELECT doc_id, CASE WHEN length(text) % 3 = 0 THEN 'png' WHEN length(text) % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format, """ +
-      """CAST(length(text) % 640 + 1 AS INTEGER) AS width, CAST(length(text) % 480 + 1 AS INTEGER) AS height, """ +
-      """CAST(length(text) AS BIGINT) AS n_bytes FROM documents"""),
+      """SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'bmp' WHEN doc_id % 3 = 1 THEN 'png' ELSE 'wav' END AS format, """ +
+      """CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 253 + 1 WHEN doc_id % 3 = 1 THEN doc_id % 37 + 2 ELSE 8000 + ((doc_id // 3) % 3) * 4000 END AS BIGINT) AS width, """ +
+      """CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 199 + 1 WHEN doc_id % 3 = 1 THEN doc_id % 29 + 2 ELSE doc_id % 2 + 1 END AS BIGINT) AS height """ +
+      """FROM documents"""),
 
     "q74_bed_roundtrip" -> sql(Seq(GR_CTE),
       "SELECT chrom, istart, iend, 'r' || CAST(row_id AS VARCHAR) AS name, '.' AS score, strand FROM gr"),

@@ -1,10 +1,10 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass implementations behind the custom Catalyst expressions.
@@ -147,8 +147,12 @@ case class TranslateCodons(child: Expression, table: String)
   * joins (measured ~4 us/pair at dim=64; the primitive loop is ~20x
   * cheaper and stays inside WholeStageCodegen). */
 case class DotLong(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
+  // pin array<long> inputs: the kernel reads 8-byte slots, so an un-cast
+  // array<int> child would read garbage under codegen while the
+  // interpreted path silently widened — the cast keeps both paths equal
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ExprKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -161,8 +165,9 @@ case class DotLong(left: Expression, right: Expression)
 /** Long gcd as a codegen'd expression — replaces a BigInt-allocating
   * Scala UDF on the bigWig divide payload's hot tail. */
 case class GcdLong(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
+  override def inputTypes = Seq(LongType, LongType)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ExprKernels.gcdLong(a.asInstanceOf[Long], b.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

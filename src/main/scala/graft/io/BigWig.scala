@@ -209,180 +209,195 @@ object BigWig {
       col(Start).cast("long").as(Start), col(End).cast("long").as(End),
       col(valueCol).cast("double").as("_v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxEnds = typed.groupBy(col(Chrom)).agg(max(col(End)).cast("long"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val names = maxEnds.keys.toSeq.sortBy(n => graft.expr.ExprKernels
-      .natsortKey(org.apache.spark.unsafe.types.UTF8String.fromString(n)).toString)
-    val sizes = names.map(c => chromSizes.getOrElse(c, maxEnds(c)))
-    require(sizes.forall(_ <= 0xffffffffL), "bigWig chrom sizes are u32")
+    // Everything below touches Spark jobs and the output file; the
+    // try/finally guarantees the file handle closes, the persisted
+    // input unpersists, and a partial .bw is deleted if any Spark
+    // stage (or a header require) fails mid-write.
+    var out: java.io.RandomAccessFile = null
+    var ok = false
+    try {
+      val maxEnds = typed.groupBy(col(Chrom)).agg(max(col(End)).cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val names = maxEnds.keys.toSeq.sortBy(n => graft.expr.ExprKernels
+        .natsortKey(org.apache.spark.unsafe.types.UTF8String.fromString(n)).toString)
+      val sizes = names.map(c => chromSizes.getOrElse(c, maxEnds(c)))
+      require(sizes.forall(_ <= 0xffffffffL), "bigWig chrom sizes are u32")
 
-    val out = new java.io.RandomAccessFile(path, "rw")
-    out.setLength(0)
-    val headerBytes = new Array[Byte](64 + 40) // header + total summary
-    out.write(headerBytes) // placeholder, backpatched below
+      out = new java.io.RandomAccessFile(path, "rw")
+      out.setLength(0)
+      val headerBytes = new Array[Byte](64 + 40) // header + total summary
+      out.write(headerBytes) // placeholder, backpatched below
 
-    // ---- chrom B+ tree (single leaf node) ----
-    val chromTreeOff = out.getFilePointer
-    val keySize = math.max(1, names.map(_.length).maxOption.getOrElse(1))
-    require(names.size <= 0xffff, "chrom B+ tree: >65535 chromosomes needs multi-node layout")
-    val ctHead = leBuf(new Array[Byte](32 + 4))
-    ctHead.putInt(ChromTreeMagic).putInt(math.max(names.size, 1)).putInt(keySize)
-      .putInt(8).putLong(names.size.toLong).putLong(0L)
-    ctHead.put(1.toByte).put(0.toByte).putShort(names.size.toShort)
-    out.write(ctHead.array())
-    names.zip(sizes).zipWithIndex.foreach { case ((name, size), id) =>
-      val item = leBuf(new Array[Byte](keySize + 8))
-      val kb = name.getBytes("ISO-8859-1")
-      item.put(kb).position(keySize)
-      item.putInt(id).putInt(size.toInt)
-      out.write(item.array())
-    }
-
-    // ---- data sections (compressed on the EXECUTORS, assembled here) ----
-    val fullDataOff = out.getFilePointer
-    out.write(new Array[Byte](8)) // u64 sectionCount, backpatched
-    // R-tree leaf records: (startChromIx, startBase, endChromIx, endBase, off, size)
-    val leaves = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Long, Long, Long)]
-
-    val spark = df.sparkSession
-
-    // sections = consecutive itemsPerSlot runs per chromosome, never
-    // spanning chromosomes: per-chrom rank / itemsPerSlot is the section
-    // key, each section zlib-compressed where its rows live. The
-    // total-summary stats ride the SAME aggregate as per-section
-    // partials (reduced over the ~1-per-512-rows section list below), so
-    // the run table is evaluated exactly once.
-    val compressSection = udf { (cid: Int, items: Seq[Row]) =>
-      // section bound is max(End), NOT the last item's End: items are sorted
-      // by (Start, End), so with overlapping input an earlier long interval
-      // can extend past the last item — an external R-tree range query
-      // would miss it if the leaf bound understated
-      val maxEnd = items.iterator.map(_.getLong(1)).max
-      val raw = leBuf(new Array[Byte](24 + 12 * items.size))
-      raw.putInt(cid).putInt(items.head.getLong(0).toInt)
-        .putInt(maxEnd.toInt)
-        .putInt(0).putInt(0).put(1.toByte).put(0.toByte).putShort(items.size.toShort)
-      items.foreach { r =>
-        val (s, e) = (r.getLong(0), r.getLong(1))
-        require(e <= 0xffffffffL, s"bigWig coordinates are u32: $s-$e")
-        raw.putInt(s.toInt).putInt(e.toInt).putFloat(r.getDouble(2).toFloat)
+      // ---- chrom B+ tree (single leaf node) ----
+      val chromTreeOff = out.getFilePointer
+      val keySize = math.max(1, names.map(_.length).maxOption.getOrElse(1))
+      require(names.size <= 0xffff, "chrom B+ tree: >65535 chromosomes needs multi-node layout")
+      val ctHead = leBuf(new Array[Byte](32 + 4))
+      ctHead.putInt(ChromTreeMagic).putInt(math.max(names.size, 1)).putInt(keySize)
+        .putInt(8).putLong(names.size.toLong).putLong(0L)
+      ctHead.put(1.toByte).put(0.toByte).putShort(names.size.toShort)
+      out.write(ctHead.array())
+      names.zip(sizes).zipWithIndex.foreach { case ((name, size), id) =>
+        val item = leBuf(new Array[Byte](keySize + 8))
+        val kb = name.getBytes("ISO-8859-1")
+        item.put(kb).position(keySize)
+        item.putInt(id).putInt(size.toInt)
+        out.write(item.array())
       }
-      val defl = new java.util.zip.Deflater()
-      defl.setInput(raw.array())
-      defl.finish()
-      val zbuf = new Array[Byte](raw.array().length + 64)
-      val zlen = defl.deflate(zbuf)
-      require(defl.finished(), "section deflate did not fit scratch buffer")
-      defl.end()
-      (java.util.Arrays.copyOf(zbuf, zlen), items.head.getLong(0), maxEnd)
-    }
-    val cidDf = spark.createDataFrame(names.zipWithIndex.map { case (n, i) =>
-      (n, i) }).toDF(Chrom, "_cid")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(Chrom)).orderBy(col(Start), col(End))
-    val sections = typed
-      .withColumn("_sec",
-        floor((row_number().over(w) - 1) / itemsPerSlot.toDouble).cast("long"))
-      .groupBy(col(Chrom), col("_sec"))
-      .agg(sort_array(collect_list(struct(col(Start), col(End), col("_v")))).as("_items"),
-        sum(col(End) - col(Start)).as("_nb"), min(col("_v")).as("_mn"),
-        max(col("_v")).as("_mx"),
-        sum(col("_v") * (col(End) - col(Start))).as("_sd"),
-        sum(col("_v") * col("_v") * (col(End) - col(Start))).as("_sq"))
-      .join(broadcast(cidDf), Seq(Chrom))
-      .select(col("_cid"), col("_sec"),
-        compressSection(col("_cid"), col("_items")).as("_blk"),
-        col("_nb"), col("_mn"), col("_mx"), col("_sd"), col("_sq"))
-      .orderBy(col("_cid"), col("_sec"))
-      .toLocalIterator() // stream: driver holds ONE compressed section at a
-                         // time, not the whole file — orderBy range-partitions
-                         // the plan and toLocalIterator fetches partitions in
-                         // order, so write order is preserved with bounded
-                         // driver memory (the r3 collect() materialized the
-                         // entire compressed payload at once)
-    var nBases = 0L
-    var minV = Double.PositiveInfinity
-    var maxV = Double.NegativeInfinity
-    var sumData = 0.0
-    var sumSq = 0.0
-    sections.forEachRemaining { r =>
-      val cid = r.getInt(0)
-      val blk = r.getStruct(2)
-      val z = blk.getAs[Array[Byte]](0)
-      val off = out.getFilePointer
-      out.write(z)
-      leaves += ((cid, blk.getLong(1), cid, blk.getLong(2), off, z.length.toLong))
-      nBases += r.getLong(3)
-      minV = math.min(minV, r.getDouble(4))
-      maxV = math.max(maxV, r.getDouble(5))
-      sumData += r.getDouble(6)
-      sumSq += r.getDouble(7)
-    }
-    typed.unpersist()
 
-    // ---- R-tree index (root + one leaf level; blockSize sized so two
-    // levels always suffice: ceil(sqrt(n)) children per node) ----
-    val fullIndexOff = out.getFilePointer
-    val n = leaves.size
-    val blockSize = math.max(256, math.ceil(math.sqrt(math.max(n, 1))).toInt)
-    val groups = leaves.grouped(blockSize).toArray
-    val rtHead = leBuf(new Array[Byte](48))
-    val (sCx, sB, eCx, eB) =
-      if (n == 0) (0, 0L, 0, 0L)
-      else (leaves.head._1, leaves.head._2, leaves.last._3, leaves.map(_._4).max)
-    rtHead.putInt(RTreeMagic).putInt(blockSize).putLong(n.toLong)
-      .putInt(sCx).putInt(sB.toInt).putInt(eCx).putInt(eB.toInt)
-      .putLong(fullIndexOff).putInt(itemsPerSlot).putInt(0)
-    out.write(rtHead.array())
-    if (groups.length <= 1) {
-      // single leaf node
-      val node = leBuf(new Array[Byte](4 + 32 * n))
-      node.put(1.toByte).put(0.toByte).putShort(n.toShort)
-      leaves.foreach { case (sc, sb, ec, eb, off, size) =>
-        node.putInt(sc).putInt(sb.toInt).putInt(ec).putInt(eb.toInt)
-          .putLong(off).putLong(size)
+      // ---- data sections (compressed on the EXECUTORS, assembled here) ----
+      val fullDataOff = out.getFilePointer
+      out.write(new Array[Byte](8)) // u64 sectionCount, backpatched
+      // R-tree leaf records: (startChromIx, startBase, endChromIx, endBase, off, size)
+      val leaves = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Long, Long, Long)]
+
+      val spark = df.sparkSession
+
+      // sections = consecutive itemsPerSlot runs per chromosome, never
+      // spanning chromosomes: per-chrom rank / itemsPerSlot is the section
+      // key, each section zlib-compressed where its rows live. The
+      // total-summary stats ride the SAME aggregate as per-section
+      // partials (reduced over the ~1-per-512-rows section list below), so
+      // the run table is evaluated exactly once.
+      val compressSection = udf { (cid: Int, items: Seq[Row]) =>
+        // section bound is max(End), NOT the last item's End: items are sorted
+        // by (Start, End), so with overlapping input an earlier long interval
+        // can extend past the last item — an external R-tree range query
+        // would miss it if the leaf bound understated
+        val maxEnd = items.iterator.map(_.getLong(1)).max
+        val raw = leBuf(new Array[Byte](24 + 12 * items.size))
+        raw.putInt(cid).putInt(items.head.getLong(0).toInt)
+          .putInt(maxEnd.toInt)
+          .putInt(0).putInt(0).put(1.toByte).put(0.toByte).putShort(items.size.toShort)
+        items.foreach { r =>
+          val (s, e) = (r.getLong(0), r.getLong(1))
+          require(e <= 0xffffffffL, s"bigWig coordinates are u32: $s-$e")
+          raw.putInt(s.toInt).putInt(e.toInt).putFloat(r.getDouble(2).toFloat)
+        }
+        val defl = new java.util.zip.Deflater()
+        defl.setInput(raw.array())
+        defl.finish()
+        val zbuf = new Array[Byte](raw.array().length + 64)
+        val zlen = defl.deflate(zbuf)
+        require(defl.finished(), "section deflate did not fit scratch buffer")
+        defl.end()
+        (java.util.Arrays.copyOf(zbuf, zlen), items.head.getLong(0), maxEnd)
       }
-      out.write(node.array())
-    } else {
-      // root internal node, then leaf nodes
-      val rootBytes = 4 + 24 * groups.length
-      val rootOff = out.getFilePointer
-      var leafOff = rootOff + rootBytes
-      val root = leBuf(new Array[Byte](rootBytes))
-      root.put(0.toByte).put(0.toByte).putShort(groups.length.toShort)
-      groups.foreach { g =>
-        root.putInt(g.head._1).putInt(g.head._2.toInt)
-          .putInt(g.last._3).putInt(g.map(_._4).max.toInt).putLong(leafOff)
-        leafOff += 4 + 32 * g.size
+      val cidDf = spark.createDataFrame(names.zipWithIndex.map { case (n, i) =>
+        (n, i) }).toDF(Chrom, "_cid")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(Chrom)).orderBy(col(Start), col(End))
+      val sections = typed
+        .withColumn("_sec",
+          floor((row_number().over(w) - 1) / itemsPerSlot.toDouble).cast("long"))
+        .groupBy(col(Chrom), col("_sec"))
+        .agg(sort_array(collect_list(struct(col(Start), col(End), col("_v")))).as("_items"),
+          sum(col(End) - col(Start)).as("_nb"), min(col("_v")).as("_mn"),
+          max(col("_v")).as("_mx"),
+          sum(col("_v") * (col(End) - col(Start))).as("_sd"),
+          sum(col("_v") * col("_v") * (col(End) - col(Start))).as("_sq"))
+        .join(broadcast(cidDf), Seq(Chrom))
+        .select(col("_cid"), col("_sec"),
+          compressSection(col("_cid"), col("_items")).as("_blk"),
+          col("_nb"), col("_mn"), col("_mx"), col("_sd"), col("_sq"))
+        .orderBy(col("_cid"), col("_sec"))
+        .toLocalIterator() // stream: driver holds ONE PARTITION's compressed
+                           // sections at a time (toLocalIterator runs one job
+                           // per partition and buffers that partition), not
+                           // the whole file — orderBy range-partitions the
+                           // plan and partitions are fetched in order, so
+                           // write order is preserved with driver memory
+                           // bounded by the largest partition (the r3
+                           // collect() materialized the entire payload)
+      var nBases = 0L
+      var minV = Double.PositiveInfinity
+      var maxV = Double.NegativeInfinity
+      var sumData = 0.0
+      var sumSq = 0.0
+      sections.forEachRemaining { r =>
+        val cid = r.getInt(0)
+        val blk = r.getStruct(2)
+        val z = blk.getAs[Array[Byte]](0)
+        val off = out.getFilePointer
+        out.write(z)
+        leaves += ((cid, blk.getLong(1), cid, blk.getLong(2), off, z.length.toLong))
+        nBases += r.getLong(3)
+        minV = math.min(minV, r.getDouble(4))
+        maxV = math.max(maxV, r.getDouble(5))
+        sumData += r.getDouble(6)
+        sumSq += r.getDouble(7)
       }
-      out.write(root.array())
-      groups.foreach { g =>
-        val node = leBuf(new Array[Byte](4 + 32 * g.size))
-        node.put(1.toByte).put(0.toByte).putShort(g.size.toShort)
-        g.foreach { case (sc, sb, ec, eb, off, size) =>
+
+      // ---- R-tree index (root + one leaf level; blockSize sized so two
+      // levels always suffice: ceil(sqrt(n)) children per node) ----
+      val fullIndexOff = out.getFilePointer
+      val n = leaves.size
+      val blockSize = math.max(256, math.ceil(math.sqrt(math.max(n, 1))).toInt)
+      val groups = leaves.grouped(blockSize).toArray
+      val rtHead = leBuf(new Array[Byte](48))
+      val (sCx, sB, eCx, eB) =
+        if (n == 0) (0, 0L, 0, 0L)
+        else (leaves.head._1, leaves.head._2, leaves.last._3, leaves.map(_._4).max)
+      rtHead.putInt(RTreeMagic).putInt(blockSize).putLong(n.toLong)
+        .putInt(sCx).putInt(sB.toInt).putInt(eCx).putInt(eB.toInt)
+        .putLong(fullIndexOff).putInt(itemsPerSlot).putInt(0)
+      out.write(rtHead.array())
+      if (groups.length <= 1) {
+        // single leaf node
+        val node = leBuf(new Array[Byte](4 + 32 * n))
+        node.put(1.toByte).put(0.toByte).putShort(n.toShort)
+        leaves.foreach { case (sc, sb, ec, eb, off, size) =>
           node.putInt(sc).putInt(sb.toInt).putInt(ec).putInt(eb.toInt)
             .putLong(off).putLong(size)
         }
         out.write(node.array())
+      } else {
+        // root internal node, then leaf nodes
+        val rootBytes = 4 + 24 * groups.length
+        val rootOff = out.getFilePointer
+        var leafOff = rootOff + rootBytes
+        val root = leBuf(new Array[Byte](rootBytes))
+        root.put(0.toByte).put(0.toByte).putShort(groups.length.toShort)
+        groups.foreach { g =>
+          root.putInt(g.head._1).putInt(g.head._2.toInt)
+            .putInt(g.last._3).putInt(g.map(_._4).max.toInt).putLong(leafOff)
+          leafOff += 4 + 32 * g.size
+        }
+        out.write(root.array())
+        groups.foreach { g =>
+          val node = leBuf(new Array[Byte](4 + 32 * g.size))
+          node.put(1.toByte).put(0.toByte).putShort(g.size.toShort)
+          g.foreach { case (sc, sb, ec, eb, off, size) =>
+            node.putInt(sc).putInt(sb.toInt).putInt(ec).putInt(eb.toInt)
+              .putLong(off).putLong(size)
+          }
+          out.write(node.array())
+        }
       }
-    }
 
-    // ---- backpatch header + summary + section count ----
-    val head = leBuf(new Array[Byte](64 + 40))
-    head.putInt(BigWigMagic).putShort(4.toShort).putShort(0.toShort)
-      .putLong(chromTreeOff).putLong(fullDataOff).putLong(fullIndexOff)
-      .putShort(0.toShort).putShort(0.toShort).putLong(0L)
-      .putLong(64L) // totalSummaryOffset (immediately after header)
-      .putInt(24 + 12 * itemsPerSlot) // uncompressBufSize
-      .putLong(0L)
-    head.putLong(nBases)
-    if (n == 0) { head.putDouble(0).putDouble(0).putDouble(0).putDouble(0) }
-    else head.putDouble(minV).putDouble(maxV).putDouble(sumData).putDouble(sumSq)
-    out.seek(0)
-    out.write(head.array())
-    out.seek(fullDataOff)
-    val cnt = leBuf(new Array[Byte](8)).putLong(n.toLong)
-    out.write(cnt.array())
-    out.close()
+      // ---- backpatch header + summary + section count ----
+      val head = leBuf(new Array[Byte](64 + 40))
+      head.putInt(BigWigMagic).putShort(4.toShort).putShort(0.toShort)
+        .putLong(chromTreeOff).putLong(fullDataOff).putLong(fullIndexOff)
+        .putShort(0.toShort).putShort(0.toShort).putLong(0L)
+        .putLong(64L) // totalSummaryOffset (immediately after header)
+        .putInt(24 + 12 * itemsPerSlot) // uncompressBufSize
+        .putLong(0L)
+      head.putLong(nBases)
+      if (n == 0) { head.putDouble(0).putDouble(0).putDouble(0).putDouble(0) }
+      else head.putDouble(minV).putDouble(maxV).putDouble(sumData).putDouble(sumSq)
+      out.seek(0)
+      out.write(head.array())
+      out.seek(fullDataOff)
+      val cnt = leBuf(new Array[Byte](8)).putLong(n.toLong)
+      out.write(cnt.array())
+      ok = true
+    } finally {
+      if (out != null) {
+        try out.close() catch { case scala.util.control.NonFatal(_) => () }
+      }
+      typed.unpersist()
+      if (!ok) new java.io.File(path).delete()
+    }
   }
 }

@@ -30,10 +30,23 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
   import Cols.{Start, End}
 
+  /** Session conf key overriding the default genomic bin width. */
+  val BinSizeKey = "spark.graft.join.binSize"
+
   /** Default genomic bin width. Tune toward the typical interval length:
     * too large makes per-bin candidate sets quadratic, too small explodes
-    * long intervals into many bins. Overridable per call. */
-  var defaultBinSize: Long = 256
+    * long intervals into many bins. Read per call from the active
+    * session's conf ([[BinSizeKey]], fallback 256) — no mutable global,
+    * so concurrent sessions can't race each other's setting; still
+    * overridable per call via each operator's `binSize` parameter.
+    * 256 vs autoBinSize on the benchmark corpus (interval len 1..~2500,
+    * mean ~210 → auto picks 1024): measured equal within noise on
+    * q12/q14/q15 (see BASELINE.md "bin size" table), so the smaller
+    * constant stays — it keeps per-bin candidate sets smaller on the
+    * short-interval majority. */
+  def defaultBinSize: Long =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(BinSizeKey, "256").toLong
 
   /** Statistics-driven bin width (the adaptive path promised in SURVEY
     * §4.3): one bounded sample job estimates the mean interval length of

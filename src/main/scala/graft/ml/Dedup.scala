@@ -105,18 +105,21 @@ object Dedup {
                          idCol: String = "doc_id", numHashes: Int = 4,
                          bandSize: Int = 1, shingleK: Int = 3,
                          minJaccardPct: Int = 50): DataFrame = {
-    // Persist shared intermediates only when the corpus is big enough
-    // that recomputing the tokenize+shingle scan 3x costs more than the
-    // memory round-trip: below the threshold the persists just pin
-    // partition layouts (defeating AQE coalescing) and add stage
+    // Persist the shared shingle table only when the corpus is big
+    // enough that recomputing the tokenize+shingle scan 3x costs more
+    // than the memory round-trip: below the threshold the persist just
+    // pins partition layouts (defeating AQE coalescing) and adds stage
     // boundaries — a 5x slowdown on small inputs at high core counts.
-    val big = docs.queryExecution.optimizedPlan.stats.sizeInBytes > (64L << 20)
-    def reuse(df: DataFrame): DataFrame =
-      if (big) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
-    val dsh = reuse(docs.select(col(idCol),
-        explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
-      .distinct())
+    // Gated on LEAF scan bytes (Sizing), not the derived-plan estimate,
+    // which swings 2-5x with projection width (round-2 reconciliation).
+    val big = graft.core.Sizing.decide("nearDupShingles", 64L << 20, docs)
+    val dsh = {
+      val d = docs.select(col(idCol),
+          explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
+        .distinct()
+      if (big) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d
+    }
     // one groupBy yields signature AND set size; the band self-join then
     // carries both sides' sizes through, so only the intersection count
     // needs another join against the shingle table.
@@ -133,20 +136,27 @@ object Dedup {
       .select(col(idCol), col("ns"), col("_b.band"), col("_b.bh"))
     val l = exploded.alias("l")
     val r = exploded.alias("r")
-    // cand feeds both the intersection join and the final assembly —
-    // persist so the band self-join runs once, not twice.
-    val cand = reuse(l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+    val cand = l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
         col("l.ns").as("nsa"), col("r.ns").as("nsb"))
-      .distinct())
-    val inter = cand.select("a", "b")
+      .distinct()
+    // Single aggregated intersect join: nsa/nsb RIDE THROUGH the shingle
+    // joins and the final groupBy recovers them with min() — no persist
+    // of cand, no re-join of cand against the intersection counts (the
+    // r3 plan scanned the band self-join output twice and left-joined it
+    // back). The inner join loses no pairs: an LSH candidate always
+    // shares >= 1 shingle, because an equal band hash means an equal
+    // seeded-md5 minimum, which is the hash of the SAME shingle string
+    // on both sides barring an md5 collision.
+    cand
       .join(dsh.select(col(idCol).as("a"), col("sh")), Seq("a"))
       .join(dsh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
-    cand.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("ni"))
-      .select(col("a"), col("b"), col("ni").as("n_intersect"),
-        (col("nsa") + col("nsb") - col("ni")).as("n_union"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_intersect"),
+        min(col("nsa")).as("nsa"), min(col("nsb")).as("nsb"))
+      .select(col("a"), col("b"), col("n_intersect"),
+        (col("nsa") + col("nsb") - col("n_intersect")).as("n_union"))
       .filter(col("n_intersect") * 100 >= col("n_union") * minJaccardPct)
   }
 

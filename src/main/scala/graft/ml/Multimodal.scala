@@ -24,17 +24,61 @@ object Multimodal {
   case class MediaFeature(media_id: Long, feature: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, payload: Array[Byte])
 
-  /** Attach a typed metadata struct parsed from the payload header.
-    * STUB: header fields are derived from payload bytes arithmetically
-    * (a real impl reads magic numbers / container headers). */
+  /** Big-endian unsigned int read from a binary column (1-based byte
+    * offset), as pure column arithmetic: hex of the slice, parsed base-16.
+    * Codegen'd end to end — no UDF. */
+  private def beInt(p: Column, off1: Int, len: Int): Column =
+    conv(hex(substring(p, off1, len)), 16, 10).cast("long")
+
+  /** Little-endian unsigned int: per-byte hex slices concatenated in
+    * reverse significance order, parsed base-16. */
+  private def leInt(p: Column, off1: Int, len: Int): Column =
+    conv(concat((0 until len).reverse.map(i =>
+      hex(substring(p, off1 + i, 1))): _*), 16, 10).cast("long")
+
+  /** Attach a typed metadata struct parsed from REAL container headers —
+    * pure column expressions over the leading bytes, whole-stage-codegen
+    * friendly (no UDF, no decode):
+    *   - PNG: IHDR width/height, 4-byte big-endian at offsets 16/20
+    *   - BMP: BITMAPINFOHEADER width/height, 4-byte little-endian at
+    *     18/22 (signed — negative height means top-down; the int cast
+    *     preserves the sign bit)
+    *   - GIF: logical screen descriptor width/height, 2-byte LE at 6/8
+    *   - WAV: fmt chunk — width:=sample rate (4 LE at 24), height:=
+    *     channels (2 LE at 22); a container with no pixel grid reports
+    *     its own natural "dimensions"
+    *   - JPEG: format only, -1 dims (SOF frame headers sit at variable
+    *     offsets behind a segment walk — use decodeImageInfo for dims)
+    * Unknown/truncated payloads degrade to (-1, -1), never error. */
   def withMediaMeta(df: DataFrame, blobCol: String = "payload",
                     metaCol: String = "meta"): DataFrame = {
-    val nb = length(col(blobCol)).cast("long")
+    val p = col(blobCol)
+    val nb = length(p).cast("long")
+    val isPng = hex(substring(p, 1, 8)) === "89504E470D0A1A0A"
+    val isBmp = hex(substring(p, 1, 2)) === "424D"
+    val isGif = hex(substring(p, 1, 3)) === "474946"
+    val isJpeg = hex(substring(p, 1, 2)) === "FFD8"
+    val isWav = hex(substring(p, 1, 4)) === "52494646" &&
+      hex(substring(p, 9, 4)) === "57415645" &&
+      hex(substring(p, 13, 4)) === "666D7420"
+    val width =
+      when(isPng && nb >= 24, beInt(p, 17, 4))
+        .when(isBmp && nb >= 26, leInt(p, 19, 4))
+        .when(isGif && nb >= 10, leInt(p, 7, 2))
+        .when(isWav && nb >= 28, leInt(p, 25, 4))
+        .otherwise(lit(-1L))
+    val height =
+      when(isPng && nb >= 24, beInt(p, 21, 4))
+        .when(isBmp && nb >= 26, leInt(p, 23, 4))
+        .when(isGif && nb >= 10, leInt(p, 9, 2))
+        .when(isWav && nb >= 24, leInt(p, 23, 2))
+        .otherwise(lit(-1L))
     df.withColumn(metaCol, struct(
-      when(pmod(nb, lit(3)) === 0, "png")
-        .when(pmod(nb, lit(3)) === 1, "jpeg").otherwise("webp").as("format"),
-      (pmod(nb, lit(640)) + 1).cast("int").as("width"),
-      (pmod(nb, lit(480)) + 1).cast("int").as("height"),
+      when(isPng, "png").when(isBmp, "bmp").when(isGif, "gif")
+        .when(isWav, "wav").when(isJpeg, "jpeg")
+        .otherwise("unknown").as("format"),
+      width.cast("int").as("width"),
+      height.cast("int").as("height"),
       nb.as("nBytes")))
   }
 
@@ -81,8 +125,9 @@ object Multimodal {
   case class ImageInfo(media_id: Long, format: String, width: Int,
                        height: Int, px_sum: Long, px_weighted: Long)
 
-  /** Detect the container from magic bytes (real header sniffing, unlike
-    * the withMediaMeta stub). */
+  /** Detect the container from magic bytes (JVM-side twin of the
+    * column-expression sniff in withMediaMeta, for mapPartitions
+    * kernels). */
   def sniffFormat(bytes: Array[Byte]): String =
     if (bytes == null || bytes.length < 4) "unknown"
     else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&

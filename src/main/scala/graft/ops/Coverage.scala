@@ -164,14 +164,14 @@ object Coverage {
     grouped.groupBy(k :+ col("_gid"): _*)
       .agg(min(col(Start)).as(Start), max(col(End)).as(End),
         min(col("score_a")).as("_a"), min(col("score_b")).as("_b"))
-      // codegen'd long gcd; the quotients are exact (g divides both and
-      // depths are far below 2^53, so the double division cast is exact)
+      // codegen'd long gcd; integer DIV keeps the quotient exact at any
+      // magnitude (no double round-trip, which loses bits above 2^53)
       .withColumn("_g", graft.expr.Exprs.gcd_long(col("_a"), col("_b")))
       .select(k ++ Seq(col(Start), col(End),
         when(col("_g") === 0, col("_a"))
-          .otherwise((col("_a") / col("_g")).cast("long")).as("score_a"),
+          .otherwise(expr("_a div _g")).as("score_a"),
         when(col("_g") === 0, col("_b"))
-          .otherwise((col("_b") / col("_g")).cast("long")).as("score_b")): _*)
+          .otherwise(expr("_b div _g")).as("score_b")): _*)
   }
 
   /** rleBinary via the two-phase distributed prefix sum (same structure

@@ -132,4 +132,40 @@ class GenomicFrameSpec extends AnyFunSuite {
     val many = mk((1 to 20).map(i => ("chr1", "+", i.toLong, i + 5L)): _*)
     assert(many.repr(maxRows = 8).contains("..."))
   }
+
+  test("repr goldens replay the reference constructor doctests") {
+    // inputs from the reference's PyRanges constructor doctests
+    // (core/pyranges_main.py:120-146); the layout is the repo's documented
+    // deviation (no pandas index column / pipe rail, truncation row
+    // instead of a sorted tail) but the semantic content — header row,
+    // dtype row, dash rule, cell values, rows/columns footer,
+    // chromosome/strand count line — is pinned exactly. Trailing pad
+    // spaces are stripped per line so the goldens stay readable.
+    import spark.implicits._
+    def norm(s: String): String =
+      s.linesIterator.map(_.replaceAll("\\s+$", "")).mkString("\n")
+
+    val g1 = Seq(("chr1", 100L, 150L), ("chr2", 200L, 201L))
+      .toDF(Chrom, Start, End)
+    assert(norm(graft.core.ToStringRepr.tostring(g1)) ==
+      """Chromosome  Start  End
+        |str         int64  int64
+        |----------  -----  -----
+        |chr1        100    150
+        |chr2        200    201
+        |GenomicFrame with 2 rows and 3 columns.
+        |Contains 2 chromosomes.""".stripMargin)
+
+    val g2 = Seq((1L, "+", 1L, 2L, 0L, 12L, 10L, 2L),
+        (1L, "-", 4L, 27L, 1L, 11L, 9L, 3L))
+      .toDF(Chrom, Strand, Start, End, "TP", "FP", "TN", "FN")
+    assert(norm(graft.core.ToStringRepr.tostring(g2)) ==
+      """Chromosome  Strand  Start  End    TP     FP     TN     FN
+        |int64       str     int64  int64  int64  int64  int64  int64
+        |----------  ------  -----  -----  -----  -----  -----  -----
+        |1           +       1      2      0      12     10     2
+        |1           -       4      27     1      11     9      3
+        |GenomicFrame with 2 rows and 8 columns.
+        |Contains 1 chromosomes and 2 strands.""".stripMargin)
+  }
 }

@@ -188,6 +188,45 @@ class IoSpec extends AnyFunSuite {
     assert(compressed && blocks.size == 10) // ceil(24/4) + ceil(13/4)
   }
 
+  test("native bigWig writer streams >1000 sections per chrom through a two-level R-tree") {
+    // pins the toLocalIterator streaming path (vs a regression to
+    // collect) at a section count that forces the root+leaf R-tree
+    // layout and >1 output partition on the sorted section plan
+    val d = tmp("bws")
+    import spark.implicits._
+    val rows = (0 until 1100).map(i =>
+      ("chr7", i * 5L, i * 5L + 3L, (i % 7).toDouble)) ++
+      (0 until 50).map(i => ("chr11", i * 9L, i * 9L + 4L, i.toDouble))
+    val df = rows.toDF(Chrom, Start, End, "Value").repartition(8)
+    graft.io.BigWig.writeBigwig(df, s"$d/big.bw", itemsPerSlot = 1)
+    val back = graft.io.BigWig.readBigwig(spark, s"$d/big.bw")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(back == rows.toSet)
+    val (chroms, compressed, blocks) = {
+      val m = graft.io.BigWig.getClass.getDeclaredMethod("readIndex", classOf[String])
+      m.setAccessible(true)
+      m.invoke(graft.io.BigWig, s"$d/big.bw")
+        .asInstanceOf[(Map[Int, String], Boolean, Seq[(Long, Long)])]
+    }
+    assert(compressed && blocks.size == 1150) // one section per row
+    assert(chroms.values.toSet == Set("chr7", "chr11"))
+  }
+
+  test("bigWig writer deletes the partial file when a stage fails mid-write") {
+    // u32-overflow coordinate fires the section UDF's require during the
+    // streamed write; the try/finally must close the handle, unpersist,
+    // and remove the truncated .bw
+    val d = tmp("bwf")
+    import spark.implicits._
+    val bad = Seq(("chr1", 5L, 0x100000005L, 1.0)).toDF(Chrom, Start, End, "Value")
+    intercept[Exception] {
+      graft.io.BigWig.writeBigwig(bad, s"$d/bad.bw",
+        chromSizes = Map("chr1" -> 1000L))
+    }
+    assert(!new java.io.File(s"$d/bad.bw").exists)
+  }
+
   test("native bigWig writer: single-row and empty-table edges") {
     val d = tmp("bwe")
     import spark.implicits._

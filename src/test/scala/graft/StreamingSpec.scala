@@ -156,6 +156,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(4L) == (("png", -1, -1, -1L, -1L)))
   }
 
+  test("withMediaMeta parses real container headers via column expressions") {
+    import spark.implicits._
+    // hand-built GIF89a logical screen descriptor: 300x77, LE shorts
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte]((300 & 0xff).toByte, (300 >> 8).toByte, 77, 0, 0, 0, 0)
+    val rows = Seq(
+      (1L, Multimodal.encodeBmp(640, 3, (_, _) => (1, 2, 3))),
+      (2L, Multimodal.encodePng(19, 1000, (_, _) => (0, 0, 0))),
+      (3L, gif),
+      (4L, Multimodal.encodeWav(44100, 2, Array.tabulate[Short](8)(_.toShort))),
+      (5L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)),
+      (6L, "just some text bytes".getBytes),
+      (7L, Multimodal.encodePng(19, 1000, (_, _) => (0, 0, 0)).take(12)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.withMediaMeta(rows)
+      .select(col("media_id"), col("meta.format"), col("meta.width"),
+        col("meta.height")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got(1L) == (("bmp", 640, 3)))
+    assert(got(2L) == (("png", 19, 1000)))
+    assert(got(3L) == (("gif", 300, 77)))
+    assert(got(4L) == (("wav", 44100, 2)))   // width:=rate, height:=channels
+    assert(got(5L) == (("jpeg", -1, -1)))    // format only; dims need a SOF walk
+    assert(got(6L) == (("unknown", -1, -1)))
+    assert(got(7L) == (("png", -1, -1)))     // truncated header degrades, no error
+  }
+
   test("real WAV decode recovers format, frame count, and sample checksums") {
     import spark.implicits._
     // stereo, 5 frames -> 10 interleaved samples with known values
