@@ -31,4 +31,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench suite (e.g. 2.7s isolated vs 7.4s in-suite); 24g removes it.
   // The host grants 128 GiB; override with SPARK_DRIVER_MEM if smaller.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_BINSIZE")
+  .map(b => s"-Dspark.graft.join.binSize=$b").toSeq

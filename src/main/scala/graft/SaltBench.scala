@@ -21,23 +21,42 @@ object SaltBench {
 
   /** Deterministic hot-key explosion of `gr`. Each source row becomes
     * `factor` copies; even copy-indices land on chromosome "A" (the hot
-    * key), odd ones keep their source chromosome; starts are spread by a
-    * prime stride so the copies neither collapse into duplicates nor
-    * stay compressible enough for parquet to erase the size. */
+    * key), odd ones keep their source chromosome; starts scale out to a
+    * chromosome-realistic ~240M coordinate span (orderkey*400 + a prime
+    * stride per copy) so mega-bin salting has real bins to fan out over
+    * — the first harness draft kept gr's ~1M span and handed mergeSalted
+    * all of two 1M-wide bins. */
   def hotKeyTable(s: SparkSession, sfDir: String, factor: Int): DataFrame = {
     val base = Tables.gr(s, sfDir)
     base.withColumn("_k", explode(sequence(lit(0L), lit(factor - 1L))))
-      .withColumn(RowId, col(RowId) * factor + col("_k"))
+      // gr's packed row_id is already ~2^60, so id*factor overflows a
+      // long — a 64-bit hash of (id, copy) keeps the tie-break key
+      // deterministic and collision-free in practice at 36M rows
+      .withColumn(RowId, xxhash64(col(RowId), col("_k")))
       .withColumn(Chrom, when(col("_k") % 2 === 0, lit("A")).otherwise(col(Chrom)))
-      .withColumn(Start, col(Start) + (col("_k") * 6151L) % 997331L)
-      .withColumn(End, col(Start) + (col(End) - col(Start)) % 5000L + 1L)
-      .drop("_k")
+      // length BEFORE start is rewritten — withColumn(Start,...) replaces
+      // the column, so a later End-Start would see the scaled Start
+      .withColumn("_len", (col(End) - col(Start)) % 5000L + 1L)
+      .withColumn(Start, col(Start) * 400L + (col("_k") * 6151L) % 997331L)
+      .withColumn(End, col(Start) + col("_len"))
+      .drop("_k", "_len")
   }
 
-  private def time[T](reps: Int)(body: => T): Double =
+  /** Evaluate every output column (xxhash64 over the full row, summed):
+    * a bare count() lets Catalyst PRUNE the very window/aggregate columns
+    * under test — the first harness draft timed a cumsum whose cumsum
+    * had been optimized away. */
+  private def force(df: DataFrame): Unit = {
+    // bit_xor, not sum: summing 36M pseudo-random longs overflows under
+    // ANSI arithmetic
+    val h = xxhash64(df.columns.map(col): _*)
+    df.select(bit_xor(h)).head()
+  }
+
+  private def time(reps: Int)(body: => DataFrame): Double =
     (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      body
+      force(body)
       (System.nanoTime() - t0) / 1e9
     }.min
 
@@ -76,28 +95,32 @@ object SaltBench {
 
     // merge: plain single window vs mega-bin split + two-level merge
     report("merge",
-      time(reps)(graft.ops.UnaryOps.merge(df, Seq(Chrom)).count()),
-      time(reps)(graft.ops.UnaryOps.mergeSalted(df, Seq(Chrom)).count()))
+      time(reps)(graft.ops.UnaryOps.merge(df, Seq(Chrom))),
+      time(reps)(graft.ops.UnaryOps.mergeSalted(df, Seq(Chrom))))
 
     // group_cumsum: per-key running sum, row_id tie-break for total order
     report("cumsum",
       time(reps)(graft.ops.UnaryOps.groupCumsumPlain(df, Seq(Chrom),
-        tieBreak = Seq(col(RowId))).count()),
+        tieBreak = Seq(col(RowId)))),
       time(reps)(graft.ops.UnaryOps.groupCumsumSalted(df, Seq(Chrom),
-        tieBreak = Seq(col(RowId))).count()))
+        tieBreak = Seq(col(RowId)))))
 
     // to_rle: depth runs per key
     report("rle",
-      time(reps)(graft.ops.Coverage.toRlePlain(df, Seq(Chrom)).count()),
-      time(reps)(graft.ops.Coverage.toRleSalted(df, Seq(Chrom)).count()))
+      time(reps)(graft.ops.Coverage.toRlePlain(df, Seq(Chrom))),
+      time(reps)(graft.ops.Coverage.toRleSalted(df, Seq(Chrom))))
 
     // nearest (k=1, overlaps excluded to hit the sweep path on both sides)
     val right = Tables.gr2(spark, sfDir)
+      .withColumn("_len", (col(End) - col(Start)) % 5000L + 1L)
+      .withColumn(Start, col(Start) * 400L)
+      .withColumn(End, col(Start) + col("_len"))
+      .drop("_len")
     report("nearest",
       time(reps)(graft.ops.NearestK.nearestK(df, right, Seq(Chrom), 1,
-        excludeOverlaps = true, saltedHint = Some(false)).count()),
+        excludeOverlaps = true, saltedHint = Some(false))),
       time(reps)(graft.ops.NearestK.nearestK(df, right, Seq(Chrom), 1,
-        excludeOverlaps = true, saltedHint = Some(true)).count()))
+        excludeOverlaps = true, saltedHint = Some(true))))
 
     spark.stop()
   }

@@ -21,20 +21,22 @@ import org.apache.spark.sql.DataFrame
 object Sizing {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Above this leaf-bytes sum the per-key window sweeps (cumsum, RLE)
-    * switch to salted two-phase plans. Crossover rationale: the failure
-    * mode being prevented is one hot key serializing into a single
-    * task's sort; a ~256 MB key (~5M rows) single-task-sorts in seconds,
-    * while the salted plan's fixed cost is ~2 extra exchanges — below
-    * this the plain window wins on stage count (measured at
-    * local[32]/sf0.1: salting 13 MB inputs was 2-6x SLOWER end-to-end;
-    * BASELINE.md round-2 rows). */
-  val saltedInputThreshold: Long = 256L << 20
+  /** Above this leaf-bytes sum the per-key window sweeps (merge, cumsum,
+    * RLE) switch to salted two-phase plans. MEASURED crossover
+    * (graft.SaltBench, local[32], hot-key table with one chromosome
+    * holding ~2/3 of rows over a ~240 MB-coordinate span — BASELINE.md
+    * "salted crossover" table): salted wins 1.3-2.2x at 43 MB,
+    * 2.0-2.9x at 158 MB, 3.6-4.9x at 627 MB; plain won 2-6x at the
+    * natural sf0.1 shape (13-17 MB, round-2 rows). 32 MB sits in the
+    * measured bracket (17, 43) and keeps every sf0.1 bench input
+    * (<= 14 MB leaf bytes) on the plain path it measured fastest on. */
+  val saltedInputThreshold: Long = 32L << 20
 
-  /** Higher bar for the mapPartitions sweeps (nearest): their per-row
-    * cost is a single comparison, so per-key serialization only hurts
-    * once keys carry ~GBs each. */
-  val saltedSweepThreshold: Long = 1024L << 20
+  /** Same bar for the window-scan nearest sweep: the round-3 guess of
+    * 1 GB ("per-row cost is a single comparison") measured WRONG —
+    * salted nearest wins 1.97x already at 43 MB and 2.1x at 627 MB on
+    * the hot-key table, so the sweep follows the same 32 MB crossover. */
+  val saltedSweepThreshold: Long = 32L << 20
 
   /** Last auto-switch decision: (operator, leafBytes, wentSalted).
     * Test/debug observability only. */

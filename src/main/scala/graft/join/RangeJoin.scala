@@ -39,11 +39,12 @@ object RangeJoin {
     * session's conf ([[BinSizeKey]], fallback 256) — no mutable global,
     * so concurrent sessions can't race each other's setting; still
     * overridable per call via each operator's `binSize` parameter.
-    * 256 vs autoBinSize on the benchmark corpus (interval len 1..~2500,
-    * mean ~210 → auto picks 1024): measured equal within noise on
-    * q12/q14/q15 (see BASELINE.md "bin size" table), so the smaller
-    * constant stays — it keeps per-bin candidate sets smaller on the
-    * short-interval majority. */
+    * The 256 default IS the statistics-driven choice for the benchmark
+    * corpus: autoBinSize's rule (next power of four >= 4x mean interval
+    * length) lands on 256 for gr/gr2 (mean length ~26), and the round-5
+    * A/B measured 256 beating 1024 by 2.5-2.8x on q12/q14/q15
+    * (BASELINE.md "bin size" table) — a 1024 bin quadruples per-bin
+    * candidate sets on short intervals. */
   def defaultBinSize: Long =
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString(BinSizeKey, "256").toLong

@@ -43,7 +43,8 @@ object BinaryOps {
                    joinType: String = "inner", multiple: String = "all",
                    slack: Long = 0, suffix: String = "_b",
                    reportOverlapCol: Option[String] = None,
-                   contained: Boolean = false, binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
+                   contained: Boolean = false, binSize: Long = graft.join.RangeJoin.defaultBinSize,
+                   packedPick: Boolean = false): DataFrame = {
     val rs = Start + suffix
     val re = End + suffix
     var p = RangeJoin.pairs(left, right, keys, slack, binSize, suffix, contained)
@@ -75,9 +76,35 @@ object BinaryOps {
         d.withColumn(c, col(s"_m.$c"))).drop("_m")
       unpacked.select(p.columns.map(col): _*)
     }
+    // Packed alternative to pickOne: fold the (Start_b, End_b) ordering
+    // into ONE long — (Start_b << 32) | End_b is the exact lexicographic
+    // order for u32 interval coordinates with Start_b < 2^31 (any
+    // genomic assembly; bigWig pins the same invariant) — so the
+    // per-left-row pick becomes min_by(row_id_b, packedLong): a
+    // fixed-width two-long buffer that HASH-aggregates with map-side
+    // partial combine (the pair set shrinks to one row per left row
+    // BEFORE the shuffle; min_by over the full-row struct payload falls
+    // back to SortAggregate and map-side-sorts every pair). The winner
+    // row is recovered by re-joining the (never exploded) inputs on
+    // their unique row ids. Exact when (Start_b, End_b) is unique per
+    // (keys) on the right side — deeper ties are broken by whichever
+    // row_id the combine saw, vs pickOne's full-column tie-break — so
+    // callers opt in where that holds (q52: right starts are unique).
+    def pickOnePacked(minimize: Boolean): DataFrame = {
+      val rId = RowId + suffix
+      val pack0 = shiftleft(col(rs), 32) + col(re)
+      val ord = if (minimize) pack0 else -pack0
+      val winners = p.select(col(RowId), col(rId), ord.as("_ord"))
+        .groupBy(col(RowId)).agg(min_by(col(rId), col("_ord")).as(rId))
+      val r0 = RangeJoin.suffixRight(left, right, suffix)
+      winners.join(left, Seq(RowId)).join(r0, Seq(rId))
+        .select(p.columns.map(col): _*)
+    }
     multiple match {
-      case "first" => p = pickOne(minimize = true)
-      case "last"  => p = pickOne(minimize = false)
+      case "first" => p = if (packedPick) pickOnePacked(minimize = true)
+                          else pickOne(minimize = true)
+      case "last"  => p = if (packedPick) pickOnePacked(minimize = false)
+                          else pickOne(minimize = false)
       case _       => ()
     }
     p = reportOverlapCol.fold(p)(c => p.withColumn(c,

@@ -351,6 +351,26 @@ class OpsSpec extends AnyFunSuite {
     assert(j.count() == 1 && j.select(Start + "_b").collect().head.getLong(0) == 10L)
   }
 
+  test("packedPick equals the min_by pick for first AND last (unique right starts)") {
+    // gr2-shaped right side: unique starts per key, so both strategies
+    // must agree row-for-row; exercises multiple left rows, multiple
+    // keys, and rows with a single match
+    val l = gf(("c", 0, 100), ("c", 55, 75), ("d", 5, 9), ("c", 200, 300))
+    val r = gf(("c", 50, 60), ("c", 10, 20), ("c", 70, 80), ("d", 0, 7),
+      ("c", 250, 260))
+    def canon(df: DataFrame): Set[(String, Long, Long, Long, Long)] =
+      df.select(Chrom, Start, End, Start + "_b", End + "_b").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+          x.getLong(3), x.getLong(4))).toSet
+    for (m <- Seq("first", "last")) {
+      val plain = BinaryOps.joinOverlaps(l, r, Seq(Chrom), multiple = m)
+      val packed = BinaryOps.joinOverlaps(l, r, Seq(Chrom), multiple = m,
+        packedPick = true)
+      assert(packed.columns.toSeq == plain.columns.toSeq)
+      assert(canon(packed) == canon(plain), s"multiple=$m diverged")
+    }
+  }
+
   // RangeJoin binning: pairs must be unique even when intervals span
   // many bins (the greatest-start-bin dedup trick).
   test("rangeJoin emits each overlapping pair exactly once across bins") {

@@ -95,6 +95,35 @@ class PlanContractSpec extends AnyFunSuite {
     assert(narrow == wide, s"leaf bytes moved with projection: $narrow vs $wide")
   }
 
+  test("salted auto-switch FIRES above the 256 MB leaf-bytes threshold") {
+    // spark.range leaves report 8 bytes/row in plan stats without any
+    // I/O, so the >=256 MB firing condition is assertable instantly; the
+    // measured plain-vs-salted timings at such sizes live in BASELINE.md
+    // ("salted crossover" table, from graft.SaltBench).
+    import spark.implicits._
+    val big = spark.range(40L << 20) // 40M rows * 8 B = 320 MB of leaf stats
+      .select(col("id").as(RowId), lit("A").as(Chrom),
+        col("id").as(Start), (col("id") + 10).as(End))
+    assert(graft.core.Sizing.decide("spec/fire",
+      graft.core.Sizing.saltedInputThreshold, big))
+    val (op, bytes, salted) = graft.core.Sizing.lastDecision.get()
+    assert(op == "spec/fire" && salted &&
+      bytes > graft.core.Sizing.saltedInputThreshold)
+    // and the real operator dispatch takes the salted branch there:
+    // groupCumsum's gate reads the same leaf bytes
+    graft.ops.UnaryOps.groupCumsum(big, Seq(Chrom),
+      tieBreak = Seq(col(RowId)))
+    assert(graft.core.Sizing.lastDecision.get()._3,
+      "groupCumsum must dispatch salted at 320 MB leaf bytes")
+    // below the threshold the same shape stays plain
+    val small = spark.range(1L << 20)
+      .select(col("id").as(RowId), lit("A").as(Chrom),
+        col("id").as(Start), (col("id") + 10).as(End))
+    graft.ops.UnaryOps.groupCumsum(small, Seq(Chrom),
+      tieBreak = Seq(col(RowId)))
+    assert(!graft.core.Sizing.lastDecision.get()._3)
+  }
+
   test("plain nearest sweep plan: no cartesian, no nested loop join") {
     val plan = SparkEntry.queries("q42_nearest_k")(spark, dir)
       .queryExecution.executedPlan.toString
