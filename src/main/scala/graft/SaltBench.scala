@@ -95,20 +95,23 @@ object SaltBench {
 
     // merge: plain single window vs mega-bin split + two-level merge
     report("merge",
-      time(reps)(graft.ops.UnaryOps.merge(df, Seq(Chrom))),
-      time(reps)(graft.ops.UnaryOps.mergeSalted(df, Seq(Chrom))))
+      time(reps)(graft.ops.UnaryOps.mergePlain(df, Seq(Chrom))),
+      time(reps)(graft.ops.UnaryOps.mergeSalted(df, Seq(Chrom),
+        saltBin = graft.core.Sizing.autoSaltBin(df))))
 
     // group_cumsum: per-key running sum, row_id tie-break for total order
     report("cumsum",
       time(reps)(graft.ops.UnaryOps.groupCumsumPlain(df, Seq(Chrom),
         tieBreak = Seq(col(RowId)))),
       time(reps)(graft.ops.UnaryOps.groupCumsumSalted(df, Seq(Chrom),
-        tieBreak = Seq(col(RowId)))))
+        tieBreak = Seq(col(RowId)),
+        saltBin = graft.core.Sizing.autoSaltBin(df))))
 
     // to_rle: depth runs per key
     report("rle",
       time(reps)(graft.ops.Coverage.toRlePlain(df, Seq(Chrom))),
-      time(reps)(graft.ops.Coverage.toRleSalted(df, Seq(Chrom))))
+      time(reps)(graft.ops.Coverage.toRleSalted(df, Seq(Chrom),
+        saltBin = graft.core.Sizing.autoSaltBin(df))))
 
     // nearest (k=1, overlaps excluded to hit the sweep path on both sides)
     val right = Tables.gr2(spark, sfDir)

@@ -43,6 +43,36 @@ object Sizing {
   val lastDecision =
     new java.util.concurrent.atomic.AtomicReference[(String, Long, Boolean)]()
 
+  /** Sampled mega-bin width for the salted two-phase plans: aim for ~8
+    * bins per core over the observed coordinate span, rounded up in
+    * powers of two, clamped to [16384, 2^24]. Bounded `limit(sampleRows)`
+    * sample — one small single-stage job independent of table size (the
+    * RangeJoin.autoBinSize pattern), and it only runs once a salted gate
+    * has already fired on a large input. Guards the measured narrow-span
+    * failure mode: a fixed 1M-wide bin over a ~1M-coordinate span handed
+    * the salted merge two bins of parallelism and it LOST 0.78x at
+    * 609 MB (BASELINE.md "salted crossover" notes). */
+  def autoSaltBin(df: DataFrame, sampleRows: Int = 100000): Long = {
+    import org.apache.spark.sql.functions._
+    val r = df.select(col(Cols.Start).cast("long").as("_s"),
+        col(Cols.End).cast("long").as("_e"))
+      .limit(sampleRows)
+      .agg(min(col("_s")), max(col("_e"))).head()
+    val bin =
+      if (r.isNullAt(0)) 16384L
+      else {
+        val span = math.max(r.getLong(1) - r.getLong(0), 1L)
+        val cores = math.max(
+          df.sparkSession.sparkContext.defaultParallelism, 1)
+        val target = span / (8L * cores)
+        var b = 16384L
+        while (b < target && b < (1L << 24)) b *= 2
+        b
+      }
+    Sizing.log.info("[graft.sizing] autoSaltBin={}", bin)
+    bin
+  }
+
   /** Sum of leaf-relation size estimates across the given plans. */
   def leafScanBytes(dfs: DataFrame*): BigInt =
     dfs.map(_.queryExecution.optimizedPlan.collectLeaves()

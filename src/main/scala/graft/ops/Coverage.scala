@@ -32,7 +32,9 @@ object Coverage {
   def toRle(df: DataFrame, keys: Seq[String],
             valueCol: Option[String] = None,
             scoreCol: String = "Score"): DataFrame =
-    if (bigInput(df)) toRleSalted(df, keys, valueCol, scoreCol)
+    if (bigInput(df))
+      toRleSalted(df, keys, valueCol, scoreCol,
+        saltBin = graft.core.Sizing.autoSaltBin(df))
     else toRlePlain(df, keys, valueCol, scoreCol)
 
   def toRlePlain(df: DataFrame, keys: Seq[String],

@@ -143,10 +143,13 @@ object NearestK {
 
     val big = saltedHint.getOrElse(graft.core.Sizing.decide("nearestSweep",
       graft.core.Sizing.saltedSweepThreshold, left, right))
+    // span-sampled mega-bin for the salted sweep (same guard as merge:
+    // a fixed bin over a narrow coordinate domain strands parallelism)
+    val bin = if (big) graft.core.Sizing.autoSaltBin(left) else 16384L
     val lScan = scanAuto(union(left, right, keys, rightSide = false), k,
-      rightSide = false, big)
+      rightSide = false, big, bin)
     val rScan = scanAuto(union(left, right, keys, rightSide = true), k,
-      rightSide = true, big)
+      rightSide = true, big, bin)
     val ov =
       if (excludeOverlaps) None
       else Some(RangeJoin.pairs(left.select((keys :+ RowId :+ Start :+ End).map(col): _*),

@@ -46,7 +46,19 @@ object UnaryOps {
     * window (last-row-of-cluster trick) instead of a second groupBy.
     */
   def merge(df: DataFrame, keys: Seq[String], slack: Long = 0,
-            countCol: Option[String] = None): DataFrame = {
+            countCol: Option[String] = None): DataFrame =
+    // auto-dispatch to the salted two-phase plan above the measured
+    // 32 MB crossover (BASELINE.md "salted crossover": 1.9-4.9x wins
+    // from 43 MB up), with a span-sampled mega-bin so narrow coordinate
+    // domains still fan out. countCol pins the plain path: island
+    // member counts cannot be recovered from split pieces.
+    if (countCol.isEmpty && graft.core.Sizing.decide("merge",
+          graft.core.Sizing.saltedInputThreshold, df))
+      mergeSalted(df, keys, slack, graft.core.Sizing.autoSaltBin(df))
+    else mergePlain(df, keys, slack, countCol)
+
+  def mergePlain(df: DataFrame, keys: Seq[String], slack: Long = 0,
+                 countCol: Option[String] = None): DataFrame = {
     val (w, flag) = clusterFlag(keys, slack, Nil)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base = df
@@ -89,8 +101,12 @@ object UnaryOps {
       .withColumn(Start, greatest(col(Start), col("_mb") * saltBin))
       .withColumn(End, when(col("_pe") < col(End), col("_pe") + 1).otherwise(col("_pe")))
       .drop("_pe")
-    val local = merge(pieces, keys :+ "_mb", slack).drop("_mb")
-    merge(local, keys, slack)
+    // both phases use mergePlain directly: phase 1's parallelism comes
+    // from the (key, bin) partitioning itself, phase 2's input is the
+    // collapsed island set (orders of magnitude smaller) — and routing
+    // through the dispatching merge() would recurse on big inputs
+    val local = mergePlain(pieces, keys :+ "_mb", slack).drop("_mb")
+    mergePlain(local, keys, slack)
   }
 
   /** cluster_overlaps (reference core/pyranges_main.py:645-751): annotate
@@ -219,7 +235,8 @@ object UnaryOps {
                   tieBreak: Seq[Column] = Nil): DataFrame =
     if (graft.core.Sizing.decide("groupCumsum",
           graft.core.Sizing.saltedInputThreshold, df))
-      groupCumsumSalted(df, keys, useStrand, cumStartCol, cumEndCol, tieBreak)
+      groupCumsumSalted(df, keys, useStrand, cumStartCol, cumEndCol, tieBreak,
+        saltBin = graft.core.Sizing.autoSaltBin(df))
     else groupCumsumPlain(df, keys, useStrand, cumStartCol, cumEndCol, tieBreak)
 
   def groupCumsumPlain(df: DataFrame, keys: Seq[String], useStrand: Boolean = true,

@@ -109,12 +109,22 @@ class PlanContractSpec extends AnyFunSuite {
     val (op, bytes, salted) = graft.core.Sizing.lastDecision.get()
     assert(op == "spec/fire" && salted &&
       bytes > graft.core.Sizing.saltedInputThreshold)
-    // and the real operator dispatch takes the salted branch there:
-    // groupCumsum's gate reads the same leaf bytes
+    // and the real operator dispatches take the salted branch there:
+    // groupCumsum's and merge's gates read the same leaf bytes
     graft.ops.UnaryOps.groupCumsum(big, Seq(Chrom),
       tieBreak = Seq(col(RowId)))
     assert(graft.core.Sizing.lastDecision.get()._3,
       "groupCumsum must dispatch salted at 320 MB leaf bytes")
+    graft.ops.UnaryOps.merge(big, Seq(Chrom))
+    val (mop, _, msalted) = graft.core.Sizing.lastDecision.get()
+    assert(mop == "merge" && msalted,
+      "merge must dispatch salted at 320 MB leaf bytes")
+    // countCol pins plain (island counts can't ride the salted split):
+    // the gate must not even be consulted
+    val before = graft.core.Sizing.lastDecision.get()
+    graft.ops.UnaryOps.merge(big, Seq(Chrom), countCol = Some("n"))
+    assert(graft.core.Sizing.lastDecision.get() == before,
+      "countCol merge must bypass the salted gate")
     // below the threshold the same shape stays plain
     val small = spark.range(1L << 20)
       .select(col("id").as(RowId), lit("A").as(Chrom),
