@@ -36,6 +36,12 @@ object Multimodal {
     conv(concat((0 until len).reverse.map(i =>
       hex(substring(p, off1 + i, 1))): _*), 16, 10).cast("long")
 
+  /** Reinterpret a [0, 2^32) value as signed 32-bit: ANSI mode rejects
+    * an overflowing long->int cast, and BMP heights are genuinely signed
+    * (negative = top-down row order). */
+  private def signed32(v: Column): Column =
+    when(v >= (1L << 31), v - (1L << 32)).otherwise(v)
+
   /** Attach a typed metadata struct parsed from REAL container headers —
     * pure column expressions over the leading bytes, whole-stage-codegen
     * friendly (no UDF, no decode):
@@ -63,13 +69,13 @@ object Multimodal {
       hex(substring(p, 13, 4)) === "666D7420"
     val width =
       when(isPng && nb >= 24, beInt(p, 17, 4))
-        .when(isBmp && nb >= 26, leInt(p, 19, 4))
+        .when(isBmp && nb >= 26, signed32(leInt(p, 19, 4)))
         .when(isGif && nb >= 10, leInt(p, 7, 2))
-        .when(isWav && nb >= 28, leInt(p, 25, 4))
+        .when(isWav && nb >= 28, signed32(leInt(p, 25, 4)))
         .otherwise(lit(-1L))
     val height =
       when(isPng && nb >= 24, beInt(p, 21, 4))
-        .when(isBmp && nb >= 26, leInt(p, 23, 4))
+        .when(isBmp && nb >= 26, signed32(leInt(p, 23, 4)))
         .when(isGif && nb >= 10, leInt(p, 9, 2))
         .when(isWav && nb >= 24, leInt(p, 23, 2))
         .otherwise(lit(-1L))

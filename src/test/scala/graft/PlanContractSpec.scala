@@ -134,6 +134,35 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!graft.core.Sizing.lastDecision.get()._3)
   }
 
+  test("autoSaltBin: span-scaled, clamped, and safe on empty input") {
+    import spark.implicits._
+    // 64M-coordinate span on local[4]: 64M / (8*4) = 2M -> bin 2^21
+    val wide = Seq(("c", 0L, 10L), ("c", 64000000L, 64000005L))
+      .toDF(Chrom, Start, End)
+    assert(graft.core.Sizing.autoSaltBin(wide) == (1L << 21))
+    // narrow span stays at the 16384 floor (never strands parallelism
+    // by oversizing the bin relative to the domain)
+    val narrow = Seq(("c", 0L, 10L), ("c", 5000L, 5010L)).toDF(Chrom, Start, End)
+    assert(graft.core.Sizing.autoSaltBin(narrow) == 16384L)
+    // huge span clamps at 2^24
+    val huge = Seq(("c", 0L, 10L), ("c", 4000000000L, 4000000005L))
+      .toDF(Chrom, Start, End)
+    assert(graft.core.Sizing.autoSaltBin(huge) == (1L << 24))
+    // empty input -> floor, no NPE
+    assert(graft.core.Sizing.autoSaltBin(
+      graft.io.TableIO.empty(spark)) == 16384L)
+  }
+
+  test("empty constructor carries the genomic schema contract") {
+    val e = graft.io.TableIO.empty(spark)
+    assert(e.count() == 0)
+    assert(e.columns.toSeq == Seq(Chrom, Start, End, Strand))
+    val ns = graft.io.TableIO.empty(spark, withStrand = false)
+    assert(ns.columns.toSeq == Seq(Chrom, Start, End))
+    // empties flow through the operator surface (PropagateEmptyRelation)
+    assert(graft.ops.UnaryOps.merge(e, Seq(Chrom)).count() == 0)
+  }
+
   test("plain nearest sweep plan: no cartesian, no nested loop join") {
     val plan = SparkEntry.queries("q42_nearest_k")(spark, dir)
       .queryExecution.executedPlan.toString

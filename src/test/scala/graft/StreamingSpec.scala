@@ -184,6 +184,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(7L) == (("png", -1, -1)))     // truncated header degrades, no error
   }
 
+  test("withMediaMeta preserves BMP top-down sign and the wav frame fields") {
+    import spark.implicits._
+    // hand-built BITMAPINFOHEADER with height = -7 (top-down BMP): the
+    // little-endian parse must come back signed through the int cast
+    val buf = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    buf.putInt(40).putInt(9).putInt(-7).putShort(1).putShort(24)
+    val rows = Seq((1L, buf.array())).toDF("media_id", "payload")
+    val m = Multimodal.withMediaMeta(rows).select("meta.*").head
+    assert(m.getAs[String]("format") == "bmp")
+    assert(m.getAs[Int]("width") == 9 && m.getAs[Int]("height") == -7)
+  }
+
   test("real WAV decode recovers format, frame count, and sample checksums") {
     import spark.implicits._
     // stereo, 5 frames -> 10 interleaved samples with known values
