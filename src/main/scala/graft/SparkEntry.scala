@@ -800,6 +800,22 @@ object SparkEntry {
           s"read_bed $bedPath | merge_overlaps slack=5").get)
         .select(col("chrom"), col("strand"), col("istart"), col("iend"))
     }),
+
+    "q94_csv_roundtrip" -> ((s, dir) => {
+      // CSV round-trip through Spark's built-in csv source — the one
+      // §2.5 format that previously had no oracle. Write gr as headered
+      // CSV, read it back with an explicit (positional) schema; the
+      // oracle recomputes the expected rows relationally from lineitem,
+      // so a defect in EITHER direction breaks the hash (q74 pattern).
+      // Fixed path like the other roundtrip fixtures: the oracle SQL is
+      // static text, so the written location must be predictable.
+      val path = "/tmp/graft_q94_csv"
+      out(gr(s, dir)).write.mode("overwrite")
+        .option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("row_id LONG, chrom STRING, strand STRING, istart LONG, iend LONG")
+        .csv(path)
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1347,5 +1363,8 @@ object SparkEntry {
     "q93_cli" -> sql(Seq(GR_CTE, GRS_CTE,
         mergeCte("m", "grs", "chrom, strand", slack = 5)),
       "SELECT chrom, strand, istart, iend FROM m"),
+
+    "q94_csv_roundtrip" -> sql(Seq(GR_CTE),
+      "SELECT row_id, chrom, strand, istart, iend FROM gr"),
   )
 }
