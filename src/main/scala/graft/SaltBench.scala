@@ -63,7 +63,8 @@ object SaltBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val factor = args.headOption.map(_.toInt).getOrElse(60)
+    val factor = args.find(a => a.nonEmpty && a.forall(_.isDigit))
+      .map(_.toInt).getOrElse(60)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -88,6 +89,32 @@ object SaltBench {
     val fireSweep = graft.core.Sizing.decide("saltbench/sweep",
       graft.core.Sizing.saltedSweepThreshold, df)
     println(s"[saltbench] gate(input 256MB)=$fireInput gate(sweep 1GB)=$fireSweep")
+
+    // --check: at-scale equivalence — the plain==salted property tests
+    // run on small fixtures; this compares full-row checksums at a size
+    // where the salted dispatch actually fires
+    if (args.contains("--check")) {
+      def sig(d: DataFrame): (Long, Long) = {
+        val h = xxhash64(d.columns.map(col): _*)
+        val r = d.select(count(lit(1)), bit_xor(h)).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val bin = graft.core.Sizing.autoSaltBin(df)
+      val mp = sig(graft.ops.UnaryOps.mergePlain(df, Seq(Chrom)))
+      val ms = sig(graft.ops.UnaryOps.mergeSalted(df, Seq(Chrom), saltBin = bin))
+      println(s"[saltcheck] merge plain=$mp salted=$ms match=${mp == ms}")
+      val cp = sig(graft.ops.UnaryOps.groupCumsumPlain(df, Seq(Chrom),
+        tieBreak = Seq(col(RowId))))
+      val cs = sig(graft.ops.UnaryOps.groupCumsumSalted(df, Seq(Chrom),
+        tieBreak = Seq(col(RowId)), saltBin = bin))
+      println(s"[saltcheck] cumsum plain=$cp salted=$cs match=${cp == cs}")
+      val rp = sig(graft.ops.Coverage.toRlePlain(df, Seq(Chrom)))
+      val rs2 = sig(graft.ops.Coverage.toRleSalted(df, Seq(Chrom), saltBin = bin))
+      println(s"[saltcheck] rle plain=$rp salted=$rs2 match=${rp == rs2}")
+      require(mp == ms && cp == cs && rp == rs2, "salted output diverged at scale")
+      spark.stop()
+      return
+    }
 
     val reps = 2
     def report(op: String, plainSec: Double, saltedSec: Double): Unit =
