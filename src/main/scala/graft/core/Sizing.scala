@@ -52,25 +52,39 @@ object Sizing {
     * failure mode: a fixed 1M-wide bin over a ~1M-coordinate span handed
     * the salted merge two bins of parallelism and it LOST 0.78x at
     * 609 MB (BASELINE.md "salted crossover" notes). */
-  def autoSaltBin(df: DataFrame, sampleRows: Int = 100000): Long = {
+  def autoSaltBin(df: DataFrame, sampleRows: Int = 100000): Long =
+    saltPlan(df, sampleRows).getOrElse(16384L)
+
+  /** Span-aware dispatch decision: Some(binWidth) = salt with that
+    * mega-bin, None = the sampled coordinate span is too narrow for the
+    * split to buy parallelism (fewer than ~4 floor-width bins) — stay
+    * on the plain single-window plan regardless of input size. This is
+    * the measured 0.78x narrow-span failure mode encoded into the
+    * dispatch rather than just documented (BASELINE.md "salted
+    * crossover" notes). */
+  def saltPlan(df: DataFrame, sampleRows: Int = 100000): Option[Long] = {
     import org.apache.spark.sql.functions._
     val r = df.select(col(Cols.Start).cast("long").as("_s"),
         col(Cols.End).cast("long").as("_e"))
       .limit(sampleRows)
       .agg(min(col("_s")), max(col("_e"))).head()
-    val bin =
-      if (r.isNullAt(0)) 16384L
+    val plan =
+      if (r.isNullAt(0)) None
       else {
         val span = math.max(r.getLong(1) - r.getLong(0), 1L)
-        val cores = math.max(
-          df.sparkSession.sparkContext.defaultParallelism, 1)
-        val target = span / (8L * cores)
-        var b = 16384L
-        while (b < target && b < (1L << 24)) b *= 2
-        b
+        if (span < 4L * 16384L) None
+        else {
+          val cores = math.max(
+            df.sparkSession.sparkContext.defaultParallelism, 1)
+          val target = span / (8L * cores)
+          var b = 16384L
+          while (b < target && b < (1L << 24)) b *= 2
+          Some(b)
+        }
       }
-    Sizing.log.info("[graft.sizing] autoSaltBin={}", bin)
-    bin
+    Sizing.log.info("[graft.sizing] saltPlan={}",
+      plan.map(_.toString).getOrElse("plain (narrow span)"))
+    plan
   }
 
   /** Sum of leaf-relation size estimates across the given plans. */

@@ -33,8 +33,10 @@ object Coverage {
             valueCol: Option[String] = None,
             scoreCol: String = "Score"): DataFrame =
     if (bigInput(df))
-      toRleSalted(df, keys, valueCol, scoreCol,
-        saltBin = graft.core.Sizing.autoSaltBin(df))
+      graft.core.Sizing.saltPlan(df) match {
+        case Some(bin) => toRleSalted(df, keys, valueCol, scoreCol, saltBin = bin)
+        case None      => toRlePlain(df, keys, valueCol, scoreCol)
+      }
     else toRlePlain(df, keys, valueCol, scoreCol)
 
   def toRlePlain(df: DataFrame, keys: Seq[String],

@@ -141,11 +141,22 @@ object NearestK {
     val rs = Start + suffix
     val re = End + suffix
 
-    val big = saltedHint.getOrElse(graft.core.Sizing.decide("nearestSweep",
-      graft.core.Sizing.saltedSweepThreshold, left, right))
     // span-sampled mega-bin for the salted sweep (same guard as merge:
-    // a fixed bin over a narrow coordinate domain strands parallelism)
-    val bin = if (big) graft.core.Sizing.autoSaltBin(left) else 16384L
+    // a fixed bin over a narrow coordinate domain strands parallelism,
+    // so a too-narrow span demotes the auto-dispatch back to plain).
+    // An explicit saltedHint bypasses BOTH the size gate and the span
+    // demotion — it is the deterministic test/bench control knob.
+    val plan: Option[Long] = saltedHint match {
+      case Some(true)  => Some(graft.core.Sizing.autoSaltBin(left))
+      case Some(false) => None
+      case None =>
+        if (graft.core.Sizing.decide("nearestSweep",
+              graft.core.Sizing.saltedSweepThreshold, left, right))
+          graft.core.Sizing.saltPlan(left)
+        else None
+    }
+    val big = plan.isDefined
+    val bin = plan.getOrElse(16384L)
     val lScan = scanAuto(union(left, right, keys, rightSide = false), k,
       rightSide = false, big, bin)
     val rScan = scanAuto(union(left, right, keys, rightSide = true), k,

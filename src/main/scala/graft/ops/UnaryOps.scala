@@ -54,7 +54,10 @@ object UnaryOps {
     // member counts cannot be recovered from split pieces.
     if (countCol.isEmpty && graft.core.Sizing.decide("merge",
           graft.core.Sizing.saltedInputThreshold, df))
-      mergeSalted(df, keys, slack, graft.core.Sizing.autoSaltBin(df))
+      graft.core.Sizing.saltPlan(df) match {
+        case Some(bin) => mergeSalted(df, keys, slack, bin)
+        case None      => mergePlain(df, keys, slack, countCol)
+      }
     else mergePlain(df, keys, slack, countCol)
 
   def mergePlain(df: DataFrame, keys: Seq[String], slack: Long = 0,
@@ -235,8 +238,13 @@ object UnaryOps {
                   tieBreak: Seq[Column] = Nil): DataFrame =
     if (graft.core.Sizing.decide("groupCumsum",
           graft.core.Sizing.saltedInputThreshold, df))
-      groupCumsumSalted(df, keys, useStrand, cumStartCol, cumEndCol, tieBreak,
-        saltBin = graft.core.Sizing.autoSaltBin(df))
+      graft.core.Sizing.saltPlan(df) match {
+        case Some(bin) =>
+          groupCumsumSalted(df, keys, useStrand, cumStartCol, cumEndCol,
+            tieBreak, saltBin = bin)
+        case None =>
+          groupCumsumPlain(df, keys, useStrand, cumStartCol, cumEndCol, tieBreak)
+      }
     else groupCumsumPlain(df, keys, useStrand, cumStartCol, cumEndCol, tieBreak)
 
   def groupCumsumPlain(df: DataFrame, keys: Seq[String], useStrand: Boolean = true,

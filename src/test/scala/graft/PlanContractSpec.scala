@@ -125,6 +125,17 @@ class PlanContractSpec extends AnyFunSuite {
     graft.ops.UnaryOps.merge(big, Seq(Chrom), countCol = Some("n"))
     assert(graft.core.Sizing.lastDecision.get() == before,
       "countCol merge must bypass the salted gate")
+    // size fires but the coordinate span (<64k) is too narrow to fan
+    // out: saltPlan demotes to the plain window (the measured 0.78x
+    // narrow-span loss, BASELINE.md) — plain has no Generate/explode
+    val narrowSpan = spark.range(40L << 20)
+      .select(col("id").as(RowId), lit("A").as(Chrom),
+        pmod(col("id"), lit(1000L)).as(Start),
+        (pmod(col("id"), lit(1000L)) + 10).as(End))
+    val nplan = graft.ops.UnaryOps.merge(narrowSpan, Seq(Chrom))
+      .queryExecution.optimizedPlan.toString
+    assert(!nplan.contains("Generate"),
+      "narrow span must demote the salted merge to the plain window")
     // below the threshold the same shape stays plain
     val small = spark.range(1L << 20)
       .select(col("id").as(RowId), lit("A").as(Chrom),
