@@ -528,6 +528,25 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("composable LSH blocks reproduce the fused nearDuplicatePairs result") {
+    // minhashSignature -> lshCandidatePairs -> pairJaccard is the
+    // user-composable spelling of nearDuplicatePairs; same inputs must
+    // yield the same (a, b, n_intersect, n_union) rows
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1L, base), (2L, base + " lambda"), (3L, base + " mu nu"),
+                 (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(df, "text", "doc_id", 4, 3)
+    val cand = Dedup.lshCandidatePairs(sig, "doc_id", 4, 1)
+    val composed = Dedup.pairJaccard(df, cand, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fused = Dedup.nearDuplicatePairs(df, numHashes = 4, bandSize = 1,
+        shingleK = 3, minJaccardPct = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(composed == fused && composed.nonEmpty)
+  }
+
   test("bruteForceTopK returns k ranked neighbors; lshTopK subset agrees on buckets") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
