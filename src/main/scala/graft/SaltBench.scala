@@ -26,14 +26,19 @@ object SaltBench {
     * stride per copy) so mega-bin salting has real bins to fan out over
     * — the first harness draft kept gr's ~1M span and handed mergeSalted
     * all of two 1M-wide bins. */
-  def hotKeyTable(s: SparkSession, sfDir: String, factor: Int): DataFrame = {
+  def hotKeyTable(s: SparkSession, sfDir: String, factor: Int,
+                  hotPct: Int = 50): DataFrame = {
     val base = Tables.gr(s, sfDir)
     base.withColumn("_k", explode(sequence(lit(0L), lit(factor - 1L))))
       // gr's packed row_id is already ~2^60, so id*factor overflows a
       // long — a 64-bit hash of (id, copy) keeps the tie-break key
       // deterministic and collision-free in practice at 36M rows
       .withColumn(RowId, xxhash64(col(RowId), col("_k")))
-      .withColumn(Chrom, when(col("_k") % 2 === 0, lit("A")).otherwise(col(Chrom)))
+      // hotPct% of copies land on the hot chromosome "A" (plus the ~1/3
+      // natural A share of the rest): hotPct 50 -> ~0.67 hot share,
+      // 5 -> ~0.37, 95 -> ~0.97 — the skew sweep axis
+      .withColumn(Chrom, when((col("_k") * 37 + 11) % 100 < hotPct,
+        lit("A")).otherwise(col(Chrom)))
       // length BEFORE start is rewritten — withColumn(Start,...) replaces
       // the column, so a later End-Start would see the scaled Start
       .withColumn("_len", (col(End) - col(Start)) % 5000L + 1L)
@@ -63,8 +68,9 @@ object SaltBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val factor = args.find(a => a.nonEmpty && a.forall(_.isDigit))
-      .map(_.toInt).getOrElse(60)
+    val nums = args.filter(a => a.nonEmpty && a.forall(_.isDigit)).map(_.toInt)
+    val factor = nums.headOption.getOrElse(60)
+    val hotPct = nums.drop(1).headOption.getOrElse(50)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,10 +78,12 @@ object SaltBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val path = s"/tmp/graft_saltbench/gr_x$factor.parquet"
+    val path =
+      if (hotPct == 50) s"/tmp/graft_saltbench/gr_x$factor.parquet"
+      else s"/tmp/graft_saltbench/gr_x${factor}_h$hotPct.parquet"
     if (!new java.io.File(path).exists) {
       println(s"[saltbench] generating $path ...")
-      hotKeyTable(spark, sfDir, factor).write.mode("overwrite").parquet(path)
+      hotKeyTable(spark, sfDir, factor, hotPct).write.mode("overwrite").parquet(path)
     }
     val df = spark.read.parquet(path)
     val leafBytes = graft.core.Sizing.leafScanBytes(df)
@@ -88,7 +96,8 @@ object SaltBench {
       graft.core.Sizing.saltedInputThreshold, df)
     val fireSweep = graft.core.Sizing.decide("saltbench/sweep",
       graft.core.Sizing.saltedSweepThreshold, df)
-    println(s"[saltbench] gate(input 256MB)=$fireInput gate(sweep 1GB)=$fireSweep")
+    println(s"[saltbench] gate(input ${graft.core.Sizing.saltedInputThreshold >> 20}MB)=$fireInput " +
+      s"gate(sweep ${graft.core.Sizing.saltedSweepThreshold >> 20}MB)=$fireSweep")
 
     // --check: at-scale equivalence — the plain==salted property tests
     // run on small fixtures; this compares full-row checksums at a size
