@@ -78,12 +78,21 @@ object SaltBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // --manykeys: same bytes, ~2000 distinct keys — probes whether the
+    // salted split still pays when the plain window already has more
+    // keys than cores (parallelism comes free)
+    val manyKeys = args.contains("--manykeys")
     val path =
-      if (hotPct == 50) s"/tmp/graft_saltbench/gr_x$factor.parquet"
+      if (manyKeys) s"/tmp/graft_saltbench/gr_x${factor}_mk.parquet"
+      else if (hotPct == 50) s"/tmp/graft_saltbench/gr_x$factor.parquet"
       else s"/tmp/graft_saltbench/gr_x${factor}_h$hotPct.parquet"
     if (!new java.io.File(path).exists) {
       println(s"[saltbench] generating $path ...")
-      hotKeyTable(spark, sfDir, factor, hotPct).write.mode("overwrite").parquet(path)
+      val t = hotKeyTable(spark, sfDir, factor, hotPct)
+      val out = if (manyKeys)
+        t.withColumn(Chrom, concat(lit("k"), pmod(col(RowId), lit(2000L))))
+      else t
+      out.write.mode("overwrite").parquet(path)
     }
     val df = spark.read.parquet(path)
     val leafBytes = graft.core.Sizing.leafScanBytes(df)

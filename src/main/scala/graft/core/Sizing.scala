@@ -53,29 +53,49 @@ object Sizing {
     * the salted merge two bins of parallelism and it LOST 0.78x at
     * 609 MB (BASELINE.md "salted crossover" notes). */
   def autoSaltBin(df: DataFrame, sampleRows: Int = 100000): Long =
-    saltPlan(df, sampleRows).getOrElse(16384L)
+    saltPlan(df, Nil, sampleRows).getOrElse(16384L)
 
-  /** Span-aware dispatch decision: Some(binWidth) = salt with that
-    * mega-bin, None = the sampled coordinate span is too narrow for the
-    * split to buy parallelism (fewer than ~4 floor-width bins) — stay
-    * on the plain single-window plan regardless of input size. This is
-    * the measured 0.78x narrow-span failure mode encoded into the
-    * dispatch rather than just documented (BASELINE.md "salted
-    * crossover" notes). */
-  def saltPlan(df: DataFrame, sampleRows: Int = 100000): Option[Long] = {
+  /** Span- and key-aware dispatch decision: Some(binWidth) = salt with
+    * that mega-bin, None = stay on the plain per-key window regardless
+    * of input size, because the sample shows the split cannot pay:
+    *
+    *  - NARROW SPAN: fewer than ~4 floor-width bins of coordinates —
+    *    the measured 0.78x failure mode (BASELINE.md).
+    *  - MANY BALANCED KEYS: the plain window already has more groups
+    *    than cores, so parallelism is free and the salted plan's extra
+    *    join/stages only cost — measured 0.56-0.84x at 2000 balanced
+    *    keys ("--manykeys" row in BASELINE.md). The demotion is
+    *    deliberately ONE-SIDED against sampling bias: a limit() sample
+    *    of key-clustered data (the common coordinate-sorted layout)
+    *    shows few keys and therefore keeps salting — it can only
+    *    demote when the sample PROVES >= 4x-cores distinct keys AND no
+    *    sampled key holds a hot share, both of which under-, never
+    *    over-trigger on clustered samples.
+    *
+    * Both signals come from one bounded `limit(sampleRows)` sample
+    * (two tiny aggregations) — plan-time-safe against 100 TB inputs. */
+  def saltPlan(df: DataFrame, keys: Seq[String] = Nil,
+               sampleRows: Int = 100000): Option[Long] = {
     import org.apache.spark.sql.functions._
-    val r = df.select(col(Cols.Start).cast("long").as("_s"),
+    val cores = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val sample = df.limit(sampleRows)
+    val r = sample.select(col(Cols.Start).cast("long").as("_s"),
         col(Cols.End).cast("long").as("_e"))
-      .limit(sampleRows)
       .agg(min(col("_s")), max(col("_e"))).head()
+    val manyBalancedKeys = keys.nonEmpty && {
+      val kc = sample.groupBy(keys.map(col): _*).count()
+        .agg(count(lit(1)), max(col("count")), sum(col("count"))).head()
+      val distinct = kc.getLong(0)
+      val hottest = kc.getLong(1).toDouble / math.max(kc.getLong(2), 1L)
+      distinct >= 4L * cores && hottest <= 1.0 / (2 * cores)
+    }
     val plan =
       if (r.isNullAt(0)) None
+      else if (manyBalancedKeys) None
       else {
         val span = math.max(r.getLong(1) - r.getLong(0), 1L)
         if (span < 4L * 16384L) None
         else {
-          val cores = math.max(
-            df.sparkSession.sparkContext.defaultParallelism, 1)
           val target = span / (8L * cores)
           var b = 16384L
           while (b < target && b < (1L << 24)) b *= 2
@@ -83,7 +103,9 @@ object Sizing {
         }
       }
     Sizing.log.info("[graft.sizing] saltPlan={}",
-      plan.map(_.toString).getOrElse("plain (narrow span)"))
+      plan.map(_.toString).getOrElse(
+        if (manyBalancedKeys) "plain (many balanced keys)"
+        else "plain (narrow span)"))
     plan
   }
 

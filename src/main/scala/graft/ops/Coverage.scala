@@ -33,7 +33,7 @@ object Coverage {
             valueCol: Option[String] = None,
             scoreCol: String = "Score"): DataFrame =
     if (bigInput(df))
-      graft.core.Sizing.saltPlan(df) match {
+      graft.core.Sizing.saltPlan(df, keys) match {
         case Some(bin) => toRleSalted(df, keys, valueCol, scoreCol, saltBin = bin)
         case None      => toRlePlain(df, keys, valueCol, scoreCol)
       }

@@ -152,7 +152,7 @@ object NearestK {
       case None =>
         if (graft.core.Sizing.decide("nearestSweep",
               graft.core.Sizing.saltedSweepThreshold, left, right))
-          graft.core.Sizing.saltPlan(left)
+          graft.core.Sizing.saltPlan(left, keys)
         else None
     }
     val big = plan.isDefined

@@ -54,7 +54,7 @@ object UnaryOps {
     // member counts cannot be recovered from split pieces.
     if (countCol.isEmpty && graft.core.Sizing.decide("merge",
           graft.core.Sizing.saltedInputThreshold, df))
-      graft.core.Sizing.saltPlan(df) match {
+      graft.core.Sizing.saltPlan(df, keys) match {
         case Some(bin) => mergeSalted(df, keys, slack, bin)
         case None      => mergePlain(df, keys, slack, countCol)
       }
@@ -238,7 +238,7 @@ object UnaryOps {
                   tieBreak: Seq[Column] = Nil): DataFrame =
     if (graft.core.Sizing.decide("groupCumsum",
           graft.core.Sizing.saltedInputThreshold, df))
-      graft.core.Sizing.saltPlan(df) match {
+      graft.core.Sizing.saltPlan(df, keys) match {
         case Some(bin) =>
           groupCumsumSalted(df, keys, useStrand, cumStartCol, cumEndCol,
             tieBreak, saltBin = bin)

@@ -145,6 +145,27 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!graft.core.Sizing.lastDecision.get()._3)
   }
 
+  test("saltPlan demotes many-balanced-keys to plain, keeps hot-in-many salted") {
+    // 2000 balanced keys: the plain window already out-parallelizes the
+    // cores, and salting measured 0.56-0.84x there (BASELINE.md
+    // --manykeys row) — saltPlan must return None
+    val many = spark.range(200000)
+      .select(col("id").as(RowId),
+        concat(lit("k"), pmod(col("id"), lit(2000L))).as(Chrom),
+        (col("id") * 7919L % 100000000L).as(Start),
+        (col("id") * 7919L % 100000000L + 50).as(End))
+    assert(graft.core.Sizing.saltPlan(many, Seq(Chrom)).isEmpty)
+    // same cardinality but one key holding ~half the rows: the hottest
+    // key still serializes, so the salted plan stays
+    val hotInMany = spark.range(200000)
+      .select(col("id").as(RowId),
+        when(col("id") % 2 === 0, lit("HOT"))
+          .otherwise(concat(lit("k"), pmod(col("id"), lit(2000L)))).as(Chrom),
+        (col("id") * 7919L % 100000000L).as(Start),
+        (col("id") * 7919L % 100000000L + 50).as(End))
+    assert(graft.core.Sizing.saltPlan(hotInMany, Seq(Chrom)).isDefined)
+  }
+
   test("autoSaltBin: span-scaled, clamped, and safe on empty input") {
     import spark.implicits._
     // 64M-coordinate span on local[4]: 64M / (8*4) = 2M -> bin 2^21
