@@ -129,7 +129,18 @@ object SaltBench {
       val rp = sig(graft.ops.Coverage.toRlePlain(df, Seq(Chrom)))
       val rs2 = sig(graft.ops.Coverage.toRleSalted(df, Seq(Chrom), saltBin = bin))
       println(s"[saltcheck] rle plain=$rp salted=$rs2 match=${rp == rs2}")
-      require(mp == ms && cp == cs && rp == rs2, "salted output diverged at scale")
+      val nRight = Tables.gr2(spark, sfDir)
+        .withColumn("_len", (col(End) - col(Start)) % 5000L + 1L)
+        .withColumn(Start, col(Start) * 400L)
+        .withColumn(End, col(Start) + col("_len"))
+        .drop("_len")
+      val np = sig(graft.ops.NearestK.nearestK(df, nRight, Seq(Chrom), 1,
+        excludeOverlaps = true, saltedHint = Some(false)))
+      val ns = sig(graft.ops.NearestK.nearestK(df, nRight, Seq(Chrom), 1,
+        excludeOverlaps = true, saltedHint = Some(true)))
+      println(s"[saltcheck] nearest plain=$np salted=$ns match=${np == ns}")
+      require(mp == ms && cp == cs && rp == rs2 && np == ns,
+        "salted output diverged at scale")
       spark.stop()
       return
     }
