@@ -102,7 +102,13 @@ object Coverage {
     * log2-ratio, difference) without re-splitting. */
   def rleBinary(a: DataFrame, b: DataFrame, keys: Seq[String],
                 scoreA: String = "score_a", scoreB: String = "score_b"): DataFrame =
-    if (bigInput(a, b)) rleBinarySalted(a, b, keys, scoreA, scoreB)
+    if (bigInput(a, b))
+      // span/key refinement samples the larger side (a drives the
+      // breakpoint volume in the divide pipelines)
+      graft.core.Sizing.saltPlan(a, keys) match {
+        case Some(bin) => rleBinarySalted(a, b, keys, scoreA, scoreB, bin)
+        case None      => rleBinaryPlain(a, b, keys, scoreA, scoreB)
+      }
     else rleBinaryPlain(a, b, keys, scoreA, scoreB)
 
   def rleBinaryPlain(a: DataFrame, b: DataFrame, keys: Seq[String],
