@@ -79,21 +79,32 @@ object Sizing {
     import org.apache.spark.sql.functions._
     val cores = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
     val sample = df.limit(sampleRows)
-    val r = sample.select(col(Cols.Start).cast("long").as("_s"),
-        col(Cols.End).cast("long").as("_e"))
-      .agg(min(col("_s")), max(col("_e"))).head()
-    val manyBalancedKeys = keys.nonEmpty && {
-      val kc = sample.groupBy(keys.map(col): _*).count()
-        .agg(count(lit(1)), max(col("count")), sum(col("count"))).head()
-      val distinct = kc.getLong(0)
-      val hottest = kc.getLong(1).toDouble / math.max(kc.getLong(2), 1L)
-      distinct >= 4L * cores && hottest <= 1.0 / (2 * cores)
-    }
-    val plan =
-      if (r.isNullAt(0)) None
-      else if (manyBalancedKeys) None
-      else {
-        val span = math.max(r.getLong(1) - r.getLong(0), 1L)
+      .select(keys.map(col) ++ Seq(col(Cols.Start).cast("long").as("_s"),
+        col(Cols.End).cast("long").as("_e")): _*)
+    // one sample job: per-key partials re-aggregated to (distinct keys,
+    // hottest-key rows, total rows, span) in a single pass
+    val (minS, maxE, manyBalancedKeys) =
+      if (keys.isEmpty) {
+        val r = sample.agg(min(col("_s")), max(col("_e"))).head()
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+         if (r.isNullAt(1)) None else Some(r.getLong(1)), false)
+      } else {
+        val r = sample.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("_n"), min(col("_s")).as("_mns"),
+            max(col("_e")).as("_mxe"))
+          .agg(count(lit(1)), max(col("_n")), sum(col("_n")),
+            min(col("_mns")), max(col("_mxe"))).head()
+        val distinct = r.getLong(0)
+        if (distinct == 0) (None, None, false)
+        else {
+          val hottest = r.getLong(1).toDouble / math.max(r.getLong(2), 1L)
+          (Some(r.getLong(3)), Some(r.getLong(4)),
+            distinct >= 4L * cores && hottest <= 1.0 / (2 * cores))
+        }
+      }
+    val plan = (minS, maxE) match {
+      case (Some(s), Some(e)) if !manyBalancedKeys =>
+        val span = math.max(e - s, 1L)
         if (span < 4L * 16384L) None
         else {
           val target = span / (8L * cores)
@@ -101,11 +112,12 @@ object Sizing {
           while (b < target && b < (1L << 24)) b *= 2
           Some(b)
         }
-      }
+      case _ => None
+    }
     Sizing.log.info("[graft.sizing] saltPlan={}",
       plan.map(_.toString).getOrElse(
         if (manyBalancedKeys) "plain (many balanced keys)"
-        else "plain (narrow span)"))
+        else "plain (narrow span or empty)"))
     plan
   }
 
