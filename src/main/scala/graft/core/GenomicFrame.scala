@@ -89,7 +89,13 @@ final case class GenomicFrame(df: DataFrame) {
   /** strand_valid (reference core/pyranges_main.py:3418-3450): strand
     * column present and every value '+'/'-'. One tiny boolean aggregate. */
   def strandValid: Boolean =
-    hasStrand && df.agg(bool_and(col(Strand).isin(FwdStrand, RevStrand)))
+    // coalesce(false): NULL strands (e.g. after concat with a
+    // strand-less frame) must read as invalid — bool_and silently
+    // IGNORES null inputs, which made a half-stranded frame "valid"
+    // (reference tests/unit/test_concat.py:12-13: concat with an
+    // unstranded side is never strand_valid)
+    hasStrand && df.agg(bool_and(coalesce(
+        col(Strand).isin(FwdStrand, RevStrand), lit(false))))
       .head().getBoolean(0)
 
   /** chromosomes (reference core/pyranges_main.py:612-614): distinct

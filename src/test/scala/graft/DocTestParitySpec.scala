@@ -19,6 +19,63 @@ class DocTestParitySpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  // reference tests/unit/test_join.py:17-48 (historical issue-8
+  // regression): strand-matched inner join keeps only the one minus-
+  // strand left row, paired with both overlapping minus rights
+  test("join issue-8 regression: strand-matched inner and right join") {
+    import spark.implicits._
+    val g = Seq(("chr1", 157L, 257L, "-"), ("chr1", 584L, 684L, "-"),
+                ("chr1", 731L, 831L, "-"), ("chr1", 821L, 921L, "-"))
+      .toDF(Chrom, Start, End, Strand)
+    val m = Seq(("chr1", 316L, 416L, "+"), ("chr1", 793L, 893L, "+"),
+                ("chr1", 889L, 989L, "+"), ("chr1", 795L, 895L, "-"))
+      .toDF(Chrom, Start, End, Strand)
+      .withColumn(RowId, monotonically_increasing_id())
+    val j = BinaryOps.joinOverlaps(m, g, Seq(Chrom, Strand))
+    val got = j.select(Start, End, Strand, Start + "_b", End + "_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((795L, 895L, "-", 731L, 831L),
+                      (795L, 895L, "-", 821L, 921L)))
+    // right join adds the two unmatched g rows with null left
+    // (reference tests/unit/test_join.py:51-80; NaN -> SQL NULL)
+    val jr = BinaryOps.joinOverlaps(m, g, Seq(Chrom, Strand), joinType = "right")
+    assert(jr.count() == 4)
+    val nulls = jr.filter(col(Start).isNull)
+      .select(Start + "_b", End + "_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nulls == Set((157L, 257L), (584L, 684L)))
+  }
+
+  // reference tests/unit/test_count_overlaps.py:26-36
+  // (test_strand_vs_strand_same): multi-set count over strand-matched
+  // features replays the expected table exactly
+  test("count_overlaps strand_vs_strand_same regression table") {
+    import spark.implicits._
+    val a = Seq(("chr1", 6L, 12L, "+"), ("chr1", 10L, 20L, "+"),
+                ("chr1", 22L, 27L, "-"), ("chr1", 24L, 30L, "-"))
+      .toDF(Chrom, Start, End, Strand)
+    val b = Seq(("chr1", 12L, 32L, "+"), ("chr1", 14L, 30L, "+"))
+      .toDF(Chrom, Start, End, Strand)
+    val c = Seq(("chr1", 8L, 15L, "+"), ("chr1", 713800L, 714800L, "-"),
+                ("chr1", 32L, 34L, "-"))
+      .toDF(Chrom, Start, End, Strand)
+    val features = Seq(("chr1", 0L, 10L, "+"), ("chr1", 10L, 20L, "+"),
+                       ("chr1", 20L, 30L, "+"), ("chr1", 30L, 40L, "-"))
+      .toDF(Chrom, Start, End, Strand)
+      .withColumn(RowId, monotonically_increasing_id())
+    val res = BinaryOps.multiCountOverlaps(features,
+        Seq("a" -> a, "b" -> b, "c" -> c), Seq(Chrom, Strand))
+      .select(Start, End, Strand, "a", "b", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(res == Set(
+      (0L, 10L, "+", 1L, 0L, 1L),
+      (10L, 20L, "+", 2L, 2L, 1L),
+      (20L, 30L, "+", 0L, 2L, 0L),
+      (30L, 40L, "-", 0L, 0L, 1L)))
+  }
+
   // reference core/pyranges_main.py:1228-1290 (join_overlaps doctest)
   test("join_overlaps doctest: f1 x f2 inner/left/outer") {
     import spark.implicits._

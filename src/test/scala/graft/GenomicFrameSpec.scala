@@ -91,6 +91,28 @@ class GenomicFrameSpec extends AnyFunSuite {
     assert(cat.removeNonLocColumns.df.columns.length == 4)
   }
 
+  test("concat preserves length; mixed strandedness is never strand-valid") {
+    // reference tests/unit/test_concat.py: len(a)+len(b) == len(concat),
+    // and concat with any unstranded side must not be strand_valid
+    val s1 = mk(("c", "+", 0, 5), ("c", "-", 3, 9))
+    val s2 = mk(("d", "+", 1, 2))
+    val u1 = GenomicFrame(s1.df.drop(Strand))
+    val u2 = GenomicFrame(s2.df.drop(Strand))
+    def len(g: GenomicFrame): Long = g.df.count()
+    // stranded + stranded: lengths add, validity survives
+    val ss = GenomicFrame.concat(Seq(s1, s2))
+    assert(len(ss) == len(s1) + len(s2) && ss.strandValid)
+    // unstranded + unstranded: lengths add, no strand column
+    val uu = GenomicFrame.concat(Seq(u1, u2))
+    assert(len(uu) == 3 && !uu.strandValid)
+    // mixed (either order): the missing side's strands are NULL — the
+    // frame must NOT claim strand validity
+    val su = GenomicFrame.concat(Seq(s1, u2))
+    val us = GenomicFrame.concat(Seq(u1, s2))
+    assert(len(su) == 3 && !su.strandValid)
+    assert(len(us) == 3 && !us.strandValid)
+  }
+
   test("getSequence extracts and reverse-complements by strand") {
     import spark.implicits._
     val seqs = Seq(("c", "ACGTACGTAA")).toDF(Chrom, "seq")
