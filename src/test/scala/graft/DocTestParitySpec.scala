@@ -19,6 +19,61 @@ class DocTestParitySpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  // reference tests/unit/spliced_subsequence/test_spliced_subsequence.py:
+  // slice_ranges with use_strand=False — splicing order is genomic
+  // regardless of strand, grouped and ungrouped
+  test("spliced_subsequence regression: use_strand=False grouped and per-row") {
+    import spark.implicits._
+    val p = Seq(("1", "+", 1L, 11L, "t1"), ("1", "+", 40L, 60L, "t1"),
+                ("2", "-", 10L, 25L, "t2"), ("2", "-", 70L, 80L, "t2"),
+                ("3", "+", 140L, 152L, "t3"))
+      .toDF(Chrom, Strand, Start, End, "transcript_id")
+      .withColumn(RowId, monotonically_increasing_id())
+    def se(df: org.apache.spark.sql.DataFrame) =
+      df.select(Chrom, Start, End).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // grouped: first 5 spliced bases of each transcript, genomic order
+    assert(se(Composites.sliceRanges(p, Seq("transcript_id"), 0, Some(5),
+        useStrand = false)) ==
+      Set(("1", 1L, 6L), ("2", 10L, 15L), ("3", 140L, 145L)))
+    // ungrouped: every row keeps its own first 5 genomic bases
+    assert(se(Composites.sliceRanges(p, Nil, 0, Some(5), useStrand = false)) ==
+      Set(("1", 1L, 6L), ("1", 40L, 45L), ("2", 10L, 15L),
+          ("2", 70L, 75L), ("3", 140L, 145L)))
+  }
+
+  // reference tests/unit/cumsum/test_cumsum.py: group_cumsum over a
+  // metadata label must not depend on input row order
+  test("group_cumsum regression: label-keyed cumsum is input-order invariant") {
+    import spark.implicits._
+    val chroms = Seq("chr2","chr3","chr2","chr3","chr3","chr1","chr2","chr3",
+      "chr3","chr2","chr2","chr1","chr1","chr2","chr3","chr1","chr2","chr1",
+      "chr3","chr2")
+    val starts = Seq(785520L,89970L,626749L,168799L,372056L,520458L,800809L,
+      34720L,167104L,804868L,59764L,972819L,235131L,4508L,866290L,835796L,
+      694284L,65536L,844945L,705072L)
+    val ends = Seq(795577L,97475L,635187L,175999L,374410L,521540L,807322L,
+      41109L,167881L,805508L,64323L,978796L,240207L,9362L,870401L,845344L,
+      701742L,73390L,851624L,712783L)
+    val strands = Seq("+","-","+","+","+","+","-","+","-","-","+","+","-",
+      "+","+","-","-","-","-","+")
+    val labels = Seq("grp0","grp9","grp2","grp5","grp5","grp1","grp7","grp5",
+      "grp9","grp8","grp2","grp1","grp3","grp2","grp5","grp3","grp7","grp6",
+      "grp9","grp0")
+    val rows = chroms.indices.map(i =>
+      (chroms(i), strands(i), starts(i), ends(i), labels(i)))
+    def cs(input: Seq[(String, String, Long, Long, String)]): Seq[(String, Long)] = {
+      val df = input.toDF(Chrom, Strand, Start, End, "Label")
+      graft.ops.UnaryOps.groupCumsum(df, Seq("Label"), useStrand = true, "_cs", "_ce")
+        .select(col("Label"), col("_ce")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    }
+    val base = cs(rows)
+    assert(base == cs(rows.sortBy(r => (r._1, r._3))), "sorted by position")
+    assert(base == cs(rows.sortBy(_._5)), "sorted by label")
+    assert(base == cs(rows.reverse), "reversed")
+  }
+
   // reference tests/unit/test_join.py:17-48 (historical issue-8
   // regression): strand-matched inner join keeps only the one minus-
   // strand left row, paired with both overlapping minus rights
