@@ -469,7 +469,7 @@ object SparkEntry {
     }),
     "q76_gff3_roundtrip" -> ((s, dir) => {
       // GFF3 writer/reader inverse (k=v attribute form)
-      val path = "/tmp/graft_q76_gff3"
+      val path = s"/tmp/graft_q76_gff3_${java.util.UUID.randomUUID}"
       val src = gr(s, dir).select(col(Chrom), lit("graft").as("Source"),
         lit("exon").as("Feature"), col(Start), col(End),
         lit(".").as("Score"), col(Strand), lit(".").as("Frame"),
@@ -483,7 +483,7 @@ object SparkEntry {
     "q75_gtf_roundtrip" -> ((s, dir) => {
       // GTF writer/reader inverse: 0-based -> 1-based shift out, back in;
       // quoted attribute formatting and re-parsing
-      val path = "/tmp/graft_q75_gtf"
+      val path = s"/tmp/graft_q75_gtf_${java.util.UUID.randomUUID}"
       val src = gr(s, dir).select(col(Chrom), lit("graft").as("Source"),
         lit("exon").as("Feature"), col(Start), col(End),
         lit(".").as("Score"), col(Strand), lit(".").as("Frame"),
@@ -498,7 +498,7 @@ object SparkEntry {
       // writer/reader inverse as an oracle: write BED6 from gr, read it
       // back; the oracle recomputes the expected rows relationally, so a
       // defect in EITHER direction breaks the hash
-      val path = "/tmp/graft_q74_bed"
+      val path = s"/tmp/graft_q74_bed_${java.util.UUID.randomUUID}"
       val src = gr(s, dir).select(col(Chrom), col(Start), col(End),
         concat(lit("r"), col(RowId)).as("Name"), lit(".").as("Score"),
         col(Strand))
@@ -806,10 +806,10 @@ object SparkEntry {
       // §2.5 format that previously had no oracle. Write gr as headered
       // CSV, read it back with an explicit (positional) schema; the
       // oracle recomputes the expected rows relationally from lineitem,
-      // so a defect in EITHER direction breaks the hash (q74 pattern).
-      // Fixed path like the other roundtrip fixtures: the oracle SQL is
-      // static text, so the written location must be predictable.
-      val path = "/tmp/graft_q94_csv"
+      // so a defect in EITHER direction breaks the hash (q74 pattern) —
+      // and the path can be per-run unique since the oracle never reads
+      // the file.
+      val path = s"/tmp/graft_q94_csv_${java.util.UUID.randomUUID}"
       out(gr(s, dir)).write.mode("overwrite")
         .option("header", "true").csv(path)
       s.read.option("header", "true")
