@@ -163,6 +163,31 @@ object Coverage {
                          keys: Seq[String] = Seq(Cols.Chrom)): DataFrame = {
     val k = keys.map(col)
     val runs = rleBinary(cov, bg, keys).filter(col("score_b") =!= 0)
+    val islands =
+      if (bigInput(cov, bg))
+        graft.core.Sizing.saltPlan(cov, keys) match {
+          case Some(bin) => defragSalted(runs, keys, bin)
+          case None      => defragIslands(runs, keys)
+        }
+      else defragIslands(runs, keys)
+    islands
+      // codegen'd long gcd; integer DIV keeps the quotient exact at any
+      // magnitude (no double round-trip, which loses bits above 2^53)
+      .withColumn("_g", graft.expr.Exprs.gcd_long(col("_a"), col("_b")))
+      .select(k ++ Seq(col(Start), col(End),
+        when(col("_g") === 0, col("_a"))
+          .otherwise(expr("_a div _g")).as("score_a"),
+        when(col("_g") === 0, col("_b"))
+          .otherwise(expr("_b div _g")).as("score_b")): _*)
+  }
+
+  /** Defrag window: merge adjacent (prevEnd == Start) runs with EQUAL
+    * ratio into islands, keeping (min a, min b) as the representative
+    * pair — min commutes with positive scaling, so the mins of an
+    * equal-ratio island keep its ratio. Output: keys + Start/End + _a/_b
+    * (gcd reduction happens once, at the caller). */
+  private[graft] def defragIslands(runs: DataFrame, keys: Seq[String]): DataFrame = {
+    val k = keys.map(col)
     val w = Window.partitionBy(k: _*).orderBy(col(Start))
     val prevEnd = lag(col(End), 1).over(w)
     val sameRatio = col("score_a") * lag(col("score_b"), 1).over(w) ===
@@ -174,14 +199,36 @@ object Coverage {
     grouped.groupBy(k :+ col("_gid"): _*)
       .agg(min(col(Start)).as(Start), max(col(End)).as(End),
         min(col("score_a")).as("_a"), min(col("score_b")).as("_b"))
-      // codegen'd long gcd; integer DIV keeps the quotient exact at any
-      // magnitude (no double round-trip, which loses bits above 2^53)
-      .withColumn("_g", graft.expr.Exprs.gcd_long(col("_a"), col("_b")))
-      .select(k ++ Seq(col(Start), col(End),
-        when(col("_g") === 0, col("_a"))
-          .otherwise(expr("_a div _g")).as("score_a"),
-        when(col("_g") === 0, col("_b"))
-          .otherwise(expr("_b div _g")).as("score_b")): _*)
+      .drop("_gid")
+  }
+
+  /** Salted defrag — the last per-key window of the divide export on the
+    * hot-key path. Runs are assigned to mega-bins by Start (never split),
+    * defragged locally per (key, bin); an island strictly interior to
+    * its bin (neither the bin's first nor last) can never extend across
+    * a boundary, so it is FINAL. Only the <= 2 boundary islands per
+    * (key, bin) go through the per-key stitch window — phase-2 input is
+    * bounded by 2x the bin count, not the data. A chain spanning whole
+    * bins still stitches: a single-island bin is both first and last,
+    * so it rides into phase 2. Identical output to the plain defrag
+    * (property-tested). */
+  private[graft] def defragSalted(runs: DataFrame, keys: Seq[String],
+                           saltBin: Long): DataFrame = {
+    val d = runs.withColumn("_mb",
+      floor(col(Start).cast("double") / saltBin).cast("long"))
+    val local = defragIslands(d, keys :+ "_mb")
+    val wIsl = Window.partitionBy((keys :+ "_mb").map(col): _*)
+    val marked = local
+      .withColumn("_first", col(Start) === min(col(Start)).over(wIsl))
+      .withColumn("_last", col(End) === max(col(End)).over(wIsl))
+    val interior = marked.filter(!col("_first") && !col("_last"))
+      .drop("_mb", "_first", "_last")
+    val boundary = marked.filter(col("_first") || col("_last"))
+      .drop("_mb", "_first", "_last")
+    val stitched = defragIslands(boundary
+      .withColumnRenamed("_a", "score_a").withColumnRenamed("_b", "score_b"),
+      keys)
+    interior.unionByName(stitched)
   }
 
   /** rleBinary via the two-phase distributed prefix sum (same structure

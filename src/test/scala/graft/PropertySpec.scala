@@ -98,6 +98,38 @@ class PropertySpec extends AnyFunSuite {
     assert(got == Set(("chr1", 100L), ("chr2", 3L)))
   }
 
+  test("salted defrag equals plain across bin boundaries (divide export)") {
+    import spark.implicits._
+    // deterministic pseudo-random run table: disjoint adjacent-or-gapped
+    // runs per key, ratios drawn from a small set so equal-ratio chains
+    // regularly cross the tiny salt bins
+    val ratios = Seq((2L, 4L), (3L, 6L), (1L, 3L), (5L, 5L), (2L, 6L))
+    val rows = (for {
+      key <- Seq("c", "d")
+      i <- 0 until 120
+    } yield {
+      val h = (i * 2654435761L + key.hashCode) & 0x7fffffff
+      val start = i * 7L + (h % 3)         // gap when h % 3 > 0
+      val (a, b) = ratios((h % 5).toInt)
+      (key, start, start + 7L - (h % 3), a, b)
+    }).toSeq
+    val runs = rows.toDF(Chrom, Start, End, "score_a", "score_b")
+    def canon(df: DataFrame) = df.select(Chrom, Start, End, "_a", "_b")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val plain = canon(graft.ops.Coverage.defragIslands(runs, Seq(Chrom)))
+    for (bin <- Seq(16L, 64L, 1024L)) {
+      val salted = canon(graft.ops.Coverage.defragSalted(runs, Seq(Chrom), bin))
+      assert(salted == plain, s"saltBin=$bin")
+    }
+    // hand-built chain crossing a bin boundary collapses to one island
+    val chain = Seq(("c", 0L, 10L, 2L, 4L), ("c", 10L, 20L, 3L, 6L),
+                    ("c", 20L, 30L, 5L, 10L))
+      .toDF(Chrom, Start, End, "score_a", "score_b")
+    assert(canon(graft.ops.Coverage.defragSalted(chain, Seq(Chrom), 16L)) ==
+      Set(("c", 0L, 30L, 2L, 4L)))
+  }
+
   test("native bigWig codec round-trips generated run tables exactly") {
     // values on the quarter grid are float32-exact, so write->read is an
     // identity on the row SET (section layout is an internal detail);
