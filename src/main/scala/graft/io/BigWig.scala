@@ -42,6 +42,59 @@ object BigWig {
   private def leBuf(bytes: Array[Byte]): java.nio.ByteBuffer =
     java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
 
+  /** Write an R-tree (root + one leaf level; blockSize = ceil(sqrt(n))
+    * keeps two levels sufficient for any leaf count a u16 node can
+    * index) over `leaves` = (startChromIx, startBase, endChromIx,
+    * endBase, offset, size) at the current file position; returns the
+    * index offset. Shared by the data index and every zoom level. */
+  private def writeRTree(out: java.io.RandomAccessFile,
+                         leaves: Seq[(Int, Long, Int, Long, Long, Long)],
+                         itemsPerSlot: Int): Long = {
+    val indexOff = out.getFilePointer
+    val n = leaves.size
+    val blockSize = math.max(256, math.ceil(math.sqrt(math.max(n, 1))).toInt)
+    val groups = leaves.grouped(blockSize).toArray
+    val rtHead = leBuf(new Array[Byte](48))
+    val (sCx, sB, eCx, eB) =
+      if (n == 0) (0, 0L, 0, 0L)
+      else (leaves.head._1, leaves.head._2, leaves.last._3, leaves.map(_._4).max)
+    rtHead.putInt(RTreeMagic).putInt(blockSize).putLong(n.toLong)
+      .putInt(sCx).putInt(sB.toInt).putInt(eCx).putInt(eB.toInt)
+      .putLong(indexOff).putInt(itemsPerSlot).putInt(0)
+    out.write(rtHead.array())
+    if (groups.length <= 1) {
+      val node = leBuf(new Array[Byte](4 + 32 * n))
+      node.put(1.toByte).put(0.toByte).putShort(n.toShort)
+      leaves.foreach { case (sc, sb, ec, eb, off, size) =>
+        node.putInt(sc).putInt(sb.toInt).putInt(ec).putInt(eb.toInt)
+          .putLong(off).putLong(size)
+      }
+      out.write(node.array())
+    } else {
+      val rootBytes = 4 + 24 * groups.length
+      val rootOff = out.getFilePointer
+      var leafOff = rootOff + rootBytes
+      val root = leBuf(new Array[Byte](rootBytes))
+      root.put(0.toByte).put(0.toByte).putShort(groups.length.toShort)
+      groups.foreach { g =>
+        root.putInt(g.head._1).putInt(g.head._2.toInt)
+          .putInt(g.last._3).putInt(g.map(_._4).max.toInt).putLong(leafOff)
+        leafOff += 4 + 32 * g.size
+      }
+      out.write(root.array())
+      groups.foreach { g =>
+        val node = leBuf(new Array[Byte](4 + 32 * g.size))
+        node.put(1.toByte).put(0.toByte).putShort(g.size.toShort)
+        g.foreach { case (sc, sb, ec, eb, off, size) =>
+          node.putInt(sc).putInt(sb.toInt).putInt(ec).putInt(eb.toInt)
+            .putLong(off).putLong(size)
+        }
+        out.write(node.array())
+      }
+    }
+    indexOff
+  }
+
   private def readAt(raf: java.io.RandomAccessFile, off: Long, n: Int): java.nio.ByteBuffer = {
     val b = new Array[Byte](n)
     raf.seek(off)
@@ -223,10 +276,18 @@ object BigWig {
       val sizes = names.map(c => chromSizes.getOrElse(c, maxEnds(c)))
       require(sizes.forall(_ <= 0xffffffffL), "bigWig chrom sizes are u32")
 
+      // zoom reduction levels: x4 apart from a 64-base floor, while the
+      // reduction still subdivides the largest chromosome; up to 6
+      // levels (a display client zooms out in ~4x steps)
+      val maxSpan = sizes.maxOption.getOrElse(0L)
+      val zoomReds = Iterator.iterate(64L)(_ * 4)
+        .takeWhile(_ < maxSpan).take(6).toSeq
+
       out = new java.io.RandomAccessFile(path, "rw")
       out.setLength(0)
-      val headerBytes = new Array[Byte](64 + 40) // header + total summary
-      out.write(headerBytes) // placeholder, backpatched below
+      // header + per-level zoom headers + total summary, backpatched below
+      val headerBytes = new Array[Byte](64 + 24 * zoomReds.size + 40)
+      out.write(headerBytes)
 
       // ---- chrom B+ tree (single leaf node) ----
       val chromTreeOff = out.getFilePointer
@@ -328,61 +389,96 @@ object BigWig {
         sumSq += r.getDouble(7)
       }
 
-      // ---- R-tree index (root + one leaf level; blockSize sized so two
-      // levels always suffice: ceil(sqrt(n)) children per node) ----
-      val fullIndexOff = out.getFilePointer
+      // ---- R-tree index over the data sections ----
+      val fullIndexOff = writeRTree(out, leaves.toSeq, itemsPerSlot)
       val n = leaves.size
-      val blockSize = math.max(256, math.ceil(math.sqrt(math.max(n, 1))).toInt)
-      val groups = leaves.grouped(blockSize).toArray
-      val rtHead = leBuf(new Array[Byte](48))
-      val (sCx, sB, eCx, eB) =
-        if (n == 0) (0, 0L, 0, 0L)
-        else (leaves.head._1, leaves.head._2, leaves.last._3, leaves.map(_._4).max)
-      rtHead.putInt(RTreeMagic).putInt(blockSize).putLong(n.toLong)
-        .putInt(sCx).putInt(sB.toInt).putInt(eCx).putInt(eB.toInt)
-        .putLong(fullIndexOff).putInt(itemsPerSlot).putInt(0)
-      out.write(rtHead.array())
-      if (groups.length <= 1) {
-        // single leaf node
-        val node = leBuf(new Array[Byte](4 + 32 * n))
-        node.put(1.toByte).put(0.toByte).putShort(n.toShort)
-        leaves.foreach { case (sc, sb, ec, eb, off, size) =>
-          node.putInt(sc).putInt(sb.toInt).putInt(ec).putInt(eb.toInt)
-            .putLong(off).putLong(size)
-        }
-        out.write(node.array())
-      } else {
-        // root internal node, then leaf nodes
-        val rootBytes = 4 + 24 * groups.length
-        val rootOff = out.getFilePointer
-        var leafOff = rootOff + rootBytes
-        val root = leBuf(new Array[Byte](rootBytes))
-        root.put(0.toByte).put(0.toByte).putShort(groups.length.toShort)
-        groups.foreach { g =>
-          root.putInt(g.head._1).putInt(g.head._2.toInt)
-            .putInt(g.last._3).putInt(g.map(_._4).max.toInt).putLong(leafOff)
-          leafOff += 4 + 32 * g.size
-        }
-        out.write(root.array())
-        groups.foreach { g =>
-          val node = leBuf(new Array[Byte](4 + 32 * g.size))
-          node.put(1.toByte).put(0.toByte).putShort(g.size.toShort)
-          g.foreach { case (sc, sb, ec, eb, off, size) =>
-            node.putInt(sc).putInt(sb.toInt).putInt(ec).putInt(eb.toInt)
-              .putLong(off).putLong(size)
+
+      // ---- zoom levels (round-5): per-level fixed-width bucket
+      // summaries so external display clients get real multi-resolution
+      // data instead of rebuilding it. Buckets aggregate on the
+      // EXECUTORS (an explode + groupBy per level over the persisted
+      // runs), sections compress there too, and the driver streams them
+      // exactly like the data sections. ZoomData record (spec): chromId,
+      // chromStart, chromEnd, validCount (u32s) + min/max/sumData/
+      // sumSquares (f32s). ----
+      val zoomHeaders = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      zoomReds.foreach { red =>
+        val dataOff = out.getFilePointer
+        out.write(new Array[Byte](4)) // u32 zoom record count, backpatched
+        val zleaves = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Long, Long, Long)]
+        var zcount = 0L
+        val compressZoom = udf { (cid: Int, items: Seq[Row]) =>
+          val raw = leBuf(new Array[Byte](32 * items.size))
+          items.foreach { r =>
+            raw.putInt(cid).putInt(r.getLong(0).toInt).putInt(r.getLong(1).toInt)
+              .putInt(r.getLong(2).toInt)
+              .putFloat(r.getDouble(3).toFloat).putFloat(r.getDouble(4).toFloat)
+              .putFloat(r.getDouble(5).toFloat).putFloat(r.getDouble(6).toFloat)
           }
-          out.write(node.array())
+          val defl = new java.util.zip.Deflater()
+          defl.setInput(raw.array())
+          defl.finish()
+          val zbuf = new Array[Byte](raw.array().length + 64)
+          val zlen = defl.deflate(zbuf)
+          require(defl.finished(), "zoom deflate did not fit scratch buffer")
+          defl.end()
+          (java.util.Arrays.copyOf(zbuf, zlen), items.head.getLong(0),
+            items.map(_.getLong(1)).max, items.size)
         }
+        val sizeDf = spark.createDataFrame(names.zip(sizes)).toDF(Chrom, "_csize")
+        def fdiv(c: org.apache.spark.sql.Column) =
+          floor(c.cast("double") / red).cast("long") // exact: coords < 2^32
+        val zw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(Chrom)).orderBy(col("_zs"))
+        val zsections = typed
+          .withColumn("_zb", explode(sequence(fdiv(col(Start)), fdiv(col(End) - 1))))
+          .join(broadcast(sizeDf), Seq(Chrom))
+          .withColumn("_zs", col("_zb") * red)
+          .withColumn("_ze", least(col("_zs") + red, col("_csize")))
+          .withColumn("_ov", least(col(End), col("_ze")) - greatest(col(Start), col("_zs")))
+          .groupBy(col(Chrom), col("_zs"), col("_ze"))
+          .agg(sum(col("_ov")).as("_valid"), min(col("_v")).as("_mn"),
+            max(col("_v")).as("_mx"), sum(col("_v") * col("_ov")).as("_sd"),
+            sum(col("_v") * col("_v") * col("_ov")).as("_sq"))
+          .withColumn("_sec",
+            floor((row_number().over(zw) - 1) / itemsPerSlot.toDouble).cast("long"))
+          .groupBy(col(Chrom), col("_sec"))
+          .agg(sort_array(collect_list(struct(col("_zs"), col("_ze"), col("_valid"),
+            col("_mn"), col("_mx"), col("_sd"), col("_sq")))).as("_items"))
+          .join(broadcast(cidDf), Seq(Chrom))
+          .select(col("_cid"), col("_sec"),
+            compressZoom(col("_cid"), col("_items")).as("_blk"))
+          .orderBy(col("_cid"), col("_sec"))
+          .toLocalIterator()
+        zsections.forEachRemaining { r =>
+          val cid = r.getInt(0)
+          val blk = r.getStruct(2)
+          val z = blk.getAs[Array[Byte]](0)
+          val off = out.getFilePointer
+          out.write(z)
+          zleaves += ((cid, blk.getLong(1), cid, blk.getLong(2), off, z.length.toLong))
+          zcount += blk.getInt(3)
+        }
+        val indexOff = writeRTree(out, zleaves.toSeq, itemsPerSlot)
+        val endOff = out.getFilePointer
+        out.seek(dataOff)
+        out.write(leBuf(new Array[Byte](4)).putInt(zcount.toInt).array())
+        out.seek(endOff)
+        zoomHeaders += ((red, dataOff, indexOff))
       }
 
-      // ---- backpatch header + summary + section count ----
-      val head = leBuf(new Array[Byte](64 + 40))
-      head.putInt(BigWigMagic).putShort(4.toShort).putShort(0.toShort)
+      // ---- backpatch header + zoom headers + summary + section count ----
+      val head = leBuf(new Array[Byte](64 + 24 * zoomReds.size + 40))
+      head.putInt(BigWigMagic).putShort(4.toShort)
+        .putShort(zoomReds.size.toShort)
         .putLong(chromTreeOff).putLong(fullDataOff).putLong(fullIndexOff)
         .putShort(0.toShort).putShort(0.toShort).putLong(0L)
-        .putLong(64L) // totalSummaryOffset (immediately after header)
-        .putInt(24 + 12 * itemsPerSlot) // uncompressBufSize
+        .putLong(64L + 24L * zoomReds.size) // totalSummaryOffset after zoom headers
+        .putInt(math.max(24 + 12 * itemsPerSlot, 32 * itemsPerSlot)) // uncompressBufSize
         .putLong(0L)
+      zoomHeaders.foreach { case (red, doff, ioff) =>
+        head.putInt(red.toInt).putInt(0).putLong(doff).putLong(ioff)
+      }
       head.putLong(nBases)
       if (n == 0) { head.putDouble(0).putDouble(0).putDouble(0).putDouble(0) }
       else head.putDouble(minV).putDouble(maxV).putDouble(sumData).putDouble(sumSq)
