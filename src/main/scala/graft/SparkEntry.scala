@@ -816,6 +816,19 @@ object SparkEntry {
         .schema("row_id LONG, chrom STRING, strand STRING, istart LONG, iend LONG")
         .csv(path)
     }),
+
+    "q95_sweep_join" -> ((s, dir) => {
+      // the same pair join as q14 (minus strand keying) but through the
+      // custom Catalyst sort-merge sweep operator (IntervalSweepJoinExec)
+      // instead of the binned plan — puts the sweep's full
+      // exchange/sort/merge path under the DuckDB hash gate
+      val j = graft.join.IntervalSweepJoin.pairs(
+        gr(s, dir), gr2(s, dir).drop(Strand), Seq(Chrom))
+      out(j)
+        .withColumnRenamed(RowId + "_b", "row_id_b")
+        .withColumnRenamed(Start + "_b", "istart_b")
+        .withColumnRenamed(End + "_b", "iend_b")
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1366,5 +1379,8 @@ object SparkEntry {
 
     "q94_csv_roundtrip" -> sql(Seq(GR_CTE),
       "SELECT row_id, chrom, strand, istart, iend FROM gr"),
+
+    "q95_sweep_join" -> sql(Seq(GR_CTE, GR2_CTE),
+      "SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, o.row_id AS row_id_b, o.istart AS istart_b, o.iend AS iend_b FROM gr g JOIN gr2 o ON g.chrom = o.chrom AND g.istart < o.iend AND g.iend > o.istart"),
   )
 }

@@ -1,0 +1,111 @@
+package graft
+
+import graft.core.Cols
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B harness for the binned-vs-sweep interval-join crossover — the
+  * measurement behind `spark.graft.join.sweepFanout`
+  * (IntervalJoinRewrite's auto dispatch). Generates interval tables
+  * whose MEAN LENGTH is the swept axis while coverage depth is held
+  * constant (span scales with n*len/depth), so the only thing changing
+  * between rows of the result table is the binned plan's explode
+  * fan-out at the auto-chosen bin width:
+  *
+  *   fanout = meanLen / min(65536, nextPow4(4*meanLen))
+  *
+  * Short intervals: fan-out ~0.1, the binned equi-join should win (hash
+  * join beats sort + merge). Long intervals: the 65536 clamp caps the
+  * bin, fan-out grows linearly with length, and the exploded row count
+  * (n * fanout) swamps the join — the sweep never amplifies rows and
+  * should win. The crossover's fan-out value is what the conf encodes.
+  *
+  * Usage:
+  *   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.SweepBench [nRows]"
+  *     [--check]   also xxhash-compare binned vs sweep pair sets
+  *     [--lens=20,2000,65536,262144,1048576]   mean lengths to sweep
+  *
+  * Results recorded in BASELINE.md ("binned vs sweep" table).
+  */
+object SweepBench {
+  import Cols._
+
+  /** Deterministic interval table: n rows over 3 chromosomes, start
+    * pseudorandom in [0, span), length uniform-ish in [1, 2*meanLen]
+    * (mean ~meanLen). Parquet-backed so leaf stats and scan behavior
+    * are the real thing. */
+  def mkTable(s: SparkSession, n: Long, meanLen: Long, span: Long,
+              seed: Long, path: String): DataFrame = {
+    if (!new java.io.File(path).exists) {
+      s.range(n)
+        .withColumn(Chrom, concat(lit("c"), pmod(col("id"), lit(3L))))
+        .withColumn(Start, pmod(xxhash64(col("id"), lit(seed)), lit(span)))
+        .withColumn(End, col(Start)
+          + pmod(xxhash64(col("id"), lit(seed + 1)), lit(2L * meanLen)) + 1L)
+        .withColumnRenamed("id", RowId)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Checksum-force: evaluates every column of every pair so Catalyst
+    * can't prune the join under test. */
+  private def sig(d: DataFrame): (Long, Long) = {
+    val h = xxhash64(d.columns.map(col): _*)
+    val r = d.select(count(lit(1)), bit_xor(h)).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def time(reps: Int)(body: => DataFrame): (Double, Long) = {
+    var rows = 0L
+    val best = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      rows = sig(body)._1
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    (best, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nums = args.filter(a => a.nonEmpty && a.forall(_.isDigit)).map(_.toLong)
+    val n = nums.headOption.getOrElse(2000000L)
+    val lens = args.find(_.startsWith("--lens="))
+      .map(_.stripPrefix("--lens=").split(",").map(_.toLong).toSeq)
+      .getOrElse(Seq(20L, 2000L, 65536L, 262144L, 1048576L))
+    val check = args.contains("--check")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val depth = 4L // held-constant expected coverage depth per chrom
+    lens.foreach { len =>
+      // span chosen so n rows of ~len cover each of 3 chroms ~depth deep
+      val span = math.max(1000000L, n * len / (3L * depth))
+      val dir = s"/tmp/graft_sweepbench"
+      val l = mkTable(spark, n, len, span, 41L, s"$dir/l_n${n}_len$len.parquet")
+      val r = mkTable(spark, n / 4, len, span, 97L, s"$dir/r_n${n}_len$len.parquet")
+      val autoBin = graft.join.RangeJoin.autoBinSize(l, r)
+      val fanout = len.toDouble / autoBin
+
+      if (check) {
+        val sb = sig(graft.join.RangeJoin.pairs(l, r, Seq(Chrom), binSize = autoBin))
+        val ss = sig(graft.join.IntervalSweepJoin.pairs(l, r, Seq(Chrom)))
+        println(s"[sweepcheck] len=$len binned=$sb sweep=$ss match=${sb == ss}")
+        require(sb == ss, s"binned and sweep pair sets diverged at len=$len")
+      } else {
+        val reps = 2
+        val (tBin, rowsBin) =
+          time(reps)(graft.join.RangeJoin.pairs(l, r, Seq(Chrom), binSize = autoBin))
+        val (tSweep, rowsSweep) =
+          time(reps)(graft.join.IntervalSweepJoin.pairs(l, r, Seq(Chrom)))
+        require(rowsBin == rowsSweep, s"row counts diverged: $rowsBin vs $rowsSweep")
+        println(f"""{"len":$len,"bin":$autoBin,"fanout":$fanout%.2f,"pairs":$rowsBin,"binned":$tBin%.1f,"sweep":$tSweep%.1f,"speedup":${tBin / tSweep}%.2f}""")
+      }
+    }
+    spark.stop()
+  }
+}

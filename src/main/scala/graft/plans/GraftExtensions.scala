@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => IntervalJoinRewrite)
+    ext.injectPlannerStrategy(_ => IntervalSweepStrategy)
     ext.injectFunction((
       new FunctionIdentifier("natsort_key"),
       new ExpressionInfo(classOf[NatSortKey].getName, "natsort_key"),

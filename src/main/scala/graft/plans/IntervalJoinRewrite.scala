@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.{GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Max}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
@@ -12,11 +13,36 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *   a.join(b, keyEq && a.Start < b.End && b.Start < a.End)
   *
   * — which Spark would otherwise plan as a per-key nested loop (quadratic
-  * on hot keys) — and rewrite it into the binned range join: explode both
-  * sides into fixed-width bins (Generate nodes), equi-join on the bin,
-  * keep the original predicates, and dedupe shuffle-free with the
-  * greatest-start-bin trick (same plan RangeJoin.pairs builds by hand,
-  * SURVEY.md §4.3). Users opt in per session:
+  * on hot keys) — and rewrite it into one of the two interval-join
+  * physical shapes:
+  *
+  *  - BINNED (SURVEY.md §4.3 option (a)): explode both sides into
+  *    fixed-width bins (Generate nodes), equi-join on the bin, keep the
+  *    original predicates, dedupe shuffle-free with the
+  *    greatest-start-bin trick — the same plan RangeJoin.pairs builds by
+  *    hand. Wins when intervals are short relative to the bin: fan-out
+  *    stays ~1 and the equi-join hash-partitions hot keys across
+  *    executors.
+  *  - SWEEP ([[IntervalSweepJoinNode]], §4.3 option (c)): co-cluster +
+  *    sort both sides and run the forward merge sweep. Wins when
+  *    intervals are long: the binned plan must explode every row into
+  *    len/binSize copies, the sweep never amplifies rows.
+  *
+  * `spark.graft.join.strategy` picks: `binned`, `sweep`, or `auto`
+  * (default). Auto is STATISTICS-DRIVEN: one bounded `limit(100k)`
+  * sample job per join side (the RangeJoin.autoBinSize / Sizing.saltPlan
+  * pattern — plan-time-safe against 100 TB inputs, results cached per
+  * canonicalized subplan) estimates the mean interval length, from
+  * which it derives (1) the bin width, when `spark.graft.binSize` does
+  * not pin one: next power of four >= 4x the larger mean, clamped to
+  * [64, 65536]; and (2) the binned plan's explode fan-out at that
+  * width, mean/bin. Fan-out above `spark.graft.join.sweepFanout`
+  * (default 2, MEASURED — graft.SweepBench, BASELINE.md "binned vs
+  * sweep" table: binned wins 1.4-2x at fan-out <= 1, parity at 2,
+  * sweep wins 1.2x at 3, 1.35x at 4 and 4x at 16) routes to the
+  * sweep.
+  *
+  * Users opt in per session:
   *
   *   spark.experimental.extraOptimizations ++= Seq(IntervalJoinRewrite)
   *
@@ -24,25 +50,109 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Covers Inner, LeftSemi and LeftAnti joins. Inner preserves the join's
   * output exactly (a Project restores the original attribute list).
-  * Semi/anti can't explode the probe side naively — a left row spanning
-  * B bins would come back up to B times — so the rewrite tags each left
-  * row with a rid (monotonically_increasing_id, the same row-identity
-  * contract RangeJoin.exists uses), runs the binned join, and collapses
-  * on the rid: semi = Aggregate over the binned INNER pairs; anti =
-  * binned LEFT OUTER + max(matched)=false filter. Both keep duplicate
-  * left rows at their original multiplicity (distinct rids) and emit
-  * each surviving row exactly once. Fires only on joins whose range
-  * bounds are integral attributes; idempotent (skips joins already
+  * Semi/anti can't explode or sweep the probe side naively — a left row
+  * matching several right rows would come back several times — so the
+  * rewrite tags each left row with a rid (monotonically_increasing_id,
+  * the same row-identity contract RangeJoin.exists uses), runs the inner
+  * pair join, and collapses on the rid: semi = Aggregate over the pairs;
+  * anti (binned) = LEFT OUTER + max(matched)=false filter, anti (sweep)
+  * = LeftAnti equi-join against the distinct matched rids. Both keep
+  * duplicate left rows at their original multiplicity (distinct rids)
+  * and emit each surviving row exactly once. Fires only on joins whose
+  * range bounds are integral attributes; idempotent (skips joins already
   * carrying a graft bin attribute).
   */
 object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Bin width: tunable per session without recompiling —
     * `SET spark.graft.binSize=1024` (e.g. to the value
-    * `RangeJoin.autoBinSize` reports for the workload's tables). */
-  private def binSize: Long =
-    conf.getConfString("spark.graft.binSize", "256").toLong
+    * `RangeJoin.autoBinSize` reports for the workload's tables). Unset
+    * (the default), `auto` samples a width instead; the non-auto
+    * `binned` strategy falls back to 256. */
+  private def confBinSize: Option[Long] =
+    Option(conf.getConfString("spark.graft.binSize", null)).map(_.toLong)
+
+  private def strategyConf: String =
+    conf.getConfString("spark.graft.join.strategy", "auto")
+
+  private def sweepFanout: Double =
+    conf.getConfString("spark.graft.join.sweepFanout", "2").toDouble
+
   private val BIN_PREFIX = "_graft_bin_"
+
+  /** Last auto decision: (strategy, sampled mean len, bin width).
+    * Test/debug observability only (the Sizing.lastDecision contract). */
+  val lastChoice =
+    new java.util.concurrent.atomic.AtomicReference[(String, Double, Long)]()
+
+  // ---- sampled statistics (auto mode) ----
+
+  /** Mean interval length of `side`, from a bounded limit() sample —
+    * one small single-stage job independent of table size. Cached on
+    * the canonicalized (plan, start, end) so the optimizer's fixed-point
+    * re-runs and repeated self-join sides sample once. */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, Expression, Expression), java.lang.Double]()
+  private val inSample = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  private def sampledMeanLen(side: LogicalPlan, s: Expression, e: Expression,
+                             sampleRows: Int = 100000): Double = {
+    val key = (side.canonicalized, s.canonicalized, e.canonicalized)
+    val cached = statsCache.get(key)
+    if (cached ne null) return cached.doubleValue()
+    val mean: Double =
+      try {
+        inSample.set(true)
+        val spark = SparkSession.active
+        val len = Alias(Cast(Subtract(Cast(e, LongType), Cast(s, LongType)),
+          DoubleType), "_graft_len")()
+        val row = GraftColumnBridge.ofRows(spark, Project(Seq(len), side))
+          .limit(sampleRows)
+          .agg(org.apache.spark.sql.functions.avg("_graft_len")).head()
+        if (row.isNullAt(0)) 1.0 else math.max(row.getDouble(0), 1.0)
+      } finally inSample.set(false)
+    if (statsCache.size > 512) statsCache.clear()
+    statsCache.put(key, mean)
+    mean
+  }
+
+  /** autoBinSize rule (SURVEY §4.3): next power of four >= 4x the mean
+    * interval length, clamped to [64, 65536]. */
+  private def autoWidth(meanLen: Double): Long = {
+    val target = 4.0 * meanLen
+    var bin = 64L
+    while (bin < target && bin < 65536L) bin *= 4
+    bin
+  }
+
+  /** (useSweep, binWidth) for one matched join. */
+  private def choose(l: LogicalPlan, r: LogicalPlan,
+                     lStart: Expression, lEnd: Expression,
+                     rStart: Expression, rEnd: Expression): (Boolean, Long) = {
+    val decision = strategyConf match {
+      case "sweep"  => (true, confBinSize.getOrElse(256L))
+      case "binned" => (false, confBinSize.getOrElse(256L))
+      case _ if l.isStreaming || r.isStreaming =>
+        // can't run a sample job against a stream; the binned form is
+        // the one that composes with micro-batch execution
+        (false, confBinSize.getOrElse(256L))
+      case _ => // auto
+        val mean = math.max(sampledMeanLen(l, lStart, lEnd),
+          sampledMeanLen(r, rStart, rEnd))
+        val width = confBinSize.getOrElse(autoWidth(mean))
+        val sweep = mean / width > sweepFanout
+        lastChoice.set((if (sweep) "sweep" else "binned", mean, width))
+        logInfo(s"[graft.rewrite] auto interval join: meanLen=$mean " +
+          s"bin=$width -> ${if (sweep) "sweep" else "binned"}")
+        (sweep, width)
+    }
+    if (decision._1) IntervalSweepJoinExec.ensureStrategy(SparkSession.active)
+    decision
+  }
+
+  // ---- shape recognition ----
 
   private def floorDiv(x: Expression, b: Long): Expression =
     Cast(Floor(Divide(Cast(x, DoubleType), Literal(b.toDouble))), LongType)
@@ -54,10 +164,12 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** The two cross-side range bounds (lStart < rEnd, rStart < lEnd), if
-    * this condition is an interval-overlap join with an equi key. */
+  /** The conjuncts, the two cross-side range bounds (lStart < rEnd,
+    * rStart < lEnd) and the equi key pairs, if this condition is an
+    * interval-overlap join with an equi key. */
   private def intervalShape(cond: Expression, l: LogicalPlan, r: LogicalPlan)
-      : Option[(Seq[Expression], Expression, Expression, Expression, Expression)] = {
+      : Option[(Seq[Expression], Expression, Expression, Expression, Expression,
+          Seq[(Attribute, Attribute)])] = {
     val conjuncts = splitConjunctivePredicates(cond)
     val lts = conjuncts.collect {
       case LessThan(a, b)    => (a, b)
@@ -65,15 +177,15 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
     val p1 = lts.find { case (a, b) => isIntegralAttr(a, l) && isIntegralAttr(b, r) }
     val p2 = lts.find { case (a, b) => isIntegralAttr(a, r) && isIntegralAttr(b, l) }
-    val hasEqui = conjuncts.exists {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        (l.outputSet.contains(a) && r.outputSet.contains(b)) ||
-          (l.outputSet.contains(b) && r.outputSet.contains(a))
-      case _ => false
+    val keyPairs = conjuncts.collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if l.outputSet.contains(a) && r.outputSet.contains(b) => (a, b)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if l.outputSet.contains(b) && r.outputSet.contains(a) => (b, a)
     }
     (p1, p2) match {
-      case (Some((lStart, rEnd)), Some((rStart, lEnd))) if hasEqui =>
-        Some((conjuncts, lStart, lEnd, rStart, rEnd))
+      case (Some((lStart, rEnd)), Some((rStart, lEnd))) if keyPairs.nonEmpty =>
+        Some((conjuncts, lStart, lEnd, rStart, rEnd, keyPairs))
       case _ => None
     }
   }
@@ -86,9 +198,9 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   // floor(max(lStart, rStart)/binSize) lies within both sides' clamped
   // bin ranges, and all original predicates are retained, so no pair is
   // gained or lost.
-  private def seqExpr(s: Expression, e: Expression): Explode = {
-    val lo = floorDiv(s, binSize)
-    val hi = floorDiv(Subtract(Cast(e, LongType), Literal(1L)), binSize)
+  private def seqExpr(s: Expression, e: Expression, bin: Long): Explode = {
+    val lo = floorDiv(s, bin)
+    val hi = floorDiv(Subtract(Cast(e, LongType), Literal(1L)), bin)
     Explode(new Sequence(lo, Greatest(Seq(lo, hi)),
       Some(Literal(1L))).withTimeZone(conf.sessionLocalTimeZone))
   }
@@ -97,54 +209,81 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * pair-dedup predicate (each matching pair meets in exactly one bin). */
   private def binnedCond(conjuncts: Seq[Expression], binL: Attribute,
                          binR: Attribute, lStart: Expression,
-                         rStart: Expression): Expression =
+                         rStart: Expression, bin: Long): Expression =
     (conjuncts :+ EqualTo(binL, binR) :+ EqualTo(binL,
       floorDiv(Greatest(Seq(Cast(lStart, LongType), Cast(rStart, LongType))),
-        binSize))).reduce(And)
+        bin))).reduce(And)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(l, r, Inner, Some(cond), hint)
-        if !cond.references.exists(_.name.startsWith(BIN_PREFIX)) =>
-      intervalShape(cond, l, r) match {
-        case Some((conjuncts, lStart, lEnd, rStart, rEnd)) =>
-          val binL = AttributeReference(BIN_PREFIX + "l", LongType, nullable = false)()
-          val binR = AttributeReference(BIN_PREFIX + "r", LongType, nullable = false)()
-          val lGen = Generate(seqExpr(lStart, lEnd), Nil, outer = false, None, Seq(binL), l)
-          val rGen = Generate(seqExpr(rStart, rEnd), Nil, outer = false, None, Seq(binR), r)
-          val newCond = binnedCond(conjuncts, binL, binR, lStart, rStart)
-          Project(j.output, Join(lGen, rGen, Inner, Some(newCond), hint))
-        case None => j
-      }
+  private def sweepNode(l: LogicalPlan, r: LogicalPlan, cond: Expression,
+                        lStart: Expression, lEnd: Expression,
+                        rStart: Expression, rEnd: Expression,
+                        keyPairs: Seq[(Attribute, Attribute)]): IntervalSweepJoinNode =
+    IntervalSweepJoinNode(l, r, keyPairs.map(_._1), keyPairs.map(_._2),
+      lStart, lEnd, rStart, rEnd, slack = 0L, condition = cond)
 
-    case j @ Join(l, r, jt @ (LeftSemi | LeftAnti), Some(cond), _)
-        if !cond.references.exists(_.name.startsWith(BIN_PREFIX)) =>
-      intervalShape(cond, l, r) match {
-        case Some((conjuncts, lStart, lEnd, rStart, rEnd)) =>
-          val ridAlias = Alias(MonotonicallyIncreasingID(), "_graft_rid")()
-          val lRid = Project(l.output :+ ridAlias, l)
-          val rid = ridAlias.toAttribute
-          val binL = AttributeReference(BIN_PREFIX + "l", LongType, nullable = false)()
-          val binR = AttributeReference(BIN_PREFIX + "r", LongType, nullable = false)()
-          val lGen = Generate(seqExpr(lStart, lEnd), Nil, outer = false, None, Seq(binL), lRid)
-          val rGen = Generate(seqExpr(rStart, rEnd), Nil, outer = false, None, Seq(binR), r)
-          val newCond = binnedCond(conjuncts, binL, binR, lStart, rStart)
-          if (jt == LeftSemi) {
-            // each matching (leftRow, rightRow) pair survives the dedup
-            // predicate exactly once; collapsing on the rid yields each
-            // matched left row exactly once, duplicates preserved
-            val pairs = Join(lGen, rGen, Inner, Some(newCond), JoinHint.NONE)
-            Project(j.output, Aggregate(rid +: l.output, l.output, pairs))
-          } else {
-            // anti: keep every left bin-copy (LeftOuter), flag per-copy
-            // matches, collapse per rid, keep rows where no copy matched
-            val outerJ = Join(lGen, rGen, LeftOuter, Some(newCond), JoinHint.NONE)
-            val flag = Alias(AggregateExpression(
-              Max(IsNotNull(binR)), Complete, isDistinct = false), "_graft_matched")()
-            val agg = Aggregate(rid +: l.output, l.output :+ flag, outerJ)
-            val matched = flag.toAttribute
-            Project(j.output, Filter(Not(matched), agg))
-          }
-        case None => j
-      }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (inSample.get()) return plan // re-entrance guard for the sample job
+    plan.transformUp {
+      case j @ Join(l, r, Inner, Some(cond), hint)
+          if !cond.references.exists(_.name.startsWith(BIN_PREFIX)) =>
+        intervalShape(cond, l, r) match {
+          case Some((conjuncts, lStart, lEnd, rStart, rEnd, keyPairs)) =>
+            val (useSweep, bin) = choose(l, r, lStart, lEnd, rStart, rEnd)
+            if (useSweep) {
+              Project(j.output,
+                sweepNode(l, r, cond, lStart, lEnd, rStart, rEnd, keyPairs))
+            } else {
+              val binL = AttributeReference(BIN_PREFIX + "l", LongType, nullable = false)()
+              val binR = AttributeReference(BIN_PREFIX + "r", LongType, nullable = false)()
+              val lGen = Generate(seqExpr(lStart, lEnd, bin), Nil, outer = false, None, Seq(binL), l)
+              val rGen = Generate(seqExpr(rStart, rEnd, bin), Nil, outer = false, None, Seq(binR), r)
+              val newCond = binnedCond(conjuncts, binL, binR, lStart, rStart, bin)
+              Project(j.output, Join(lGen, rGen, Inner, Some(newCond), hint))
+            }
+          case None => j
+        }
+
+      case j @ Join(l, r, jt @ (LeftSemi | LeftAnti), Some(cond), _)
+          if !cond.references.exists(_.name.startsWith(BIN_PREFIX)) =>
+        intervalShape(cond, l, r) match {
+          case Some((conjuncts, lStart, lEnd, rStart, rEnd, keyPairs)) =>
+            val (useSweep, bin) = choose(l, r, lStart, lEnd, rStart, rEnd)
+            if (useSweep) {
+              // the sweep supports semi/anti natively — each left row
+              // emitted at most once by row identity, no rid tagging and
+              // no second evaluation of the probe side
+              Project(j.output, IntervalSweepJoinNode(l, r,
+                keyPairs.map(_._1), keyPairs.map(_._2),
+                lStart, lEnd, rStart, rEnd, slack = 0L,
+                condition = cond, joinType = jt))
+            } else {
+              val ridAlias = Alias(MonotonicallyIncreasingID(), "_graft_rid")()
+              val lRid = Project(l.output :+ ridAlias, l)
+              val rid = ridAlias.toAttribute
+              val binL = AttributeReference(BIN_PREFIX + "l", LongType, nullable = false)()
+              val binR = AttributeReference(BIN_PREFIX + "r", LongType, nullable = false)()
+              val lGen = Generate(seqExpr(lStart, lEnd, bin), Nil, outer = false, None, Seq(binL), lRid)
+              val rGen = Generate(seqExpr(rStart, rEnd, bin), Nil, outer = false, None, Seq(binR), r)
+              val newCond = binnedCond(conjuncts, binL, binR, lStart, rStart, bin)
+              if (jt == LeftSemi) {
+                // each matching (leftRow, rightRow) pair survives the dedup
+                // predicate exactly once; collapsing on the rid yields each
+                // matched left row exactly once, duplicates preserved
+                val pairs = Join(lGen, rGen, Inner, Some(newCond), JoinHint.NONE)
+                Project(j.output, Aggregate(rid +: l.output, l.output, pairs))
+              } else {
+                // anti: keep every left bin-copy (LeftOuter), flag per-copy
+                // matches, collapse per rid, keep rows where no copy matched
+                val outerJ = Join(lGen, rGen, LeftOuter, Some(newCond), JoinHint.NONE)
+                val flag = Alias(AggregateExpression(
+                  Max(IsNotNull(binR)), Complete, isDistinct = false), "_graft_matched")()
+                val agg = Aggregate(rid +: l.output, l.output :+ flag, outerJ)
+                val matched = flag.toAttribute
+                Project(j.output, Filter(Not(matched), agg))
+              }
+            }
+          case None => j
+        }
+    }
   }
 }

@@ -178,6 +178,115 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("strategy=sweep plans IntervalSweepJoinExec for inner/semi/anti with equal results") {
+    import spark.implicits._
+    val l0 = mkDF(400, 4000, 200, 2654435761L)
+    val l = l0.unionAll(l0.limit(25))
+      .withColumn("meta", when(col("id") % 3 === 0, lit(null: String)).otherwise(lit("m")))
+    val r = mkDF(250, 4000, 60, 40503L).toDF(Chrom + "2", "s2", "e2", "id2")
+    for (jt <- Seq("inner", "left_semi", "left_anti")) {
+      def joined = l.join(r,
+        l(Chrom) === r(Chrom + "2") && l(Start) < r("e2") && r("s2") < l(End), jt)
+      val naive = joined.collect().map(_.toSeq.toList)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntervalJoinRewrite
+      spark.conf.set("spark.graft.join.strategy", "sweep")
+      try {
+        val exec = joined.queryExecution.executedPlan.toString
+        assert(exec.contains("IntervalSweepJoin"), s"$jt did not plan the sweep:\n$exec")
+        val swept = joined.collect().map(_.toSeq.toList)
+          .groupBy(identity).view.mapValues(_.size).toMap
+        assert(swept == naive, s"$jt mismatch")
+        assert(naive.nonEmpty)
+      } finally {
+        spark.conf.unset("spark.graft.join.strategy")
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ == IntervalJoinRewrite)
+      }
+    }
+  }
+
+  test("sweep matches naive on null keys, null bounds and duplicates for all join types") {
+    import spark.implicits._
+    // null chromosome on both sides, null Start on the left, duplicates:
+    // inner/semi drop null-key rows, anti must KEEP them (they match
+    // nothing); null bounds never match (three-valued logic)
+    val l = Seq(
+      (null.asInstanceOf[String], Some(5L), 40L, 0L),
+      ("c0", Some(5L), 40L, 1L),
+      ("c0", Some(5L), 40L, 1L), // duplicate row
+      ("c0", None, 40L, 2L),     // null Start
+      ("c1", Some(100L), 140L, 3L)
+    ).toDF(Chrom, Start, End, "id")
+      .select(col(Chrom), col(Start), col(End), col("id"))
+    val r = Seq(
+      (null.asInstanceOf[String], 0L, 50L, 10L),
+      ("c0", 30L, 35L, 11L),
+      ("c2", 0L, 1000L, 12L)
+    ).toDF(Chrom + "2", "s2", "e2", "id2")
+    for (jt <- Seq("inner", "left_semi", "left_anti")) {
+      def joined = l.join(r,
+        l(Chrom) === r(Chrom + "2") && l(Start) < r("e2") && r("s2") < l(End), jt)
+      val naive = joined.collect().map(_.toSeq.toList)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntervalJoinRewrite
+      spark.conf.set("spark.graft.join.strategy", "sweep")
+      try {
+        val swept = joined.collect().map(_.toSeq.toList)
+          .groupBy(identity).view.mapValues(_.size).toMap
+        assert(swept == naive, s"$jt mismatch: swept=$swept naive=$naive")
+      } finally {
+        spark.conf.unset("spark.graft.join.strategy")
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ == IntervalJoinRewrite)
+      }
+    }
+  }
+
+  test("auto strategy picks sweep for long intervals, binned for short") {
+    // long intervals: mean len ~1M over a 100M span -> fan-out at the
+    // 65536 clamp is ~15 > the default bar -> sweep
+    import spark.implicits._
+    def mkLong(n: Int, seed: Long) = (0 until n).map { i =>
+      val s = (i * seed) % 100000000L
+      ("c" + (i % 3), s, s + 500000L + (i * 31L) % 1000000L, i.toLong)
+    }.toDF(Chrom, Start, End, "id")
+    val lLong = mkLong(300, 2654435761L)
+    val rLong = mkLong(200, 40503L).toDF(Chrom + "2", "s2", "e2", "id2")
+    def joinedLong = lLong.join(rLong,
+      lLong(Chrom) === rLong(Chrom + "2") && lLong(Start) < rLong("e2")
+        && rLong("s2") < lLong(End))
+    // short intervals: existing corpus shape -> binned
+    val lShort = mkDF(300, 5000, 100, 2654435761L)
+    val rShort = mkDF(200, 5000, 60, 40503L).toDF(Chrom + "2", "s2", "e2", "id2")
+    def joinedShort = lShort.join(rShort,
+      lShort(Chrom) === rShort(Chrom + "2") && lShort(Start) < rShort("e2")
+        && rShort("s2") < lShort(End))
+
+    val naiveLong = joinedLong.collect().map(_.toSeq.toList).toSet
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IntervalJoinRewrite
+    try {
+      val execLong = joinedLong.queryExecution.executedPlan.toString
+      assert(execLong.contains("IntervalSweepJoin"),
+        s"auto did not pick sweep for long intervals:\n$execLong")
+      val (choice, meanLen, _) = IntervalJoinRewrite.lastChoice.get()
+      assert(choice == "sweep" && meanLen > 500000, s"lastChoice=$choice meanLen=$meanLen")
+      assert(joinedLong.collect().map(_.toSeq.toList).toSet == naiveLong)
+      assert(naiveLong.nonEmpty)
+
+      val planShort = joinedShort.queryExecution.optimizedPlan.toString
+      assert(planShort.contains("_graft_bin_"),
+        s"auto did not pick binned for short intervals:\n$planShort")
+      assert(IntervalJoinRewrite.lastChoice.get()._1 == "binned")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == IntervalJoinRewrite)
+    }
+  }
+
   test("rule leaves non-interval joins untouched") {
     val l = mkDF(50, 500, 30, 2654435761L)
     val r = mkDF(50, 500, 30, 40503L).toDF(Chrom + "2", "s2", "e2", "id2")
