@@ -395,18 +395,17 @@ object BigWig {
 
       // ---- zoom levels (round-5): per-level fixed-width bucket
       // summaries so external display clients get real multi-resolution
-      // data instead of rebuilding it. Buckets aggregate on the
-      // EXECUTORS (an explode + groupBy per level over the persisted
-      // runs), sections compress there too, and the driver streams them
-      // exactly like the data sections. ZoomData record (spec): chromId,
-      // chromStart, chromEnd, validCount (u32s) + min/max/sumData/
-      // sumSquares (f32s). ----
+      // data instead of rebuilding it. ALL levels ride ONE Spark
+      // pipeline (a per-level pass cost ~8 s on the sf0.1 roundtrip
+      // bench): each run cross-joins the 6-row level table, explodes
+      // into its buckets at every reduction, and a single shuffle
+      // aggregates / sections / compresses everything; orderBy puts the
+      // stream in level order so the driver writes levels sequentially,
+      // closing each level's R-tree when the next begins. ZoomData
+      // record (spec): chromId, chromStart, chromEnd, validCount (u32s)
+      // + min/max/sumData/sumSquares (f32s). ----
       val zoomHeaders = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      zoomReds.foreach { red =>
-        val dataOff = out.getFilePointer
-        out.write(new Array[Byte](4)) // u32 zoom record count, backpatched
-        val zleaves = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Long, Long, Long)]
-        var zcount = 0L
+      if (zoomReds.nonEmpty && n > 0) {
         val compressZoom = udf { (cid: Int, items: Seq[Row]) =>
           val raw = leBuf(new Array[Byte](32 * items.size))
           items.foreach { r =>
@@ -425,46 +424,100 @@ object BigWig {
           (java.util.Arrays.copyOf(zbuf, zlen), items.head.getLong(0),
             items.map(_.getLong(1)).max, items.size)
         }
+        val levelsDf = spark.createDataFrame(zoomReds.zipWithIndex).toDF("_red", "_lvl")
         val sizeDf = spark.createDataFrame(names.zip(sizes)).toDF(Chrom, "_csize")
+        // runs explode ONLY at the finest reduction (zoomReds always
+        // starts at the 64 floor); every coarser level is a 4->1 rollup
+        // of the finest buckets — valid/sumData/sumSquares are additive
+        // and min/max compose, and finest buckets never straddle a
+        // coarser boundary (reductions are aligned powers of 4). The
+        // explode fan-out is paid once, not once per level.
+        val fine = zoomReds.head
         def fdiv(c: org.apache.spark.sql.Column) =
-          floor(c.cast("double") / red).cast("long") // exact: coords < 2^32
-        val zw = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(Chrom)).orderBy(col("_zs"))
-        val zsections = typed
-          .withColumn("_zb", explode(sequence(fdiv(col(Start)), fdiv(col(End) - 1))))
+          floor(c.cast("double") / fine).cast("long") // exact: coords < 2^32
+        val lo = fdiv(col(Start))
+        val fineBuckets = typed
+          .withColumn("_zb", explode(sequence(lo,
+            greatest(lo, fdiv(col(End) - 1))))) // clamp: End <= Start explodes to 1 bucket
+          .withColumn("_fzs", col("_zb") * fine)
           .join(broadcast(sizeDf), Seq(Chrom))
-          .withColumn("_zs", col("_zb") * red)
-          .withColumn("_ze", least(col("_zs") + red, col("_csize")))
-          .withColumn("_ov", least(col(End), col("_ze")) - greatest(col(Start), col("_zs")))
-          .groupBy(col(Chrom), col("_zs"), col("_ze"))
+          .withColumn("_fze", least(col("_fzs") + fine, col("_csize")))
+          .withColumn("_ov", least(col(End), col("_fze")) - greatest(col(Start), col("_fzs")))
+          .groupBy(col(Chrom), col("_csize"), col("_fzs"), col("_fze"))
           .agg(sum(col("_ov")).as("_valid"), min(col("_v")).as("_mn"),
             max(col("_v")).as("_mx"), sum(col("_v") * col("_ov")).as("_sd"),
             sum(col("_v") * col("_v") * col("_ov")).as("_sq"))
+        val zsections = fineBuckets
+          .crossJoin(broadcast(levelsDf))
+          .withColumn("_zs",
+            (floor(col("_fzs").cast("double") / col("_red")).cast("long")) * col("_red"))
+          .withColumn("_ze", least(col("_zs") + col("_red"), col("_csize")))
+          .groupBy(col("_lvl"), col("_red"), col(Chrom), col("_zs"), col("_ze"))
+          .agg(sum(col("_valid")).as("_valid"), min(col("_mn")).as("_mn"),
+            max(col("_mx")).as("_mx"), sum(col("_sd")).as("_sd"),
+            sum(col("_sq")).as("_sq"))
+          // buckets are fixed-width, so the itemsPerSlot sectioning is
+          // pure arithmetic (consecutive slot-sized coordinate ranges,
+          // <= itemsPerSlot buckets each; sparse ranges just yield
+          // smaller sections) — no row_number window, one less
+          // shuffle+sort stage
           .withColumn("_sec",
-            floor((row_number().over(zw) - 1) / itemsPerSlot.toDouble).cast("long"))
-          .groupBy(col(Chrom), col("_sec"))
+            floor(col("_zs").cast("double") / (col("_red") * itemsPerSlot)).cast("long"))
+          .groupBy(col("_lvl"), col(Chrom), col("_sec"))
           .agg(sort_array(collect_list(struct(col("_zs"), col("_ze"), col("_valid"),
             col("_mn"), col("_mx"), col("_sd"), col("_sq")))).as("_items"))
           .join(broadcast(cidDf), Seq(Chrom))
-          .select(col("_cid"), col("_sec"),
+          .select(col("_lvl"), col("_cid"), col("_sec"),
             compressZoom(col("_cid"), col("_items")).as("_blk"))
-          .orderBy(col("_cid"), col("_sec"))
+          // zoom volume is bounded by the coordinate span (known from
+          // the chrom sizes, no job needed): below ~4M fine buckets the
+          // whole stream fits one range partition, and toLocalIterator
+          // then runs ONE job instead of one per shuffle partition (the
+          // per-job overhead dominated the write at bench scale); the
+          // aggregation/compression stages keep full parallelism either
+          // way. Only the tiny post-shuffle merge is single-task.
+          .repartitionByRange(
+            if (sizes.map(_ / zoomReds.head + 1).sum < (1L << 22)) 1
+            else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+            col("_lvl"), col("_cid"), col("_sec"))
+          .sortWithinPartitions(col("_lvl"), col("_cid"), col("_sec"))
           .toLocalIterator()
+
+        val zleaves = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Long, Long, Long)]
+        var curLvl = -1
+        var dataOff = 0L
+        var zcount = 0L
+        def finishLevel(): Unit = if (curLvl >= 0) {
+          val indexOff = writeRTree(out, zleaves.toSeq, itemsPerSlot)
+          val endOff = out.getFilePointer
+          out.seek(dataOff)
+          out.write(leBuf(new Array[Byte](4)).putInt(zcount.toInt).array())
+          out.seek(endOff)
+          zoomHeaders += ((zoomReds(curLvl), dataOff, indexOff))
+        }
         zsections.forEachRemaining { r =>
-          val cid = r.getInt(0)
-          val blk = r.getStruct(2)
+          val lvl = r.getInt(0)
+          if (lvl != curLvl) {
+            finishLevel()
+            curLvl = lvl
+            zleaves.clear()
+            zcount = 0L
+            dataOff = out.getFilePointer
+            out.write(new Array[Byte](4)) // u32 zoom record count, backpatched
+          }
+          val cid = r.getInt(1)
+          val blk = r.getStruct(3)
           val z = blk.getAs[Array[Byte]](0)
           val off = out.getFilePointer
           out.write(z)
           zleaves += ((cid, blk.getLong(1), cid, blk.getLong(2), off, z.length.toLong))
           zcount += blk.getInt(3)
         }
-        val indexOff = writeRTree(out, zleaves.toSeq, itemsPerSlot)
-        val endOff = out.getFilePointer
-        out.seek(dataOff)
-        out.write(leBuf(new Array[Byte](4)).putInt(zcount.toInt).array())
-        out.seek(endOff)
-        zoomHeaders += ((red, dataOff, indexOff))
+        finishLevel()
+        // every run emits >= 1 bucket at every level, so a non-empty
+        // input fills all zoomReds.size levels
+        require(zoomHeaders.size == zoomReds.size,
+          s"zoom levels written ${zoomHeaders.size} != planned ${zoomReds.size}")
       }
 
       // ---- backpatch header + zoom headers + summary + section count ----

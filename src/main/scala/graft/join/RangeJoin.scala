@@ -62,15 +62,45 @@ object RangeJoin {
     * `RangeJoin.pairs(l, r, keys, binSize = RangeJoin.autoBinSize(l, r))`. */
   def autoBinSize(left: DataFrame, right: DataFrame,
                   sampleRows: Int = 100000): Long = {
-    def meanLen(df: DataFrame): Double = {
-      val r = df.select((col(End) - col(Start)).cast("double").as("_len"))
-        .limit(sampleRows).agg(avg(col("_len"))).head()
-      if (r.isNullAt(0)) 1.0 else math.max(r.getDouble(0), 1.0)
-    }
-    val target = 4.0 * math.max(meanLen(left), meanLen(right))
+    val target = 4.0 * math.max(sampledMeanLen(left, sampleRows),
+      sampledMeanLen(right, sampleRows))
     var bin = 64L
     while (bin < target && bin < 65536L) bin *= 4
     bin
+  }
+
+  /** Mean interval length from a bounded limit() sample — one small
+    * single-stage job independent of table size. */
+  private def sampledMeanLen(df: DataFrame, sampleRows: Int): Double = {
+    val r = df.select((col(End) - col(Start)).cast("double").as("_len"))
+      .limit(sampleRows).agg(avg(col("_len"))).head()
+    if (r.isNullAt(0)) 1.0 else math.max(r.getDouble(0), 1.0)
+  }
+
+  /** Last autoPairs decision: (strategy, mean len, bin width) —
+    * test/debug observability (the Sizing.lastDecision contract). */
+  val lastAutoPairs =
+    new java.util.concurrent.atomic.AtomicReference[(String, Double, Long)]()
+
+  /** Statistics-driven pair join: one bounded sample estimates the mean
+    * interval length of both sides, sizes the bin (autoBinSize rule),
+    * and routes to the binned join or the sort-merge sweep operator
+    * ([[IntervalSweepJoin]]) when the binned plan's explode fan-out
+    * mean/bin would exceed `fanoutBar` — the MEASURED crossover
+    * (graft.SweepBench, BASELINE.md "binned vs sweep": parity at
+    * fan-out 2, sweep 4x ahead at 16). The DataFrame-API counterpart of
+    * IntervalJoinRewrite's `spark.graft.join.strategy=auto`. */
+  def autoPairs(left: DataFrame, right: DataFrame, keys: Seq[String],
+                slack: Long = 0, suffix: String = "_b",
+                fanoutBar: Double = 2.0, sampleRows: Int = 100000): DataFrame = {
+    val mean = math.max(sampledMeanLen(left, sampleRows),
+      sampledMeanLen(right, sampleRows))
+    var bin = 64L
+    while (bin < 4.0 * mean && bin < 65536L) bin *= 4
+    val sweep = mean / bin > fanoutBar
+    lastAutoPairs.set((if (sweep) "sweep" else "binned", mean, bin))
+    if (sweep) IntervalSweepJoin.pairs(left, right, keys, slack, suffix)
+    else pairs(left, right, keys, slack, bin, suffix)
   }
 
   /** floor(x / b) as a Column, exact for |x| < 2^52. */

@@ -256,56 +256,59 @@ class IoSpec extends AnyFunSuite {
       }
       assert(levels.map(_._1) == Seq(64, 256))
 
-      // decode level 0 (reduction 64): count, R-tree blocks, records
-      val (red, dataOff, indexOff) = levels.head
-      val count = at(dataOff, 4).getInt
-      val blocks = Seq.newBuilder[(Long, Long)]
-      def walk(off: Long): Unit = {
-        val head = at(off, 4)
-        val isLeaf = head.get() != 0; head.get()
-        val n = head.getShort & 0xffff
-        val body = at(off + 4, n * (if (isLeaf) 32 else 24))
-        (0 until n).foreach { _ =>
-          body.getInt; body.getInt; body.getInt; body.getInt
-          if (isLeaf) blocks += ((body.getLong, body.getLong))
-          else { val c = body.getLong; val s = body.position(); walk(c); body.position(s) }
-        }
-      }
-      assert(at(indexOff, 4).getInt == 0x2468ACE0)
-      walk(indexOff + 48)
+      // decode and verify EVERY level against an independent
+      // recomputation (level 1 is produced by the 4->1 rollup, so this
+      // checks the hierarchy, not just the finest pass)
       case class Z(cid: Int, s: Int, e: Int, valid: Int,
                    mn: Float, mx: Float, sd: Float, sq: Float)
-      val recs = blocks.result().flatMap { case (off, size) =>
-        val comp = new Array[Byte](size.toInt); raf.seek(off); raf.readFully(comp)
-        val inf = new java.util.zip.Inflater(); inf.setInput(comp)
-        val buf = new Array[Byte](1 << 16)
-        val n = inf.inflate(buf); inf.end()
-        val bb = java.nio.ByteBuffer.wrap(buf, 0, n)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        (0 until n / 32).map(_ => Z(bb.getInt, bb.getInt, bb.getInt, bb.getInt,
-          bb.getFloat, bb.getFloat, bb.getFloat, bb.getFloat))
-      }
-      assert(recs.size == count)
-      // recompute expected buckets from the input rows (chr1 = cid 0)
-      val expected = rows.flatMap { case (c, s, e, v) =>
-        (s / red to (e - 1) / red).map { b =>
-          val lo = math.max(s, b * red); val hi = math.min(e, (b + 1) * red)
-          ((c, b), (hi - lo, v))
+      levels.foreach { case (red, dataOff, indexOff) =>
+        val count = at(dataOff, 4).getInt
+        val blocks = Seq.newBuilder[(Long, Long)]
+        def walk(off: Long): Unit = {
+          val head = at(off, 4)
+          val isLeaf = head.get() != 0; head.get()
+          val n = head.getShort & 0xffff
+          val body = at(off + 4, n * (if (isLeaf) 32 else 24))
+          (0 until n).foreach { _ =>
+            body.getInt; body.getInt; body.getInt; body.getInt
+            if (isLeaf) blocks += ((body.getLong, body.getLong))
+            else { val c = body.getLong; val s = body.position(); walk(c); body.position(s) }
+          }
         }
-      }.groupBy(_._1).map { case ((c, b), xs) =>
-        val valid = xs.map(_._2._1).sum
-        val vs = xs.map(_._2._2)
-        ((if (c == "chr1") 0 else 1, b * red),
-          (valid, vs.min.toFloat, vs.max.toFloat,
-            xs.map(x => x._2._2 * x._2._1).sum.toFloat))
-      }
-      assert(recs.size == expected.size)
-      recs.foreach { z =>
-        val (valid, mn, mx, sd) = expected((z.cid, z.s.toLong))
-        assert(z.valid == valid && z.mn == mn && z.mx == mx,
-          s"bucket ${(z.cid, z.s)} mismatch")
-        assert(math.abs(z.sd - sd) <= math.abs(sd) * 1e-5f + 1e-5f)
-        assert(z.e - z.s <= red && z.s % red == 0)
+        assert(at(indexOff, 4).getInt == 0x2468ACE0)
+        walk(indexOff + 48)
+        val recs = blocks.result().flatMap { case (off, size) =>
+          val comp = new Array[Byte](size.toInt); raf.seek(off); raf.readFully(comp)
+          val inf = new java.util.zip.Inflater(); inf.setInput(comp)
+          val buf = new Array[Byte](1 << 16)
+          val n = inf.inflate(buf); inf.end()
+          val bb = java.nio.ByteBuffer.wrap(buf, 0, n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (0 until n / 32).map(_ => Z(bb.getInt, bb.getInt, bb.getInt, bb.getInt,
+            bb.getFloat, bb.getFloat, bb.getFloat, bb.getFloat))
+        }
+        assert(recs.size == count)
+        // recompute expected buckets from the input rows (chr1 = cid 0)
+        val expected = rows.flatMap { case (c, s, e, v) =>
+          (s / red to (e - 1) / red).map { b =>
+            val lo = math.max(s, b * red); val hi = math.min(e, (b + 1) * red)
+            ((c, b), (hi - lo, v))
+          }
+        }.groupBy(_._1).map { case ((c, b), xs) =>
+          val valid = xs.map(_._2._1).sum
+          val vs = xs.map(_._2._2)
+          ((if (c == "chr1") 0 else 1, b * red),
+            (valid, vs.min.toFloat, vs.max.toFloat,
+              xs.map(x => x._2._2 * x._2._1).sum.toFloat))
+        }
+        assert(recs.size == expected.size, s"red=$red bucket count")
+        recs.foreach { z =>
+          val (valid, mn, mx, sd) = expected((z.cid, z.s.toLong))
+          assert(z.valid == valid && z.mn == mn && z.mx == mx,
+            s"red=$red bucket ${(z.cid, z.s)} mismatch")
+          assert(math.abs(z.sd - sd) <= math.abs(sd) * 1e-5f + 1e-5f)
+          assert(z.e - z.s <= red && z.s % red == 0)
+        }
       }
     } finally raf.close()
   }

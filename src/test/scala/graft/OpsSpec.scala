@@ -419,6 +419,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("RangeJoin.autoPairs dispatches on sampled fan-out with equal results") {
+    import spark.implicits._
+    // short intervals (mean ~10): binned; long (mean ~500k at 64k bin
+    // clamp -> fan-out ~8): sweep. Both must equal the fixed-bin join.
+    def mk(n: Int, span: Long, lenBase: Long, seed: Long) =
+      (0 until n).map { i =>
+        val s = (i * seed) % span
+        ("c" + (i % 2), s, s + lenBase + (i * 31L) % lenBase, i.toLong)
+      }.toDF(Chrom, Start, End, RowId)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+
+    val lShort = mk(200, 4000, 10, 2654435761L)
+    val rShort = mk(150, 4000, 8, 40503L).withColumnRenamed(RowId, "rid2")
+    val gotShort = canon(RangeJoin.autoPairs(lShort, rShort, Seq(Chrom)))
+    assert(RangeJoin.lastAutoPairs.get()._1 == "binned")
+    assert(gotShort == canon(RangeJoin.pairs(lShort, rShort, Seq(Chrom), binSize = 64)))
+
+    val lLong = mk(200, 40000000L, 400000L, 2654435761L)
+    val rLong = mk(150, 40000000L, 400000L, 40503L).withColumnRenamed(RowId, "rid2")
+    val gotLong = canon(RangeJoin.autoPairs(lLong, rLong, Seq(Chrom)))
+    assert(RangeJoin.lastAutoPairs.get()._1 == "sweep")
+    assert(gotLong == canon(RangeJoin.pairs(lLong, rLong, Seq(Chrom), binSize = 65536)))
+    assert(gotLong.nonEmpty && gotShort.nonEmpty)
+  }
+
   // Coverage/RLE (reference core/pyranges_main.py:4344-4466 doctest).
   test("toRle computes depth runs incl. interior zeros") {
     val df = gf(("c", 1, 3), ("c", 2, 5), ("c", 7, 8))
