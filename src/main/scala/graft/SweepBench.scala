@@ -30,15 +30,17 @@ import org.apache.spark.sql.functions._
 object SweepBench {
   import Cols._
 
-  /** Deterministic interval table: n rows over 3 chromosomes, start
-    * pseudorandom in [0, span), length uniform-ish in [1, 2*meanLen]
-    * (mean ~meanLen). Parquet-backed so leaf stats and scan behavior
-    * are the real thing. */
+  /** Deterministic interval table: n rows over 3 chromosomes (1 with
+    * `hot` — the skew axis: a single key serializes any per-key plan),
+    * start pseudorandom in [0, span), length uniform-ish in
+    * [1, 2*meanLen] (mean ~meanLen). Parquet-backed so leaf stats and
+    * scan behavior are the real thing. */
   def mkTable(s: SparkSession, n: Long, meanLen: Long, span: Long,
-              seed: Long, path: String): DataFrame = {
+              seed: Long, path: String, hot: Boolean = false): DataFrame = {
     if (!new java.io.File(path).exists) {
       s.range(n)
-        .withColumn(Chrom, concat(lit("c"), pmod(col("id"), lit(3L))))
+        .withColumn(Chrom,
+          if (hot) lit("c0") else concat(lit("c"), pmod(col("id"), lit(3L))))
         .withColumn(Start, pmod(xxhash64(col("id"), lit(seed)), lit(span)))
         .withColumn(End, col(Start)
           + pmod(xxhash64(col("id"), lit(seed + 1)), lit(2L * meanLen)) + 1L)
@@ -81,29 +83,42 @@ object SweepBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val hot = args.contains("--hot")
     val depth = 4L // held-constant expected coverage depth per chrom
     lens.foreach { len =>
-      // span chosen so n rows of ~len cover each of 3 chroms ~depth deep
-      val span = math.max(1000000L, n * len / (3L * depth))
+      // span chosen so n rows of ~len cover each chrom ~depth deep
+      val chroms = if (hot) 1L else 3L
+      val span = math.max(1000000L, n * len / (chroms * depth))
       val dir = s"/tmp/graft_sweepbench"
-      val l = mkTable(spark, n, len, span, 41L, s"$dir/l_n${n}_len$len.parquet")
-      val r = mkTable(spark, n / 4, len, span, 97L, s"$dir/r_n${n}_len$len.parquet")
+      val tag = if (hot) "hot_" else ""
+      val l = mkTable(spark, n, len, span, 41L, s"$dir/${tag}l_n${n}_len$len.parquet", hot)
+      val r = mkTable(spark, n / 4, len, span, 97L, s"$dir/${tag}r_n${n}_len$len.parquet", hot)
       val autoBin = graft.join.RangeJoin.autoBinSize(l, r)
       val fanout = len.toDouble / autoBin
+      // the span-scaled salt bin autoPairs would pick
+      val mb = graft.core.Sizing.saltPlan(l, Seq(Chrom)).map { b =>
+        var w = b; while (w < 4.0 * len) w *= 2; w
+      }
 
       if (check) {
         val sb = sig(graft.join.RangeJoin.pairs(l, r, Seq(Chrom), binSize = autoBin))
         val ss = sig(graft.join.IntervalSweepJoin.pairs(l, r, Seq(Chrom)))
-        println(s"[sweepcheck] len=$len binned=$sb sweep=$ss match=${sb == ss}")
-        require(sb == ss, s"binned and sweep pair sets diverged at len=$len")
+        val sm = sig(graft.join.IntervalSweepJoin.pairs(l, r, Seq(Chrom), megaBin = mb))
+        println(s"[sweepcheck] len=$len binned=$sb sweep=$ss salted=$sm " +
+          s"match=${sb == ss && sb == sm}")
+        require(sb == ss && sb == sm,
+          s"binned / sweep / salted pair sets diverged at len=$len")
       } else {
         val reps = 2
         val (tBin, rowsBin) =
           time(reps)(graft.join.RangeJoin.pairs(l, r, Seq(Chrom), binSize = autoBin))
         val (tSweep, rowsSweep) =
           time(reps)(graft.join.IntervalSweepJoin.pairs(l, r, Seq(Chrom)))
-        require(rowsBin == rowsSweep, s"row counts diverged: $rowsBin vs $rowsSweep")
-        println(f"""{"len":$len,"bin":$autoBin,"fanout":$fanout%.2f,"pairs":$rowsBin,"binned":$tBin%.1f,"sweep":$tSweep%.1f,"speedup":${tBin / tSweep}%.2f}""")
+        val (tSalt, rowsSalt) =
+          time(reps)(graft.join.IntervalSweepJoin.pairs(l, r, Seq(Chrom), megaBin = mb))
+        require(rowsBin == rowsSweep && rowsBin == rowsSalt,
+          s"row counts diverged: $rowsBin / $rowsSweep / $rowsSalt")
+        println(f"""{"len":$len,"bin":$autoBin,"fanout":$fanout%.2f,"megaBin":${mb.getOrElse(0L)},"pairs":$rowsBin,"binned":$tBin%.1f,"sweep":$tSweep%.1f,"sweepSalted":$tSalt%.1f,"saltedSpeedupVsSweep":${tSweep / tSalt}%.2f}""")
       }
     }
     spark.stop()

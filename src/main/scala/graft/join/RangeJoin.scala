@@ -98,9 +98,22 @@ object RangeJoin {
     var bin = 64L
     while (bin < 4.0 * mean && bin < 65536L) bin *= 4
     val sweep = mean / bin > fanoutBar
-    lastAutoPairs.set((if (sweep) "sweep" else "binned", mean, bin))
-    if (sweep) IntervalSweepJoin.pairs(left, right, keys, slack, suffix)
-    else pairs(left, right, keys, slack, bin, suffix)
+    if (sweep) {
+      // salt the sweep when the key sample says per-key parallelism is
+      // scarce (same saltPlan gates as the window ops: wide span, not
+      // many balanced keys), widening the span-scaled mega-bin until
+      // explode fan-out stays ~1 copy per row
+      val mb = graft.core.Sizing.saltPlan(left, keys).map { b =>
+        var w = b
+        while (w < 4.0 * mean) w *= 2
+        w
+      }
+      lastAutoPairs.set((mb.fold("sweep")(_ => "sweep-salted"), mean, bin))
+      IntervalSweepJoin.pairs(left, right, keys, slack, suffix, megaBin = mb)
+    } else {
+      lastAutoPairs.set(("binned", mean, bin))
+      pairs(left, right, keys, slack, bin, suffix)
+    }
   }
 
   /** floor(x / b) as a Column, exact for |x| < 2^52. */

@@ -440,9 +440,35 @@ class OpsSpec extends AnyFunSuite {
     val lLong = mk(200, 40000000L, 400000L, 2654435761L)
     val rLong = mk(150, 40000000L, 400000L, 40503L).withColumnRenamed(RowId, "rid2")
     val gotLong = canon(RangeJoin.autoPairs(lLong, rLong, Seq(Chrom)))
-    assert(RangeJoin.lastAutoPairs.get()._1 == "sweep")
+    assert(RangeJoin.lastAutoPairs.get()._1.startsWith("sweep"))
     assert(gotLong == canon(RangeJoin.pairs(lLong, rLong, Seq(Chrom), binSize = 65536)))
     assert(gotLong.nonEmpty && gotShort.nonEmpty)
+  }
+
+  test("mega-binned (salted) sweep equals plain sweep and binned, incl. slack") {
+    import spark.implicits._
+    def mk(n: Int, seed: Long) = (0 until n).map { i =>
+      val s = (i * seed) % 2000000L
+      // mix of long and short interval lengths (binned comparison needs
+      // End > Start — the hand-built binned path has no degenerate clamp)
+      val len = 1L + (i * 31L) % 300000L
+      ("c" + (i % 2), s, s + len, i.toLong)
+    }.toDF(Chrom, Start, End, RowId)
+    val l = mk(300, 2654435761L)
+    val r = mk(200, 40503L).withColumnRenamed(RowId, "rid2")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    for (slack <- Seq(0L, 1000L); mb <- Seq(65536L, 1 << 20)) {
+      val salted = canon(graft.join.IntervalSweepJoin.pairs(
+        l, r, Seq(Chrom), slack = slack, megaBin = Some(mb)))
+      val plain = canon(graft.join.IntervalSweepJoin.pairs(
+        l, r, Seq(Chrom), slack = slack))
+      assert(salted == plain, s"slack=$slack mb=$mb salted != plain sweep")
+      val binned = canon(RangeJoin.pairs(l, r, Seq(Chrom), slack = slack,
+        binSize = 16384))
+      assert(salted == binned, s"slack=$slack mb=$mb salted != binned")
+      assert(salted.nonEmpty)
+    }
   }
 
   // Coverage/RLE (reference core/pyranges_main.py:4344-4466 doctest).
