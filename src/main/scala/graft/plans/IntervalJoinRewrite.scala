@@ -40,7 +40,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * (default 2, MEASURED — graft.SweepBench, BASELINE.md "binned vs
   * sweep" table: binned wins 1.4-2x at fan-out <= 1, parity at 2,
   * sweep wins 1.2x at 3, 1.35x at 4 and 4x at 16) routes to the
-  * sweep.
+  * sweep. The sweep is additionally SALTED (mega-binned — span-scale
+  * bins join the cluster keys, greatest-start-bin dedup) when the same
+  * sample shows per-key parallelism is scarce, fixing the one-task-
+  * per-hot-key serialization of a plain sweep (measured 4.3-5.5x on a
+  * single hot key, BASELINE.md "salted sweep"); inner joins only.
   *
   * Users opt in per session:
   *
@@ -87,35 +91,69 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   // ---- sampled statistics (auto mode) ----
 
-  /** Mean interval length of `side`, from a bounded limit() sample —
-    * one small single-stage job independent of table size. Cached on
-    * the canonicalized (plan, start, end) so the optimizer's fixed-point
-    * re-runs and repeated self-join sides sample once. */
+  private case class SideStats(mean: Double, span: Long,
+                               distinct: Long, hottest: Double)
+
+  /** Mean interval length, coordinate span and (when `keys` given)
+    * distinct-key / hottest-key-share estimates of `side`, from ONE
+    * bounded limit() sample job — small and independent of table size
+    * (the Sizing.saltPlan shape). Cached on the canonicalized
+    * (plan, keys, start, end) so the optimizer's fixed-point re-runs
+    * and repeated self-join sides sample once. */
   private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, Expression, Expression), java.lang.Double]()
+    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, Seq[Expression], Expression, Expression), SideStats]()
   private val inSample = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
   }
 
-  private def sampledMeanLen(side: LogicalPlan, s: Expression, e: Expression,
-                             sampleRows: Int = 100000): Double = {
-    val key = (side.canonicalized, s.canonicalized, e.canonicalized)
+  private def sampledStats(side: LogicalPlan, keys: Seq[Expression],
+                           s: Expression, e: Expression,
+                           sampleRows: Int = 100000): SideStats = {
+    val key = (side.canonicalized, keys.map(_.canonicalized), s.canonicalized,
+      e.canonicalized)
     val cached = statsCache.get(key)
-    if (cached ne null) return cached.doubleValue()
-    val mean: Double =
+    if (cached ne null) return cached
+    val stats: SideStats =
       try {
         inSample.set(true)
+        import org.apache.spark.sql.functions.{count, lit, max, min, sum}
         val spark = SparkSession.active
-        val len = Alias(Cast(Subtract(Cast(e, LongType), Cast(s, LongType)),
-          DoubleType), "_graft_len")()
-        val row = GraftColumnBridge.ofRows(spark, Project(Seq(len), side))
-          .limit(sampleRows)
-          .agg(org.apache.spark.sql.functions.avg("_graft_len")).head()
-        if (row.isNullAt(0)) 1.0 else math.max(row.getDouble(0), 1.0)
+        val sCol = Alias(Cast(s, LongType), "_graft_s")()
+        val eCol = Alias(Cast(e, LongType), "_graft_e")()
+        val kCols = keys.zipWithIndex.map { case (k, i) => Alias(k, s"_graft_k$i")() }
+        val sample = GraftColumnBridge.ofRows(spark,
+          Project(kCols ++ Seq(sCol, eCol), side)).limit(sampleRows)
+        if (keys.isEmpty) {
+          val r = sample.agg(count(lit(1)),
+            sum(org.apache.spark.sql.functions.col("_graft_e")
+              - org.apache.spark.sql.functions.col("_graft_s")).cast("double"),
+            min(org.apache.spark.sql.functions.col("_graft_s")),
+            max(org.apache.spark.sql.functions.col("_graft_e"))).head()
+          val n = r.getLong(0)
+          if (n == 0) SideStats(1.0, 0L, 0L, 0.0)
+          else SideStats(math.max(r.getDouble(1) / n, 1.0),
+            math.max(r.getLong(3) - r.getLong(2), 1L), 1L, 1.0)
+        } else {
+          import org.apache.spark.sql.functions.col
+          val r = sample.groupBy(kCols.indices.map(i => col(s"_graft_k$i")): _*)
+            .agg(count(lit(1)).as("_n"),
+              sum(col("_graft_e") - col("_graft_s")).cast("double").as("_sl"),
+              min(col("_graft_s")).as("_mns"), max(col("_graft_e")).as("_mxe"))
+            .agg(count(lit(1)), max(col("_n")), sum(col("_n")), sum(col("_sl")),
+              min(col("_mns")), max(col("_mxe"))).head()
+          val distinct = r.getLong(0)
+          if (distinct == 0) SideStats(1.0, 0L, 0L, 0.0)
+          else {
+            val total = math.max(r.getLong(2), 1L)
+            SideStats(math.max(r.getDouble(3) / total, 1.0),
+              math.max(r.getLong(5) - r.getLong(4), 1L),
+              distinct, r.getLong(1).toDouble / total)
+          }
+        }
       } finally inSample.set(false)
     if (statsCache.size > 512) statsCache.clear()
-    statsCache.put(key, mean)
-    mean
+    statsCache.put(key, stats)
+    stats
   }
 
   /** autoBinSize rule (SURVEY §4.3): next power of four >= 4x the mean
@@ -127,26 +165,51 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     bin
   }
 
-  /** (useSweep, binWidth) for one matched join. */
+  /** (useSweep, binWidth, sweepMegaBin) for one matched join. The
+    * mega-bin (Some = salt the sweep) fires when per-key parallelism is
+    * scarce — NOT (>= 4x-cores distinct keys AND hottest <= 1/(2*cores)),
+    * the measured Sizing.saltPlan demotion — and the span fits >= 4
+    * bins; the span-scaled bin (~8/core) widens until explode fan-out
+    * stays ~1 (BASELINE.md "salted sweep": 4.3-5.5x over the plain
+    * sweep on one hot key, 1.7-2.6x on 3 balanced keys). */
   private def choose(l: LogicalPlan, r: LogicalPlan,
+                     keyPairs: Seq[(Attribute, Attribute)],
                      lStart: Expression, lEnd: Expression,
-                     rStart: Expression, rEnd: Expression): (Boolean, Long) = {
+                     rStart: Expression, rEnd: Expression): (Boolean, Long, Option[Long]) = {
     val decision = strategyConf match {
-      case "sweep"  => (true, confBinSize.getOrElse(256L))
-      case "binned" => (false, confBinSize.getOrElse(256L))
+      case "sweep"  => (true, confBinSize.getOrElse(256L), None)
+      case "binned" => (false, confBinSize.getOrElse(256L), None)
       case _ if l.isStreaming || r.isStreaming =>
         // can't run a sample job against a stream; the binned form is
         // the one that composes with micro-batch execution
-        (false, confBinSize.getOrElse(256L))
+        (false, confBinSize.getOrElse(256L), None)
       case _ => // auto
-        val mean = math.max(sampledMeanLen(l, lStart, lEnd),
-          sampledMeanLen(r, rStart, rEnd))
+        val ls = sampledStats(l, keyPairs.map(_._1), lStart, lEnd)
+        val rs = sampledStats(r, Nil, rStart, rEnd)
+        val mean = math.max(ls.mean, rs.mean)
         val width = confBinSize.getOrElse(autoWidth(mean))
         val sweep = mean / width > sweepFanout
-        lastChoice.set((if (sweep) "sweep" else "binned", mean, width))
+        val megaBin: Option[Long] =
+          if (!sweep) None
+          else {
+            val cores = math.max(
+              SparkSession.active.sparkContext.defaultParallelism, 1)
+            val manyBalanced =
+              ls.distinct >= 4L * cores && ls.hottest <= 1.0 / (2 * cores)
+            if (manyBalanced) None
+            else {
+              var w = 16384L
+              while (w < ls.span / (8L * cores)) w *= 2
+              while (w < 4.0 * mean) w *= 2
+              if (ls.span >= 4L * w) Some(w) else None
+            }
+          }
+        val tag = if (!sweep) "binned"
+          else megaBin.fold("sweep")(_ => "sweep-salted")
+        lastChoice.set((tag, mean, width))
         logInfo(s"[graft.rewrite] auto interval join: meanLen=$mean " +
-          s"bin=$width -> ${if (sweep) "sweep" else "binned"}")
-        (sweep, width)
+          s"bin=$width span=${ls.span} keys=${ls.distinct} -> $tag")
+        (sweep, width, megaBin)
     }
     if (decision._1) IntervalSweepJoinExec.ensureStrategy(SparkSession.active)
     decision
@@ -214,12 +277,32 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       floorDiv(Greatest(Seq(Cast(lStart, LongType), Cast(rStart, LongType))),
         bin))).reduce(And)
 
+  /** Plain or salted sweep node. Salted (megaBin = Some(w)): both
+    * children explode into span-scale mega-bins (Generate, same clamp
+    * as the binned path — fan-out ~1 since w >> interval length), the
+    * bin joins the cluster keys so every (key, bin) sweeps in parallel,
+    * and the greatest-start-bin dedup keeps each pair exactly once. */
   private def sweepNode(l: LogicalPlan, r: LogicalPlan, cond: Expression,
                         lStart: Expression, lEnd: Expression,
                         rStart: Expression, rEnd: Expression,
-                        keyPairs: Seq[(Attribute, Attribute)]): IntervalSweepJoinNode =
-    IntervalSweepJoinNode(l, r, keyPairs.map(_._1), keyPairs.map(_._2),
-      lStart, lEnd, rStart, rEnd, slack = 0L, condition = cond)
+                        keyPairs: Seq[(Attribute, Attribute)],
+                        megaBin: Option[Long]): IntervalSweepJoinNode =
+    megaBin match {
+      case None =>
+        IntervalSweepJoinNode(l, r, keyPairs.map(_._1), keyPairs.map(_._2),
+          lStart, lEnd, rStart, rEnd, slack = 0L, condition = cond)
+      case Some(w) =>
+        val binL = AttributeReference(BIN_PREFIX + "mbl", LongType, nullable = false)()
+        val binR = AttributeReference(BIN_PREFIX + "mbr", LongType, nullable = false)()
+        val lGen = Generate(seqExpr(lStart, lEnd, w), Nil, outer = false, None, Seq(binL), l)
+        val rGen = Generate(seqExpr(rStart, rEnd, w), Nil, outer = false, None, Seq(binR), r)
+        val dedup = EqualTo(binL, floorDiv(
+          Greatest(Seq(Cast(lStart, LongType), Cast(rStart, LongType))), w))
+        IntervalSweepJoinNode(lGen, rGen,
+          keyPairs.map(_._1) :+ binL, keyPairs.map(_._2) :+ binR,
+          lStart, lEnd, rStart, rEnd, slack = 0L,
+          condition = And(And(cond, EqualTo(binL, binR)), dedup))
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (inSample.get()) return plan // re-entrance guard for the sample job
@@ -228,10 +311,11 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           if !cond.references.exists(_.name.startsWith(BIN_PREFIX)) =>
         intervalShape(cond, l, r) match {
           case Some((conjuncts, lStart, lEnd, rStart, rEnd, keyPairs)) =>
-            val (useSweep, bin) = choose(l, r, lStart, lEnd, rStart, rEnd)
+            val (useSweep, bin, megaBin) =
+              choose(l, r, keyPairs, lStart, lEnd, rStart, rEnd)
             if (useSweep) {
               Project(j.output,
-                sweepNode(l, r, cond, lStart, lEnd, rStart, rEnd, keyPairs))
+                sweepNode(l, r, cond, lStart, lEnd, rStart, rEnd, keyPairs, megaBin))
             } else {
               val binL = AttributeReference(BIN_PREFIX + "l", LongType, nullable = false)()
               val binR = AttributeReference(BIN_PREFIX + "r", LongType, nullable = false)()
@@ -247,7 +331,10 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           if !cond.references.exists(_.name.startsWith(BIN_PREFIX)) =>
         intervalShape(cond, l, r) match {
           case Some((conjuncts, lStart, lEnd, rStart, rEnd, keyPairs)) =>
-            val (useSweep, bin) = choose(l, r, lStart, lEnd, rStart, rEnd)
+            // mega-binning never applies to semi/anti (a left row would
+            // be decided per bin copy, not per row) — unsalted sweep
+            val (useSweep, bin, _) =
+              choose(l, r, keyPairs, lStart, lEnd, rStart, rEnd)
             if (useSweep) {
               // the sweep supports semi/anti natively — each left row
               // emitted at most once by row identity, no rid tagging and

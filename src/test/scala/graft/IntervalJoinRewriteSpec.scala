@@ -273,7 +273,8 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
       assert(execLong.contains("IntervalSweepJoin"),
         s"auto did not pick sweep for long intervals:\n$execLong")
       val (choice, meanLen, _) = IntervalJoinRewrite.lastChoice.get()
-      assert(choice == "sweep" && meanLen > 500000, s"lastChoice=$choice meanLen=$meanLen")
+      assert(choice.startsWith("sweep") && meanLen > 500000,
+        s"lastChoice=$choice meanLen=$meanLen")
       assert(joinedLong.collect().map(_.toSeq.toList).toSet == naiveLong)
       assert(naiveLong.nonEmpty)
 
@@ -281,6 +282,34 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
       assert(planShort.contains("_graft_bin_"),
         s"auto did not pick binned for short intervals:\n$planShort")
       assert(IntervalJoinRewrite.lastChoice.get()._1 == "binned")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == IntervalJoinRewrite)
+    }
+  }
+
+  test("auto salts the sweep on a hot single key with equal results") {
+    import spark.implicits._
+    // ONE chromosome, long intervals: a plain sweep would run one task;
+    // auto must pick the mega-binned sweep (Generate + bin in the keys)
+    def mk(n: Int, seed: Long) = (0 until n).map { i =>
+      val s = (i * seed) % 80000000L
+      ("chrHot", s, s + 400000L + (i * 31L) % 800000L, i.toLong)
+    }.toDF(Chrom, Start, End, "id")
+    val l = mk(300, 2654435761L)
+    val r = mk(200, 40503L).toDF(Chrom + "2", "s2", "e2", "id2")
+    def joined = l.join(r,
+      l(Chrom) === r(Chrom + "2") && l(Start) < r("e2") && r("s2") < l(End))
+    val naive = joined.collect().map(_.toSeq.toList).toSet
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IntervalJoinRewrite
+    try {
+      val exec = joined.queryExecution.executedPlan.toString
+      assert(exec.contains("IntervalSweepJoin"), s"no sweep in:\n$exec")
+      assert(exec.contains("_graft_bin_mbl"), s"sweep not salted in:\n$exec")
+      assert(IntervalJoinRewrite.lastChoice.get()._1 == "sweep-salted")
+      assert(joined.collect().map(_.toSeq.toList).toSet == naive)
+      assert(naive.nonEmpty)
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == IntervalJoinRewrite)
