@@ -835,4 +835,49 @@ class DocTestParitySpec extends AnyFunSuite {
     assert(gr.select(Metrics.overlapFlag()).collect().map(_.getBoolean(0)).toList ==
       List(true, true, true, false, false))
   }
+
+  // reference tests/unit/mapping/test_map.py (test_map_to_global):
+  // map_to_global is invariant to the sort order of both inputs
+  test("map_to_global regression: invariant to input sort order") {
+    import spark.implicits._
+    val exons = Seq(
+      ("chr1", 100L, 200L, "+", "tx1"), ("chr1", 300L, 400L, "+", "tx1"),
+      ("chr1", 1000L, 1050L, "-", "tx2"), ("chr1", 1100L, 1200L, "-", "tx2"),
+      ("chr2", 10L, 60L, "+", "tx3"))
+      .toDF(Chrom, Start, End, Strand, "transcript_id")
+    val local = Seq(
+      ("tx1", 0L, 80L, "-", "a"), ("tx1", 120L, 140L, "-", "b"),
+      ("tx2", 0L, 20L, "+", "d"), ("tx2", 100L, 130L, "+", "e"),
+      ("tx3", 5L, 45L, "+", "f"))
+      .toDF("transcript_id", Start, End, Strand, "label")
+    def canon(df: DataFrame) =
+      df.select("label", Chrom, Start, End, Strand).collect()
+        .map(_.toSeq.toList).toSet
+    val base = canon(Composites.mapToGlobal(local, exons, "transcript_id"))
+    // shuffle both inputs (deterministic seeds) — results must not move
+    assert(canon(Composites.mapToGlobal(
+      local.orderBy(rand(7)), exons, "transcript_id")) == base)
+    assert(canon(Composites.mapToGlobal(
+      local, exons.orderBy(rand(11)), "transcript_id")) == base)
+    assert(canon(Composites.mapToGlobal(
+      local.orderBy(rand(13)), exons.orderBy(rand(17)), "transcript_id")) == base)
+    assert(base.nonEmpty)
+  }
+
+  // reference tests/unit/test_join.py:6-14 (test_join_issue_4_right):
+  // tile_genome output joins against a scored signal table without error
+  test("join issue-4 regression: tile_genome x scored signal join runs") {
+    import spark.implicits._
+    val chromSizes = Seq(("chr1", 5000L), ("chr2", 3000L)).toDF(Chrom, "size")
+    val tiles = graft.ops.UnaryOps.tileGenome(chromSizes, 1000L)
+    val signal = Seq(("chr1", 120L, 400L, 17L), ("chr1", 4200L, 4300L, 3L),
+      ("chr2", 0L, 2999L, 99L), ("chr3", 5L, 6L, 1L))
+      .toDF(Chrom, Start, End, "Score")
+    val j = BinaryOps.joinOverlaps(tiles, signal, Seq(Chrom))
+    val n = j.count()
+    // chr1: one signal in tile 0, one in tile 4; chr2: one signal
+    // covering all 3 tiles; chr3 signal matches nothing -> 5 pairs
+    assert(n == 5, s"expected 5 joined rows, got $n")
+    assert(j.columns.contains("Score"))
+  }
 }
