@@ -51,6 +51,19 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan.contains("_bin"))
   }
 
+  test("sweep join plan: one exchange + one sort per side, no nested loop") {
+    val plan = SparkEntry.queries("q95_sweep_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalSweepJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // cluster-by-key + sort-by-(key, start) on each side, nothing more:
+    // the sweep itself adds no shuffle and no row amplification
+    assert("Exchange".r.findAllIn(plan).size == 2, plan.take(2000))
+    assert("Sort ".r.findAllIn(plan).size == 2, plan.take(2000))
+    assert(!plan.contains("Generate"), "unsalted sweep must not explode")
+  }
+
   test("contained-overlap semi join: no left explode, no distinct, <=1 shuffle") {
     val q = SparkEntry.queries("q53_overlap_contained")(spark, dir)
     val plan = q.queryExecution.executedPlan.toString
