@@ -116,6 +116,28 @@ object RangeJoin {
     }
   }
 
+  /** Size-gated strategy dispatch for the ops layer: below the gate
+    * (every sf0.1 bench input) this IS `pairs` at the caller's bin —
+    * zero sampling cost on small inputs; above it (conf
+    * `spark.graft.join.autoThreshold` leaf bytes, default the measured
+    * 32 MB salt gate) the sampled [[autoPairs]] choice takes over —
+    * bin width from the data, sweep (salted if keys are scarce) when
+    * the binned fan-out would explode. Containment keeps the binned
+    * fast path at any size (the sweep's residual is overlap-shaped). */
+  def pairsDispatch(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    slack: Long = 0, binSize: Long = RangeJoin.defaultBinSize,
+                    suffix: String = "_b", contained: Boolean = false): DataFrame = {
+    val threshold = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.join.autoThreshold",
+        graft.core.Sizing.saltedInputThreshold.toString).toLong
+    if (!contained &&
+        graft.core.Sizing.decide("rangejoin/auto", threshold, left, right)) {
+      autoPairs(left, right, keys, slack, suffix)
+    } else {
+      pairs(left, right, keys, slack, binSize, suffix, contained)
+    }
+  }
+
   /** floor(x / b) as a Column, exact for |x| < 2^52. */
   private def floorDiv(x: Column, b: Long): Column =
     floor(x.cast("double") / b).cast("long")

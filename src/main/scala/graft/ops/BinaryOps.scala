@@ -24,7 +24,7 @@ object BinaryOps {
               invert: Boolean = false, keepDuplicates: Boolean = false,
               binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
     if (keepDuplicates && !invert) {
-      RangeJoin.pairs(left, right, keys, slack, binSize, contained = contained)
+      RangeJoin.pairsDispatch(left, right, keys, slack, binSize, contained = contained)
         .select(left.columns.map(col): _*)
     } else {
       // Merging right first shrinks the probe side and cannot change
@@ -47,7 +47,7 @@ object BinaryOps {
                    packedPick: Boolean = false): DataFrame = {
     val rs = Start + suffix
     val re = End + suffix
-    var p = RangeJoin.pairs(left, right, keys, slack, binSize, suffix, contained)
+    var p = RangeJoin.pairsDispatch(left, right, keys, slack, binSize, suffix, contained)
     // multiple=first/last pick one right match per left row. A window
     // over the full pair set would sort every pair; a min/max(struct)
     // aggregation gets map-side partial combine — the pair set shrinks to
@@ -153,7 +153,7 @@ object BinaryOps {
   def countOverlaps(left: DataFrame, right: DataFrame, keys: Seq[String],
                     slack: Long = 0, countCol: String = "NumberOverlaps",
                     binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
-    val p = RangeJoin.pairs(left, right, keys, slack, binSize)
+    val p = RangeJoin.pairsDispatch(left, right, keys, slack, binSize)
     val counts = p.groupBy(col(RowId)).agg(count(lit(1)).as(countCol))
     left.join(counts, Seq(RowId), "left")
       .na.fill(0L, Seq(countCol))
@@ -176,7 +176,7 @@ object BinaryOps {
   def subtract(left: DataFrame, right: DataFrame, keys: Seq[String],
                binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
     val merged = UnaryOps.merge(right, keys)
-    val p = RangeJoin.pairs(left, merged, keys, 0, binSize)
+    val p = RangeJoin.pairsDispatch(left, merged, keys, 0, binSize)
     val rs = col(Start + "_b")
     val re = col(End + "_b")
     val w = Window.partitionBy(col(RowId)).orderBy(rs)

@@ -206,7 +206,7 @@ object Composites {
       .select(col(txCol), col(Chrom).as("_chr"), col(Strand).as("_str"),
         col(Start).as("_es"), col(End).as("_ee"),
         col("_cs").as(Start), col("_ce").as(End))
-    val p = graft.join.RangeJoin.pairs(local, cum, Seq(txCol))
+    val p = graft.join.RangeJoin.pairsDispatch(local, cum, Seq(txCol))
     val cs = col(Start + "_b")
     val ce = col(End + "_b")
     val lo = greatest(cs, col(Start))
@@ -279,7 +279,7 @@ object Composites {
                  tieBreak: Seq[Column] = Nil,
                  keepChrom: Boolean = false, keepLoc: Boolean = false): DataFrame = {
     val cum = UnaryOps.groupCumsum(exons, Seq(txCol), useStrand = true, "_cs", "_ce", tieBreak)
-    val p = RangeJoin.pairs(genomic, cum, keys)
+    val p = RangeJoin.pairsDispatch(genomic, cum, keys)
     val es = col(Start + "_b")
     val ee = col(End + "_b")
     val gs = greatest(col(Start), es)

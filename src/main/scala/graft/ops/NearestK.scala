@@ -163,7 +163,7 @@ object NearestK {
       rightSide = true, big, bin)
     val ov =
       if (excludeOverlaps) None
-      else Some(RangeJoin.pairs(left.select((keys :+ RowId :+ Start :+ End).map(col): _*),
+      else Some(RangeJoin.pairsDispatch(left.select((keys :+ RowId :+ Start :+ End).map(col): _*),
           right.select((keys :+ RowId :+ Start :+ End).map(col): _*),
           keys, 0, binSize, suffix)
         .select(col(RowId).as("row_id"), col(rId).as("nb"), col(rs).as("nb_start"),

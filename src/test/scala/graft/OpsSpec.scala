@@ -445,6 +445,39 @@ class OpsSpec extends AnyFunSuite {
     assert(gotLong.nonEmpty && gotShort.nonEmpty)
   }
 
+  test("ops-layer pairsDispatch: binned below the size gate, sampled auto above") {
+    import spark.implicits._
+    def mk(n: Int, seed: Long) = (0 until n).map { i =>
+      val s = (i * seed) % 30000000L
+      ("c" + (i % 2), s, s + 300000L + (i * 31L) % 600000L, i.toLong)
+    }.toDF(Chrom, Start, End, RowId)
+    val l = mk(250, 2654435761L)
+    val r = mk(150, 40503L).withColumnRenamed(RowId, "rid2")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    // default gate (32 MB): tiny local input stays on the plain binned
+    // path — no sample job, lastAutoPairs untouched
+    graft.join.RangeJoin.lastAutoPairs.set(null)
+    val below = canon(graft.join.RangeJoin.pairsDispatch(l, r, Seq(Chrom),
+      binSize = 16384))
+    assert(graft.join.RangeJoin.lastAutoPairs.get() == null,
+      "dispatch sampled below the gate")
+    // gate lowered to 1 byte: the sampled auto choice fires (long
+    // intervals -> sweep) with identical results
+    spark.conf.set("spark.graft.join.autoThreshold", "1")
+    try {
+      val above = canon(graft.join.RangeJoin.pairsDispatch(l, r, Seq(Chrom),
+        binSize = 16384))
+      val choice = graft.join.RangeJoin.lastAutoPairs.get()
+      assert(choice != null && choice._1.startsWith("sweep"), s"choice=$choice")
+      assert(above == below)
+      assert(below.nonEmpty)
+      // the ops layer inherits the dispatch: joinOverlaps over the gate
+      val j = graft.ops.BinaryOps.joinOverlaps(l, r, Seq(Chrom))
+      assert(j.count() == below.size)
+    } finally spark.conf.unset("spark.graft.join.autoThreshold")
+  }
+
   test("mega-binned (salted) sweep equals plain sweep and binned, incl. slack") {
     import spark.implicits._
     def mk(n: Int, seed: Long) = (0 until n).map { i =>

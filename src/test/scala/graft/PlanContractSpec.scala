@@ -93,10 +93,15 @@ class PlanContractSpec extends AnyFunSuite {
     val r = Tables.gr2(spark, dir)
     graft.ops.NearestK.nearestK(l, r, Seq(Chrom), 1, distCol = "dist")
       .queryExecution.executedPlan // force planning (decision happens at build)
+    // nearestK consults two gates at build: the sweep salt gate, then
+    // the overlap-candidate pairsDispatch gate — lastDecision holds the
+    // final one; both must resolve to the plain path at sf0.001
     val (op, bytes, salted) = graft.core.Sizing.lastDecision.get()
-    assert(op == "nearestSweep")
+    assert(op == "nearestSweep" || op == "rangejoin/auto", op)
     assert(bytes > 0 && bytes < graft.core.Sizing.saltedSweepThreshold)
     assert(!salted, s"sf0.001 leaf scans ($bytes B) must take the plain sweep")
+    assert(!graft.core.Sizing.decide("nearestSweep",
+      graft.core.Sizing.saltedSweepThreshold, l, r))
   }
 
   test("sizing gate reads LEAF scan bytes, stable under wide/narrow projections") {
