@@ -100,6 +100,45 @@ object IntervalSweepJoin {
     if (megaBin.isDefined) res.drop(MbCol) else res
   }
 
+  /** Existence-only sweep: left_semi / left_anti through the operator's
+    * native modes — each left row emitted at most once by row identity
+    * (matched rows on first match / never-matched rows at eviction), so
+    * there is no explode, no rid machinery and no re-join. The right
+    * side is projected to (keys, Start, End) before the exchange. No
+    * mega-binning (a left row must be decided per row, not per bin
+    * copy) — per-key parallelism only, like the reference kernel. */
+  def exists(left: DataFrame, right: DataFrame, keys: Seq[String],
+             slack: Long = 0, anti: Boolean = false): DataFrame = {
+    val suffix = "_b"
+    val rMin = right.select((keys :+ Start :+ End).map(
+      org.apache.spark.sql.functions.col): _*)
+    val r0 = RangeJoin.suffixRight(left, rMin, suffix)
+    val rKeys = keys.map(_ + suffix)
+    val rs = Start + suffix
+    val re = End + suffix
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r0.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"missing column $n"))
+    val lKeyAttrs = keys.map(attr(lPlan, _))
+    val rKeyAttrs = rKeys.map(attr(rPlan, _))
+    val (ls, le) = (attr(lPlan, Start), attr(lPlan, End))
+    val (rsA, reA) = (attr(rPlan, rs), attr(rPlan, re))
+    val overlap: Seq[Expression] = Seq(
+      LessThan(Subtract64(ls, slack), reA),
+      GreaterThan(Add64(le, slack), rsA))
+    val cond = (lKeyAttrs.zip(rKeyAttrs).map { case (a, b) => EqualTo(a, b) }
+      ++ overlap).reduce[Expression](And)
+    val jt = if (anti) org.apache.spark.sql.catalyst.plans.LeftAnti
+             else org.apache.spark.sql.catalyst.plans.LeftSemi
+    val node = IntervalSweepJoinNode(lPlan, rPlan, lKeyAttrs, rKeyAttrs,
+      ls, le, rsA, reA, slack, cond, jt)
+    val spark = left.sparkSession
+    IntervalSweepJoinExec.ensureStrategy(spark)
+    GraftColumnBridge.ofRows(spark, node)
+  }
+
   // long-typed slack arithmetic helpers (keep the condition integral)
   private def Subtract64(e: Expression, k: Long): Expression = {
     val el = Cast(e, LongType)

@@ -138,6 +138,35 @@ object RangeJoin {
     }
   }
 
+  /** Existence-join counterpart of [[pairsDispatch]]: same size gate,
+    * same sampled fan-out bar; above both, semi/anti run through the
+    * sweep operator's native modes (no explode, no rid machinery)
+    * instead of the binned exists. Containment keeps the binned fast
+    * path (single computed left bin, no explode — already optimal). */
+  def existsDispatch(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     slack: Long = 0, binSize: Long = RangeJoin.defaultBinSize,
+                     contained: Boolean = false, anti: Boolean = false): DataFrame = {
+    val threshold = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.join.autoThreshold",
+        graft.core.Sizing.saltedInputThreshold.toString).toLong
+    if (!contained &&
+        graft.core.Sizing.decide("rangejoin/existsAuto", threshold, left, right)) {
+      val mean = math.max(sampledMeanLen(left, 100000),
+        sampledMeanLen(right, 100000))
+      var bin = 64L
+      while (bin < 4.0 * mean && bin < 65536L) bin *= 4
+      if (mean / bin > 2.0) {
+        lastAutoPairs.set(("sweep-exists", mean, bin))
+        IntervalSweepJoin.exists(left, right, keys, slack, anti = anti)
+      } else {
+        lastAutoPairs.set(("binned-exists", mean, bin))
+        exists(left, right, keys, slack, bin, contained, anti)
+      }
+    } else {
+      exists(left, right, keys, slack, binSize, contained, anti)
+    }
+  }
+
   /** floor(x / b) as a Column, exact for |x| < 2^52. */
   private def floorDiv(x: Column, b: Long): Column =
     floor(x.cast("double") / b).cast("long")

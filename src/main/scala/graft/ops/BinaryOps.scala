@@ -30,7 +30,7 @@ object BinaryOps {
       // Merging right first shrinks the probe side and cannot change
       // existence (except containment, which needs original intervals).
       val probe = if (contained) right else UnaryOps.merge(right, keys)
-      RangeJoin.exists(left, probe, keys, slack, binSize, contained, anti = invert)
+      RangeJoin.existsDispatch(left, probe, keys, slack, binSize, contained, anti = invert)
     }
   }
 
@@ -197,7 +197,7 @@ object BinaryOps {
       .select(left.columns.map(col): _*)
     // anti-join directly against the already-merged right — overlap()
     // would re-merge its probe side, a full extra window sweep
-    val untouched = RangeJoin.exists(left, merged, keys, 0, binSize,
+    val untouched = RangeJoin.existsDispatch(left, merged, keys, 0, binSize,
       contained = false, anti = true)
     pieces.unionByName(untouched.select(left.columns.map(col): _*))
   }

@@ -478,6 +478,49 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.join.autoThreshold")
   }
 
+  test("sweep exists equals binned exists for semi/anti incl. nulls and slack") {
+    import spark.implicits._
+    val l = (Seq(
+      (null.asInstanceOf[String], 5L, 40L, 0L),
+      ("c0", 5L, 40L, 1L), ("c0", 5L, 40L, 1L), // duplicate
+      ("c1", 100L, 140L, 3L)) ++
+      (0 until 200).map { i =>
+        val s = (i * 2654435761L) % 3000
+        ("c" + (i % 2), s, s + 1 + (i * 97L) % 400, 10L + i)
+      }).toDF(Chrom, Start, End, RowId)
+    val r = (0 until 120).map { i =>
+      val s = (i * 40503L) % 3000
+      ("c" + (i % 2), s, s + 1 + (i * 31L) % 90, i.toLong)
+    }.toDF(Chrom, Start, End, RowId)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(df.columns.sorted.map(col): _*) // exists may reorder columns
+        .collect().map(_.toSeq.toList).groupBy(identity).view.mapValues(_.size).toMap
+    for (anti <- Seq(false, true); slack <- Seq(0L, 5L)) {
+      val binned = canon(RangeJoin.exists(l, r, Seq(Chrom), slack, 64,
+        contained = false, anti = anti))
+      val swept = canon(graft.join.IntervalSweepJoin.exists(
+        l, r, Seq(Chrom), slack, anti = anti))
+      assert(swept == binned, s"anti=$anti slack=$slack")
+      assert(binned.nonEmpty)
+    }
+    // dispatch: gate at 1 byte + long intervals -> sweep-exists fires
+    val lLong = (0 until 150).map { i =>
+      val s = (i * 2654435761L) % 30000000L
+      ("c" + (i % 2), s, s + 300000L + (i * 31L) % 600000L, i.toLong)
+    }.toDF(Chrom, Start, End, RowId)
+    val rLong = (0 until 100).map { i =>
+      val s = (i * 40503L) % 30000000L
+      ("c" + (i % 2), s, s + 300000L + (i * 31L) % 600000L, i.toLong)
+    }.toDF(Chrom, Start, End, RowId)
+    spark.conf.set("spark.graft.join.autoThreshold", "1")
+    try {
+      val got = canon(RangeJoin.existsDispatch(lLong, rLong, Seq(Chrom), anti = true))
+      assert(RangeJoin.lastAutoPairs.get()._1 == "sweep-exists")
+      assert(got == canon(RangeJoin.exists(lLong, rLong, Seq(Chrom), 0, 65536,
+        contained = false, anti = true)))
+    } finally spark.conf.unset("spark.graft.join.autoThreshold")
+  }
+
   test("mega-binned (salted) sweep equals plain sweep and binned, incl. slack") {
     import spark.implicits._
     def mk(n: Int, seed: Long) = (0 until n).map { i =>
