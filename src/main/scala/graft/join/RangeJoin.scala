@@ -69,12 +69,31 @@ object RangeJoin {
     bin
   }
 
-  /** Mean interval length from a bounded limit() sample — one small
-    * single-stage job independent of table size. */
-  private def sampledMeanLen(df: DataFrame, sampleRows: Int): Double = {
-    val r = df.select((col(End) - col(Start)).cast("double").as("_len"))
-      .limit(sampleRows).agg(avg(col("_len"))).head()
-    if (r.isNullAt(0)) 1.0 else math.max(r.getDouble(0), 1.0)
+  /** Mean interval length and coordinate span from a bounded limit()
+    * sample — one small single-stage job independent of table size. */
+  private def sampledLenSpan(df: DataFrame, sampleRows: Int): (Double, Long) = {
+    val r = df.select(col(Start).cast("long").as("_s"), col(End).cast("long").as("_e"))
+      .limit(sampleRows)
+      .agg(avg((col("_e") - col("_s")).cast("double")), min(col("_s")), max(col("_e")))
+      .head()
+    if (r.isNullAt(0)) (1.0, 1L)
+    else (math.max(r.getDouble(0), 1.0), math.max(r.getLong(2) - r.getLong(1), 1L))
+  }
+
+  private def sampledMeanLen(df: DataFrame, sampleRows: Int): Double =
+    sampledLenSpan(df, sampleRows)._1
+
+  /** Estimated max concurrent overlap depth: rows (from leaf bytes /
+    * ~64 B) x meanLen / span. The sweep's active buffers hold `depth`
+    * row copies per task; past `spark.graft.join.sweepMaxDepth`
+    * (default 65536) the binned join is preferred — it streams pairs
+    * and SPILLS per-bin groups instead of growing an in-memory set. */
+  private[join] def depthOk(left: DataFrame, right: DataFrame,
+                            mean: Double, span: Long): Boolean = {
+    val bar = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.join.sweepMaxDepth", "65536").toDouble
+    val estRows = graft.core.Sizing.leafScanBytes(left, right).toDouble / 64.0
+    estRows * mean / math.max(span, 1L) <= bar
   }
 
   /** Last autoPairs decision: (strategy, mean len, bin width) —
@@ -93,11 +112,11 @@ object RangeJoin {
   def autoPairs(left: DataFrame, right: DataFrame, keys: Seq[String],
                 slack: Long = 0, suffix: String = "_b",
                 fanoutBar: Double = 2.0, sampleRows: Int = 100000): DataFrame = {
-    val mean = math.max(sampledMeanLen(left, sampleRows),
-      sampledMeanLen(right, sampleRows))
+    val (lMean, lSpan) = sampledLenSpan(left, sampleRows)
+    val mean = math.max(lMean, sampledMeanLen(right, sampleRows))
     var bin = 64L
     while (bin < 4.0 * mean && bin < 65536L) bin *= 4
-    val sweep = mean / bin > fanoutBar
+    val sweep = mean / bin > fanoutBar && depthOk(left, right, mean, lSpan)
     if (sweep) {
       // salt the sweep when the key sample says per-key parallelism is
       // scarce (same saltPlan gates as the window ops: wide span, not
@@ -151,11 +170,11 @@ object RangeJoin {
         graft.core.Sizing.saltedInputThreshold.toString).toLong
     if (!contained &&
         graft.core.Sizing.decide("rangejoin/existsAuto", threshold, left, right)) {
-      val mean = math.max(sampledMeanLen(left, 100000),
-        sampledMeanLen(right, 100000))
+      val (lMean, lSpan) = sampledLenSpan(left, 100000)
+      val mean = math.max(lMean, sampledMeanLen(right, 100000))
       var bin = 64L
       while (bin < 4.0 * mean && bin < 65536L) bin *= 4
-      if (mean / bin > 2.0) {
+      if (mean / bin > 2.0 && depthOk(left, right, mean, lSpan)) {
         lastAutoPairs.set(("sweep-exists", mean, bin))
         IntervalSweepJoin.exists(left, right, keys, slack, anti = anti)
       } else {

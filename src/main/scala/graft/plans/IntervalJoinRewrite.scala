@@ -188,7 +188,15 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val rs = sampledStats(r, Nil, rStart, rEnd)
         val mean = math.max(ls.mean, rs.mean)
         val width = confBinSize.getOrElse(autoWidth(mean))
-        val sweep = mean / width > sweepFanout
+        // depth demotion: the sweep holds `depth` row copies in its
+        // active buffers per task; the binned join streams pairs and
+        // spills per-bin groups instead, so extreme estimated overlap
+        // depth (rows x meanLen / span) prefers binned
+        val depthBar = conf
+          .getConfString("spark.graft.join.sweepMaxDepth", "65536").toDouble
+        val estRows = (l.stats.sizeInBytes + r.stats.sizeInBytes).toDouble / 64.0
+        val depthOk = estRows * mean / math.max(ls.span, 1L) <= depthBar
+        val sweep = mean / width > sweepFanout && depthOk
         val megaBin: Option[Long] =
           if (!sweep) None
           else {

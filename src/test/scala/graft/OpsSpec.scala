@@ -443,6 +443,15 @@ class OpsSpec extends AnyFunSuite {
     assert(RangeJoin.lastAutoPairs.get()._1.startsWith("sweep"))
     assert(gotLong == canon(RangeJoin.pairs(lLong, rLong, Seq(Chrom), binSize = 65536)))
     assert(gotLong.nonEmpty && gotShort.nonEmpty)
+
+    // extreme estimated overlap depth demotes the sweep back to binned
+    // (active buffers hold depth row copies; binned spills instead)
+    spark.conf.set("spark.graft.join.sweepMaxDepth", "0")
+    try {
+      val demoted = canon(RangeJoin.autoPairs(lLong, rLong, Seq(Chrom)))
+      assert(RangeJoin.lastAutoPairs.get()._1 == "binned")
+      assert(demoted == gotLong)
+    } finally spark.conf.unset("spark.graft.join.sweepMaxDepth")
   }
 
   test("ops-layer pairsDispatch: binned below the size gate, sampled auto above") {
