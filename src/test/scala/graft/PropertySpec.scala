@@ -155,4 +155,39 @@ class PropertySpec extends AnyFunSuite {
       assert(back.toSeq.sorted == rows.map(t => (t._1, t._2, t._3, t._4)).sorted)
     }
   }
+
+  test("sweep operator equals the naive join for inner/semi/anti on random inputs") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.join.strategy", "sweep")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.IntervalJoinRewrite
+    try {
+      forAll(genIntervals, genIntervals) { (lr, rr) =>
+        val l = lr.zipWithIndex.map { case ((c, s, e), i) => (c, s, e, i.toLong) }
+          .toDF(Chrom, Start, End, "id")
+        val r = rr.zipWithIndex.map { case ((c, s, e), i) => (c, s, e, i.toLong) }
+          .toDF(Chrom + "2", "s2", "e2", "id2")
+        for (jt <- Seq("inner", "left_semi", "left_anti")) {
+          def joined = l.join(r,
+            l(Chrom) === r(Chrom + "2") && l(Start) < r("e2") && r("s2") < l(End), jt)
+          // rule off -> Spark's own plan; rule on + strategy=sweep -> exec
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations
+              .filterNot(_ == graft.plans.IntervalJoinRewrite)
+          val naive = joined.collect().map(_.toSeq.toList)
+            .groupBy(identity).view.mapValues(_.size).toMap
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ graft.plans.IntervalJoinRewrite
+          val swept = joined.collect().map(_.toSeq.toList)
+            .groupBy(identity).view.mapValues(_.size).toMap
+          assert(swept == naive, s"$jt diverged from naive join")
+        }
+      }
+    } finally {
+      spark.conf.unset("spark.graft.join.strategy")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.IntervalJoinRewrite)
+    }
+  }
 }
