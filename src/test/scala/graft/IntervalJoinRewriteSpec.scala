@@ -171,6 +171,15 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
       assert(j.queryExecution.optimizedPlan.toString.contains("_graft_bin_"),
         "extensions-injected rewrite did not fire")
       assert(j.count() > 0)
+      // sweep end-to-end in an extensions-configured session (planner
+      // strategy available, equal results)
+      s2.conf.set("spark.graft.join.strategy", "sweep")
+      try {
+        val js = l.join(r, l(Chrom) === r("k2") && l(Start) < r("e2") && r("s2") < l(End))
+        assert(js.queryExecution.executedPlan.toString.contains("IntervalSweepJoin"),
+          "sweep did not plan in the extensions session")
+        assert(js.count() == j.count())
+      } finally s2.conf.unset("spark.graft.join.strategy")
     } finally {
       // restore the suite's sessions; do NOT stop s2 (shared context)
       prevActive.foreach(SparkSession.setActiveSession)
