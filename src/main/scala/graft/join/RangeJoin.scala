@@ -203,6 +203,40 @@ object RangeJoin {
   private def maybeBroadcast(df: DataFrame, small: Boolean): DataFrame =
     if (small) broadcast(df) else df
 
+  /** Conf key for the probe-side fan-out gate (leaf bytes; 0 disables). */
+  val FanoutKey = "spark.graft.join.fanoutScanBytes"
+
+  /** Minimum probe-side parallelism under a broadcast build.
+    *
+    * When the build side broadcasts, the whole probe pipeline (scan →
+    * bin explode → hash probe → downstream partial aggregates) executes
+    * inside the probe's SCAN stage, so its parallelism is the scan's
+    * split count — and a small parquet input is often a single row
+    * group, i.e. ONE task, serializing a 32-core join behind one core.
+    * A bounded round-robin repartition restores parallelism for the
+    * price of one narrow exchange (MEASURED at sf0.1/local[32],
+    * BASELINE.md "probe fan-out": pairs 3.8→1.4 s, join-first 5.2→1.8 s,
+    * join+overlap 3.5→1.0 s steady). Gated on the probe's leaf bytes
+    * ([[FanoutKey]], default 256 MB): at cluster scale the scan has
+    * thousands of splits and the gate is false — this is exclusively a
+    * small-input fixup, a no-op against 100 TB inputs.
+    *
+    * Applied to the PAIR join only: its probe does heavy per-row work
+    * (every bin-mate candidate checked, ~17 matched pairs emitted per
+    * probe row on the bench corpus, plus downstream pick/count partial
+    * aggregates in the same stage). The exists (semi/anti) and
+    * containment probes do a light early-out hash probe per row —
+    * measured there, the extra exchange costs MORE than it saves
+    * (q12 1.4→2.0 s, q13 1.2→1.8 s), so they stay un-fanned. */
+  private def fanOutProbe(df: DataFrame): DataFrame = {
+    val thr = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(FanoutKey, (256L << 20).toString).toLong
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (thr > 0 && target > 1 && graft.core.Sizing.leafScanBytes(df) <= thr)
+      df.repartition(target)
+    else df
+  }
+
   /** Explode `df` into (row, bin) with the interval extended by `pad`. */
   private def binned(df: DataFrame, binSize: Long, pad: Long,
                      s: String, e: String): DataFrame =
@@ -228,11 +262,13 @@ object RangeJoin {
     val rKeys = keys.map(_ + suffix)  // keys always collide by contract
     val rs = Start + suffix
     val re = End + suffix
-    val lb = binned(left, binSize, slack, Start, End).alias("l")
+    val rightSmall = broadcastable(right)
+    val probe = if (rightSmall) fanOutProbe(left) else left
+    val lb = binned(probe, binSize, slack, Start, End).alias("l")
     // hash-shuffle join on (keys, bin) by default; small right sides
     // (dimension-table-sized annotation sets) broadcast instead, judged
     // from the pre-explode optimizer estimate
-    val rb = maybeBroadcast(binned(r0, binSize, 0, rs, re), broadcastable(right)).alias("r")
+    val rb = maybeBroadcast(binned(r0, binSize, 0, rs, re), rightSmall).alias("r")
     val keyEq = keys.zip(rKeys).map { case (k, rk) => col(s"l.$k") === col(s"r.$rk") }
     val overlap =
       if (contained)
