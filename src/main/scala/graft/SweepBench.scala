@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.SweepBench [nRows]"
   *     [--check]   also xxhash-compare binned vs sweep pair sets
+  *     [--pick]    A/B the derived modes instead: first-match pick and
+  *                 per-row count, binned pairs+aggregation vs the
+  *                 sweep's native fold modes (plain and salted)
   *     [--lens=20,2000,65536,262144,1048576]   mean lengths to sweep
   *
   * Results recorded in BASELINE.md ("binned vs sweep" table).
@@ -100,7 +103,42 @@ object SweepBench {
         var w = b; while (w < 4.0 * len) w *= 2; w
       }
 
-      if (check) {
+      if (args.contains("--pick")) {
+        // derived-mode A/B: first-match pick and per-row count, binned
+        // (pairs + aggregation, the sub-gate plan) vs the sweep's native
+        // fold modes (plain and salted) — the measurement behind routing
+        // joinOverlaps(multiple=first/last) / countOverlaps through the
+        // sweep in its regime
+        import graft.join.{IntervalSweepJoin, RangeJoin}
+        def binnedPick: DataFrame = {
+          val p = RangeJoin.pairs(l, r, Seq(Chrom), binSize = autoBin)
+          val rCols = p.columns.filterNot(l.columns.contains).toSeq
+          val sortKeys = Seq(Start + "_b", End + "_b")
+          val lCols = l.columns.filterNot(_ == RowId).toSeq
+          val ord = struct((sortKeys ++ rCols.filterNot(sortKeys.contains)).map(col): _*)
+          val payload = struct((rCols ++ lCols).map(col): _*)
+          val m = p.groupBy(col(RowId)).agg(min_by(payload, ord).as("_m"))
+          (rCols ++ lCols).foldLeft(m)((d, c) => d.withColumn(c, col(s"_m.$c")))
+            .drop("_m")
+        }
+        def binnedCount: DataFrame = {
+          val p = RangeJoin.pairs(l, r, Seq(Chrom), binSize = autoBin)
+          val counts = p.groupBy(col(RowId)).agg(count(lit(1)).as("n"))
+          l.join(counts, Seq(RowId), "left").na.fill(0L, Seq("n"))
+        }
+        val reps = 2
+        val (tPb, nPb) = time(reps)(binnedPick)
+        val (tPs, nPs) = time(reps)(IntervalSweepJoin.pick(l, r, Seq(Chrom), last = false))
+        val (tPm, nPm) = time(reps)(IntervalSweepJoin.pick(l, r, Seq(Chrom), last = false,
+          megaBin = mb))
+        require(nPb == nPs && nPb == nPm, s"pick rows diverged: $nPb/$nPs/$nPm")
+        val (tCb, nCb) = time(reps)(binnedCount)
+        val (tCs, nCs) = time(reps)(IntervalSweepJoin.count(l, r, Seq(Chrom), countCol = "n"))
+        val (tCm, nCm) = time(reps)(IntervalSweepJoin.count(l, r, Seq(Chrom), countCol = "n",
+          megaBin = mb))
+        require(nCb == nCs && nCb == nCm, s"count rows diverged: $nCb/$nCs/$nCm")
+        println(f"""{"len":$len,"bin":$autoBin,"fanout":$fanout%.2f,"megaBin":${mb.getOrElse(0L)},"pickBinned":$tPb%.1f,"pickSweep":$tPs%.1f,"pickSalted":$tPm%.1f,"countBinned":$tCb%.1f,"countSweep":$tCs%.1f,"countSalted":$tCm%.1f}""")
+      } else if (check) {
         val sb = sig(graft.join.RangeJoin.pairs(l, r, Seq(Chrom), binSize = autoBin))
         val ss = sig(graft.join.IntervalSweepJoin.pairs(l, r, Seq(Chrom)))
         val sm = sig(graft.join.IntervalSweepJoin.pairs(l, r, Seq(Chrom), megaBin = mb))

@@ -157,6 +157,42 @@ object RangeJoin {
     }
   }
 
+  /** Shared auto decision for the sweep-native derived modes (pick /
+    * count): None = stay on the binned plan; Some(megaBin) = sweep,
+    * with the salt bin the key sample demands (None inside = plain
+    * per-key sweep). One bounded sample job per side, the same gates as
+    * [[autoPairs]] / [[existsDispatch]] — EXCEPT the fan-out bar, which
+    * for pick/count is OR'd with salt availability: the MEASURED table
+    * (BASELINE.md "sweep pick/count", graft.SweepBench --pick) shows
+    * the salted sweep's fold modes beating the binned pairs+aggregation
+    * at EVERY interval length (1.4x at fan-out 0.08 up to 11x at 16)
+    * because they never materialize the pair set, while the PLAIN
+    * sweep still loses at low fan-out when keys are scarce (one task
+    * per key, 10.9 s vs binned 2.6 s) — exactly the case saltPlan
+    * detects. So: salt available -> salted sweep at any length;
+    * many balanced keys (salt demoted) -> fan-out bar as for pairs. */
+  private[graft] def sweepAutoChoice(left: DataFrame, right: DataFrame,
+                                     keys: Seq[String], op: String,
+                                     contained: Boolean): Option[Option[Long]] = {
+    val threshold = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.join.autoThreshold",
+        graft.core.Sizing.saltedInputThreshold.toString).toLong
+    if (contained || !graft.core.Sizing.decide(op, threshold, left, right)) return None
+    val (lMean, lSpan) = sampledLenSpan(left, 100000)
+    val mean = math.max(lMean, sampledMeanLen(right, 100000))
+    var bin = 64L
+    while (bin < 4.0 * mean && bin < 65536L) bin *= 4
+    val mb = graft.core.Sizing.saltPlan(left, keys).map { b =>
+      var w = b
+      while (w < 4.0 * mean) w *= 2
+      w
+    }
+    if ((mean / bin > 2.0 || mb.isDefined) && depthOk(left, right, mean, lSpan)) {
+      lastAutoPairs.set((mb.fold("sweep")(_ => "sweep-salted") + s"-$op", mean, bin))
+      Some(mb)
+    } else None
+  }
+
   /** Existence-join counterpart of [[pairsDispatch]]: same size gate,
     * same sampled fan-out bar; above both, semi/anti run through the
     * sweep operator's native modes (no explode, no rid machinery)

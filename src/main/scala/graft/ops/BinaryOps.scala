@@ -47,7 +47,21 @@ object BinaryOps {
                    packedPick: Boolean = false): DataFrame = {
     val rs = Start + suffix
     val re = End + suffix
-    var p = RangeJoin.pairsDispatch(left, right, keys, slack, binSize, suffix, contained)
+    // first/last in the sweep regime: the operator's native pick mode
+    // decides each left row DURING the sweep — the pair set (the whole
+    // cost of a first-match join on dense data) is never materialized.
+    // Below the gate / binned regime: pairs + one aggregation pick.
+    val sweepPick: Option[Option[Long]] =
+      if (multiple == "first" || multiple == "last")
+        RangeJoin.sweepAutoChoice(left, right, keys, "rangejoin/pickAuto", contained)
+      else None
+    var p = sweepPick match {
+      case Some(mb) =>
+        graft.join.IntervalSweepJoin.pick(left, right, keys,
+          last = multiple == "last", slack = slack, suffix = suffix, megaBin = mb)
+      case None =>
+        RangeJoin.pairsDispatch(left, right, keys, slack, binSize, suffix, contained)
+    }
     // multiple=first/last pick one right match per left row. A window
     // over the full pair set would sort every pair; a min/max(struct)
     // aggregation gets map-side partial combine — the pair set shrinks to
@@ -100,7 +114,7 @@ object BinaryOps {
       winners.join(left, Seq(RowId)).join(r0, Seq(rId))
         .select(p.columns.map(col): _*)
     }
-    multiple match {
+    if (sweepPick.isEmpty) multiple match {
       case "first" => p = if (packedPick) pickOnePacked(minimize = true)
                           else pickOne(minimize = true)
       case "last"  => p = if (packedPick) pickOnePacked(minimize = false)
@@ -152,12 +166,20 @@ object BinaryOps {
     * row, the number of overlapping right rows (0 kept). */
   def countOverlaps(left: DataFrame, right: DataFrame, keys: Seq[String],
                     slack: Long = 0, countCol: String = "NumberOverlaps",
-                    binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
-    val p = RangeJoin.pairsDispatch(left, right, keys, slack, binSize)
-    val counts = p.groupBy(col(RowId)).agg(count(lit(1)).as(countCol))
-    left.join(counts, Seq(RowId), "left")
-      .na.fill(0L, Seq(countCol))
-  }
+                    binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame =
+    // sweep regime: the operator's native count mode bumps a counter per
+    // candidate instead of emitting the pair set, and (unsalted) already
+    // yields every left row with its count — no rejoin at all
+    RangeJoin.sweepAutoChoice(left, right, keys, "rangejoin/countAuto",
+        contained = false) match {
+      case Some(mb) =>
+        graft.join.IntervalSweepJoin.count(left, right, keys, slack, countCol, mb)
+      case None =>
+        val p = RangeJoin.pairsDispatch(left, right, keys, slack, binSize)
+        val counts = p.groupBy(col(RowId)).agg(count(lit(1)).as(countCol))
+        left.join(counts, Seq(RowId), "left")
+          .na.fill(0L, Seq(countCol))
+    }
 
   /** Multi-set count_overlaps (reference core/multioverlap.py:11-143):
     * one count column per named input set. */

@@ -12,6 +12,31 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.LongType
 
+/** Per-row output mode of the sweep (with joinType Inner):
+  *
+  *  - [[SweepMode.Pairs]]   — every overlapping pair, exactly once.
+  *  - [[SweepMode.First]]   — per left row, the single match with the
+  *    smallest (rightStart, rightEnd); nothing for unmatched rows.
+  *  - [[SweepMode.Last]]    — per left row, the LARGEST (rightStart,
+  *    rightEnd) match (reference `multiple="last"` picks max start —
+  *    core/pyranges_main.py:5406-5415).
+  *  - [[SweepMode.Count]]   — per left row, (left columns, match count)
+  *    — EVERY left row, including unmatched (0) and null-key /
+  *    null-bound rows (0), so the caller needs no rejoin.
+  *
+  * First/Last/Count never materialize the pair set: the pick/count is
+  * folded into the sweep's active buffers, so a row with 10^4 matches
+  * costs 10^4 counter bumps, not 10^4 emitted rows — the reason q52's
+  * pair-emission bound does not apply to these modes at scale.
+  */
+object SweepMode {
+  val Pairs = "pairs"
+  val First = "first"
+  val Last = "last"
+  val Count = "count"
+  val all: Set[String] = Set(Pairs, First, Last, Count)
+}
+
 /** Whole-operator Catalyst form of the sort-merge interval sweep
   * (SURVEY.md §4.3 option (c)): the physical alternative to the binned
   * range join for the long-interval regime, where exploding each row
@@ -26,12 +51,15 @@ import org.apache.spark.sql.types.LongType
   * co-grouped forward sweep that emits each overlapping pair exactly
   * once with zero row amplification.
   *
-  * `joinType` Inner emits the matching (left ++ right) pairs; LeftSemi /
+  * `joinType` Inner emits matches per `mode` ([[SweepMode]]); LeftSemi /
   * LeftAnti emit each left row at most once by row identity — matched
   * rows on first match (semi) or never-matched rows at eviction (anti) —
   * so the existence joins need NO row-id tagging, no re-join, and no
   * double evaluation of the probe side (a nondeterministic-rid rejoin
   * plan is wrong whenever the two evaluations can disagree).
+  *
+  * `countAttr` is the Count-mode output column, created by the caller so
+  * the attribute id is stable across plan copies.
   *
   * Scale shape: both children hash-cluster on the group keys (Spark's
   * EnsureRequirements inserts compatible exchanges + per-partition
@@ -53,11 +81,24 @@ case class IntervalSweepJoinNode(
     rEnd: Expression,
     slack: Long,
     condition: Expression,
-    joinType: JoinType = Inner) extends BinaryNode {
+    joinType: JoinType = Inner,
+    mode: String = SweepMode.Pairs,
+    countAttr: Option[Attribute] = None,
+    pickTies: Seq[Expression] = Nil) extends BinaryNode {
   require(joinType == Inner || joinType == LeftSemi || joinType == LeftAnti,
     s"IntervalSweepJoinNode supports Inner/LeftSemi/LeftAnti, got $joinType")
-  override def output: Seq[Attribute] =
-    if (joinType == Inner) left.output ++ right.output else left.output
+  require(SweepMode.all.contains(mode), s"unknown sweep mode $mode")
+  require(mode == SweepMode.Pairs || joinType == Inner,
+    s"mode $mode requires Inner joinType")
+  require((mode == SweepMode.Count) == countAttr.isDefined,
+    "countAttr is required by (exactly) Count mode")
+  override def output: Seq[Attribute] = mode match {
+    case SweepMode.Count => left.output :+ countAttr.get
+    case _ if joinType == Inner => left.output ++ right.output
+    case _ => left.output
+  }
+  // the count column is synthesized by this operator, not read from a child
+  override def producedAttributes: AttributeSet = AttributeSet(countAttr.toSeq)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalSweepJoinNode =
     copy(left = newLeft, right = newRight)
@@ -66,10 +107,135 @@ case class IntervalSweepJoinNode(
 /** Plans [[IntervalSweepJoinNode]] as [[IntervalSweepJoinExec]]. */
 object IntervalSweepStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalSweepJoinNode(l, r, lk, rk, ls, le, rs, re, slack, cond, jt) =>
-      IntervalSweepJoinExec(lk, rk, ls, le, rs, re, slack, cond, jt,
+    case IntervalSweepJoinNode(l, r, lk, rk, ls, le, rs, re, slack, cond, jt, mode, cnt, ties) =>
+      IntervalSweepJoinExec(lk, rk, ls, le, rs, re, slack, cond, jt, mode, cnt, ties,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
+  }
+}
+
+/** One buffered interval: heap-ordered by `endPos`. Carries the
+  * per-left-row fold state for the First/Last/Count modes and the
+  * lazy-deletion flag for semi/anti resolution. */
+private[plans] final class SweepEntry(
+    val startPos: Long, val endPos: Long, val row: InternalRow) {
+  var dead = false             // semi/anti: resolved before eviction
+  var count = 0L               // Count mode
+  var best: InternalRow = _    // First/Last mode: winning right row (copy)
+  var bestS = 0L               // winner's (start, end) for the compare
+  var bestE = 0L
+  var bestTie: UnsafeRow = _   // winner's tie-break key (copy), lazy
+}
+
+/** Array-backed binary min-heap on `endPos` with live iteration and
+  * lazy deletion — eviction pops are O(log depth) (the round-5 version
+  * scanned and `ArrayBuffer.remove`d: O(depth) per advance, O(depth²)
+  * per key worst case, which capped `sweepMaxDepth`). Semi/anti resolve
+  * entries mid-heap by tombstoning; when tombstones pass half the heap
+  * it compacts in O(depth) — amortized O(log) per resolution. */
+private[plans] final class SweepHeap {
+  private var arr = new Array[SweepEntry](16)
+  private var n = 0
+  private var deadCount = 0
+
+  def size: Int = n
+  def live: Int = n - deadCount
+  def isEmpty: Boolean = live == 0
+
+  def add(e: SweepEntry): Unit = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+    arr(n) = e
+    var i = n
+    n += 1
+    while (i > 0 && arr((i - 1) / 2).endPos > arr(i).endPos) {
+      val p = (i - 1) / 2
+      val t = arr(p); arr(p) = arr(i); arr(i) = t
+      i = p
+    }
+  }
+
+  /** Mark resolved (semi/anti) — physically removed on pop/compact. */
+  def kill(e: SweepEntry): Unit = {
+    e.dead = true
+    deadCount += 1
+    if (deadCount > 1 && deadCount * 2 > n) compact()
+  }
+
+  private def compact(): Unit = {
+    var w = 0
+    var i = 0
+    while (i < n) {
+      if (!arr(i).dead) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.fill(arr.asInstanceOf[Array[AnyRef]], w, n, null)
+    n = w
+    deadCount = 0
+    // heapify bottom-up: O(n)
+    i = n / 2 - 1
+    while (i >= 0) { siftDown(i); i -= 1 }
+  }
+
+  private def siftDown(i0: Int): Unit = {
+    var i = i0
+    while (true) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var m = i
+      if (l < n && arr(l).endPos < arr(m).endPos) m = l
+      if (r < n && arr(r).endPos < arr(m).endPos) m = r
+      if (m == i) return
+      val t = arr(m); arr(m) = arr(i); arr(i) = t
+      i = m
+    }
+  }
+
+  /** Pop every entry with endPos <= pos; live ones go to `onEvict`. */
+  def evictUpTo(pos: Long)(onEvict: SweepEntry => Unit): Unit = {
+    while (n > 0 && arr(0).endPos <= pos) {
+      val top = arr(0)
+      n -= 1
+      arr(0) = arr(n)
+      arr(n) = null
+      if (n > 0) siftDown(0)
+      if (top.dead) deadCount -= 1 else onEvict(top)
+    }
+  }
+
+  /** Visit live entries in heap (arbitrary) order. Callers must not
+    * mutate the heap during the visit (kill() is allowed only via the
+    * returned-entry list pattern used in step()). */
+  def foreachLive(f: SweepEntry => Unit): Unit = {
+    var i = 0
+    while (i < n) {
+      if (!arr(i).dead) f(arr(i))
+      i += 1
+    }
+  }
+
+  /** Snapshot of live entries (used for lazy pair-emission iterators,
+    * which are consumed before the next heap mutation). */
+  def liveIterator: Iterator[SweepEntry] =
+    arr.iterator.take(n).filterNot(_.dead)
+
+  def drainLive(): Array[SweepEntry] = {
+    val out = new Array[SweepEntry](live)
+    var i = 0
+    var w = 0
+    while (i < n) {
+      if (!arr(i).dead) { out(w) = arr(i); w += 1 }
+      arr(i) = null
+      i += 1
+    }
+    n = 0
+    deadCount = 0
+    out
+  }
+
+  def clear(): Unit = {
+    java.util.Arrays.fill(arr.asInstanceOf[Array[AnyRef]], 0, n, null)
+    n = 0
+    deadCount = 0
   }
 }
 
@@ -90,7 +256,11 @@ object IntervalSweepStrategy extends SparkStrategy {
   *
   * Rows with a NULL in any key follow SQL equi-join semantics (EqualTo
   * never matches on NULL): skipped on read, except LeftAnti emits
-  * null-key LEFT rows immediately (they can never match).
+  * null-key LEFT rows immediately (they can never match) and Count
+  * emits them with count 0. Rows with a NULL start or end are routed
+  * the same way — they can never satisfy the range conjuncts, and
+  * feeding them through the position projection would read the null
+  * slot as 0 and break sweep monotonicity under negative coordinates.
   */
 case class IntervalSweepJoinExec(
     leftKeys: Seq[Expression],
@@ -102,11 +272,19 @@ case class IntervalSweepJoinExec(
     slack: Long,
     condition: Expression,
     joinType: JoinType,
+    mode: String,
+    countAttr: Option[Attribute],
+    pickTies: Seq[Expression],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] =
-    if (joinType == Inner) left.output ++ right.output else left.output
+  override def output: Seq[Attribute] = mode match {
+    case SweepMode.Count => left.output :+ countAttr.get
+    case _ if joinType == Inner => left.output ++ right.output
+    case _ => left.output
+  }
+
+  override def producedAttributes: AttributeSet = AttributeSet(countAttr.toSeq)
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
@@ -137,6 +315,9 @@ case class IntervalSweepJoinExec(
     val cond = condition
     val slk = slack
     val jt = joinType
+    val md = mode
+    val cntAttr = countAttr
+    val ties = pickTies
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -151,10 +332,29 @@ case class IntervalSweepJoinExec(
       val pred = Predicate.create(cond, lOut ++ rOut)
       pred.initialize(TaskContext.getPartitionId())
       val joined = new JoinedRow
-      val outProj = UnsafeProjection.create(outAttrs,
-        if (jt == Inner) lOut ++ rOut else lOut)
+      val outProj = UnsafeProjection.create(outAttrs, md match {
+        case SweepMode.Count => lOut :+ cntAttr.get
+        case _ if jt == Inner => lOut ++ rOut
+        case _ => lOut
+      })
       val semi = jt == LeftSemi
       val anti = jt == LeftAnti
+      val pairs = md == SweepMode.Pairs
+      val pick = md == SweepMode.First || md == SweepMode.Last
+      val pickLast = md == SweepMode.Last
+      val counting = md == SweepMode.Count
+      val countRow = new GenericInternalRow(1)
+      // tie-break for exact (rStart, rEnd) pick ties: ascending over the
+      // caller-supplied right-side expressions (matches the aggregation
+      // path's min_by ordering struct, where non-coordinate columns stay
+      // ascending for first AND last)
+      val tieProj =
+        if (pick && ties.nonEmpty) UnsafeProjection.create(ties, rOut)
+        else null
+      val tieOrd: Ordering[InternalRow] =
+        if (tieProj != null)
+          RowOrdering.createNaturalAscendingOrdering(ties.map(_.dataType))
+        else null
 
       new Iterator[InternalRow] {
         // stream heads: row/key buffers are the iterator's and the
@@ -169,31 +369,48 @@ case class IntervalSweepJoinExec(
         private var rPosS = 0L
         private var rPosE = 0L
         private var curKey: UnsafeRow = _ // copy; owns its bytes
-        private val activeL = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]
-        private val activeR = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]
+        private val activeL = new SweepHeap
+        private val activeR = new SweepHeap
         private var pending: Iterator[InternalRow] = Iterator.empty
         private var flushed = false
 
         advanceL()
         advanceR()
 
+        /** Emit a left row that matched nothing and never will (anti:
+          * always; count: with count 0). Projection deferred to
+          * consumption — outProj's buffer is shared, an eager call here
+          * would alias queued emissions. */
+        private def emitUnmatched(row: InternalRow): Unit = {
+          val c = row.copy()
+          if (anti) pending = pending ++ Iterator.single(c).map(outProj(_))
+          else if (counting) pending = pending ++ Iterator.single(c).map { r =>
+            countRow.setLong(0, 0L)
+            outProj(joined(r, countRow))
+          }
+        }
+
         private def advanceL(): Unit = {
           lRow = null
           while (lRow == null && lIt.hasNext) {
             val row = lIt.next()
             val k = lKeyProj(row)
-            if (!k.anyNull) {
-              lRow = row
-              lKey = k
+            if (k.anyNull) {
+              // a null-key left row matches nothing, ever
+              emitUnmatched(row)
+            } else {
               val p = lPosProj(row)
-              lPosS = p.getLong(0)
-              lPosE = p.getLong(1)
-            } else if (anti) {
-              // a null-key left row matches nothing: anti emits it now
-              // (projection deferred to consumption: outProj's buffer is
-              // shared, an eager call here would alias queued emissions)
-              val c = row.copy()
-              pending = pending ++ Iterator.single(c).map(outProj(_))
+              if (p.isNullAt(0) || p.isNullAt(1)) {
+                // null start/end: range conjuncts are unknowable; the
+                // cast would read the null slot as 0 and de-monotonize
+                // the sweep position under negative coordinates
+                emitUnmatched(row)
+              } else {
+                lRow = row
+                lKey = k
+                lPosS = p.getLong(0)
+                lPosE = p.getLong(1)
+              }
             }
           }
         }
@@ -204,40 +421,77 @@ case class IntervalSweepJoinExec(
             val row = rIt.next()
             val k = rKeyProj(row)
             if (!k.anyNull) {
-              rRow = row
-              rKey = k
               val p = rPosProj(row)
-              rPosS = p.getLong(0)
-              rPosE = p.getLong(1)
+              if (!p.isNullAt(0) && !p.isNullAt(1)) {
+                rRow = row
+                rKey = k
+                rPosS = p.getLong(0)
+                rPosE = p.getLong(1)
+              }
             }
           }
         }
 
-        /** Drop entries the sweep has passed; anti emits evicted LEFT
-          * entries (eviction proves no future right row can match). */
-        private def evictL(pos: Long): Unit = {
-          var i = 0
-          while (i < activeL.length) {
-            if (activeL(i)._1 <= pos) {
-              val dropped = activeL.remove(i)
-              if (anti) pending =
-                pending ++ Iterator.single(dropped._2).map(outProj(_))
-            } else i += 1
+        /** Fold a matched right row into a left entry's pick/count
+          * state. First = smallest (rStart, rEnd); Last = largest.
+          * Exact (rStart, rEnd) ties break ascending on `pickTies`
+          * (without ties configured, the incumbent wins). */
+        private def fold(e: SweepEntry, rightRow: InternalRow,
+                         rs: Long, re: Long): Unit = {
+          if (counting) { e.count += 1L; return }
+          val better =
+            if (e.best == null) true
+            else if (rs == e.bestS && re == e.bestE) {
+              if (tieProj == null) false
+              else {
+                if (e.bestTie == null) e.bestTie = tieProj(e.best).copy()
+                tieOrd.compare(tieProj(rightRow), e.bestTie) < 0
+              }
+            }
+            else if (pickLast) rs > e.bestS || (rs == e.bestS && re > e.bestE)
+            else rs < e.bestS || (rs == e.bestS && re < e.bestE)
+          if (better) {
+            e.best = rightRow // caller passes an owned copy
+            e.bestS = rs
+            e.bestE = re
+            e.bestTie = null
           }
         }
 
-        private def evictR(pos: Long): Unit = {
-          var i = 0
-          while (i < activeR.length) {
-            if (activeR(i)._1 <= pos) activeR.remove(i) else i += 1
+        /** Emit a decided left entry (eviction / flush) in pick/count
+          * modes. */
+        private def emitDecided(e: SweepEntry): Unit = {
+          if (counting) {
+            pending = pending ++ Iterator.single(e).map { en =>
+              countRow.setLong(0, en.count)
+              outProj(joined(en.row, countRow))
+            }
+          } else if (e.best != null) {
+            pending = pending ++ Iterator.single(e).map { en =>
+              outProj(joined(en.row, en.best))
+            }
           }
         }
 
-        /** Anti: flush still-unmatched left entries (group change / end). */
+        /** Drop entries the sweep has passed. Anti emits evicted LEFT
+          * entries (eviction proves no future right row can match);
+          * pick/count emit their decided fold state. */
+        private def evictL(pos: Long): Unit =
+          activeL.evictUpTo(pos) { e =>
+            if (anti) pending = pending ++ Iterator.single(e.row).map(outProj(_))
+            else if (pick || counting) emitDecided(e)
+          }
+
+        private def evictR(pos: Long): Unit = activeR.evictUpTo(pos)(_ => ())
+
+        /** Flush still-active left entries (group change / stream end):
+          * anti emits them as unmatched, pick/count as decided. */
         private def flushL(): Unit = {
-          if (anti && activeL.nonEmpty) {
-            val rows = activeL.map(_._2).toArray
-            pending = pending ++ rows.iterator.map(outProj(_))
+          if (anti && !activeL.isEmpty) {
+            val rows = activeL.drainLive()
+            pending = pending ++ rows.iterator.map(e => outProj(e.row))
+          } else if ((pick || counting) && !activeL.isEmpty) {
+            activeL.drainLive().foreach(emitDecided)
           }
           activeL.clear()
           activeR.clear()
@@ -258,27 +512,35 @@ case class IntervalSweepJoinExec(
             evictR(lPosS)
             evictL(lPosS)
             val copied = lRow.copy()
-            if (jt == Inner) {
-              activeL += ((lPosE, copied))
-              pending = pending ++ activeR.iterator.flatMap { case (_, r) =>
-                joined(copied, r)
+            if (pairs && jt == Inner) {
+              activeL.add(new SweepEntry(lPosS, lPosE, copied))
+              pending = pending ++ activeR.liveIterator.flatMap { e =>
+                joined(copied, e.row)
                 if (pred.eval(joined)) Iterator.single[InternalRow](outProj(joined))
                 else Iterator.empty
               }
-            } else {
+            } else if (pick || counting) {
+              val entry = new SweepEntry(lPosS, lPosE, copied)
+              activeL.add(entry)
+              activeR.foreachLive { re =>
+                joined(copied, re.row)
+                if (pred.eval(joined)) fold(entry, re.row, re.startPos, re.endPos)
+              }
+            } else { // semi / anti
               var matched = false
-              var i = 0
-              while (!matched && i < activeR.length) {
-                joined(copied, activeR(i)._2)
-                matched = pred.eval(joined)
-                i += 1
+              activeR.foreachLive { re =>
+                if (!matched) {
+                  joined(copied, re.row)
+                  matched = pred.eval(joined)
+                }
               }
               if (matched) {
                 if (semi) pending =
                   pending ++ Iterator.single(copied).map(outProj(_))
                 // anti: matched row is dropped for good
               } else {
-                activeL += ((lPosE, copied)) // undecided: a later right may match
+                // undecided: a later right may match
+                activeL.add(new SweepEntry(lPosS, lPosE, copied))
               }
             }
             advanceL()
@@ -289,23 +551,30 @@ case class IntervalSweepJoinExec(
             evictR(rPosS)
             evictL(rPosS)
             val copied = rRow.copy()
-            activeR += ((rPosE, copied))
-            if (jt == Inner) {
-              pending = pending ++ activeL.iterator.flatMap { case (_, l) =>
-                joined(l, copied)
+            val rEntry = new SweepEntry(rPosS, rPosE, copied)
+            activeR.add(rEntry)
+            if (pairs && jt == Inner) {
+              pending = pending ++ activeL.liveIterator.flatMap { e =>
+                joined(e.row, copied)
                 if (pred.eval(joined)) Iterator.single[InternalRow](outProj(joined))
                 else Iterator.empty
               }
+            } else if (pick || counting) {
+              activeL.foreachLive { e =>
+                joined(e.row, copied)
+                if (pred.eval(joined)) fold(e, copied, rPosS, rPosE)
+              }
             } else {
               // resolve undecided left entries that this right row matches
-              var i = 0
-              while (i < activeL.length) {
-                joined(activeL(i)._2, copied)
-                if (pred.eval(joined)) {
-                  val hit = activeL.remove(i)
-                  if (semi) pending =
-                    pending ++ Iterator.single(hit._2).map(outProj(_))
-                } else i += 1
+              var hits: List[SweepEntry] = Nil
+              activeL.foreachLive { e =>
+                joined(e.row, copied)
+                if (pred.eval(joined)) hits = e :: hits
+              }
+              hits.foreach { e =>
+                activeL.kill(e)
+                if (semi) pending =
+                  pending ++ Iterator.single(e.row).map(outProj(_))
               }
             }
             advanceR()

@@ -163,6 +163,36 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!graft.core.Sizing.lastDecision.get()._3)
   }
 
+  test("first-pick and count route through the sweep above the gate: pair-free plans") {
+    // 320 MB of leaf stats, interval length 2^20 over a wide span:
+    // fan-out at the 65536 bin clamp is 16 >> the sweep bar; 4096
+    // balanced keys demote the salt (plain per-key sweep) so the plan
+    // is exactly scan -> exchange -> sort -> sweep on each side
+    def tbl = spark.range(40L << 20)
+      .select(col("id").as(RowId), concat(lit("c"), pmod(col("id"), lit(4096L))).as(Chrom),
+        // starts hashed across the span so the bounded limit() sample
+        // sees the true coordinate spread (a range-ordered start would
+        // bias the sampled span low and trip the depth demotion)
+        pmod(col("id") * 2654435761L, lit(1L << 40)).as(Start),
+        (pmod(col("id") * 2654435761L, lit(1L << 40)) + (1L << 20)).as(End))
+    val pick = graft.ops.BinaryOps.joinOverlaps(tbl, tbl.drop(RowId), Seq(Chrom),
+      multiple = "first")
+    val pickPlan = pick.queryExecution.executedPlan.toString
+    assert(pickPlan.contains("IntervalSweepJoin"), pickPlan.take(2000))
+    assert(!pickPlan.contains("Generate"), "pick must not explode bins")
+    assert(!pickPlan.contains("Aggregate"),
+      "native pick must not aggregate a materialized pair set")
+    assert(graft.join.RangeJoin.lastAutoPairs.get()._1.startsWith("sweep"),
+      graft.join.RangeJoin.lastAutoPairs.get().toString)
+    val cnt = graft.ops.BinaryOps.countOverlaps(tbl, tbl.drop(RowId), Seq(Chrom),
+      countCol = "n")
+    val cntPlan = cnt.queryExecution.executedPlan.toString
+    assert(cntPlan.contains("IntervalSweepJoin"), cntPlan.take(2000))
+    assert(!cntPlan.contains("Generate"), "count must not explode bins")
+    assert(!cntPlan.contains("Aggregate") && !cntPlan.contains("HashJoin"),
+      "native count needs no pair aggregation and no rejoin")
+  }
+
   test("saltPlan demotes many-balanced-keys to plain, keeps hot-in-many salted") {
     // 2000 balanced keys: the plain window already out-parallelizes the
     // cores, and salting measured 0.56-0.84x there (BASELINE.md

@@ -156,6 +156,59 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sweep pick/count (plain and salted) equal the binned aggregation paths") {
+    import graft.join.IntervalSweepJoin
+    // negative coordinates included: the sweep's null/position routing
+    // must stay monotone left of zero
+    val genNeg: Gen[List[(String, Long, Long)]] =
+      genIntervals.map(_.map { case (c, s, e) => (c, s - 300, e - 300) })
+    forAll(genNeg, genNeg) { (lr, rr) =>
+      val l = df(lr)
+      val r = df(rr)
+      def canon(d: DataFrame): Map[List[Any], Int] = {
+        val cols = d.columns.sorted.map(col).toIndexedSeq
+        d.select(cols: _*).collect().map(_.toSeq.toList)
+          .groupBy(identity).view.mapValues(_.size).toMap
+      }
+      for (last <- Seq(false, true)) {
+        // binned reference: pairs + min_by aggregation (the sub-gate path)
+        val want = canon(BinaryOps.joinOverlaps(l, r, Seq(Chrom),
+          multiple = if (last) "last" else "first"))
+        for (mb <- Seq(None, Some(64L))) {
+          val got = canon(IntervalSweepJoin.pick(l, r, Seq(Chrom), last, megaBin = mb))
+          assert(got == want, s"pick last=$last megaBin=$mb diverged")
+        }
+      }
+      val wantN = canon(BinaryOps.countOverlaps(l, r, Seq(Chrom), countCol = "n"))
+      for (mb <- Seq(None, Some(64L))) {
+        val gotN = canon(IntervalSweepJoin.count(l, r, Seq(Chrom), countCol = "n",
+          megaBin = mb))
+        assert(gotN == wantN, s"count megaBin=$mb diverged")
+      }
+    }
+    // null keys and null bounds: count keeps every left row at 0; pick
+    // drops them (inner semantics) — mirror of the binned contract
+    import spark.implicits._
+    val ln = Seq(
+      (null.asInstanceOf[String], Some(5L), 40L, 0L),
+      ("chr1", Some(5L), 40L, 1L),
+      ("chr1", None, 40L, 2L), // null Start
+      ("chr2", Some(-50L), -10L, 3L)
+    ).toDF(Chrom, Start, End, RowId)
+    val rn = Seq(("chr1", 30L, 35L, 10L), ("chr2", -20L, 0L, 11L))
+      .toDF(Chrom, Start, End, RowId)
+    def canonN(d: DataFrame): Set[(Long, Long)] =
+      d.select(col(RowId), col("n")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val expect = Set((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L))
+    for (mb <- Seq(None, Some(16L))) {
+      assert(canonN(IntervalSweepJoin.count(ln, rn, Seq(Chrom), countCol = "n",
+        megaBin = mb)) == expect, s"null-row count megaBin=$mb")
+    }
+    assert(IntervalSweepJoin.pick(ln, rn, Seq(Chrom), last = false)
+      .select(col(RowId)).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("sweep operator equals the naive join for inner/semi/anti on random inputs") {
     import spark.implicits._
     spark.conf.set("spark.graft.join.strategy", "sweep")
