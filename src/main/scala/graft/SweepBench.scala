@@ -86,6 +86,34 @@ object SweepBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (args.contains("--depth")) {
+      // eviction/buffer stress: one key, every interval concurrently
+      // active (depth == n). Anti against an empty right isolates the
+      // buffer machinery (no candidate visits): heap eviction keeps it
+      // O(n log n) — the pre-round-6 linear-scan eviction was O(n^2)
+      // here. The count row holds depth at ~1024 and scales n: its cost
+      // is the intrinsic O(n * depth) candidate folds, so the per-fold
+      // rate should stay flat as n grows.
+      import spark.implicits._
+      for (n <- Seq(65536L, 262144L, 1048576L)) {
+        val l = spark.range(n).select(lit("c0").as(Chrom), col("id").as(Start),
+          (col("id") + 2L * n).as(End), col("id").as(RowId))
+        val rEmpty = spark.range(0).select(lit("c0").as(Chrom), col("id").as(Start),
+          (col("id") + 1).as(End), col("id").as(RowId))
+        val (tAnti, rowsAnti) = time(1)(
+          graft.join.IntervalSweepJoin.exists(l, rEmpty, Seq(Chrom), anti = true))
+        require(rowsAnti == n, s"anti flush lost rows: $rowsAnti != $n")
+        val nd = n / 4
+        val ld = spark.range(nd).select(lit("c0").as(Chrom), (col("id") * 4).as(Start),
+          (col("id") * 4 + 4096L).as(End), col("id").as(RowId))
+        val (tCnt, _) = time(1)(
+          graft.join.IntervalSweepJoin.count(ld, ld.drop(RowId), Seq(Chrom), countCol = "n"))
+        println(f"""{"depthN":$n,"antiFlushSec":$tAnti%.1f,"countN":$nd,"countDepth":1024,"countSec":$tCnt%.1f}""")
+      }
+      spark.stop()
+      return
+    }
+
     val hot = args.contains("--hot")
     val depth = 4L // held-constant expected coverage depth per chrom
     lens.foreach { len =>

@@ -85,13 +85,19 @@ object RangeJoin {
 
   /** Estimated max concurrent overlap depth: rows (from leaf bytes /
     * ~64 B) x meanLen / span. The sweep's active buffers hold `depth`
-    * row copies per task; past `spark.graft.join.sweepMaxDepth`
-    * (default 65536) the binned join is preferred — it streams pairs
-    * and SPILLS per-bin groups instead of growing an in-memory set. */
+    * row copies per task up to `sweepSpillDepth` (262144), then
+    * stateless entries overflow to disk-spillable generations
+    * (SweepOverflow — measured: 1M concurrent entries complete in
+    * ~0.9 s, BASELINE.md "sweep depth stress"), so depth no longer
+    * OOMs; past `spark.graft.join.sweepMaxDepth` (default 262144, the
+    * in-heap cap) the binned join is still PREFERRED — its codegen'd
+    * hash join streams the same candidate volume faster than the
+    * overflow's re-scans, and stateful sweep modes (pick/count fold
+    * state) cannot ride the overflow at all. */
   private[join] def depthOk(left: DataFrame, right: DataFrame,
                             mean: Double, span: Long): Boolean = {
     val bar = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.join.sweepMaxDepth", "65536").toDouble
+      .getConfString("spark.graft.join.sweepMaxDepth", "262144").toDouble
     val estRows = graft.core.Sizing.leafScanBytes(left, right).toDouble / 64.0
     estRows * mean / math.max(span, 1L) <= bar
   }

@@ -189,11 +189,13 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val mean = math.max(ls.mean, rs.mean)
         val width = confBinSize.getOrElse(autoWidth(mean))
         // depth demotion: the sweep holds `depth` row copies in its
-        // active buffers per task; the binned join streams pairs and
-        // spills per-bin groups instead, so extreme estimated overlap
-        // depth (rows x meanLen / span) prefers binned
+        // active buffers per task (in-heap to sweepSpillDepth, then a
+        // disk-spillable overflow — it degrades rather than OOMs); the
+        // binned join's codegen'd hash join still streams extreme
+        // candidate volumes faster, so estimated overlap depth
+        // (rows x meanLen / span) past the in-heap cap prefers binned
         val depthBar = conf
-          .getConfString("spark.graft.join.sweepMaxDepth", "65536").toDouble
+          .getConfString("spark.graft.join.sweepMaxDepth", "262144").toDouble
         val estRows = (l.stats.sizeInBytes + r.stats.sizeInBytes).toDouble / 64.0
         val depthOk = estRows * mean / math.max(ls.span, 1L) <= depthBar
         val sweep = mean / width > sweepFanout && depthOk

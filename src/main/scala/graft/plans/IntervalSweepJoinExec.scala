@@ -239,6 +239,64 @@ private[plans] final class SweepHeap {
   }
 }
 
+/** Disk-backed overflow for an active set past the in-heap depth cap:
+  * generations of spillable row buffers ([[org.apache.spark.sql.GraftSpillableRowBuffer]]),
+  * each sealed at `genRows` rows with its max end position recorded. A
+  * generation is dropped wholesale once the sweep passes its max end;
+  * until then its rows are re-iterated per arrival with a per-row
+  * liveness check (the caller recomputes positions from the row). This
+  * trades CPU/IO (re-reads of partially-expired generations) for
+  * BOUNDED memory: a mis-sampled all-overlapping key degrades to
+  * streaming disk reads instead of OOMing the task. */
+private[plans] final class SweepOverflow(genRows: Int) {
+  private final class Gen {
+    val buf = new org.apache.spark.sql.GraftSpillableRowBuffer(4096)
+    var maxEnd = Long.MinValue
+  }
+  private val gens = new scala.collection.mutable.ArrayBuffer[Gen]
+  private var open: Gen = _
+  private var n = 0L
+
+  def isEmpty: Boolean = n == 0L
+  def size: Long = n
+
+  def add(row: UnsafeRow, endPos: Long): Unit = {
+    if (open == null || open.buf.length >= genRows) {
+      open = new Gen
+      gens += open
+    }
+    open.buf.add(row)
+    if (endPos > open.maxEnd) open.maxEnd = endPos
+    n += 1
+  }
+
+  /** Drop generations whose every entry the sweep has passed. */
+  def dropExpired(pos: Long): Unit = {
+    var i = 0
+    while (i < gens.length) {
+      if (gens(i).maxEnd <= pos) {
+        n -= gens(i).buf.length
+        gens(i).buf.clear()
+        if (gens(i) eq open) open = null
+        gens.remove(i)
+      } else i += 1
+    }
+  }
+
+  /** All stored rows (including individually-expired ones — the caller
+    * filters by recomputed position). Spilled rows are reused buffers:
+    * copy before retaining. */
+  def iterator: Iterator[UnsafeRow] =
+    gens.toSeq.iterator.flatMap(_.buf.iterator)
+
+  def clear(): Unit = {
+    gens.foreach(_.buf.clear())
+    gens.clear()
+    open = null
+    n = 0L
+  }
+}
+
 /** Physical sort-merge interval sweep.
   *
   * Requires both children clustered on the join keys and sorted by
@@ -307,6 +365,19 @@ case class IntervalSweepJoinExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
+    // depth governance: up to `spillDepth` entries per side live in the
+    // in-heap active set; beyond that, STATELESS entries (both sides of
+    // a pairs sweep, the right side of every mode) overflow to
+    // disk-spillable generations and the sweep degrades to bounded-
+    // memory re-scans; STATEFUL left entries (semi/anti tombstones,
+    // pick/count fold state — which must stay mutable in memory) are
+    // instead capped at `hardDepth` with an actionable error, which can
+    // only be reached when the plan-time depth demotion was mis-sampled
+    // by > hardDepth/estimate
+    val spillDepth = conf.getConfString(
+      "spark.graft.join.sweepSpillDepth", "262144").toInt
+    val hardDepth = conf.getConfString(
+      "spark.graft.join.sweepHardDepth", (1 << 20).toString).toInt
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
@@ -371,11 +442,29 @@ case class IntervalSweepJoinExec(
         private var curKey: UnsafeRow = _ // copy; owns its bytes
         private val activeL = new SweepHeap
         private val activeR = new SweepHeap
+        // stateless overflow (left only participates in pairs mode)
+        private val overL = new SweepOverflow(65536)
+        private val overR = new SweepOverflow(65536)
         private var pending: Iterator[InternalRow] = Iterator.empty
         private var flushed = false
 
+        private val lUnsafe = UnsafeProjection.create(lOut.map(_.dataType).toArray)
+        private val rUnsafe = UnsafeProjection.create(rOut.map(_.dataType).toArray)
+        private def unsafeCopy(r: InternalRow, p: UnsafeProjection): UnsafeRow =
+          r match { case u: UnsafeRow => u; case o => p(o).copy() }
+
         advanceL()
         advanceR()
+
+        /** Stateful left entries (fold state / tombstones) cannot spill;
+          * reaching the hard cap means the plan-time depth estimate was
+          * off by > hardDepth/sweepMaxDepth on this key. */
+        private def depthOverflow(): Nothing =
+          throw new org.apache.spark.SparkException(
+            s"interval sweep ${md} mode exceeded spark.graft.join.sweepHardDepth=" +
+              s"$hardDepth concurrent stateful left intervals on one key; " +
+              "raise the cap, or pin spark.graft.join.strategy=binned " +
+              "(the binned plan spills) for this join")
 
         /** Emit a left row that matched nothing and never will (anti:
           * always; count: with count 0). Projection deferred to
@@ -476,13 +565,18 @@ case class IntervalSweepJoinExec(
         /** Drop entries the sweep has passed. Anti emits evicted LEFT
           * entries (eviction proves no future right row can match);
           * pick/count emit their decided fold state. */
-        private def evictL(pos: Long): Unit =
+        private def evictL(pos: Long): Unit = {
           activeL.evictUpTo(pos) { e =>
             if (anti) pending = pending ++ Iterator.single(e.row).map(outProj(_))
             else if (pick || counting) emitDecided(e)
           }
+          overL.dropExpired(pos)
+        }
 
-        private def evictR(pos: Long): Unit = activeR.evictUpTo(pos)(_ => ())
+        private def evictR(pos: Long): Unit = {
+          activeR.evictUpTo(pos)(_ => ())
+          overR.dropExpired(pos)
+        }
 
         /** Flush still-active left entries (group change / stream end):
           * anti emits them as unmatched, pick/count as decided. */
@@ -495,6 +589,8 @@ case class IntervalSweepJoinExec(
           }
           activeL.clear()
           activeR.clear()
+          overL.clear()
+          overR.clear()
         }
 
         private def step(): Unit = {
@@ -512,19 +608,42 @@ case class IntervalSweepJoinExec(
             evictR(lPosS)
             evictL(lPosS)
             val copied = lRow.copy()
+            val arrivalPos = lPosS
             if (pairs && jt == Inner) {
-              activeL.add(new SweepEntry(lPosS, lPosE, copied))
+              if (activeL.size < spillDepth) {
+                activeL.add(new SweepEntry(lPosS, lPosE, copied))
+              } else {
+                overL.add(unsafeCopy(copied, lUnsafe), lPosE)
+              }
               pending = pending ++ activeR.liveIterator.flatMap { e =>
                 joined(copied, e.row)
                 if (pred.eval(joined)) Iterator.single[InternalRow](outProj(joined))
                 else Iterator.empty
+              } ++ overR.iterator.flatMap { rRowOv =>
+                // overflow rows carry no eviction state: re-check liveness
+                val p = rPosProj(rRowOv)
+                if (p.getLong(1) > arrivalPos) {
+                  joined(copied, rRowOv)
+                  if (pred.eval(joined)) Iterator.single[InternalRow](outProj(joined))
+                  else Iterator.empty
+                } else Iterator.empty
               }
             } else if (pick || counting) {
               val entry = new SweepEntry(lPosS, lPosE, copied)
+              if (activeL.size >= hardDepth) depthOverflow()
               activeL.add(entry)
               activeR.foreachLive { re =>
                 joined(copied, re.row)
                 if (pred.eval(joined)) fold(entry, re.row, re.startPos, re.endPos)
+              }
+              overR.iterator.foreach { rRowOv =>
+                val p = rPosProj(rRowOv)
+                val (rs, re) = (p.getLong(0), p.getLong(1))
+                if (re > arrivalPos) {
+                  joined(copied, rRowOv)
+                  // overflow iterator rows are reused buffers: fold copies
+                  if (pred.eval(joined)) fold(entry, rRowOv.copy(), rs, re)
+                }
               }
             } else { // semi / anti
               var matched = false
@@ -534,12 +653,23 @@ case class IntervalSweepJoinExec(
                   matched = pred.eval(joined)
                 }
               }
+              if (!matched && !overR.isEmpty) {
+                val it = overR.iterator
+                while (!matched && it.hasNext) {
+                  val rRowOv = it.next()
+                  if (rPosProj(rRowOv).getLong(1) > arrivalPos) {
+                    joined(copied, rRowOv)
+                    matched = pred.eval(joined)
+                  }
+                }
+              }
               if (matched) {
                 if (semi) pending =
                   pending ++ Iterator.single(copied).map(outProj(_))
                 // anti: matched row is dropped for good
               } else {
                 // undecided: a later right may match
+                if (activeL.size >= hardDepth) depthOverflow()
                 activeL.add(new SweepEntry(lPosS, lPosE, copied))
               }
             }
@@ -551,13 +681,24 @@ case class IntervalSweepJoinExec(
             evictR(rPosS)
             evictL(rPosS)
             val copied = rRow.copy()
-            val rEntry = new SweepEntry(rPosS, rPosE, copied)
-            activeR.add(rEntry)
+            val arrivalPos = rPosS
+            if (activeR.size < spillDepth) {
+              activeR.add(new SweepEntry(rPosS, rPosE, copied))
+            } else {
+              overR.add(unsafeCopy(copied, rUnsafe), rPosE)
+            }
             if (pairs && jt == Inner) {
               pending = pending ++ activeL.liveIterator.flatMap { e =>
                 joined(e.row, copied)
                 if (pred.eval(joined)) Iterator.single[InternalRow](outProj(joined))
                 else Iterator.empty
+              } ++ overL.iterator.flatMap { lRowOv =>
+                val p = lPosProj(lRowOv)
+                if (p.getLong(1) > arrivalPos) {
+                  joined(lRowOv, copied)
+                  if (pred.eval(joined)) Iterator.single[InternalRow](outProj(joined))
+                  else Iterator.empty
+                } else Iterator.empty
               }
             } else if (pick || counting) {
               activeL.foreachLive { e =>

@@ -209,6 +209,56 @@ class PropertySpec extends AnyFunSuite {
       .select(col(RowId)).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
+  test("sweep overflow: depth past sweepSpillDepth degrades to spill, stays exact") {
+    import graft.join.IntervalSweepJoin
+    import spark.implicits._
+    // one key, every interval overlapping every other (depth == n), with
+    // the in-heap cap forced to 32: most of the active sets live in the
+    // disk-backed overflow generations and every mode must still match
+    // the naive plans exactly
+    spark.conf.set("spark.graft.join.sweepSpillDepth", "32")
+    try {
+      val n = 400
+      val l = (0 until n).map(i => ("c", i.toLong, 2000L + i, i.toLong))
+        .toDF(Chrom, Start, End, RowId)
+      val r = (0 until n).map(i => ("c", i.toLong + 3, 2500L + i, (1000 + i).toLong))
+        .toDF(Chrom, Start, End, RowId)
+      def canon(d: DataFrame): Map[List[Any], Int] = {
+        val cols = d.columns.sorted.map(col).toIndexedSeq
+        d.select(cols: _*).collect().map(_.toSeq.toList)
+          .groupBy(identity).view.mapValues(_.size).toMap
+      }
+      // pairs == binned pairs
+      assert(canon(IntervalSweepJoin.pairs(l, r, Seq(Chrom))) ==
+        canon(graft.join.RangeJoin.pairs(l, r, Seq(Chrom))), "pairs under spill")
+      // semi/anti == binned exists
+      for (anti <- Seq(false, true)) {
+        assert(canon(IntervalSweepJoin.exists(l, r, Seq(Chrom), anti = anti)) ==
+          canon(graft.join.RangeJoin.exists(l, r, Seq(Chrom), anti = anti)),
+          s"exists anti=$anti under spill")
+      }
+      // pick/count == binned aggregation paths
+      assert(canon(IntervalSweepJoin.count(l, r, Seq(Chrom), countCol = "n")) ==
+        canon(BinaryOps.countOverlaps(l, r, Seq(Chrom), countCol = "n")),
+        "count under spill")
+      assert(canon(IntervalSweepJoin.pick(l, r, Seq(Chrom), last = false)) ==
+        canon(BinaryOps.joinOverlaps(l, r, Seq(Chrom), multiple = "first")),
+        "pick under spill")
+      // stateful left entries cannot spill: the hard cap must raise an
+      // actionable error instead of OOMing
+      spark.conf.set("spark.graft.join.sweepHardDepth", "64")
+      val err = intercept[Exception] {
+        IntervalSweepJoin.count(l, r, Seq(Chrom), countCol = "n").count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(err).exists(_.contains("sweepHardDepth")), msgs(err).toString)
+    } finally {
+      spark.conf.unset("spark.graft.join.sweepSpillDepth")
+      spark.conf.unset("spark.graft.join.sweepHardDepth")
+    }
+  }
+
   test("sweep operator equals the naive join for inner/semi/anti on random inputs") {
     import spark.implicits._
     spark.conf.set("spark.graft.join.strategy", "sweep")
