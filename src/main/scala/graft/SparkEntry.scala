@@ -454,7 +454,7 @@ object SparkEntry {
       // read_bam query surface: deterministic reads TSV (samtools-recipe
       // shape) -> readsFromTsv with mapq/filter_flag; DuckDB recomputes
       // the bitwise filter relationally
-      val path = "/tmp/graft_q77_reads"
+      val path = s"/tmp/graft_q77_reads_${java.util.UUID.randomUUID}"
       val flag = (col(RowId) % 4096).cast("int")
       gr(s, dir).select(col(Chrom), col(Start), col(End),
         when(flag.bitwiseAND(16) =!= 0, "-").otherwise("+").as(Strand),
@@ -692,7 +692,7 @@ object SparkEntry {
       // -> writeBigwig (zlib bedGraph sections, B+ tree, R-tree) ->
       // readBigwig. The oracle recomputes the runs relationally, so a
       // defect in EITHER codec direction breaks the hash.
-      val path = "/tmp/graft_q87_bw.bw"
+      val path = s"/tmp/graft_q87_bw_${java.util.UUID.randomUUID}.bw"
       val runs = Coverage.toRle(gr(s, dir), Seq(Chrom), None, "score")
       graft.io.BigWig.writeBigwig(runs, path, valueCol = "score")
       out(graft.io.BigWig.readBigwig(s, path))

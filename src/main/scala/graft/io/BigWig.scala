@@ -275,6 +275,14 @@ object BigWig {
         .natsortKey(org.apache.spark.unsafe.types.UTF8String.fromString(n)).toString)
       val sizes = names.map(c => chromSizes.getOrElse(c, maxEnds(c)))
       require(sizes.forall(_ <= 0xffffffffL), "bigWig chrom sizes are u32")
+      // a declared size smaller than the data would clamp zoom buckets
+      // below interval ends: _ov goes negative and every zoom record's
+      // validCount/sumData/sumSquares silently corrupts (the unzoomed
+      // sections meanwhile write the out-of-range intervals unclamped)
+      chromSizes.foreach { case (c, declared) =>
+        maxEnds.get(c).foreach(me => require(me <= declared,
+          s"declared chromSize for '$c' ($declared) < max interval End ($me)"))
+      }
 
       // zoom reduction levels: x4 apart from a 64-base floor, while the
       // reduction still subdivides the largest chromosome; up to 6

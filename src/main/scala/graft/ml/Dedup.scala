@@ -149,6 +149,16 @@ object Dedup {
     // shares >= 1 shingle, because an equal band hash means an equal
     // seeded-md5 minimum, which is the hash of the SAME shingle string
     // on both sides barring an md5 collision.
+    //
+    // CAVEAT (bandSize > 1): the shared-shingle argument is per HASH;
+    // with multi-hash bands a band-level collision of the CONCATENATED
+    // hashes could in principle pair two documents with zero common
+    // shingles, and such a pair would be dropped here rather than
+    // surfaced with n_intersect=0. At minJaccardPct >= 1 the filter
+    // removes zero-intersection pairs anyway, so the only observable
+    // difference is minJaccardPct=0 with bandSize>1 — callers wanting
+    // the raw LSH candidate set there should read `cand` semantics,
+    // not this verified-Jaccard output.
     cand
       .join(dsh.select(col(idCol).as("a"), col("sh")), Seq("a"))
       .join(dsh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))

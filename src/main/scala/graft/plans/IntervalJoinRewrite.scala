@@ -52,6 +52,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * (or globally via GraftExtensions / spark.sql.extensions).
   *
+  * CAVEAT — `auto` samples AT OPTIMIZATION TIME: the statistics come
+  * from one bounded `limit(100k)` Spark job per join side, executed
+  * while this rule runs. It is small, independent of table size,
+  * cached per canonicalized subplan and recursion-guarded, but it IS a
+  * job inside planning — `df.explain()` on a matched join triggers it,
+  * which can surprise tooling that assumes planning is pure. Pin
+  * `SET spark.graft.join.strategy = binned` (or `sweep`) to make
+  * planning job-free; `spark.graft.binSize` then pins the bin width
+  * the binned plan would otherwise sample.
+  *
   * Covers Inner, LeftSemi and LeftAnti joins. Inner preserves the join's
   * output exactly (a Project restores the original attribute list).
   * Semi/anti can't explode or sweep the probe side naively — a left row
@@ -175,7 +185,8 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def choose(l: LogicalPlan, r: LogicalPlan,
                      keyPairs: Seq[(Attribute, Attribute)],
                      lStart: Expression, lEnd: Expression,
-                     rStart: Expression, rEnd: Expression): (Boolean, Long, Option[Long]) = {
+                     rStart: Expression, rEnd: Expression,
+                     allowSalt: Boolean = true): (Boolean, Long, Option[Long]) = {
     val decision = strategyConf match {
       case "sweep"  => (true, confBinSize.getOrElse(256L), None)
       case "binned" => (false, confBinSize.getOrElse(256L), None)
@@ -200,7 +211,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val depthOk = estRows * mean / math.max(ls.span, 1L) <= depthBar
         val sweep = mean / width > sweepFanout && depthOk
         val megaBin: Option[Long] =
-          if (!sweep) None
+          if (!sweep || !allowSalt) None
           else {
             val cores = math.max(
               SparkSession.active.sparkContext.defaultParallelism, 1)
@@ -342,9 +353,11 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         intervalShape(cond, l, r) match {
           case Some((conjuncts, lStart, lEnd, rStart, rEnd, keyPairs)) =>
             // mega-binning never applies to semi/anti (a left row would
-            // be decided per bin copy, not per row) — unsalted sweep
+            // be decided per bin copy, not per row) — unsalted sweep;
+            // allowSalt=false also keeps lastChoice from reporting a
+            // 'sweep-salted' tag this branch would then discard
             val (useSweep, bin, _) =
-              choose(l, r, keyPairs, lStart, lEnd, rStart, rEnd)
+              choose(l, r, keyPairs, lStart, lEnd, rStart, rEnd, allowSalt = false)
             if (useSweep) {
               // the sweep supports semi/anti natively — each left row
               // emitted at most once by row identity, no rid tagging and
@@ -357,9 +370,16 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               val ridAlias = Alias(MonotonicallyIncreasingID(), "_graft_rid")()
               val lRid = Project(l.output :+ ridAlias, l)
               val rid = ridAlias.toAttribute
-              val binL = AttributeReference(BIN_PREFIX + "l", LongType, nullable = false)()
+              val binL = AttributeReference(BIN_PREFIX + "l", LongType, nullable = true)()
               val binR = AttributeReference(BIN_PREFIX + "r", LongType, nullable = false)()
-              val lGen = Generate(seqExpr(lStart, lEnd, bin), Nil, outer = false, None, Seq(binL), lRid)
+              // outer=true: a left row with NULL Start/End explodes into a
+              // single null-bin copy instead of vanishing — it can never
+              // equi-match (NULL bin), so semi correctly drops it and anti
+              // correctly EMITS it (SQL three-valued logic: such rows
+              // match nothing). outer=false here silently swallowed
+              // null-bound rows from the anti output while the sweep
+              // strategy kept them — the auto dispatch diverged.
+              val lGen = Generate(seqExpr(lStart, lEnd, bin), Nil, outer = true, None, Seq(binL), lRid)
               val rGen = Generate(seqExpr(rStart, rEnd, bin), Nil, outer = false, None, Seq(binR), r)
               val newCond = binnedCond(conjuncts, binL, binR, lStart, rStart, bin)
               if (jt == LeftSemi) {

@@ -254,6 +254,45 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("binned matches naive on null keys, null bounds and duplicates for all join types") {
+    import spark.implicits._
+    // mirror of the sweep null-semantics test on the binned strategy:
+    // a left row with NULL Start/End must survive LEFT ANTI (it matches
+    // nothing) — the outer=false Generate used to swallow it, making
+    // anti output depend on which strategy auto sampled its way into
+    val l = Seq(
+      (null.asInstanceOf[String], Some(5L), Some(40L), 0L),
+      ("c0", Some(5L), Some(40L), 1L),
+      ("c0", Some(5L), Some(40L), 1L), // duplicate row
+      ("c0", None, Some(40L), 2L),     // null Start
+      ("c0", Some(5L), None, 3L),      // null End
+      ("c1", Some(100L), Some(140L), 4L)
+    ).toDF(Chrom, Start, End, "id")
+    val r = Seq(
+      (null.asInstanceOf[String], 0L, 50L, 10L),
+      ("c0", 30L, 35L, 11L),
+      ("c2", 0L, 1000L, 12L)
+    ).toDF(Chrom + "2", "s2", "e2", "id2")
+    for (jt <- Seq("inner", "left_semi", "left_anti")) {
+      def joined = l.join(r,
+        l(Chrom) === r(Chrom + "2") && l(Start) < r("e2") && r("s2") < l(End), jt)
+      val naive = joined.collect().map(_.toSeq.toList)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntervalJoinRewrite
+      spark.conf.set("spark.graft.join.strategy", "binned")
+      try {
+        val binned = joined.collect().map(_.toSeq.toList)
+          .groupBy(identity).view.mapValues(_.size).toMap
+        assert(binned == naive, s"$jt mismatch: binned=$binned naive=$naive")
+      } finally {
+        spark.conf.unset("spark.graft.join.strategy")
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ == IntervalJoinRewrite)
+      }
+    }
+  }
+
   test("auto strategy picks sweep for long intervals, binned for short") {
     // long intervals: mean len ~1M over a 100M span -> fan-out at the
     // 65536 clamp is ~15 > the default bar -> sweep

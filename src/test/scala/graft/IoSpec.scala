@@ -227,6 +227,24 @@ class IoSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$d/bad.bw").exists)
   }
 
+  test("bigWig writer rejects a declared chromSize smaller than the data") {
+    // an undersized declared chromosome would clamp zoom buckets below
+    // interval ends and silently corrupt zoom summaries — it must be a
+    // loud require (and still clean up the partial file)
+    val d = tmp("bwcs")
+    import spark.implicits._
+    val rows = Seq(("chr1", 0L, 500L, 1.0)).toDF(Chrom, Start, End, "Value")
+    val err = intercept[IllegalArgumentException] {
+      graft.io.BigWig.writeBigwig(rows, s"$d/small.bw",
+        chromSizes = Map("chr1" -> 100L))
+    }
+    assert(err.getMessage.contains("chromSize"), err.getMessage)
+    assert(!new java.io.File(s"$d/small.bw").exists)
+    // an ample declared size is fine (and padding past the data is legal)
+    graft.io.BigWig.writeBigwig(rows, s"$d/ok.bw", chromSizes = Map("chr1" -> 1000L))
+    assert(new java.io.File(s"$d/ok.bw").exists)
+  }
+
   test("bigWig writer emits real zoom levels whose buckets match recomputation") {
     val d = tmp("bwz")
     import spark.implicits._

@@ -113,11 +113,11 @@ class PlanContractSpec extends AnyFunSuite {
     assert(narrow == wide, s"leaf bytes moved with projection: $narrow vs $wide")
   }
 
-  test("salted auto-switch FIRES above the 256 MB leaf-bytes threshold") {
+  test("salted auto-switch FIRES above Sizing.saltedInputThreshold leaf bytes") {
     // spark.range leaves report 8 bytes/row in plan stats without any
-    // I/O, so the >=256 MB firing condition is assertable instantly; the
-    // measured plain-vs-salted timings at such sizes live in BASELINE.md
-    // ("salted crossover" table, from graft.SaltBench).
+    // I/O, so a firing condition well above Sizing.saltedInputThreshold
+    // (32 MB, measured — BASELINE.md "salted crossover" table, from
+    // graft.SaltBench) is assertable instantly.
     import spark.implicits._
     val big = spark.range(40L << 20) // 40M rows * 8 B = 320 MB of leaf stats
       .select(col("id").as(RowId), lit("A").as(Chrom),
