@@ -3,6 +3,7 @@ package graft
 import graft.core.Cols
 import graft.ops.{BinaryOps, Composites, Metrics}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -862,6 +863,286 @@ class DocTestParitySpec extends AnyFunSuite {
     assert(canon(Composites.mapToGlobal(
       local.orderBy(rand(13)), exons.orderBy(rand(17)), "transcript_id")) == base)
     assert(base.nonEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // Tutorial corpus (reference docs/tutorial.rst, doctested by
+  // tests/run_doctest_tutorial_howto.py:6-13): the worked example over
+  // pyranges1/data/ncbi.gff.gz + ncbi.fasta. Expected values copied
+  // verbatim from the rendered doctest output.
+  // ------------------------------------------------------------------
+  private val ncbiGff = "/root/reference/pyranges1/data/ncbi.gff.gz"
+  private val ncbiFa = "/root/reference/pyranges1/data/ncbi.fasta"
+  private lazy val tutAnn: DataFrame =
+    graft.io.Gtf.readGff3(spark, ncbiGff).cache()
+  private lazy val tutCds: DataFrame = tutAnn
+    .filter(col("Feature") === "CDS")
+    .select(col(Chrom), col(Start), col(End), col(Strand), col("ID"))
+    .withColumn(RowId, monotonically_increasing_id()).cache()
+  // ncbi.fasta.fai, the chromsizes source the doctest reads via pyfaidx
+  private lazy val tutChromSizes: DataFrame = {
+    import spark.implicits._
+    Seq(("CAJFCJ010000053.1", 109277L), ("CAJFCJ010000097.1", 78757L),
+        ("CAJFCJ010000121.1", 38272L), ("CAJFCJ010000155.1", 38181L),
+        ("CAJFCJ010000181.1", 112475L), ("CAJFCJ010000025.1", 3418L))
+      .toDF(Chrom, "size")
+  }
+
+  test("tutorial doctest: CDS first/last codons via slice_ranges + get_sequence") {
+    // tutorial.rst:53-67 — 150 rows, 6 chromosomes; :188 — 56 CDS rows
+    assert(tutAnn.count() == 150)
+    assert(tutAnn.select(Chrom).distinct().count() == 6)
+    assert(tutCds.count() == 56)
+    assert(tutCds.select(Chrom).distinct().count() == 3)
+
+    // tutorial.rst:258-273: first codon of each CDS group — 18 rows
+    // (one start codon split across two exons)
+    val first = Composites.sliceRanges(tutCds, Seq("ID"), 0, Some(3))
+    val firstSet = first.select(Chrom, Start, End, Strand, "ID").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4))).toSet
+    assert(firstSet.size == 18)
+    assert(Set(
+      ("CAJFCJ010000053.1", 5260L, 5263L, "-", "cds-CAD5126491.1"),
+      ("CAJFCJ010000053.1", 10732L, 10735L, "+", "cds-CAD5126492.1"),
+      ("CAJFCJ010000053.1", 19649L, 19652L, "+", "cds-CAD5126493.1"),
+      ("CAJFCJ010000053.1", 27136L, 27139L, "-", "cds-CAD5126494.1"),
+      ("CAJFCJ010000097.1", 51865L, 51868L, "+", "cds-CAD5126877.1"),
+      ("CAJFCJ010000025.1", 2753L, 2755L, "-", "cds-CAD5125115.1"),
+      ("CAJFCJ010000025.1", 2692L, 2693L, "-", "cds-CAD5125115.1"),
+      ("CAJFCJ010000025.1", 3150L, 3153L, "-", "cds-CAD5125114.1"))
+      .subsetOf(firstSet))
+
+    // tutorial.rst:279-312: per-interval sequences; the split start
+    // codon yields the case-preserved pieces "at" and "g"
+    val fa = graft.io.Fasta.read(spark, ncbiFa)
+    val firstSeq = graft.ext.Seqs.getSequence(first, fa, "Sequence")
+    val short = firstSeq.filter(length(col("Sequence")) =!= 3)
+      .select(Start, End, "Sequence").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(short == Set((2753L, 2755L, "at"), (2692L, 2693L, "g")))
+
+    // tutorial.rst:322-342: grouped (spliced) sequence per ID — every
+    // start codon reads ATG/atg
+    val grouped = graft.ext.Seqs
+      .getSplicedSequence(first, fa, "ID", "Sequence")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expectedFirst = Map(
+      "cds-CAD5125114.1" -> "ATG", "cds-CAD5125115.1" -> "atg",
+      "cds-CAD5126491.1" -> "ATG", "cds-CAD5126492.1" -> "ATG",
+      "cds-CAD5126493.1" -> "ATG", "cds-CAD5126494.1" -> "ATG",
+      "cds-CAD5126495.1" -> "ATG", "cds-CAD5126496.1" -> "atg",
+      "cds-CAD5126497.1" -> "ATG", "cds-CAD5126498.1" -> "atg",
+      "cds-CAD5126499.1" -> "atg", "cds-CAD5126873.1" -> "ATG",
+      "cds-CAD5126874.1" -> "ATG", "cds-CAD5126875.1" -> "ATG",
+      "cds-CAD5126876.1" -> "ATG", "cds-CAD5126877.1" -> "ATG",
+      "cds-CAD5126878.1" -> "ATG")
+    assert(grouped == expectedFirst)
+
+    // tutorial.rst:358-393: last codon via negative slice; stop codon
+    // table verbatim, usage TAA 8 / TGA 6 / TAG 3
+    val last = Composites.sliceRanges(tutCds, Seq("ID"), -3, None)
+    val stops = graft.ext.Seqs
+      .getSplicedSequence(last, fa, "ID", "Sequence")
+      .select(col("ID"), upper(col("Sequence")).as("Sequence"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expectedStops = Map(
+      "cds-CAD5125114.1" -> "TGA", "cds-CAD5125115.1" -> "TGA",
+      "cds-CAD5126491.1" -> "TAA", "cds-CAD5126492.1" -> "TGA",
+      "cds-CAD5126493.1" -> "TAA", "cds-CAD5126494.1" -> "TAG",
+      "cds-CAD5126495.1" -> "TAA", "cds-CAD5126496.1" -> "TGA",
+      "cds-CAD5126497.1" -> "TAA", "cds-CAD5126498.1" -> "TAA",
+      "cds-CAD5126499.1" -> "TAG", "cds-CAD5126873.1" -> "TGA",
+      "cds-CAD5126874.1" -> "TAG", "cds-CAD5126875.1" -> "TAA",
+      "cds-CAD5126876.1" -> "TGA", "cds-CAD5126877.1" -> "TAA",
+      "cds-CAD5126878.1" -> "TAA")
+    assert(stops == expectedStops)
+    assert(stops.values.groupBy(identity).map { case (k, v) => k -> v.size } ==
+      Map("TAA" -> 8, "TGA" -> 6, "TAG" -> 3))
+  }
+
+  test("tutorial doctest: promoters via extend/slice/upstream, clip, overlap family") {
+    // tutorial.rst:451-462: grouped 5' extension touches only the
+    // outermost 5' interval of each CDS group
+    val g = graft.ops.UnaryOps.extendGrouped(tutCds, Seq("ID"), ext5 = 300)
+    val gRows = g.select("ID", Start, End).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gRows.contains(("cds-CAD5126491.1", 4882L, 5563L)))
+    assert(gRows.contains(("cds-CAD5126492.1", 10432L, 10958L)))
+    assert(gRows.contains(("cds-CAD5126492.1", 11028L, 11169L))) // untouched inner
+
+    // tutorial.rst:467-496: promoter = first 300 bp of the extended
+    // group; upstream(length=300, group_by) is the direct equivalent
+    val prom = Composites.sliceRanges(g, Seq("ID"), 0, Some(300))
+    def coordSet(d: DataFrame) = d.select(Chrom, Start, End, Strand, "ID")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+    val promSet = coordSet(prom)
+    assert(Set(
+      ("CAJFCJ010000053.1", 5263L, 5563L, "-", "cds-CAD5126491.1"),
+      ("CAJFCJ010000053.1", 10432L, 10732L, "+", "cds-CAD5126492.1"),
+      ("CAJFCJ010000053.1", 19349L, 19649L, "+", "cds-CAD5126493.1"),
+      ("CAJFCJ010000053.1", 27139L, 27439L, "-", "cds-CAD5126494.1"),
+      ("CAJFCJ010000053.1", 38860L, 39160L, "+", "cds-CAD5126495.1"))
+      .subsetOf(promSet))
+    assert(coordSet(Composites.upstream(tutCds, 300,
+      groupKeys = Some(Seq("ID")))) == promSet)
+
+    // tutorial.rst:504-541: clip_ranges against pyfaidx chromsizes —
+    // exactly one promoter ran off the right end of its contig
+    val cor = graft.ops.UnaryOps.clip(prom, tutChromSizes)
+    val corSet = coordSet(cor)
+    assert(promSet -- corSet ==
+      Set(("CAJFCJ010000025.1", 3153L, 3453L, "-", "cds-CAD5125114.1")))
+    assert(corSet -- promSet ==
+      Set(("CAJFCJ010000025.1", 3153L, 3418L, "-", "cds-CAD5125114.1")))
+
+    // tutorial.rst:553-559: strand-aware overlap — one promoter
+    // overlaps another CDS
+    val corId = cor.withColumn(RowId, monotonically_increasing_id())
+    val ov = BinaryOps.overlap(corId, tutCds, Seq(Chrom, Strand))
+    assert(coordSet(ov) ==
+      Set(("CAJFCJ010000025.1", 2755L, 3055L, "-", "cds-CAD5125115.1")))
+
+    // tutorial.rst:570-585: join_overlaps carries the other side's
+    // columns with the _b suffix
+    val j = BinaryOps.joinOverlaps(corId, tutCds.drop(RowId), Seq(Chrom, Strand))
+    val jRows = j.select("ID", Start, End, "ID_b", "Start_b", "End_b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    assert(jRows.toSeq ==
+      Seq(("cds-CAD5125115.1", 2755L, 3055L, "cds-CAD5125114.1", 2753L, 2851L)))
+
+    // tutorial.rst:593-600: intersect_overlaps clips to the overlap
+    val inter = BinaryOps.intersect(corId, tutCds.drop(RowId), Seq(Chrom, Strand))
+    assert(inter.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2755L, 2851L)))
+  }
+
+  test("tutorial doctest: intergenic regions, counting, clusters, 5'->3' sort") {
+    // tutorial.rst:738-771: chr97 exons -> per-mRNA boundaries
+    val exons = tutAnn.filter(col("Feature") === "exon" &&
+        col(Chrom) === "CAJFCJ010000097.1")
+      .select(col(Chrom), col(Start), col(End), col(Strand), col("Parent"))
+    assert(exons.count() == 15)
+    val mRna = graft.ops.UnaryOps.boundaries(exons, Seq(Chrom, Strand, "Parent"))
+    val mRnaSet = mRna.select("Parent", Start, End, Strand).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(mRnaSet == Set(
+      ("rna-DGYR_LOCUS14091", 2248L, 3308L, "+"),
+      ("rna-DGYR_LOCUS14093", 16697L, 17634L, "+"),
+      ("rna-DGYR_LOCUS14095", 51864L, 53404L, "+"),
+      ("rna-DGYR_LOCUS14095-2", 51864L, 53404L, "+"),
+      ("rna-DGYR_LOCUS14092", 5579L, 6600L, "-"),
+      ("rna-DGYR_LOCUS14094", 31876L, 32195L, "-")))
+
+    // tutorial.rst:777-784: strand-less outer bounds of all mRNAs
+    val allBounds = graft.ops.UnaryOps.boundaries(
+        mRna.drop(Strand, "Parent"), Seq(Chrom))
+      .withColumn(RowId, monotonically_increasing_id())
+    assert(allBounds.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2248L, 53404L)))
+
+    // tutorial.rst:788-798: intergenic = bounds minus mRNA extents
+    val intergenic = BinaryOps.subtract(allBounds,
+        mRna.drop(Strand), Seq(Chrom))
+      .withColumn(RowId, monotonically_increasing_id())
+    val interSet = intergenic.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(interSet == Set((3308L, 5579L), (6600L, 16697L),
+      (17634L, 31876L), (32195L, 51864L)))
+
+    // tutorial.rst:824-841: count_overlaps — no CDS in intergenic
+    // regions, 15 CDS intervals in the overall bounds
+    val interCounts = BinaryOps.countOverlaps(intergenic, tutCds,
+      Seq(Chrom), countCol = "Count")
+    assert(interCounts.select("Count").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 0L, 0L, 0L))
+    def boundCount(right: DataFrame): Long =
+      BinaryOps.countOverlaps(allBounds, right, Seq(Chrom), countCol = "Count")
+        .select("Count").collect().map(_.getLong(0)).head
+    assert(boundCount(tutCds) == 15L)
+
+    // tutorial.rst:846-876: the chr97 '+' isoform slice merges into 4
+    // non-redundant intervals
+    val example = tutCds.filter(col(Chrom) === "CAJFCJ010000097.1" &&
+      col(Strand) === "+" && col(Start) < 54000L && col(End) > 51000L)
+    assert(example.count() == 9)
+    val merged = graft.ops.UnaryOps.merge(example, Seq(Chrom, Strand))
+    assert(merged.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((51865L, 52382L), (52446L, 52826L), (52903L, 53027L),
+          (53339L, 53404L)))
+
+    // tutorial.rst:883-888: counting against merged CDS gives 10
+    assert(boundCount(graft.ops.UnaryOps.merge(tutCds, Seq(Chrom, Strand))
+      .withColumn(RowId, monotonically_increasing_id())) == 10L)
+
+    // tutorial.rst:607-683: cluster_overlaps — 17 CDS rows sit in
+    // multi-interval clusters
+    val clu = graft.ops.UnaryOps.cluster(tutCds, Seq(Chrom, Strand),
+      clusterCol = "Cluster")
+    val w = Window.partitionBy(col(Chrom), col(Strand), col("Cluster"))
+    val multiClu = clu.withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") > 1).drop("_n")
+    assert(multiClu.count() == 17)
+
+    // tutorial.rst:693-707: sort_ranges is 5'->3' — the minus-strand
+    // chr25 block runs right-to-left, the plus chr97 block left-to-right
+    val sorted = graft.ops.UnaryOps.sortRanges(multiClu)
+      .select(Chrom, Start, End).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sorted == Seq(
+      ("CAJFCJ010000025.1", 2753L, 2851L), ("CAJFCJ010000025.1", 2753L, 2755L),
+      ("CAJFCJ010000025.1", 2593L, 2693L), ("CAJFCJ010000025.1", 2593L, 2693L),
+      ("CAJFCJ010000025.1", 2354L, 2537L), ("CAJFCJ010000025.1", 2354L, 2537L),
+      ("CAJFCJ010000025.1", 2174L, 2294L), ("CAJFCJ010000025.1", 2174L, 2294L),
+      ("CAJFCJ010000097.1", 51865L, 52201L), ("CAJFCJ010000097.1", 51865L, 52382L),
+      ("CAJFCJ010000097.1", 52261L, 52382L), ("CAJFCJ010000097.1", 52446L, 52826L),
+      ("CAJFCJ010000097.1", 52446L, 52826L), ("CAJFCJ010000097.1", 52903L, 53027L),
+      ("CAJFCJ010000097.1", 52903L, 53027L), ("CAJFCJ010000097.1", 53339L, 53404L),
+      ("CAJFCJ010000097.1", 53339L, 53404L)))
+  }
+
+  // reference docs/how_to_overlap.rst:294-425: match_by restricts
+  // overlaps to rows agreeing on an extra column; slack widens the
+  // overlap test but reports original coordinates; combine 'union'
+  // aggregates the matched pair into one interval.
+  test("how_to_overlap doctest: match_by column, slack, combine union chain") {
+    import spark.implicits._
+    val a2 = Seq((3L, 6L, "+"), (13L, 15L, "+"), (18L, 21L, "-"),
+        (23L, 27L, "-"), (28L, 29L, "-"), (32L, 37L, "+"), (33L, 36L, "+"))
+      .map { case (s, e, st) => ("chr1", s, e, st, s % 2) }
+      .toDF(Chrom, Start, End, Strand, "odd")
+      .withColumn(RowId, monotonically_increasing_id())
+    val b2 = Seq((6L, 8L, "+"), (12L, 14L, "+"), (19L, 20L, "+"),
+        (25L, 29L, "-"), (34L, 36L, "+"))
+      .map { case (s, e, st) => ("chr1", s, e, st, s % 2) }
+      .toDF(Chrom, Start, End, Strand, "odd")
+    val keys = Seq(Chrom, Strand, "odd")
+
+    // :323-331 overlap(match_by='odd') — only two rows survive
+    assert(BinaryOps.overlap(a2, b2, keys).select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((23L, 27L), (32L, 37L)))
+
+    // :393-400 join(match_by) and :402-410 join(match_by, slack=5)
+    def jrows(slack: Long) =
+      BinaryOps.joinOverlaps(a2, b2, keys, slack = slack)
+        .select(Start, End, "odd", "Start_b", "End_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    assert(jrows(0) == Set((23L, 27L, 1L, 25L, 29L), (32L, 37L, 0L, 34L, 36L)))
+    val slacked = jrows(5)
+    assert(slacked == Set((13L, 15L, 1L, 19L, 20L),
+      (23L, 27L, 1L, 25L, 29L), (32L, 37L, 0L, 34L, 36L)))
+
+    // :417-425 combine_interval_columns('union')
+    val u = Metrics.combineUnion(
+        BinaryOps.joinOverlaps(a2, b2, keys, slack = 5))
+      .select(Start, End, "odd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(u == Set((13L, 20L, 1L), (23L, 29L, 1L), (32L, 37L, 0L)))
   }
 
   // reference tests/unit/test_join.py:6-14 (test_join_issue_4_right):
