@@ -15,67 +15,30 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.ml.Dedup
 
-    def time(label: String)(body: => Long): Unit = {
-      (1 to 3).foreach { _ =>
+    val names = Seq("q23_minhash", "q24_lsh_jaccard", "q25_knn", "q60_simhash",
+      "q61_cosine_lsh", "q66_pipeline", "q70_lsh_topk", "q82_ivf_topk")
+      .filter(SparkEntry.queries.contains)
+
+    // interleaved A/B: alternate the toggle each iteration so JIT/codegen
+    // warm-up affects both modes equally; report medians of the last 8
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val on = scala.collection.mutable.ArrayBuffer[Double]()
+      val off = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to 12).foreach { i =>
+        val enable = i % 2 == 0
+        spark.conf.set(graft.core.Sizing.FanoutKey,
+          if (enable) (256L << 20).toString else "0")
         val t0 = System.nanoTime()
-        val n = body
-        println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if (i > 4) (if (enable) on else off) += dt
       }
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      println(f"[scratch] $name: off=${med(off.toSeq)}%.2f on=${med(on.toSeq)}%.2f")
     }
-
-    // (a) batch equivalent of q92's compute: minhash + distinct
-    time("batch minhash+distinct") {
-      val src = spark.read.parquet(s"$sfDir/documents.parquet")
-      Dedup.minhashSignature(src, "text", "doc_id", 4, 3)
-        .select("h1", "h2", "h3", "h4").distinct().count()
-    }
-
-    // (b..d) streaming variants
-    def stream(label: String, parts: Int, provider: Option[String]): Unit =
-      time(s"stream parts=$parts provider=${provider.getOrElse("default")}") {
-        val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        provider.foreach(p => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
-        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        try {
-          val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-          val src = spark.readStream.schema(schema).parquet(s"$sfDir/documents.parq*")
-          val sig = Dedup.minhashSignature(src, "text", "doc_id", 4, 3)
-            .withColumn("_et", timestamp_seconds(lit(1700000000L) +
-              pmod(col("doc_id"), lit(1000))))
-            .withWatermark("_et", "2 hours")
-            .dropDuplicatesWithinWatermark("h1", "h2", "h3", "h4")
-            .select(col("h1"), col("h2"), col("h3"), col("h4"))
-          val name = s"scr_${System.nanoTime}"
-          val q = sig.writeStream.format("memory").queryName(name)
-            .outputMode("append")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          spark.table(name).count()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-      }
-
-    stream("default", 4, None)
-    stream("default", 1, None)
-    stream("default", 32, None)
-    stream("rocksdb", 4,
-      Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
-
-    // (e) where does stream setup time go? run an EMPTY passthrough stream
-    time("stream passthrough noop (no state)") {
-      val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-      val src = spark.readStream.schema(schema).parquet(s"$sfDir/documents.parq*")
-      val name = s"scr_${System.nanoTime}"
-      val q = src.select(col("doc_id")).writeStream.format("memory")
-        .queryName(name).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name).count()
-    }
-
     spark.stop()
   }
 }

@@ -126,6 +126,31 @@ object Sizing {
     dfs.map(_.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum).sum
 
+  /** Conf key for the small-scan fan-out gate (shared by the range-join
+    * probe side and the ML kernels; 0 disables). Historic name — the
+    * gate now covers every expensive-compute-behind-a-tiny-scan site,
+    * not just joins. */
+  val FanoutKey = "spark.graft.join.fanoutScanBytes"
+
+  /** Restore parallelism behind a tiny scan feeding expensive per-row
+    * compute (shingle+hash kernels, quantized dot products, bin-explode
+    * probes). A small parquet input is often ONE row group = one task,
+    * serializing a 32-core pipeline behind one core; a bounded
+    * round-robin repartition fixes that for the price of one narrow
+    * exchange. Gated on leaf bytes <= [[FanoutKey]] (default 256 MB):
+    * at cluster scale the scan has thousands of splits and this is a
+    * no-op — it is exclusively a small-input fixup. Streaming frames
+    * pass through untouched (micro-batch sizing is the trigger's job
+    * and leaf stats are undefined mid-stream). */
+  def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val thr = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(FanoutKey, (256L << 20).toString).toLong
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (!df.isStreaming && thr > 0 && target > 1 && leafScanBytes(df) <= thr)
+      df.repartition(target)
+    else df
+  }
+
   /** Gate + log: true = take the salted path. */
   def decide(op: String, threshold: Long, dfs: DataFrame*): Boolean = {
     val bytes = leafScanBytes(dfs: _*)

@@ -245,8 +245,9 @@ object RangeJoin {
   private def maybeBroadcast(df: DataFrame, small: Boolean): DataFrame =
     if (small) broadcast(df) else df
 
-  /** Conf key for the probe-side fan-out gate (leaf bytes; 0 disables). */
-  val FanoutKey = "spark.graft.join.fanoutScanBytes"
+  /** Conf key for the probe-side fan-out gate (leaf bytes; 0 disables).
+    * Alias of [[graft.core.Sizing.FanoutKey]]. */
+  val FanoutKey: String = graft.core.Sizing.FanoutKey
 
   /** Minimum probe-side parallelism under a broadcast build.
     *
@@ -255,13 +256,10 @@ object RangeJoin {
     * inside the probe's SCAN stage, so its parallelism is the scan's
     * split count — and a small parquet input is often a single row
     * group, i.e. ONE task, serializing a 32-core join behind one core.
-    * A bounded round-robin repartition restores parallelism for the
+    * [[graft.core.Sizing.fanOutSmallScan]] restores parallelism for the
     * price of one narrow exchange (MEASURED at sf0.1/local[32],
     * BASELINE.md "probe fan-out": pairs 3.8→1.4 s, join-first 5.2→1.8 s,
-    * join+overlap 3.5→1.0 s steady). Gated on the probe's leaf bytes
-    * ([[FanoutKey]], default 256 MB): at cluster scale the scan has
-    * thousands of splits and the gate is false — this is exclusively a
-    * small-input fixup, a no-op against 100 TB inputs.
+    * join+overlap 3.5→1.0 s steady); a no-op against 100 TB inputs.
     *
     * Applied to the PAIR join only: its probe does heavy per-row work
     * (every bin-mate candidate checked, ~17 matched pairs emitted per
@@ -270,14 +268,8 @@ object RangeJoin {
     * containment probes do a light early-out hash probe per row —
     * measured there, the extra exchange costs MORE than it saves
     * (q12 1.4→2.0 s, q13 1.2→1.8 s), so they stay un-fanned. */
-  private def fanOutProbe(df: DataFrame): DataFrame = {
-    val thr = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString(FanoutKey, (256L << 20).toString).toLong
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (thr > 0 && target > 1 && graft.core.Sizing.leafScanBytes(df) <= thr)
-      df.repartition(target)
-    else df
-  }
+  private def fanOutProbe(df: DataFrame): DataFrame =
+    graft.core.Sizing.fanOutSmallScan(df)
 
   /** Explode `df` into (row, bin) with the interval extended by `pad`. */
   private def binned(df: DataFrame, binSize: Long, pad: Long,
