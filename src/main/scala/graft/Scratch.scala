@@ -15,30 +15,44 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import graft.ml.Dedup
 
-    val names = Seq("q23_minhash", "q24_lsh_jaccard", "q25_knn", "q60_simhash",
-      "q61_cosine_lsh", "q66_pipeline", "q70_lsh_topk", "q82_ivf_topk")
-      .filter(SparkEntry.queries.contains)
-
-    // interleaved A/B: alternate the toggle each iteration so JIT/codegen
-    // warm-up affects both modes equally; report medians of the last 8
-    names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val on = scala.collection.mutable.ArrayBuffer[Double]()
-      val off = scala.collection.mutable.ArrayBuffer[Double]()
-      (1 to 12).foreach { i =>
-        val enable = i % 2 == 0
-        spark.conf.set(graft.core.Sizing.FanoutKey,
-          if (enable) (256L << 20).toString else "0")
+    def time(label: String)(body: => Long): Unit = {
+      (1 to 4).foreach { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        if (i > 4) (if (enable) on else off) += dt
+        val n = body
+        println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")
       }
-      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
-      println(f"[scratch] $name: off=${med(off.toSeq)}%.2f on=${med(on.toSeq)}%.2f")
     }
+
+    def stream(label: String, repart: Boolean): Unit =
+      time(s"q92-shape repart=$repart") {
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+          val src0 = spark.readStream.schema(schema).parquet(s"$sfDir/documents.parq*")
+          val src = if (repart) src0.repartition(32) else src0
+          val sig = Dedup.minhashSignature(src, "text", "doc_id", 4, 3)
+            .withColumn("_et", timestamp_seconds(lit(1700000000L) +
+              pmod(col("doc_id"), lit(1000))))
+            .withWatermark("_et", "2 hours")
+            .dropDuplicatesWithinWatermark("h1", "h2", "h3", "h4")
+            .select(col("h1"), col("h2"), col("h3"), col("h4"))
+          val name = s"scr_${System.nanoTime}"
+          val q = sig.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          spark.table(name).count()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+
+    stream("base", repart = false)
+    stream("repart", repart = true)
+    stream("base2", repart = false)
+    stream("repart2", repart = true)
     spark.stop()
   }
 }

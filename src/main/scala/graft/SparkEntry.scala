@@ -767,7 +767,12 @@ object SparkEntry {
       // emitted row is identical — so the batch oracle is a plain
       // DISTINCT over the same signatures.
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      // a single-file source arrives as ONE partition per micro-batch;
+      // repartition the stateless prefix so the shingle+md5 signature
+      // compute parallelizes (measured 2.9 -> 1.3 s; the stateful
+      // dedup below re-shuffles on the signature anyway)
       val src = s.readStream.schema(schema).parquet(s"$dir/documents.parq*")
+        .repartition(s.sparkContext.defaultParallelism)
       val sig = Dedup.minhashSignature(src, "text", "doc_id", 4, 3)
         .withColumn("_et", timestamp_seconds(lit(1700000000L) +
           pmod(col("doc_id"), lit(1000))))
