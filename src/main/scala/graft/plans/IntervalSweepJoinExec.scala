@@ -5,7 +5,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -85,18 +85,17 @@ case class IntervalSweepJoinNode(
     mode: String = SweepMode.Pairs,
     countAttr: Option[Attribute] = None,
     pickTies: Seq[Expression] = Nil) extends BinaryNode {
-  require(joinType == Inner || joinType == LeftSemi || joinType == LeftAnti,
-    s"IntervalSweepJoinNode supports Inner/LeftSemi/LeftAnti, got $joinType")
+  require(Seq(Inner, LeftSemi, LeftAnti, LeftOuter, RightOuter, FullOuter)
+      .contains(joinType),
+    s"IntervalSweepJoinNode supports Inner/LeftSemi/LeftAnti/outer, got $joinType")
   require(SweepMode.all.contains(mode), s"unknown sweep mode $mode")
-  require(mode == SweepMode.Pairs || joinType == Inner,
+  require(mode == SweepMode.Pairs ||
+      joinType == Inner,
     s"mode $mode requires Inner joinType")
   require((mode == SweepMode.Count) == countAttr.isDefined,
     "countAttr is required by (exactly) Count mode")
-  override def output: Seq[Attribute] = mode match {
-    case SweepMode.Count => left.output :+ countAttr.get
-    case _ if joinType == Inner => left.output ++ right.output
-    case _ => left.output
-  }
+  override def output: Seq[Attribute] =
+    IntervalSweepJoinExec.outputFor(mode, joinType, left.output, right.output, countAttr)
   // the count column is synthesized by this operator, not read from a child
   override def producedAttributes: AttributeSet = AttributeSet(countAttr.toSeq)
   override protected def withNewChildrenInternal(
@@ -120,6 +119,7 @@ object IntervalSweepStrategy extends SparkStrategy {
 private[plans] final class SweepEntry(
     val startPos: Long, val endPos: Long, val row: InternalRow) {
   var dead = false             // semi/anti: resolved before eviction
+  var matched = false          // outer modes: >= 1 pair emitted for this row
   var count = 0L               // Count mode
   var best: InternalRow = _    // First/Last mode: winning right row (copy)
   var bestS = 0L               // winner's (start, end) for the compare
@@ -336,11 +336,8 @@ case class IntervalSweepJoinExec(
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = mode match {
-    case SweepMode.Count => left.output :+ countAttr.get
-    case _ if joinType == Inner => left.output ++ right.output
-    case _ => left.output
-  }
+  override def output: Seq[Attribute] =
+    IntervalSweepJoinExec.outputFor(mode, joinType, left.output, right.output, countAttr)
 
   override def producedAttributes: AttributeSet = AttributeSet(countAttr.toSeq)
 
@@ -403,18 +400,31 @@ case class IntervalSweepJoinExec(
       val pred = Predicate.create(cond, lOut ++ rOut)
       pred.initialize(TaskContext.getPartitionId())
       val joined = new JoinedRow
-      val outProj = UnsafeProjection.create(outAttrs, md match {
-        case SweepMode.Count => lOut :+ cntAttr.get
-        case _ if jt == Inner => lOut ++ rOut
-        case _ => lOut
-      })
       val semi = jt == LeftSemi
       val anti = jt == LeftAnti
-      val pairs = md == SweepMode.Pairs
+      // outer flags: loJ = emit unmatched LEFT rows with a null right,
+      // roJ = emit unmatched RIGHT rows with a null left
+      val loJ = jt == LeftOuter || jt == FullOuter
+      val roJ = jt == RightOuter || jt == FullOuter
+      // outer modes ride the pair-emission machinery plus matched flags
+      val pairs = md == SweepMode.Pairs && (jt == Inner || loJ || roJ)
       val pick = md == SweepMode.First || md == SweepMode.Last
       val pickLast = md == SweepMode.Last
       val counting = md == SweepMode.Count
       val countRow = new GenericInternalRow(1)
+      // all-null pad rows for the outer emissions (GenericInternalRow
+      // defaults every slot to null)
+      val nullR = new GenericInternalRow(rOut.length)
+      val nullL = new GenericInternalRow(lOut.length)
+      val outProj = UnsafeProjection.create(outAttrs, md match {
+        case SweepMode.Count => lOut :+ cntAttr.get
+        case _ if jt == Inner || loJ || roJ =>
+          // bind against nullability-adjusted inputs so the generated
+          // projection null-checks the padded side
+          (if (roJ) lOut.map(_.withNullability(true)) else lOut) ++
+            (if (loJ) rOut.map(_.withNullability(true)) else rOut)
+        case _ => lOut
+      })
       // tie-break for exact (rStart, rEnd) pick ties: ascending over the
       // caller-supplied right-side expressions (matches the aggregation
       // path's min_by ordering struct, where non-coordinate columns stay
@@ -467,9 +477,9 @@ case class IntervalSweepJoinExec(
               "(the binned plan spills) for this join")
 
         /** Emit a left row that matched nothing and never will (anti:
-          * always; count: with count 0). Projection deferred to
-          * consumption — outProj's buffer is shared, an eager call here
-          * would alias queued emissions. */
+          * always; count: with count 0; left/full outer: null-padded
+          * right). Projection deferred to consumption — outProj's buffer
+          * is shared, an eager call here would alias queued emissions. */
         private def emitUnmatched(row: InternalRow): Unit = {
           val c = row.copy()
           if (anti) pending = pending ++ Iterator.single(c).map(outProj(_))
@@ -477,6 +487,15 @@ case class IntervalSweepJoinExec(
             countRow.setLong(0, 0L)
             outProj(joined(r, countRow))
           }
+          else if (loJ) pending =
+            pending ++ Iterator.single(c).map(r => outProj(joined(r, nullR)))
+        }
+
+        /** Right/full outer: emit a right row that matched nothing with a
+          * null-padded left. */
+        private def emitUnmatchedR(row: InternalRow): Unit = {
+          val c = row.copy()
+          pending = pending ++ Iterator.single(c).map(r => outProj(joined(nullL, r)))
         }
 
         private def advanceL(): Unit = {
@@ -509,9 +528,15 @@ case class IntervalSweepJoinExec(
           while (rRow == null && rIt.hasNext) {
             val row = rIt.next()
             val k = rKeyProj(row)
-            if (!k.anyNull) {
+            if (k.anyNull) {
+              // a null-key right row matches nothing, ever; right/full
+              // outer must still surface it
+              if (roJ) emitUnmatchedR(row)
+            } else {
               val p = rPosProj(row)
-              if (!p.isNullAt(0) && !p.isNullAt(1)) {
+              if (p.isNullAt(0) || p.isNullAt(1)) {
+                if (roJ) emitUnmatchedR(row)
+              } else {
                 rRow = row
                 rKey = k
                 rPosS = p.getLong(0)
@@ -564,28 +589,44 @@ case class IntervalSweepJoinExec(
 
         /** Drop entries the sweep has passed. Anti emits evicted LEFT
           * entries (eviction proves no future right row can match);
-          * pick/count emit their decided fold state. */
+          * pick/count emit their decided fold state; left/full outer
+          * emits never-matched entries null-padded. */
         private def evictL(pos: Long): Unit = {
           activeL.evictUpTo(pos) { e =>
             if (anti) pending = pending ++ Iterator.single(e.row).map(outProj(_))
             else if (pick || counting) emitDecided(e)
+            else if (loJ && !e.matched) pending =
+              pending ++ Iterator.single(e).map(en => outProj(joined(en.row, nullR)))
           }
           overL.dropExpired(pos)
         }
 
         private def evictR(pos: Long): Unit = {
-          activeR.evictUpTo(pos)(_ => ())
+          activeR.evictUpTo(pos) { e =>
+            if (roJ && !e.matched) pending =
+              pending ++ Iterator.single(e).map(en => outProj(joined(nullL, en.row)))
+          }
           overR.dropExpired(pos)
         }
 
-        /** Flush still-active left entries (group change / stream end):
-          * anti emits them as unmatched, pick/count as decided. */
+        /** Flush still-active entries (group change / stream end): anti
+          * emits left entries as unmatched, pick/count as decided, the
+          * outer modes emit their never-matched side(s) null-padded. */
         private def flushL(): Unit = {
           if (anti && !activeL.isEmpty) {
             val rows = activeL.drainLive()
             pending = pending ++ rows.iterator.map(e => outProj(e.row))
           } else if ((pick || counting) && !activeL.isEmpty) {
             activeL.drainLive().foreach(emitDecided)
+          } else if (loJ && !activeL.isEmpty) {
+            val rows = activeL.drainLive()
+            pending = pending ++ rows.iterator.filterNot(_.matched)
+              .map(e => outProj(joined(e.row, nullR)))
+          }
+          if (roJ && !activeR.isEmpty) {
+            val rows = activeR.drainLive()
+            pending = pending ++ rows.iterator.filterNot(_.matched)
+              .map(e => outProj(joined(nullL, e.row)))
           }
           activeL.clear()
           activeR.clear()
@@ -609,23 +650,40 @@ case class IntervalSweepJoinExec(
             evictL(lPosS)
             val copied = lRow.copy()
             val arrivalPos = lPosS
-            if (pairs && jt == Inner) {
-              if (activeL.size < spillDepth) {
-                activeL.add(new SweepEntry(lPosS, lPosE, copied))
+            if (pairs) {
+              // left entries are stateless for inner/right-outer pairs
+              // (may overflow to disk); left/full outer needs the matched
+              // flag mutable in memory, so those entries are stateful —
+              // in-heap only, hard-capped like the other stateful modes
+              var lEntry: SweepEntry = null
+              if (loJ || activeL.size < spillDepth) {
+                if (loJ && activeL.size >= hardDepth) depthOverflow()
+                lEntry = new SweepEntry(lPosS, lPosE, copied)
+                activeL.add(lEntry)
               } else {
                 overL.add(unsafeCopy(copied, lUnsafe), lPosE)
               }
+              val le = lEntry
+              // matched flags are set inside the lazy emission closures;
+              // safe because `pending` is fully drained before the next
+              // step() (hasNext's loop invariant), i.e. before any
+              // eviction could read the flags
               pending = pending ++ activeR.liveIterator.flatMap { e =>
                 joined(copied, e.row)
-                if (pred.eval(joined)) Iterator.single[InternalRow](outProj(joined))
-                else Iterator.empty
+                if (pred.eval(joined)) {
+                  if (le != null) le.matched = true
+                  e.matched = true
+                  Iterator.single[InternalRow](outProj(joined))
+                } else Iterator.empty
               } ++ overR.iterator.flatMap { rRowOv =>
                 // overflow rows carry no eviction state: re-check liveness
                 val p = rPosProj(rRowOv)
                 if (p.getLong(1) > arrivalPos) {
                   joined(copied, rRowOv)
-                  if (pred.eval(joined)) Iterator.single[InternalRow](outProj(joined))
-                  else Iterator.empty
+                  if (pred.eval(joined)) {
+                    if (le != null) le.matched = true
+                    Iterator.single[InternalRow](outProj(joined))
+                  } else Iterator.empty
                 } else Iterator.empty
               }
             } else if (pick || counting) {
@@ -682,22 +740,33 @@ case class IntervalSweepJoinExec(
             evictL(rPosS)
             val copied = rRow.copy()
             val arrivalPos = rPosS
-            if (activeR.size < spillDepth) {
-              activeR.add(new SweepEntry(rPosS, rPosE, copied))
+            // right entries are stateless except under right/full outer,
+            // where the matched flag pins them in-heap (hard-capped)
+            var rEntry: SweepEntry = null
+            if (roJ || activeR.size < spillDepth) {
+              if (roJ && activeR.size >= hardDepth) depthOverflow()
+              rEntry = new SweepEntry(rPosS, rPosE, copied)
+              activeR.add(rEntry)
             } else {
               overR.add(unsafeCopy(copied, rUnsafe), rPosE)
             }
-            if (pairs && jt == Inner) {
+            if (pairs) {
+              val re0 = rEntry
               pending = pending ++ activeL.liveIterator.flatMap { e =>
                 joined(e.row, copied)
-                if (pred.eval(joined)) Iterator.single[InternalRow](outProj(joined))
-                else Iterator.empty
+                if (pred.eval(joined)) {
+                  e.matched = true
+                  if (re0 != null) re0.matched = true
+                  Iterator.single[InternalRow](outProj(joined))
+                } else Iterator.empty
               } ++ overL.iterator.flatMap { lRowOv =>
                 val p = lPosProj(lRowOv)
                 if (p.getLong(1) > arrivalPos) {
                   joined(lRowOv, copied)
-                  if (pred.eval(joined)) Iterator.single[InternalRow](outProj(joined))
-                  else Iterator.empty
+                  if (pred.eval(joined)) {
+                    if (re0 != null) re0.matched = true
+                    Iterator.single[InternalRow](outProj(joined))
+                  } else Iterator.empty
                 } else Iterator.empty
               }
             } else if (pick || counting) {
@@ -742,6 +811,23 @@ case class IntervalSweepJoinExec(
 }
 
 object IntervalSweepJoinExec {
+  /** Output attribute list shared by the logical node and the exec:
+    * outer join types mark the null-padded side(s) nullable, exactly as
+    * Spark's own Join node does — the projection's generated null checks
+    * depend on it. */
+  def outputFor(mode: String, joinType: JoinType, lOut: Seq[Attribute],
+                rOut: Seq[Attribute], countAttr: Option[Attribute]): Seq[Attribute] =
+    mode match {
+      case SweepMode.Count => lOut :+ countAttr.get
+      case _ => joinType match {
+        case Inner => lOut ++ rOut
+        case LeftOuter => lOut ++ rOut.map(_.withNullability(true))
+        case RightOuter => lOut.map(_.withNullability(true)) ++ rOut
+        case FullOuter => (lOut ++ rOut).map(_.withNullability(true))
+        case _ => lOut
+      }
+    }
+
   /** Idempotently register [[IntervalSweepStrategy]] on `spark` so a
     * plan containing [[IntervalSweepJoinNode]] is plannable — covers
     * sessions that opted in via `experimental.extraOptimizations` only
