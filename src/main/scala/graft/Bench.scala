@@ -45,20 +45,41 @@ object Bench {
       graft.join.RangeJoin.pairs(g.limit(5000), Tables.gr2(spark, sfDir).limit(5000),
         Seq(graft.core.Cols.Chrom)).count()
     }
-    println(s"""{"metric":"env","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"cpus":"$cpus","sf":"$sfDir"}""")
+    // start-of-run ambient-load line: two rounds of official captures
+    // breached the 2x gate purely from host noise with no way to tell
+    // after the fact — record the load BEFORE any measured work so an
+    // elevated-ambient run is self-documenting (BASELINE.md protocol).
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"env","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"cpus":"$cpus","sf":"$sfDir","loadAvgStart":$loadStart}""")
     // optional args: run only the named queries (local profiling; the
     // driver invokes with no args and gets the full suite)
     val only = args.toSet
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
+    var nFailed = 0
     val results = selected.map { case (name, fn) =>
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must be VISIBLE: r7 shipped four analysis-broken
+      // queries that registered as ~0.1 s "passes" inside the official
+      // total because this catch silently returned. Emit the error on the
+      // per-query line and count it into the total line's nFailed.
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
       val dt = (System.nanoTime() - t0) / 1e9
       val gcIn = gcMillis() - gc0
-      println(s"""{"q":"$name","sec":$dt,"gcMs":$gcIn}""")
+      err match {
+        case Some(m) =>
+          nFailed += 1
+          println(s"""{"q":"$name","sec":$dt,"gcMs":$gcIn,"err":"$m"}""")
+        case None =>
+          println(s"""{"q":"$name","sec":$dt,"gcMs":$gcIn}""")
+      }
       // queries are independent: drop cached blocks a query pinned and
       // collect its garbage NOW (uncounted) so neither is billed to the
       // next query
@@ -76,6 +97,6 @@ object Bench {
     // and the driver's tail-capture window cut the line's HEAD off — exactly
     // where "metric":"total","value": lives. The per-query timings already
     // stream above as individual lines; never duplicate them here.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"sf":"$sfDir","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"gcTotalMs":${gcMillis()},"loadAvg":$load}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"nFailed":$nFailed,"sf":"$sfDir","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"gcTotalMs":${gcMillis()},"loadAvg":$load}""")
   }
 }

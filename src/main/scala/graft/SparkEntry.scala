@@ -226,18 +226,19 @@ object SparkEntry {
     }),
 
     // ---- event-stream analytics (events table) ----
-    // events.ts is parquet TIMESTAMP(NANOS) read as a nanos long
-    // (spark.sql.legacy.parquet.nanosAsLong); integer `div` keeps the
-    // bucket math exact where double division would lose bits past 2^53.
+    // events.ts scans as a nanos long OR a timestamp depending on the
+    // fixture vintage — tsNanos normalizes to epoch nanos; integer `div`
+    // keeps the bucket math exact where double division would lose bits
+    // past 2^53.
     "q47_events_window" -> ((s, dir) =>
-      pq(s, dir, "events").groupBy(col("event_type"),
+      tsNanos(pq(s, dir, "events")).groupBy(col("event_type"),
           expr("ts div 300000000000").as("bucket"))
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value")).cast("long")).as("sv"))),
     "q48_sessions" -> ((s, dir) => {
       // sessionization IS the merge sweep in epoch-ms space: events gap
       // <= 5 min fold into one session per user
-      val ev = pq(s, dir, "events").select(col("user_id"),
+      val ev = tsNanos(pq(s, dir, "events")).select(col("user_id"),
         expr("ts div 1000000").as(Start),
         (expr("ts div 1000000") + 1).as(End))
       out(UnaryOps.merge(ev, Seq("user_id"), slack = 300000, Some("n")))
@@ -342,7 +343,7 @@ object SparkEntry {
       // glob (not a literal file path): FileStreamSource derives its
       // basePath from the glob's parent directory; a bare file path
       // fails ("Option 'basePath' must be a directory")
-      val src = s.readStream.schema(schema).parquet(s"$dir/events.parq*")
+      val src = tsNanos(s.readStream.schema(schema).parquet(s"$dir/events.parq*"))
       val agg = src.groupBy(col("event_type"),
           expr("ts div 600000000000").as("bucket"))
         .agg(count(lit(1)).as("n"),
@@ -558,7 +559,7 @@ object SparkEntry {
       // batch oracle computes with a window filter
       import s.implicits._
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = s.readStream.schema(schema).parquet(s"$dir/events.parq*")
+      val ev = tsNanos(s.readStream.schema(schema).parquet(s"$dir/events.parq*"))
         .select(col("user_id").cast("string").as("chromosome"),
           expr("ts div 1000000").as("start"),
           (expr("ts div 1000000") + 1).as("end"))
@@ -829,6 +830,19 @@ object SparkEntry {
       // exchange/sort/merge path under the DuckDB hash gate
       val j = graft.join.IntervalSweepJoin.pairs(
         gr(s, dir), gr2(s, dir).drop(Strand), Seq(Chrom))
+      out(j)
+        .withColumnRenamed(RowId + "_b", "row_id_b")
+        .withColumnRenamed(Start + "_b", "istart_b")
+        .withColumnRenamed(End + "_b", "iend_b")
+    }),
+    "q96_join_outer" -> ((s, dir) => {
+      // FULL outer through the sweep operator's native outer modes
+      // (both sides' matched-flag pinning paths under the DuckDB gate):
+      // sparse right keeps unmatched rows non-trivial on BOTH sides.
+      // Unmatched right rows surface with null (left) keys — the same
+      // schema the binned outer composition produces.
+      val j = graft.join.IntervalSweepJoin.outer(
+        gr(s, dir), gr2Sparse(s, dir).drop(Strand), Seq(Chrom), "outer")
       out(j)
         .withColumnRenamed(RowId + "_b", "row_id_b")
         .withColumnRenamed(Start + "_b", "istart_b")
@@ -1387,5 +1401,8 @@ object SparkEntry {
 
     "q95_sweep_join" -> sql(Seq(GR_CTE, GR2_CTE),
       "SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, o.row_id AS row_id_b, o.istart AS istart_b, o.iend AS iend_b FROM gr g JOIN gr2 o ON g.chrom = o.chrom AND g.istart < o.iend AND g.iend > o.istart"),
+
+    "q96_join_outer" -> sql(Seq(GR_CTE, GR2_CTE, GR2S_CTE),
+      "SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, o.row_id AS row_id_b, o.istart AS istart_b, o.iend AS iend_b FROM gr g FULL JOIN gr2s o ON g.chrom = o.chrom AND g.istart < o.iend AND g.iend > o.istart"),
   )
 }

@@ -15,6 +15,20 @@ object Tables {
   def pq(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** `ts` normalized to an epoch-nanos BIGINT across fixture vintages:
+    * older events fixtures wrote parquet TIMESTAMP(NANOS), which scans as
+    * a nanos long under spark.sql.legacy.parquet.nanosAsLong; current
+    * fixtures write timestamp[us], which scans as TIMESTAMP_NTZ (or
+    * TIMESTAMP). Pure column rewrite, so it works on batch and streaming
+    * DataFrames alike; the harness session tz is UTC, making the NTZ→TZ
+    * cast the identity on the epoch value — bit-exact with DuckDB's
+    * epoch_ms/epoch_ns on the same file. */
+  def tsNanos(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => df
+    case _ =>
+      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+  }
+
   /** "Reads": one interval per lineitem row.
     * row_id is unique: (l_orderkey, l_linenumber, l_partkey, l_suppkey)
     * is a key of lineitem; multipliers keep the packing collision-free

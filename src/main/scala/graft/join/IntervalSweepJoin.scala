@@ -238,6 +238,41 @@ object IntervalSweepJoin {
     GraftColumnBridge.ofRows(spark, node)
   }
 
+  /** Outer pair sweep: left/right/full outer through the operator's
+    * native outer modes (reference `join_overlaps(join_type=...)`,
+    * methods/join.py:45-56, core/pyranges_main.py:1267-1288) —
+    * unmatched rows null-pad the other side during eviction/flush, so
+    * the binned composition's two extra anti-joins are never paid, and
+    * (unlike binned outer) rows are never amplified by bin fan-out.
+    * The suffixed right KEY columns are dropped, like [[pairs]], so
+    * unmatched right rows surface with null keys — identical to the
+    * binned composition's outer schema (pinned by the q14 oracle
+    * family). No mega-binning: matched-ness is a per-ROW property
+    * decided across all bins a row would land in, which a bin copy
+    * cannot know — per-key parallelism only, like [[exists]]. Memory:
+    * the outer-pinned side(s) bypass the spill path (matched flags stay
+    * mutable in-heap) and inherit the sweepHardDepth cap — see the
+    * depth contract in [[graft.plans.IntervalSweepJoinExec]]. */
+  def outer(left: DataFrame, right: DataFrame, keys: Seq[String],
+            joinType: String, slack: Long = 0,
+            suffix: String = "_b"): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, RightOuter}
+    val jt = joinType match {
+      case "left"           => LeftOuter
+      case "right"          => RightOuter
+      case "outer" | "full" => FullOuter
+      case other => throw new IllegalArgumentException(
+        s"not an outer join type: $other")
+    }
+    val r0 = RangeJoin.suffixRight(left, right, suffix)
+    val rKeys = keys.map(_ + suffix)
+    val node0 = buildNode(left, r0, keys, rKeys, slack, suffix, None, SweepMode.Pairs)
+    val node = node0.copy(joinType = jt)
+    val spark = left.sparkSession
+    IntervalSweepJoinExec.ensureStrategy(spark)
+    GraftColumnBridge.ofRows(spark, node).drop(rKeys: _*)
+  }
+
   // long-typed slack arithmetic helpers (keep the condition integral)
   private def Subtract64(e: Expression, k: Long): Expression = {
     val el = Cast(e, LongType)

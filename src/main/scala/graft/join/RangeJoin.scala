@@ -228,6 +228,32 @@ object RangeJoin {
     }
   }
 
+  /** Outer-join counterpart of [[existsDispatch]]'s gate: above the
+    * size gate and the plain-sweep fan-out bar, outer joins route
+    * through the sweep operator's native outer modes — the binned outer
+    * pays two extra anti-joins AND amplifies rows by bin fan-out, the
+    * sweep does neither. Salt never applies (matched-ness is per-row
+    * across bin copies, like exists), so the bar is the plain-sweep
+    * one: long intervals / deep overlap where binned fan-out explodes.
+    * Returns whether to route through [[IntervalSweepJoin.outer]]. */
+  private[graft] def sweepOuterChoice(left: DataFrame, right: DataFrame,
+                                      keys: Seq[String],
+                                      contained: Boolean): Boolean = {
+    val threshold = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.join.autoThreshold",
+        graft.core.Sizing.saltedInputThreshold.toString).toLong
+    if (contained ||
+        !graft.core.Sizing.decide("rangejoin/outerAuto", threshold, left, right))
+      return false
+    val (lMean, lSpan) = sampledLenSpan(left, 100000)
+    val mean = math.max(lMean, sampledMeanLen(right, 100000))
+    var bin = 64L
+    while (bin < 4.0 * mean && bin < 65536L) bin *= 4
+    val go = mean / bin > 2.0 && depthOk(left, right, mean, lSpan)
+    if (go) lastAutoPairs.set(("sweep-outer", mean, bin))
+    go
+  }
+
   /** floor(x / b) as a Column, exact for |x| < 2^52. */
   private def floorDiv(x: Column, b: Long): Column =
     floor(x.cast("double") / b).cast("long")

@@ -47,6 +47,17 @@ object BinaryOps {
                    packedPick: Boolean = false): DataFrame = {
     val rs = Start + suffix
     val re = End + suffix
+    // outer types in the sweep regime: the operator's native outer
+    // modes null-pad unmatched rows during eviction/flush — ONE sweep
+    // instead of the binned pairs + two anti-joins, and no bin fan-out
+    // row amplification on the unmatched scans.
+    if (multiple == "all" && joinType != "inner" &&
+        RangeJoin.sweepOuterChoice(left, right, keys, contained)) {
+      val p0 = graft.join.IntervalSweepJoin.outer(left, right, keys,
+        joinType, slack = slack, suffix = suffix)
+      return reportOverlapCol.fold(p0)(c => p0.withColumn(c,
+        least(col(End), col(re)) - greatest(col(Start), col(rs))))
+    }
     // first/last in the sweep regime: the operator's native pick mode
     // decides each left row DURING the sweep — the pair set (the whole
     // cost of a first-match join on dense data) is never materialized.

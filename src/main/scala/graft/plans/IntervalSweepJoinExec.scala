@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.LongType
@@ -353,8 +353,19 @@ case class IntervalSweepJoinExec(
     Seq(leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(lStart, Ascending),
       rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rStart, Ascending))
 
-  // every output row is built from a left row of the same partition
-  override def outputPartitioning: Partitioning = left.outputPartitioning
+  // Which child's partitioning guarantee survives: every output row
+  // preserves that side's attribute values. Under RightOuter the
+  // null-padded-LEFT rows live in partitions chosen by the RIGHT key
+  // hash (left attrs are null), so claiming Hash(leftKeys) would let a
+  // downstream operator clustered on left attrs elide a required
+  // exchange and go wrong; FullOuter pads both sides, so neither claim
+  // holds (same shape as Spark's ShuffledJoin.outputPartitioning).
+  override def outputPartitioning: Partitioning = joinType match {
+    case RightOuter => right.outputPartitioning
+    case FullOuter =>
+      UnknownPartitioning(left.outputPartitioning.numPartitions)
+    case _ => left.outputPartitioning
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
@@ -370,7 +381,12 @@ case class IntervalSweepJoinExec(
     // pick/count fold state — which must stay mutable in memory) are
     // instead capped at `hardDepth` with an actionable error, which can
     // only be reached when the plan-time depth demotion was mis-sampled
-    // by > hardDepth/estimate
+    // by > hardDepth/estimate.
+    // OUTER-MODE MEMORY CONTRACT: LeftOuter/FullOuter pin every live
+    // LEFT interval in-heap (its matched flag must stay mutable) and
+    // RightOuter/FullOuter pin every live RIGHT interval — those sides
+    // bypass the spill path entirely and inherit the hardDepth cap, so
+    // an outer sweep's memory is bounded by hardDepth, not spillDepth.
     val spillDepth = conf.getConfString(
       "spark.graft.join.sweepSpillDepth", "262144").toInt
     val hardDepth = conf.getConfString(
@@ -469,10 +485,10 @@ case class IntervalSweepJoinExec(
         /** Stateful left entries (fold state / tombstones) cannot spill;
           * reaching the hard cap means the plan-time depth estimate was
           * off by > hardDepth/sweepMaxDepth on this key. */
-        private def depthOverflow(): Nothing =
+        private def depthOverflow(side: String = "left"): Nothing =
           throw new org.apache.spark.SparkException(
-            s"interval sweep ${md} mode exceeded spark.graft.join.sweepHardDepth=" +
-              s"$hardDepth concurrent stateful left intervals on one key; " +
+            s"interval sweep ${md}/${jt} mode exceeded spark.graft.join.sweepHardDepth=" +
+              s"$hardDepth concurrent stateful $side intervals on one key; " +
               "raise the cap, or pin spark.graft.join.strategy=binned " +
               "(the binned plan spills) for this join")
 
@@ -744,7 +760,7 @@ case class IntervalSweepJoinExec(
             // where the matched flag pins them in-heap (hard-capped)
             var rEntry: SweepEntry = null
             if (roJ || activeR.size < spillDepth) {
-              if (roJ && activeR.size >= hardDepth) depthOverflow()
+              if (roJ && activeR.size >= hardDepth) depthOverflow("right")
               rEntry = new SweepEntry(rPosS, rPosE, copied)
               activeR.add(rEntry)
             } else {

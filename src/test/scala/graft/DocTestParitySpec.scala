@@ -1145,6 +1145,177 @@ class DocTestParitySpec extends AnyFunSuite {
     assert(u == Set((13L, 20L, 1L), (23L, 29L, 1L), (32L, 37L, 0L)))
   }
 
+  // reference docs/how_to_genomic_ops.rst (doctested by
+  // tests/run_doctest_tutorial_howto.py): the coordinate-modification
+  // corpus over the 8-exon / 3-transcript `e` object (:22-100). Expected
+  // values copied verbatim from the rst.
+  test("how_to_genomic_ops doctest: extend family (ext, ext5/ext3, unstranded, grouped)") {
+    import graft.ops.UnaryOps
+    val e = howToE
+    // :108-119 extend_ranges(ext=5)
+    assert(se2(UnaryOps.extend(e, 5, 5)) == Set(
+      (11873L, 12232L), (12617L, 12726L), (13220L, 14414L), (110947L, 111362L),
+      (112694L, 112809L), (120868L, 120937L), (129054L, 129228L), (133373L, 133728L)))
+    // :128-141 ext_5=10: "+" Start-10, "-" End+10
+    assert(se2(UnaryOps.extend(e, ext5 = 10)) == Set(
+      (11868L, 12227L), (12612L, 12721L), (13215L, 14409L), (110952L, 111367L),
+      (112699L, 112814L), (120873L, 120942L), (129059L, 129233L), (133378L, 133733L)))
+    // :145-158 ext_5=12, ext_3=6
+    assert(se2(UnaryOps.extend(e, ext5 = 12, ext3 = 6)) == Set(
+      (11866L, 12233L), (12610L, 12727L), (13213L, 14415L), (110946L, 111369L),
+      (112693L, 112816L), (120867L, 120944L), (129053L, 129235L), (133372L, 133735L)))
+    // :162-175 use_strand=False: every row Start-12, End+6
+    assert(se2(UnaryOps.extend(e, ext5 = 12, ext3 = 6, useStrand = false)) == Set(
+      (11866L, 12233L), (12610L, 12727L), (13213L, 14415L), (110940L, 111363L),
+      (112687L, 112810L), (120861L, 120938L), (129047L, 129229L), (133366L, 133729L)))
+    // :182-198 group_by: only each transcript's outermost 5' edge moves
+    assert(se2(UnaryOps.extendGrouped(e, Seq("transcript_id"), ext5 = 10)) == Set(
+      (11868L, 12227L), (12622L, 12721L), (13225L, 14409L), (110952L, 111357L),
+      (112699L, 112814L), (120873L, 120932L), (129059L, 129223L), (133378L, 133733L)))
+  }
+
+  test("how_to_genomic_ops doctest: slice_ranges (per-row, grouped spliced, count_introns)") {
+    val e = howToE
+    // :207-220 slice_ranges(0, 10): first 10 bases from each 5' end
+    assert(se2(Composites.sliceRanges(e, Nil, 0, Some(10))) == Set(
+      (11878L, 11888L), (12622L, 12632L), (13225L, 13235L), (111347L, 111357L),
+      (112794L, 112804L), (120922L, 120932L), (129213L, 129223L), (133713L, 133723L)))
+    // :226-239 use_strand=False: always from the genomic left
+    assert(se2(Composites.sliceRanges(e, Nil, 0, Some(10), useStrand = false)) == Set(
+      (11878L, 11888L), (12622L, 12632L), (13225L, 13235L), (110952L, 110962L),
+      (112699L, 112709L), (120873L, 120883L), (129059L, 129069L), (133378L, 133388L)))
+    // :247-257 slice_ranges(200): rows shorter than 200 vanish
+    assert(se2(Composites.sliceRanges(e, Nil, 200, None)) == Set(
+      (12078L, 12227L), (13425L, 14409L), (110952L, 111157L), (133378L, 133523L)))
+    // :262-275 slice_ranges(-10): last 10 bases
+    assert(se2(Composites.sliceRanges(e, Nil, -10, None)) == Set(
+      (12217L, 12227L), (12711L, 12721L), (14399L, 14409L), (110952L, 110962L),
+      (112699L, 112709L), (120873L, 120883L), (129059L, 129069L), (133378L, 133388L)))
+    // :279-292 slice_ranges(3, -3): trim both ends
+    assert(se2(Composites.sliceRanges(e, Nil, 3, Some(-3))) == Set(
+      (11881L, 12224L), (12625L, 12718L), (13228L, 14406L), (110955L, 111354L),
+      (112702L, 112801L), (120876L, 120929L), (129062L, 129220L), (133381L, 133720L)))
+    // :305-318 grouped spliced: only the 1500+ bp transcript's last exon shrinks
+    assert(se2(Composites.sliceRanges(e, Seq("transcript_id"), 0, Some(1500))) == Set(
+      (11878L, 12227L), (12622L, 12721L), (13225L, 14277L), (110952L, 111357L),
+      (112699L, 112804L), (120873L, 120932L), (129059L, 129223L), (133378L, 133723L)))
+    // :340-356 first/last 10 spliced bases per transcript, concatenated
+    val first10 = Composites.sliceRanges(e, Seq("transcript_id"), 0, Some(10))
+    val last10 = Composites.sliceRanges(e, Seq("transcript_id"), -10, None)
+    assert(se2(first10.unionByName(last10)) == Set(
+      (11878L, 11888L), (112794L, 112804L), (133713L, 133723L),
+      (14399L, 14409L), (110952L, 110962L), (120873L, 120883L)))
+    // :414-425 count_introns=True: slice in unspliced transcript space
+    assert(se2(Composites.sliceRangesUnspliced(e, Seq("transcript_id"), 0, Some(1500))) == Set(
+      (11878L, 12227L), (12622L, 12721L), (13225L, 13378L),
+      (111304L, 111357L), (112699L, 112804L), (133378L, 133723L)))
+  }
+
+  test("how_to_genomic_ops doctest: transcript flanks via extend+slice, downstream gap") {
+    import graft.ops.UnaryOps
+    val e = howToE
+    // :360-370 the 100 bases upstream of each transcript
+    assert(se2(Composites.sliceRanges(
+        UnaryOps.extendGrouped(e, Seq("transcript_id"), ext5 = 100),
+        Seq("transcript_id"), 0, Some(100))) ==
+      Set((11778L, 11878L), (112804L, 112904L), (133723L, 133823L)))
+    // :374-383 the 100 bases downstream of each transcript
+    assert(se2(Composites.sliceRanges(
+        UnaryOps.extendGrouped(e, Seq("transcript_id"), ext3 = 100),
+        Seq("transcript_id"), -100, None)) ==
+      Set((14409L, 14509L), (110852L, 110952L), (120773L, 120873L)))
+    // :391-407 downstream(100[, gap=10], group_by)
+    assert(se2(Composites.downstream(e, 100,
+        groupKeys = Some(Seq("transcript_id")))) ==
+      Set((14409L, 14509L), (110852L, 110952L), (120773L, 120873L)))
+    assert(se2(Composites.downstream(e, 100, gap = 10,
+        groupKeys = Some(Seq("transcript_id")))) ==
+      Set((14419L, 14519L), (110842L, 110942L), (120763L, 120863L)))
+  }
+
+  test("how_to_genomic_ops doctest: complement_ranges (stranded, unstranded, chromsizes, per-transcript)") {
+    import spark.implicits._
+    import graft.ops.UnaryOps
+    val e = howToE
+    // :478-489 default: gaps between merged intervals, split by strand
+    assert(se2(UnaryOps.complement(e, Seq(Chrom, Strand))) == Set(
+      (12227L, 12622L), (12721L, 13225L), (111357L, 112699L),
+      (112804L, 120873L), (120932L, 129059L), (129223L, 133378L)))
+    // :493-506 use_strand=False
+    assert(se2(UnaryOps.complement(e, Seq(Chrom))) == Set(
+      (12227L, 12622L), (12721L, 13225L), (14409L, 110952L), (111357L, 112699L),
+      (112804L, 120873L), (120932L, 129059L), (129223L, 133378L)))
+    // :430-439 b = outer_ranges('transcript_id')
+    val b = UnaryOps.boundaries(e, Seq(Chrom, Strand, "transcript_id"))
+    assert(se2(b) == Set((11878L, 14409L), (110952L, 112804L), (120873L, 133723L)))
+    // :511-518 intergenic = complement of the boundaries, unstranded
+    assert(se2(UnaryOps.complement(b, Seq(Chrom))) ==
+      Set((14409L, 110952L), (112804L, 120873L)))
+    // :523-532 chromsizes + include_first_interval: flanks appear
+    val cs = Seq(("1", 249250621L)).toDF(Chrom, "size")
+    assert(se2(UnaryOps.complement(b, Seq(Chrom), Some(cs))) == Set(
+      (0L, 11878L), (14409L, 110952L), (112804L, 120873L), (133723L, 249250621L)))
+    // :540-552 group_by='transcript_id': introns per transcript
+    assert(se2(UnaryOps.complement(e, Seq(Chrom, Strand, "transcript_id"))) == Set(
+      (12227L, 12622L), (12721L, 13225L), (111357L, 112699L),
+      (120932L, 129059L), (129223L, 133378L)))
+  }
+
+  test("how_to_genomic_ops doctest: window_ranges, tile_genome, tile_ranges fraction") {
+    import spark.implicits._
+    import graft.ops.UnaryOps
+    // :566-575 the 3-interval g object
+    val g = Seq(("1", 4L, 11L, "+", "a"), ("1", 60L, 66L, "+", "a"),
+        ("1", 100L, 107L, "-", "b"))
+      .toDF(Chrom, Start, End, Strand, "Name")
+    // :579-592 window_ranges(3): 5'->3' per strand
+    assert(se2(UnaryOps.windowRanges(g, 3)) == Set(
+      (4L, 7L), (7L, 10L), (10L, 11L), (60L, 63L), (63L, 66L),
+      (104L, 107L), (101L, 104L), (100L, 101L)))
+    // :597-610 use_strand=False: always left->right
+    assert(se2(UnaryOps.windowRanges(g, 3, useStrand = false)) == Set(
+      (4L, 7L), (7L, 10L), (10L, 11L), (60L, 63L), (63L, 66L),
+      (100L, 103L), (103L, 106L), (106L, 107L)))
+    // :651-663 tile_genome + :668-680 full_last_tile
+    val cs = Seq(("chr1", 323L), ("chr2", 125L)).toDF(Chrom, "size")
+    def cse2(d: DataFrame) = d.select(Chrom, Start, End).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cse2(UnaryOps.tileGenome(cs, 100)) == Set(
+      ("chr1", 0L, 100L), ("chr1", 100L, 200L), ("chr1", 200L, 300L),
+      ("chr1", 300L, 323L), ("chr2", 0L, 100L), ("chr2", 100L, 125L)))
+    assert(cse2(UnaryOps.tileGenome(cs, 100, fullLastTile = true)) == Set(
+      ("chr1", 0L, 100L), ("chr1", 100L, 200L), ("chr1", 200L, 300L),
+      ("chr1", 300L, 400L), ("chr2", 0L, 100L), ("chr2", 100L, 200L)))
+    // :687-719 tile_ranges(200) + overlap_column fraction on rows 0 and 7
+    val eTile = howToE.filter(col(RowId).isin(0L, 7L))
+    assert(se2(UnaryOps.tile(eTile, 200)) == Set(
+      (11800L, 12000L), (12000L, 12200L), (12200L, 12400L),
+      (133200L, 133400L), (133400L, 133600L), (133600L, 133800L)))
+    val nts = UnaryOps.tile(eTile, 200, Some("nts"), fraction = true)
+      .select(Start, "nts").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(nts == Map(11800L -> 0.61, 12000L -> 1.0, 12200L -> 0.135,
+      133200L -> 0.11, 133400L -> 1.0, 133600L -> 0.615))
+  }
+
+  /** The `e` object how_to_genomic_ops.rst builds at :22-100 (ensembl
+    * exon subset after its .loc mutations — final state shown at :455). */
+  private def howToE: DataFrame = {
+    import spark.implicits._
+    Seq((0L, "1", 11878L, 12227L, "+", "ENST00000456328"),
+        (1L, "1", 12622L, 12721L, "+", "ENST00000456328"),
+        (2L, "1", 13225L, 14409L, "+", "ENST00000456328"),
+        (3L, "1", 110952L, 111357L, "-", "ENST00000471248"),
+        (4L, "1", 112699L, 112804L, "-", "ENST00000471248"),
+        (5L, "1", 120873L, 120932L, "-", "ENST00000610542"),
+        (6L, "1", 129059L, 129223L, "-", "ENST00000610542"),
+        (7L, "1", 133378L, 133723L, "-", "ENST00000610542"))
+      .toDF(RowId, Chrom, Start, End, Strand, "transcript_id")
+  }
+
+  private def se2(d: DataFrame): Set[(Long, Long)] =
+    d.select(Start, End).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
   // reference tests/unit/test_join.py:6-14 (test_join_issue_4_right):
   // tile_genome output joins against a scored signal table without error
   test("join issue-4 regression: tile_genome x scored signal join runs") {

@@ -64,6 +64,20 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), "unsalted sweep must not explode")
   }
 
+  test("sweep outer join plan: one operator, no anti-join composition, no explode") {
+    val plan = SparkEntry.queries("q96_join_outer")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalSweepJoin"), plan.take(2000))
+    // the whole point vs the binned outer composition: NO extra
+    // anti-joins / unions for the unmatched sides — the operator
+    // null-pads during eviction. Two exchanges + two sorts, like pairs.
+    assert(!plan.contains("Union"), plan.take(2000))
+    assert("Exchange".r.findAllIn(plan).size == 2, plan.take(2000))
+    assert("Sort ".r.findAllIn(plan).size == 2, plan.take(2000))
+    assert(!plan.contains("Generate"), "outer sweep must not explode")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("contained-overlap semi join: no left explode, no distinct, <=1 shuffle") {
     val q = SparkEntry.queries("q53_overlap_contained")(spark, dir)
     val plan = q.queryExecution.executedPlan.toString

@@ -293,4 +293,67 @@ class PropertySpec extends AnyFunSuite {
           .filterNot(_ == graft.plans.IntervalJoinRewrite)
     }
   }
+
+  test("sweep outer modes equal the naive outer join over null keys/bounds") {
+    import spark.implicits._
+    // ~1 in 9 rows gets a null key / null start / null end: null keys
+    // match nothing (SQL equi-join), null bounds overlap nothing — both
+    // must still SURFACE on their outer side, null-padded
+    val genRows: Gen[List[(Option[String], Option[Long], Option[Long])]] =
+      Gen.nonEmptyListOf(for {
+        c0 <- Gen.oneOf("chr1", "chr2")
+        c <- Gen.frequency(8 -> Gen.const(Option(c0)), 1 -> Gen.const(Option.empty[String]))
+        s <- Gen.chooseNum(0L, 500L)
+        len <- Gen.chooseNum(1L, 120L)
+        sOpt <- Gen.frequency(8 -> Gen.const(Option(s)), 1 -> Gen.const(Option.empty[Long]))
+        eOpt <- Gen.frequency(8 -> Gen.const(Option(s + len)), 1 -> Gen.const(Option.empty[Long]))
+      } yield (c, sOpt, eOpt))
+    forAll(genRows, genRows) { (lr, rr) =>
+      val l = lr.zipWithIndex.map { case ((c, s, e), i) => (c, s, e, i.toLong) }
+        .toDF(Chrom, Start, End, "lid")
+      val r = rr.zipWithIndex.map { case ((c, s, e), i) => (c, s, e, i.toLong) }
+        .toDF(Chrom, Start, End, "rid")
+      for (slack <- Seq(0L, 3L);
+           (jt, sparkJt) <- Seq("left" -> "left_outer", "right" -> "right_outer",
+             "outer" -> "full_outer")) {
+        val swept = graft.join.IntervalSweepJoin.outer(l, r, Seq(Chrom), jt, slack)
+        val r0 = graft.join.RangeJoin.suffixRight(l, r, "_b")
+        val naive = l.join(r0,
+          l(Chrom) === r0(Chrom + "_b") &&
+            l(Start) - slack < r0(End + "_b") &&
+            l(End) + slack > r0(Start + "_b"), sparkJt)
+          .drop(Chrom + "_b")
+        def bag(d: DataFrame) = d.collect().map(_.toSeq.toList)
+          .groupBy(identity).view.mapValues(_.size).toMap
+        assert(bag(swept) == bag(naive), s"$jt slack=$slack diverged from naive outer")
+      }
+    }
+  }
+
+  test("sweep outer stays exact when the non-pinned side crosses sweepSpillDepth") {
+    import spark.implicits._
+    // under LeftOuter the RIGHT side may overflow to spill generations
+    // (only the left pins matched flags); under RightOuter vice versa —
+    // force both overflow paths with a tiny spillDepth and deep overlap,
+    // plus a right-only and a left-only key group for the padding paths
+    spark.conf.set("spark.graft.join.sweepSpillDepth", "8")
+    try {
+      val l = ((0 until 200).map(i => ("chr1", (i % 50).toLong, (i % 50) + 100L, i.toLong))
+        :+ (("chrL", 0L, 10L, 999L))).toDF(Chrom, Start, End, "lid")
+      val r = ((0 until 150).map(i => ("chr1", (i % 40) + 25L, (i % 40) + 60L, i.toLong))
+        :+ (("chrR", 0L, 10L, 998L))).toDF(Chrom, Start, End, "rid")
+      for ((jt, sparkJt) <- Seq("left" -> "left_outer", "right" -> "right_outer",
+             "outer" -> "full_outer")) {
+        val swept = graft.join.IntervalSweepJoin.outer(l, r, Seq(Chrom), jt)
+        val r0 = graft.join.RangeJoin.suffixRight(l, r, "_b")
+        val naive = l.join(r0,
+          l(Chrom) === r0(Chrom + "_b") &&
+            l(Start) < r0(End + "_b") && l(End) > r0(Start + "_b"), sparkJt)
+          .drop(Chrom + "_b")
+        def bag(d: DataFrame) = d.collect().map(_.toSeq.toList)
+          .groupBy(identity).view.mapValues(_.size).toMap
+        assert(bag(swept) == bag(naive), s"$jt diverged past spillDepth")
+      }
+    } finally spark.conf.unset("spark.graft.join.sweepSpillDepth")
+  }
 }

@@ -86,8 +86,9 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("part-0.parquet"))
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(batchSchema)
-      .parquet(stage.toString)
+    // tsNanos absorbs the fixture vintage (nanos long vs timestamp[us])
+    val stream = graft.Tables.tsNanos(spark.readStream.schema(batchSchema)
+        .parquet(stage.toString))
       .select(col("event_type").as(Chrom),
         col("user_id").as(Start), (col("user_id") + 5).as(End),
         timestamp_micros((col("ts") / 1000).cast("long")).as("evt"))
