@@ -23,6 +23,13 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional conf overrides for A/B runs: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+        println(s"[profile] conf $k=$v")
+      })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { i =>

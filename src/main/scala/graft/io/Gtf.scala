@@ -110,34 +110,32 @@ object Gtf {
   def writeGtf(df: DataFrame, path: String, attrCols: Seq[String]): Unit = {
     val attr = concat_ws(" ", attrCols.map(c =>
       when(col(c).isNotNull, concat(lit(c + " \""), col(c).cast("string"), lit("\";")))): _*)
-    df.select(
-      col(Chrom).cast("string"),
-      coalesce(col("Source").cast("string"), lit(".")),
-      coalesce(col("Feature").cast("string"), lit(".")),
-      (col(Start) + 1).cast("string"),
-      col(End).cast("string"),
-      coalesce(col("Score").cast("string"), lit(".")),
-      coalesce(col(Strand), lit(".")),
-      coalesce(col("Frame").cast("string"), lit(".")),
-      attr)
-      .write.option("delimiter", "\t").option("header", "false")
-      .mode("overwrite").csv(path)
+    writeTsv(df, path, attr)
   }
 
   def writeGff3(df: DataFrame, path: String, attrCols: Seq[String]): Unit = {
     val attr = concat_ws(";", attrCols.map(c =>
       when(col(c).isNotNull, concat(lit(c + "="), col(c).cast("string")))): _*)
-    df.select(
-      col(Chrom).cast("string"),
-      coalesce(col("Source").cast("string"), lit(".")),
-      coalesce(col("Feature").cast("string"), lit(".")),
-      (col(Start) + 1).cast("string"),
-      col(End).cast("string"),
-      coalesce(col("Score").cast("string"), lit(".")),
-      coalesce(col(Strand), lit(".")),
-      coalesce(col("Frame").cast("string"), lit(".")),
-      attr)
-      .write.option("delimiter", "\t").option("header", "false")
-      .mode("overwrite").csv(path)
+    writeTsv(df, path, attr)
   }
+
+  /** Emit the 8 fixed fields + attribute column as RAW tab-joined text.
+    * The csv writer is NOT usable here: GTF attributes contain double
+    * quotes (`Name "U0";`), which csv quote-escapes into
+    * `"Name \"U0\";"` — a symmetric roundtrip through our own reader
+    * but an invalid file for every other consumer (the reference emits
+    * clean lines, docs/how_to_write.rst:33-39). Still a single-stage
+    * projection: one select, one text write, no shuffle. */
+  private def writeTsv(df: DataFrame, path: String, attr: Column): Unit =
+    df.select(concat_ws("\t",
+        col(Chrom).cast("string"),
+        coalesce(col("Source").cast("string"), lit(".")),
+        coalesce(col("Feature").cast("string"), lit(".")),
+        (col(Start) + 1).cast("string"),
+        col(End).cast("string"),
+        coalesce(col("Score").cast("string"), lit(".")),
+        coalesce(col(Strand), lit(".")),
+        coalesce(col("Frame").cast("string"), lit(".")),
+        attr))
+      .write.mode("overwrite").text(path)
 }

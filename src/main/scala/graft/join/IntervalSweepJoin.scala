@@ -250,9 +250,10 @@ object IntervalSweepJoin {
     * family). No mega-binning: matched-ness is a per-ROW property
     * decided across all bins a row would land in, which a bin copy
     * cannot know — per-key parallelism only, like [[exists]]. Memory:
-    * the outer-pinned side(s) bypass the spill path (matched flags stay
-    * mutable in-heap) and inherit the sweepHardDepth cap — see the
-    * depth contract in [[graft.plans.IntervalSweepJoinExec]]. */
+    * bounded — outer entries past sweepSpillDepth demote to the
+    * stateful overflow (row spills to disk, the matched flag stays
+    * resident at 8 bytes/row) — see the depth contract in
+    * [[graft.plans.IntervalSweepJoinExec]]. */
   def outer(left: DataFrame, right: DataFrame, keys: Seq[String],
             joinType: String, slack: Long = 0,
             suffix: String = "_b"): DataFrame = {

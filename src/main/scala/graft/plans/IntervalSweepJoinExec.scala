@@ -297,6 +297,92 @@ private[plans] final class SweepOverflow(genRows: Int) {
   }
 }
 
+/** Disk-backed overflow for STATEFUL entries — count fold state,
+  * semi/anti resolution, and the outer modes' matched flags. The row
+  * payload spills to [[org.apache.spark.sql.GraftSpillableRowBuffer]]
+  * generations exactly like [[SweepOverflow]], but each row keeps ONE
+  * resident Long of fold state addressed by (generation, ordinal) — 8
+  * bytes in heap per spilled row instead of the whole row, so these
+  * modes now degrade to bounded memory instead of erroring at
+  * sweepHardDepth. Pick is the exception: its fold state is a candidate
+  * right ROW (O(row) per entry — nothing to compress), so pick keeps
+  * the hard cap and the plan-time depth demotion. State arrays are
+  * allocated at full generation size up front so the (array, ordinal)
+  * handle returned by [[add]] stays valid for the row's lifetime (lazy
+  * emission closures write through it). A generation is drained
+  * (row + final state) and dropped once the sweep passes its max end —
+  * by then no later right row can match anything in it, the same
+  * finality argument as heap eviction. */
+private[plans] final class StatefulSweepOverflow(genRows: Int) {
+  private final class Gen {
+    val buf = new org.apache.spark.sql.GraftSpillableRowBuffer(4096)
+    val state = new Array[Long](genRows)
+    var maxEnd = Long.MinValue
+  }
+  private val gens = new scala.collection.mutable.ArrayBuffer[Gen]
+  private var open: Gen = _
+  private var n = 0L
+
+  def isEmpty: Boolean = n == 0L
+  def size: Long = n
+
+  /** Store a row with initial fold state; returns the resident state
+    * slot as (array, index) — valid until the row's generation drops. */
+  def add(row: UnsafeRow, endPos: Long, state0: Long): (Array[Long], Int) = {
+    if (open == null || open.buf.length >= genRows) {
+      open = new Gen
+      gens += open
+    }
+    val i = open.buf.length
+    open.buf.add(row)
+    open.state(i) = state0
+    if (endPos > open.maxEnd) open.maxEnd = endPos
+    n += 1
+    (open.state, i)
+  }
+
+  /** Visit every stored row with write access to its state slot.
+    * Spilled rows are reused buffers: copy before retaining. The caller
+    * re-checks per-row liveness from the row's own positions. */
+  def foreachSlot(f: (UnsafeRow, Array[Long], Int) => Unit): Unit =
+    gens.foreach { g =>
+      var i = 0
+      val it = g.buf.iterator
+      while (it.hasNext) { f(it.next(), g.state, i); i += 1 }
+    }
+
+  /** Drain-and-drop generations whose every row the sweep has passed,
+    * handing (reused row buffer, final state) to `emit`. */
+  def dropExpired(pos: Long)(emit: (UnsafeRow, Long) => Unit): Unit = {
+    var i = 0
+    while (i < gens.length) {
+      val g = gens(i)
+      if (g.maxEnd <= pos) {
+        var j = 0
+        val it = g.buf.iterator
+        while (it.hasNext) { emit(it.next(), g.state(j)); j += 1 }
+        n -= g.buf.length
+        g.buf.clear()
+        if (g eq open) open = null
+        gens.remove(i)
+      } else i += 1
+    }
+  }
+
+  /** Drain everything (group flush / stream end). */
+  def drainAll(emit: (UnsafeRow, Long) => Unit): Unit = {
+    gens.foreach { g =>
+      var j = 0
+      val it = g.buf.iterator
+      while (it.hasNext) { emit(it.next(), g.state(j)); j += 1 }
+      g.buf.clear()
+    }
+    gens.clear()
+    open = null
+    n = 0L
+  }
+}
+
 /** Physical sort-merge interval sweep.
   *
   * Requires both children clustered on the join keys and sorted by
@@ -375,18 +461,16 @@ case class IntervalSweepJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     // depth governance: up to `spillDepth` entries per side live in the
     // in-heap active set; beyond that, STATELESS entries (both sides of
-    // a pairs sweep, the right side of every mode) overflow to
+    // a pairs sweep, the right side of count/pick) overflow to
     // disk-spillable generations and the sweep degrades to bounded-
-    // memory re-scans; STATEFUL left entries (semi/anti tombstones,
-    // pick/count fold state — which must stay mutable in memory) are
-    // instead capped at `hardDepth` with an actionable error, which can
-    // only be reached when the plan-time depth demotion was mis-sampled
-    // by > hardDepth/estimate.
-    // OUTER-MODE MEMORY CONTRACT: LeftOuter/FullOuter pin every live
-    // LEFT interval in-heap (its matched flag must stay mutable) and
-    // RightOuter/FullOuter pin every live RIGHT interval — those sides
-    // bypass the spill path entirely and inherit the hardDepth cap, so
-    // an outer sweep's memory is bounded by hardDepth, not spillDepth.
+    // memory re-scans. STATEFUL entries whose fold state fits one long
+    // — count tallies, semi/anti resolution bits, the outer modes'
+    // matched flags — demote to StatefulSweepOverflow: the row spills,
+    // 8 bytes stay resident, so count/semi/anti/outer are bounded-
+    // memory at ANY depth. The one remaining hard-capped mode is PICK
+    // (its fold state is a candidate right ROW — O(row) per entry,
+    // nothing to compress); reaching `hardDepth` there means the
+    // plan-time depth demotion was mis-sampled by > hardDepth/estimate.
     val spillDepth = conf.getConfString(
       "spark.graft.join.sweepSpillDepth", "262144").toInt
     val hardDepth = conf.getConfString(
@@ -471,6 +555,12 @@ case class IntervalSweepJoinExec(
         // stateless overflow (left only participates in pairs mode)
         private val overL = new SweepOverflow(65536)
         private val overR = new SweepOverflow(65536)
+        // stateful overflow: spilled row + one resident long of fold
+        // state (count / semi-anti resolution / outer matched flag) —
+        // these modes degrade to bounded memory past spillDepth instead
+        // of pinning rows in-heap; pick (O(row) fold state) excluded
+        private val statefulOverL = new StatefulSweepOverflow(65536)
+        private val statefulOverR = new StatefulSweepOverflow(65536)
         private var pending: Iterator[InternalRow] = Iterator.empty
         private var flushed = false
 
@@ -482,9 +572,9 @@ case class IntervalSweepJoinExec(
         advanceL()
         advanceR()
 
-        /** Stateful left entries (fold state / tombstones) cannot spill;
-          * reaching the hard cap means the plan-time depth estimate was
-          * off by > hardDepth/sweepMaxDepth on this key. */
+        /** Pick fold state (a candidate right row per entry) cannot
+          * spill; reaching the hard cap means the plan-time depth
+          * estimate was off by > hardDepth/sweepMaxDepth on this key. */
         private def depthOverflow(side: String = "left"): Nothing =
           throw new org.apache.spark.SparkException(
             s"interval sweep ${md}/${jt} mode exceeded spark.graft.join.sweepHardDepth=" +
@@ -513,6 +603,34 @@ case class IntervalSweepJoinExec(
           val c = row.copy()
           pending = pending ++ Iterator.single(c).map(r => outProj(joined(nullL, r)))
         }
+
+        /** Emit a stateful-overflow LEFT row at generation drop/drain —
+          * its fold state is final there. Semi already emitted at match
+          * time (the state bit enforces exactly-once), so nothing here.
+          * `row` is a reused buffer: copy before deferring projection. */
+        private def emitStatefulL(row: UnsafeRow, st: Long): Unit = {
+          if (counting) {
+            val c = row.copy()
+            pending = pending ++ Iterator.single(c).map { r =>
+              countRow.setLong(0, st)
+              outProj(joined(r, countRow))
+            }
+          } else if (anti) {
+            if (st == 0L)
+              pending = pending ++ Iterator.single(row.copy()).map(outProj(_))
+          } else if (loJ && st == 0L) {
+            val c = row.copy()
+            pending = pending ++ Iterator.single(c).map(r => outProj(joined(r, nullR)))
+          }
+        }
+
+        /** Right/full outer counterpart: never-matched spilled right rows
+          * surface null-padded at drop/drain. */
+        private def emitStatefulR(row: UnsafeRow, st: Long): Unit =
+          if (st == 0L) {
+            val c = row.copy()
+            pending = pending ++ Iterator.single(c).map(r => outProj(joined(nullL, r)))
+          }
 
         private def advanceL(): Unit = {
           lRow = null
@@ -615,6 +733,7 @@ case class IntervalSweepJoinExec(
               pending ++ Iterator.single(e).map(en => outProj(joined(en.row, nullR)))
           }
           overL.dropExpired(pos)
+          statefulOverL.dropExpired(pos)(emitStatefulL)
         }
 
         private def evictR(pos: Long): Unit = {
@@ -623,6 +742,7 @@ case class IntervalSweepJoinExec(
               pending ++ Iterator.single(e).map(en => outProj(joined(nullL, en.row)))
           }
           overR.dropExpired(pos)
+          statefulOverR.dropExpired(pos)(emitStatefulR)
         }
 
         /** Flush still-active entries (group change / stream end): anti
@@ -644,6 +764,8 @@ case class IntervalSweepJoinExec(
             pending = pending ++ rows.iterator.filterNot(_.matched)
               .map(e => outProj(joined(nullL, e.row)))
           }
+          statefulOverL.drainAll(emitStatefulL)
+          statefulOverR.drainAll(emitStatefulR)
           activeL.clear()
           activeR.clear()
           overL.clear()
@@ -668,18 +790,45 @@ case class IntervalSweepJoinExec(
             val arrivalPos = lPosS
             if (pairs) {
               // left entries are stateless for inner/right-outer pairs
-              // (may overflow to disk); left/full outer needs the matched
-              // flag mutable in memory, so those entries are stateful —
-              // in-heap only, hard-capped like the other stateful modes
+              // (may overflow to disk); left/full outer entries past
+              // spillDepth demote to the stateful overflow — row on
+              // disk, matched flag resident through the returned slot
               var lEntry: SweepEntry = null
-              if (loJ || activeL.size < spillDepth) {
-                if (loJ && activeL.size >= hardDepth) depthOverflow()
+              var lSlot: Array[Long] = null
+              var lSlotIdx = 0
+              if (activeL.size < spillDepth) {
                 lEntry = new SweepEntry(lPosS, lPosE, copied)
                 activeL.add(lEntry)
+              } else if (loJ) {
+                val s = statefulOverL.add(unsafeCopy(copied, lUnsafe), lPosE, 0L)
+                lSlot = s._1; lSlotIdx = s._2
               } else {
                 overL.add(unsafeCopy(copied, lUnsafe), lPosE)
               }
               val le = lEntry
+              val ls = lSlot
+              val lsi = lSlotIdx
+              def markL(): Unit =
+                if (le != null) le.matched = true
+                else if (ls != null) ls(lsi) = 1L
+              // right/full outer with a deep right side: probe the
+              // spilled stateful right rows EAGERLY (slot writes), the
+              // matched pair copies emit through pending
+              if (!statefulOverR.isEmpty) {
+                var ms: List[UnsafeRow] = Nil
+                statefulOverR.foreachSlot { (rRowOv, arr, j) =>
+                  if (rPosProj(rRowOv).getLong(1) > arrivalPos) {
+                    joined(copied, rRowOv)
+                    if (pred.eval(joined)) {
+                      arr(j) = 1L
+                      markL()
+                      ms = rRowOv.copy() :: ms
+                    }
+                  }
+                }
+                if (ms.nonEmpty) pending = pending ++
+                  ms.reverseIterator.map(r => outProj(joined(copied, r)))
+              }
               // matched flags are set inside the lazy emission closures;
               // safe because `pending` is fully drained before the next
               // step() (hasNext's loop invariant), i.e. before any
@@ -687,7 +836,7 @@ case class IntervalSweepJoinExec(
               pending = pending ++ activeR.liveIterator.flatMap { e =>
                 joined(copied, e.row)
                 if (pred.eval(joined)) {
-                  if (le != null) le.matched = true
+                  markL()
                   e.matched = true
                   Iterator.single[InternalRow](outProj(joined))
                 } else Iterator.empty
@@ -697,14 +846,33 @@ case class IntervalSweepJoinExec(
                 if (p.getLong(1) > arrivalPos) {
                   joined(copied, rRowOv)
                   if (pred.eval(joined)) {
-                    if (le != null) le.matched = true
+                    markL()
                     Iterator.single[InternalRow](outProj(joined))
                   } else Iterator.empty
                 } else Iterator.empty
               }
+            } else if (counting && activeL.size >= spillDepth) {
+              // demoted count: the tally stays resident as ONE long, the
+              // row spills — probe the current right sets for the
+              // arrival-time partial, later rights increment the slot
+              var c = 0L
+              activeR.foreachLive { re =>
+                joined(copied, re.row)
+                if (pred.eval(joined)) c += 1L
+              }
+              overR.iterator.foreach { rRowOv =>
+                if (rPosProj(rRowOv).getLong(1) > arrivalPos) {
+                  joined(copied, rRowOv)
+                  if (pred.eval(joined)) c += 1L
+                }
+              }
+              statefulOverL.add(unsafeCopy(copied, lUnsafe), lPosE, c)
             } else if (pick || counting) {
               val entry = new SweepEntry(lPosS, lPosE, copied)
-              if (activeL.size >= hardDepth) depthOverflow()
+              // pick is the one remaining hard-capped mode: its fold
+              // state is a candidate right ROW — O(row) per entry,
+              // nothing to compress into a resident slot
+              if (pick && activeL.size >= hardDepth) depthOverflow()
               activeL.add(entry)
               activeR.foreachLive { re =>
                 joined(copied, re.row)
@@ -741,9 +909,11 @@ case class IntervalSweepJoinExec(
                 if (semi) pending =
                   pending ++ Iterator.single(copied).map(outProj(_))
                 // anti: matched row is dropped for good
+              } else if (activeL.size >= spillDepth) {
+                // undecided, demoted: resolution bit resident, row spills
+                statefulOverL.add(unsafeCopy(copied, lUnsafe), lPosE, 0L)
               } else {
                 // undecided: a later right may match
-                if (activeL.size >= hardDepth) depthOverflow()
                 activeL.add(new SweepEntry(lPosS, lPosE, copied))
               }
             }
@@ -757,22 +927,49 @@ case class IntervalSweepJoinExec(
             val copied = rRow.copy()
             val arrivalPos = rPosS
             // right entries are stateless except under right/full outer,
-            // where the matched flag pins them in-heap (hard-capped)
+            // where entries past spillDepth demote to the stateful
+            // overflow (row on disk, matched flag resident)
             var rEntry: SweepEntry = null
-            if (roJ || activeR.size < spillDepth) {
-              if (roJ && activeR.size >= hardDepth) depthOverflow("right")
+            var rSlot: Array[Long] = null
+            var rSlotIdx = 0
+            if (activeR.size < spillDepth) {
               rEntry = new SweepEntry(rPosS, rPosE, copied)
               activeR.add(rEntry)
+            } else if (roJ) {
+              val s = statefulOverR.add(unsafeCopy(copied, rUnsafe), rPosE, 0L)
+              rSlot = s._1; rSlotIdx = s._2
             } else {
               overR.add(unsafeCopy(copied, rUnsafe), rPosE)
             }
             if (pairs) {
               val re0 = rEntry
+              val rs0 = rSlot
+              val rsi = rSlotIdx
+              def markR(): Unit =
+                if (re0 != null) re0.matched = true
+                else if (rs0 != null) rs0(rsi) = 1L
+              // left/full outer with a deep left side: probe the spilled
+              // stateful left rows eagerly (slot writes), pairs via pending
+              if (!statefulOverL.isEmpty) {
+                var ms: List[UnsafeRow] = Nil
+                statefulOverL.foreachSlot { (lRowOv, arr, j) =>
+                  if (lPosProj(lRowOv).getLong(1) > arrivalPos) {
+                    joined(lRowOv, copied)
+                    if (pred.eval(joined)) {
+                      arr(j) = 1L
+                      markR()
+                      ms = lRowOv.copy() :: ms
+                    }
+                  }
+                }
+                if (ms.nonEmpty) pending = pending ++
+                  ms.reverseIterator.map(l => outProj(joined(l, copied)))
+              }
               pending = pending ++ activeL.liveIterator.flatMap { e =>
                 joined(e.row, copied)
                 if (pred.eval(joined)) {
                   e.matched = true
-                  if (re0 != null) re0.matched = true
+                  markR()
                   Iterator.single[InternalRow](outProj(joined))
                 } else Iterator.empty
               } ++ overL.iterator.flatMap { lRowOv =>
@@ -780,7 +977,7 @@ case class IntervalSweepJoinExec(
                 if (p.getLong(1) > arrivalPos) {
                   joined(lRowOv, copied)
                   if (pred.eval(joined)) {
-                    if (re0 != null) re0.matched = true
+                    markR()
                     Iterator.single[InternalRow](outProj(joined))
                   } else Iterator.empty
                 } else Iterator.empty
@@ -790,6 +987,14 @@ case class IntervalSweepJoinExec(
                 joined(e.row, copied)
                 if (pred.eval(joined)) fold(e, copied, rPosS, rPosE)
               }
+              // demoted count rows: increment through the resident slots
+              if (counting && !statefulOverL.isEmpty)
+                statefulOverL.foreachSlot { (lRowOv, arr, j) =>
+                  if (lPosProj(lRowOv).getLong(1) > arrivalPos) {
+                    joined(lRowOv, copied)
+                    if (pred.eval(joined)) arr(j) += 1L
+                  }
+                }
             } else {
               // resolve undecided left entries that this right row matches
               var hits: List[SweepEntry] = Nil
@@ -802,6 +1007,21 @@ case class IntervalSweepJoinExec(
                 if (semi) pending =
                   pending ++ Iterator.single(e.row).map(outProj(_))
               }
+              // demoted undecided rows: the state bit enforces exactly-
+              // once (semi emits on the 0->1 transition, anti at drop)
+              if (!statefulOverL.isEmpty)
+                statefulOverL.foreachSlot { (lRowOv, arr, j) =>
+                  if (arr(j) == 0L && lPosProj(lRowOv).getLong(1) > arrivalPos) {
+                    joined(lRowOv, copied)
+                    if (pred.eval(joined)) {
+                      arr(j) = 1L
+                      if (semi) {
+                        val c = lRowOv.copy()
+                        pending = pending ++ Iterator.single(c).map(outProj(_))
+                      }
+                    }
+                  }
+                }
             }
             advanceR()
           }

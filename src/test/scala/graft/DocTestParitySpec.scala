@@ -1145,6 +1145,103 @@ class DocTestParitySpec extends AnyFunSuite {
     assert(u == Set((13L, 20L, 1L), (23L, 29L, 1L), (32L, 37L, 0L)))
   }
 
+  // reference docs/how_to_write.rst:33-39: to_gtf's default mapping —
+  // '.' for absent Source/Feature/Frame, 1-based inclusive coordinates,
+  // Score and Strand from their columns, every metadata column as a
+  // `key "value";` attribute — emitted as RAW text (no csv quoting).
+  test("how_to_write doctest: to_gtf default field mapping, byte-exact line") {
+    import spark.implicits._
+    val gr = Seq(("chr8", 28510032L, 28510057L, "U0", 0L, "-"))
+      .toDF(Chrom, Start, End, "Name", "Score", Strand)
+      .withColumn("Source", lit(null).cast("string"))
+      .withColumn("Feature", lit(null).cast("string"))
+      .withColumn("Frame", lit(null).cast("string"))
+      .withColumn("Label", lit("something"))
+    val dir = s"/tmp/graft_howto_gtf_${java.util.UUID.randomUUID}"
+    graft.io.Gtf.writeGtf(gr, dir, Seq("Name", "Label"))
+    val line = spark.read.text(dir).as[String].collect().head
+    assert(line ==
+      "chr8\t.\t.\t28510033\t28510057\t0\t-\t.\tName \"U0\"; Label \"something\";")
+    // :85-90 to_csv keeps pythonic (0-based) coordinates untouched
+    val csvDir = s"/tmp/graft_howto_csv_${java.util.UUID.randomUUID}"
+    gr.select(Chrom, Start, End, "Name", "Score", Strand)
+      .write.option("delimiter", "\t").mode("overwrite").csv(csvDir)
+    assert(spark.read.text(csvDir).as[String].collect().head ==
+      "chr8\t28510032\t28510057\tU0\t0\t-")
+  }
+
+  // reference docs/how_to_sequences.rst: get_sequence preserves the
+  // soft-mask case (':60-75' shows 'at' / 'ggGCTA…' outputs), reverse
+  // complements '-' rows case-preservingly, group_by concatenates exon
+  // sequences 5'->3', and seqs.translate/reverse_complement chain on
+  // the resulting column.
+  test("how_to_sequences doctest: case-preserving fetch, spliced concat, translate chain") {
+    import spark.implicits._
+    import graft.ext.Seqs
+    val fa = Seq(("c1", "aaCCgTATGAAATAGggg")).toDF(Chrom, "seq")
+    val iv = Seq((0L, "c1", 0L, 6L, "+", "x"), (1L, "c1", 0L, 6L, "-", "y"),
+        (2L, "c1", 6L, 15L, "+", "z"))
+      .toDF(RowId, Chrom, Start, End, Strand, "ID")
+    val seqs = Seqs.getSequence(iv, fa, "Sequence")
+      .select("ID", "Sequence").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // '+' keeps the slice verbatim (case preserved); '-' is the
+    // case-preserving reverse complement of the same slice
+    assert(seqs("x") == "aaCCgT")
+    assert(seqs("y") == "AcGGtt")
+    assert(seqs("z") == "ATGAAATAG")
+    // :86-99 group_by concatenation in 5'->3' order: a two-exon '-'
+    // transcript concatenates its 5'-most (highest-coordinate) exon first
+    val tx = Seq((0L, "c1", 0L, 3L, "-", "t"), (1L, "c1", 6L, 9L, "-", "t"))
+      .toDF(RowId, Chrom, Start, End, Strand, "tx")
+    val spliced = Seqs.getSplicedSequence(tx, fa, "tx", "Sequence")
+      .select("Sequence").head.getString(0)
+    // exon [6,9)="ATG" revcomp "CAT" comes first, then [0,3)="aaC"->"Gtt"
+    assert(spliced == "CATGtt")
+    // :155-165 translate + reverse_complement over the fetched column
+    val chained = Seqs.getSequence(iv.filter(col("ID") === "z"), fa, "Sequence")
+      .select(Seqs.translate(upper(col("Sequence"))).as("p"),
+        Seqs.reverseComplement(col("Sequence")).as("rc")).head
+    assert(chained.getString(0) == "MK*")
+    assert(chained.getString(1) == "CTATTTCAT")
+  }
+
+  // reference docs/how_to_map.rst:214-283 (pep_to_cds protein->genome
+  // mapping, split codons) and :420-460 (map_to_local with match_by)
+  test("how_to_map doctest: pep_to_cds x3 shortcut, split codons, match_by local mapping") {
+    import spark.implicits._
+    // a '-' transcript with two exons; spliced cds space is 20 nt
+    val exons = Seq(("g", 100L, 110L, "-", "t"), ("g", 120L, 130L, "-", "t"))
+      .toDF(Chrom, Start, End, Strand, "ID")
+    // amino acids at pep positions 2 (inside exon) and 3 (split codon)
+    val aa = Seq(("t", 2L, 3L, "K"), ("t", 3L, 4L, "K"))
+      .toDF("ID", Start, End, "AminoAcid")
+    // :242-258 the pep_to_cds shortcut "is equivalent to" multiplying
+    // the local coordinates by 3 first
+    val viaShortcut = Composites.mapToGlobal(aa, exons, "ID", pepToCds = true)
+    val manual = Composites.mapToGlobal(
+      aa.withColumn(Start, col(Start) * 3).withColumn(End, col(End) * 3),
+      exons, "ID")
+    def rows(d: DataFrame) = d.select(Chrom, Start, End, Strand).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(rows(viaShortcut) == rows(manual))
+    // :262-283 split codons: an amino acid whose codon crosses the exon
+    // junction maps to TWO genomic rows with lengths summing to 3
+    // (pep 3 -> cds [9,12) spans the '-' transcript's exon boundary)
+    assert(rows(viaShortcut) == Set(
+      ("g", 121L, 124L, "-"),            // pep 2 = cds [6,9), inside exon1
+      ("g", 120L, 121L, "-"), ("g", 108L, 110L, "-"))) // pep 3 split 1+2
+    // :438-460 map_to_local(match_by): CDS pieces pair only with exons
+    // of the SAME transcript, and land contiguous in local space
+    val cds = Seq(("g", 105L, 110L, "-", "t"), ("g", 120L, 125L, "-", "t"))
+      .toDF(Chrom, Start, End, Strand, "Parent")
+    val exons2 = exons.withColumnRenamed("ID", "Parent")
+    val local = Composites.mapToLocal(cds, exons2, "Parent",
+        keys = Seq(Chrom, "Parent"))
+      .select(Chrom, Start, End, Strand).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(local == Set(("t", 5L, 10L, "+"), ("t", 10L, 15L, "+")))
+  }
+
   // reference docs/how_to_genomic_ops.rst (doctested by
   // tests/run_doctest_tutorial_howto.py): the coordinate-modification
   // corpus over the 8-exon / 3-transcript `e` object (:22-100). Expected

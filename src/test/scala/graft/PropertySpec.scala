@@ -244,11 +244,30 @@ class PropertySpec extends AnyFunSuite {
       assert(canon(IntervalSweepJoin.pick(l, r, Seq(Chrom), last = false)) ==
         canon(BinaryOps.joinOverlaps(l, r, Seq(Chrom), multiple = "first")),
         "pick under spill")
-      // stateful left entries cannot spill: the hard cap must raise an
-      // actionable error instead of OOMing
+      // stateful modes past the former hard cap: count/semi/anti demote
+      // to the stateful overflow (row spills, 8-byte state resident) and
+      // must stay EXACT where they used to raise sweepHardDepth
       spark.conf.set("spark.graft.join.sweepHardDepth", "64")
+      assert(canon(IntervalSweepJoin.count(l, r, Seq(Chrom), countCol = "n")) ==
+        canon(BinaryOps.countOverlaps(l, r, Seq(Chrom), countCol = "n")),
+        "count past the former hard cap")
+      for (anti <- Seq(false, true)) {
+        assert(canon(IntervalSweepJoin.exists(l, r, Seq(Chrom), anti = anti)) ==
+          canon(graft.join.RangeJoin.exists(l, r, Seq(Chrom), anti = anti)),
+          s"exists anti=$anti past the former hard cap")
+      }
+      // outer matched flags demote the same way
+      val r0 = graft.join.RangeJoin.suffixRight(l, r, "_b")
+      val naiveFull = l.join(r0,
+        l(Chrom) === r0(Chrom + "_b") &&
+          l(Start) < r0(End + "_b") && l(End) > r0(Start + "_b"), "full_outer")
+        .drop(Chrom + "_b")
+      assert(canon(IntervalSweepJoin.outer(l, r, Seq(Chrom), "outer")) ==
+        canon(naiveFull), "full outer past the former hard cap")
+      // pick's fold state is a candidate right ROW — nothing to compress
+      // into a resident slot, so it keeps the actionable hard-cap error
       val err = intercept[Exception] {
-        IntervalSweepJoin.count(l, r, Seq(Chrom), countCol = "n").count()
+        IntervalSweepJoin.pick(l, r, Seq(Chrom), last = false).count()
       }
       def msgs(t: Throwable): Seq[String] =
         if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
