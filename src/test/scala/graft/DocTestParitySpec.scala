@@ -1145,6 +1145,62 @@ class DocTestParitySpec extends AnyFunSuite {
     assert(u == Set((13L, 20L, 1L), (23L, 29L, 1L), (32L, 37L, 0L)))
   }
 
+  // reference docs/how_to_rows.rst:160-241 (loci accessor + setter on
+  // the aorta2 example data, overlap semantics) and
+  // docs/how_to_inspect.rst:135-188 (invalid strands demote use_strand,
+  // strand_valid, make_strand_valid turns non-genomic strands to '+').
+  test("how_to_rows/inspect doctest: loci overlap slicing, loci setter, strand validity") {
+    import spark.implicits._
+    import graft.core.GenomicFrame
+    val aorta2 = GenomicFrame(Seq(
+        (1L, "chr1", 10073L, 10272L, "Input", 1L, "+"),
+        (5L, "chr1", 10280L, 10479L, "Input", 1L, "+"),
+        (6L, "chr1", 16056L, 16255L, "Input", 1L, "+"),
+        (7L, "chr1", 16064L, 16263L, "Input", 1L, "+"),
+        (8L, "chr1", 16109L, 16308L, "Input", 1L, "+"),
+        (9L, "chr1", 19958L, 20157L, "Input", 1L, "-"),
+        (4L, "chr1", 10149L, 10348L, "Input", 1L, "-"),
+        (3L, "chr1", 10082L, 10281L, "Input", 1L, "-"),
+        (2L, "chr1", 10079L, 10278L, "Input", 1L, "-"),
+        (0L, "chr1", 9988L, 10187L, "Input", 1L, "-"))
+      .toDF(RowId, Chrom, Start, End, "Name", "Score", Strand))
+    def ids(g: GenomicFrame) =
+      g.df.select(RowId).collect().map(_.getLong(0)).toSet
+    // :179-189 loci['chr1','-'] and :191-201 loci['chr1','+']
+    assert(ids(aorta2.loci("chr1", Some("-"))) == Set(9L, 4L, 3L, 2L, 0L))
+    assert(ids(aorta2.loci("chr1", Some("+"))) == Set(1L, 5L, 6L, 7L, 8L))
+    // :203-214 range slicing is OVERLAP, not containment: row 0 (ends
+    // 10187 > 10000) and row 5 (starts 10280 < 11000) both qualify
+    assert(ids(aorta2.loci("chr1", None, Some(10000L), Some(11000L))) ==
+      Set(1L, 5L, 4L, 3L, 2L, 0L))
+    // :216-226 chrom + strand + range
+    assert(ids(aorta2.loci("chr1", Some("+"), Some(10000L), Some(11000L))) ==
+      Set(1L, 5L))
+    // :227-238 loci setter analog: Score=100 on exactly that selection
+    val updated = aorta2.updateWhere(
+      col(Chrom) === "chr1" && col(Strand) === "+" &&
+        col(End) > 10000L && col(Start) < 11000L,
+      "Score" -> lit(100L))
+    assert(updated.df.filter(col("Score") === 100L).select(RowId).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 5L))
+    assert(updated.df.filter(col("Score") === 1L).count() == 8L)
+    // how_to_inspect :135-188 — '#' strand invalidates strand_valid;
+    // make_strand_valid rewrites non-genomic strands to '+'
+    val g = GenomicFrame(Seq(("chr1", 1L, 11L, "-"), ("chr1", 1L, 20L, "#"))
+      .toDF(Chrom, Start, End, Strand))
+    assert(!g.strandValid)
+    val g2 = g.makeStrandValid
+    assert(g2.strandValid)
+    assert(g2.df.select(Strand).collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("+", "-"))
+    // :151-163 with invalid strands, auto use_strand demotes to false:
+    // the '-' row also slices from the genomic LEFT
+    val sliced = Composites.sliceRanges(g.df, Nil, 0, Some(3),
+      useStrand = g.strandValid)
+    assert(sliced.select(Start, End).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 4L)))
+  }
+
   // reference docs/how_to_write.rst:33-39: to_gtf's default mapping —
   // '.' for absent Source/Feature/Frame, 1-based inclusive coordinates,
   // Score and Strand from their columns, every metadata column as a
