@@ -1145,6 +1145,39 @@ class DocTestParitySpec extends AnyFunSuite {
     assert(u == Set((13L, 20L, 1L), (23L, 29L, 1L), (32L, 37L, 0L)))
   }
 
+  // reference docs/how_to_create.rst (constructor validation, concat
+  // stacking :195-227) and docs/how_to_columns.rst (get_with_loc_columns
+  // single/list :114-140, drop demotes when loc columns go :145-168,
+  // remove_strand :171-180).
+  test("how_to_create/columns doctest: constructor, concat stacking, loc-column sugar") {
+    import spark.implicits._
+    import graft.core.GenomicFrame
+    val df = Seq(("chr1", 5L, 10L, "+", "a"), ("chr1", 20L, 28L, "+", "b"),
+        ("chr1", 80L, 95L, "-", "c"), ("chr3", 10L, 38L, "+", "d"))
+      .toDF(Chrom, Start, End, Strand, "title")
+    // :45-57 the constructor accepts a conforming frame…
+    val p = GenomicFrame.of(df)
+    assert(p.isRight)
+    val g = p.toOption.get
+    assert(g.chromosomes.sorted == Seq("chr1", "chr3") && g.strandValid)
+    // …and DEMOTES to a plain frame when loc columns are missing
+    // (how_to_columns :161-168: drop(Chromosome) returns a DataFrame)
+    assert(GenomicFrame.of(df.drop(Chrom)).isLeft)
+    // how_to_create :195-227 concat stacks rows (8 = 4 + 4)
+    val stacked = GenomicFrame.concat(Seq(g, g))
+    assert(stacked.df.count() == 8L)
+    assert(stacked.df.select("title").distinct().count() == 4L)
+    // how_to_columns :114-140 get_with_loc_columns: loc + named columns,
+    // single or list, Strand retained
+    assert(g.getWithLocColumns(Seq("title")).df.columns.toSeq ==
+      Seq(Chrom, Start, End, Strand, "title"))
+    val two = g.df.withColumn("Score", lit(0L))
+    assert(GenomicFrame(two).getWithLocColumns(Seq("title", "Score")).df.columns.toSeq ==
+      Seq(Chrom, Start, End, Strand, "title", "Score"))
+    // :171-180 remove_strand drops exactly the Strand column
+    assert(g.removeStrand.df.columns.toSeq == Seq(Chrom, Start, End, "title"))
+  }
+
   // reference docs/how_to_rows.rst:160-241 (loci accessor + setter on
   // the aorta2 example data, overlap semantics) and
   // docs/how_to_inspect.rst:135-188 (invalid strands demote use_strand,

@@ -78,6 +78,29 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("joinOverlaps outer dispatch: sweep above the gate, binned anti-union below") {
+    import graft.ops.BinaryOps
+    // 40M-row range leaves report 320 MB of leaf stats (> the 32 MB
+    // gate) and 150 kb intervals clear the plain-sweep fan-out bar
+    // (mean/bin = 150000/65536 > 2) at a sampled depth of ~150
+    def side(n: Long) = spark.range(n).select(col("id").as(RowId),
+      lit("A").as(Chrom), (col("id") * 1000L).as(Start),
+      (col("id") * 1000L + 150000L).as(End))
+    val plan = BinaryOps.joinOverlaps(side(40L << 20), side(40L << 20),
+        Seq(Chrom), joinType = "outer")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalSweepJoin"),
+      "big long-interval outer join must route through the sweep's native outer mode")
+    assert(!plan.contains("Union"),
+      "the sweep outer plan must not pay the binned anti-union composition")
+    // below the gate the binned composition (pairs + anti unions) stays
+    val small = BinaryOps.joinOverlaps(side(1000L), side(1000L),
+        Seq(Chrom), joinType = "outer")
+      .queryExecution.executedPlan.toString
+    assert(!small.contains("IntervalSweepJoin"), small.take(1500))
+    assert(small.contains("Union"), small.take(1500))
+  }
+
   test("contained-overlap semi join: no left explode, no distinct, <=1 shuffle") {
     val q = SparkEntry.queries("q53_overlap_contained")(spark, dir)
     val plan = q.queryExecution.executedPlan.toString
