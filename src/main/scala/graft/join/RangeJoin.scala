@@ -179,10 +179,13 @@ object RangeJoin {
     * many balanced keys (salt demoted) -> fan-out bar as for pairs. */
   private[graft] def sweepAutoChoice(left: DataFrame, right: DataFrame,
                                      keys: Seq[String], op: String,
-                                     contained: Boolean): Option[Option[Long]] = {
-    val threshold = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.join.autoThreshold",
-        graft.core.Sizing.saltedInputThreshold.toString).toLong
+                                     contained: Boolean,
+                                     thresholdOverride: Option[Long] = None)
+      : Option[Option[Long]] = {
+    val threshold = thresholdOverride.getOrElse(
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.join.autoThreshold",
+          graft.core.Sizing.saltedInputThreshold.toString).toLong)
     if (contained || !graft.core.Sizing.decide(op, threshold, left, right)) return None
     val (lMean, lSpan) = sampledLenSpan(left, 100000)
     val mean = math.max(lMean, sampledMeanLen(right, 100000))

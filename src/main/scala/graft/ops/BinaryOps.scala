@@ -61,11 +61,22 @@ object BinaryOps {
     // first/last in the sweep regime: the operator's native pick mode
     // decides each left row DURING the sweep — the pair set (the whole
     // cost of a first-match join on dense data) is never materialized.
-    // Below the gate / binned regime: pairs + one aggregation pick.
+    // The pick path uses its OWN size gate (4 MB default, conf below):
+    // the round-8 A/B on q52's natural sf0.1 shape (17 MB leaves,
+    // 10.2M pairs, 3 hot keys — BASELINE.md "q52 pick crossover")
+    // measured the sweep pick at 1.0-1.4 s steady / 2.0 s cold vs the
+    // binned packed pick's 1.4-1.7 s / 5.4 s, with identical output
+    // hashes — pair materialization dominates well below the shared
+    // 32 MB gate. Short-interval many-balanced-keys shapes still stay
+    // binned via the fan-out bar + saltPlan demotion inside the choice.
     val sweepPick: Option[Option[Long]] =
-      if (multiple == "first" || multiple == "last")
-        RangeJoin.sweepAutoChoice(left, right, keys, "rangejoin/pickAuto", contained)
-      else None
+      if (multiple == "first" || multiple == "last") {
+        val pickGate = org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.join.pickAutoThreshold",
+            (4L << 20).toString).toLong
+        RangeJoin.sweepAutoChoice(left, right, keys, "rangejoin/pickAuto",
+          contained, thresholdOverride = Some(pickGate))
+      } else None
     var p = sweepPick match {
       case Some(mb) =>
         graft.join.IntervalSweepJoin.pick(left, right, keys,
