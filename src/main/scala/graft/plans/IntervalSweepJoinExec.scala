@@ -553,14 +553,23 @@ case class IntervalSweepJoinExec(
         private val activeL = new SweepHeap
         private val activeR = new SweepHeap
         // stateless overflow (left only participates in pairs mode)
-        private val overL = new SweepOverflow(65536)
-        private val overR = new SweepOverflow(65536)
+        // generation size rides spillDepth: a generation only retires
+        // once the sweep passes its max end, so until then every
+        // arrival re-scans the whole generation (expired rows included,
+        // liveness re-checked per row). Generations much larger than
+        // the live depth make that re-scan mostly dead work — measured
+        // 8x on a forced spillDepth=64 / depth~1000 count (BASELINE.md
+        // "sweep demotion cost") with the old fixed 65536.
+        private val genRows =
+          math.max(1024, math.min(65536, spillDepth))
+        private val overL = new SweepOverflow(genRows)
+        private val overR = new SweepOverflow(genRows)
         // stateful overflow: spilled row + one resident long of fold
         // state (count / semi-anti resolution / outer matched flag) —
         // these modes degrade to bounded memory past spillDepth instead
         // of pinning rows in-heap; pick (O(row) fold state) excluded
-        private val statefulOverL = new StatefulSweepOverflow(65536)
-        private val statefulOverR = new StatefulSweepOverflow(65536)
+        private val statefulOverL = new StatefulSweepOverflow(genRows)
+        private val statefulOverR = new StatefulSweepOverflow(genRows)
         private var pending: Iterator[InternalRow] = Iterator.empty
         private var flushed = false
 
