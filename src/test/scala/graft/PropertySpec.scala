@@ -349,6 +349,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("randomized demotion: count/semi/anti/outer equal naive plans at spillDepth=4") {
+    import spark.implicits._
+    import graft.join.IntervalSweepJoin
+    // EVERY stateful entry beyond the first four demotes to the
+    // stateful overflow on random inputs (including null keys/bounds
+    // for the outer mode) — the strongest randomized exercise of the
+    // spilled-row + resident-state machinery
+    spark.conf.set("spark.graft.join.sweepSpillDepth", "4")
+    try {
+      val genRows: Gen[List[(Option[String], Option[Long], Option[Long])]] =
+        Gen.nonEmptyListOf(for {
+          c0 <- Gen.oneOf("chr1", "chr2")
+          c <- Gen.frequency(9 -> Gen.const(Option(c0)), 1 -> Gen.const(Option.empty[String]))
+          s <- Gen.chooseNum(0L, 300L)
+          len <- Gen.chooseNum(1L, 150L)
+          sOpt <- Gen.frequency(9 -> Gen.const(Option(s)), 1 -> Gen.const(Option.empty[Long]))
+          eOpt <- Gen.frequency(9 -> Gen.const(Option(s + len)), 1 -> Gen.const(Option.empty[Long]))
+        } yield (c, sOpt, eOpt))
+      forAll(genRows, genRows) { (lr, rr) =>
+        val l = lr.zipWithIndex.map { case ((c, s, e), i) => (c, s, e, i.toLong) }
+          .toDF(Chrom, Start, End, RowId)
+        val r = rr.zipWithIndex.map { case ((c, s, e), i) => (c, s, e, (1000 + i).toLong) }
+          .toDF(Chrom, Start, End, RowId)
+        def bag(d: DataFrame) = {
+          val cols = d.columns.sorted.map(col).toIndexedSeq
+          d.select(cols: _*).collect().map(_.toSeq.toList)
+            .groupBy(identity).view.mapValues(_.size).toMap
+        }
+        // null-safe naive inputs for semi/anti/count (binned plans
+        // already handle nulls; direct comparison)
+        for (anti <- Seq(false, true)) {
+          assert(bag(IntervalSweepJoin.exists(l, r, Seq(Chrom), anti = anti)) ==
+            bag(graft.join.RangeJoin.exists(l, r, Seq(Chrom), anti = anti)),
+            s"demoted exists anti=$anti diverged")
+        }
+        assert(bag(IntervalSweepJoin.count(l, r, Seq(Chrom), countCol = "n")) ==
+          bag(BinaryOps.countOverlaps(l, r, Seq(Chrom), countCol = "n")),
+          "demoted count diverged")
+        val r0 = graft.join.RangeJoin.suffixRight(l, r, "_b")
+        val naiveFull = l.join(r0,
+          l(Chrom) === r0(Chrom + "_b") &&
+            l(Start) < r0(End + "_b") && l(End) > r0(Start + "_b"), "full_outer")
+          .drop(Chrom + "_b")
+        assert(bag(IntervalSweepJoin.outer(l, r, Seq(Chrom), "outer")) ==
+          bag(naiveFull), "demoted full outer diverged")
+      }
+    } finally spark.conf.unset("spark.graft.join.sweepSpillDepth")
+  }
+
   test("sweep outer stays exact when the non-pinned side crosses sweepSpillDepth") {
     import spark.implicits._
     // under LeftOuter the RIGHT side may overflow to spill generations
