@@ -32,6 +32,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,8 +70,11 @@ object Bench {
       val err: Option[String] =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
+          // strip ALL control chars (parser errors embed caret
+          // diagnostics), not just whitespace — one stray \f would make
+          // the JSON line unparseable and hide the failure again
           Some(Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
+            .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)) }
       val dt = (System.nanoTime() - t0) / 1e9
       val gcIn = gcMillis() - gc0
       err match {

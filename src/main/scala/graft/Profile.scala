@@ -20,15 +20,20 @@ object Profile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional conf overrides for A/B runs: SPARK_GRAFT_CONF="k=v;k=v"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
-        println(s"[profile] conf $k=$v")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            spark.conf.set(k, v)
+            println(s"[profile] conf $k=$v")
+          case _ =>
+            System.err.println(s"[profile] ignoring malformed SPARK_GRAFT_CONF segment '$kv' (want k=v)")
+        }
       })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -127,12 +127,15 @@ object Gtf {
     * clean lines, docs/how_to_write.rst:33-39). Still a single-stage
     * projection: one select, one text write, no shuffle. */
   private def writeTsv(df: DataFrame, path: String, attr: Column): Unit =
+    // every field coalesced: concat_ws SKIPS null args, so a null
+    // coordinate/chromosome would silently DROP its column and shift
+    // the 9-field alignment (the old csv writer emitted an empty field)
     df.select(concat_ws("\t",
-        col(Chrom).cast("string"),
+        coalesce(col(Chrom).cast("string"), lit(".")),
         coalesce(col("Source").cast("string"), lit(".")),
         coalesce(col("Feature").cast("string"), lit(".")),
-        (col(Start) + 1).cast("string"),
-        col(End).cast("string"),
+        coalesce((col(Start) + 1).cast("string"), lit(".")),
+        coalesce(col(End).cast("string"), lit(".")),
         coalesce(col("Score").cast("string"), lit(".")),
         coalesce(col(Strand), lit(".")),
         coalesce(col("Frame").cast("string"), lit(".")),

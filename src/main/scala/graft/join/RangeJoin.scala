@@ -215,11 +215,8 @@ object RangeJoin {
         graft.core.Sizing.saltedInputThreshold.toString).toLong
     if (!contained &&
         graft.core.Sizing.decide("rangejoin/existsAuto", threshold, left, right)) {
-      val (lMean, lSpan) = sampledLenSpan(left, 100000)
-      val mean = math.max(lMean, sampledMeanLen(right, 100000))
-      var bin = 64L
-      while (bin < 4.0 * mean && bin < 65536L) bin *= 4
-      if (mean / bin > 2.0 && depthOk(left, right, mean, lSpan)) {
+      val (mean, bin, go) = plainSweepBar(left, right)
+      if (go) {
         lastAutoPairs.set(("sweep-exists", mean, bin))
         IntervalSweepJoin.exists(left, right, keys, slack, anti = anti)
       } else {
@@ -229,6 +226,21 @@ object RangeJoin {
     } else {
       exists(left, right, keys, slack, binSize, contained, anti)
     }
+  }
+
+  /** The plain-sweep bar shared by [[existsDispatch]] and
+    * [[sweepOuterChoice]]: sampled mean interval length vs the bin the
+    * binned plan would pick — the regime where binned explode fan-out
+    * loses — plus the depth guard. Returns (mean, bin, clears). Kept in
+    * ONE place so a future bar/bin tuning cannot silently diverge the
+    * dispatchers. */
+  private def plainSweepBar(left: DataFrame, right: DataFrame)
+      : (Double, Long, Boolean) = {
+    val (lMean, lSpan) = sampledLenSpan(left, 100000)
+    val mean = math.max(lMean, sampledMeanLen(right, 100000))
+    var bin = 64L
+    while (bin < 4.0 * mean && bin < 65536L) bin *= 4
+    (mean, bin, mean / bin > 2.0 && depthOk(left, right, mean, lSpan))
   }
 
   /** Outer-join counterpart of [[existsDispatch]]'s gate: above the
@@ -248,12 +260,8 @@ object RangeJoin {
     if (contained ||
         !graft.core.Sizing.decide("rangejoin/outerAuto", threshold, left, right))
       return false
-    val (lMean, lSpan) = sampledLenSpan(left, 100000)
-    val mean = math.max(lMean, sampledMeanLen(right, 100000))
-    var bin = 64L
-    while (bin < 4.0 * mean && bin < 65536L) bin *= 4
-    val go = mean / bin > 2.0 && depthOk(left, right, mean, lSpan)
-    if (go) lastAutoPairs.set(("sweep-outer", mean, bin))
+    val (mean, bin, go) = plainSweepBar(left, right)
+    lastAutoPairs.set(((if (go) "sweep" else "binned") + "-outer", mean, bin))
     go
   }
 

@@ -582,12 +582,14 @@ case class IntervalSweepJoinExec(
         advanceR()
 
         /** Pick fold state (a candidate right row per entry) cannot
-          * spill; reaching the hard cap means the plan-time depth
-          * estimate was off by > hardDepth/sweepMaxDepth on this key. */
-        private def depthOverflow(side: String = "left"): Nothing =
+          * spill — pick is the ONLY mode left that can reach this cap
+          * (every other stateful mode demotes to the stateful
+          * overflow); hitting it means the plan-time depth estimate was
+          * off by > hardDepth/sweepMaxDepth on this key. */
+        private def depthOverflow(): Nothing =
           throw new org.apache.spark.SparkException(
             s"interval sweep ${md}/${jt} mode exceeded spark.graft.join.sweepHardDepth=" +
-              s"$hardDepth concurrent stateful $side intervals on one key; " +
+              s"$hardDepth concurrent stateful left intervals on one key; " +
               "raise the cap, or pin spark.graft.join.strategy=binned " +
               "(the binned plan spills) for this join")
 
