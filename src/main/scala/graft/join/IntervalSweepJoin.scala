@@ -253,7 +253,16 @@ object IntervalSweepJoin {
     * bounded — outer entries past sweepSpillDepth demote to the
     * stateful overflow (row spills to disk, the matched flag stays
     * resident at 8 bytes/row) — see the depth contract in
-    * [[graft.plans.IntervalSweepJoinExec]]. */
+    * [[graft.plans.IntervalSweepJoinExec]].
+    *
+    * SCALE NOTE: on a cluster where per-key parallelism is too coarse
+    * (a hot chromosome), the scale path is salted sweep PAIRS plus a
+    * per-row-id unmatched rejoin (one ~|input|-row aggregation per
+    * outer side) — fan-out-free pairs with full (key, bin)
+    * parallelism, at the cost of the rejoin the native mode avoids.
+    * Deliberately NOT auto-dispatched: it needs the row-id contract on
+    * both sides, and no measured workload has hit the per-key bound
+    * (the gate only routes here when binned fan-out already loses). */
   def outer(left: DataFrame, right: DataFrame, keys: Seq[String],
             joinType: String, slack: Long = 0,
             suffix: String = "_b"): DataFrame = {
