@@ -303,10 +303,10 @@ private[plans] final class SweepOverflow(genRows: Int) {
   * generations exactly like [[SweepOverflow]], but each row keeps ONE
   * resident Long of fold state addressed by (generation, ordinal) — 8
   * bytes in heap per spilled row instead of the whole row, so these
-  * modes now degrade to bounded memory instead of erroring at
-  * sweepHardDepth. Pick is the exception: its fold state is a candidate
-  * right ROW (O(row) per entry — nothing to compress), so pick keeps
-  * the hard cap and the plan-time depth demotion. State arrays are
+  * modes degrade to bounded memory at any concurrent depth. Pick's fold
+  * state (a candidate right ROW) is too big for a slot — it demotes to
+  * [[PickSweepOverflow]]'s winner-identity compression instead. State
+  * arrays are
   * allocated at full generation size up front so the (array, ordinal)
   * handle returned by [[add]] stays valid for the row's lifetime (lazy
   * emission closures write through it). A generation is drained
@@ -380,6 +380,145 @@ private[plans] final class StatefulSweepOverflow(genRows: Int) {
     gens.clear()
     open = null
     n = 0L
+  }
+}
+
+/** Disk-backed overflow for PICK entries (First/Last modes) — the one
+  * fold state too big for a [[StatefulSweepOverflow]] slot: a candidate
+  * right ROW. Compression: the resident state per spilled left row is
+  * the winner's IDENTITY — (bestStart, bestEnd, index into an
+  * append-only candidate log[, tie key]) — while the winning right rows
+  * themselves live in a per-generation disk-backed log. Every
+  * fold-better event appends the new winner to the log and repoints the
+  * resident index; superseded appends become garbage that the single
+  * drain scan skips. At generation drop/drain (sweep passed its max
+  * end — fold state final, same argument as heap eviction), winner
+  * indices are inverted into a (log position -> left row copy) map of
+  * at most `genRows` entries and ONE sequential scan of the log emits
+  * the (left, winner) pairs, so drain memory is O(genRows) rows — the
+  * same order as a heap flush — never O(candidates). Tie keys (a few
+  * projected right columns) stay resident: O(tie bytes) per entry, not
+  * O(row). */
+private[plans] final class PickSweepOverflow(
+    genRows: Int, last: Boolean,
+    tieProj: UnsafeProjection, tieOrd: Ordering[InternalRow]) {
+  private final class Gen {
+    val buf = new org.apache.spark.sql.GraftSpillableRowBuffer(4096)
+    val cand = new org.apache.spark.sql.GraftSpillableRowBuffer(4096)
+    var candLen = 0L
+    val bestS = new Array[Long](genRows)
+    val bestE = new Array[Long](genRows)
+    val winner = new Array[Long](genRows) // index into cand; -1 = unmatched
+    val tie: Array[UnsafeRow] =
+      if (tieProj != null) new Array[UnsafeRow](genRows) else null
+    var maxEnd = Long.MinValue
+  }
+  private val gens = new scala.collection.mutable.ArrayBuffer[Gen]
+  private var open: Gen = _
+  private var n = 0L
+
+  def isEmpty: Boolean = n == 0L
+  def size: Long = n
+
+  /** Spill a left row with no winner yet; returns an opaque slot handle
+    * (generation, ordinal) valid until the generation drains. */
+  def add(row: UnsafeRow, endPos: Long): (AnyRef, Int) = {
+    if (open == null || open.buf.length >= genRows) {
+      open = new Gen
+      gens += open
+    }
+    val i = open.buf.length
+    open.buf.add(row)
+    open.winner(i) = -1L
+    if (endPos > open.maxEnd) open.maxEnd = endPos
+    n += 1
+    (open, i)
+  }
+
+  /** Fold a matched right row into the slot: if (rs, re[, tie]) beats
+    * the incumbent winner identity under the First/Last ordering, append
+    * the row to the generation's candidate log (the log copies — the
+    * caller may pass a reused buffer) and repoint the resident index. */
+  def offer(h: AnyRef, i: Int, rightRow: UnsafeRow, rs: Long, re: Long): Unit = {
+    val g = h.asInstanceOf[Gen]
+    val better =
+      if (g.winner(i) < 0L) true
+      else if (rs == g.bestS(i) && re == g.bestE(i)) {
+        if (tieProj == null) false
+        else tieOrd.compare(tieProj(rightRow), g.tie(i)) < 0
+      }
+      else if (last) rs > g.bestS(i) || (rs == g.bestS(i) && re > g.bestE(i))
+      else rs < g.bestS(i) || (rs == g.bestS(i) && re < g.bestE(i))
+    if (better) {
+      g.cand.add(rightRow)
+      g.winner(i) = g.candLen
+      g.candLen += 1L
+      g.bestS(i) = rs
+      g.bestE(i) = re
+      if (tieProj != null) g.tie(i) = tieProj(rightRow).copy()
+    }
+  }
+
+  /** Visit every stored left row with its slot handle for fold probes.
+    * Rows are reused buffers; the caller re-checks liveness from the
+    * row's own positions. */
+  def foreachSlot(f: (UnsafeRow, AnyRef, Int) => Unit): Unit =
+    gens.foreach { g =>
+      var i = 0
+      val it = g.buf.iterator
+      while (it.hasNext) { f(it.next(), g, i); i += 1 }
+    }
+
+  /** Drain-and-drop generations whose every row the sweep has passed.
+    * `emit` receives (left row COPY, winner row reused buffer) — copy
+    * the right side before retaining. Unmatched rows emit nothing
+    * (inner pick semantics). */
+  def dropExpired(pos: Long)(emit: (UnsafeRow, UnsafeRow) => Unit): Unit = {
+    var i = 0
+    while (i < gens.length) {
+      val g = gens(i)
+      if (g.maxEnd <= pos) {
+        drainGen(g, emit)
+        n -= g.buf.length
+        g.buf.clear()
+        g.cand.clear()
+        if (g eq open) open = null
+        gens.remove(i)
+      } else i += 1
+    }
+  }
+
+  /** Drain everything (group flush / stream end). */
+  def drainAll(emit: (UnsafeRow, UnsafeRow) => Unit): Unit = {
+    gens.foreach { g =>
+      drainGen(g, emit)
+      g.buf.clear()
+      g.cand.clear()
+    }
+    gens.clear()
+    open = null
+    n = 0L
+  }
+
+  private def drainGen(g: Gen, emit: (UnsafeRow, UnsafeRow) => Unit): Unit = {
+    val want = new scala.collection.mutable.LongMap[UnsafeRow]
+    var j = 0
+    val it = g.buf.iterator
+    while (it.hasNext) {
+      val lr = it.next()
+      if (g.winner(j) >= 0L) want.update(g.winner(j), lr.copy())
+      j += 1
+    }
+    if (want.nonEmpty) {
+      var p = 0L
+      val cit = g.cand.iterator
+      while (cit.hasNext) {
+        val cr = cit.next()
+        val lr = want.getOrNull(p)
+        if (lr != null) emit(lr, cr)
+        p += 1L
+      }
+    }
   }
 }
 
@@ -466,15 +605,14 @@ case class IntervalSweepJoinExec(
     // memory re-scans. STATEFUL entries whose fold state fits one long
     // — count tallies, semi/anti resolution bits, the outer modes'
     // matched flags — demote to StatefulSweepOverflow: the row spills,
-    // 8 bytes stay resident, so count/semi/anti/outer are bounded-
-    // memory at ANY depth. The one remaining hard-capped mode is PICK
-    // (its fold state is a candidate right ROW — O(row) per entry,
-    // nothing to compress); reaching `hardDepth` there means the
-    // plan-time depth demotion was mis-sampled by > hardDepth/estimate.
+    // 8 bytes stay resident. PICK entries (fold state = a candidate
+    // right ROW) demote to PickSweepOverflow: the row spills, the
+    // winner IDENTITY (2 longs + log index + tie key) stays resident
+    // and winner rows live in a disk-backed candidate log — so EVERY
+    // mode is bounded-memory at any concurrent depth; a mis-sampled
+    // all-overlapping key degrades to disk instead of erroring.
     val spillDepth = conf.getConfString(
       "spark.graft.join.sweepSpillDepth", "262144").toInt
-    val hardDepth = conf.getConfString(
-      "spark.graft.join.sweepHardDepth", (1 << 20).toString).toInt
     val lOut = left.output
     val rOut = right.output
     val lKeyExprs = leftKeys
@@ -577,21 +715,23 @@ case class IntervalSweepJoinExec(
         private val rUnsafe = UnsafeProjection.create(rOut.map(_.dataType).toArray)
         private def unsafeCopy(r: InternalRow, p: UnsafeProjection): UnsafeRow =
           r match { case u: UnsafeRow => u; case o => p(o).copy() }
+        // pick overflow: left rows past spillDepth spill with resident
+        // winner-identity state; winner rows ride a per-generation
+        // disk-backed candidate log
+        private val pickOverL =
+          new PickSweepOverflow(genRows, pickLast, tieProj, tieOrd)
 
         advanceL()
         advanceR()
 
-        /** Pick fold state (a candidate right row per entry) cannot
-          * spill — pick is the ONLY mode left that can reach this cap
-          * (every other stateful mode demotes to the stateful
-          * overflow); hitting it means the plan-time depth estimate was
-          * off by > hardDepth/sweepMaxDepth on this key. */
-        private def depthOverflow(): Nothing =
-          throw new org.apache.spark.SparkException(
-            s"interval sweep ${md}/${jt} mode exceeded spark.graft.join.sweepHardDepth=" +
-              s"$hardDepth concurrent stateful left intervals on one key; " +
-              "raise the cap, or pin spark.graft.join.strategy=binned " +
-              "(the binned plan spills) for this join")
+        /** Emit a demoted pick pair at generation drop/drain — the
+          * winner is final there. `l` is an owned copy, `r` a reused
+          * log buffer: copy before deferring projection. */
+        private def emitPickL(l: UnsafeRow, r: UnsafeRow): Unit = {
+          val rc = r.copy()
+          pending = pending ++
+            Iterator.single(l).map(lr => outProj(joined(lr, rc)))
+        }
 
         /** Emit a left row that matched nothing and never will (anti:
           * always; count: with count 0; left/full outer: null-padded
@@ -745,6 +885,7 @@ case class IntervalSweepJoinExec(
           }
           overL.dropExpired(pos)
           statefulOverL.dropExpired(pos)(emitStatefulL)
+          pickOverL.dropExpired(pos)(emitPickL)
         }
 
         private def evictR(pos: Long): Unit = {
@@ -777,6 +918,7 @@ case class IntervalSweepJoinExec(
           }
           statefulOverL.drainAll(emitStatefulL)
           statefulOverR.drainAll(emitStatefulR)
+          pickOverL.drainAll(emitPickL)
           activeL.clear()
           activeR.clear()
           overL.clear()
@@ -878,12 +1020,28 @@ case class IntervalSweepJoinExec(
                 }
               }
               statefulOverL.add(unsafeCopy(copied, lUnsafe), lPosE, c)
+            } else if (pick && activeL.size >= spillDepth) {
+              // demoted pick: the row spills, the winner identity stays
+              // resident — probe the current right sets for the
+              // arrival-time fold, later rights offer through the slot
+              val h = pickOverL.add(unsafeCopy(copied, lUnsafe), lPosE)
+              activeR.foreachLive { re =>
+                joined(copied, re.row)
+                if (pred.eval(joined))
+                  pickOverL.offer(h._1, h._2, unsafeCopy(re.row, rUnsafe),
+                    re.startPos, re.endPos)
+              }
+              overR.iterator.foreach { rRowOv =>
+                val p = rPosProj(rRowOv)
+                val (rs, rEndP) = (p.getLong(0), p.getLong(1))
+                if (rEndP > arrivalPos) {
+                  joined(copied, rRowOv)
+                  if (pred.eval(joined))
+                    pickOverL.offer(h._1, h._2, rRowOv, rs, rEndP)
+                }
+              }
             } else if (pick || counting) {
               val entry = new SweepEntry(lPosS, lPosE, copied)
-              // pick is the one remaining hard-capped mode: its fold
-              // state is a candidate right ROW — O(row) per entry,
-              // nothing to compress into a resident slot
-              if (pick && activeL.size >= hardDepth) depthOverflow()
               activeL.add(entry)
               activeR.foreachLive { re =>
                 joined(copied, re.row)
@@ -1006,6 +1164,17 @@ case class IntervalSweepJoinExec(
                     if (pred.eval(joined)) arr(j) += 1L
                   }
                 }
+              // demoted pick rows: offer through the winner-identity slots
+              if (pick && !pickOverL.isEmpty) {
+                val rU = unsafeCopy(copied, rUnsafe)
+                pickOverL.foreachSlot { (lRowOv, h, j) =>
+                  if (lPosProj(lRowOv).getLong(1) > arrivalPos) {
+                    joined(lRowOv, copied)
+                    if (pred.eval(joined))
+                      pickOverL.offer(h, j, rU, rPosS, rPosE)
+                  }
+                }
+              }
             } else {
               // resolve undecided left entries that this right row matches
               var hits: List[SweepEntry] = Nil

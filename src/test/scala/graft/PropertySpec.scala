@@ -244,10 +244,11 @@ class PropertySpec extends AnyFunSuite {
       assert(canon(IntervalSweepJoin.pick(l, r, Seq(Chrom), last = false)) ==
         canon(BinaryOps.joinOverlaps(l, r, Seq(Chrom), multiple = "first")),
         "pick under spill")
-      // stateful modes past the former hard cap: count/semi/anti demote
-      // to the stateful overflow (row spills, 8-byte state resident) and
-      // must stay EXACT where they used to raise sweepHardDepth
-      spark.conf.set("spark.graft.join.sweepHardDepth", "64")
+      // stateful modes past the in-heap depth: count/semi/anti demote
+      // to the stateful overflow (row spills, 8-byte state resident),
+      // pick to the winner-identity overflow (row spills, winner rows in
+      // a disk-backed candidate log) — every mode stays EXACT where pick
+      // used to raise sweepHardDepth
       assert(canon(IntervalSweepJoin.count(l, r, Seq(Chrom), countCol = "n")) ==
         canon(BinaryOps.countOverlaps(l, r, Seq(Chrom), countCol = "n")),
         "count past the former hard cap")
@@ -264,17 +265,21 @@ class PropertySpec extends AnyFunSuite {
         .drop(Chrom + "_b")
       assert(canon(IntervalSweepJoin.outer(l, r, Seq(Chrom), "outer")) ==
         canon(naiveFull), "full outer past the former hard cap")
-      // pick's fold state is a candidate right ROW — nothing to compress
-      // into a resident slot, so it keeps the actionable hard-cap error
-      val err = intercept[Exception] {
-        IntervalSweepJoin.pick(l, r, Seq(Chrom), last = false).count()
+      // demoted pick, first AND last: equals the aggregation-path plan
+      // exactly. rDup duplicates every right coordinate pair under a
+      // different RowId so the winner compare falls through to the
+      // RESIDENT tie keys (ascending remaining right columns — the same
+      // ordering tail the min_by struct uses)
+      val rDup = r.union(
+        r.withColumn(RowId, r(RowId) + 1000L))
+      for (last <- Seq(false, true)) {
+        val m = if (last) "last" else "first"
+        assert(canon(IntervalSweepJoin.pick(l, rDup, Seq(Chrom), last = last)) ==
+          canon(BinaryOps.joinOverlaps(l, rDup, Seq(Chrom), multiple = m)),
+          s"pick $m past the former hard cap")
       }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-      assert(msgs(err).exists(_.contains("sweepHardDepth")), msgs(err).toString)
     } finally {
       spark.conf.unset("spark.graft.join.sweepSpillDepth")
-      spark.conf.unset("spark.graft.join.sweepHardDepth")
     }
   }
 
@@ -349,13 +354,14 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("randomized demotion: count/semi/anti/outer equal naive plans at spillDepth=4") {
+  test("randomized demotion: count/semi/anti/outer/pick equal naive plans at spillDepth=4") {
     import spark.implicits._
     import graft.join.IntervalSweepJoin
     // EVERY stateful entry beyond the first four demotes to the
-    // stateful overflow on random inputs (including null keys/bounds
-    // for the outer mode) — the strongest randomized exercise of the
-    // spilled-row + resident-state machinery
+    // stateful overflow (pick: the winner-identity overflow) on random
+    // inputs (including null keys/bounds for the outer mode) — the
+    // strongest randomized exercise of the spilled-row + resident-state
+    // machinery
     spark.conf.set("spark.graft.join.sweepSpillDepth", "4")
     try {
       val genRows: Gen[List[(Option[String], Option[Long], Option[Long])]] =
@@ -394,6 +400,14 @@ class PropertySpec extends AnyFunSuite {
           .drop(Chrom + "_b")
         assert(bag(IntervalSweepJoin.outer(l, r, Seq(Chrom), "outer")) ==
           bag(naiveFull), "demoted full outer diverged")
+        // pick vs the aggregation path: random coordinate collisions
+        // exercise the resident tie keys on both plans' shared ordering
+        for (last <- Seq(false, true)) {
+          val m = if (last) "last" else "first"
+          assert(bag(IntervalSweepJoin.pick(l, r, Seq(Chrom), last = last)) ==
+            bag(BinaryOps.joinOverlaps(l, r, Seq(Chrom), multiple = m)),
+            s"demoted pick $m diverged")
+        }
       }
     } finally spark.conf.unset("spark.graft.join.sweepSpillDepth")
   }
