@@ -848,6 +848,39 @@ object SparkEntry {
         .withColumnRenamed(Start + "_b", "istart_b")
         .withColumnRenamed(End + "_b", "iend_b")
     }),
+    "q97_stream_static_join" -> ((s, dir) => {
+      // Stream-static BROADCAST interval join: the static dimension
+      // (4 event-time windows per event_type, derived from the batch
+      // table) is broadcast to every executor; the streaming events
+      // enrich against it with zero pre-join shuffle and zero join
+      // state, then fold into a complete-mode count — the scale shape
+      // for tagging an unbounded stream with a bounded range dimension.
+      // Integer window math (nanos, `div`) keeps the oracle bit-exact.
+      val ev = tsNanos(pq(s, dir, "events"))
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      val wins = bounds
+        .withColumn("win_id", explode(sequence(lit(0L), lit(3L))))
+        .select(col("event_type"), col("win_id"),
+          expr("t0 + ((t1 - t0 + 1) * win_id) div 4").as("ws"),
+          expr("t0 + ((t1 - t0 + 1) * (win_id + 1)) div 4").as("we"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = tsNanos(s.readStream.schema(schema).parquet(s"$dir/events.parq*"))
+      val joined = graft.streaming.StreamingOps.streamStaticIntervalJoin(
+        src, wins, Seq("event_type"), "ts", "ws", "we")
+      val agg = joined.groupBy(col("event_type"), col("win_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value")).cast("long")).as("sv"))
+      val name = s"q97_mem_${System.nanoTime}"
+      withStreamParts(s, 4) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1404,5 +1437,12 @@ object SparkEntry {
 
     "q96_join_outer" -> sql(Seq(GR_CTE, GR2_CTE, GR2S_CTE),
       "SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, o.row_id AS row_id_b, o.istart AS istart_b, o.iend AS iend_b FROM gr g FULL JOIN gr2s o ON g.chrom = o.chrom AND g.istart < o.iend AND g.iend > o.istart"),
+
+    "q97_stream_static_join" -> (
+      "WITH ev AS (SELECT event_type, epoch_ns(ts) AS tns, value FROM events), " +
+      "b AS (SELECT event_type, min(tns) AS t0, max(tns) AS t1 FROM ev GROUP BY 1), " +
+      "w AS (SELECT b.event_type, g.i AS win_id, t0 + ((t1 - t0 + 1) * g.i) // 4 AS ws, t0 + ((t1 - t0 + 1) * (g.i + 1)) // 4 AS we FROM b, generate_series(0, 3) AS g(i)) " +
+      "SELECT w.event_type, w.win_id, count(*) AS n, CAST(sum(CAST(floor(e.value) AS BIGINT)) AS BIGINT) AS sv " +
+      "FROM ev e JOIN w ON e.event_type = w.event_type AND e.tns >= w.ws AND e.tns < w.we GROUP BY 1, 2"),
   )
 }

@@ -47,6 +47,25 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("_h")
       .drop("_h")
 
+  /** Stream-static interval join: each streaming row joins the (small)
+    * static interval table on `keys` equality plus half-open containment
+    * of its `posCol` in the static row's [startCol, endCol). The static
+    * side is BROADCAST to every executor, so the stream never shuffles
+    * before the join and no join state accrues — the scale shape for
+    * enriching an unbounded event stream against a bounded dimension of
+    * ranges (campaign windows, genomic annotation, feature flags by
+    * time). Stateless (plain inner join), so it composes with any
+    * downstream output mode; the static side's key columns are dropped
+    * (the stream's survive). */
+  def streamStaticIntervalJoin(stream: DataFrame, dim: DataFrame,
+                               keys: Seq[String], posCol: String,
+                               startCol: String, endCol: String): DataFrame = {
+    val cond = (keys.map(k => stream(k) === dim(k)) :+
+      (stream(posCol) >= dim(startCol)) :+
+      (stream(posCol) < dim(endCol))).reduce(_ && _)
+    keys.foldLeft(stream.join(broadcast(dim), cond))((d, k) => d.drop(dim(k)))
+  }
+
   case class OpenIsland(start: Long, end: Long, n: Long)
   case class MergeState(open: Option[OpenIsland], maxStartSeen: Long)
   case class Island(chromosome: String, start: Long, end: Long, n: Long)

@@ -76,6 +76,30 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streamStaticIntervalJoin enriches a stream against a broadcast range dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("a", 1L, 0L, 10L), ("a", 2L, 10L, 20L), ("b", 9L, 0L, 100L))
+      .toDF("k", "win_id", "ws", "we")
+    val in = MemoryStream[(String, Long, Double)]
+    val stream = in.toDF().toDF("k", "pos", "v")
+    val q = StreamingOps.streamStaticIntervalJoin(
+        stream, dim, Seq("k"), "pos", "ws", "we")
+      .writeStream.format("memory").queryName("ssij")
+      .outputMode("append").start()
+    in.addData(("a", 5L, 1.0), ("a", 10L, 2.0), ("a", 25L, 3.0),
+      ("b", 99L, 4.0), ("c", 5L, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssij").select("k", "pos", "win_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // half-open containment: pos 10 lands in [10,20) not [0,10); pos 25
+    // and the unknown key drop (inner join)
+    assert(got == Set(("a", 5L, 1L), ("a", 10L, 2L), ("b", 99L, 9L)))
+    // the static key column is dropped; the stream's survives once
+    assert(spark.table("ssij").columns.count(_ == "k") == 1)
+  }
+
   test("readStream on the driver's events parquet drives tileCoverage end-to-end") {
     // events as intervals over user-id space (Chromosome = event_type),
     // event-time = the real ts column: the parquet-file streaming source
