@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   *     [--pick]    A/B the derived modes instead: first-match pick and
   *                 per-row count, binned pairs+aggregation vs the
   *                 sweep's native fold modes (plain and salted)
+  *     [--demote]  demotion-cost A/B for the spillable pick: in-heap vs
+  *                 spillDepth=64 on the one-key depth-1024 worst case
   *     [--lens=20,2000,65536,262144,1048576]   mean lengths to sweep
   *
   * Results recorded in BASELINE.md ("binned vs sweep" table).
@@ -110,6 +112,37 @@ object SweepBench {
           graft.join.IntervalSweepJoin.count(ld, ld.drop(RowId), Seq(Chrom), countCol = "n"))
         println(f"""{"depthN":$n,"antiFlushSec":$tAnti%.1f,"countN":$nd,"countDepth":1024,"countSec":$tCnt%.1f}""")
       }
+      spark.stop()
+      return
+    }
+
+    if (args.contains("--demote")) {
+      // demotion-cost A/B for the spillable PICK (winner-identity
+      // overflow): the round-8 stateful-overflow worst case — one key
+      // (one core), 50k x 50k, concurrent depth ~1024 — in-heap
+      // (default spillDepth) vs ~94% of entries demoted (spillDepth=64).
+      // First is log-cheap (ascending right starts: the first match is
+      // final); Last is the log-heavy case (every arrival beats every
+      // incumbent) and leans on the per-arrival append dedup. Signatures
+      // must match between configurations — this measures, and re-proves,
+      // the degraded path.
+      import graft.join.IntervalSweepJoin
+      val nd = 50000L
+      val ld = spark.range(nd).select(lit("c0").as(Chrom), (col("id") * 4).as(Start),
+        (col("id") * 4 + 4096L).as(End), col("id").as(RowId))
+      val rd = ld.drop(RowId)
+      for (last <- Seq(false, true)) {
+        val tag = if (last) "last" else "first"
+        spark.conf.unset("spark.graft.join.sweepSpillDepth")
+        val sHeap = sig(IntervalSweepJoin.pick(ld, rd, Seq(Chrom), last = last))
+        val (tHeap, _) = time(2)(IntervalSweepJoin.pick(ld, rd, Seq(Chrom), last = last))
+        spark.conf.set("spark.graft.join.sweepSpillDepth", "64")
+        val sDem = sig(IntervalSweepJoin.pick(ld, rd, Seq(Chrom), last = last))
+        val (tDem, _) = time(2)(IntervalSweepJoin.pick(ld, rd, Seq(Chrom), last = last))
+        require(sHeap == sDem, s"demoted pick $tag diverged: $sHeap != $sDem")
+        println(f"""{"mode":"pick_$tag","n":$nd,"depth":1024,"inHeapSec":$tHeap%.1f,"demotedSec":$tDem%.1f,"overheadX":${tDem / tHeap}%.2f}""")
+      }
+      spark.conf.unset("spark.graft.join.sweepSpillDepth")
       spark.stop()
       return
     }

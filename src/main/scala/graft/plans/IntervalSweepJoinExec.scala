@@ -411,6 +411,11 @@ private[plans] final class PickSweepOverflow(
     val winner = new Array[Long](genRows) // index into cand; -1 = unmatched
     val tie: Array[UnsafeRow] =
       if (tieProj != null) new Array[UnsafeRow](genRows) else null
+    // per-arrival append dedup: one right row improving MANY slots in
+    // this generation is logged once, all improved slots point at it
+    var lastArr = -1L
+    var lastArrPos = -1L
+    var lastArrTie: UnsafeRow = _
     var maxEnd = Long.MinValue
   }
   private val gens = new scala.collection.mutable.ArrayBuffer[Gen]
@@ -436,10 +441,15 @@ private[plans] final class PickSweepOverflow(
   }
 
   /** Fold a matched right row into the slot: if (rs, re[, tie]) beats
-    * the incumbent winner identity under the First/Last ordering, append
-    * the row to the generation's candidate log (the log copies — the
-    * caller may pass a reused buffer) and repoint the resident index. */
-  def offer(h: AnyRef, i: Int, rightRow: UnsafeRow, rs: Long, re: Long): Unit = {
+    * the incumbent winner identity under the First/Last ordering, log
+    * the row in the generation's candidate log (the log copies — the
+    * caller may pass a reused buffer) and repoint the resident index.
+    * `arrivalId` is a monotone per-right-arrival counter: one arrival
+    * improving many slots of a generation (the Last-mode common case —
+    * ascending starts make every new right row beat every incumbent)
+    * appends ONCE, and the improved slots share the log position. */
+  def offer(h: AnyRef, i: Int, rightRow: UnsafeRow, rs: Long, re: Long,
+            arrivalId: Long): Unit = {
     val g = h.asInstanceOf[Gen]
     val better =
       if (g.winner(i) < 0L) true
@@ -450,12 +460,17 @@ private[plans] final class PickSweepOverflow(
       else if (last) rs > g.bestS(i) || (rs == g.bestS(i) && re > g.bestE(i))
       else rs < g.bestS(i) || (rs == g.bestS(i) && re < g.bestE(i))
     if (better) {
-      g.cand.add(rightRow)
-      g.winner(i) = g.candLen
-      g.candLen += 1L
+      if (g.lastArr != arrivalId) {
+        g.cand.add(rightRow)
+        g.lastArr = arrivalId
+        g.lastArrPos = g.candLen
+        g.candLen += 1L
+        g.lastArrTie = if (tieProj != null) tieProj(rightRow).copy() else null
+      }
+      g.winner(i) = g.lastArrPos
       g.bestS(i) = rs
       g.bestE(i) = re
-      if (tieProj != null) g.tie(i) = tieProj(rightRow).copy()
+      if (tieProj != null) g.tie(i) = g.lastArrTie
     }
   }
 
@@ -501,12 +516,17 @@ private[plans] final class PickSweepOverflow(
   }
 
   private def drainGen(g: Gen, emit: (UnsafeRow, UnsafeRow) => Unit): Unit = {
-    val want = new scala.collection.mutable.LongMap[UnsafeRow]
+    // a log position may be shared by many slots (per-arrival dedup),
+    // so the inversion maps position -> every owning left row copy
+    val want =
+      new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[UnsafeRow]]
     var j = 0
     val it = g.buf.iterator
     while (it.hasNext) {
       val lr = it.next()
-      if (g.winner(j) >= 0L) want.update(g.winner(j), lr.copy())
+      if (g.winner(j) >= 0L)
+        want.getOrElseUpdate(g.winner(j),
+          new scala.collection.mutable.ArrayBuffer[UnsafeRow](1)) += lr.copy()
       j += 1
     }
     if (want.nonEmpty) {
@@ -514,8 +534,8 @@ private[plans] final class PickSweepOverflow(
       val cit = g.cand.iterator
       while (cit.hasNext) {
         val cr = cit.next()
-        val lr = want.getOrNull(p)
-        if (lr != null) emit(lr, cr)
+        val ls = want.getOrNull(p)
+        if (ls != null) ls.foreach(lr => emit(lr, cr))
         p += 1L
       }
     }
@@ -717,9 +737,11 @@ case class IntervalSweepJoinExec(
           r match { case u: UnsafeRow => u; case o => p(o).copy() }
         // pick overflow: left rows past spillDepth spill with resident
         // winner-identity state; winner rows ride a per-generation
-        // disk-backed candidate log
+        // disk-backed candidate log. arrivalSeq identifies each distinct
+        // right row offered so one arrival logs at most once per gen.
         private val pickOverL =
           new PickSweepOverflow(genRows, pickLast, tieProj, tieOrd)
+        private var arrivalSeq = 0L
 
         advanceL()
         advanceR()
@@ -1027,17 +1049,21 @@ case class IntervalSweepJoinExec(
               val h = pickOverL.add(unsafeCopy(copied, lUnsafe), lPosE)
               activeR.foreachLive { re =>
                 joined(copied, re.row)
-                if (pred.eval(joined))
+                if (pred.eval(joined)) {
+                  arrivalSeq += 1
                   pickOverL.offer(h._1, h._2, unsafeCopy(re.row, rUnsafe),
-                    re.startPos, re.endPos)
+                    re.startPos, re.endPos, arrivalSeq)
+                }
               }
               overR.iterator.foreach { rRowOv =>
                 val p = rPosProj(rRowOv)
                 val (rs, rEndP) = (p.getLong(0), p.getLong(1))
                 if (rEndP > arrivalPos) {
                   joined(copied, rRowOv)
-                  if (pred.eval(joined))
-                    pickOverL.offer(h._1, h._2, rRowOv, rs, rEndP)
+                  if (pred.eval(joined)) {
+                    arrivalSeq += 1
+                    pickOverL.offer(h._1, h._2, rRowOv, rs, rEndP, arrivalSeq)
+                  }
                 }
               }
             } else if (pick || counting) {
@@ -1164,14 +1190,18 @@ case class IntervalSweepJoinExec(
                     if (pred.eval(joined)) arr(j) += 1L
                   }
                 }
-              // demoted pick rows: offer through the winner-identity slots
+              // demoted pick rows: offer through the winner-identity
+              // slots — ONE arrival id, so the row logs at most once
+              // per generation however many slots it improves
               if (pick && !pickOverL.isEmpty) {
                 val rU = unsafeCopy(copied, rUnsafe)
+                arrivalSeq += 1
+                val aid = arrivalSeq
                 pickOverL.foreachSlot { (lRowOv, h, j) =>
                   if (lPosProj(lRowOv).getLong(1) > arrivalPos) {
                     joined(lRowOv, copied)
                     if (pred.eval(joined))
-                      pickOverL.offer(h, j, rU, rPosS, rPosE)
+                      pickOverL.offer(h, j, rU, rPosS, rPosE, aid)
                   }
                 }
               }

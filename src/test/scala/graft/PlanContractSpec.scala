@@ -344,4 +344,24 @@ class PlanContractSpec extends AnyFunSuite {
     assert(rnd.contains("BroadcastHashJoin"), rnd.take(1500))
     assert(!rnd.contains("SortMergeJoin"), rnd.take(1500))
   }
+
+  test("stream-static interval join: broadcast dim, fact side never shuffles") {
+    // the q97 shape on batch frames (the streaming plan builds the same
+    // join): the range dim broadcasts, the fact pipeline reaches the
+    // join with ZERO exchanges — at scale the event stream flows
+    // map-side into the enrich, no pre-join shuffle, no join state
+    import spark.implicits._
+    val ev = graft.Tables.tsNanos(spark.read.parquet(s"$dir/events.parquet"))
+    // a REAL multi-valued key column (a single-literal key would be
+    // constant-folded out of the equi-join and degrade to a nested loop)
+    val dim = Seq(("purchase", 0L, 0L, 1000000L), ("view", 1L, 0L, 1000000L))
+      .toDF("event_type", "win_id", "ws", "we")
+    val j = graft.streaming.StreamingOps.streamStaticIntervalJoin(
+      ev, dim, Seq("event_type"), "ts", "ws", "we")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    // the only exchange allowed is the broadcast one (dim side)
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(1500))
+  }
 }
