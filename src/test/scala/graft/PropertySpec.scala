@@ -354,6 +354,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("demoted pick crosses generation boundaries and stays exact") {
+    import graft.join.IntervalSweepJoin
+    import spark.implicits._
+    // generations are max(1024, spillDepth) rows, so 3000 demoted
+    // entries span 3 generations; moderate depth (~64) lets early
+    // generations RETIRE mid-key (dropExpired drain, not just the flush
+    // path the one-generation stress tests reach). Duplicate right
+    // coordinates exercise tie keys across the generation seams.
+    spark.conf.set("spark.graft.join.sweepSpillDepth", "32")
+    try {
+      val n = 3000
+      val l = (0 until n).map(i => ("c", i.toLong * 4, i.toLong * 4 + 256L, i.toLong))
+        .toDF(Chrom, Start, End, RowId)
+      val r0 = (0 until n).map(i => ("c", i.toLong * 4 + 2, i.toLong * 4 + 200L, (10000 + i).toLong))
+      val r = (r0 ++ r0.map { case (c, s, e, id) => (c, s, e, id + n) })
+        .toDF(Chrom, Start, End, RowId)
+      def canon(d: DataFrame): Map[List[Any], Int] = {
+        val cols = d.columns.sorted.map(col).toIndexedSeq
+        d.select(cols: _*).collect().map(_.toSeq.toList)
+          .groupBy(identity).view.mapValues(_.size).toMap
+      }
+      for (last <- Seq(false, true)) {
+        val m = if (last) "last" else "first"
+        assert(canon(IntervalSweepJoin.pick(l, r, Seq(Chrom), last = last)) ==
+          canon(BinaryOps.joinOverlaps(l, r, Seq(Chrom), multiple = m)),
+          s"multi-generation demoted pick $m diverged")
+      }
+    } finally spark.conf.unset("spark.graft.join.sweepSpillDepth")
+  }
+
   test("randomized demotion: count/semi/anti/outer/pick equal naive plans at spillDepth=4") {
     import spark.implicits._
     import graft.join.IntervalSweepJoin
