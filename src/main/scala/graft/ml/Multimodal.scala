@@ -322,21 +322,47 @@ object Multimodal {
   }
 
   /** Resize stage: per-partition batch loop producing a reduced payload
-    * + updated meta. STUB resample: keeps every `factor`-th byte (a real
-    * impl decodes, scales pixels, re-encodes); the partition-preserving
-    * batch shape, payload rewrite, and meta update are what a real
-    * resize kernel needs. */
+    * + updated meta. Image payloads (PNG/BMP/GIF/JPEG — anything
+    * javax.imageio decodes) get a REAL resize: deterministic
+    * nearest-neighbor downsample — out(x,y) = in(x*factor, y*factor),
+    * no AWT rendering-hint variance — re-encoded as PNG by the JDK
+    * encoder. Non-image / undecodable payloads keep the labeled
+    * byte-decimation STUB (every `factor`-th byte): audio/video
+    * resampling has no JDK codec, but the partition-preserving batch
+    * shape, payload rewrite, and meta update are shared with the real
+    * path, so a codec swaps in without plan changes. */
   def resize(df: DataFrame, factor: Int, idCol: String = "media_id",
              blobCol: String = "payload"): DataFrame = {
     require(factor >= 1, "factor must be >= 1")
-    case class Resized(media_id: Long, payload: Array[Byte])
     val src = df.select(col(idCol).cast("long"), col(blobCol))
     val out = src.mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(0)
         val bytes = row.getAs[Array[Byte]](1)
+        val fmt = if (bytes == null) "unknown" else sniffFormat(bytes)
+        val img =
+          if (fmt == "unknown" || fmt == "wav") null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
         val res =
-          if (bytes == null) Array.empty[Byte]
+          if (img != null) {
+            val w = math.max(1, img.getWidth / factor)
+            val h = math.max(1, img.getHeight / factor)
+            val outImg = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                outImg.setRGB(x, y, img.getRGB(x * factor, y * factor))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(outImg, "png", bos)
+            bos.toByteArray
+          } else if (bytes == null) Array.empty[Byte]
           else {
             val n = (bytes.length + factor - 1) / factor
             val r = new Array[Byte](n)

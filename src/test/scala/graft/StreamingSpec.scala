@@ -183,6 +183,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(4L) == (("png", -1, -1, -1L, -1L)))
   }
 
+  test("resize: real nearest-neighbor image downsample, decimation only for non-images") {
+    import spark.implicits._
+    def pix(x: Int, y: Int): (Int, Int, Int) = (x * 31 % 256, y * 47 % 256, (x * 7 + y * 3) % 256)
+    val rows = Seq(
+      (1L, Multimodal.encodeBmp(6, 4, pix)),
+      (2L, "plain text payload".getBytes))
+      .toDF("media_id", "payload")
+    val resized = Multimodal.resize(rows, factor = 2)
+    // image payload: re-encoded PNG at halved dims, pixels sampled at
+    // (2x, 2y) — closed-form checksums through the real decoder
+    val info = Multimodal.decodeImageInfo(resized)
+      .filter(col("media_id") === 1).head
+    assert(info.getString(1) == "png")
+    assert((info.getInt(2), info.getInt(3)) == ((3, 2)))
+    val exp = (for { y <- 0 until 2; x <- 0 until 3 } yield {
+      val (r, g, b) = pix(2 * x, 2 * y); (r + g + b).toLong
+    }).sum
+    val expW = (for { y <- 0 until 2; x <- 0 until 3 } yield {
+      val (r, g, b) = pix(2 * x, 2 * y); (x + 1).toLong * (y + 1) * (r + g + b)
+    }).sum
+    assert((info.getLong(4), info.getLong(5)) == ((exp, expW)))
+    // non-image payload: labeled decimation stub (every 2nd byte)
+    val t = resized.filter(col("media_id") === 2).head.getAs[Array[Byte]]("payload")
+    assert(t.toSeq == "pantx ala".getBytes.toSeq)
+  }
+
   test("withMediaMeta parses real container headers via column expressions") {
     import spark.implicits._
     // hand-built GIF89a logical screen descriptor: 300x77, LE shorts
