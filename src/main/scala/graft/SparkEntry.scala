@@ -881,6 +881,34 @@ object SparkEntry {
       }
       s.table(name)
     }),
+    "q98_resize" -> ((s, dir) => {
+      // REAL image-resize oracle: q84's deterministic BMP/PNG payloads
+      // through the nearest-neighbor resize (factor 2, PNG re-encode)
+      // and decoded BACK with javax.imageio; the DuckDB side samples
+      // the same (2x, 2y) source grid analytically, so a sampling-grid
+      // or re-encode bug breaks the position-weighted checksum.
+      import org.apache.spark.sql.Encoders
+      val src = pq(s, dir, "documents").select(col("doc_id").cast("long"))
+      val imgs = src.mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val sd = (id % 1000).toInt
+          val w = (id % 13).toInt + 2
+          val h = (id % 9).toInt + 2
+          def pix(x: Int, y: Int): (Int, Int, Int) =
+            ((sd + 7 * x + 13 * y) % 256, (3 * sd + 5 * x + y) % 256,
+              (sd + x * y) % 256)
+          val bytes =
+            if (id % 2 == 0) Multimodal.encodeBmp(w, h, pix _)
+            else Multimodal.encodePng(w, h, pix _)
+          (id, bytes)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("media_id", "payload")
+      Multimodal.decodeImageInfo(Multimodal.resize(imgs, 2))
+        .withColumn("width", col("width").cast("long"))
+        .withColumn("height", col("height").cast("long"))
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1444,5 +1472,13 @@ object SparkEntry {
       "w AS (SELECT b.event_type, g.i AS win_id, t0 + ((t1 - t0 + 1) * g.i) // 4 AS ws, t0 + ((t1 - t0 + 1) * (g.i + 1)) // 4 AS we FROM b, generate_series(0, 3) AS g(i)) " +
       "SELECT w.event_type, w.win_id, count(*) AS n, CAST(sum(CAST(floor(e.value) AS BIGINT)) AS BIGINT) AS sv " +
       "FROM ev e JOIN w ON e.event_type = w.event_type AND e.tns >= w.ws AND e.tns < w.we GROUP BY 1, 2"),
+
+    // closed-form checksums of the nearest-neighbor-sampled (2x, 2y)
+    // grid — the resize halves q84's dims and re-encodes as PNG
+    "q98_resize" -> (
+      """WITH d AS (SELECT doc_id AS media_id, doc_id % 1000 AS s, (doc_id % 13 + 2) // 2 AS w2, (doc_id % 9 + 2) // 2 AS h2 FROM documents) """ +
+      """SELECT media_id, 'png' AS format, CAST(w2 AS BIGINT) AS width, CAST(h2 AS BIGINT) AS height, """ +
+      """CAST(list_sum(list_transform(range(h2), y -> list_sum(list_transform(range(w2), x -> (s+7*(2*x)+13*(2*y))%256 + (3*s+5*(2*x)+2*y)%256 + (s+4*x*y)%256)))) AS BIGINT) AS px_sum, """ +
+      """CAST(list_sum(list_transform(range(h2), y -> list_sum(list_transform(range(w2), x -> (x+1)*(y+1)*((s+7*(2*x)+13*(2*y))%256 + (3*s+5*(2*x)+2*y)%256 + (s+4*x*y)%256))))) AS BIGINT) AS px_weighted FROM d"""),
   )
 }
