@@ -909,6 +909,39 @@ object SparkEntry {
         .withColumn("width", col("width").cast("long"))
         .withColumn("height", col("height").cast("long"))
     }),
+    "q99_video_frames" -> ((s, dir) => {
+      // REAL video demux oracle: deterministic AVI containers (RIFF
+      // hdrl/movi/idx1, uncompressed DIB frames) built per doc, frames
+      // extracted by the container WALK (not fixed offsets), every 2nd
+      // frame re-wrapped as BMP and decoded back with javax.imageio;
+      // the oracle enumerates the same sampled frames analytically.
+      // frame_idx rides packed into the id (nFrames <= 6 < 8).
+      import org.apache.spark.sql.Encoders
+      val src = pq(s, dir, "documents").select(col("doc_id").cast("long"))
+      val vids = src.mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val sd = (id % 1000).toInt
+          val w = (id % 13).toInt + 2
+          val h = (id % 9).toInt + 2
+          val nf = (id % 5).toInt + 2
+          def pix(f: Int, x: Int, y: Int): (Int, Int, Int) =
+            ((sd + 7 * x + 13 * y + 11 * f) % 256,
+              (3 * sd + 5 * x + y + f) % 256, (sd + x * y + 2 * f) % 256)
+          (id, Multimodal.encodeAviDib(w, h, nf, pix _))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("media_id", "payload")
+      val frames = Multimodal.sampleVideoFrames(vids, everyN = 2)
+      val packed = frames.select(
+        (col("media_id") * 8 + col("frame_idx")).as("media_id"), col("payload"))
+      Multimodal.decodeImageInfo(packed)
+        .select(expr("media_id div 8").as("media_id"),
+          expr("media_id % 8").as("frame_idx"),
+          col("format"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("px_sum"), col("px_weighted"))
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1480,5 +1513,14 @@ object SparkEntry {
       """SELECT media_id, 'png' AS format, CAST(w2 AS BIGINT) AS width, CAST(h2 AS BIGINT) AS height, """ +
       """CAST(list_sum(list_transform(range(h2), y -> list_sum(list_transform(range(w2), x -> (s+7*(2*x)+13*(2*y))%256 + (3*s+5*(2*x)+2*y)%256 + (s+4*x*y)%256)))) AS BIGINT) AS px_sum, """ +
       """CAST(list_sum(list_transform(range(h2), y -> list_sum(list_transform(range(w2), x -> (x+1)*(y+1)*((s+7*(2*x)+13*(2*y))%256 + (3*s+5*(2*x)+2*y)%256 + (s+4*x*y)%256))))) AS BIGINT) AS px_weighted FROM d"""),
+
+    // analytic enumeration of the sampled AVI frames (every 2nd of
+    // nf = doc_id%5+2) with the per-frame pixel closed form
+    "q99_video_frames" -> (
+      """WITH d AS (SELECT doc_id AS media_id, doc_id % 1000 AS s, doc_id % 13 + 2 AS w, doc_id % 9 + 2 AS h, doc_id % 5 + 2 AS nf FROM documents), """ +
+      """fr AS (SELECT d.*, g.f AS frame_idx FROM d, generate_series(0, 5) AS g(f) WHERE g.f < d.nf AND g.f % 2 = 0) """ +
+      """SELECT media_id, frame_idx, 'bmp' AS format, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, """ +
+      """CAST(list_sum(list_transform(range(h), y -> list_sum(list_transform(range(w), x -> (s+7*x+13*y+11*frame_idx)%256 + (3*s+5*x+y+frame_idx)%256 + (s+x*y+2*frame_idx)%256)))) AS BIGINT) AS px_sum, """ +
+      """CAST(list_sum(list_transform(range(h), y -> list_sum(list_transform(range(w), x -> (x+1)*(y+1)*((s+7*x+13*y+11*frame_idx)%256 + (3*s+5*x+y+frame_idx)%256 + (s+x*y+2*frame_idx)%256))))) AS BIGINT) AS px_weighted FROM fr"""),
   )
 }

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / frame-sample stages shaped for executor-
   * side batch processing.
   *
-  * Image decode (PNG/BMP/JPEG/GIF via javax.imageio) and audio decode
-  * (WAV/PCM via javax.sound.sampled) are REAL — both ship in the JDK, so
-  * they work offline. Codecs with no JDK implementation (video
-  * containers, mp3/ogg, image resampling) remain STUBS — deterministic
-  * fakes clearly marked below — while everything Spark-side is real:
+  * Image decode (PNG/BMP/JPEG/GIF via javax.imageio), audio decode
+  * (WAV/PCM via javax.sound.sampled), nearest-neighbor image resize,
+  * and AVI video demux (RIFF chunk walk, uncompressed DIB frames) are
+  * REAL — all pure JDK, so they work offline. Codecs with no JDK
+  * implementation (mp4/compressed video, mp3/ogg, audio resampling)
+  * remain STUBS — deterministic fakes clearly marked below — while
+  * everything Spark-side is real:
   * schemas, partition balancing by payload bytes, per-partition batch
   * iteration (the same shape a Pandas-UDF/mapInPandas or JNI decoder
   * plugs into), and downstream feature columns that feed
@@ -53,6 +55,9 @@ object Multimodal {
     *   - WAV: fmt chunk — width:=sample rate (4 LE at 24), height:=
     *     channels (2 LE at 22); a container with no pixel grid reports
     *     its own natural "dimensions"
+    *   - AVI: avih main header dwWidth/dwHeight, 4-byte LE at the
+    *     canonical 64/68 (RIFF + hdrl LIST + avih headers are
+    *     fixed-size; the full chunk walk lives in sampleVideoFrames)
     *   - JPEG: format only, -1 dims (SOF frame headers sit at variable
     *     offsets behind a segment walk — use decodeImageInfo for dims)
     * Unknown/truncated payloads degrade to (-1, -1), never error. */
@@ -67,21 +72,25 @@ object Multimodal {
     val isWav = hex(substring(p, 1, 4)) === "52494646" &&
       hex(substring(p, 9, 4)) === "57415645" &&
       hex(substring(p, 13, 4)) === "666D7420"
+    val isAvi = hex(substring(p, 1, 4)) === "52494646" &&
+      hex(substring(p, 9, 4)) === "41564920"
     val width =
       when(isPng && nb >= 24, beInt(p, 17, 4))
         .when(isBmp && nb >= 26, signed32(leInt(p, 19, 4)))
         .when(isGif && nb >= 10, leInt(p, 7, 2))
         .when(isWav && nb >= 28, signed32(leInt(p, 25, 4)))
+        .when(isAvi && nb >= 68, signed32(leInt(p, 65, 4)))
         .otherwise(lit(-1L))
     val height =
       when(isPng && nb >= 24, beInt(p, 21, 4))
         .when(isBmp && nb >= 26, signed32(leInt(p, 23, 4)))
         .when(isGif && nb >= 10, leInt(p, 9, 2))
         .when(isWav && nb >= 24, leInt(p, 23, 2))
+        .when(isAvi && nb >= 72, signed32(leInt(p, 69, 4)))
         .otherwise(lit(-1L))
     df.withColumn(metaCol, struct(
       when(isPng, "png").when(isBmp, "bmp").when(isGif, "gif")
-        .when(isWav, "wav").when(isJpeg, "jpeg")
+        .when(isWav, "wav").when(isAvi, "avi").when(isJpeg, "jpeg")
         .otherwise("unknown").as("format"),
       width.cast("int").as("width"),
       height.cast("int").as("height"),
@@ -144,6 +153,9 @@ object Multimodal {
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
       bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') "wav"
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'A' &&
+      bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ') "avi"
     else "unknown"
 
   /** REAL image decode (round-3): PNG/BMP/JPEG/GIF payloads are decoded
@@ -377,10 +389,131 @@ object Multimodal {
     withMediaMeta(out, blobCol)
   }
 
-  /** Frame sampling for video-like payloads: one output row per sampled
-    * chunk of `frameBytes`, every `everyN`-th frame.
-    * STUB: frames are fixed-size byte slices (a real impl seeks by
-    * container index); the explode shape and payload slicing are real. */
+  /** Minimal AVI writer with uncompressed DIB ('00db') video frames —
+    * the standard RIFF layout (hdrl LIST with avih/strh/strf, movi LIST
+    * of frame chunks, idx1 index), 24-bit BI_RGB bottom-up rows exactly
+    * like [[encodeBmp]]'s pixel array. Deterministic payload source for
+    * the REAL container walk in [[sampleVideoFrames]]; `pix(f, x, y)`
+    * colors frame f. */
+  def encodeAviDib(width: Int, height: Int, nFrames: Int,
+                   pix: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) & ~3
+    val frameBytes = rowBytes * height
+    val strlSize = 4 + 64 + 48
+    val hdrlSize = 4 + 64 + (8 + strlSize)
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val idxSize = 16 * nFrames
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idxSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(40000).putInt(frameBytes * 25).putInt(0).putInt(0x10)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(strlSize); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB "); buf.putInt(0).putInt(0)
+      .putInt(0).putInt(1).putInt(25).putInt(0).putInt(nFrames)
+      .putInt(frameBytes).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(frameBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(moviSize); fourcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fourcc("00db"); buf.putInt(frameBytes)
+      var y = height - 1 // bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = pix(f, x, y)
+          buf.put(b.toByte).put(g.toByte).put(r.toByte)
+          x += 1
+        }
+        var p = width * 3
+        while (p < rowBytes) { buf.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    fourcc("idx1"); buf.putInt(idxSize)
+    f = 0
+    while (f < nFrames) {
+      fourcc("00db"); buf.putInt(0x10)
+        .putInt(4 + f * (8 + frameBytes)).putInt(frameBytes)
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** REAL video frame sampling for AVI payloads: walks the RIFF chunk
+    * tree (LIST recursion, word alignment, declared sizes — not fixed
+    * offsets), captures the stream format (strf BITMAPINFOHEADER), and
+    * emits every `everyN`-th '..db' frame chunk re-wrapped as a
+    * standalone BMP (14-byte file header + the captured info header +
+    * the chunk's pixel array) so each frame feeds [[decodeImageInfo]]
+    * or any downstream image stage directly. Compressed ('..dc') frames
+    * and truncated/non-AVI payloads emit nothing — same corrupt-blob
+    * tolerance as the decoders. */
+  def sampleVideoFrames(df: DataFrame, everyN: Int,
+                        idCol: String = "media_id",
+                        blobCol: String = "payload"): DataFrame = {
+    require(everyN >= 1, "everyN must be >= 1")
+    val src = df.select(col(idCol).cast("long"), col(blobCol))
+    src.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        if (sniffFormat(bytes) != "avi") Iterator.empty
+        else try {
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def cc(pos: Int): String =
+            new String(bytes, pos, 4, "US-ASCII")
+          val end = math.min(bytes.length.toLong, 8L + bb.getInt(4)).toInt
+          var strf: Array[Byte] = null
+          val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+          def walk(from: Int, to: Int): Unit = {
+            var pos = from
+            while (pos + 8 <= to) {
+              val fid = cc(pos)
+              val sz = bb.getInt(pos + 4)
+              if (sz < 0 || pos + 8 + sz > to) return
+              if (fid == "LIST" && sz >= 4) {
+                walk(pos + 12, pos + 8 + sz)
+              } else if (fid == "strf" && sz >= 40) {
+                strf = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 48)
+              } else if (fid.endsWith("db") && strf != null) {
+                frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + sz)
+              }
+              pos += 8 + sz + (sz & 1)
+            }
+          }
+          walk(12, end)
+          val hdr = strf
+          if (hdr == null) Iterator.empty
+          else (0 until frames.length by everyN).iterator.map { fi =>
+            val data = frames(fi)
+            val out = java.nio.ByteBuffer.allocate(54 + data.length)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            out.put('B'.toByte).put('M'.toByte).putInt(54 + data.length)
+              .putInt(0).putInt(54).put(hdr).put(data)
+            Frame(id, fi, out.array())
+          }
+        } catch { case _: Exception => Iterator.empty }
+      }
+    }(Encoders.product[Frame])
+      .toDF(idCol, "frame_idx", "payload")
+  }
+
+  /** Frame sampling for RAW byte-stream payloads: one output row per
+    * sampled chunk of `frameBytes`, every `everyN`-th frame. For real
+    * containers use [[sampleVideoFrames]] (AVI walk); this slicer is the
+    * labeled STUB shape for codecs with no JDK demuxer (mp4 etc.). */
   def sampleFrames(df: DataFrame, frameBytes: Int, everyN: Int,
                    idCol: String = "media_id",
                    blobCol: String = "payload"): DataFrame = {

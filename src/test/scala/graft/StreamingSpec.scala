@@ -209,6 +209,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.toSeq == "pantx ala".getBytes.toSeq)
   }
 
+  test("sampleVideoFrames walks a real AVI container and frames decode exactly") {
+    import spark.implicits._
+    def pix(f: Int, x: Int, y: Int): (Int, Int, Int) =
+      ((f * 50 + x * 10) % 256, (y * 20 + f) % 256, (f + x + y * 3) % 256)
+    val avi = Multimodal.encodeAviDib(3, 2, 5, pix)
+    val rows = Seq((1L, avi), (2L, "not a container".getBytes))
+      .toDF("media_id", "payload")
+    // header meta via column expressions: canonical avih offsets
+    val m = Multimodal.withMediaMeta(rows).filter(col("media_id") === 1)
+      .select("meta.*").head
+    assert((m.getString(0), m.getInt(1), m.getInt(2)) == (("avi", 3, 2)))
+    // real chunk walk: every 2nd of 5 frames -> 0, 2, 4; junk -> nothing
+    val frames = Multimodal.sampleVideoFrames(rows, everyN = 2)
+    assert(frames.select("media_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((1L, 0), (1L, 2), (1L, 4)))
+    // each emitted frame is a standalone BMP whose decoded pixels match
+    // the generator closed-form (bottom-up row order must round-trip)
+    val dec = Multimodal.decodeImageInfo(
+        frames.select((col("media_id") * 10 + col("frame_idx")).as("media_id"),
+          col("payload")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+    for (f <- Seq(0, 2, 4)) {
+      val exp = (for { y <- 0 until 2; x <- 0 until 3 } yield {
+        val (r, g, b) = pix(f, x, y); (r + g + b).toLong
+      }).sum
+      val expW = (for { y <- 0 until 2; x <- 0 until 3 } yield {
+        val (r, g, b) = pix(f, x, y); (x + 1).toLong * (y + 1) * (r + g + b)
+      }).sum
+      assert(dec(10L + f) == (("bmp", 3, 2, exp, expW)), s"frame $f")
+    }
+  }
+
   test("withMediaMeta parses real container headers via column expressions") {
     import spark.implicits._
     // hand-built GIF89a logical screen descriptor: 300x77, LE shorts
