@@ -942,6 +942,32 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("px_sum"), col("px_weighted"))
     }),
+    "q100_audio_resample" -> ((s, dir) => {
+      // REAL audio resample oracle: q91's closed-form PCM16 WAVs through
+      // the frame-decimating resample (factor 2 — every other frame,
+      // channels interleaved, rate halved) and decoded BACK; the oracle
+      // replays the kept-frame stream analytically, so an interleave or
+      // frame-boundary bug breaks the position-weighted checksum.
+      import org.apache.spark.sql.Encoders
+      val src = pq(s, dir, "documents").select(col("doc_id").cast("long"))
+      val wavs = src.mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val ch = (id % 2).toInt + 1
+          val nf = (id % 50).toInt + 10
+          val rate = 8000 + (id % 3).toInt * 4000
+          val samples = Array.tabulate[Short](nf * ch)(j =>
+            (((id * 7 + j * 13) % 2048) - 1024).toShort)
+          (id, Multimodal.encodeWav(rate, ch, samples))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("media_id", "payload")
+      Multimodal.decodeAudioInfo(Multimodal.resampleAudio(wavs, 2))
+        .select(col("media_id"), col("format"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"), col("amp_sum"), col("amp_weighted"))
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1522,5 +1548,17 @@ object SparkEntry {
       """SELECT media_id, frame_idx, 'bmp' AS format, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, """ +
       """CAST(list_sum(list_transform(range(h), y -> list_sum(list_transform(range(w), x -> (s+7*x+13*y+11*frame_idx)%256 + (3*s+5*x+y+frame_idx)%256 + (s+x*y+2*frame_idx)%256)))) AS BIGINT) AS px_sum, """ +
       """CAST(list_sum(list_transform(range(h), y -> list_sum(list_transform(range(w), x -> (x+1)*(y+1)*((s+7*x+13*y+11*frame_idx)%256 + (3*s+5*x+y+frame_idx)%256 + (s+x*y+2*frame_idx)%256))))) AS BIGINT) AS px_weighted FROM fr"""),
+
+    // replays the decimated stream: kept frames 0,2,4,... so new sample
+    // j2 maps to old index (j2 // ch)*2*ch + (j2 % ch); rate halves
+    "q100_audio_resample" -> (
+      "WITH p AS (SELECT doc_id AS id, (doc_id % 2) + 1 AS ch, (doc_id % 50) + 10 AS nf FROM documents), " +
+      "q AS (SELECT id, ch, (nf + 1) // 2 AS nf2 FROM p), " +
+      "s AS (SELECT id, ch, nf2, unnest(range(0, nf2 * ch)) AS j2 FROM q), " +
+      "v AS (SELECT id, ch, nf2, j2, abs(((id * 7 + ((j2 // ch) * 2 * ch + (j2 % ch)) * 13) % 2048) - 1024) AS a FROM s) " +
+      "SELECT id AS media_id, 'wav' AS format, CAST((8000 + (id % 3) * 4000) // 2 AS BIGINT) AS sample_rate, " +
+      "CAST(ch AS BIGINT) AS channels, CAST(nf2 AS BIGINT) AS n_frames, " +
+      "CAST(sum(a) AS BIGINT) AS amp_sum, CAST(sum((j2 + 1) * a) AS BIGINT) AS amp_weighted " +
+      "FROM v GROUP BY id, ch, nf2"),
   )
 }

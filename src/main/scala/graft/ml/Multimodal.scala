@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / frame-sample stages shaped for executor-
   * side batch processing.
   *
-  * Image decode (PNG/BMP/JPEG/GIF via javax.imageio), audio decode
-  * (WAV/PCM via javax.sound.sampled), nearest-neighbor image resize,
-  * and AVI video demux (RIFF chunk walk, uncompressed DIB frames) are
-  * REAL — all pure JDK, so they work offline. Codecs with no JDK
-  * implementation (mp4/compressed video, mp3/ogg, audio resampling)
-  * remain STUBS — deterministic fakes clearly marked below — while
-  * everything Spark-side is real:
+  * Image decode (PNG/BMP/JPEG/GIF via javax.imageio), audio decode and
+  * resample (WAV/PCM via javax.sound.sampled), nearest-neighbor image
+  * resize, and AVI video demux (RIFF chunk walk, uncompressed DIB
+  * frames) are REAL — all pure JDK, so they work offline. Only codecs
+  * with no JDK implementation (mp4/compressed video, mp3/ogg) remain
+  * STUBS — deterministic fakes clearly marked below — while everything
+  * Spark-side is real:
   * schemas, partition balancing by payload bytes, per-partition batch
   * iteration (the same shape a Pandas-UDF/mapInPandas or JNI decoder
   * plugs into), and downstream feature columns that feed
@@ -387,6 +387,60 @@ object Multimodal {
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .toDF(idCol, blobCol)
     withMediaMeta(out, blobCol)
+  }
+
+  /** REAL audio resample for WAV/PCM16 payloads: decode with
+    * javax.sound.sampled, keep every `factor`-th FRAME (all channels of
+    * it, preserving interleave), re-encode as PCM16LE WAV at
+    * rate/factor — the audio twin of the image resize's deterministic
+    * nearest-neighbor sampling (plain decimation, no low-pass: simple,
+    * exact, oracle-checkable; an anti-aliased kernel drops into the
+    * same frame loop). Non-WAV / non-16-bit payloads pass through
+    * UNCHANGED — this stage only claims formats it really decodes. */
+  def resampleAudio(df: DataFrame, factor: Int, idCol: String = "media_id",
+                    blobCol: String = "payload"): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val src = df.select(col(idCol).cast("long"), col(blobCol))
+    src.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val out =
+          if (sniffFormat(bytes) != "wav") bytes
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val f = ais.getFormat
+            val pcm16 = f.getSampleSizeInBits == 16 &&
+              f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val data = ais.readAllBytes()
+            ais.close()
+            if (!pcm16) bytes
+            else {
+              val ch = f.getChannels
+              val big = f.isBigEndian
+              val nFrames = data.length / (2 * ch)
+              val nOut = (nFrames + factor - 1) / factor
+              val samples = new Array[Short](nOut * ch)
+              var o = 0
+              while (o < nOut) {
+                val base = o * factor * 2 * ch
+                var c = 0
+                while (c < ch) {
+                  val lo = if (big) data(base + 2 * c + 1) else data(base + 2 * c)
+                  val hi = if (big) data(base + 2 * c) else data(base + 2 * c + 1)
+                  samples(o * ch + c) = (((hi << 8) | (lo & 0xff))).toShort
+                  c += 1
+                }
+                o += 1
+              }
+              encodeWav(math.max(1, f.getSampleRate.toInt / factor), ch, samples)
+            }
+          } catch { case _: Exception => bytes }
+        (id, out)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF(idCol, blobCol)
   }
 
   /** Minimal AVI writer with uncompressed DIB ('00db') video frames —

@@ -243,6 +243,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleAudio decimates PCM frames and halves the rate, channels intact") {
+    import spark.implicits._
+    // stereo, 7 frames: interleaved samples s_j = 100*j - 300
+    val samples = Array.tabulate[Short](14)(j => (100 * j - 300).toShort)
+    val rows = Seq((1L, Multimodal.encodeWav(8000, 2, samples)),
+      (2L, "not audio".getBytes)).toDF("media_id", "payload")
+    val res = Multimodal.resampleAudio(rows, factor = 2)
+    val got = Multimodal.decodeAudioInfo(res).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // frames 0,2,4,6 kept -> 4 frames at 4000 Hz; both channels of each
+    // kept frame survive in order: new stream j' maps to old j = 4*(j'/2)+(j'%2)
+    val kept = (0 until 8).map(j2 => samples(4 * (j2 / 2) + j2 % 2).toLong)
+    val expSum = kept.map(math.abs).sum
+    val expW = kept.zipWithIndex.map { case (v, j2) => (j2 + 1) * math.abs(v) }.sum
+    assert(got(1L) == (("wav", 4000, 2, 4L, expSum, expW)))
+    // non-audio payloads pass through untouched
+    val p2 = res.filter(col("media_id") === 2).head.getAs[Array[Byte]]("payload")
+    assert(p2.toSeq == "not audio".getBytes.toSeq)
+  }
+
   test("withMediaMeta parses real container headers via column expressions") {
     import spark.implicits._
     // hand-built GIF89a logical screen descriptor: 300x77, LE shorts
