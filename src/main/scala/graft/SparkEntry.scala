@@ -968,6 +968,30 @@ object SparkEntry {
           col("channels").cast("long").as("channels"),
           col("n_frames"), col("amp_sum"), col("amp_weighted"))
     }),
+    "q101_mp3_meta" -> ((s, dir) => {
+      // REAL MP3 frame-header walk oracle: deterministic MPEG-1 Layer
+      // III streams (valid headers, alternating padding, zeroed audio
+      // payload) parsed back by the resyncing header walk; the oracle
+      // replays the public bitrate/sample-rate tables and the
+      // 1152-samples-per-frame duration analytically.
+      import org.apache.spark.sql.Encoders
+      val src = pq(s, dir, "documents").select(col("doc_id").cast("long"))
+      val mp3s = src.mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val bi = (id % 14).toInt + 1
+          val si = (id % 3).toInt
+          val nf = (id % 30).toInt + 5
+          (id, Multimodal.encodeMp3Frames(nf, bi, si, f => f % 2))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("media_id", "payload")
+      Multimodal.mp3Info(mp3s)
+        .select(col("media_id"), col("format"),
+          col("bitrate_kbps").cast("long").as("bitrate_kbps"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_frames"), col("duration_ms"))
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1560,5 +1584,13 @@ object SparkEntry {
       "CAST(ch AS BIGINT) AS channels, CAST(nf2 AS BIGINT) AS n_frames, " +
       "CAST(sum(a) AS BIGINT) AS amp_sum, CAST(sum((j2 + 1) * a) AS BIGINT) AS amp_weighted " +
       "FROM v GROUP BY id, ch, nf2"),
+
+    // replays the ISO bitrate/sample-rate tables and the MPEG-1 L3
+    // 1152-samples-per-frame duration for the generated streams
+    "q101_mp3_meta" -> (
+      "WITH d AS (SELECT doc_id AS media_id, CAST(doc_id % 14 + 1 AS INTEGER) AS bi, CAST(doc_id % 3 + 1 AS INTEGER) AS si, doc_id % 30 + 5 AS nf FROM documents), " +
+      "e AS (SELECT media_id, nf, list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320], bi) AS br, list_extract([44100,48000,32000], si) AS sr FROM d) " +
+      "SELECT media_id, 'mp3' AS format, CAST(br AS BIGINT) AS bitrate_kbps, CAST(sr AS BIGINT) AS sample_rate, " +
+      "CAST(nf AS BIGINT) AS n_frames, CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms FROM e"),
   )
 }

@@ -443,6 +443,164 @@ object Multimodal {
       .toDF(idCol, blobCol)
   }
 
+  case class Mp3Info(media_id: Long, format: String, bitrate_kbps: Int,
+                     sample_rate: Int, n_frames: Long, duration_ms: Long)
+
+  /** MPEG-1 Layer III bitrate (kbps) and sample-rate tables, by header
+    * index — the public ISO 11172-3 values. */
+  private val Mp3Bitrate = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+    160, 192, 224, 256, 320, 0)
+  private val Mp3SampleRate = Array(44100, 48000, 32000, 0)
+
+  /** REAL MP3 container metadata via an MPEG frame-header WALK — no PCM
+    * decode (the JDK has no MP3 codec; this parses what a demuxer
+    * parses): resync to the 11-bit sync word, read version/layer/
+    * bitrate/sample-rate/padding from each 4-byte header, hop
+    * frameLen = 144*bitrate/sampleRate + padding bytes to the next
+    * frame. Emits first-frame bitrate/rate, the frame count, and the
+    * derived duration (1152 samples per MPEG-1 Layer III frame).
+    * Payloads with no parseable frame report -1s. */
+  def mp3Info(df: DataFrame, idCol: String = "media_id",
+              blobCol: String = "payload"): DataFrame = {
+    val src = df.select(col(idCol).cast("long"), col(blobCol))
+    src.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val b = row.getAs[Array[Byte]](1)
+        var pos = 0
+        var n = 0L
+        var firstBr = -1
+        var firstSr = -1
+        val len = if (b == null) 0 else b.length
+        while (pos + 4 <= len) {
+          val h0 = b(pos) & 0xff
+          val h1 = b(pos + 1) & 0xff
+          // MPEG-1 (version bits 11) Layer III (layer bits 01): header
+          // 0xFF 0b111 1101 1 => second byte 0xFA or 0xFB
+          if (h0 == 0xff && (h1 | 0x01) == 0xfb) {
+            val brIdx = (b(pos + 2) & 0xf0) >>> 4
+            val srIdx = (b(pos + 2) & 0x0c) >>> 2
+            val pad = (b(pos + 2) & 0x02) >>> 1
+            val br = Mp3Bitrate(brIdx)
+            val sr = Mp3SampleRate(srIdx)
+            if (br > 0 && sr > 0) {
+              val flen = 144 * br * 1000 / sr + pad
+              if (pos + flen <= len) {
+                if (n == 0L) { firstBr = br; firstSr = sr }
+                n += 1
+                pos += flen
+              } else pos = len // truncated tail frame: stop
+            } else pos += 1 // bad indices: resync
+          } else pos += 1 // junk: resync byte by byte
+        }
+        if (n == 0L) Mp3Info(id, "unknown", -1, -1, -1L, -1L)
+        else Mp3Info(id, "mp3", firstBr, firstSr, n,
+          n * 1152L * 1000L / firstSr)
+      }
+    }(Encoders.product[Mp3Info])
+      .toDF(idCol, "format", "bitrate_kbps", "sample_rate", "n_frames",
+        "duration_ms")
+  }
+
+  /** Deterministic MPEG-1 Layer III frame-stream generator (valid
+    * headers, zeroed audio payload — [[mp3Info]] reads only headers):
+    * frame f uses padding = padBit(f). */
+  def encodeMp3Frames(nFrames: Int, bitrateIdx: Int, srIdx: Int,
+                      padBit: Int => Int): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && srIdx >= 0 && srIdx <= 2)
+    val br = Mp3Bitrate(bitrateIdx)
+    val sr = Mp3SampleRate(srIdx)
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val pad = padBit(f) & 1
+      val flen = 144 * br * 1000 / sr + pad
+      val frame = new Array[Byte](flen)
+      frame(0) = 0xff.toByte
+      frame(1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
+      frame(2) = ((bitrateIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+      frame(3) = 0
+      out.write(frame)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  case class OggInfo(media_id: Long, format: String, serial: Long,
+                     n_pages: Long, final_granule: Long, payload_bytes: Long)
+
+  /** REAL Ogg container metadata via a page WALK (RFC 3533 layout — no
+    * codec decode): each 'OggS' capture pattern starts a 27-byte header
+    * (version, type flags, 64-bit granule position, serial, sequence,
+    * crc, segment count) followed by the segment table; the payload is
+    * the sum of segment sizes. Emits the stream serial, page count,
+    * final granule position (the duration carrier for Vorbis/Opus), and
+    * total payload bytes. CRCs are not verified. */
+  def oggInfo(df: DataFrame, idCol: String = "media_id",
+              blobCol: String = "payload"): DataFrame = {
+    val src = df.select(col(idCol).cast("long"), col(blobCol))
+    src.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val b = row.getAs[Array[Byte]](1)
+        val len = if (b == null) 0 else b.length
+        val bb = if (len > 0) java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN) else null
+        var pos = 0
+        var pages = 0L
+        var granule = -1L
+        var serial = -1L
+        var payload = 0L
+        while (pos + 27 <= len) {
+          if (b(pos) == 'O' && b(pos + 1) == 'g' && b(pos + 2) == 'g' &&
+            b(pos + 3) == 'S' && b(pos + 4) == 0) {
+            val nSeg = b(pos + 26) & 0xff
+            if (pos + 27 + nSeg <= len) {
+              var sz = 0
+              var i = 0
+              while (i < nSeg) { sz += b(pos + 27 + i) & 0xff; i += 1 }
+              if (pos + 27 + nSeg + sz <= len) {
+                granule = bb.getLong(pos + 6)
+                serial = (bb.getInt(pos + 14) & 0xffffffffL)
+                pages += 1
+                payload += sz
+                pos += 27 + nSeg + sz
+              } else pos = len // truncated page: stop
+            } else pos = len
+          } else pos += 1 // resync
+        }
+        if (pages == 0L) OggInfo(id, "unknown", -1L, -1L, -1L, -1L)
+        else OggInfo(id, "ogg", serial, pages, granule, payload)
+      }
+    }(Encoders.product[OggInfo])
+      .toDF(idCol, "format", "serial", "n_pages", "final_granule",
+        "payload_bytes")
+  }
+
+  /** Deterministic Ogg page-stream generator (RFC 3533 headers, zeroed
+    * codec payload, CRC 0 — [[oggInfo]] reads structure only). Page p
+    * carries `segs(p)` single segments of `segLen(p)` bytes and granule
+    * position `granule(p)`. */
+  def encodeOggPages(serial: Int, nPages: Int, segLen: Int => Int,
+                     granule: Int => Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    while (p < nPages) {
+      val sz = segLen(p)
+      require(sz >= 0 && sz <= 255, "single-segment generator: 0..255")
+      val hdr = java.nio.ByteBuffer.allocate(27 + 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hdr.put("OggS".getBytes("US-ASCII")).put(0.toByte)
+        .put((if (p == 0) 2 else if (p == nPages - 1) 4 else 0).toByte)
+        .putLong(granule(p)).putInt(serial).putInt(p).putInt(0)
+        .put(1.toByte).put(sz.toByte)
+      out.write(hdr.array())
+      out.write(new Array[Byte](sz))
+      p += 1
+    }
+    out.toByteArray
+  }
+
   /** Minimal AVI writer with uncompressed DIB ('00db') video frames —
     * the standard RIFF layout (hdrl LIST with avih/strh/strf, movi LIST
     * of frame chunks, idx1 index), 24-bit BI_RGB bottom-up rows exactly

@@ -264,6 +264,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(p2.toSeq == "not audio".getBytes.toSeq)
   }
 
+  test("mp3Info/oggInfo walk real frame/page structure, resync past junk") {
+    import spark.implicits._
+    // mp3: 4 MPEG-1 Layer III frames (idx 9 = 128 kbps, sr idx 0 =
+    // 44100) with alternating padding, preceded by junk bytes the
+    // parser must resync over
+    val mp3 = "garbage!".getBytes ++
+      Multimodal.encodeMp3Frames(4, 9, 0, f => f % 2)
+    val ogg = Multimodal.encodeOggPages(7, 3, p => 10 * (p + 1), p => 100L * (p + 1))
+    val rows = Seq((1L, mp3), (2L, ogg), (3L, "neither".getBytes))
+      .toDF("media_id", "payload")
+    val m = Multimodal.mp3Info(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(m(1L) == (("mp3", 128, 44100, 4L, 4L * 1152 * 1000 / 44100)))
+    assert(m(3L) == (("unknown", -1, -1, -1L, -1L)))
+    val o = Multimodal.oggInfo(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(o(2L) == (("ogg", 7L, 3L, 300L, 60L)))
+    assert(o(3L) == (("unknown", -1L, -1L, -1L, -1L)))
+  }
+
   test("withMediaMeta parses real container headers via column expressions") {
     import spark.implicits._
     // hand-built GIF89a logical screen descriptor: 300x77, LE shorts
