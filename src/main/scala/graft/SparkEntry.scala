@@ -992,6 +992,24 @@ object SparkEntry {
           col("sample_rate").cast("long").as("sample_rate"),
           col("n_frames"), col("duration_ms"))
     }),
+    "q102_ogg_meta" -> ((s, dir) => {
+      // REAL Ogg page-walk oracle: deterministic RFC 3533 page streams
+      // (per-page granule positions and segment sizes) walked back by
+      // the structural parser; the oracle recomputes page count, final
+      // granule, and total payload bytes analytically.
+      import org.apache.spark.sql.Encoders
+      val src = pq(s, dir, "documents").select(col("doc_id").cast("long"))
+      val oggs = src.mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val np = (id % 6).toInt + 2
+          (id, Multimodal.encodeOggPages((id % 100000).toInt, np,
+            p => ((id + 17 * p) % 200).toInt, p => id * 1000 + p))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("media_id", "payload")
+      Multimodal.oggInfo(oggs)
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1592,5 +1610,12 @@ object SparkEntry {
       "e AS (SELECT media_id, nf, list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320], bi) AS br, list_extract([44100,48000,32000], si) AS sr FROM d) " +
       "SELECT media_id, 'mp3' AS format, CAST(br AS BIGINT) AS bitrate_kbps, CAST(sr AS BIGINT) AS sample_rate, " +
       "CAST(nf AS BIGINT) AS n_frames, CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms FROM e"),
+
+    // recomputes the generated page stream's structure analytically
+    "q102_ogg_meta" -> (
+      "WITH d AS (SELECT doc_id AS id, doc_id % 100000 AS serial, doc_id % 6 + 2 AS np FROM documents) " +
+      "SELECT id AS media_id, 'ogg' AS format, CAST(serial AS BIGINT) AS serial, CAST(np AS BIGINT) AS n_pages, " +
+      "CAST(id * 1000 + np - 1 AS BIGINT) AS final_granule, " +
+      "CAST(list_sum(list_transform(range(np), p -> (id + 17 * p) % 200)) AS BIGINT) AS payload_bytes FROM d"),
   )
 }

@@ -137,6 +137,79 @@ object Multimodal {
       .toDF(idCol, "feature")
   }
 
+  /** REAL image feature extraction: decode with javax.imageio,
+    * partition the pixel grid into gridW x gridH cells, emit per-cell
+    * mean luminance ((r+g+b)/3, averaged over the cell) as the feature
+    * vector — the classic tiny-thumbnail embedding, deterministic and
+    * pure JDK, feeding [[Similarity]]'s cosine/LSH/IVF ANN directly —
+    * vectors are L2-normalized, matching the unit-vector contract of
+    * the dot-product kernels. Non-image payloads fall back to
+    * [[extractFeatures]]' byte histogram (same dimension, same
+    * normalization), so a mixed corpus still embeds into one space. */
+  def imageFeatures(df: DataFrame, gridW: Int = 4, gridH: Int = 4,
+                    idCol: String = "media_id",
+                    blobCol: String = "payload"): DataFrame = {
+    require(gridW >= 1 && gridH >= 1)
+    val dim = gridW * gridH
+    val src = df.select(col(idCol).cast("long"), col(blobCol))
+    src.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val fmt = if (bytes == null) "unknown" else sniffFormat(bytes)
+        val img =
+          if (fmt == "unknown" || fmt == "wav" || fmt == "avi") null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        val f = new Array[Float](dim)
+        if (img != null) {
+          val w = img.getWidth
+          val h = img.getHeight
+          val sums = new Array[Long](dim)
+          val counts = new Array[Long](dim)
+          var y = 0
+          while (y < h) {
+            val cy = math.min(gridH - 1, y * gridH / h)
+            var x = 0
+            while (x < w) {
+              val cx = math.min(gridW - 1, x * gridW / w)
+              val rgb = img.getRGB(x, y)
+              val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              val c = cy * gridW + cx
+              sums(c) += luma
+              counts(c) += 3L
+              x += 1
+            }
+            y += 1
+          }
+          var c = 0
+          while (c < dim) {
+            f(c) = if (counts(c) > 0) sums(c).toFloat / counts(c) else 0f
+            c += 1
+          }
+        } else if (bytes != null) {
+          // content fallback: the byte-histogram features, same dim
+          var i = 0
+          while (i < bytes.length) {
+            f(java.lang.Byte.toUnsignedInt(bytes(i)) % dim) += 1.0f
+            i += 1
+          }
+        }
+        // unit-normalize: the ANN kernels rank by dot product
+        var nrm = 0.0
+        var j = 0
+        while (j < dim) { nrm += f(j).toDouble * f(j); j += 1 }
+        if (nrm > 0) {
+          val inv = (1.0 / math.sqrt(nrm)).toFloat
+          j = 0
+          while (j < dim) { f(j) *= inv; j += 1 }
+        }
+        MediaFeature(id, f)
+      }
+    }(Encoders.product[MediaFeature])
+      .toDF(idCol, "feature")
+  }
+
   case class ImageInfo(media_id: Long, format: String, width: Int,
                        height: Int, px_sum: Long, px_weighted: Long)
 

@@ -264,6 +264,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(p2.toSeq == "not audio".getBytes.toSeq)
   }
 
+  test("imageFeatures: real per-cell luminance grid, feeds ANN end to end") {
+    import spark.implicits._
+    // 4x2 image, 2x1 grid: cell 0 = columns 0-1, cell 1 = columns 2-3
+    def pix(x: Int, y: Int): (Int, Int, Int) = (40 * x, 10 * y, 5)
+    val img = Multimodal.encodeBmp(4, 2, pix)
+    // near-duplicate (one pixel nudged) and a very different image
+    def pixDup(x: Int, y: Int): (Int, Int, Int) =
+      if (x == 0 && y == 0) (41, 0, 5) else pix(x, y)
+    def pixOther(x: Int, y: Int): (Int, Int, Int) = (200, 200, (x + y) % 7)
+    val rows = Seq(
+      (1L, img), (2L, Multimodal.encodeBmp(4, 2, pixDup)),
+      (3L, Multimodal.encodeBmp(4, 2, pixOther)),
+      (4L, "not an image".getBytes))
+      .toDF("media_id", "payload")
+    val feats = Multimodal.imageFeatures(rows, gridW = 2, gridH = 1)
+    val f1 = feats.filter(col("media_id") === 1).head.getSeq[Float](1)
+    // closed form: cell means of (r+g+b)/3, then L2-normalized (the
+    // ANN kernels' unit-vector contract)
+    def cellMean(xs: Seq[Int]): Double = {
+      val vals = for { y <- 0 until 2; x <- xs } yield {
+        val (r, g, b) = pix(x, y); r + g + b
+      }
+      vals.sum.toDouble / (vals.size * 3)
+    }
+    val (m0, m1) = (cellMean(Seq(0, 1)), cellMean(Seq(2, 3)))
+    val nrm = math.sqrt(m0 * m0 + m1 * m1)
+    assert(math.abs(f1(0) - m0 / nrm) < 1e-4)
+    assert(math.abs(f1(1) - m1 / nrm) < 1e-4)
+    // the pixel features drive ANN: 1's nearest neighbor is its near-dup
+    val nn = graft.ml.Similarity.bruteForceTopK(
+        feats.withColumnRenamed("media_id", "vec_id")
+          .withColumnRenamed("feature", "embedding"), k = 1)
+      .filter(col("vec_id") === 1).head
+    assert(nn.getAs[Long]("nb") == 2L)
+  }
+
   test("mp3Info/oggInfo walk real frame/page structure, resync past junk") {
     import spark.implicits._
     // mp3: 4 MPEG-1 Layer III frames (idx 9 = 128 kbps, sr idx 0 =
