@@ -1010,6 +1010,42 @@ object SparkEntry {
         .toDF("media_id", "payload")
       Multimodal.oggInfo(oggs)
     }),
+    "q103_curation_signals" -> ((s, dir) => {
+      // PII + repetition curation signals. The synthetic corpus carries
+      // no PII, so both engines append the SAME deterministic markers
+      // (email / IPv4 / card-shaped digits keyed by doc_id) before
+      // counting and scrubbing — the counts and the scrubbed length are
+      // non-trivial and exact. Repetition = the Gopher-style top-bigram
+      // multiplicity over the ORIGINAL text, via shuffle aggregation
+      // (never per-doc quadratic).
+      import graft.ml.TextOps
+      val d = pq(s, dir, "documents")
+      val idS = col("doc_id").cast("string")
+      val t2 = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), idS, lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".17"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" card 4111111111111111 ok"))
+          .otherwise(lit("")))
+      val pii = d.select(col("doc_id"), t2.as("_t2"))
+        .select(col("doc_id"),
+          TextOps.countMatches(col("_t2"), TextOps.EmailRe)
+            .cast("long").as("n_emails"),
+          TextOps.countMatches(col("_t2"), TextOps.Ipv4Re)
+            .cast("long").as("n_ipv4"),
+          TextOps.countMatches(col("_t2"), TextOps.DigitRunRe)
+            .cast("long").as("n_digit_runs"),
+          length(TextOps.piiScrub(col("_t2"))).cast("long").as("scrub_len"))
+      val rep = TextOps.topShingleStats(d, "text", "doc_id", k = 2)
+      pii.join(rep, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("top_count", "n_shingles"))
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+          col("n_digit_runs"), col("scrub_len"),
+          col("top_count"), col("n_shingles"))
+    }),
   )
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
@@ -1617,5 +1653,21 @@ object SparkEntry {
       "SELECT id AS media_id, 'ogg' AS format, CAST(serial AS BIGINT) AS serial, CAST(np AS BIGINT) AS n_pages, " +
       "CAST(id * 1000 + np - 1 AS BIGINT) AS final_granule, " +
       "CAST(list_sum(list_transform(range(np), p -> (id + 17 * p) % 200)) AS BIGINT) AS payload_bytes FROM d"),
+
+    // same PII injection, same RE2-safe patterns, same scrub order;
+    // repetition via the q23-style shingle construction
+    "q103_curation_signals" -> (
+      """WITH d AS (SELECT doc_id, text, text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END """ +
+      """|| CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.17' ELSE '' END """ +
+      """|| CASE WHEN doc_id % 7 = 0 THEN ' card 4111111111111111 ok' ELSE '' END AS t2 FROM documents), """ +
+      """p AS (SELECT doc_id, CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, """ +
+      """CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4, """ +
+      """CAST(len(regexp_extract_all(t2, '\d{13,19}')) AS BIGINT) AS n_digit_runs, """ +
+      """CAST(len(regexp_replace(regexp_replace(regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), '\d{13,19}', '<NUM>', 'g')) AS BIGINT) AS scrub_len FROM d), """ +
+      """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents), """ +
+      """sh AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS s FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-1)) AS i FROM w)), """ +
+      """c AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY 1, 2), """ +
+      """t AS (SELECT doc_id, max(c) AS top_count, sum(c) AS n_shingles FROM c GROUP BY 1) """ +
+      """SELECT p.doc_id, n_emails, n_ipv4, n_digit_runs, scrub_len, CAST(coalesce(top_count, 0) AS BIGINT) AS top_count, CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles FROM p LEFT JOIN t USING (doc_id)"""),
   )
 }

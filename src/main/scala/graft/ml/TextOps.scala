@@ -116,4 +116,42 @@ object TextOps {
     * Rolling-hash flavored alternative to full MinHash signatures. */
   def fingerprint(text: Column, k: Int = 3): Column =
     array_min(transform(wordShingles(text, k), s => md5(s)))
+
+  /** PII patterns for curation filters, restricted to syntax Java regex
+    * and RE2 (the oracle engine) interpret identically — no backrefs,
+    * no lookaround: email, dotted-quad IPv4, and 13-19-digit runs
+    * (card/account-shaped numbers). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val DigitRunRe = "\\d{13,19}"
+
+  /** Non-overlapping match count of an RE2-safe pattern — pure column
+    * expression (codegen'd regexp_extract_all). */
+  def countMatches(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Redact PII in place: email -> <EMAIL>, IPv4 -> <IP>, long digit
+    * runs -> <NUM>, applied in that order (so digits inside an already-
+    * redacted email are gone before the digit pass). */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      DigitRunRe, "<NUM>")
+
+  /** Gopher-style repetition signal: per document, the multiplicity of
+    * its most frequent k-word shingle and the total shingle count
+    * (top_count/n_shingles is the repeated-fraction filter). Two
+    * aggregations on (doc, shingle) — scales by shuffle, never per-doc
+    * quadratic; documents with fewer than k words emit no row (the
+    * caller left-joins and fills 0). */
+  def topShingleStats(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", k: Int = 2): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(wordShingles(col(textCol), k)).as("_sh"))
+    sh.groupBy(col(idCol), col("_sh")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(max(col("_c")).as("top_count"), sum(col("_c")).as("n_shingles"))
+  }
 }
