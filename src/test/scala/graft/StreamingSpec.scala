@@ -322,6 +322,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(o(3L) == (("unknown", -1L, -1L, -1L, -1L)))
   }
 
+  test("multimodal parsers survive corrupt blobs: random bytes, truncations, nulls") {
+    import spark.implicits._
+    // the 100 TB contract: one corrupt payload must degrade, not kill
+    // the stage. Seeded random junk, real payloads truncated at every
+    // byte-ish boundary class, empty and null blobs — through EVERY
+    // parser/decoder in one pass.
+    val rnd = new scala.util.Random(42)
+    val avi = Multimodal.encodeAviDib(3, 2, 2, (f, x, y) => (x, y, f))
+    val mp3 = Multimodal.encodeMp3Frames(3, 9, 0, _ => 0)
+    val ogg = Multimodal.encodeOggPages(5, 2, _ => 10, p => p)
+    val wav = Multimodal.encodeWav(8000, 1, Array[Short](1, 2, 3))
+    val bmp = Multimodal.encodeBmp(2, 2, (_, _) => (1, 2, 3))
+    val blobs: Seq[Array[Byte]] =
+      (1 to 20).map(i => Array.fill(rnd.nextInt(100))(rnd.nextInt.toByte)) ++
+      Seq(avi, mp3, ogg, wav, bmp).flatMap(b =>
+        Seq(b.take(1), b.take(7), b.take(b.length / 2), b.take(b.length - 1))) ++
+      Seq(Array.empty[Byte], null)
+    val rows = blobs.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("media_id", "payload")
+    val n = blobs.length.toLong
+    // every stage must complete; unknowns degrade to -1s / passthrough
+    assert(Multimodal.withMediaMeta(rows).count() == n)
+    assert(Multimodal.decodeImageInfo(rows).count() == n)
+    assert(Multimodal.decodeAudioInfo(rows).count() == n)
+    assert(Multimodal.mp3Info(rows).count() == n)
+    assert(Multimodal.oggInfo(rows).count() == n)
+    assert(Multimodal.resize(rows, 2).count() == n)
+    assert(Multimodal.resampleAudio(rows, 2).count() == n)
+    assert(Multimodal.imageFeatures(rows, 2, 2).count() == n)
+    // frame sampling may legitimately emit nothing — it just must not throw
+    Multimodal.sampleVideoFrames(rows, 2).count()
+  }
+
   test("withMediaMeta parses real container headers via column expressions") {
     import spark.implicits._
     // hand-built GIF89a logical screen descriptor: 300x77, LE shorts
