@@ -108,9 +108,9 @@ object Multimodal {
 
   /** Decode + feature-extract: per-partition batch loop over payloads
     * producing a fixed-dim Float feature vector.
-    * STUB decode: features are a rolling byte histogram (deterministic);
-    * a real implementation decodes pixels/samples here — the signature,
-    * batching, and output schema are what a real kernel needs. */
+    * CONTENT features: a byte histogram (deterministic, format-blind) —
+    * for decoded PIXEL features use [[imageFeatures]], which falls back
+    * to this histogram on non-image payloads. */
   def extractFeatures(df: DataFrame, idCol: String = "media_id",
                       blobCol: String = "payload", dim: Int = 16): DataFrame = {
     val src = df.select(col(idCol).cast("long"), col(blobCol))
