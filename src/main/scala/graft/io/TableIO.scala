@@ -26,6 +26,31 @@ object TableIO {
       if (d.columns.contains(c)) d.withColumn(c, col(c).cast("long")) else d)
   }
 
+  /** Persist an interval table BUCKETED on its group keys (sorted by
+    * (keys, Start) within each bucket) into the session catalog. A
+    * bucketed table's scan reports `HashPartitioning(keys)`, which
+    * satisfies every `ClusteredDistribution` whose clustering contains
+    * the keys — so downstream joins on (keys, bin) AND the custom sweep
+    * operator (clustered on keys) elide their exchanges entirely: two
+    * pre-bucketed tables interval-join with ZERO shuffle (sorts only;
+    * the sweep's (keys, Start) sort matches the bucket sort order). The
+    * 100 TB pattern: bucket the reused annotation/reads tables once at
+    * ingest, pay no repartitioning per query after that. Both sides
+    * must use the same `buckets` count; for the BINNED join (keys +
+    * derived bin column — a superset of the bucket keys) also set
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` (Spark >=3.3
+    * gates subset-key co-partitioning off by default; it is correct
+    * here because equal bucket counts already co-locate every
+    * (keys, bin) pair). The sweep operator clusters on exactly the
+    * bucket keys and needs no conf. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int = 32): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, (keys.tail :+ Start): _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+
   /** Deterministic "random" intervals from a chromSizes table
     * (Chromosome, size): n intervals of `length`, positions md5-derived
     * from the row index (reproducible across engines/runs, unlike

@@ -345,6 +345,54 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!rnd.contains("SortMergeJoin"), rnd.take(1500))
   }
 
+  test("bucketed tables: binned and sweep interval joins plan ZERO shuffles") {
+    import graft.io.TableIO
+    // the 100 TB reuse pattern: bucket the table once at ingest, then
+    // every interval join on those keys elides its exchanges — the
+    // bucketed scan reports HashPartitioning(keys), which satisfies any
+    // ClusteredDistribution containing them ((keys, bin) for the binned
+    // join, keys for the sweep operator)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bkt " +
+      "LOCATION '/tmp/graft_bkt_warehouse'")
+    TableIO.writeBucketed(Tables.gr(spark, dir), "graft_bkt.b_l", Seq(Chrom), 4)
+    TableIO.writeBucketed(Tables.gr2(spark, dir).drop(Strand),
+      "graft_bkt.b_r", Seq(Chrom), 4)
+    val bl = spark.table("graft_bkt.b_l")
+    val br = spark.table("graft_bkt.b_r")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the binned join's keys are (chrom, _bin) — a SUPERSET of the
+    // bucket keys; since Spark 3.3 subset-key co-partitioning is gated
+    // off by default, so unlock it (correct here: equal bucket counts
+    // hash-cluster every (chrom, bin) pair already)
+    val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prevCp = spark.conf.get(coPartKey)
+    spark.conf.set(coPartKey, "false")
+    try {
+      val binned = graft.join.RangeJoin.pairs(bl, br, Seq(Chrom))
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(binned).size == 0, binned.take(2000))
+      assert(binned.contains("SortMergeJoin"), binned.take(2000))
+      // the sweep clusters on EXACTLY the bucket keys — no conf needed
+      spark.conf.set(coPartKey, prevCp)
+      val sweep = graft.join.IntervalSweepJoin.pairs(bl, br, Seq(Chrom))
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(sweep).size == 0, sweep.take(2000))
+      assert(sweep.contains("IntervalSweepJoin"), sweep.take(2000))
+      // and the results still match the unbucketed plans
+      def bag(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toSeq.toList).groupBy(identity).view.mapValues(_.size).toMap
+      assert(bag(graft.join.IntervalSweepJoin.pairs(bl, br, Seq(Chrom))) ==
+        bag(graft.join.RangeJoin.pairs(Tables.gr(spark, dir),
+          Tables.gr2(spark, dir).drop(Strand), Seq(Chrom))))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set(coPartKey, prevCp)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt.b_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt.b_r")
+    }
+  }
+
   test("stream-static interval join: broadcast dim, fact side never shuffles") {
     // the q97 shape on batch frames (the streaming plan builds the same
     // join): the range dim broadcasts, the fact pipeline reaches the
