@@ -45,7 +45,15 @@ object TableIO {
     * bucket keys and needs no conf. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     buckets: Int = 32): Unit =
-    df.write.format("parquet")
+    // pre-repartition on the SAME hash the bucketer uses, so each task
+    // holds exactly one bucket and writes ONE file per bucket — then
+    // opting in to spark.sql.legacy.bucketedTableScan.outputOrdering
+    // (sound ONLY with single-file buckets, which this writer
+    // guarantees) lets the scan report the (keys, Start) order and the
+    // downstream Sorts vanish too: a sweep join of two such tables
+    // plans with zero exchanges AND zero sorts
+    df.repartition(buckets, keys.map(col): _*)
+      .write.format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, (keys.tail :+ Start): _*)
       .mode("overwrite")

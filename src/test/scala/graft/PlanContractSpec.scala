@@ -379,12 +379,29 @@ class PlanContractSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       assert("Exchange".r.findAllIn(sweep).size == 0, sweep.take(2000))
       assert(sweep.contains("IntervalSweepJoin"), sweep.take(2000))
-      // and the results still match the unbucketed plans
+      // with the scan-ordering opt-in (sound here: the writer
+      // guarantees ONE file per bucket, so per-file order IS bucket
+      // order) the sweep's Sorts vanish too: zero exchanges, zero sorts
+      val ordKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+      spark.conf.set(ordKey, "true")
+      val noSortBag = try {
+        val j = graft.join.IntervalSweepJoin.pairs(bl, br, Seq(Chrom))
+        val sweepOrd = j.queryExecution.executedPlan.toString
+        assert("Exchange".r.findAllIn(sweepOrd).size == 0, sweepOrd.take(2000))
+        assert("Sort ".r.findAllIn(sweepOrd).size == 0, sweepOrd.take(2000))
+        // the sweep's exactness DEPENDS on the claimed (keys, Start)
+        // order being real — execute the sort-free plan and compare
+        j.collect().map(_.toSeq.toList).groupBy(identity).view.mapValues(_.size).toMap
+      } finally spark.conf.unset(ordKey)
+      // and the results still match the unbucketed plans — including
+      // the sort-free plan above
       def bag(d: org.apache.spark.sql.DataFrame) =
         d.collect().map(_.toSeq.toList).groupBy(identity).view.mapValues(_.size).toMap
+      val reference = bag(graft.join.RangeJoin.pairs(Tables.gr(spark, dir),
+        Tables.gr2(spark, dir).drop(Strand), Seq(Chrom)))
       assert(bag(graft.join.IntervalSweepJoin.pairs(bl, br, Seq(Chrom))) ==
-        bag(graft.join.RangeJoin.pairs(Tables.gr(spark, dir),
-          Tables.gr2(spark, dir).drop(Strand), Seq(Chrom))))
+        reference)
+      assert(noSortBag == reference, "sort-free bucketed sweep diverged")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.conf.set(coPartKey, prevCp)
