@@ -795,6 +795,39 @@ object Multimodal {
       .toDF(idCol, "frame_idx", "payload")
   }
 
+  /** Video embedding: REAL AVI demux -> per-frame pixel features ->
+    * mean-pool across the sampled frames -> re-L2-normalize. The
+    * composition is fully distributed (frame explode, shuffle-free
+    * per-frame decode, one aggregation per video) and lands in the same
+    * unit-vector space as [[imageFeatures]], so videos, images, and
+    * byte-content payloads ANN-join against each other. Videos with no
+    * decodable frames emit nothing. */
+  def videoFeatures(df: DataFrame, everyN: Int = 1, gridW: Int = 4,
+                    gridH: Int = 4, idCol: String = "media_id",
+                    blobCol: String = "payload"): DataFrame = {
+    val dim = gridW * gridH
+    val frames = sampleVideoFrames(df, everyN, idCol, blobCol)
+    // pack frame identity so the per-frame extractor keeps one row per
+    // frame, then mean-pool per video position-wise
+    val packed = frames.select(
+      (col(idCol) * 1000000L + col("frame_idx")).as(idCol), col(blobCol))
+    val perFrame = imageFeatures(packed, gridW, gridH, idCol, blobCol)
+    val pooled = perFrame
+      .select(expr(s"$idCol div 1000000").as(idCol),
+        posexplode(col("feature")).as(Seq("_p", "_v")))
+      .groupBy(col(idCol), col("_p")).agg(avg(col("_v")).as("_m"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("_p"), col("_m")))).as("_s"))
+      .select(col(idCol), transform(col("_s"), s => s.getField("_m"))
+        .as("_mean"))
+    val nrm = sqrt(aggregate(col("_mean"), lit(0.0d),
+      (acc, x) => acc + x * x))
+    pooled.select(col(idCol),
+      transform(col("_mean"), v =>
+        when(nrm > 0d, v / nrm).otherwise(lit(0.0d)).cast("float"))
+        .as("feature"))
+  }
+
   /** Frame sampling for RAW byte-stream payloads: one output row per
     * sampled chunk of `frameBytes`, every `everyN`-th frame. For real
     * containers use [[sampleVideoFrames]] (AVI walk); this slicer is the

@@ -322,6 +322,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(o(3L) == (("unknown", -1L, -1L, -1L, -1L)))
   }
 
+  test("videoFeatures: demux -> per-frame features -> mean-pool, unit norm") {
+    import spark.implicits._
+    // video A: constant frames == a still image; video B: different
+    def pixA(f: Int, x: Int, y: Int): (Int, Int, Int) = (20 * x, 30 * y, 10)
+    def pixB(f: Int, x: Int, y: Int): (Int, Int, Int) = (200, 5 * f, x + y)
+    val rows = Seq(
+      (1L, Multimodal.encodeAviDib(4, 4, 3, pixA)),
+      (2L, Multimodal.encodeAviDib(4, 4, 3, pixB)),
+      (3L, "junk".getBytes))
+      .toDF("media_id", "payload")
+    val vf = Multimodal.videoFeatures(rows, everyN = 1, gridW = 2, gridH = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(!vf.contains(3L)) // nothing decodable -> no row
+    // constant frames: pooled vector == the single-frame image feature
+    val still = Multimodal.imageFeatures(
+        Seq((1L, Multimodal.encodeBmp(4, 4, (x, y) => pixA(0, x, y))))
+          .toDF("media_id", "payload"), 2, 2)
+      .head.getSeq[Float](1)
+    vf(1L).zip(still).foreach { case (a, b) => assert(math.abs(a - b) < 1e-4) }
+    // unit norm
+    val n2 = vf(2L).map(v => v.toDouble * v).sum
+    assert(math.abs(n2 - 1.0) < 1e-4)
+  }
+
   test("multimodal parsers survive corrupt blobs: random bytes, truncations, nulls") {
     import spark.implicits._
     // the 100 TB contract: one corrupt payload must degrade, not kill
