@@ -1010,6 +1010,27 @@ object SparkEntry {
         .toDF("media_id", "payload")
       Multimodal.oggInfo(oggs)
     }),
+    "q104_bucketed_join" -> ((s, dir) => {
+      // the bucketed ingest path under the DuckDB gate: write both
+      // sides bucketed + sorted into the catalog, read them back, and
+      // sweep-join on the co-partitioned scans (zero-exchange plan,
+      // pinned in PlanContractSpec) — the oracle recomputes the same
+      // join relationally, so a bucketing/ordering defect anywhere in
+      // the write/read/join cycle breaks the hash.
+      // per-run unique db/location (q94 pattern): a fresh session's
+      // catalog can't overwrite a leftover managed-table directory
+      val db = s"graft_q104_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      s.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
+      graft.io.TableIO.writeBucketed(gr(s, dir), s"$db.l", Seq(Chrom), 8)
+      graft.io.TableIO.writeBucketed(gr2Sparse(s, dir).drop(Strand),
+        s"$db.r", Seq(Chrom), 8)
+      val j = graft.join.IntervalSweepJoin.pairs(
+        s.table(s"$db.l"), s.table(s"$db.r"), Seq(Chrom))
+      out(j)
+        .withColumnRenamed(RowId + "_b", "row_id_b")
+        .withColumnRenamed(Start + "_b", "istart_b")
+        .withColumnRenamed(End + "_b", "iend_b")
+    }),
     "q103_curation_signals" -> ((s, dir) => {
       // PII + repetition curation signals. The synthetic corpus carries
       // no PII, so both engines append the SAME deterministic markers
@@ -1646,6 +1667,11 @@ object SparkEntry {
       "e AS (SELECT media_id, nf, list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320], bi) AS br, list_extract([44100,48000,32000], si) AS sr FROM d) " +
       "SELECT media_id, 'mp3' AS format, CAST(br AS BIGINT) AS bitrate_kbps, CAST(sr AS BIGINT) AS sample_rate, " +
       "CAST(nf AS BIGINT) AS n_frames, CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms FROM e"),
+
+    // the q96-family join shape, but computed through the bucketed
+    // write/read cycle on the Spark side
+    "q104_bucketed_join" -> sql(Seq(GR_CTE, GR2_CTE, GR2S_CTE),
+      "SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, o.row_id AS row_id_b, o.istart AS istart_b, o.iend AS iend_b FROM gr g JOIN gr2s o ON g.chrom = o.chrom AND g.istart < o.iend AND g.iend > o.istart"),
 
     // recomputes the generated page stream's structure analytically
     "q102_ogg_meta" -> (
