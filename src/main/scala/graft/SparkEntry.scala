@@ -1018,7 +1018,18 @@ object SparkEntry {
       // join relationally, so a bucketing/ordering defect anywhere in
       // the write/read/join cycle breaks the hash.
       // per-run unique db/location (q94 pattern): a fresh session's
-      // catalog can't overwrite a leftover managed-table directory
+      // catalog can't overwrite a leftover managed-table directory.
+      // Prior runs' warehouses are already consumed (runs are
+      // sequential) — sweep them first so /tmp stays bounded at one
+      // leftover instead of growing per invocation
+      for (old <- Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+             if old.getName.startsWith("graft_q104_") && old.isDirectory) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(old)
+      }
       val db = s"graft_q104_${java.util.UUID.randomUUID.toString.replace("-", "")}"
       s.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
       graft.io.TableIO.writeBucketed(gr(s, dir), s"$db.l", Seq(Chrom), 8)

@@ -143,9 +143,10 @@ object Multimodal {
     * vector — the classic tiny-thumbnail embedding, deterministic and
     * pure JDK, feeding [[Similarity]]'s cosine/LSH/IVF ANN directly —
     * vectors are L2-normalized, matching the unit-vector contract of
-    * the dot-product kernels. Non-image payloads fall back to
-    * [[extractFeatures]]' byte histogram (same dimension, same
-    * normalization), so a mixed corpus still embeds into one space. */
+    * the dot-product kernels. Non-image payloads fall back to a byte
+    * histogram of the same dimension, ALSO L2-normalized here (unlike
+    * [[extractFeatures]], whose histogram is count-normalized and not
+    * unit-length), so a mixed corpus embeds into one space. */
   def imageFeatures(df: DataFrame, gridW: Int = 4, gridH: Int = 4,
                     idCol: String = "media_id",
                     blobCol: String = "payload"): DataFrame = {
@@ -426,7 +427,7 @@ object Multimodal {
         val bytes = row.getAs[Array[Byte]](1)
         val fmt = if (bytes == null) "unknown" else sniffFormat(bytes)
         val img =
-          if (fmt == "unknown" || fmt == "wav") null
+          if (fmt == "unknown" || fmt == "wav" || fmt == "avi") null
           else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           catch { case _: Exception => null }
         val res =
@@ -761,7 +762,11 @@ object Multimodal {
             new String(bytes, pos, 4, "US-ASCII")
           val end = math.min(bytes.length.toLong, 8L + bb.getInt(4)).toInt
           var strf: Array[Byte] = null
-          val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+          var frameIdx = 0
+          // copy ONLY the sampled frames during the walk — an unsampled
+          // frame never leaves the source buffer, so peak extra heap is
+          // ~1/everyN of the movi payload, not a second full copy
+          val sampled = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
           def walk(from: Int, to: Int): Unit = {
             var pos = from
             while (pos + 8 <= to) {
@@ -773,7 +778,10 @@ object Multimodal {
               } else if (fid == "strf" && sz >= 40) {
                 strf = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 48)
               } else if (fid.endsWith("db") && strf != null) {
-                frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + sz)
+                if (frameIdx % everyN == 0)
+                  sampled += ((frameIdx,
+                    java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + sz)))
+                frameIdx += 1
               }
               pos += 8 + sz + (sz & 1)
             }
@@ -781,8 +789,7 @@ object Multimodal {
           walk(12, end)
           val hdr = strf
           if (hdr == null) Iterator.empty
-          else (0 until frames.length by everyN).iterator.map { fi =>
-            val data = frames(fi)
+          else sampled.iterator.map { case (fi, data) =>
             val out = java.nio.ByteBuffer.allocate(54 + data.length)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             out.put('B'.toByte).put('M'.toByte).putInt(54 + data.length)
