@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Cols
 import graft.ext.{Orfs, Seqs, Stats}
-import graft.ml.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ml.{Dedup, Multimodal, Ranking, Sampling, Similarity, TextOps}
 import graft.ops.{BinaryOps, Composites, Coverage, UnaryOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1042,6 +1042,46 @@ object SparkEntry {
         .withColumnRenamed(Start + "_b", "istart_b")
         .withColumnRenamed(End + "_b", "iend_b")
     }),
+    "q105_dedup_clusters" -> ((s, dir) =>
+      // near-dup PAIRS -> connected components -> cluster roll-up: the
+      // transitive-closure step real pipelines need between q24's pair
+      // list and "keep one per group". The component labels come from
+      // iterative min-label propagation with pointer jumping
+      // (Dedup.connectedComponents — O(log n) rounds, |V|+|E| per
+      // round); the oracle recomputes them as a recursive-CTE
+      // transitive closure, so any propagation defect breaks the hash.
+      Dedup.duplicateClusters(pq(s, dir, "documents"), "text", "doc_id",
+          numHashes = 4, bandSize = 1, shingleK = 3, minJaccardPct = 50)
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_id"))),
+    "q106_bm25" -> ((s, dir) =>
+      // corpus-wide BM25 top-terms: tf/dl/df hash aggregations, a 1-row
+      // broadcast for the corpus scalars, and a per-doc top-N window —
+      // ranked on the floored-integer score so the row set is exact
+      Ranking.bm25TopTerms(pq(s, dir, "documents"), "text", "doc_id", topN = 3)),
+    "q107_stratified_sample" -> ((s, dir) =>
+      // deterministic per-language downsampling to ~50 docs: stratum
+      // counts broadcast back, survival decided by an integer
+      // cross-multiplied md5 draw (no floats, no sampling RNG)
+      Sampling.stratifiedSampleByHash(pq(s, dir, "documents"), "lang",
+          "doc_id", 50L)
+        .select(col("doc_id"), col("lang"), col("source"))),
+    "q108_pack_sequences" -> ((s, dir) =>
+      // greedy token-budget packing per language: one repartition +
+      // sorted mapPartitions pass; the oracle replays the same greedy
+      // walk as a recursive CTE, so any bin/position drift breaks it
+      Sampling.packSequences(
+        pq(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "lang", "doc_id", "n_tokens", 128L)),
+    "q109_decontaminate" -> ((s, dir) => {
+      // train/eval leakage check between the two source halves: df-capped
+      // inverted-index join on 3-shingles, pairs sharing >= 2 distinct
+      val d = pq(s, dir, "documents")
+      Dedup.crossContamination(d.where(length(col("source")) === 4),
+        d.where(length(col("source")) > 4), "text", "doc_id",
+        shingleK = 3, minShared = 2, maxShingleDf = 50)
+    }),
     "q103_curation_signals" -> ((s, dir) => {
       // PII + repetition curation signals. The synthetic corpus carries
       // no PII, so both engines append the SAME deterministic markers
@@ -1690,6 +1730,66 @@ object SparkEntry {
       "SELECT id AS media_id, 'ogg' AS format, CAST(serial AS BIGINT) AS serial, CAST(np AS BIGINT) AS n_pages, " +
       "CAST(id * 1000 + np - 1 AS BIGINT) AS final_granule, " +
       "CAST(list_sum(list_transform(range(np), p -> (id + 17 * p) % 200)) AS BIGINT) AS payload_bytes FROM d"),
+
+    // float literals as e-notation so DuckDB parses DOUBLE (not
+    // DECIMAL) and the expression tree matches Spark's bit-for-bit;
+    // the rank is taken on the floored-integer score in both engines
+    "q106_bm25" -> (
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents), """ +
+      """tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), """ +
+      """dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), """ +
+      """corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl), """ +
+      """dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), """ +
+      """sc AS (SELECT t.doc_id, t.term, t.tf, f.df, CAST(floor(1e6 * ln(1.0e0 + (c.n_docs - f.df + 0.5e0) / (f.df + 0.5e0)) * (t.tf * 2.2e0) / (t.tf + 1.2e0 * (0.25e0 + 0.75e0 * d.dl / (CAST(c.sum_dl AS DOUBLE) / c.n_docs)))) AS BIGINT) AS score_x1m FROM tf t JOIN dl d USING (doc_id) JOIN dft f USING (term) CROSS JOIN corpus c) """ +
+      """SELECT doc_id, term, tf, df, score_x1m, CAST(rn AS BIGINT) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_x1m DESC, term) AS rn FROM sc) WHERE rn <= 3"""),
+
+    // the same 24-bit md5 draw, hex-decoded digit-by-digit
+    "q107_stratified_sample" -> {
+      val hv = (0 until 6).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${math.pow(16, 5 - i).toLong}")
+        .mkString(" + ")
+      "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
+      "h AS (SELECT doc_id, lang, source, md5(doc_id || 'graft') AS h FROM documents) " +
+      s"SELECT doc_id, lang, source FROM h JOIN c USING (lang) WHERE ($hv) * n < 50 * 16777216"
+    },
+
+    // replays the greedy walk one row per stratum per iteration
+    "q108_pack_sequences" -> (
+      """WITH RECURSIVE r AS (SELECT lang AS stratum, doc_id AS id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents), """ +
+      """p AS (SELECT stratum, rn, id, n_tokens, n_tokens AS acc, CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS pos FROM r WHERE rn = 1 """ +
+      """UNION ALL SELECT r.stratum, r.rn, r.id, r.n_tokens, """ +
+      """CASE WHEN p.acc + r.n_tokens > 128 THEN r.n_tokens ELSE p.acc + r.n_tokens END, """ +
+      """CASE WHEN p.acc + r.n_tokens > 128 THEN p.bin + 1 ELSE p.bin END, """ +
+      """CASE WHEN p.acc + r.n_tokens > 128 THEN 0 ELSE p.pos + 1 END """ +
+      """FROM p JOIN r ON r.stratum = p.stratum AND r.rn = p.rn + 1) """ +
+      """SELECT stratum, id, n_tokens, bin, pos FROM p"""),
+
+    // df-capped inverted-index join between the two source halves
+    "q109_decontaminate" -> (
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents), """ +
+      """sh AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)), """ +
+      """dsh AS (SELECT DISTINCT doc_id, shingle FROM sh), """ +
+      """l AS (SELECT ds.doc_id AS a, shingle FROM dsh ds JOIN documents d USING (doc_id) WHERE len(d.source) = 4), """ +
+      """r AS (SELECT ds.doc_id AS b, shingle FROM dsh ds JOIN documents d USING (doc_id) WHERE len(d.source) > 4), """ +
+      """hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM (SELECT a AS id, shingle FROM l UNION ALL SELECT b, shingle FROM r) GROUP BY 1) WHERE c > 50) """ +
+      """SELECT a, b, count(*) AS n_shared FROM (SELECT * FROM l WHERE shingle NOT IN (SELECT shingle FROM hot)) ll JOIN (SELECT * FROM r WHERE shingle NOT IN (SELECT shingle FROM hot)) rr USING (shingle) GROUP BY 1, 2 HAVING count(*) >= 2"""),
+
+    // the q24 pipeline at threshold 50, then components as a
+    // recursive-CTE transitive closure over the symmetrized pair graph
+    "q105_dedup_clusters" -> (
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents), """ +
+      """sh AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)), """ +
+      """sig AS (SELECT doc_id, min(md5('1' || shingle)) AS h1, min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3, min(md5('4' || shingle)) AS h4 FROM sh GROUP BY doc_id), """ +
+      """bd AS (SELECT doc_id, 1 AS band, h1 AS bh FROM sig UNION ALL SELECT doc_id, 2, h2 FROM sig UNION ALL SELECT doc_id, 3, h3 FROM sig UNION ALL SELECT doc_id, 4, h4 FROM sig), """ +
+      """cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bd l JOIN bd r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id), """ +
+      """dsh AS (SELECT DISTINCT doc_id, shingle FROM sh), """ +
+      """sz AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id), """ +
+      """inter AS (SELECT c.a, c.b, count(*) AS ni FROM cand c JOIN dsh s1 ON s1.doc_id = c.a JOIN dsh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle GROUP BY c.a, c.b), """ +
+      """pairs AS (SELECT c.a, c.b FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b WHERE coalesce(i.ni, 0) * 100 >= (sa.ns + sb.ns - coalesce(i.ni, 0)) * 50), """ +
+      """edges AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs), """ +
+      """reach AS (SELECT s, d FROM edges UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s), """ +
+      """lbl AS (SELECT s AS id, least(s, min(d)) AS comp FROM reach GROUP BY s) """ +
+      """SELECT comp, count(*) AS n_docs, max(id) AS max_id FROM lbl GROUP BY comp"""),
 
     // same PII injection, same RE2-safe patterns, same scrub order;
     // repetition via the q23-style shingle construction

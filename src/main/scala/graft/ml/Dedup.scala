@@ -201,4 +201,119 @@ object Dedup {
     tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), fp.as(outCol))
   }
+
+  /** Connected components over an undirected pair graph (e.g. the
+    * near-duplicate pairs): returns one row per node that appears in
+    * `pairs`, labeled with the smallest node id reachable from it —
+    * the canonical "keeper" of its duplicate cluster.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round every node takes the min of its own label, its
+    * neighbors' labels (one hash join + groupBy on the symmetrized edge
+    * table), and its label's label (one self-join — path halving). With
+    * the jumping step label distance to the component minimum at least
+    * halves per round, so convergence is O(log(longest path)) rounds,
+    * not O(diameter) — ~3 rounds for the near-clique clusters LSH
+    * produces, bounded for adversarial chains. Each round is two
+    * shuffles over data proportional to |V|+|E| (never materializes
+    * anything quadratic), the edge table is computed once and persisted,
+    * and each round's labels are localCheckpoint'ed so lineage stays
+    * constant-depth no matter how many rounds run — the standard
+    * map-reduce CC recipe (cf. Kiveris et al., "Connected Components in
+    * MapReduce and Beyond").
+    *
+    * Stops when a round changes no label (one `isEmpty` probe on an
+    * anti-style diff per round — driver-side iteration CONTROL, the
+    * labels themselves never leave the executors) or after `maxIter`
+    * rounds, whichever is first. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+                          bCol: String = "b", maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col(aCol).as("s"), col(bCol).as("d"))
+      .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
+      .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("s").as("id"))
+      .agg(min(col("d")).as("_m"))
+      .select(col("id"), least(col("id"), col("_m")).as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val viaNbr = edges.join(labels.withColumnRenamed("id", "s"), "s")
+        .groupBy(col("d").as("id")).agg(min(col("comp")).as("_nc"))
+      val half = labels.join(viaNbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_nc"), col("comp"))).as("_c0"))
+      val ptr = labels.select(col("id").as("_pid"), col("comp").as("_pc"))
+      val next = half.join(ptr, half("_c0") === ptr("_pid"), "left")
+        .select(col("id"),
+          least(col("_c0"), coalesce(col("_pc"), col("_c0"))).as("comp"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.select(col("id"), col("comp").as("_oc")), Seq("id"))
+        .where(col("comp") =!= col("_oc")).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Train/eval DECONTAMINATION: find (left, right) document pairs that
+    * share at least `minShared` distinct word `shingleK`-grams — the
+    * standard check that an evaluation set has not leaked into the
+    * training corpus. Returns (a, b, n_shared) with `a` from `left` and
+    * `b` from `right`.
+    *
+    * Scale design: an inverted-index join on the shingle, never an
+    * all-pairs compare. Shingles whose document frequency (across BOTH
+    * corpora) exceeds `maxShingleDf` are dropped before the join —
+    * stop-phrase n-grams pair everything with everything and carry no
+    * contamination signal, and capping df bounds the join's per-key
+    * fan-out at `maxShingleDf²` regardless of corpus size (the same
+    * frequency-capping every production decontamination pipeline
+    * applies). Raise the cap (or lengthen the shingle) for stricter
+    * recall. */
+  def crossContamination(left: DataFrame, right: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         shingleK: Int = 3, minShared: Int = 1,
+                         maxShingleDf: Int = 1000): DataFrame = {
+    def shingles(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out),
+        explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val ls = shingles(left, "a")
+    val rs = shingles(right, "b")
+    val hot = ls.select(col("a").as("_id"), col("sh"))
+      .union(rs.select(col("b").as("_id"), col("sh")))
+      .groupBy("sh").agg(count(lit(1)).as("_df"))
+      .where(col("_df") > maxShingleDf)
+      .select("sh")
+    ls.join(hot, Seq("sh"), "left_anti")
+      .join(rs.join(hot, Seq("sh"), "left_anti"), "sh")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Near-duplicate CLUSTERS: LSH pair generation
+    * ([[nearDuplicatePairs]]) followed by [[connectedComponents]], so
+    * transitively-linked near-dups collapse into one group even when the
+    * endpoints themselves are below the pairwise threshold. Returns
+    * (idCol, comp) for every document that has at least one near-dup;
+    * `comp` is the smallest doc id in the cluster — the conventional
+    * keeper, so `docs.join(result.where(idCol =!= comp), idCol,
+    * "left_anti")` is the deduplicated corpus. */
+  def duplicateClusters(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", numHashes: Int = 4,
+                        bandSize: Int = 1, shingleK: Int = 3,
+                        minJaccardPct: Int = 50,
+                        maxIter: Int = 30): DataFrame = {
+    val pairs = nearDuplicatePairs(docs, textCol, idCol, numHashes,
+      bandSize, shingleK, minJaccardPct).select(col("a"), col("b"))
+    connectedComponents(pairs, "a", "b", maxIter)
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -1,0 +1,52 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level relevance ranking for training-data curation: BM25
+  * term scoring over the whole corpus (Robertson/Sparck-Jones idf with
+  * the +1 smoothing, the standard k1/b length normalization).
+  *
+  * Scale design: every stage is a hash aggregation or hash join on a
+  * well-distributed key — (doc, term) for tf, doc for length, term for
+  * document frequency — so the plan is a fixed number of shuffles over
+  * data proportional to the token stream; the corpus-wide scalars
+  * (N, total length) ride a 1-row broadcast. Nothing is collected to
+  * the driver and no per-term state is broadcast (vocabulary can be
+  * arbitrarily large; the df join shuffles on term instead).
+  */
+object Ranking {
+
+  /** Top-`topN` BM25-scored terms per document with k1=1.2, b=0.75
+    * fixed as exact double literals. Emits the score as
+    * `floor(1e6 * score)` (`score_x1m`) and ranks on THAT integer
+    * (ties broken by term), so the returned row set is reproducible
+    * bit-for-bit across engines — the float only picks the rank, and
+    * only through its first six decimals. */
+  def bm25TopTerms(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", topN: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(dl, idCol)
+      .join(dft, "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("_idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("_avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("score_x1m", floor(lit(1e6) * col("_idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("_avgdl"))))
+        .cast("long"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_x1m").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topN)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score_x1m"), col("rnk").cast("long").as("rnk"))
+  }
+}

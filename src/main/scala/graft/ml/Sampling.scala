@@ -1,0 +1,80 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus shaping for training-data pipelines: deterministic stratified
+  * downsampling and token-budget sequence packing.
+  *
+  * Both are built for the 100 TB regime: the sampler's only non-map
+  * stage is a per-stratum count whose result (one row per stratum) is
+  * broadcast back, and the packer touches each stratum exactly once in
+  * a single sorted partition pass — no driver-side state, no quadratic
+  * step anywhere.
+  */
+object Sampling {
+
+  /** Keep ~`targetPerStratum` rows per stratum, chosen by a
+    * deterministic hash draw: a row survives iff the first 24 bits of
+    * `md5(id || salt)` fall under the stratum's acceptance rate
+    * `target / n`. Strata at-or-under target keep every row. The
+    * integer cross-multiplied comparison (`hv * n < target * 2^24`)
+    * makes the draw exactly reproducible — same inputs, same survivors,
+    * on any engine and any partitioning.
+    *
+    * One aggregation (stratum counts), one broadcast join, one
+    * codegen'd filter; safe for BIGINT as long as
+    * `stratum_count * 2^24` fits in a long (n up to ~5.5e11 rows). */
+  def stratifiedSampleByHash(df: DataFrame, stratumCol: String,
+                             idCol: String, targetPerStratum: Long,
+                             salt: String = "graft"): DataFrame = {
+    val cnt = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val hv = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 6),
+      16, 10).cast("long")
+    df.join(broadcast(cnt), stratumCol)
+      .where(hv * col("_n") < lit(targetPerStratum) * lit(1L << 24))
+      .drop("_n")
+  }
+
+  /** Greedy first-fit sequence packing: within each stratum, walk the
+    * rows in `idCol` order and append each to the current bin unless
+    * that would push the bin over `budget` tokens, in which case a new
+    * bin opens (a single row larger than the budget gets a bin of its
+    * own — rows are never split). Returns one row per input row with
+    * its (stratum-relative) `bin` and position `pos` inside the bin.
+    *
+    * The walk is inherently sequential PER STRATUM, so the scalable
+    * shape is: hash-repartition on the stratum, sort within partitions,
+    * and run the greedy fold as one `mapPartitions` pass — each
+    * stratum's rows are contiguous in exactly one partition, state is
+    * three longs, and strata pack in parallel across the cluster. A
+    * giant single stratum serializes by construction (the task is
+    * order-defined); split such corpora into sub-strata upstream
+    * (e.g. `stratum || id mod k`) if packing breadth matters more than
+    * a globally minimal bin count. */
+  def packSequences(df: DataFrame, stratumCol: String, idCol: String,
+                    tokensCol: String, budget: Long): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(stratumCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .repartition(col("stratum"))
+      .sortWithinPartitions(col("stratum"), col("id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var cur: String = null
+        var acc = 0L
+        var bin = -1L
+        var pos = 0L
+        it.map { case (st, id, nt) =>
+          if (st != cur) { cur = st; bin = -1L }
+          if (bin < 0L || acc + nt > budget) { bin += 1; acc = 0L; pos = 0L }
+          else pos += 1
+          acc += nt
+          (st, id, nt, bin, pos)
+        }
+      }
+      .toDF("stratum", "id", "n_tokens", "bin", "pos")
+  }
+}

@@ -684,6 +684,117 @@ class OpsSpec extends AnyFunSuite {
     assert(composed == fused && composed.nonEmpty)
   }
 
+  test("connectedComponents labels every node with its component minimum") {
+    import spark.implicits._
+    // two multi-edge components, one isolated pair, a self-loop, a null
+    val pairs = Seq((5L, 3L), (3L, 7L), (9L, 7L), (20L, 21L), (40L, 40L),
+                    (50L, 60L), (60L, 55L), (55L, 50L))
+      .toDF("a", "b")
+      .union(Seq((null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(99L)))
+        .toDF("a", "b"))
+    val got = graft.ml.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L, 50L -> 50L, 55L -> 50L, 60L -> 50L))
+  }
+
+  test("connectedComponents equals local union-find on random graphs and long chains") {
+    import spark.implicits._
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    // a 64-node path graph forces many propagation rounds without
+    // pointer jumping — the log-round bound is what keeps maxIter safe
+    val chain = (0L until 63L).map(i => (i + 1, i))
+    val rng = new scala.util.Random(42)
+    val random = Seq.fill(300)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    for (edges <- Seq(chain, random)) {
+      val got = graft.ml.Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == unionFind(edges), s"mismatch on ${edges.take(5)}...")
+    }
+  }
+
+  test("bm25TopTerms ranks rare terms above stop-words and respects topN") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the the the zebra the the"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val got = graft.ml.Ranking.bm25TopTerms(df, "text", "doc_id", topN = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(5)))
+    assert(got.count(_._1 == 1L) == 2)
+    // zebra appears in one doc only -> highest idf -> rank 1 for doc 1
+    assert(got.contains((1L, "zebra", 1L)))
+    // 'the' appears in every doc -> idf ln(1 + 0.5/3.5) is the smallest;
+    // it must not outrank doc 2/3's distinctive words
+    assert(got.filter(t => t._1 == 2L && t._3 == 1L).head._2 != "the")
+  }
+
+  test("stratifiedSampleByHash keeps small strata whole and is deterministic") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i <= 10) "small" else "big"))
+      .toDF("doc_id", "lang")
+    val got = graft.ml.Sampling
+      .stratifiedSampleByHash(df, "lang", "doc_id", 50L)
+      .collect().map(r => (r.getLong(1), r.getString(0)))
+    assert(got.count(_._2 == "small") == 10)     // under target: all kept
+    val big = got.count(_._2 == "big")
+    assert(big > 20 && big < 90, s"big stratum kept $big of 390 for target 50")
+    val again = graft.ml.Sampling
+      .stratifiedSampleByHash(df.repartition(7), "lang", "doc_id", 50L)
+      .collect().map(r => (r.getLong(1), r.getString(0)))
+    assert(got.toSet == again.toSet)             // partitioning-independent
+  }
+
+  test("packSequences greedy first-fit: budget breaks, oversized rows, stratum resets") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 60L), ("a", 2L, 50L), ("a", 3L, 20L),  // 60+50 fit, 20 spills
+      ("a", 4L, 200L),                                  // oversized: own bin
+      ("a", 5L, 10L),
+      ("b", 6L, 30L)).toDF("lang", "doc_id", "nt")
+    val got = graft.ml.Sampling
+      .packSequences(df, "lang", "doc_id", "nt", 128L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(("a", 1L)) == (0L, 0L) && got(("a", 2L)) == (0L, 1L))
+    assert(got(("a", 3L)) == (1L, 0L))
+    assert(got(("a", 4L)) == (2L, 0L))
+    assert(got(("a", 5L)) == (3L, 0L))
+    assert(got(("b", 6L)) == (0L, 0L))               // new stratum restarts
+  }
+
+  test("crossContamination finds planted leaks and drops df-capped shingles") {
+    import spark.implicits._
+    val leak = "alpha beta gamma delta epsilon"
+    val stop = "common one two"
+    val train = Seq((1L, s"$leak and more words here"), (2L, s"unrelated text entirely $stop"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq((10L, s"prefix $leak suffix"), (11L, s"nothing shared at all $stop"))
+      .toDF("doc_id", "text")
+    val got = graft.ml.Dedup
+      .crossContamination(train, eval_, "text", "doc_id", 3, 2, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 'alpha beta gamma', 'beta gamma delta', 'gamma delta epsilon' = 3 shared
+    assert(got == Set((1L, 10L, 3L), (2L, 11L, 1L)).filter(_._3 >= 2))
+    // with the df cap at 1 every shingle of the planted leak (df=2) drops
+    val capped = graft.ml.Dedup
+      .crossContamination(train, eval_, "text", "doc_id", 3, 1, 1)
+      .collect()
+    assert(capped.isEmpty)
+  }
+
   test("bruteForceTopK returns k ranked neighbors; lshTopK subset agrees on buckets") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
