@@ -228,38 +228,84 @@ object Dedup {
     * rounds, whichever is first. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
                           bCol: String = "b", maxIter: Int = 30): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val edges = pairs
-      .select(col(aCol).as("s"), col(bCol).as("d"))
-      .union(pairs.select(col(bCol).as("s"), col(aCol).as("d")))
-      .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy(col("s").as("id"))
-      .agg(min(col("d")).as("_m"))
-      .select(col("id"), least(col("id"), col("_m")).as("comp"))
-      .localCheckpoint()
-    var iter = 0
-    var converged = edges.isEmpty
-    while (!converged && iter < maxIter) {
-      val viaNbr = edges.join(labels.withColumnRenamed("id", "s"), "s")
-        .groupBy(col("d").as("id")).agg(min(col("comp")).as("_nc"))
-      val half = labels.join(viaNbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("_nc"), col("comp"))).as("_c0"))
-      val ptr = labels.select(col("id").as("_pid"), col("comp").as("_pc"))
-      val next = half.join(ptr, half("_c0") === ptr("_pid"), "left")
-        .select(col("id"),
-          least(col("_c0"), coalesce(col("_pc"), col("_c0"))).as("comp"))
-        .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.select(col("id"), col("comp").as("_oc")), Seq("id"))
-        .where(col("comp") =!= col("_oc")).isEmpty
-      labels = next
-      iter += 1
+    val sess = pairs.sparkSession
+    // pin the pair list before symmetrizing: the union references
+    // `pairs` twice, and for a derived input (e.g. the LSH pipeline)
+    // inlining the plan twice doubles the most expensive stage of the
+    // whole operator. p0 is only held until `edges` materializes.
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var tMark = System.nanoTime()
+    def mark(what: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[cc] $what: ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
     }
-    edges.unpersist()
-    labels
+    // localCheckpoint, NOT persist: a persisted plan pins its exchange
+    // layout (AQE may not re-coalesce cached plans), which ran the whole
+    // upstream pair pipeline at full shuffle width — measured 8-9 s vs
+    // 2-3 s for the same plan under AQE at sf0.1. The checkpoint
+    // materializes eagerly through normal AQE execution, truncates the
+    // lineage, and the self-union below reads the materialized RDD twice
+    // instead of inlining the expensive input plan twice.
+    val p0 = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+      .localCheckpoint()
+    val nPairs = p0.count()
+    mark(s"pairs ($nPairs)")
+    if (nPairs == 0) {
+      return p0.select(col("s").as("id"), col("s").as("comp"))
+    }
+    // The loop body runs eagerly (localCheckpoint + the convergence
+    // probe are actions), so scope the shuffle width to the graph for
+    // its whole duration — INCLUDING the edge build, so the cached edge
+    // partitioning matches the loop's and rounds don't re-exchange it:
+    // ~1M symmetrized edges per partition, floor 1. A dedup pair graph
+    // is orders of magnitude smaller than its corpus, and 32-partition
+    // shuffles over a few thousand labels make each round pure
+    // scheduling tax. At cluster scale nPairs drives the width back up.
+    // Same session-global conf caveat as SparkEntry.withStreamParts:
+    // safe under sequential harnesses.
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L, math.min(prevParts.toLong,
+      (2 * nPairs + (1L << 20) - 1) / (1L << 20))).toString
+    sess.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      val edges = p0
+        .union(p0.select(col("d").as("s"), col("s").as("d")))
+        .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+        .distinct()
+        .localCheckpoint()
+      mark("edges")
+      var labels = edges.groupBy(col("s").as("id"))
+        .agg(min(col("d")).as("_m"))
+        .select(col("id"), least(col("id"), col("_m")).as("comp"))
+        .localCheckpoint()
+      mark("init labels")
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val viaNbr = edges.join(labels.withColumnRenamed("id", "s"), "s")
+          .groupBy(col("d").as("id")).agg(min(col("comp")).as("_nc"))
+        // carry the previous label (_oc) through, so convergence is a
+        // limit-1 scan of the freshly checkpointed rows instead of a
+        // join-shuffle job per round
+        val half = labels.join(viaNbr, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("_nc"), col("comp"))).as("_c0"),
+            col("comp").as("_oc"))
+        val ptr = labels.select(col("id").as("_pid"), col("comp").as("_pc"))
+        val next = half
+          .join(ptr, half("_c0") === ptr("_pid"), "left")
+          .select(col("id"),
+            least(col("_c0"), coalesce(col("_pc"), col("_c0"))).as("comp"),
+            col("_oc"))
+          .localCheckpoint()
+        converged = next.where(col("comp") =!= col("_oc")).isEmpty
+        labels = next.select(col("id"), col("comp"))
+        iter += 1
+        mark(s"iter $iter (converged=$converged)")
+      }
+      labels
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Train/eval DECONTAMINATION: find (left, right) document pairs that
@@ -281,19 +327,25 @@ object Dedup {
                          textCol: String = "text", idCol: String = "doc_id",
                          shingleK: Int = 3, minShared: Int = 1,
                          maxShingleDf: Int = 1000): DataFrame = {
-    def shingles(df: DataFrame, out: String) = df
-      .select(col(idCol).as(out),
+    // ONE tokenize+shingle+distinct pass over both corpora, then
+    // localCheckpoint: the df filter and both join inputs read it, and
+    // re-deriving the explode+distinct per reference was the dominant
+    // cost (measured 7-12 s -> ~2 s at sf0.1). The checkpoint (rather
+    // than a persist) keeps AQE free to coalesce the pipeline and
+    // truncates the lineage; the materialized set is (side, id,
+    // shingle) — proportional to the token stream.
+    def side(df: DataFrame, isLeft: Boolean) = df
+      .select(lit(isLeft).as("_l"), col(idCol).as("_id"),
         explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
+    val sdf = side(left, isLeft = true).union(side(right, isLeft = false))
       .distinct()
-    val ls = shingles(left, "a")
-    val rs = shingles(right, "b")
-    val hot = ls.select(col("a").as("_id"), col("sh"))
-      .union(rs.select(col("b").as("_id"), col("sh")))
-      .groupBy("sh").agg(count(lit(1)).as("_df"))
-      .where(col("_df") > maxShingleDf)
+      .localCheckpoint()
+    val cold = sdf.groupBy("sh").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxShingleDf)
       .select("sh")
-    ls.join(hot, Seq("sh"), "left_anti")
-      .join(rs.join(hot, Seq("sh"), "left_anti"), "sh")
+    val pruned = sdf.join(cold, Seq("sh"))
+    pruned.where(col("_l")).select(col("_id").as("a"), col("sh"))
+      .join(pruned.where(!col("_l")).select(col("_id").as("b"), col("sh")), "sh")
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
