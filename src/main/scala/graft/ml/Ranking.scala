@@ -30,17 +30,26 @@ object Ranking {
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
-    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    // the two corpus scalars are computed EAGERLY (one scan+aggregate
+    // job at plan-build, the same pattern as the Sizing samples) and
+    // inlined as literals: joining a broadcast 1-row aggregate instead
+    // plans as BroadcastNestedLoopJoin — Catalyst folds any constant
+    // equi-key back to a cross join — and the suite-wide plan contract
+    // (no |L|x|R| operators anywhere) rightly rejects that shape.
+    // n_docs equals dl's row count because even an empty text yields
+    // one (empty-string) token, so every document has >= 1 tf row.
+    val scal = docs.agg(count(lit(1)).as("n"),
+      sum(size(TextOps.tokens(col(textCol)))).cast("long").as("s")).head
+    val nDocs = scal.getLong(0)
+    val avgdl = scal.getLong(1).toDouble / nDocs
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(dl, idCol)
       .join(dft, "term")
-      .crossJoin(broadcast(corpus))
       .withColumn("_idf", log(lit(1.0) +
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("_avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("score_x1m", floor(lit(1e6) * col("_idf") * (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("_avgdl"))))
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
         .cast("long"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_x1m").desc, col("term"))
