@@ -1066,6 +1066,13 @@ object SparkEntry {
       Sampling.stratifiedSampleByHash(pq(s, dir, "documents"), "lang",
           "doc_id", 50L)
         .select(col("doc_id"), col("lang"), col("source"))),
+    "q110_temperature_sample" -> ((s, dir) =>
+      // alpha=0.5 temperature-flattened multilingual mix of ~150 docs:
+      // integer-sqrt weights + BigInt thresholds, so the row-level
+      // draw is float-free and engine-exact
+      Sampling.temperatureSampleSqrt(pq(s, dir, "documents"), "lang",
+          "doc_id", 150L)
+        .select(col("doc_id"), col("lang"), col("source"))),
     "q108_pack_sequences" -> ((s, dir) =>
       // greedy token-budget packing per language: one repartition +
       // sorted mapPartitions pass; the oracle replays the same greedy
@@ -1751,6 +1758,20 @@ object SparkEntry {
       "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
       "h AS (SELECT doc_id, lang, source, md5(doc_id || 'graft') AS h FROM documents) " +
       s"SELECT doc_id, lang, source FROM h JOIN c USING (lang) WHERE ($hv) * n < 50 * 16777216"
+    },
+
+    // same integer-exact threshold derivation: floor(sqrt) is IEEE
+    // correctly-rounded on both engines, the division is HUGEINT floor
+    "q110_temperature_sample" -> {
+      val hv = (0 until 6).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${math.pow(16, 5 - i).toLong}")
+        .mkString(" + ")
+      "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
+      "w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c), " +
+      "z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM w), " +
+      "t AS (SELECT lang, CAST(least(CAST(16777216 AS HUGEINT), (CAST(150 AS HUGEINT) * w * 16777216) // (CAST(z AS HUGEINT) * n)) AS BIGINT) AS thr FROM w, z), " +
+      "h AS (SELECT doc_id, lang, source, md5(doc_id || 'graft') AS h FROM documents) " +
+      s"SELECT doc_id, lang, source FROM h JOIN t USING (lang) WHERE ($hv) < thr"
     },
 
     // replays the greedy walk one row per stratum per iteration

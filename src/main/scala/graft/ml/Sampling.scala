@@ -36,6 +36,49 @@ object Sampling {
       .drop("_n")
   }
 
+  /** Temperature-flattened stratified sampling at temperature
+    * alpha = 1/2 — the multilingual mixing rule (sample stratum s in
+    * proportion to n_s^alpha, so low-resource strata are up-weighted
+    * relative to their raw share): stratum s receives a target of
+    * `totalTarget * w_s / Z` rows where `w_s = floor(sqrt(n_s))` and
+    * `Z = sum(w)`, capped at keeping every row.
+    *
+    * Exactness: IEEE-754 `sqrt` is correctly rounded (unlike pow/ln),
+    * so `floor(sqrt(n))` is the same integer on every engine; the
+    * per-stratum acceptance threshold is then derived in exact BigInt
+    * arithmetic on the driver (`min(2^24, totalTarget * w * 2^24 /
+    * (Z * n))`) and a row survives iff its 24-bit md5 draw falls under
+    * its stratum's threshold — fully deterministic, no float anywhere
+    * in the row-level decision.
+    *
+    * The stratum census is collected to the driver (strata are
+    * languages/domains/sources — thousands at most, by construction);
+    * the thresholds go back as a broadcast join. One aggregation, one
+    * broadcast join, one codegen'd filter. */
+  def temperatureSampleSqrt(df: DataFrame, stratumCol: String,
+                            idCol: String, totalTarget: Long,
+                            salt: String = "graft"): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    val counts = df.groupBy(col(stratumCol).cast("string").as("_s"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val weights = counts.map { case (s, n) =>
+      (s, n, math.sqrt(n.toDouble).toLong)
+    }
+    val z = weights.map(_._3).sum
+    val thr = weights.map { case (s, n, w) =>
+      val t = BigInt(totalTarget) * w * (1L << 24) / (BigInt(z) * n)
+      (s, t.min(BigInt(1L << 24)).toLong)
+    }.toSeq
+    val thrDf = thr.toDF("_s", "_thr")
+    val hv = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 6),
+      16, 10).cast("long")
+    df.join(broadcast(thrDf), col(stratumCol).cast("string") === col("_s"))
+      .where(hv < col("_thr"))
+      .drop("_s", "_thr")
+  }
+
   /** Greedy first-fit sequence packing: within each stratum, walk the
     * rows in `idCol` order and append each to the current bin unless
     * that would push the bin over `budget` tokens, in which case a new

@@ -757,6 +757,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSet == again.toSet)             // partitioning-independent
   }
 
+  test("temperatureSampleSqrt flattens toward sqrt weights and keeps tiny strata whole") {
+    import spark.implicits._
+    // 900 big + 9 small: raw shares 100:1, sqrt weights 30:3 = 10:1
+    val df = ((1L to 900L).map((_, "big")) ++ (901L to 909L).map((_, "small")))
+      .toDF("doc_id", "lang")
+    val got = graft.ml.Sampling
+      .temperatureSampleSqrt(df, "lang", "doc_id", 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // small's target = 100*3/33 = 9.09 > 9 rows -> threshold caps, all kept
+    assert(got.count(_._2 == "small") == 9)
+    val big = got.count(_._2 == "big")
+    // big's target = 100*30/33 = 90.9 of 900 -> binomial around 91
+    assert(big > 55 && big < 130, s"big stratum kept $big of 900 for target ~91")
+    // deterministic across partitioning
+    val again = graft.ml.Sampling
+      .temperatureSampleSqrt(df.repartition(5), "lang", "doc_id", 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet == again.toSet)
+  }
+
   test("packSequences greedy first-fit: budget breaks, oversized rows, stratum resets") {
     import spark.implicits._
     val df = Seq(
