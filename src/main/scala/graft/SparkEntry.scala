@@ -1127,6 +1127,14 @@ object SparkEntry {
     }),
   )
 
+  /** DuckDB twin of `ml.Sampling.hash24` (expects a CTE column `h` =
+    * `md5(id || salt)`): the first 6 hex digits decoded digit-by-digit.
+    * Keep in lockstep with the Spark-side definition — the draw is the
+    * samplers' cross-engine exactness contract. */
+  private val hash24OracleSql: String = (0 until 6).map(i =>
+    s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${math.pow(16, 5 - i).toLong}")
+    .mkString(" + ")
+
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
     * per-bit (60 sums), fingerprint reassembled from the vote signs. */
   private def simhashOracleSql: String = {
@@ -1751,21 +1759,15 @@ object SparkEntry {
       """SELECT doc_id, term, tf, df, score_x1m, CAST(rn AS BIGINT) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_x1m DESC, term) AS rn FROM sc) WHERE rn <= 3"""),
 
     // the same 24-bit md5 draw, hex-decoded digit-by-digit
-    "q107_stratified_sample" -> {
-      val hv = (0 until 6).map(i =>
-        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${math.pow(16, 5 - i).toLong}")
-        .mkString(" + ")
+    "q107_stratified_sample" -> (
       "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
       "h AS (SELECT doc_id, lang, source, md5(doc_id || 'graft') AS h FROM documents) " +
-      s"SELECT doc_id, lang, source FROM h JOIN c USING (lang) WHERE ($hv) * n < 50 * 16777216"
-    },
+      s"SELECT doc_id, lang, source FROM h JOIN c USING (lang) WHERE ($hash24OracleSql) * n < 50 * 16777216"),
 
     // same integer-exact threshold derivation: floor(sqrt) is IEEE
     // correctly-rounded on both engines, the division is HUGEINT floor
     "q110_temperature_sample" -> {
-      val hv = (0 until 6).map(i =>
-        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${math.pow(16, 5 - i).toLong}")
-        .mkString(" + ")
+      val hv = hash24OracleSql
       "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
       "w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c), " +
       "z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM w), " +

@@ -203,9 +203,11 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair graph (e.g. the
-    * near-duplicate pairs): returns one row per node that appears in
-    * `pairs`, labeled with the smallest node id reachable from it —
-    * the canonical "keeper" of its duplicate cluster.
+    * near-duplicate pairs): returns one row per node that has at least
+    * one REAL edge — pairs that are self-loops or have a null endpoint
+    * are discarded first, so a node appearing only in such pairs gets
+    * no row. Each node is labeled with the smallest node id reachable
+    * from it — the canonical "keeper" of its duplicate cluster.
     *
     * Algorithm: iterative min-label propagation with pointer jumping.
     * Each round every node takes the min of its own label, its
@@ -222,17 +224,20 @@ object Dedup {
     * map-reduce CC recipe (cf. Kiveris et al., "Connected Components in
     * MapReduce and Beyond").
     *
-    * Stops when a round changes no label (one `isEmpty` probe on an
-    * anti-style diff per round — driver-side iteration CONTROL, the
-    * labels themselves never leave the executors) or after `maxIter`
-    * rounds, whichever is first. */
+    * Stops when a round changes no label (the previous label rides
+    * along in the checkpointed rows, so the probe is a limit-1 scan —
+    * driver-side iteration CONTROL, the labels themselves never leave
+    * the executors) or after `maxIter` rounds, whichever is first. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
                           bCol: String = "b", maxIter: Int = 30): DataFrame = {
     val sess = pairs.sparkSession
     // pin the pair list before symmetrizing: the union references
     // `pairs` twice, and for a derived input (e.g. the LSH pipeline)
     // inlining the plan twice doubles the most expensive stage of the
-    // whole operator. p0 is only held until `edges` materializes.
+    // whole operator. Checkpoint blocks (p0, edges, the per-round label
+    // snapshots) are released by the ContextCleaner when their RDD
+    // references are GC'd, not eagerly — bounded by the graph size
+    // times the round count, tiny relative to the corpus.
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     var tMark = System.nanoTime()
     def mark(what: String): Unit = if (dbg) {

@@ -21,9 +21,15 @@ object Ranking {
   /** Top-`topN` BM25-scored terms per document with k1=1.2, b=0.75
     * fixed as exact double literals. Emits the score as
     * `floor(1e6 * score)` (`score_x1m`) and ranks on THAT integer
-    * (ties broken by term), so the returned row set is reproducible
-    * bit-for-bit across engines — the float only picks the rank, and
-    * only through its first six decimals. */
+    * (ties broken by term), so the float only influences the result
+    * through its first six decimals. Residual cross-engine risk: the
+    * idf's natural log is NOT IEEE-correctly-rounded (JVM `Math.log`
+    * vs libm may differ in the last ulp), so a score landing within
+    * ~1 ulp of an integer multiple of 1e-6 could floor differently
+    * across engines — P ~ 1e-10 per row; every other term of the
+    * expression is reproducible exactly (integer inputs, literal
+    * constants, one division order). The sqrt-based samplers avoid
+    * even this residual because sqrt IS correctly rounded. */
   def bm25TopTerms(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", topN: Int = 5): DataFrame = {
     val tf = docs

@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The shared 24-bit acceptance draw: the first 6 hex digits of
+    * `md5(id || salt)` as a long in [0, 2^24). Both samplers and BOTH
+    * DuckDB oracle builders (SparkEntry `hash24OracleSql`) must stay in
+    * lockstep with this definition — it IS the cross-engine exactness
+    * contract. */
+  def hash24(id: org.apache.spark.sql.Column, salt: String): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 6), 16, 10)
+      .cast("long")
+
   /** Keep ~`targetPerStratum` rows per stratum, chosen by a
     * deterministic hash draw: a row survives iff the first 24 bits of
     * `md5(id || salt)` fall under the stratum's acceptance rate
@@ -29,8 +38,7 @@ object Sampling {
                              idCol: String, targetPerStratum: Long,
                              salt: String = "graft"): DataFrame = {
     val cnt = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
-    val hv = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 6),
-      16, 10).cast("long")
+    val hv = hash24(col(idCol), salt)
     df.join(broadcast(cnt), stratumCol)
       .where(hv * col("_n") < lit(targetPerStratum) * lit(1L << 24))
       .drop("_n")
@@ -72,8 +80,7 @@ object Sampling {
       (s, t.min(BigInt(1L << 24)).toLong)
     }.toSeq
     val thrDf = thr.toDF("_s", "_thr")
-    val hv = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 6),
-      16, 10).cast("long")
+    val hv = hash24(col(idCol), salt)
     df.join(broadcast(thrDf), col(stratumCol).cast("string") === col("_s"))
       .where(hv < col("_thr"))
       .drop("_s", "_thr")
