@@ -684,6 +684,31 @@ class OpsSpec extends AnyFunSuite {
     assert(composed == fused && composed.nonEmpty)
   }
 
+  test("merge and cluster preserve narrow integer position dtypes") {
+    // reference tests/unit/test_ruranges_dtypes.py:33-44: core ops must
+    // not silently widen the position dtype the caller stored (int32
+    // parquet files are the common genomics case; widening doubles the
+    // shuffle width of every downstream op)
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, ShortType}
+    for (t <- Seq(ShortType, IntegerType)) {
+      val df = Seq(("chr1", 1L, 10L), ("chr1", 5L, 8L), ("chr1", 20L, 25L),
+                   ("chr1", 21L, 30L))
+        .toDF(Chrom, Start, End)
+        .withColumn(Start, col(Start).cast(t))
+        .withColumn(End, col(End).cast(t))
+      val merged = UnaryOps.merge(df, Seq(Chrom))
+      val clustered = UnaryOps.cluster(df, Seq(Chrom), 0, "Cluster")
+      for (out <- Seq(merged, clustered); c <- Seq(Start, End)) {
+        assert(out.schema(c).dataType == t,
+          s"$c widened to ${out.schema(c).dataType} (wanted $t)")
+      }
+      assert(merged.select(Start, End).collect()
+        .map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong)).toSet
+        == Set((1L, 10L), (20L, 30L)))
+    }
+  }
+
   test("connectedComponents labels every node with its component minimum") {
     import spark.implicits._
     // two multi-edge components, one isolated pair, a self-loop, a null
