@@ -1066,6 +1066,11 @@ object SparkEntry {
       Sampling.stratifiedSampleByHash(pq(s, dir, "documents"), "lang",
           "doc_id", 50L)
         .select(col("doc_id"), col("lang"), col("source"))),
+    "q111_freq_class" -> ((s, dir) =>
+      // n-gram frequency-class quality signal: floor(log2(count)) via
+      // binary-string length, so the "LM-ish" score is float-free and
+      // engine-exact (unlike a real log)
+      TextOps.freqClassStats(pq(s, dir, "documents"), "text", "doc_id", 2)),
     "q110_temperature_sample" -> ((s, dir) =>
       // alpha=0.5 temperature-flattened multilingual mix of ~150 docs:
       // integer-sqrt weights + BigInt thresholds, so the row-level
@@ -1763,6 +1768,12 @@ object SparkEntry {
       "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
       "h AS (SELECT doc_id, lang, source, md5(doc_id || 'graft') AS h FROM documents) " +
       s"SELECT doc_id, lang, source FROM h JOIN c USING (lang) WHERE ($hash24OracleSql) * n < 50 * 16777216"),
+
+    // floor(log2(cnt)) = length(bin(cnt)) - 1, exact in both engines
+    "q111_freq_class" -> (
+      """WITH bg AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS g FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-1)) AS i FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents))), """ +
+      """c AS (SELECT g, count(*) AS cnt FROM bg GROUP BY 1) """ +
+      """SELECT doc_id, count(*) AS n_grams, CAST(sum(length(bin(cnt)) - 1) AS BIGINT) AS sum_fc, CAST(min(length(bin(cnt)) - 1) AS BIGINT) AS min_fc FROM bg JOIN c USING (g) GROUP BY 1"""),
 
     // same integer-exact threshold derivation: floor(sqrt) is IEEE
     // correctly-rounded on both engines, the division is HUGEINT floor

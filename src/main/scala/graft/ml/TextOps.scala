@@ -111,6 +111,34 @@ object TextOps {
           size(toks)).cast("long"))
   }
 
+  /** Corpus-frequency-class quality signal — a float-free stand-in for
+    * n-gram LM perplexity (the CCNet-style filter): every `k`-gram
+    * occurrence in a document is scored by the FREQUENCY CLASS
+    * `floor(log2(global occurrence count of that gram))`, computed
+    * exactly as `length(binary(count)) - 1` so no transcendental float
+    * is involved (engine-exact, unlike a real log). Low mean class =
+    * rare-heavy, "surprising" text; high = templated/boilerplate. The
+    * division is left to the caller: the result carries the integer
+    * `(n_grams, sum_fc, min_fc)` per document, so the oracle compare
+    * and any downstream threshold stay exact.
+    *
+    * Scale shape: an inverted-index join — one groupBy on the gram for
+    * the global counts, one join back on the gram, one groupBy on the
+    * doc id. Work is proportional to the token stream; nothing is
+    * collected or broadcast (the gram vocabulary shuffles). */
+  def freqClassStats(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", k: Int = 2): DataFrame = {
+    val bg = docs.select(col(idCol),
+      explode(wordShingles(col(textCol), k)).as("_g"))
+    val counts = bg.groupBy("_g").agg(count(lit(1)).as("_cnt"))
+    val fc = length(conv(col("_cnt"), 10, 2)) - 1
+    bg.join(counts, "_g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(fc).cast("long").as("sum_fc"),
+        min(fc).cast("long").as("min_fc"))
+  }
+
   /** Document fingerprint: minimum md5 over k-word shingles (a 1-
     * permutation MinHash; equal fingerprints => likely near-dups).
     * Rolling-hash flavored alternative to full MinHash signatures. */

@@ -820,6 +820,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("b", 6L)) == (0L, 0L))               // new stratum restarts
   }
 
+  test("freqClassStats scores grams by exact floor(log2(global count))") {
+    import spark.implicits._
+    // 'a b' occurs 4x globally (class 2), 'b c' 2x (class 1), 'x y' 1x (class 0)
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b a b"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val got = graft.ml.TextOps.freqClassStats(df, "text", "doc_id", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (2L, 3L, 1L))   // 'a b'(2) + 'b c'(1)
+    assert(got(3L) == (3L, 4L, 0L))   // 'a b'(2) + 'b a'(0) + 'a b'(2)
+    assert(got(4L) == (1L, 0L, 0L))   // singleton gram -> class 0
+  }
+
   test("crossContamination finds planted leaks and drops df-capped shingles") {
     import spark.implicits._
     val leak = "alpha beta gamma delta epsilon"
