@@ -468,4 +468,35 @@ class PropertySpec extends AnyFunSuite {
       }
     } finally spark.conf.unset("spark.graft.join.sweepSpillDepth")
   }
+
+  test("packSequences invariants: capacity, order, contiguity, totality") {
+    import spark.implicits._
+    val genDocs: Gen[List[(String, Long, Long)]] =
+      Gen.nonEmptyListOf(for {
+        st <- Gen.oneOf("en", "de", "zh")
+        id <- Gen.chooseNum(0L, 10000L)
+        nt <- Gen.chooseNum(1L, 300L)
+      } yield (st, id, nt)).map(_.distinctBy(d => (d._1, d._2)))
+    forAll(genDocs) { rows =>
+      val budget = 256L
+      val out = graft.ml.Sampling
+        .packSequences(rows.toDF("lang", "doc_id", "nt"), "lang", "doc_id", "nt", budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(out.length == rows.length)                       // totality
+      for ((st, binRows) <- out.groupBy(r => (r._1, r._4))) {
+        val sorted = binRows.sortBy(_._5)
+        assert(sorted.map(_._5).toSeq == sorted.indices.map(_.toLong)) // pos contiguous from 0
+        val total = sorted.map(_._3).sum
+        assert(total <= budget || sorted.length == 1,         // capacity unless oversized singleton
+          s"bin $st over budget with ${sorted.length} rows, $total tokens")
+      }
+      for ((_, stRows) <- out.groupBy(_._1)) {
+        val byId = stRows.sortBy(_._2)
+        // walking ids in order, (bin, pos) must be lexicographically
+        // non-decreasing with no skipped bins (greedy = order-defined)
+        assert(byId.map(_._4).toSeq == byId.map(_._4).sorted.toSeq)
+        assert(byId.map(_._4).distinct.sorted.zipWithIndex.forall { case (b, i) => b == i })
+      }
+    }
+  }
 }
