@@ -1066,6 +1066,31 @@ object SparkEntry {
       Sampling.stratifiedSampleByHash(pq(s, dir, "documents"), "lang",
           "doc_id", 50L)
         .select(col("doc_id"), col("lang"), col("source"))),
+    "q112_ann_index" -> ((s, dir) => {
+      // the persisted-ANN serve path under the DuckDB gate: write the
+      // IVF index bucketed by cell into a per-run catalog db (q104
+      // pattern, incl. the leftover sweep), then probe it with the same
+      // corpus — must equal the in-memory ivfTopK/q82 result, which the
+      // shared oracle recomputes relationally. A bucketing or cell-
+      // assignment defect anywhere in the write/read/probe cycle breaks
+      // the hash.
+      for (old <- Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+             if old.getName.startsWith("graft_q112_") && old.isDirectory) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(old)
+      }
+      val db = s"graft_q112_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      s.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
+      val cm = Similarity.ivfCentroids(32, 64)
+      graft.ml.AnnIndex.writeIvf(pq(s, dir, "embeddings"), s"$db.ivf", cm)
+      graft.ml.AnnIndex.probeIvf(s, s"$db.ivf", pq(s, dir, "embeddings"),
+          k = 3, nProbe = 2, centroids = cm)
+        .select(col("vec_id"), col("nb"), col("dot"),
+          col("rank").cast("long").as("rank"))
+    }),
     "q111_freq_class" -> ((s, dir) =>
       // n-gram frequency-class quality signal: floor(log2(count)) via
       // binary-string length, so the "LM-ish" score is float-free and
@@ -1571,6 +1596,10 @@ object SparkEntry {
       "SELECT chrom, istart, iend, strand, 'id' || CAST(row_id AS VARCHAR) AS id, 'p' || CAST(row_id % 53 AS VARCHAR) AS parent FROM gr"),
 
     "q82_ivf_topk" -> ivfTopKOracleSql(nCells = 32, dim = 64, nProbe = 2, k = 3),
+
+    // the q82 semantics, but computed through the persisted bucketed
+    // index on the Spark side — identical relational recompute
+    "q112_ann_index" -> ivfTopKOracleSql(nCells = 32, dim = 64, nProbe = 2, k = 3),
 
     "q81_extend_orfs" -> sql(Seq(GR_CTE,
       "t AS (SELECT content FROM read_text('/root/reference/pyranges1/data/ncbi.fasta'))",

@@ -1,0 +1,66 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A PERSISTED approximate-nearest-neighbor index: the IVF cell
+  * assignment of [[Similarity.ivfTopK]], but written into the catalog
+  * bucketed by cell id, so repeated probe workloads (the serve-time
+  * shape of a training-data pipeline: every new batch queries the same
+  * corpus) skip both the assignment pass and the index-side shuffle.
+  *
+  * Scale design: the index table is bucketed on `_cell` — Spark's
+  * bucketed-scan output partitioning satisfies the probe join's
+  * distribution requirement, so only the (much smaller) query side
+  * exchanges; the corpus is scanned in place, file-pruned to the probed
+  * buckets' files. Writing pays one repartition on the cell id;
+  * `buckets` should scale with the corpus (one bucket per few hundred
+  * MB of vectors).
+  */
+object AnnIndex {
+
+  /** Assign every vector its MEMBERSHIP cell (nearest centroid, the
+    * head of [[Similarity.nearestCells]]) and save as a parquet table
+    * bucketed + sorted by `_cell`. Stores the quantized vector (`_q`)
+    * so probes never re-read or re-quantize the raw embeddings. */
+  def writeIvf(df: DataFrame, table: String,
+               centroids: Array[Array[Long]], idCol: String = "vec_id",
+               vecCol: String = "embedding", scale: Int = 1000,
+               buckets: Int = 8): Unit =
+    df.select(col(idCol).cast("long").as(idCol),
+        Similarity.quantize(col(vecCol), scale).as("_q"))
+      .withColumn("_cell",
+        Similarity.nearestCells(col("_q"), centroids, 1).getItem(0))
+      .repartition(buckets, col("_cell"))
+      .write.format("parquet")
+      .bucketBy(buckets, "_cell")
+      .sortBy("_cell", idCol)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Top-`k` neighbors for each query against a [[writeIvf]] table:
+    * queries compute their `nProbe` nearest cells (same centroid
+    * literals), explode, and equi-join the bucketed index on `_cell` —
+    * zero exchange on the index side (pinned in PlanContractSpec). Same
+    * semantics as `ivfTopK` with these centroids when the queries are
+    * the indexed corpus itself (self-matches are excluded). */
+  def probeIvf(spark: SparkSession, table: String, queries: DataFrame,
+               k: Int, nProbe: Int, centroids: Array[Array[Long]],
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               scale: Int = 1000): DataFrame = {
+    val idx = spark.table(table)
+      .select(col(idCol).as("nb"), col("_q").as("_qb"), col("_cell"))
+    val probes = graft.core.Sizing.fanOutSmallScan(queries)
+      .select(col(idCol).cast("long").as(idCol),
+        Similarity.quantize(col(vecCol), scale).as("_q"))
+      .withColumn("_cell",
+        explode(Similarity.nearestCells(col("_q"), centroids, nProbe)))
+    val pairs = probes.join(idx, Seq("_cell"))
+      .filter(col(idCol) =!= col("nb"))
+      .withColumn("dot", Similarity.dotLong(col("_q"), col("_qb")))
+      .select(col(idCol), col("nb"), col("dot")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("dot").desc, col("nb"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

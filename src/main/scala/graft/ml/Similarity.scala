@@ -133,20 +133,8 @@ object Similarity {
         .fit(feats)
       model.clusterCenters.map(_.toArray.map(v => math.floor(v * scale).toLong))
     }
-    // assign each vector to its nProbe nearest centroids by euclidean
-    // distance — the metric KMeans optimized, so probe cells line up
-    // with membership cells (raw dot would bias toward long centroids).
-    // Pure codegen'd expressions, no UDF: |v-c|^2 orders identically to
-    // |c|^2 - 2*v.c (the |v|^2 term shifts every centroid's distance
-    // equally), so each centroid contributes one literal-array DotLong
-    // and the nProbe nearest cells fall out of one array_sort.
-    val distArr = array(centers.zipWithIndex.map { case (c, ci) =>
-      val c2 = c.map(v => v * v).sum
-      struct((lit(c2) - lit(2L) * dotLong(col("_q"), typedLit(c.toSeq))).as("d"),
-        lit(ci.toLong).as("c"))
-    }: _*)
     val withCells = base.withColumn("_cells",
-      transform(slice(array_sort(distArr), 1, nProbe), s => s.getField("c")))
+      nearestCells(col("_q"), centers, nProbe))
     // ONE posexplode instead of nProbe unioned element_at branches: the
     // union re-planned (and re-codegen'd) the whole 16-centroid distance
     // block per branch — 3x the generated source for identical rows.
@@ -163,6 +151,23 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("dot").desc, col("nb"))
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** The `nProbe` nearest centroid cell ids for a quantized vector, as
+    * one pure codegen'd expression (no UDF): |v-c|^2 orders identically
+    * to |c|^2 - 2*v.c (the |v|^2 term shifts every centroid's distance
+    * equally), so each centroid contributes one literal-array DotLong
+    * and the nProbe nearest cells fall out of one array_sort. Euclidean
+    * is the metric KMeans optimized, so probe cells line up with
+    * membership cells (raw dot would bias toward long centroids).
+    * Element 0 is the MEMBERSHIP cell. */
+  def nearestCells(q: Column, centers: Array[Array[Long]], nProbe: Int): Column = {
+    val distArr = array(centers.zipWithIndex.map { case (c, ci) =>
+      val c2 = c.map(v => v * v).sum
+      struct((lit(c2) - lit(2L) * dotLong(q, typedLit(c.toSeq))).as("d"),
+        lit(ci.toLong).as("c"))
+    }: _*)
+    transform(slice(array_sort(distArr), 1, nProbe), s => s.getField("c"))
   }
 
   /** Embedding-cosine near-duplicate pairs: (a, b, dot) where the

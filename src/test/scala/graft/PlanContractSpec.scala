@@ -302,6 +302,49 @@ class PlanContractSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"quadratic join operators in: $bad")
   }
 
+  test("ann index probe: the bucketed index side elides its join exchange") {
+    import graft.ml.{AnnIndex, Similarity}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_ann " +
+      "LOCATION '/tmp/graft_ann_warehouse'")
+    val cm = Similarity.ivfCentroids(8, 64)
+    val emb = Tables.pq(spark, dir, "embeddings")
+    AnnIndex.writeIvf(emb, "graft_ann.ivf", cm, buckets = 4)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // join-only plans, like for like: the bucketed scan's native
+      // HashPartitioning(_cell) must be consumed in place, so the plain
+      // (unbucketed) re-read of the SAME data needs exactly one more
+      // exchange (its index side has to shuffle)
+      spark.table("graft_ann.ivf").write.mode("overwrite")
+        .parquet("/tmp/graft_ann_plain")
+      val probes = graft.core.Sizing.fanOutSmallScan(emb)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          Similarity.quantize(col("embedding"), 1000).as("_q"))
+        .withColumn("_cell",
+          org.apache.spark.sql.functions.explode(
+            Similarity.nearestCells(col("_q"), cm, 2)))
+      def idxCols(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("vec_id").as("nb"), col("_q").as("_qb"), col("_cell"))
+      val bucketedPlan = probes.join(idxCols(spark.table("graft_ann.ivf")), Seq("_cell"))
+        .queryExecution.executedPlan.toString
+      val plainPlan = probes.join(idxCols(spark.read.parquet("/tmp/graft_ann_plain")), Seq("_cell"))
+        .queryExecution.executedPlan.toString
+      val bucketedEx = "Exchange".r.findAllIn(bucketedPlan).size
+      val plainEx = "Exchange".r.findAllIn(plainPlan).size
+      assert(bucketedPlan.contains("Bucketed: true"), bucketedPlan.take(2000))
+      assert(bucketedEx == plainEx - 1,
+        s"bucketed=$bucketedEx plain=$plainEx\n${bucketedPlan.take(2000)}")
+      // and the serve path agrees with the in-memory operator
+      val probed = AnnIndex.probeIvf(spark, "graft_ann.ivf", emb,
+        k = 2, nProbe = 2, centroids = cm)
+      val viaMem = Similarity.ivfTopK(emb, 2, nProbe = 2,
+        centroids = Some(cm)).collect().map(_.toSeq).toSet
+      assert(probed.collect().map(_.toSeq).toSet == viaMem)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("text round-trip writers are single-stage projections (no shuffle)") {
     // q74/q75/q76 write text then read back: neither side may introduce
     // an exchange (a coalesce(1) or repartition in a writer would
