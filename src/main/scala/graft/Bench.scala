@@ -92,6 +92,19 @@ object Bench {
       name -> dt
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // apples-to-apples subtotal: the 74.8 s baseline was recorded over
+    // exactly these 20 queries (commit 9c7bc86) — every suite addition
+    // since inflates total-vs-total through COVERAGE, not regression, so
+    // the total line carries the like-for-like number the 2x gate can
+    // be adjudicated against directly
+    val baseline20 = Set("q01_agg", "q02_boundaries", "q03_merge",
+      "q04_cluster", "q05_complement", "q06_extend", "q07_window",
+      "q08_tile", "q09_cumsum", "q10_split", "q11_rle", "q12_overlap",
+      "q13_overlap_invert", "q14_join", "q15_intersect", "q16_count",
+      "q17_subtract", "q18_nearest", "q19_setint", "q20_setunion")
+    val baseline20Sec = results.collect {
+      case (n, dt) if baseline20.contains(n) => dt
+    }.sum
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     spark.stop()
@@ -101,6 +114,6 @@ object Bench {
     // and the driver's tail-capture window cut the line's HEAD off — exactly
     // where "metric":"total","value": lives. The per-query timings already
     // stream above as individual lines; never duplicate them here.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"nFailed":$nFailed,"sf":"$sfDir","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"gcTotalMs":${gcMillis()},"loadAvg":$load}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"nFailed":$nFailed,"baseline20Sec":${math.round(baseline20Sec * 1000) / 1000.0},"sf":"$sfDir","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"gcTotalMs":${gcMillis()},"loadAvg":$load}""")
   }
 }
