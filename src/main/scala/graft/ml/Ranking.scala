@@ -47,6 +47,9 @@ object Ranking {
     val scal = docs.agg(count(lit(1)).as("n"),
       sum(size(TextOps.tokens(col(textCol)))).cast("long").as("s")).head
     val nDocs = scal.getLong(0)
+    if (nDocs == 0)
+      return tf.select(col(idCol), col("term"), col("tf"), col("tf").as("df"),
+        col("tf").as("score_x1m"), col("tf").as("rnk")).where(lit(false))
     val avgdl = scal.getLong(1).toDouble / nDocs
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf

@@ -766,6 +766,15 @@ class OpsSpec extends AnyFunSuite {
     assert(got.filter(t => t._1 == 2L && t._3 == 1L).head._2 != "the")
   }
 
+  test("bm25TopTerms returns an empty typed frame for an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = graft.ml.Ranking.bm25TopTerms(empty, "text", "doc_id", 3)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "term", "tf", "df", "score_x1m", "rnk"))
+    assert(out.count() == 0)
+  }
+
   test("stratifiedSampleByHash keeps small strata whole and is deterministic") {
     import spark.implicits._
     val df = (1L to 400L).map(i => (i, if (i <= 10) "small" else "big"))
