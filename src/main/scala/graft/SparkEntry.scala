@@ -1066,6 +1066,37 @@ object SparkEntry {
       Sampling.stratifiedSampleByHash(pq(s, dir, "documents"), "lang",
           "doc_id", 50L)
         .select(col("doc_id"), col("lang"), col("source"))),
+    "q113_stream_ann_probe" -> ((s, dir) => {
+      // STREAMING serve path on the persisted index: an unbounded query
+      // stream probes the bucketed IVF table (stream-static join, no
+      // state) and folds to each query's best neighbor with max_by —
+      // the streaming-legal top-1. Oracle = the q82 recompute at k=1.
+      for (old <- Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+             if old.getName.startsWith("graft_q113_") && old.isDirectory) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(old)
+      }
+      val db = s"graft_q113_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      s.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
+      val cm = Similarity.ivfCentroids(32, 64)
+      graft.ml.AnnIndex.writeIvf(pq(s, dir, "embeddings"), s"$db.ivf", cm)
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val src = s.readStream.schema(schema).parquet(s"$dir/embeddings.parq*")
+      val best = graft.ml.AnnIndex.probeStreamBest(s, s"$db.ivf", src,
+        nProbe = 2, centroids = cm)
+      val name = s"q113_mem_${System.nanoTime}"
+      withStreamParts(s, 4) {
+        val q = best.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+    }),
     "q112_ann_index" -> ((s, dir) => {
       // the persisted-ANN serve path under the DuckDB gate: write the
       // IVF index bucketed by cell into a per-run catalog db (q104
@@ -1600,6 +1631,11 @@ object SparkEntry {
     // the q82 semantics, but computed through the persisted bucketed
     // index on the Spark side — identical relational recompute
     "q112_ann_index" -> ivfTopKOracleSql(nCells = 32, dim = 64, nProbe = 2, k = 3),
+
+    // k=1 projection of the same recompute (the streaming fold keeps
+    // only each query's best neighbor)
+    "q113_stream_ann_probe" ->
+      s"SELECT vec_id, nb, dot FROM (${ivfTopKOracleSql(nCells = 32, dim = 64, nProbe = 2, k = 1)})",
 
     "q81_extend_orfs" -> sql(Seq(GR_CTE,
       "t AS (SELECT content FROM read_text('/root/reference/pyranges1/data/ncbi.fasta'))",

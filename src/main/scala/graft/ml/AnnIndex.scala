@@ -38,6 +38,36 @@ object AnnIndex {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** The STREAMING serve path: probe the persisted index with an
+    * unbounded stream of query vectors and emit each query's single
+    * best neighbor. The probe join is stream-static (stateless — the
+    * bucketed index is the static side, scanned in place per batch),
+    * and the top-1 fold is `max_by` over (dot, -nb), which is
+    * streaming-legal where `row_number` windows are not; per-query
+    * state is one struct. For top-k on a stream, run k=1 per batch in
+    * `foreachBatch` with the batch-mode [[probeIvf]] instead. */
+  def probeStreamBest(spark: SparkSession, table: String,
+                      queryStream: DataFrame, nProbe: Int,
+                      centroids: Array[Array[Long]],
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      scale: Int = 1000): DataFrame = {
+    val idx = spark.table(table)
+      .select(col(idCol).as("nb"), col("_q").as("_qb"), col("_cell"))
+    val probes = queryStream
+      .select(col(idCol).cast("long").as(idCol),
+        Similarity.quantize(col(vecCol), scale).as("_q"))
+      .withColumn("_cell",
+        explode(Similarity.nearestCells(col("_q"), centroids, nProbe)))
+    probes.join(idx, Seq("_cell"))
+      .filter(col(idCol) =!= col("nb"))
+      .withColumn("dot", Similarity.dotLong(col("_q"), col("_qb")))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("nb"), col("dot")),
+        struct(col("dot"), -col("nb"))).as("_best"))
+      .select(col(idCol), col("_best.nb").as("nb"), col("_best.dot").as("dot"))
+  }
+
   /** Top-`k` neighbors for each query against a [[writeIvf]] table:
     * queries compute their `nProbe` nearest cells (same centroid
     * literals), explode, and equi-join the bucketed index on `_cell` —

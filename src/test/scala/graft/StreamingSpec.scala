@@ -440,4 +440,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(2L) == (("unknown", -1, -1, -1L, -1L, -1L)))
     assert(got(3L) == (("wav", -1, -1, -1L, -1L, -1L)))
   }
+
+  test("streaming ANN probe equals the batch probe at k=1") {
+    import graft.ml.{AnnIndex, Similarity}
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.pq(spark, dir, "embeddings")
+    val cm = Similarity.ivfCentroids(8, 64)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sann " +
+      "LOCATION '/tmp/graft_sann_warehouse'")
+    AnnIndex.writeIvf(emb, "graft_sann.ivf", cm, buckets = 4)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(s"$dir/embeddings.parq*")
+    val best = AnnIndex.probeStreamBest(spark, "graft_sann.ivf", src,
+      nProbe = 2, centroids = cm)
+    val name = s"sann_${System.nanoTime}"
+    val q = best.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name).collect().map(_.toSeq).toSet
+    val batch = AnnIndex.probeIvf(spark, "graft_sann.ivf", emb,
+        k = 1, nProbe = 2, centroids = cm)
+      .select(col("vec_id"), col("nb"), col("dot"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
