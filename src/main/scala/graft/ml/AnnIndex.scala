@@ -38,6 +38,26 @@ object AnnIndex {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Incremental index maintenance: append a new batch of vectors into
+    * an existing [[writeIvf]] table. `insertInto` routes rows through
+    * the table's OWN bucket spec (hash and count come from the catalog,
+    * not from this writer), so the invariant the probe join relies on —
+    * every row of cell c lives in bucket hash(c) — survives arbitrarily
+    * many appends. Appends add one file per touched bucket per batch;
+    * periodically rewrite with [[writeIvf]] if file counts grow enough
+    * to matter (the probe stays correct either way — only the
+    * single-file-per-bucket ordering opt-in of the interval tables is
+    * inapplicable here, and the ANN probe never uses it). */
+  def appendIvf(df: DataFrame, table: String,
+                centroids: Array[Array[Long]], idCol: String = "vec_id",
+                vecCol: String = "embedding", scale: Int = 1000): Unit =
+    df.select(col(idCol).cast("long").as(idCol),
+        Similarity.quantize(col(vecCol), scale).as("_q"))
+      .withColumn("_cell",
+        Similarity.nearestCells(col("_q"), centroids, 1).getItem(0))
+      .write.mode("append")
+      .insertInto(table)
+
   /** The STREAMING serve path: probe the persisted index with an
     * unbounded stream of query vectors and emit each query's single
     * best neighbor. The probe join is stream-static (stateless — the

@@ -345,6 +345,38 @@ class PlanContractSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("ann index append: incremental batches keep bucketing and probe exactness") {
+    import graft.ml.{AnnIndex, Similarity}
+    import org.apache.spark.sql.functions._
+    // the maintenance path: index half the corpus, append the rest with
+    // insertInto (which must route rows through the SAME bucket hash),
+    // and the probe over the incremental table must equal both the
+    // one-shot index AND stay on the exchange-free bucketed scan
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_annx " +
+      "LOCATION '/tmp/graft_annx_warehouse'")
+    val cm = Similarity.ivfCentroids(8, 64)
+    val emb = Tables.pq(spark, dir, "embeddings")
+    val half1 = emb.where(col("vec_id") % 2 === 0)
+    val half2 = emb.where(col("vec_id") % 2 === 1)
+    AnnIndex.writeIvf(half1, "graft_annx.inc", cm, buckets = 4)
+    AnnIndex.appendIvf(half2, "graft_annx.inc", cm)
+    AnnIndex.writeIvf(emb, "graft_annx.full", cm, buckets = 4)
+    val viaInc = AnnIndex.probeIvf(spark, "graft_annx.inc", emb,
+      k = 2, nProbe = 2, centroids = cm).collect().map(_.toSeq).toSet
+    val viaFull = AnnIndex.probeIvf(spark, "graft_annx.full", emb,
+      k = 2, nProbe = 2, centroids = cm).collect().map(_.toSeq).toSet
+    assert(viaInc == viaFull && viaInc.nonEmpty)
+    // appended table still reports bucketed scans
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = AnnIndex.probeIvf(spark, "graft_annx.inc", emb,
+        k = 2, nProbe = 2, centroids = cm).queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("text round-trip writers are single-stage projections (no shuffle)") {
     // q74/q75/q76 write text then read back: neither side may introduce
     // an exchange (a coalesce(1) or repartition in a writer would
