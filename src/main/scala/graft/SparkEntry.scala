@@ -33,6 +33,26 @@ object SparkEntry {
     * could observe each other's setting. A concurrent driver should use
     * separate sessions (`spark.newSession()`), which each carry their
     * own SQLConf. */
+  /** Per-run unique catalog database under /tmp (q94/q104 pattern): a
+    * fresh session's catalog can't overwrite a leftover managed-table
+    * directory, so every run gets its own db — and prior runs' warehouses
+    * (already consumed; runs are sequential) are swept first so /tmp
+    * stays bounded at one leftover per prefix instead of growing per
+    * invocation. */
+  private def perRunDb(s: SparkSession, prefix: String): String = {
+    for (old <- Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+           if old.getName.startsWith(prefix) && old.isDirectory) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(old)
+    }
+    val db = s"$prefix${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    s.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
+    db
+  }
+
   private def withStreamParts[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -1017,21 +1037,7 @@ object SparkEntry {
       // pinned in PlanContractSpec) — the oracle recomputes the same
       // join relationally, so a bucketing/ordering defect anywhere in
       // the write/read/join cycle breaks the hash.
-      // per-run unique db/location (q94 pattern): a fresh session's
-      // catalog can't overwrite a leftover managed-table directory.
-      // Prior runs' warehouses are already consumed (runs are
-      // sequential) — sweep them first so /tmp stays bounded at one
-      // leftover instead of growing per invocation
-      for (old <- Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-             if old.getName.startsWith("graft_q104_") && old.isDirectory) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete()
-        }
-        rm(old)
-      }
-      val db = s"graft_q104_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-      s.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
+      val db = perRunDb(s, "graft_q104_")
       graft.io.TableIO.writeBucketed(gr(s, dir), s"$db.l", Seq(Chrom), 8)
       graft.io.TableIO.writeBucketed(gr2Sparse(s, dir).drop(Strand),
         s"$db.r", Seq(Chrom), 8)
@@ -1066,21 +1072,32 @@ object SparkEntry {
       Sampling.stratifiedSampleByHash(pq(s, dir, "documents"), "lang",
           "doc_id", 50L)
         .select(col("doc_id"), col("lang"), col("source"))),
+    "q114_curation_e2e" -> ((s, dir) => {
+      // the END-TO-END curation pipeline a training-data user actually
+      // runs, with every stage an already-oracled operator: token-count
+      // quality gate -> exact dedup (window-min on content hash) ->
+      // near-dup CLUSTER keepers (LSH pairs + connected components) ->
+      // temperature-flattened sampling (alpha=1/2, float-free) ->
+      // token-budget packing. One DuckDB oracle replays the whole chain,
+      // so a defect in any stage OR in their composition breaks the hash.
+      val d0 = pq(s, dir, "documents")
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+        .where(col("n_tokens") >= 30)
+      val d1 = Dedup.dropExactDuplicates(d0, md5(col("text")), "doc_id")
+      val clusters = Dedup.duplicateClusters(d1, "text", "doc_id",
+        numHashes = 4, bandSize = 1, shingleK = 3, minJaccardPct = 50)
+      val d2 = d1.join(clusters.select(col("doc_id"), col("comp")), Seq("doc_id"), "left")
+        .where(coalesce(col("comp"), col("doc_id")) === col("doc_id"))
+        .drop("comp")
+      val d3 = Sampling.temperatureSampleSqrt(d2, "lang", "doc_id", 120L)
+      Sampling.packSequences(d3, "lang", "doc_id", "n_tokens", 256L)
+    }),
     "q113_stream_ann_probe" -> ((s, dir) => {
       // STREAMING serve path on the persisted index: an unbounded query
       // stream probes the bucketed IVF table (stream-static join, no
       // state) and folds to each query's best neighbor with max_by —
       // the streaming-legal top-1. Oracle = the q82 recompute at k=1.
-      for (old <- Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-             if old.getName.startsWith("graft_q113_") && old.isDirectory) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete()
-        }
-        rm(old)
-      }
-      val db = s"graft_q113_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-      s.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
+      val db = perRunDb(s, "graft_q113_")
       val cm = Similarity.ivfCentroids(32, 64)
       graft.ml.AnnIndex.writeIvf(pq(s, dir, "embeddings"), s"$db.ivf", cm)
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
@@ -1105,16 +1122,7 @@ object SparkEntry {
       // shared oracle recomputes relationally. A bucketing or cell-
       // assignment defect anywhere in the write/read/probe cycle breaks
       // the hash.
-      for (old <- Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-             if old.getName.startsWith("graft_q112_") && old.isDirectory) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete()
-        }
-        rm(old)
-      }
-      val db = s"graft_q112_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-      s.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
+      val db = perRunDb(s, "graft_q112_")
       val cm = Similarity.ivfCentroids(32, 64)
       graft.ml.AnnIndex.writeIvf(pq(s, dir, "embeddings"), s"$db.ivf", cm)
       graft.ml.AnnIndex.probeIvf(s, s"$db.ivf", pq(s, dir, "embeddings"),
@@ -1631,6 +1639,41 @@ object SparkEntry {
     // the q82 semantics, but computed through the persisted bucketed
     // index on the Spark side — identical relational recompute
     "q112_ann_index" -> ivfTopKOracleSql(nCells = 32, dim = 64, nProbe = 2, k = 3),
+
+    // the whole curation chain replayed: MATERIALIZED hints keep the
+    // two recursions (transitive closure, greedy pack) from recomputing
+    // the LSH chain per iteration (120s -> 1.4s in DuckDB)
+    "q114_curation_e2e" -> (
+      """WITH RECURSIVE """ +
+      """d0 AS MATERIALIZED (SELECT doc_id, text, lang, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 30), """ +
+      """d1 AS MATERIALIZED (SELECT doc_id, text, lang, n_tokens FROM (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM d0) WHERE doc_id = keep), """ +
+      """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM d1), """ +
+      """sh AS MATERIALIZED (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)), """ +
+      """sig AS (SELECT doc_id, min(md5('1' || shingle)) AS h1, min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3, min(md5('4' || shingle)) AS h4 FROM sh GROUP BY doc_id), """ +
+      """bd AS (SELECT doc_id, 1 AS band, h1 AS bh FROM sig UNION ALL SELECT doc_id, 2, h2 FROM sig UNION ALL SELECT doc_id, 3, h3 FROM sig UNION ALL SELECT doc_id, 4, h4 FROM sig), """ +
+      """cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bd l JOIN bd r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id), """ +
+      """dsh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM sh), """ +
+      """sz AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id), """ +
+      """inter AS (SELECT c.a, c.b, count(*) AS ni FROM cand c JOIN dsh s1 ON s1.doc_id = c.a JOIN dsh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle GROUP BY c.a, c.b), """ +
+      """prs AS (SELECT c.a, c.b FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b WHERE coalesce(i.ni, 0) * 100 >= (sa.ns + sb.ns - coalesce(i.ni, 0)) * 50), """ +
+      """edges AS MATERIALIZED (SELECT a AS s, b AS dd FROM prs UNION SELECT b, a FROM prs), """ +
+      """reach AS (SELECT s, dd FROM edges UNION SELECT r.s, e.dd FROM reach r JOIN edges e ON r.dd = e.s), """ +
+      """lbl AS MATERIALIZED (SELECT s AS doc_id, least(s, min(dd)) AS comp FROM reach GROUP BY s), """ +
+      """d2 AS MATERIALIZED (SELECT d1.doc_id, d1.text, d1.lang, d1.n_tokens FROM d1 LEFT JOIN lbl USING (doc_id) WHERE coalesce(comp, doc_id) = doc_id), """ +
+      """c AS (SELECT lang, count(*) AS n FROM d2 GROUP BY 1), """ +
+      """wt AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c), """ +
+      """z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM wt), """ +
+      """t AS (SELECT lang, CAST(least(CAST(16777216 AS HUGEINT), (CAST(120 AS HUGEINT) * w * 16777216) // (CAST(z AS HUGEINT) * n)) AS BIGINT) AS thr FROM wt, z), """ +
+      """hh AS (SELECT doc_id, lang, n_tokens, md5(doc_id || 'graft') AS h FROM d2), """ +
+      s"""d3 AS (SELECT doc_id, lang, n_tokens FROM hh JOIN t USING (lang) WHERE ($hash24OracleSql) < thr), """ +
+      """r AS MATERIALIZED (SELECT lang AS stratum, doc_id AS id, n_tokens, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM d3), """ +
+      """p AS (SELECT stratum, rn, id, n_tokens, n_tokens AS acc, CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS pos FROM r WHERE rn = 1 """ +
+      """UNION ALL SELECT r.stratum, r.rn, r.id, r.n_tokens, """ +
+      """CASE WHEN p.acc + r.n_tokens > 256 THEN r.n_tokens ELSE p.acc + r.n_tokens END, """ +
+      """CASE WHEN p.acc + r.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END, """ +
+      """CASE WHEN p.acc + r.n_tokens > 256 THEN 0 ELSE p.pos + 1 END """ +
+      """FROM p JOIN r ON r.stratum = p.stratum AND r.rn = p.rn + 1) """ +
+      """SELECT stratum, id, n_tokens, bin, pos FROM p"""),
 
     // k=1 projection of the same recompute (the streaming fold keeps
     // only each query's best neighbor)

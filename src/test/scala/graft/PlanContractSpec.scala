@@ -304,11 +304,10 @@ class PlanContractSpec extends AnyFunSuite {
 
   test("ann index probe: the bucketed index side elides its join exchange") {
     import graft.ml.{AnnIndex, Similarity}
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft_ann " +
-      "LOCATION '/tmp/graft_ann_warehouse'")
+    val db = TestDbs.perRun(spark, "graft_ann_")
     val cm = Similarity.ivfCentroids(8, 64)
     val emb = Tables.pq(spark, dir, "embeddings")
-    AnnIndex.writeIvf(emb, "graft_ann.ivf", cm, buckets = 4)
+    AnnIndex.writeIvf(emb, s"$db.ivf", cm, buckets = 4)
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -316,8 +315,8 @@ class PlanContractSpec extends AnyFunSuite {
       // HashPartitioning(_cell) must be consumed in place, so the plain
       // (unbucketed) re-read of the SAME data needs exactly one more
       // exchange (its index side has to shuffle)
-      spark.table("graft_ann.ivf").write.mode("overwrite")
-        .parquet("/tmp/graft_ann_plain")
+      spark.table(s"$db.ivf").write.mode("overwrite")
+        .parquet(s"/tmp/${db}_plain")
       val probes = graft.core.Sizing.fanOutSmallScan(emb)
         .select(col("vec_id").cast("long").as("vec_id"),
           Similarity.quantize(col("embedding"), 1000).as("_q"))
@@ -326,9 +325,9 @@ class PlanContractSpec extends AnyFunSuite {
             Similarity.nearestCells(col("_q"), cm, 2)))
       def idxCols(d: org.apache.spark.sql.DataFrame) =
         d.select(col("vec_id").as("nb"), col("_q").as("_qb"), col("_cell"))
-      val bucketedPlan = probes.join(idxCols(spark.table("graft_ann.ivf")), Seq("_cell"))
+      val bucketedPlan = probes.join(idxCols(spark.table(s"$db.ivf")), Seq("_cell"))
         .queryExecution.executedPlan.toString
-      val plainPlan = probes.join(idxCols(spark.read.parquet("/tmp/graft_ann_plain")), Seq("_cell"))
+      val plainPlan = probes.join(idxCols(spark.read.parquet(s"/tmp/${db}_plain")), Seq("_cell"))
         .queryExecution.executedPlan.toString
       val bucketedEx = "Exchange".r.findAllIn(bucketedPlan).size
       val plainEx = "Exchange".r.findAllIn(plainPlan).size
@@ -336,7 +335,7 @@ class PlanContractSpec extends AnyFunSuite {
       assert(bucketedEx == plainEx - 1,
         s"bucketed=$bucketedEx plain=$plainEx\n${bucketedPlan.take(2000)}")
       // and the serve path agrees with the in-memory operator
-      val probed = AnnIndex.probeIvf(spark, "graft_ann.ivf", emb,
+      val probed = AnnIndex.probeIvf(spark, s"$db.ivf", emb,
         k = 2, nProbe = 2, centroids = cm)
       val viaMem = Similarity.ivfTopK(emb, 2, nProbe = 2,
         centroids = Some(cm)).collect().map(_.toSeq).toSet
@@ -352,25 +351,24 @@ class PlanContractSpec extends AnyFunSuite {
     // insertInto (which must route rows through the SAME bucket hash),
     // and the probe over the incremental table must equal both the
     // one-shot index AND stay on the exchange-free bucketed scan
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft_annx " +
-      "LOCATION '/tmp/graft_annx_warehouse'")
+    val db = TestDbs.perRun(spark, "graft_annx_")
     val cm = Similarity.ivfCentroids(8, 64)
     val emb = Tables.pq(spark, dir, "embeddings")
     val half1 = emb.where(col("vec_id") % 2 === 0)
     val half2 = emb.where(col("vec_id") % 2 === 1)
-    AnnIndex.writeIvf(half1, "graft_annx.inc", cm, buckets = 4)
-    AnnIndex.appendIvf(half2, "graft_annx.inc", cm)
-    AnnIndex.writeIvf(emb, "graft_annx.full", cm, buckets = 4)
-    val viaInc = AnnIndex.probeIvf(spark, "graft_annx.inc", emb,
+    AnnIndex.writeIvf(half1, s"$db.inc", cm, buckets = 4)
+    AnnIndex.appendIvf(half2, s"$db.inc", cm)
+    AnnIndex.writeIvf(emb, s"$db.full", cm, buckets = 4)
+    val viaInc = AnnIndex.probeIvf(spark, s"$db.inc", emb,
       k = 2, nProbe = 2, centroids = cm).collect().map(_.toSeq).toSet
-    val viaFull = AnnIndex.probeIvf(spark, "graft_annx.full", emb,
+    val viaFull = AnnIndex.probeIvf(spark, s"$db.full", emb,
       k = 2, nProbe = 2, centroids = cm).collect().map(_.toSeq).toSet
     assert(viaInc == viaFull && viaInc.nonEmpty)
     // appended table still reports bucketed scans
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val plan = AnnIndex.probeIvf(spark, "graft_annx.inc", emb,
+      val plan = AnnIndex.probeIvf(spark, s"$db.inc", emb,
         k = 2, nProbe = 2, centroids = cm).queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"), plan.take(2000))
     } finally

@@ -447,12 +447,11 @@ class StreamingSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.pq(spark, dir, "embeddings")
     val cm = Similarity.ivfCentroids(8, 64)
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sann " +
-      "LOCATION '/tmp/graft_sann_warehouse'")
-    AnnIndex.writeIvf(emb, "graft_sann.ivf", cm, buckets = 4)
+    val db = TestDbs.perRun(spark, "graft_sann_")
+    AnnIndex.writeIvf(emb, s"$db.ivf", cm, buckets = 4)
     val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
     val src = spark.readStream.schema(schema).parquet(s"$dir/embeddings.parq*")
-    val best = AnnIndex.probeStreamBest(spark, "graft_sann.ivf", src,
+    val best = AnnIndex.probeStreamBest(spark, s"$db.ivf", src,
       nProbe = 2, centroids = cm)
     val name = s"sann_${System.nanoTime}"
     val q = best.writeStream.format("memory").queryName(name)
@@ -461,7 +460,7 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     q.awaitTermination()
     val streamed = spark.table(name).collect().map(_.toSeq).toSet
-    val batch = AnnIndex.probeIvf(spark, "graft_sann.ivf", emb,
+    val batch = AnnIndex.probeIvf(spark, s"$db.ivf", emb,
         k = 1, nProbe = 2, centroids = cm)
       .select(col("vec_id"), col("nb"), col("dot"))
       .collect().map(_.toSeq).toSet
