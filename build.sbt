@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // The host grants 128 GiB; override with SPARK_DRIVER_MEM if smaller.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 ) ++ sys.env.get("SPARK_GRAFT_BINSIZE")
-  .map(b => s"-Dspark.graft.join.binSize=$b").toSeq
+  .map(b => s"-Dspark.graft.join.binSize=$b").toSeq ++
+  // Throughput GC for the single-JVM batch workload: interleaved full-
+  // suite A/B at 24g/32 threads measured ParallelGC 121.1/126.8 s vs G1
+  // 138.7 s (~10% — G1's pause-time goal buys nothing in a batch bench).
+  // Override with SPARK_GRAFT_GC=G1 (or any -XX:+Use<x>GC name).
+  Seq(s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC")
