@@ -1072,6 +1072,22 @@ object SparkEntry {
       Sampling.stratifiedSampleByHash(pq(s, dir, "documents"), "lang",
           "doc_id", 50L)
         .select(col("doc_id"), col("lang"), col("source"))),
+    "q115_json_props" -> ((s, dir) =>
+      // semi-structured payload column: typed JSON extraction —
+      // from_json with an explicit one-field schema keeps the parse
+      // codegen'd and prunes the parsed struct to `k` — then an exact
+      // integer rollup per (event_type, k-decile)
+      pq(s, dir, "events").select(col("event_type"),
+          from_json(col("props"), "k BIGINT",
+            Map.empty[String, String]).getField("k").as("k"))
+        .groupBy(col("event_type"), expr("k div 10").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+          min(col("k")).as("mink"), max(col("k")).as("maxk"))),
+    "q116_label_centroid" -> ((s, dir) =>
+      // supervised nearest-centroid confusion matrix over the labeled
+      // embeddings: per-label integer centroid sums fold back into the
+      // scan as DotLong literals; engine-exact argmax (see scaladoc)
+      Similarity.nearestCentroid(pq(s, dir, "embeddings"))),
     "q114_curation_e2e" -> ((s, dir) => {
       // the END-TO-END curation pipeline a training-data user actually
       // runs, with every stage an already-oracled operator: token-count
@@ -1876,6 +1892,25 @@ object SparkEntry {
       "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
       "h AS (SELECT doc_id, lang, source, md5(doc_id || 'graft') AS h FROM documents) " +
       s"SELECT doc_id, lang, source FROM h JOIN c USING (lang) WHERE ($hash24OracleSql) * n < 50 * 16777216"),
+
+    // k is a non-negative int, so DuckDB's // floor-division matches
+    // Spark's truncating `div`; sums fit BIGINT
+    "q115_json_props" -> (
+      """WITH e AS (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) """ +
+      """SELECT event_type, k // 10 AS bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sk, min(k) AS mink, max(k) AS maxk FROM e GROUP BY 1, 2"""),
+
+    // scores are exact BIGINT dots through ONE correctly-rounded double
+    // division (|dot| < 2^53), so cross-engine order and ties agree;
+    // parallel unnests zip positionally in DuckDB
+    "q116_label_centroid" -> (
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), """ +
+      """e AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v)+1)) AS p FROM q), """ +
+      """s AS (SELECT label, p, CAST(sum(x) AS BIGINT) AS sx FROM e GROUP BY label, p), """ +
+      """cen AS (SELECT label, list(sx ORDER BY p) AS sv FROM s GROUP BY label), """ +
+      """cnt AS (SELECT label, count(*) AS n FROM q GROUP BY label), """ +
+      """sc AS (SELECT q.vec_id, q.label, c.label AS clab, CAST(list_sum(list_transform(list_zip(q.v, c.sv), z -> z[1]*z[2])) AS BIGINT) AS dot, n.n AS cn FROM q CROSS JOIN cen c JOIN cnt n ON n.label = c.label), """ +
+      """a AS (SELECT vec_id, label, clab, row_number() OVER (PARTITION BY vec_id ORDER BY CAST(dot AS DOUBLE)/cn DESC, clab) AS rn FROM sc) """ +
+      """SELECT label, clab AS assigned, count(*) AS n FROM a WHERE rn = 1 GROUP BY 1, 2"""),
 
     // floor(log2(cnt)) = length(bin(cnt)) - 1, exact in both engines
     "q111_freq_class" -> (

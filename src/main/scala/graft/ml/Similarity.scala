@@ -170,6 +170,50 @@ object Similarity {
     transform(slice(array_sort(distArr), 1, nProbe), s => s.getField("c"))
   }
 
+  /** Supervised nearest-centroid assignment (a Rocchio-style classifier
+    * and label-purity probe): per-label integer centroid SUMS over the
+    * quantized vectors, then every vector joins the label whose MEAN
+    * centroid has the highest dot product with it. The score is
+    * dot(v, S_L) / n_L — exact integers (|dot| < 2^53) through one
+    * correctly-rounded double division, so equal rationals collapse to
+    * identical doubles and the argmax is engine-exact; ties break
+    * toward the smaller label. Output: the confusion matrix
+    * (label, assigned, n).
+    *
+    * Distributed shape: posexplode + two-level aggregation reduces the
+    * corpus to an nLabels x dim sum table (tiny — collected like the
+    * KMeans/ivfCentroids matrices), which folds back into the probe
+    * scan as literal arrays — one codegen'd DotLong per label, no
+    * shuffle on the assignment side beyond the final <= nLabels^2-row
+    * count. */
+  def nearestCentroid(df: DataFrame, labelCol: String = "label",
+                      vecCol: String = "embedding",
+                      scale: Int = 1000): DataFrame = {
+    val q0 = df.select(col(labelCol).cast("long").as("label"),
+      quantize(col(vecCol), scale).as("_q"))
+    val sums = q0.select(col("label"), posexplode(col("_q")).as(Seq("_p", "_x")))
+      .groupBy(col("label"), col("_p")).agg(sum(col("_x")).as("_s"))
+      .groupBy(col("label")).agg(
+        transform(array_sort(collect_list(struct(col("_p"), col("_s")))),
+          s => s.getField("_s")).as("_sums"))
+    val counts = q0.groupBy(col("label")).agg(count(lit(1)).as("_n"))
+    val cents: Array[(Long, Long, Array[Long])] = sums.join(counts, "label")
+      .collect().map(r => (r.getLong(r.fieldIndex("label")),
+        r.getLong(r.fieldIndex("_n")),
+        r.getSeq[Long](r.fieldIndex("_sums")).toArray)).sortBy(_._1)
+    // argmin over struct(-score, label): equal scores pick the smaller
+    // label; the centroid literals keep the scoring pass in whole-stage
+    // codegen (same shape as nearestCells)
+    val scored = array(cents.map { case (lab, n, sv) =>
+      struct((lit(0.0) - dotLong(col("_q"), typedLit(sv.toSeq)).cast("double")
+        / lit(n.toDouble)).as("d"), lit(lab).as("c"))
+    }: _*)
+    graft.core.Sizing.fanOutSmallScan(q0)
+      .withColumn("assigned", element_at(array_sort(scored), 1).getField("c"))
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: (a, b, dot) where the
     * quantized dot product clears `minDot` (derive minDot from a cosine
     * threshold x scale^2 for unit-norm vectors). exact=true compares all

@@ -962,6 +962,25 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))  // LSH may miss, never invents
   }
 
+  test("nearestCentroid normalizes by count, ties break to smaller label") {
+    import spark.implicits._
+    // label 3 has the LARGEST sum-centroid on axis x (3 x 0.7) but a
+    // smaller MEAN than label 0 — [1,0] must stay with 0, which fails if
+    // the implementation skips the /n normalization. The [0.5,0.5] rows
+    // score 5e5 against labels 0, 1, 5 AND 6 (exact four-way rational
+    // tie) — the smaller-label rule must send both to 0.
+    val df = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)),
+      (1, Array(0.0f, 1.0f)), (1, Array(0.0f, 1.0f)),
+      (3, Array(0.7f, 0.0f)), (3, Array(0.7f, 0.0f)), (3, Array(0.7f, 0.0f)),
+      (5, Array(0.5f, 0.5f)), (6, Array(0.5f, 0.5f)))
+      .toDF("label", "embedding")
+    val got = graft.ml.Similarity.nearestCentroid(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (1L, 1L) -> 2L, (3L, 0L) -> 3L,
+      (5L, 0L) -> 1L, (6L, 0L) -> 1L), s"got $got")
+  }
+
   test("lshBucketFixed (literal plane matrix) equals md5-expression lshBucket") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val both = emb.select(
