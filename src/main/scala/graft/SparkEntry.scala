@@ -1072,6 +1072,25 @@ object SparkEntry {
       Sampling.stratifiedSampleByHash(pq(s, dir, "documents"), "lang",
           "doc_id", 50L)
         .select(col("doc_id"), col("lang"), col("source"))),
+    "q118_simhash_neardup" -> ((s, dir) =>
+      // EXACT Hamming-bounded near-dup join: pigeonhole banding over 4
+      // disjoint 15-bit chunks, verified with bit_count(xor) — must
+      // equal the oracle's brute-force all-pairs scan
+      Dedup.simhashNearDupPairs(pq(s, dir, "documents"), maxHamming = 3)),
+    "q117_dedup_index" -> ((s, dir) => {
+      // the persisted LSH near-dup index under the DuckDB gate: index
+      // the corpus half (source len > 4), probe with the incoming-batch
+      // half — the steady-state curation serve shape. The oracle
+      // replays signatures, banding, and the cross join relationally,
+      // so a bucketing or band-spec defect anywhere in the
+      // write/read/probe cycle breaks the hash.
+      val db = perRunDb(s, "graft_q117_")
+      val d = pq(s, dir, "documents")
+      graft.ml.DedupIndex.writeLsh(d.where(length(col("source")) > 4),
+        s"$db.lsh")
+      graft.ml.DedupIndex.probeLsh(s, s"$db.lsh",
+        d.where(length(col("source")) === 4))
+    }),
     "q115_json_props" -> ((s, dir) =>
       // semi-structured payload column: typed JSON extraction —
       // from_json with an explicit one-field schema keeps the parse
@@ -1222,7 +1241,9 @@ object SparkEntry {
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
     * per-bit (60 sums), fingerprint reassembled from the vote signs. */
-  private def simhashOracleSql: String = {
+  /** Shared DuckDB replay of the 60-bit simhash: CTEs ending in
+    * `fp(doc_id, simhash)` — prepend "WITH " and append a SELECT. */
+  private def simhashFpCtes: String = {
     val votes = (0 until 60).map { b =>
       val pos = b / 4 + 1
       val shift = 3 - b % 4
@@ -1230,11 +1251,22 @@ object SparkEntry {
     }.mkString(", ")
     val fp = (0 until 60).map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
-    "WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents), " +
+    "tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents), " +
       "hv AS (SELECT doc_id, md5(t) AS h FROM tok), " +
-      s"votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id) " +
-      s"SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes"
+      s"votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id), " +
+      s"fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)"
   }
+
+  private def simhashOracleSql: String =
+    s"WITH $simhashFpCtes SELECT doc_id, simhash FROM fp"
+
+  /** q118 oracle: BRUTE-FORCE all-pairs under the Hamming bound — the
+    * banded Spark plan must equal it exactly (pigeonhole guarantee). */
+  private def simhashNearDupOracleSql(maxHamming: Int): String =
+    s"WITH $simhashFpCtes " +
+      "SELECT l.doc_id AS a, r.doc_id AS b, CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming " +
+      "FROM fp l JOIN fp r ON l.doc_id < r.doc_id " +
+      s"WHERE bit_count(xor(l.simhash, r.simhash)) <= $maxHamming"
 
   /** DuckDB SQL for the LSH cosine near-dup pairs: the identical
     * md5-derived plane matrix is inlined as integer literals (computed
@@ -1892,6 +1924,23 @@ object SparkEntry {
       "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
       "h AS (SELECT doc_id, lang, source, md5(doc_id || 'graft') AS h FROM documents) " +
       s"SELECT doc_id, lang, source FROM h JOIN c USING (lang) WHERE ($hash24OracleSql) * n < 50 * 16777216"),
+
+    "q118_simhash_neardup" -> simhashNearDupOracleSql(maxHamming = 3),
+
+    // replays the index build + probe relationally: distinct shingles ->
+    // min-md5 signatures (with set size) -> band rows -> cross-half join
+    "q117_dedup_index" -> (
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents), """ +
+      """sh AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)), """ +
+      """dsh AS (SELECT DISTINCT doc_id, shingle FROM sh), """ +
+      """sig AS (SELECT doc_id, min(md5('1' || shingle)) AS h1, min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3, min(md5('4' || shingle)) AS h4, count(*) AS ns FROM dsh GROUP BY doc_id), """ +
+      """bd AS (SELECT doc_id, ns, 1 AS band, h1 AS bh FROM sig UNION ALL SELECT doc_id, ns, 2, h2 FROM sig UNION ALL SELECT doc_id, ns, 3, h3 FROM sig UNION ALL SELECT doc_id, ns, 4, h4 FROM sig), """ +
+      """src AS (SELECT doc_id, length(source) AS ls FROM documents) """ +
+      """SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_bands, max(l.ns) AS ns_a, max(r.ns) AS ns_b """ +
+      """FROM bd l JOIN src sl ON sl.doc_id = l.doc_id AND sl.ls = 4 """ +
+      """JOIN bd r ON l.band = r.band AND l.bh = r.bh """ +
+      """JOIN src sr ON sr.doc_id = r.doc_id AND sr.ls > 4 """ +
+      """GROUP BY 1, 2"""),
 
     // k is a non-negative int, so DuckDB's // floor-division matches
     // Spark's truncating `div`; sums fit BIGINT

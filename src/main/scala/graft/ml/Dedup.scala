@@ -202,6 +202,48 @@ object Dedup {
       .select(col(idCol), fp.as(outCol))
   }
 
+  /** SimHash near-duplicate pairs under a Hamming-distance bound —
+    * EXACT, not approximate: by pigeonhole, any two fingerprints within
+    * `maxHamming` agree exactly on at least one of `bands` disjoint bit
+    * chunks (requires maxHamming < bands), so an equi-join on
+    * (chunk index, chunk bits) generates a candidate superset and the
+    * bit_count(xor) verify trims it to precisely the brute-force
+    * all-pairs answer. Output: (a, b, hamming) with a < b.
+    *
+    * Scale design: the quadratic work is confined to per-chunk-value
+    * buckets (2^15 values per chunk at the defaults — near-uniform,
+    * since simhash bits are md5 votes), everything else is one
+    * fingerprint aggregation and a hash join; never an all-pairs
+    * compare. */
+  def simhashNearDupPairs(df: DataFrame, maxHamming: Int = 3,
+                          bands: Int = 4, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole completeness needs maxHamming ($maxHamming) < bands ($bands)")
+    val bits = 60
+    val fp = simhash60(df, textCol, idCol, "simhash")
+    val width = bits / bands
+    val chunks = (0 until bands).map { c =>
+      val lo = c * width
+      val w = if (c == bands - 1) bits - lo else width
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1)).as("cv"))
+    }
+    val ex = fp.select(col(idCol), col("simhash"),
+        explode(array(chunks: _*)).as("_c"))
+      .select(col(idCol), col("simhash"),
+        col("_c.chunk").as("chunk"), col("_c.cv").as("cv"))
+    val l = ex.alias("l")
+    val r = ex.alias("r")
+    l.join(r, col("l.chunk") === col("r.chunk") &&
+        col("l.cv") === col("r.cv") && col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Connected components over an undirected pair graph (e.g. the
     * near-duplicate pairs): returns one row per node that has at least
     * one REAL edge — pairs that are self-loops or have a null endpoint

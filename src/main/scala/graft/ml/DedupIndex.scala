@@ -1,0 +1,99 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A PERSISTED near-duplicate (MinHash/LSH) index — the dedup analog of
+  * [[AnnIndex]]: the banded signature rows behind
+  * [[Dedup.lshCandidatePairs]], written into the catalog bucketed by the
+  * band bucket key. The steady-state curation workflow — every incoming
+  * batch asks "which of my docs near-duplicate the corpus I already
+  * kept?" — then skips both the corpus-side signature recompute (the
+  * dominant minhash cost) and the corpus-side shuffle on every probe.
+  *
+  * Scale design: the index table is bucketed on (band, bh); the probe
+  * equi-join on those keys consumes the bucketed scan's partitioning in
+  * place, so only the (much smaller) incoming batch exchanges, and
+  * band-bucket skew stays bounded because `bh` is a min-md5 hash.
+  * Appends route through the table's OWN bucket spec (`insertInto`), so
+  * the bucketing invariant survives arbitrarily many batches — same
+  * contract as [[AnnIndex.appendIvf]].
+  */
+object DedupIndex {
+
+  /** Banded signature rows for `docs`: one row per (doc, band) with the
+    * band hash `bh` and the doc's DISTINCT-shingle count `ns`, carried
+    * so exact-Jaccard verification can size unions without touching the
+    * corpus text again. One groupBy over the distinct shingle table
+    * yields signature AND set size (the nearDuplicatePairs shape); docs
+    * with fewer than `shingleK` words have no shingles and are
+    * excluded, matching [[Dedup.minhashSignature]]. */
+  def bandRows(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id", numHashes: Int = 4,
+               bandSize: Int = 1, shingleK: Int = 3): DataFrame = {
+    val dsh = graft.core.Sizing.fanOutSmallScan(docs)
+      .select(col(idCol),
+        explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val sigAggs = (1 to numHashes).map(i =>
+      min(md5(concat(lit(i.toString), col("sh")))).as(s"h$i")) :+
+      count(lit(1)).as("ns")
+    val sig = dsh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+    val bands = (1 to numHashes by bandSize).map { start =>
+      val cols = (start until math.min(start + bandSize, numHashes + 1))
+        .map(i => col(s"h$i"))
+      struct(lit(start).as("band"), concat_ws("|", cols: _*).as("bh"))
+    }
+    sig.select(col(idCol), col("ns"), explode(array(bands: _*)).as("_b"))
+      .select(col(idCol), col("_b.band").as("band"), col("_b.bh").as("bh"),
+        col("ns"))
+  }
+
+  /** Build the index: banded signature rows saved as a parquet table
+    * bucketed + sorted by (band, bh). `buckets` should scale with the
+    * corpus (a bucket per few hundred MB of signature rows). */
+  def writeLsh(docs: DataFrame, table: String, textCol: String = "text",
+               idCol: String = "doc_id", numHashes: Int = 4,
+               bandSize: Int = 1, shingleK: Int = 3,
+               buckets: Int = 8): Unit =
+    bandRows(docs, textCol, idCol, numHashes, bandSize, shingleK)
+      .repartition(buckets, col("band"), col("bh"))
+      .write.format("parquet")
+      .bucketBy(buckets, "band", "bh")
+      .sortBy("band", "bh", idCol)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Incremental maintenance: append a new batch's banded rows through
+    * the table's own bucket spec (hash and count come from the catalog,
+    * not this writer) — every (band, bh) group keeps landing in its one
+    * bucket across appends, which is the invariant [[probeLsh]]'s
+    * exchange-free index scan relies on. */
+  def appendLsh(docs: DataFrame, table: String, textCol: String = "text",
+                idCol: String = "doc_id", numHashes: Int = 4,
+                bandSize: Int = 1, shingleK: Int = 3): Unit =
+    bandRows(docs, textCol, idCol, numHashes, bandSize, shingleK)
+      .write.mode("append")
+      .insertInto(table)
+
+  /** Near-duplicate CANDIDATES of `batch` against the indexed corpus:
+    * (a = batch id, b = corpus id, n_bands = signature bands shared,
+    * ns_a / ns_b = distinct-shingle counts). Integer-exact; feed pairs
+    * clearing a band threshold to [[Dedup.pairJaccard]] for exact
+    * verification. Self-matches (same id on both sides) are excluded so
+    * a batch already ingested into the index can be re-probed. */
+  def probeLsh(spark: SparkSession, table: String, batch: DataFrame,
+               textCol: String = "text", idCol: String = "doc_id",
+               numHashes: Int = 4, bandSize: Int = 1,
+               shingleK: Int = 3): DataFrame = {
+    val idx = spark.table(table)
+      .select(col("band"), col("bh"), col(idCol).as("b"), col("ns").as("ns_b"))
+    val probes = bandRows(batch, textCol, idCol, numHashes, bandSize, shingleK)
+      .select(col(idCol).as("a"), col("band"), col("bh"), col("ns").as("ns_a"))
+    probes.join(idx, Seq("band", "bh"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_bands"),
+        max(col("ns_a")).as("ns_a"), max(col("ns_b")).as("ns_b"))
+  }
+}

@@ -639,6 +639,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) == got(2L) && got(1L) != got(3L))
   }
 
+  test("simhashNearDupPairs equals brute-force all-pairs under the bound") {
+    // pigeonhole-banding completeness on real text at several bounds
+    // (bands stays 4, so 3 is the max guaranteed bound; also checks the
+    // guard rejects an unsound configuration)
+    val docs = Tables.pq(spark, "/root/testdata/sf0.001", "documents")
+    val fps = Dedup.simhash60(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    for (t <- Seq(0, 3)) {
+      val brute = (for {
+        (a, fa) <- fps; (b, fb) <- fps if a < b
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= t
+      } yield (a, b, h.toLong)).toSet
+      val banded = Dedup.simhashNearDupPairs(docs, maxHamming = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(banded == brute, s"t=$t: ${banded.size} vs ${brute.size}")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, maxHamming = 4, bands = 4)
+    }
+  }
+
   test("MinHashAgg aggregate matches the expression-based signature") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),

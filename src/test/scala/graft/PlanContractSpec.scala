@@ -375,6 +375,69 @@ class PlanContractSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("lsh dedup index: probe equals direct recompute, appends keep bucketing") {
+    import graft.ml.DedupIndex
+    // the near-dup analog of the ann-index contract: (1) probing a
+    // persisted index equals recomputing candidates directly from both
+    // halves, (2) incremental appends route through the table's bucket
+    // spec so the probe answer AND the bucketed scan survive, (3) the
+    // bucketed index side carries no Exchange ahead of the probe join
+    val db = TestDbs.perRun(spark, "graft_lshx_")
+    val docs = Tables.pq(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+    DedupIndex.writeLsh(corpus, s"$db.lsh", buckets = 4)
+    val viaIdx = DedupIndex.probeLsh(spark, s"$db.lsh", batch)
+      .collect().map(_.toSeq).toSet
+    // direct recompute: band rows of both halves joined on (band, bh)
+    val bc = DedupIndex.bandRows(corpus)
+      .select(col("doc_id").as("b"), col("band"), col("bh"), col("ns").as("ns_b"))
+    val direct = DedupIndex.bandRows(batch)
+      .select(col("doc_id").as("a"), col("band"), col("bh"), col("ns").as("ns_a"))
+      .join(bc, Seq("band", "bh"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_bands"),
+        max(col("ns_a")).as("ns_a"), max(col("ns_b")).as("ns_b"))
+      .collect().map(_.toSeq).toSet
+    assert(viaIdx == direct && viaIdx.nonEmpty)
+    // incremental: two appended halves == one-shot write
+    val h1 = corpus.where(col("doc_id") % 2 === 0)
+    val h2 = corpus.where(col("doc_id") % 2 === 1)
+    DedupIndex.writeLsh(h1, s"$db.inc", buckets = 4)
+    DedupIndex.appendLsh(h2, s"$db.inc")
+    val viaInc = DedupIndex.probeLsh(spark, s"$db.inc", batch)
+      .collect().map(_.toSeq).toSet
+    assert(viaInc == viaIdx)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = DedupIndex.probeLsh(spark, s"$db.inc", batch)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // exactly the probe-side exchanges remain: the index scan's
+      // HashPartitioning(band, bh) is consumed in place, so the plan
+      // has one fewer Exchange than the same join over a plain re-read
+      spark.table(s"$db.inc").write.mode("overwrite")
+        .parquet(s"/tmp/${db}_plain")
+      val idxPlain = spark.read.parquet(s"/tmp/${db}_plain")
+        .select(col("band"), col("bh"), col("doc_id").as("b"),
+          col("ns").as("ns_b"))
+      val probes = DedupIndex.bandRows(batch)
+        .select(col("doc_id").as("a"), col("band"), col("bh"),
+          col("ns").as("ns_a"))
+      val plainPlan = probes.join(idxPlain, Seq("band", "bh"))
+        .queryExecution.executedPlan.toString
+      val bucketedPlan = probes.join(
+          spark.table(s"$db.inc").select(col("band"), col("bh"),
+            col("doc_id").as("b"), col("ns").as("ns_b")), Seq("band", "bh"))
+        .queryExecution.executedPlan.toString
+      val nB = "Exchange".r.findAllIn(bucketedPlan).size
+      val nP = "Exchange".r.findAllIn(plainPlan).size
+      assert(nB == nP - 1, s"bucketed=$nB plain=$nP\n${bucketedPlan.take(2000)}")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("text round-trip writers are single-stage projections (no shuffle)") {
     // q74/q75/q76 write text then read back: neither side may introduce
     // an exchange (a coalesce(1) or repartition in a writer would
