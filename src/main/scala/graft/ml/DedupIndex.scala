@@ -76,6 +76,44 @@ object DedupIndex {
       .write.mode("append")
       .insertInto(table)
 
+  /** STREAMING serve path: an unbounded stream of incoming docs probes
+    * the persisted index for near-duplicate band hits. Everything here
+    * is STATELESS — the per-row MinHash signature (array_min over the
+    * shingle array, no groupBy), the band explode, and the
+    * stream-static equi-join against the bucketed index — so rows emit
+    * in append mode with zero state store; each output row is one
+    * (incoming doc `a`, corpus doc `b`, band) agreement with both
+    * sides' distinct-shingle counts. Aggregate/threshold the band hits
+    * downstream (a `foreachBatch` with [[probeLsh]]'s groupBy, or a
+    * batch pass over the sink): a global per-pair count here would grow
+    * state with every pair ever seen. */
+  def probeStream(spark: SparkSession, table: String, batch: DataFrame,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  numHashes: Int = 4, bandSize: Int = 1,
+                  shingleK: Int = 3): DataFrame = {
+    val sh = TextOps.wordShingles(col(textCol), shingleK)
+    val sig = batch
+      .filter(size(TextOps.tokens(col(textCol))) >= shingleK)
+      .select(col(idCol).as("a") +: (1 to numHashes).map(i =>
+        array_min(transform(sh, x => md5(concat(lit(i.toString), x))))
+          .as(s"h$i"))
+        :+ size(array_distinct(sh)).cast("long").as("ns_a"): _*)
+    val bands = (1 to numHashes by bandSize).map { start =>
+      val cols = (start until math.min(start + bandSize, numHashes + 1))
+        .map(i => col(s"h$i"))
+      struct(lit(start).as("band"), concat_ws("|", cols: _*).as("bh"))
+    }
+    val probes = sig
+      .select(col("a"), col("ns_a"), explode(array(bands: _*)).as("_b"))
+      .select(col("a"), col("_b.band").as("band"), col("_b.bh").as("bh"),
+        col("ns_a"))
+    val idx = spark.table(table)
+      .select(col("band"), col("bh"), col(idCol).as("b"), col("ns").as("ns_b"))
+    probes.join(idx, Seq("band", "bh"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), col("band"), col("ns_a"), col("ns_b"))
+  }
+
   /** Near-duplicate CANDIDATES of `batch` against the indexed corpus:
     * (a = batch id, b = corpus id, n_bands = signature bands shared,
     * ns_a / ns_b = distinct-shingle counts). Integer-exact; feed pairs

@@ -189,8 +189,10 @@ object Similarity {
   def nearestCentroid(df: DataFrame, labelCol: String = "label",
                       vecCol: String = "embedding",
                       scale: Int = 1000): DataFrame = {
-    val q0 = df.select(col(labelCol).cast("long").as("label"),
-      quantize(col(vecCol), scale).as("_q"))
+    val q0 = df
+      .where(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).cast("long").as("label"),
+        quantize(col(vecCol), scale).as("_q"))
     val sums = q0.select(col("label"), posexplode(col("_q")).as(Seq("_p", "_x")))
       .groupBy(col("label"), col("_p")).agg(sum(col("_x")).as("_s"))
       .groupBy(col("label")).agg(
@@ -201,6 +203,8 @@ object Similarity {
       .collect().map(r => (r.getLong(r.fieldIndex("label")),
         r.getLong(r.fieldIndex("_n")),
         r.getSeq[Long](r.fieldIndex("_sums")).toArray)).sortBy(_._1)
+    require(cents.nonEmpty,
+      "nearestCentroid: no labeled vectors (empty input after null filter)")
     // argmin over struct(-score, label): equal scores pick the smaller
     // label; the centroid literals keep the scoring pass in whole-stage
     // codegen (same shape as nearestCells)

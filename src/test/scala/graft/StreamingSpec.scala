@@ -466,4 +466,36 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("streaming LSH dedup probe: band hits aggregate to the batch answer") {
+    import graft.ml.DedupIndex
+    import org.apache.spark.sql.functions._
+    // append-mode STATELESS band hits from the stream; the downstream
+    // batch aggregation over the sink must equal probeLsh exactly
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.pq(spark, dir, "documents")
+    val db = TestDbs.perRun(spark, "graft_slsh_")
+    DedupIndex.writeLsh(docs.where(col("doc_id") % 3 =!= 0), s"$db.lsh",
+      buckets = 4)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .parquet(s"$dir/documents.parq*")
+      .where(col("doc_id") % 3 === 0)
+    val hits = DedupIndex.probeStream(spark, s"$db.lsh", src)
+    val name = s"slsh_${System.nanoTime}"
+    val q = hits.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_bands"),
+        max(col("ns_a")).as("ns_a"), max(col("ns_b")).as("ns_b"))
+      .collect().map(_.toSeq).toSet
+    val batch = DedupIndex.probeLsh(spark, s"$db.lsh",
+        docs.where(col("doc_id") % 3 === 0))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
