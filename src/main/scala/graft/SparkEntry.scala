@@ -1952,7 +1952,7 @@ object SparkEntry {
     // division (|dot| < 2^53), so cross-engine order and ties agree;
     // parallel unnests zip positionally in DuckDB
     "q116_label_centroid" -> (
-      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings), """ +
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0), """ +
       """e AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v)+1)) AS p FROM q), """ +
       """s AS (SELECT label, p, CAST(sum(x) AS BIGINT) AS sx FROM e GROUP BY label, p), """ +
       """cen AS (SELECT label, list(sx ORDER BY p) AS sv FROM s GROUP BY label), """ +

@@ -19,6 +19,42 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Content fingerprint of the (centroids, scale) pair an index was
+    * built under. Probing or appending with DIFFERENT centroids or a
+    * different quantization scale makes the `_cell` equi-join compare
+    * two unrelated cell universes — silently wrong neighbors — so the
+    * fingerprint is stored on the table and every consumer validates
+    * against it. */
+  private def centroidFp(centroids: Array[Array[Long]], scale: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    def putLong(l: Long): Unit = {
+      bb.clear(); bb.putLong(l); md.update(bb.array())
+    }
+    putLong(scale.toLong)
+    centroids.foreach { c => putLong(c.length.toLong); c.foreach(putLong) }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Fail fast when a probe/append's centroid matrix or scale differs
+    * from the ones the index was built with. Tables written before the
+    * fingerprint existed validate vacuously. */
+  private def validateSpec(spark: SparkSession, table: String,
+                           centroids: Array[Array[Long]],
+                           scale: Int): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    props.get("graft.ivf.fp").foreach { stored =>
+      require(stored == centroidFp(centroids, scale),
+        s"AnnIndex: table $table was built with a different centroid " +
+          s"matrix or scale (stored ${props.getOrElse("graft.ivf.nCentroids", "?")} " +
+          s"centroids, scale ${props.getOrElse("graft.ivf.scale", "?")}; " +
+          s"this call passed ${centroids.length} centroids, scale $scale) " +
+          "— probe/append params must match the build params or the " +
+          "_cell join is meaningless")
+    }
+  }
+
   /** Assign every vector its MEMBERSHIP cell (nearest centroid, the
     * head of [[Similarity.nearestCells]]) and save as a parquet table
     * bucketed + sorted by `_cell`. Stores the quantized vector (`_q`)
@@ -26,7 +62,7 @@ object AnnIndex {
   def writeIvf(df: DataFrame, table: String,
                centroids: Array[Array[Long]], idCol: String = "vec_id",
                vecCol: String = "embedding", scale: Int = 1000,
-               buckets: Int = 8): Unit =
+               buckets: Int = 8): Unit = {
     df.select(col(idCol).cast("long").as(idCol),
         Similarity.quantize(col(vecCol), scale).as("_q"))
       .withColumn("_cell",
@@ -37,6 +73,12 @@ object AnnIndex {
       .sortBy("_cell", idCol)
       .mode("overwrite")
       .saveAsTable(table)
+    df.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES(" +
+        s"'graft.ivf.fp'='${centroidFp(centroids, scale)}'," +
+        s"'graft.ivf.nCentroids'='${centroids.length}'," +
+        s"'graft.ivf.scale'='$scale')")
+  }
 
   /** Incremental index maintenance: append a new batch of vectors into
     * an existing [[writeIvf]] table. `insertInto` routes rows through
@@ -50,13 +92,15 @@ object AnnIndex {
     * inapplicable here, and the ANN probe never uses it). */
   def appendIvf(df: DataFrame, table: String,
                 centroids: Array[Array[Long]], idCol: String = "vec_id",
-                vecCol: String = "embedding", scale: Int = 1000): Unit =
+                vecCol: String = "embedding", scale: Int = 1000): Unit = {
+    validateSpec(df.sparkSession, table, centroids, scale)
     df.select(col(idCol).cast("long").as(idCol),
         Similarity.quantize(col(vecCol), scale).as("_q"))
       .withColumn("_cell",
         Similarity.nearestCells(col("_q"), centroids, 1).getItem(0))
       .write.mode("append")
       .insertInto(table)
+  }
 
   /** The STREAMING serve path: probe the persisted index with an
     * unbounded stream of query vectors and emit each query's single
@@ -72,6 +116,7 @@ object AnnIndex {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
                       scale: Int = 1000): DataFrame = {
+    validateSpec(spark, table, centroids, scale)
     val idx = spark.table(table)
       .select(col(idCol).as("nb"), col("_q").as("_qb"), col("_cell"))
     val probes = queryStream
@@ -98,6 +143,7 @@ object AnnIndex {
                k: Int, nProbe: Int, centroids: Array[Array[Long]],
                idCol: String = "vec_id", vecCol: String = "embedding",
                scale: Int = 1000): DataFrame = {
+    validateSpec(spark, table, centroids, scale)
     val idx = spark.table(table)
       .select(col(idCol).as("nb"), col("_q").as("_qb"), col("_cell"))
     val probes = graft.core.Sizing.fanOutSmallScan(queries)

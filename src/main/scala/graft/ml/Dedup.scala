@@ -15,6 +15,36 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The seeded-MinHash scheme shared by every LSH consumer (signature,
+    * pair generation, the persisted [[DedupIndex]], and its streaming
+    * probe): hash i of a shingle is `md5(i.toString || shingle)`, the
+    * signature is the per-document minimum of each hash. These three
+    * helpers are the single definition of that scheme — the DuckDB
+    * oracles replay the same strings, so any change here must be
+    * mirrored there (and only there). */
+  /** Per-row signature columns h1..hN over a shingle-array column —
+    * the streaming/stateless form (array_min, no groupBy). */
+  private[ml] def perRowSignature(sh: Column, numHashes: Int): Seq[Column] =
+    (1 to numHashes).map(i =>
+      array_min(transform(sh, x => md5(concat(lit(i.toString), x)))).as(s"h$i"))
+
+  /** groupBy-side signature aggregates over the distinct (id, "sh")
+    * table: seeded-md5 mins h1..hN plus the distinct-shingle count
+    * `ns` — one aggregation yields signature AND set size. */
+  private[ml] def signatureAggs(numHashes: Int): Seq[Column] =
+    (1 to numHashes).map(i =>
+      min(md5(concat(lit(i.toString), col("sh")))).as(s"h$i")) :+
+      count(lit(1)).as("ns")
+
+  /** One struct per LSH band over signature columns h1..hN:
+    * (band = first hash index, bh = "|"-joined member hashes). */
+  private[ml] def bandStructs(numHashes: Int, bandSize: Int): Seq[Column] =
+    (1 to numHashes by bandSize).map { start =>
+      val cols = (start until math.min(start + bandSize, numHashes + 1))
+        .map(i => col(s"h$i"))
+      struct(lit(start).as("band"), concat_ws("|", cols: _*).as("bh"))
+    }
+
   /** Exact dedup on an arbitrary normalization key (e.g. md5 of the raw
     * text, or of a normalized prefix): one row per group with the
     * smallest id as the keeper and the duplicate count. */
@@ -48,13 +78,12 @@ object Dedup {
                        idCol: String = "doc_id", numHashes: Int = 4,
                        shingleK: Int = 3): DataFrame = {
     val sh = TextOps.wordShingles(col(textCol), shingleK)
-    val sigCols = (1 to numHashes).map(i =>
-      array_min(transform(sh, x => md5(concat(lit(i.toString), x)))).as(s"h$i"))
     // numHashes md5 calls per shingle is the dominant cost of every
     // minhash consumer; don't let a one-row-group scan serialize it
     graft.core.Sizing.fanOutSmallScan(df)
       .filter(size(TextOps.tokens(col(textCol))) >= shingleK)
-      .select(col(idCol) +: sigCols :+ size(sh).as("n_shingles"): _*)
+      .select(col(idCol) +: perRowSignature(sh, numHashes)
+        :+ size(sh).as("n_shingles"): _*)
   }
 
   /** LSH candidate pairs: documents sharing at least one signature band.
@@ -62,11 +91,7 @@ object Dedup {
     * id pairs with a < b, distinct. */
   def lshCandidatePairs(sig: DataFrame, idCol: String = "doc_id",
                         numHashes: Int = 4, bandSize: Int = 1): DataFrame = {
-    val bands = (1 to numHashes by bandSize).map { start =>
-      val cols = (start until math.min(start + bandSize, numHashes + 1))
-        .map(i => col(s"h$i"))
-      struct(lit(start).as("band"), concat_ws("|", cols: _*).as("bh"))
-    }
+    val bands = bandStructs(numHashes, bandSize)
     val exploded = sig.select(col(idCol), explode(array(bands: _*)).as("_b"))
       .select(col(idCol), col("_b.band"), col("_b.bh"))
     val l = exploded.alias("l")
@@ -126,15 +151,9 @@ object Dedup {
     // one groupBy yields signature AND set size; the band self-join then
     // carries both sides' sizes through, so only the intersection count
     // needs another join against the shingle table.
-    val sigAggs = (1 to numHashes).map(i =>
-      min(md5(concat(lit(i.toString), col("sh")))).as(s"h$i")) :+
-      count(lit(1)).as("ns")
+    val sigAggs = signatureAggs(numHashes)
     val sig = dsh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
-    val bands = (1 to numHashes by bandSize).map { start =>
-      val cols = (start until math.min(start + bandSize, numHashes + 1))
-        .map(i => col(s"h$i"))
-      struct(lit(start).as("band"), concat_ws("|", cols: _*).as("bh"))
-    }
+    val bands = bandStructs(numHashes, bandSize)
     val exploded = sig.select(col(idCol), col("ns"), explode(array(bands: _*)).as("_b"))
       .select(col(idCol), col("ns"), col("_b.band"), col("_b.bh"))
     val l = exploded.alias("l")

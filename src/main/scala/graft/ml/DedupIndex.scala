@@ -35,15 +35,9 @@ object DedupIndex {
       .select(col(idCol),
         explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
       .distinct()
-    val sigAggs = (1 to numHashes).map(i =>
-      min(md5(concat(lit(i.toString), col("sh")))).as(s"h$i")) :+
-      count(lit(1)).as("ns")
+    val sigAggs = Dedup.signatureAggs(numHashes)
     val sig = dsh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
-    val bands = (1 to numHashes by bandSize).map { start =>
-      val cols = (start until math.min(start + bandSize, numHashes + 1))
-        .map(i => col(s"h$i"))
-      struct(lit(start).as("band"), concat_ws("|", cols: _*).as("bh"))
-    }
+    val bands = Dedup.bandStructs(numHashes, bandSize)
     sig.select(col(idCol), col("ns"), explode(array(bands: _*)).as("_b"))
       .select(col(idCol), col("_b.band").as("band"), col("_b.bh").as("bh"),
         col("ns"))
@@ -55,7 +49,7 @@ object DedupIndex {
   def writeLsh(docs: DataFrame, table: String, textCol: String = "text",
                idCol: String = "doc_id", numHashes: Int = 4,
                bandSize: Int = 1, shingleK: Int = 3,
-               buckets: Int = 8): Unit =
+               buckets: Int = 8): Unit = {
     bandRows(docs, textCol, idCol, numHashes, bandSize, shingleK)
       .repartition(buckets, col("band"), col("bh"))
       .write.format("parquet")
@@ -63,6 +57,35 @@ object DedupIndex {
       .sortBy("band", "bh", idCol)
       .mode("overwrite")
       .saveAsTable(table)
+    // Record the band spec on the table itself: a probe or append under
+    // a DIFFERENT spec joins disjoint (band, bh) universes and silently
+    // returns an empty/partial candidate set — persisting the params
+    // turns that into an impossible state (validated below).
+    docs.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES(" +
+        s"'graft.lsh.numHashes'='$numHashes'," +
+        s"'graft.lsh.bandSize'='$bandSize'," +
+        s"'graft.lsh.shingleK'='$shingleK')")
+  }
+
+  /** Fail fast when a probe/append's band spec differs from the one the
+    * index was built with (stored as table properties by [[writeLsh]]).
+    * Tables written before the properties existed validate vacuously. */
+  private def validateSpec(spark: SparkSession, table: String,
+                           numHashes: Int, bandSize: Int,
+                           shingleK: Int): Unit = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    Seq("numHashes" -> numHashes, "bandSize" -> bandSize,
+        "shingleK" -> shingleK).foreach { case (k, v) =>
+      props.get(s"graft.lsh.$k").foreach { stored =>
+        require(stored == v.toString,
+          s"DedupIndex: table $table was built with $k=$stored but this " +
+            s"call passed $k=$v — probe/append params must match the " +
+            "build params or the (band, bh) join is meaningless")
+      }
+    }
+  }
 
   /** Incremental maintenance: append a new batch's banded rows through
     * the table's own bucket spec (hash and count come from the catalog,
@@ -71,10 +94,12 @@ object DedupIndex {
     * exchange-free index scan relies on. */
   def appendLsh(docs: DataFrame, table: String, textCol: String = "text",
                 idCol: String = "doc_id", numHashes: Int = 4,
-                bandSize: Int = 1, shingleK: Int = 3): Unit =
+                bandSize: Int = 1, shingleK: Int = 3): Unit = {
+    validateSpec(docs.sparkSession, table, numHashes, bandSize, shingleK)
     bandRows(docs, textCol, idCol, numHashes, bandSize, shingleK)
       .write.mode("append")
       .insertInto(table)
+  }
 
   /** STREAMING serve path: an unbounded stream of incoming docs probes
     * the persisted index for near-duplicate band hits. Everything here
@@ -91,18 +116,13 @@ object DedupIndex {
                   textCol: String = "text", idCol: String = "doc_id",
                   numHashes: Int = 4, bandSize: Int = 1,
                   shingleK: Int = 3): DataFrame = {
+    validateSpec(spark, table, numHashes, bandSize, shingleK)
     val sh = TextOps.wordShingles(col(textCol), shingleK)
     val sig = batch
       .filter(size(TextOps.tokens(col(textCol))) >= shingleK)
-      .select(col(idCol).as("a") +: (1 to numHashes).map(i =>
-        array_min(transform(sh, x => md5(concat(lit(i.toString), x))))
-          .as(s"h$i"))
+      .select(col(idCol).as("a") +: Dedup.perRowSignature(sh, numHashes)
         :+ size(array_distinct(sh)).cast("long").as("ns_a"): _*)
-    val bands = (1 to numHashes by bandSize).map { start =>
-      val cols = (start until math.min(start + bandSize, numHashes + 1))
-        .map(i => col(s"h$i"))
-      struct(lit(start).as("band"), concat_ws("|", cols: _*).as("bh"))
-    }
+    val bands = Dedup.bandStructs(numHashes, bandSize)
     val probes = sig
       .select(col("a"), col("ns_a"), explode(array(bands: _*)).as("_b"))
       .select(col("a"), col("_b.band").as("band"), col("_b.bh").as("bh"),
@@ -124,6 +144,7 @@ object DedupIndex {
                textCol: String = "text", idCol: String = "doc_id",
                numHashes: Int = 4, bandSize: Int = 1,
                shingleK: Int = 3): DataFrame = {
+    validateSpec(spark, table, numHashes, bandSize, shingleK)
     val idx = spark.table(table)
       .select(col("band"), col("bh"), col(idCol).as("b"), col("ns").as("ns_b"))
     val probes = bandRows(batch, textCol, idCol, numHashes, bandSize, shingleK)

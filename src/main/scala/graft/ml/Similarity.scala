@@ -189,10 +189,16 @@ object Similarity {
   def nearestCentroid(df: DataFrame, labelCol: String = "label",
                       vecCol: String = "embedding",
                       scale: Int = 1000): DataFrame = {
+    // Filter AFTER the cast: a label that casts to NULL (non-ANSI
+    // deployments) would otherwise be dropped from the centroid table by
+    // the inner join yet still scored, emitting NULL-label matrix rows.
+    // Empty vectors are excluded too — they score 0 against every
+    // centroid, which is assignment noise, not signal.
     val q0 = df
-      .where(col(labelCol).isNotNull && col(vecCol).isNotNull)
       .select(col(labelCol).cast("long").as("label"),
         quantize(col(vecCol), scale).as("_q"))
+      .where(col("label").isNotNull && col("_q").isNotNull &&
+        size(col("_q")) > 0)
     val sums = q0.select(col("label"), posexplode(col("_q")).as(Seq("_p", "_x")))
       .groupBy(col("label"), col("_p")).agg(sum(col("_x")).as("_s"))
       .groupBy(col("label")).agg(

@@ -990,11 +990,18 @@ class OpsSpec extends AnyFunSuite {
     // the implementation skips the /n normalization. The [0.5,0.5] rows
     // score 5e5 against labels 0, 1, 5 AND 6 (exact four-way rational
     // tie) — the smaller-label rule must send both to 0.
+    // the Option rows are all dropped by the null/empty hardening: null
+    // label, null vector, empty vector — none may surface in the matrix
+    // (label 9 exists ONLY in degenerate rows and must vanish entirely)
     val df = Seq(
-      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)),
-      (1, Array(0.0f, 1.0f)), (1, Array(0.0f, 1.0f)),
-      (3, Array(0.7f, 0.0f)), (3, Array(0.7f, 0.0f)), (3, Array(0.7f, 0.0f)),
-      (5, Array(0.5f, 0.5f)), (6, Array(0.5f, 0.5f)))
+      (Option(0), Option(Array(1.0f, 0.0f))), (Option(0), Option(Array(1.0f, 0.0f))),
+      (Option(1), Option(Array(0.0f, 1.0f))), (Option(1), Option(Array(0.0f, 1.0f))),
+      (Option(3), Option(Array(0.7f, 0.0f))), (Option(3), Option(Array(0.7f, 0.0f))),
+      (Option(3), Option(Array(0.7f, 0.0f))),
+      (Option(5), Option(Array(0.5f, 0.5f))), (Option(6), Option(Array(0.5f, 0.5f))),
+      (Option.empty[Int], Option(Array(9.0f, 9.0f))),
+      (Option(9), Option.empty[Array[Float]]),
+      (Option(9), Option(Array.empty[Float])))
       .toDF("label", "embedding")
     val got = graft.ml.Similarity.nearestCentroid(df)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

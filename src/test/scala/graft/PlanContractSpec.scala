@@ -364,6 +364,17 @@ class PlanContractSpec extends AnyFunSuite {
     val viaFull = AnnIndex.probeIvf(spark, s"$db.full", emb,
       k = 2, nProbe = 2, centroids = cm).collect().map(_.toSeq).toSet
     assert(viaInc == viaFull && viaInc.nonEmpty)
+    // centroid/scale mismatch against the build-time fingerprint is an
+    // error, not a silently wrong _cell join
+    val cmOther = Similarity.ivfCentroids(4, 64)
+    val mm = intercept[IllegalArgumentException] {
+      AnnIndex.probeIvf(spark, s"$db.full", emb, k = 2, nProbe = 2,
+        centroids = cmOther)
+    }
+    assert(mm.getMessage.contains("centroid"), mm.getMessage)
+    intercept[IllegalArgumentException] {
+      AnnIndex.appendIvf(half2, s"$db.full", cm, scale = 500)
+    }
     // appended table still reports bucketed scans
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -408,6 +419,16 @@ class PlanContractSpec extends AnyFunSuite {
     val viaInc = DedupIndex.probeLsh(spark, s"$db.inc", batch)
       .collect().map(_.toSeq).toSet
     assert(viaInc == viaIdx)
+    // band-spec mismatch is an impossible state, not a silent empty
+    // candidate set: the build params are table properties and every
+    // probe/append validates against them
+    val mh = intercept[IllegalArgumentException] {
+      DedupIndex.probeLsh(spark, s"$db.inc", batch, numHashes = 8)
+    }
+    assert(mh.getMessage.contains("numHashes"), mh.getMessage)
+    intercept[IllegalArgumentException] {
+      DedupIndex.appendLsh(batch, s"$db.inc", shingleK = 5)
+    }
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
