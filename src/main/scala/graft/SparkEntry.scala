@@ -1077,6 +1077,15 @@ object SparkEntry {
       // disjoint 15-bit chunks, verified with bit_count(xor) — must
       // equal the oracle's brute-force all-pairs scan
       Dedup.simhashNearDupPairs(pq(s, dir, "documents"), maxHamming = 3)),
+    "q119_mix_epochs" -> ((s, dir) =>
+      // weighted data-recipe mixture: en replayed 2.5 epochs, zh 1.3,
+      // de 1.0, fr 0.75; es absent from the recipe -> dropped. The
+      // fractional copy is the deterministic 24-bit md5 draw; the whole
+      // expansion is one zero-shuffle sequence-explode.
+      Sampling.mixByEpochs(pq(s, dir, "documents"),
+          Map("en" -> 250, "zh" -> 130, "de" -> 100, "fr" -> 75),
+          stratumCol = "lang")
+        .select(col("doc_id"), col("lang"), col("rep"))),
     "q117_dedup_index" -> ((s, dir) => {
       // the persisted LSH near-dup index under the DuckDB gate: index
       // the corpus half (source len > 4), probe with the incoming-batch
@@ -1926,6 +1935,14 @@ object SparkEntry {
       s"SELECT doc_id, lang, source FROM h JOIN c USING (lang) WHERE ($hash24OracleSql) * n < 50 * 16777216"),
 
     "q118_simhash_neardup" -> simhashNearDupOracleSql(maxHamming = 3),
+
+    // same integer replay: floor-div epochs + the hash24 fractional
+    // draw, copies via range() unnest
+    "q119_mix_epochs" -> (
+      "WITH w(lang, pct) AS (VALUES ('en', 250), ('zh', 130), ('de', 100), ('fr', 75)), " +
+      "d AS (SELECT doc_id, lang, pct, md5(doc_id || 'graftmix') AS h FROM documents JOIN w USING (lang)), " +
+      s"n AS (SELECT doc_id, lang, CAST(pct // 100 + CASE WHEN ($hash24OracleSql) * 100 < (pct % 100) * 16777216 THEN 1 ELSE 0 END AS BIGINT) AS nc FROM d) " +
+      "SELECT doc_id, lang, CAST(unnest(range(1, nc + 1)) AS BIGINT) AS rep FROM n WHERE nc > 0"),
 
     // replays the index build + probe relationally: distinct shingles ->
     // min-md5 signatures (with set size) -> band rows -> cross-half join

@@ -127,4 +127,39 @@ object Sampling {
       }
       .toDF("stratum", "id", "n_tokens", "bin", "pos")
   }
+
+  /** Weighted multi-source mixture — the "data recipe" primitive: each
+    * stratum (source, language, domain) is replayed `epochsPct/100`
+    * times, e.g. 250 = 2.5 epochs. Every row emits `floor(epochs)`
+    * copies (`rep` = 1..floor) plus one extra copy when its 24-bit
+    * [[hash24]] draw falls under the fractional part, so a 2.5-epoch
+    * stratum emits each doc 2 or 3 times — deterministic per id,
+    * partitioning-independent, expected total exactly `n * 2.5`.
+    * Strata absent from the recipe are dropped (0 epochs).
+    *
+    * Exactness: the row-level accept is the integer cross-multiply
+    * `draw * 100 < (pct mod 100) * 2^24`; the only division is
+    * `floor(pct / 100)`, whose double rounding error (~1e-13) cannot
+    * bridge the 0.01 gap to the next integer — so both parts replay
+    * bit-identically in any engine.
+    *
+    * Scale shape: the recipe is a map literal folded into the scan, the
+    * copies come from one codegen'd sequence-explode — zero shuffles;
+    * the fan-out IS the recipe's epoch factor, i.e. the intended output
+    * size, so there is nothing to gate. */
+  def mixByEpochs(df: DataFrame, epochsPct: Map[String, Int],
+                  stratumCol: String = "source", idCol: String = "doc_id",
+                  salt: String = "graftmix"): DataFrame = {
+    require(epochsPct.nonEmpty && epochsPct.values.forall(_ >= 0),
+      "mixByEpochs: recipe must be non-empty with non-negative epochs")
+    val pct = element_at(typedLit(epochsPct), col(stratumCol).cast("string"))
+    val whole = floor(pct / lit(100)).cast("long")
+    val extra = when(
+      hash24(col(idCol), salt) * 100 < (pct % 100).cast("long") * lit(1L << 24),
+      1L).otherwise(0L)
+    df.withColumn("_nc", whole + extra)
+      .where(col("_nc") > 0)
+      .withColumn("rep", explode(sequence(lit(1L), col("_nc"))))
+      .drop("_nc")
+  }
 }

@@ -832,6 +832,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSet == again.toSet)
   }
 
+  test("mixByEpochs: whole copies exact, fractional draw bounded, absent strata dropped") {
+    import spark.implicits._
+    val df = ((1L to 200L).map((_, "a")) ++ (201L to 400L).map((_, "b")) ++
+      (401L to 500L).map((_, "c"))).toDF("doc_id", "lang")
+    // a: 2.5 epochs -> each doc 2 or 3 copies; b: 0.4 -> 0 or 1;
+    // c absent from the recipe -> dropped entirely
+    val got = graft.ml.Sampling
+      .mixByEpochs(df, Map("a" -> 250, "b" -> 40), stratumCol = "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(!got.exists(_._2 == "c"))
+    val perDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // every 'a' doc appears, rep is contiguous 1..nc with nc in {2, 3}
+    (1L to 200L).foreach { id =>
+      val reps = perDoc(id)
+      assert(reps == (1L to reps.size).toSeq && (reps.size == 2 || reps.size == 3),
+        s"doc $id reps $reps")
+    }
+    val aCopies = got.count(_._2 == "a")
+    assert(aCopies > 430 && aCopies < 570, s"a emitted $aCopies, expected ~500")
+    val bCopies = got.count(_._2 == "b")
+    assert(got.filter(_._2 == "b").forall(_._3 == 1L))
+    assert(bCopies > 40 && bCopies < 125, s"b emitted $bCopies, expected ~80")
+    // deterministic across partitioning
+    val again = graft.ml.Sampling
+      .mixByEpochs(df.repartition(7), Map("a" -> 250, "b" -> 40), stratumCol = "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == again.toSet && got.length == again.length)
+  }
+
   test("packSequences greedy first-fit: budget breaks, oversized rows, stratum resets") {
     import spark.implicits._
     val df = Seq(

@@ -470,6 +470,14 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("mixByEpochs expands with zero exchanges") {
+    // the data-recipe fan-out is a map-literal lookup + sequence-explode:
+    // any Exchange here would shuffle the full post-expansion corpus
+    val plan = SparkEntry.queries("q119_mix_epochs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 0, plan.take(1500))
+  }
+
   test("fisher and image-decode stay single-aggregation / mapPartitions plans") {
     val fisher = SparkEntry.queries("q83_fisher")(spark, dir)
       .queryExecution.executedPlan.toString
