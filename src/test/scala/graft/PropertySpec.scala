@@ -499,4 +499,37 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mixByEpochs copy-count law over random recipes") {
+    import spark.implicits._
+    // every doc of a recipe stratum emits floor(pct/100) or +1 copies
+    // (exactly floor when pct is a whole multiple of 100), reps are
+    // contiguous from 1, and strata outside the recipe emit nothing
+    val genRecipe = Gen.mapOf(Gen.zip(
+      Gen.oneOf("a", "b", "c", "d"), Gen.chooseNum(0, 400)))
+      .suchThat(_.nonEmpty)
+    val genDocs = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1L, 500L), Gen.oneOf("a", "b", "c", "d", "x")))
+      .map(_.distinctBy(_._1))
+    forAll(genDocs, genRecipe) { (rows, recipe) =>
+      val out = graft.ml.Sampling
+        .mixByEpochs(rows.toDF("doc_id", "lang"), recipe, stratumCol = "lang")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(out.forall(o => recipe.contains(o._2)))
+      val byDoc = out.groupBy(_._1)
+      for ((id, lang) <- rows) {
+        val reps = byDoc.getOrElse(id, Array.empty).map(_._3).sorted.toSeq
+        assert(reps == (1L to reps.size).toSeq, s"doc $id reps $reps")
+        recipe.get(lang) match {
+          case None => assert(reps.isEmpty)
+          case Some(pct) =>
+            val whole = pct / 100
+            if (pct % 100 == 0) assert(reps.size == whole,
+              s"doc $id: whole-epoch recipe $pct gave ${reps.size} copies")
+            else assert(reps.size == whole || reps.size == whole + 1,
+              s"doc $id: recipe $pct gave ${reps.size} copies")
+        }
+      }
+    }
+  }
 }
