@@ -229,38 +229,110 @@ object Dedup {
     * bit_count(xor) verify trims it to precisely the brute-force
     * all-pairs answer. Output: (a, b, hamming) with a < b.
     *
-    * Scale design: the quadratic work is confined to per-chunk-value
-    * buckets (2^15 values per chunk at the defaults — near-uniform,
-    * since simhash bits are md5 votes), everything else is one
-    * fingerprint aggregation and a hash join; never an all-pairs
-    * compare. */
+    * Scale design — the per-bucket quadratic is guarded twice, with NO
+    * completeness tradeoff:
+    *
+    *  1. The banded self-join runs over DISTINCT fingerprints, not
+    *     documents. A templated/empty-doc corpus — thousands of
+    *     documents whose simhash collapses to one value (cv=0 is the
+    *     classic) — contributes ONE row per distinct fingerprint to
+    *     every bucket; the expansion back to document pairs is a pair
+    *     of hash joins on the full fingerprint plus an intra-class
+    *     self-join whose quadratic size equals the true output size
+    *     (identical fingerprints really are pairwise near-dups).
+    *  2. Buckets still hotter than `maxBucket` distinct fingerprints
+    *     are re-banded recursively: two fingerprints in the same
+    *     (chunk, cv) bucket agree on that chunk, so their REMAINING
+    *     bits differ by <= maxHamming, and pigeonhole applies again —
+    *     split the fingerprint-with-chunk-zeroed into maxHamming+1
+    *     sub-chunks and the pair must agree on at least one. The hot
+    *     bucket's self-join key widens to (chunk, cv, subchunk,
+    *     subvalue), cutting its population by ~2^(60/(t+1)) while
+    *     keeping the candidate set a superset of the true answer.
+    *
+    * Everything else is one fingerprint aggregation and hash joins;
+    * never an all-pairs compare, and no single join key carries more
+    * than ~`maxBucket` rows unless the corpus packs > maxBucket
+    * distinct fingerprints into one 15-bit chunk AND one 15-bit
+    * sub-chunk simultaneously (md5-vote bits make that a deliberate
+    * construction, not a data shape). */
   def simhashNearDupPairs(df: DataFrame, maxHamming: Int = 3,
                           bands: Int = 4, textCol: String = "text",
-                          idCol: String = "doc_id"): DataFrame = {
+                          idCol: String = "doc_id",
+                          maxBucket: Int = 1 << 16): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole completeness needs maxHamming ($maxHamming) < bands ($bands)")
+    require(bands >= 1 && bands <= 60,
+      s"bands ($bands) must be in [1, 60] so every chunk is >= 1 bit wide")
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2")
     val bits = 60
-    val fp = simhash60(df, textCol, idCol, "simhash")
+    // (id, simhash); checkpointed because four consumers read it
+    // (distinct fingerprints, the two expansion joins, the intra-class
+    // join) and the tokenize+md5-vote aggregation is the expensive part.
+    val fp = simhash60(df, textCol, idCol, "simhash").localCheckpoint()
+    val fpd = fp.select(col("simhash")).distinct()
     val width = bits / bands
-    val chunks = (0 until bands).map { c =>
+    def chunkStructs(src: Column, nChunks: Int, prefix: String): Seq[Column] = {
+      val w0 = bits / nChunks
+      (0 until nChunks).map { c =>
+        val lo = c * w0
+        val w = if (c == nChunks - 1) bits - lo else w0
+        struct(lit(c).as(s"${prefix}chunk"),
+          shiftright(src, lo).bitwiseAND(lit((1L << w) - 1)).as(s"${prefix}cv"))
+      }
+    }
+    val ex = fpd.select(col("simhash"),
+        explode(array(chunkStructs(col("simhash"), bands, ""): _*)).as("_c"))
+      .select(col("simhash"), col("_c.chunk").as("chunk"), col("_c.cv").as("cv"))
+    // Hot-bucket census: tiny ((chunk, cv) cardinality is bounded by
+    // bands * distinct fingerprints), broadcast to split the stream.
+    val hot = ex.groupBy(col("chunk"), col("cv")).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxBucket).select(col("chunk"), col("cv"))
+    val exCold = ex.join(broadcast(hot), Seq("chunk", "cv"), "left_anti")
+    // Re-band hot rows over the fingerprint with this chunk's bits
+    // zeroed (both sides of any candidate pair zero the SAME bits, so
+    // sub-chunk agreement still witnesses real-bit agreement).
+    val subBands = maxHamming + 1
+    val chunkMask = (0 until bands).map { c =>
       val lo = c * width
       val w = if (c == bands - 1) bits - lo else width
-      struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1)).as("cv"))
+      ((1L << w) - 1) << lo
     }
-    val ex = fp.select(col(idCol), col("simhash"),
-        explode(array(chunks: _*)).as("_c"))
-      .select(col(idCol), col("simhash"),
-        col("_c.chunk").as("chunk"), col("_c.cv").as("cv"))
-    val l = ex.alias("l")
-    val r = ex.alias("r")
-    l.join(r, col("l.chunk") === col("r.chunk") &&
-        col("l.cv") === col("r.cv") && col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    val maskCol = element_at(
+      array(chunkMask.map(lit): _*), col("chunk") + 1)
+    val rem = col("simhash").bitwiseAND(bitwise_not(maskCol))
+    val exHot = ex.join(broadcast(hot), Seq("chunk", "cv"))
+      .select(col("simhash"), col("chunk"), col("cv"),
+        explode(array(chunkStructs(rem, subBands, "s"): _*)).as("_s"))
+      .select(col("simhash"), col("chunk"), col("cv"),
+        col("_s.schunk").as("schunk"), col("_s.scv").as("scv"))
+    def fpPairs(e: DataFrame, keys: Seq[String]): DataFrame = {
+      val l = e.alias("l")
+      val r = e.alias("r")
+      val cond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
+        .reduce(_ && _) && col("l.simhash") < col("r.simhash")
+      l.join(r, cond).select(col("l.simhash").as("fa"), col("r.simhash").as("fb"))
+    }
+    val candFp = fpPairs(exCold, Seq("chunk", "cv"))
+      .union(fpPairs(exHot, Seq("chunk", "cv", "schunk", "scv")))
       .distinct()
+      .select(col("fa"), col("fb"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    // Expand fingerprint pairs to document pairs; fingerprint classes
+    // are disjoint, so cross-class pairs need least/greatest to restore
+    // the a < b contract and can never duplicate an intra-class pair.
+    val cross = candFp
+      .join(fp.select(col(idCol).as("_ia"), col("simhash").as("fa")), Seq("fa"))
+      .join(fp.select(col(idCol).as("_ib"), col("simhash").as("fb")), Seq("fb"))
+      .select(least(col("_ia"), col("_ib")).as("a"),
+        greatest(col("_ia"), col("_ib")).as("b"), col("hamming"))
+    val intra = fp.alias("l").join(fp.alias("r"),
+        col("l.simhash") === col("r.simhash") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
+        lit(0L).as("hamming"))
+    cross.union(intra)
   }
 
   /** Connected components over an undirected pair graph (e.g. the

@@ -654,10 +654,36 @@ class OpsSpec extends AnyFunSuite {
       val banded = Dedup.simhashNearDupPairs(docs, maxHamming = t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(banded == brute, s"t=$t: ${banded.size} vs ${brute.size}")
+      // force the hot-bucket path on every bucket (maxBucket=2): the
+      // recursive sub-banding must still be exact, not approximate
+      val hot = Dedup.simhashNearDupPairs(docs, maxHamming = t, maxBucket = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(hot == brute, s"hot-path t=$t: ${hot.size} vs ${brute.size}")
     }
     intercept[IllegalArgumentException] {
       Dedup.simhashNearDupPairs(docs, maxHamming = 4, bands = 4)
     }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, maxHamming = 3, bands = 61)
+    }
+  }
+
+  test("simhashNearDupPairs: templated corpus (collapsed fingerprints) stays linear") {
+    import spark.implicits._
+    // 600 identical docs -> ONE distinct fingerprint: the banded
+    // self-join sees one row per bucket instead of 600 (the round-8
+    // quadratic detonation shape); the intra-class join emits exactly
+    // the true C(600,2) identical pairs plus nothing else.
+    val templated = (1L to 600L).map(i => (i, "lorem ipsum dolor sit amet template"))
+    val extra = Seq((1001L, "completely different content here entirely"),
+                    (1002L, "another unrelated document with other words"))
+    val docs = (templated ++ extra).toDF("doc_id", "text")
+    val got = Dedup.simhashNearDupPairs(docs, maxHamming = 3)
+    val intraCount = got.filter(col("hamming") === 0).count()
+    assert(intraCount == 600L * 599L / 2,
+      s"expected C(600,2) intra-class pairs, got $intraCount")
+    // all intra pairs stay inside the templated id range
+    assert(got.filter(col("hamming") === 0 && col("b") > 1000L).count() == 0)
   }
 
   test("MinHashAgg aggregate matches the expression-based signature") {
