@@ -1088,15 +1088,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("rep"))),
     "q117_dedup_index" -> ((s, dir) => {
       // the persisted LSH near-dup index under the DuckDB gate: index
-      // the corpus half (source len > 4), probe with the incoming-batch
-      // half — the steady-state curation serve shape. The oracle
-      // replays signatures, banding, and the cross join relationally,
-      // so a bucketing or band-spec defect anywhere in the
-      // write/read/probe cycle breaks the hash.
+      // the corpus half (source len > 4) as a build + an incremental
+      // append, COMPACT the two-generation table back to one file per
+      // bucket, then probe with the incoming-batch half — the full
+      // steady-state index lifecycle. The oracle replays signatures,
+      // banding, and the cross join relationally, so a bucketing,
+      // band-spec, or compaction defect anywhere in the
+      // write/append/compact/probe cycle breaks the hash.
       val db = perRunDb(s, "graft_q117_")
       val d = pq(s, dir, "documents")
-      graft.ml.DedupIndex.writeLsh(d.where(length(col("source")) > 4),
+      val corpus = d.where(length(col("source")) > 4)
+      graft.ml.DedupIndex.writeLsh(corpus.where(col("doc_id") % 2 === 0),
         s"$db.lsh")
+      graft.ml.DedupIndex.appendLsh(corpus.where(col("doc_id") % 2 === 1),
+        s"$db.lsh")
+      graft.ml.DedupIndex.compact(s, s"$db.lsh")
       graft.ml.DedupIndex.probeLsh(s, s"$db.lsh",
         d.where(length(col("source")) === 4))
     }),

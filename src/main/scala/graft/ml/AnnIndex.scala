@@ -37,23 +37,44 @@ object AnnIndex {
   }
 
   /** Fail fast when a probe/append's centroid matrix or scale differs
-    * from the ones the index was built with. Tables written before the
-    * fingerprint existed validate vacuously. */
+    * from the ones the index was built with — and ALSO when the
+    * fingerprint property is missing entirely: [[writeIvf]] stamps it
+    * right after the data write, so a table without it is a build that
+    * crashed between the two steps (or a table nothing in this library
+    * wrote), and validating it vacuously would be exactly the silent
+    * wrong-cell join the fingerprint exists to prevent. Rebuild with
+    * [[writeIvf]]. */
   private def validateSpec(spark: SparkSession, table: String,
                            centroids: Array[Array[Long]],
                            scale: Int): Unit = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    props.get("graft.ivf.fp").foreach { stored =>
-      require(stored == centroidFp(centroids, scale),
-        s"AnnIndex: table $table was built with a different centroid " +
-          s"matrix or scale (stored ${props.getOrElse("graft.ivf.nCentroids", "?")} " +
-          s"centroids, scale ${props.getOrElse("graft.ivf.scale", "?")}; " +
-          s"this call passed ${centroids.length} centroids, scale $scale) " +
-          "— probe/append params must match the build params or the " +
-          "_cell join is meaningless")
+    props.get("graft.ivf.fp") match {
+      case Some(stored) =>
+        require(stored == centroidFp(centroids, scale),
+          s"AnnIndex: table $table was built with a different centroid " +
+            s"matrix or scale (stored ${props.getOrElse("graft.ivf.nCentroids", "?")} " +
+            s"centroids, scale ${props.getOrElse("graft.ivf.scale", "?")}; " +
+            s"this call passed ${centroids.length} centroids, scale $scale) " +
+            "— probe/append params must match the build params or the " +
+            "_cell join is meaningless")
+      case None =>
+        throw new IllegalStateException(
+          s"AnnIndex: table $table has no graft.ivf.fp fingerprint — " +
+            "either the build crashed between the data write and the " +
+            "property stamp, or the table was not written by writeIvf. " +
+            "Rebuild with writeIvf; probing it could silently join an " +
+            "unrelated cell universe")
     }
   }
+
+  /** Rewrite a multi-append index back to one file per bucket,
+    * preserving the bucket spec, sort order, and the centroid
+    * fingerprint properties — see [[Indexes.compactBucketedTable]] for
+    * the crash-safe swap. Probe plans and results are unchanged; only
+    * the per-bucket file count collapses. */
+  def compact(spark: SparkSession, table: String): Unit =
+    Indexes.compactBucketedTable(spark, table)
 
   /** Assign every vector its MEMBERSHIP cell (nearest centroid, the
     * head of [[Similarity.nearestCells]]) and save as a parquet table
@@ -86,8 +107,8 @@ object AnnIndex {
     * not from this writer), so the invariant the probe join relies on —
     * every row of cell c lives in bucket hash(c) — survives arbitrarily
     * many appends. Appends add one file per touched bucket per batch;
-    * periodically rewrite with [[writeIvf]] if file counts grow enough
-    * to matter (the probe stays correct either way — only the
+    * run [[compact]] periodically to fold them back to one file per
+    * bucket (the probe stays correct either way — only the
     * single-file-per-bucket ordering opt-in of the interval tables is
     * inapplicable here, and the ANN probe never uses it). */
   def appendIvf(df: DataFrame, table: String,

@@ -69,8 +69,12 @@ object DedupIndex {
   }
 
   /** Fail fast when a probe/append's band spec differs from the one the
-    * index was built with (stored as table properties by [[writeLsh]]).
-    * Tables written before the properties existed validate vacuously. */
+    * index was built with (stored as table properties by [[writeLsh]]) —
+    * and ALSO when the properties are missing entirely: [[writeLsh]]
+    * stamps them right after the data write, so a bare table is a build
+    * that crashed between the two steps (or a table nothing in this
+    * library wrote), and a vacuous pass would silently join disjoint
+    * (band, bh) universes. Rebuild with [[writeLsh]]. */
   private def validateSpec(spark: SparkSession, table: String,
                            numHashes: Int, bandSize: Int,
                            shingleK: Int): Unit = {
@@ -78,14 +82,30 @@ object DedupIndex {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     Seq("numHashes" -> numHashes, "bandSize" -> bandSize,
         "shingleK" -> shingleK).foreach { case (k, v) =>
-      props.get(s"graft.lsh.$k").foreach { stored =>
-        require(stored == v.toString,
-          s"DedupIndex: table $table was built with $k=$stored but this " +
-            s"call passed $k=$v — probe/append params must match the " +
-            "build params or the (band, bh) join is meaningless")
+      props.get(s"graft.lsh.$k") match {
+        case Some(stored) =>
+          require(stored == v.toString,
+            s"DedupIndex: table $table was built with $k=$stored but this " +
+              s"call passed $k=$v — probe/append params must match the " +
+              "build params or the (band, bh) join is meaningless")
+        case None =>
+          throw new IllegalStateException(
+            s"DedupIndex: table $table has no graft.lsh.$k property — " +
+              "either the build crashed between the data write and the " +
+              "property stamp, or the table was not written by writeLsh. " +
+              "Rebuild with writeLsh; probing it could silently return " +
+              "an empty or partial candidate set")
       }
     }
   }
+
+  /** Rewrite a multi-append index back to one file per bucket,
+    * preserving the bucket spec, sort order, and the band-spec
+    * properties — see [[Indexes.compactBucketedTable]] for the
+    * crash-safe swap. Probe plans and results are unchanged; only the
+    * per-bucket file count collapses. */
+  def compact(spark: SparkSession, table: String): Unit =
+    Indexes.compactBucketedTable(spark, table)
 
   /** Incremental maintenance: append a new batch's banded rows through
     * the table's own bucket spec (hash and count come from the catalog,

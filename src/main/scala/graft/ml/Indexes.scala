@@ -1,0 +1,86 @@
+package graft.ml
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Shared maintenance for the persisted index tables ([[AnnIndex]],
+  * [[DedupIndex]]): compaction of multi-append tables back to one file
+  * per bucket.
+  *
+  * Every `insertInto` append adds one file per touched bucket per
+  * batch, so a long-lived index accumulates files linearly with batch
+  * count — correctness is unaffected (the bucket INVARIANT is what the
+  * probe join needs, not the file count), but scan open/seek overhead
+  * grows. [[compactBucketedTable]] closes the lifecycle: rewrite the
+  * table through its OWN catalog bucket spec (numBuckets, bucket and
+  * sort columns all read from the catalog, never re-specified) into a
+  * staging table, carry the `graft.*` validation properties over, and
+  * swap via catalog renames.
+  *
+  * Crash safety: the live table is never dropped before its
+  * replacement holds the full data. The swap is
+  * rename(live -> _precompact); rename(staging -> live);
+  * drop(_precompact) — an interruption leaves either the staging or
+  * the `_precompact` table on disk for manual cleanup, and the
+  * `graft.*` properties travel WITH whichever table is current, so the
+  * fail-fast spec validation on probe/append never sees a
+  * half-compacted state.
+  */
+object Indexes {
+
+  /** Rewrite a bucketed catalog table to one file per bucket,
+    * preserving its bucket spec, sort spec, and `graft.*` table
+    * properties. The rewrite is one `repartition` on the bucket
+    * columns (partitioner == bucket hash, so each task owns exactly
+    * one bucket and writes exactly one file) plus the catalog swap. */
+  def compactBucketedTable(spark: SparkSession, table: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val catalog = spark.sessionState.catalog
+    val meta = catalog.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"compact: table $table carries no bucket spec — not a graft index table"))
+    val props = meta.properties.filter { case (k, _) => k.startsWith("graft.") }
+    val staging = table + "_compacting"
+    val retired = table + "_precompact"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.sql(s"DROP TABLE IF EXISTS $retired")
+    val bcols = spec.bucketColumnNames
+    // Read the table's FILES, not the catalog table: a bucketed scan
+    // advertises (or AQE local-reads back to) a layout the planner may
+    // treat as already-distributed and elide the repartition below —
+    // but the bucketed-write path only REQUIRES a per-partition sort,
+    // so the elision leaves each bucket's rows scattered across tasks
+    // and the rewrite emits as many files per bucket as before. A
+    // plain path read has no partitioning claim, the exchange is real,
+    // and each task owns exactly one bucket.
+    val writer = spark.read.schema(spark.table(table).schema)
+      .parquet(meta.location.toString)
+      .repartition(spec.numBuckets, bcols.map(col): _*)
+      .write.format("parquet")
+      .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
+    val sorted =
+      if (spec.sortColumnNames.nonEmpty)
+        writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      else writer
+    sorted.mode("overwrite").saveAsTable(staging)
+    if (props.nonEmpty)
+      spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES(" +
+        props.map { case (k, v) => s"'$k'='$v'" }.mkString(",") + ")")
+    spark.sql(s"ALTER TABLE $table RENAME TO $retired")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    spark.sql(s"DROP TABLE $retired")
+  }
+
+  /** Data-file count under a catalog table's location — the
+    * compaction metric (and its test hook). */
+  def dataFileCount(spark: SparkSession, table: String): Int = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = spark.sessionState.catalog.getTableMetadata(ident).location
+    val dir = new java.io.File(loc)
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1
+      else 0
+    walk(dir)
+  }
+}

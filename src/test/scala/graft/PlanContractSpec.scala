@@ -459,6 +459,92 @@ class PlanContractSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("index compaction: files collapse to one per bucket, probe plan and answer unchanged") {
+    import graft.ml.{AnnIndex, DedupIndex, Indexes, Similarity}
+    val db = TestDbs.perRun(spark, "graft_cmp_")
+    val cm = Similarity.ivfCentroids(8, 64)
+    val emb = Tables.pq(spark, dir, "embeddings")
+    // three appended batches -> multiple files per bucket
+    val parts = (0 to 2).map(m => emb.where(col("vec_id") % 3 === m))
+    AnnIndex.writeIvf(parts(0), s"$db.ivf", cm, buckets = 4)
+    AnnIndex.appendIvf(parts(1), s"$db.ivf", cm)
+    AnnIndex.appendIvf(parts(2), s"$db.ivf", cm)
+    val before = AnnIndex.probeIvf(spark, s"$db.ivf", emb,
+      k = 2, nProbe = 2, centroids = cm)
+    val beforeRows = before.collect().map(_.toSeq).toSet
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val beforePlan = AnnIndex.probeIvf(spark, s"$db.ivf", emb,
+        k = 2, nProbe = 2, centroids = cm).queryExecution.executedPlan.toString
+      val filesBefore = Indexes.dataFileCount(spark, s"$db.ivf")
+      assert(filesBefore > 4, s"expected multi-append file growth, got $filesBefore")
+      AnnIndex.compact(spark, s"$db.ivf")
+      assert(Indexes.dataFileCount(spark, s"$db.ivf") <= 4)
+      val afterPlan = AnnIndex.probeIvf(spark, s"$db.ivf", emb,
+        k = 2, nProbe = 2, centroids = cm).queryExecution.executedPlan.toString
+      // same plan shape: still a bucketed scan consumed in place, same
+      // exchange count as before compaction
+      assert(afterPlan.contains("Bucketed: true"), afterPlan.take(2000))
+      assert("Exchange".r.findAllIn(afterPlan).size ==
+        "Exchange".r.findAllIn(beforePlan).size)
+      val afterRows = AnnIndex.probeIvf(spark, s"$db.ivf", emb,
+        k = 2, nProbe = 2, centroids = cm).collect().map(_.toSeq).toSet
+      assert(afterRows == beforeRows && afterRows.nonEmpty)
+      // fingerprint properties survived the swap: a mismatched probe
+      // still fails fast post-compaction
+      intercept[IllegalArgumentException] {
+        AnnIndex.probeIvf(spark, s"$db.ivf", emb, k = 2, nProbe = 2,
+          centroids = Similarity.ivfCentroids(4, 64))
+      }
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    // LSH analog: append then compact, probe equal, props preserved
+    val docs = Tables.pq(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+    DedupIndex.writeLsh(corpus.where(col("doc_id") % 2 === 0), s"$db.lsh", buckets = 4)
+    DedupIndex.appendLsh(corpus.where(col("doc_id") % 2 === 1), s"$db.lsh")
+    val lshBefore = DedupIndex.probeLsh(spark, s"$db.lsh", batch)
+      .collect().map(_.toSeq).toSet
+    DedupIndex.compact(spark, s"$db.lsh")
+    assert(Indexes.dataFileCount(spark, s"$db.lsh") <= 4)
+    val lshAfter = DedupIndex.probeLsh(spark, s"$db.lsh", batch)
+      .collect().map(_.toSeq).toSet
+    assert(lshAfter == lshBefore && lshAfter.nonEmpty)
+    intercept[IllegalArgumentException] {
+      DedupIndex.probeLsh(spark, s"$db.lsh", batch, numHashes = 8)
+    }
+  }
+
+  test("index tables without their validation properties are rejected, not probed") {
+    import graft.ml.{AnnIndex, DedupIndex, Similarity}
+    val db = TestDbs.perRun(spark, "graft_bare_")
+    val cm = Similarity.ivfCentroids(8, 64)
+    val emb = Tables.pq(spark, dir, "embeddings")
+    // simulate a build that crashed between saveAsTable and the
+    // property stamp: same data layout, no graft.* properties
+    emb.select(col("vec_id").cast("long").as("vec_id"),
+        Similarity.quantize(col("embedding"), 1000).as("_q"))
+      .withColumn("_cell", Similarity.nearestCells(col("_q"), cm, 1).getItem(0))
+      .write.format("parquet").bucketBy(4, "_cell").sortBy("_cell", "vec_id")
+      .mode("overwrite").saveAsTable(s"$db.bare")
+    val e = intercept[IllegalStateException] {
+      AnnIndex.probeIvf(spark, s"$db.bare", emb, k = 2, nProbe = 2, centroids = cm)
+    }
+    assert(e.getMessage.contains("fingerprint"), e.getMessage)
+    intercept[IllegalStateException] {
+      AnnIndex.appendIvf(emb, s"$db.bare", cm)
+    }
+    val docs = Tables.pq(spark, dir, "documents")
+    graft.ml.DedupIndex.bandRows(docs)
+      .write.format("parquet").bucketBy(4, "band", "bh")
+      .mode("overwrite").saveAsTable(s"$db.barelsh")
+    intercept[IllegalStateException] {
+      DedupIndex.probeLsh(spark, s"$db.barelsh", docs)
+    }
+  }
+
   test("text round-trip writers are single-stage projections (no shuffle)") {
     // q74/q75/q76 write text then read back: neither side may introduce
     // an exchange (a coalesce(1) or repartition in a writer would
