@@ -23,16 +23,18 @@ object SparkEntry {
     out(BinaryOps.countOverlaps(gr(spark, dir), gr2(spark, dir), Seq(Chrom)))
   }
 
-  /** Run `body` with shuffle.partitions scoped down: a stream's state
-    * partition count freezes at first run, and stateful ops over a few
-    * hundred keys pay per-store create/commit overhead at every
-    * micro-batch — 32 HDFS-backed stores for 500 keys is pure tax.
-    * NOTE: the conf set/restore is session-global, not thread-scoped —
-    * safe under the sequential Verify/Bench harnesses that call these
-    * queries one at a time, but two queries racing on one SparkSession
-    * could observe each other's setting. A concurrent driver should use
-    * separate sessions (`spark.newSession()`), which each carry their
-    * own SQLConf. */
+  /** Run a streaming pipeline under a narrowed shuffle width: a
+    * stream's state partition count freezes at first run, and stateful
+    * ops over a few hundred keys pay per-store create/commit overhead
+    * at every micro-batch — 32 HDFS-backed stores for 500 keys is pure
+    * tax. The body receives a CLONED session (`newSession`: fresh
+    * SQLConf seeded from the context conf, shared SparkContext and
+    * external catalog) with shuffle.partitions=n — the caller's
+    * session is never mutated, so concurrent queries on it cannot
+    * observe the narrowed width. Build the stream SOURCE from the
+    * scoped session: a query's shuffle count comes from its source
+    * Dataset's own session conf, not the ambient one at start(), and
+    * the memory sink registers its temp view in the starting session. */
   /** Per-run unique catalog database under /tmp (q94/q104 pattern): a
     * fresh session's catalog can't overwrite a leftover managed-table
     * directory, so every run gets its own db — and prior runs' warehouses
@@ -53,10 +55,10 @@ object SparkEntry {
     db
   }
 
-  private def withStreamParts[T](s: SparkSession, n: Int)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  private def withStreamParts[T](s: SparkSession, n: Int)(body: SparkSession => T): T = {
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(scoped)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -360,23 +362,23 @@ object SparkEntry {
       // equal the batch GROUP BY the oracle runs — streaming correctness
       // checked by the same engine-vs-engine gate as the batch ops
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // glob (not a literal file path): FileStreamSource derives its
-      // basePath from the glob's parent directory; a bare file path
-      // fails ("Option 'basePath' must be a directory")
-      val src = tsNanos(s.readStream.schema(schema).parquet(s"$dir/events.parq*"))
-      val agg = src.groupBy(col("event_type"),
-          expr("ts div 600000000000").as("bucket"))
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("value")).cast("long")).as("sv"))
       val name = s"q65_mem_${System.nanoTime}"
-      withStreamParts(s, 4) {
+      withStreamParts(s, 4) { ss =>
+        // glob (not a literal file path): FileStreamSource derives its
+        // basePath from the glob's parent directory; a bare file path
+        // fails ("Option 'basePath' must be a directory")
+        val src = tsNanos(ss.readStream.schema(schema).parquet(s"$dir/events.parq*"))
+        val agg = src.groupBy(col("event_type"),
+            expr("ts div 600000000000").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value")).cast("long")).as("sv"))
         val q = agg.writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        ss.table(name)
       }
-      s.table(name)
     }),
     "q69_gff3_file" -> ((s, dir) =>
       // GFF3 ingest (k=v; attrs) on a real file: head of the reference's
@@ -577,24 +579,24 @@ object SparkEntry {
       // sorted) batch, so the CLOSED islands it emits are precisely the
       // batch-merged islands minus each key's last island — which the
       // batch oracle computes with a window filter
-      import s.implicits._
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = tsNanos(s.readStream.schema(schema).parquet(s"$dir/events.parq*"))
-        .select(col("user_id").cast("string").as("chromosome"),
-          expr("ts div 1000000").as("start"),
-          (expr("ts div 1000000") + 1).as("end"))
-        .as[graft.streaming.StreamingOps.InInterval]
-      val islands = graft.streaming.StreamingOps.streamingMerge(ev, slack = 300000)
       val name = s"q71_mem_${System.nanoTime}"
-      withStreamParts(s, 4) {
+      withStreamParts(s, 4) { ss =>
+        import ss.implicits._
+        val ev = tsNanos(ss.readStream.schema(schema).parquet(s"$dir/events.parq*"))
+          .select(col("user_id").cast("string").as("chromosome"),
+            expr("ts div 1000000").as("start"),
+            (expr("ts div 1000000") + 1).as("end"))
+          .as[graft.streaming.StreamingOps.InInterval]
+        val islands = graft.streaming.StreamingOps.streamingMerge(ev, slack = 300000)
         val q = islands.toDF("user_id", "istart", "iend", "n")
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        ss.table(name).withColumn("user_id", col("user_id").cast("long"))
       }
-      s.table(name).withColumn("user_id", col("user_id").cast("long"))
     }),
     "q66_pipeline" -> ((s, dir) => {
       // End-to-end curation pass a pretraining pipeline actually runs —
@@ -788,27 +790,27 @@ object SparkEntry {
       // emitted row is identical — so the batch oracle is a plain
       // DISTINCT over the same signatures.
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      // a single-file source arrives as ONE partition per micro-batch;
-      // repartition the stateless prefix so the shingle+md5 signature
-      // compute parallelizes (measured 2.9 -> 1.3 s; the stateful
-      // dedup below re-shuffles on the signature anyway)
-      val src = s.readStream.schema(schema).parquet(s"$dir/documents.parq*")
-        .repartition(s.sparkContext.defaultParallelism)
-      val sig = Dedup.minhashSignature(src, "text", "doc_id", 4, 3)
-        .withColumn("_et", timestamp_seconds(lit(1700000000L) +
-          pmod(col("doc_id"), lit(1000))))
-        .withWatermark("_et", "2 hours") // horizon covers the full replay
-        .dropDuplicatesWithinWatermark("h1", "h2", "h3", "h4")
-        .select(col("h1"), col("h2"), col("h3"), col("h4"))
       val name = s"q92_mem_${System.nanoTime}"
-      withStreamParts(s, 4) {
+      withStreamParts(s, 4) { ss =>
+        // a single-file source arrives as ONE partition per micro-batch;
+        // repartition the stateless prefix so the shingle+md5 signature
+        // compute parallelizes (measured 2.9 -> 1.3 s; the stateful
+        // dedup below re-shuffles on the signature anyway)
+        val src = ss.readStream.schema(schema).parquet(s"$dir/documents.parq*")
+          .repartition(ss.sparkContext.defaultParallelism)
+        val sig = Dedup.minhashSignature(src, "text", "doc_id", 4, 3)
+          .withColumn("_et", timestamp_seconds(lit(1700000000L) +
+            pmod(col("doc_id"), lit(1000))))
+          .withWatermark("_et", "2 hours") // horizon covers the full replay
+          .dropDuplicatesWithinWatermark("h1", "h2", "h3", "h4")
+          .select(col("h1"), col("h2"), col("h3"), col("h4"))
         val q = sig.writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        ss.table(name)
       }
-      s.table(name)
     }),
 
     "q93_cli" -> ((s, dir) => {
@@ -876,30 +878,30 @@ object SparkEntry {
       // state, then fold into a complete-mode count — the scale shape
       // for tagging an unbounded stream with a bounded range dimension.
       // Integer window math (nanos, `div`) keeps the oracle bit-exact.
-      val ev = tsNanos(pq(s, dir, "events"))
-      val bounds = ev.groupBy(col("event_type"))
-        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
-      val wins = bounds
-        .withColumn("win_id", explode(sequence(lit(0L), lit(3L))))
-        .select(col("event_type"), col("win_id"),
-          expr("t0 + ((t1 - t0 + 1) * win_id) div 4").as("ws"),
-          expr("t0 + ((t1 - t0 + 1) * (win_id + 1)) div 4").as("we"))
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = tsNanos(s.readStream.schema(schema).parquet(s"$dir/events.parq*"))
-      val joined = graft.streaming.StreamingOps.streamStaticIntervalJoin(
-        src, wins, Seq("event_type"), "ts", "ws", "we")
-      val agg = joined.groupBy(col("event_type"), col("win_id"))
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("value")).cast("long")).as("sv"))
       val name = s"q97_mem_${System.nanoTime}"
-      withStreamParts(s, 4) {
+      withStreamParts(s, 4) { ss =>
+        val ev = tsNanos(pq(ss, dir, "events"))
+        val bounds = ev.groupBy(col("event_type"))
+          .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        val wins = bounds
+          .withColumn("win_id", explode(sequence(lit(0L), lit(3L))))
+          .select(col("event_type"), col("win_id"),
+            expr("t0 + ((t1 - t0 + 1) * win_id) div 4").as("ws"),
+            expr("t0 + ((t1 - t0 + 1) * (win_id + 1)) div 4").as("we"))
+        val src = tsNanos(ss.readStream.schema(schema).parquet(s"$dir/events.parq*"))
+        val joined = graft.streaming.StreamingOps.streamStaticIntervalJoin(
+          src, wins, Seq("event_type"), "ts", "ws", "we")
+        val agg = joined.groupBy(col("event_type"), col("win_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value")).cast("long")).as("sv"))
         val q = agg.writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        ss.table(name)
       }
-      s.table(name)
     }),
     "q98_resize" -> ((s, dir) => {
       // REAL image-resize oracle: q84's deterministic BMP/PNG payloads
@@ -1151,18 +1153,18 @@ object SparkEntry {
       val cm = Similarity.ivfCentroids(32, 64)
       graft.ml.AnnIndex.writeIvf(pq(s, dir, "embeddings"), s"$db.ivf", cm)
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
-      val src = s.readStream.schema(schema).parquet(s"$dir/embeddings.parq*")
-      val best = graft.ml.AnnIndex.probeStreamBest(s, s"$db.ivf", src,
-        nProbe = 2, centroids = cm)
       val name = s"q113_mem_${System.nanoTime}"
-      withStreamParts(s, 4) {
+      withStreamParts(s, 4) { ss =>
+        val src = ss.readStream.schema(schema).parquet(s"$dir/embeddings.parq*")
+        val best = graft.ml.AnnIndex.probeStreamBest(ss, s"$db.ivf", src,
+          nProbe = 2, centroids = cm)
         val q = best.writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        ss.table(name)
       }
-      s.table(name)
     }),
     "q112_ann_index" -> ((s, dir) => {
       // the persisted-ANN serve path under the DuckDB gate: write the

@@ -400,15 +400,21 @@ object Dedup {
     // is orders of magnitude smaller than its corpus, and 32-partition
     // shuffles over a few thousand labels make each round pure
     // scheduling tax. At cluster scale nPairs drives the width back up.
-    // Same session-global conf caveat as SparkEntry.withStreamParts:
-    // safe under sequential harnesses.
-    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(1L, math.min(prevParts.toLong,
+    // The width is scoped via a CLONED session (fresh SQLConf sharing
+    // the context, catalog, and p0's materialized blocks) — the
+    // caller's session conf is never touched, so a concurrent
+    // multi-tenant session cannot observe the narrowed width; the
+    // checkpointed rows cross sessions through createDataFrame and the
+    // result is rebound to the caller's session the same way.
+    val loopParts = math.max(1L, math.min(
+      sess.conf.get("spark.sql.shuffle.partitions").toLong,
       (2 * nPairs + (1L << 20) - 1) / (1L << 20))).toString
-    sess.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
-      val edges = p0
-        .union(p0.select(col("d").as("s"), col("s").as("d")))
+    val loopSess = sess.newSession()
+    loopSess.conf.set("spark.sql.shuffle.partitions", loopParts)
+    val labelsOut = {
+      val p0l = loopSess.createDataFrame(p0.rdd, p0.schema)
+      val edges = p0l
+        .union(p0l.select(col("d").as("s"), col("s").as("d")))
         .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
         .distinct()
         .localCheckpoint()
@@ -442,8 +448,19 @@ object Dedup {
         iter += 1
         mark(s"iter $iter (converged=$converged)")
       }
+      if (!converged)
+        // surface truncation loudly: a maxIter-capped run can hand the
+        // keeper selection WRONG cluster labels, and nothing downstream
+        // can tell a converged labeling from a truncated one
+        System.err.println(s"[graft] WARNING: connectedComponents stopped " +
+          s"at maxIter=$maxIter WITHOUT converging — labels may be " +
+          "truncated (nodes labeled with a non-minimal component id); " +
+          "rerun with a larger maxIter")
       labels
-    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // rebind to the caller's session so downstream plans run under the
+    // caller's own conf at full width
+    sess.createDataFrame(labelsOut.rdd, labelsOut.schema)
   }
 
   /** Train/eval DECONTAMINATION: find (left, right) document pairs that
