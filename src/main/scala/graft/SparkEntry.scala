@@ -1927,14 +1927,15 @@ object SparkEntry {
     // float literals as e-notation so DuckDB parses DOUBLE (not
     // DECIMAL) and the expression tree matches Spark's bit-for-bit;
     // the rank is taken on the floored-integer score in both engines
+    // fixed-point ln (Q18 atanh series, shared constants with
+    // Ranking.scoreOracleSqlCtes) — both engines compute bit-identical
+    // integers, no float anywhere
     "q106_bm25" -> (
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents), """ +
       """tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), """ +
       """dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), """ +
-      """corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl), """ +
-      """dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), """ +
-      """sc AS (SELECT t.doc_id, t.term, t.tf, f.df, CAST(floor(1e6 * ln(1.0e0 + (c.n_docs - f.df + 0.5e0) / (f.df + 0.5e0)) * (t.tf * 2.2e0) / (t.tf + 1.2e0 * (0.25e0 + 0.75e0 * d.dl / (CAST(c.sum_dl AS DOUBLE) / c.n_docs)))) AS BIGINT) AS score_x1m FROM tf t JOIN dl d USING (doc_id) JOIN dft f USING (term) CROSS JOIN corpus c) """ +
-      """SELECT doc_id, term, tf, df, score_x1m, CAST(rn AS BIGINT) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_x1m DESC, term) AS rn FROM sc) WHERE rn <= 3"""),
+      graft.ml.Ranking.scoreOracleSqlCtes + " " +
+      """SELECT doc_id, term, tf, df, score_x1m, CAST(rn AS BIGINT) AS rnk FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_x1m DESC, term) AS rn FROM fin) WHERE rn <= 3"""),
 
     // the same 24-bit md5 draw, hex-decoded digit-by-digit
     "q107_stratified_sample" -> (
