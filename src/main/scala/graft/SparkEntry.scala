@@ -38,12 +38,17 @@ object SparkEntry {
   /** Per-run unique catalog database under /tmp (q94/q104 pattern): a
     * fresh session's catalog can't overwrite a leftover managed-table
     * directory, so every run gets its own db — and prior runs' warehouses
-    * (already consumed; runs are sequential) are swept first so /tmp
-    * stays bounded at one leftover per prefix instead of growing per
-    * invocation. */
+    * are swept first so /tmp stays bounded at one leftover per prefix
+    * instead of growing per invocation. The sweep only touches
+    * directories untouched for >= 10 minutes: a run that is still
+    * writing keeps refreshing its mtimes, so two harness invocations
+    * racing on one machine (parallel CI shards) cannot delete each
+    * other's LIVE warehouse mid-query — only genuinely abandoned ones. */
   private def perRunDb(s: SparkSession, prefix: String): String = {
+    val staleBefore = System.currentTimeMillis() - 10 * 60 * 1000
     for (old <- Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-           if old.getName.startsWith(prefix) && old.isDirectory) {
+           if old.getName.startsWith(prefix) && old.isDirectory &&
+             old.lastModified() < staleBefore) {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete()

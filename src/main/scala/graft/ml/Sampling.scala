@@ -62,13 +62,20 @@ object Sampling {
     * The stratum census is collected to the driver (strata are
     * languages/domains/sources — thousands at most, by construction);
     * the thresholds go back as a broadcast join. One aggregation, one
-    * broadcast join, one codegen'd filter. */
+    * broadcast join, one codegen'd filter.
+    *
+    * Rows with a NULL stratum are excluded CONSISTENTLY: they appear
+    * neither in the census (where they would inflate Z and deflate
+    * every real stratum's threshold) nor in the output (the equi-join
+    * rejects null keys anyway) — tag unknowns with a sentinel stratum
+    * upstream if they should compete for budget. */
   def temperatureSampleSqrt(df: DataFrame, stratumCol: String,
                             idCol: String, totalTarget: Long,
                             salt: String = "graft"): DataFrame = {
     val sess = df.sparkSession
     import sess.implicits._
-    val counts = df.groupBy(col(stratumCol).cast("string").as("_s"))
+    val counts = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("_s"))
       .agg(count(lit(1)).as("_n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val weights = counts.map { case (s, n) =>

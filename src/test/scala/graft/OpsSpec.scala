@@ -856,6 +856,15 @@ class OpsSpec extends AnyFunSuite {
       .temperatureSampleSqrt(df.repartition(5), "lang", "doc_id", 100L)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSet == again.toSet)
+    // NULL strata are excluded from census AND output: adding null-lang
+    // rows must not change the real strata's thresholds (they used to
+    // inflate Z and deflate every other stratum's share)
+    val withNulls = df.union(
+      (1000L to 1400L).map(i => (i, null: String)).toDF("doc_id", "lang"))
+    val gotN = graft.ml.Sampling
+      .temperatureSampleSqrt(withNulls, "lang", "doc_id", 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(gotN.toSet == got.toSet)
   }
 
   test("mixByEpochs: whole copies exact, fractional draw bounded, absent strata dropped") {
