@@ -313,8 +313,10 @@ final case class GenomicFrame(df: DataFrame) {
     else GenomicFrame(df.withColumn(Strand,
       when(col(Strand).isin(FwdStrand, RevStrand), col(Strand)).otherwise(FwdStrand)))
 
-  /** PyRanges-style repr (reference core/tostring.py:58-230). */
-  def repr(maxRows: Int = 8): String = ToStringRepr.tostring(df, maxRows)
+  /** PyRanges-style repr (reference core/tostring.py:58-230); row and
+    * width caps default from [[Options]] (max_rows_to_show,
+    * console_width). */
+  def repr(maxRows: Int = -1): String = ToStringRepr.tostring(df, maxRows)
 
   /** remove_nonloc_columns (reference core/pyranges_main.py:5098-5121). */
   def removeNonLocColumns: GenomicFrame =

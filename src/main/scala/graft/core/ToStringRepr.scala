@@ -8,7 +8,14 @@ import org.apache.spark.sql.types._
   * head rows + "..." + footer with row/column/chromosome/strand counts
   * and a per-column dtype line. For a distributed frame the "tail" half
   * of the reference's preview is replaced by a single truncation row —
-  * a global tail requires a total sort, which a repr should never pay. */
+  * a global tail requires a total sort, which a repr should never pay.
+  *
+  * Display knobs come from [[Options]] (reference core/options.py):
+  * `max_rows_to_show` caps the preview, `console_width` caps the total
+  * rendered width — columns past the cap are elided and the footer
+  * lists up to `max_column_names_to_show` of the hidden names (plus
+  * "..." when more remain), mirroring tostring.py's adjust_table_width
+  * + columns_not_shown. Explicit arguments override the options. */
 object ToStringRepr {
 
   private def dtypeName(dt: DataType): String = dt match {
@@ -21,10 +28,20 @@ object ToStringRepr {
     case t => t.simpleString
   }
 
-  def tostring(df: DataFrame, maxRows: Int = 8, maxColWidth: Int = 20): String = {
-    val shown = df.limit(maxRows + 1).collect()
-    val truncated = shown.length > maxRows
-    val rows = shown.take(maxRows)
+  /** `maxRows` < 0 reads Options.max_rows_to_show; `maxTotalWidth` < 0
+    * reads Options.console_width (None/auto = uncapped). */
+  def tostring(df: DataFrame, maxRows: Int = -1, maxColWidth: Int = 20,
+               maxTotalWidth: Int = -1): String = {
+    val nRows =
+      if (maxRows >= 0) maxRows
+      else Options.getOption("max_rows_to_show").getOrElse(8)
+    val totalWidth =
+      if (maxTotalWidth >= 0) maxTotalWidth
+      else Options.getOption("console_width").getOrElse(Int.MaxValue)
+    val namesToShow = Options.getOption("max_column_names_to_show").getOrElse(3)
+    val shown = df.limit(nRows + 1).collect()
+    val truncated = shown.length > nRows
+    val rows = shown.take(nRows)
     val headers = df.columns.toSeq
     val dtypes = df.schema.fields.map(f => dtypeName(f.dataType)).toSeq
 
@@ -36,11 +53,32 @@ object ToStringRepr {
       (if (truncated) Seq(headers.indices.map(_ => "...")) else Nil)
     val table = Seq(headers.map(cell), dtypes.map(cell)) ++ body
     val widths = headers.indices.map(i => table.map(_(i).length).max)
+    // console-width elision: include columns left-to-right while the
+    // cumulative rendered width (cell + 2-space separator) fits
+    var cum = 0
+    var included = 0
+    while (included < headers.size &&
+        cum + widths(included) + (if (included == 0) 0 else 2) <= totalWidth) {
+      cum += widths(included) + (if (included == 0) 0 else 2)
+      included += 1
+    }
+    included = math.max(1, included) // always show at least one column
+    val elided = headers.size - included
+    val colMarker = if (elided > 0) Seq("...") else Nil
+    def keep(cells: Seq[String]): Seq[String] = cells.take(included) ++ colMarker
+    val keptWidths = widths.take(included) ++ (if (elided > 0) Seq(3) else Nil)
     def fmt(cells: Seq[String]): String =
-      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString("  ")
-    val sep = widths.map("-" * _).mkString("  ")
+      keep(cells).zip(keptWidths).map { case (c, w) => c.padTo(w, ' ') }.mkString("  ")
+    val sep = keptWidths.map("-" * _).mkString("  ")
 
     val total = df.count()
+    val hiddenLine =
+      if (elided > 0) {
+        val names = headers.slice(included, included + namesToShow)
+          .map(n => s""""$n"""") ++
+          (if (elided > namesToShow) Seq("...") else Nil)
+        s""" ($elided columns not shown: ${names.mkString(", ")})."""
+      } else ""
     val chromLine =
       if (headers.contains(Cols.Chrom)) {
         val aggs = Seq(countDistinct(col(Cols.Chrom)).as("c")) ++
@@ -53,6 +91,7 @@ object ToStringRepr {
       } else ""
     (Seq(fmt(headers.map(cell)), fmt(dtypes.map(cell)), sep) ++ body.map(fmt))
       .mkString("\n") +
-      s"\nGenomicFrame with $total rows and ${headers.size} columns." + chromLine
+      s"\nGenomicFrame with $total rows and ${headers.size} columns." +
+      hiddenLine + chromLine
   }
 }

@@ -190,4 +190,64 @@ class GenomicFrameSpec extends AnyFunSuite {
         |GenomicFrame with 2 rows and 8 columns.
         |Contains 1 chromosomes and 2 strands.""".stripMargin)
   }
+
+  test("display options: set/get/reset semantics and the aligned display block") {
+    import graft.core.Options
+    Options.resetOptions()
+    try {
+      // reference core/options.py doctest semantics
+      assert(Options.getOption("max_rows_to_show").contains(8))
+      Options.setOption("max_rows_to_show", 10)
+      assert(Options.getOption("max_rows_to_show").contains(10))
+      Options.setOption("console_width", 120)
+      assert(Options.getOption("console_width").contains(120))
+      Options.resetOptions()
+      assert(Options.getOption("max_rows_to_show").contains(8))
+      assert(Options.getOption("console_width").isEmpty)
+      intercept[IllegalArgumentException](Options.setOption("nope", 1))
+      intercept[IllegalArgumentException](Options.getOption("nope"))
+      // the reference's display_options golden (core/options.py:100-115)
+      // at defaults — same names, defaults, descriptions, alignment rule
+      assert(Options.displayOptions ==
+        """max_rows_to_show         :    8 (the max number of rows to show in PyRanges repr)
+          |max_column_names_to_show :    3 (how many columns listed in PyRanges repr when not all fit the screen width)
+          |console_width            : None (console width, affecting PyRanges representation (None for auto))
+          |html_max_cols            :   20 (max number of columns to show as HTML (e.g. Jupyter), others are hidden)
+          |html_max_rows            : None (max n. of rows shown as HTML (e.g. Jupyter). If undefined, max_rows_to_show is used)""".stripMargin)
+    } finally Options.resetOptions()
+  }
+
+  test("repr honors max_rows_to_show and console_width from options") {
+    import graft.core.Options
+    Options.resetOptions()
+    try {
+      val many = mk((1 to 20).map(i => ("chr1", "+", i.toLong, i + 5L)): _*)
+      // conftest-pinned settings: rows 8, names 3, width 120
+      Options.setOption("max_rows_to_show", 8)
+      Options.setOption("max_column_names_to_show", 3)
+      Options.setOption("console_width", 120)
+      val r = many.repr()
+      // 3 header lines + 8 rows + truncation + footer + chrom line
+      assert(r.contains("...") && r.count(_ == '\n') <= 13)
+      Options.setOption("max_rows_to_show", 2)
+      val r2 = many.repr()
+      assert(r2.count(_ == '\n') < r.count(_ == '\n'))
+      // narrow console: trailing columns elide, footer lists hidden
+      // names (up to max_column_names_to_show, then "...")
+      Options.setOption("max_rows_to_show", 8)
+      Options.setOption("console_width", 24)
+      import spark.implicits._
+      val wide = Seq((1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+        .toDF("c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8")
+      val rw = graft.core.ToStringRepr.tostring(wide)
+      assert(rw.linesIterator.next().length <= 24 + 5) // kept cols + "..." rail
+      assert(rw.contains("columns not shown:"))
+      assert(rw.contains("\"c")) // hidden names listed
+      assert(rw.contains(", ...).")) // more hidden than names shown
+      // explicit argument overrides the option
+      val rFull = graft.core.ToStringRepr.tostring(wide,
+        maxTotalWidth = Int.MaxValue)
+      assert(!rFull.contains("columns not shown"))
+    } finally Options.resetOptions()
+  }
 }
