@@ -1093,6 +1093,54 @@ object SparkEntry {
           Map("en" -> 250, "zh" -> 130, "de" -> 100, "fr" -> 75),
           stratumCol = "lang")
         .select(col("doc_id"), col("lang"), col("rep"))),
+    "q120_stream_curation" -> ((s, dir) => {
+      // the STREAMING curation serve path END-TO-END under the oracle
+      // gate: a persisted LSH index over the kept corpus, an unbounded
+      // incoming stream probing it (probeStream — stateless band hits),
+      // a foreachBatch stage that exact-verifies each batch's candidate
+      // pairs with pairJaccard and appends the per-pair verdicts, and a
+      // final keeper filter over the incoming set (n_dups = verified
+      // near-dups at jaccard >= 50%; kept = no verified dup). The
+      // DuckDB oracle replays signatures, banding, the candidate join,
+      // AND the shingle-set jaccard relationally, so a defect anywhere
+      // in index build / stream probe / batch verify / keeper breaks
+      // the hash.
+      val db = perRunDb(s, "graft_q120_")
+      val d = pq(s, dir, "documents")
+      graft.ml.DedupIndex.writeLsh(d.where(length(col("source")) > 4),
+        s"$db.lsh")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val outPath = s"/tmp/${db}_verdicts"
+      withStreamParts(s, 4) { ss =>
+        val src = ss.readStream.schema(schema).parquet(s"$dir/documents.parq*")
+          .where(length(col("source")) === 4)
+        val hits = graft.ml.DedupIndex.probeStream(ss, s"$db.lsh", src)
+        val q = hits.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val bs = batch.sparkSession
+            val cand = batch.select(col("a"), col("b")).distinct()
+            graft.ml.Dedup.pairJaccard(pq(bs, dir, "documents"), cand)
+              .write.mode("append").parquet(outPath)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val verdicts = s.read
+        .schema("a LONG, b LONG, n_intersect LONG, n_union LONG")
+        .parquet(outPath)
+      val perDoc = verdicts.groupBy(col("a"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("n_intersect") * 100 >= col("n_union") * 50, 1L)
+            .otherwise(0L)).as("n_dups"))
+      d.where(length(col("source")) === 4).select(col("doc_id"))
+        .join(perDoc, col("doc_id") === col("a"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+        .withColumn("kept",
+          when(col("n_dups") === 0, 1L).otherwise(0L))
+    }),
     "q117_dedup_index" -> ((s, dir) => {
       // the persisted LSH near-dup index under the DuckDB gate: index
       // the corpus half (source len > 4) as a build + an incremental
@@ -1957,6 +2005,24 @@ object SparkEntry {
       "d AS (SELECT doc_id, lang, pct, md5(doc_id || 'graftmix') AS h FROM documents JOIN w USING (lang)), " +
       s"n AS (SELECT doc_id, lang, CAST(pct // 100 + CASE WHEN ($hash24OracleSql) * 100 < (pct % 100) * 16777216 THEN 1 ELSE 0 END AS BIGINT) AS nc FROM d) " +
       "SELECT doc_id, lang, CAST(unnest(range(1, nc + 1)) AS BIGINT) AS rep FROM n WHERE nc > 0"),
+
+    // replays the full streaming serve chain relationally: signatures ->
+    // band rows -> cross-half candidate join -> distinct-shingle-set
+    // jaccard verify -> per-incoming-doc keeper verdict
+    "q120_stream_curation" -> (
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents), """ +
+      """sh AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)), """ +
+      """dsh AS (SELECT DISTINCT doc_id, shingle FROM sh), """ +
+      """sig AS (SELECT doc_id, min(md5('1' || shingle)) AS h1, min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3, min(md5('4' || shingle)) AS h4 FROM dsh GROUP BY doc_id), """ +
+      """bd AS (SELECT doc_id, 1 AS band, h1 AS bh FROM sig UNION ALL SELECT doc_id, 2, h2 FROM sig UNION ALL SELECT doc_id, 3, h3 FROM sig UNION ALL SELECT doc_id, 4, h4 FROM sig), """ +
+      """src AS (SELECT doc_id, length(source) AS ls FROM documents), """ +
+      """cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bd l JOIN src sl ON sl.doc_id = l.doc_id AND sl.ls = 4 JOIN bd r ON l.band = r.band AND l.bh = r.bh JOIN src sr ON sr.doc_id = r.doc_id AND sr.ls > 4), """ +
+      """sizes AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY 1), """ +
+      """ia AS (SELECT c.a, c.b, count(*) AS ni FROM cand c JOIN dsh x ON x.doc_id = c.a JOIN dsh y ON y.doc_id = c.b AND y.shingle = x.shingle GROUP BY 1, 2), """ +
+      """ver AS (SELECT c.a, c.b, coalesce(ia.ni, 0) AS ni, sa.ns + sb.ns - coalesce(ia.ni, 0) AS nu FROM cand c LEFT JOIN ia ON ia.a = c.a AND ia.b = c.b JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b), """ +
+      """agg AS (SELECT a, count(*) AS n_candidates, CAST(sum(CASE WHEN ni * 100 >= nu * 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups FROM ver GROUP BY 1) """ +
+      """SELECT i.doc_id, coalesce(g.n_candidates, 0) AS n_candidates, coalesce(g.n_dups, 0) AS n_dups, CAST(CASE WHEN coalesce(g.n_dups, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept """ +
+      """FROM (SELECT doc_id FROM documents WHERE length(source) = 4) i LEFT JOIN agg g ON g.a = i.doc_id"""),
 
     // replays the index build + probe relationally: distinct shingles ->
     // min-md5 signatures (with set size) -> band rows -> cross-half join

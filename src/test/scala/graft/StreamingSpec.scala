@@ -498,4 +498,34 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("q120 streaming curation chain equals the batch-composed equivalent") {
+    import graft.ml.{Dedup, DedupIndex}
+    import org.apache.spark.sql.functions._
+    // the full serve path (persisted index -> stream probe ->
+    // foreachBatch jaccard verify -> keeper) must equal the same chain
+    // composed batch-side from probeLsh + pairJaccard
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("q120_stream_curation")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val docs = Tables.pq(spark, dir, "documents")
+    val db = TestDbs.perRun(spark, "graft_s120_")
+    DedupIndex.writeLsh(docs.where(length(col("source")) > 4), s"$db.lsh")
+    val incoming = docs.where(length(col("source")) === 4)
+    val cand = DedupIndex.probeLsh(spark, s"$db.lsh", incoming)
+      .select(col("a"), col("b"))
+    val verdicts = Dedup.pairJaccard(docs, cand)
+    val perDoc = verdicts.groupBy(col("a"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("n_intersect") * 100 >= col("n_union") * 50, 1L)
+          .otherwise(0L)).as("n_dups"))
+    val batch = incoming.select(col("doc_id"))
+      .join(perDoc, col("doc_id") === col("a"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .withColumn("kept", when(col("n_dups") === 0, 1L).otherwise(0L))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
