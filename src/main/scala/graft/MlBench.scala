@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** At-scale soak for the ml curation layer (the dedup/contamination/
+  * index analog of SaltBench/SweepBench): generates a ~600 MB synthetic
+  * corpus with a SKEWED near-duplicate distribution — a long tail of
+  * unique docs, thousands of small near-dup clusters, hundreds of
+  * medium ones, and a few thousand-member "template" clusters (the
+  * shape that detonates naive quadratic candidate generation) — then
+  * measures duplicateClusters, crossContamination, and the persisted
+  * LSH index build/probe end-to-end, reporting the skew diagnostics
+  * (band-bucket max population, CC round count, pair counts) alongside
+  * the wall times. Results and conclusions live in BASELINE.md
+  * ("Curation-layer soak").
+  *
+  * Corpus construction is fully distributed and deterministic: cluster
+  * membership and token mutations derive from xxhash64 of the doc id,
+  * so reruns are reproducible and nothing is collected to the driver.
+  *
+  * Usage:
+  *   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.MlBench [nDocs] [mode...]"
+  *     nDocs default 2000000 (~600 MB of text); modes: all | clusters |
+  *     contamination | index
+  */
+object MlBench {
+
+  /** Deterministic skewed corpus: `frac` splits (unique / small(30) /
+    * medium(300) / mega(3000-member)) over `n` docs; every member of a
+    * cluster shares the seed token sequence with ~5% of positions
+    * mutated to doc-unique tokens, so members are near- but not
+    * exact-duplicates (3-gram jaccard ~0.75, above the 50% verify
+    * gate). 40 tokens/doc over a 50k-token vocabulary ~ 300 B/doc. */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val uniqueEnd = (n * 60) / 100
+    val smallEnd = (n * 92) / 100
+    val medEnd = (n * 99) / 100
+    val nSmall = math.max(1L, (smallEnd - uniqueEnd) / 30)
+    val nMed = math.max(1L, (medEnd - smallEnd) / 300)
+    val nMega = math.max(1L, (n - medEnd) / 3000)
+    val cluster = when(col("doc_id") < uniqueEnd, col("doc_id"))
+      .when(col("doc_id") < smallEnd,
+        lit(1000000000000L) + pmod(xxhash64(col("doc_id"), lit("c")), lit(nSmall)))
+      .when(col("doc_id") < medEnd,
+        lit(2000000000000L) + pmod(xxhash64(col("doc_id"), lit("c")), lit(nMed)))
+      .otherwise(
+        lit(3000000000000L) + pmod(xxhash64(col("doc_id"), lit("c")), lit(nMega)))
+    spark.range(n).select(col("id").as("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("cluster", cluster)
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(39)), i =>
+          when(pmod(xxhash64(col("doc_id"), i, lit("mut")), lit(20)) === 0,
+            concat(lit("m"), col("doc_id"), lit("_"), i))
+            .otherwise(concat(lit("w"),
+              pmod(xxhash64(col("cluster"), i, lit("tok")), lit(50000)))))))
+      .select(col("doc_id"), col("cluster"), col("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val modes = { val m = args.drop(1).toSet; if (m.isEmpty) Set("all") else m }
+    def on(m: String) = modes.contains("all") || modes.contains(m)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "24g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[mlbench] $what: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+    val docs = corpus(spark, nDocs).localCheckpoint()
+    val stats = docs.agg(count(lit(1)), sum(length(col("text"))),
+      countDistinct(col("cluster"))).head
+    println(s"[mlbench] corpus: ${stats.getLong(0)} docs, " +
+      f"${stats.getLong(1) / 1e6}%.0f MB text, ${stats.getLong(2)} true clusters")
+
+    if (on("clusters")) {
+      // LINEAR strategy at full scale: bucket-star edges + clusters
+      val edges = t(s"nearDuplicateBucketEdges @$nDocs (count)") {
+        graft.ml.Dedup.nearDuplicateBucketEdges(docs).count()
+      }
+      println(s"[mlbench] bucket-star edges: $edges")
+      val cb = t(s"duplicateClusters strategy=buckets @$nDocs") {
+        val c = graft.ml.Dedup.duplicateClusters(docs, strategy = "buckets")
+        c.agg(count(lit(1)), countDistinct(col("comp"))).head
+      }
+      println(s"[mlbench] buckets-mode nodes: ${cb.getLong(0)}, clusters: ${cb.getLong(1)}")
+      // ALL-PAIRS strategy on a shape-preserving smaller corpus: the
+      // candidate set is quadratic in the largest template cluster —
+      // at 2M docs (3000-member megas) the self-join shuffled > 67 GB
+      // and was killed at 14 min (recorded in BASELINE.md), which is
+      // exactly the detonation the buckets strategy exists to avoid.
+      val nPairsDocs = math.min(nDocs, 500000L)
+      val small = if (nPairsDocs == nDocs) docs
+        else corpus(spark, nPairsDocs).localCheckpoint()
+      val pairs = t(s"nearDuplicatePairs @$nPairsDocs (count)") {
+        graft.ml.Dedup.nearDuplicatePairs(small).count()
+      }
+      println(s"[mlbench] near-dup pairs: $pairs")
+      val cc = t(s"duplicateClusters strategy=pairs @$nPairsDocs") {
+        val c = graft.ml.Dedup.duplicateClusters(small)
+        c.agg(count(lit(1)), countDistinct(col("comp"))).head
+      }
+      println(s"[mlbench] pairs-mode nodes: ${cc.getLong(0)}, clusters: ${cc.getLong(1)}")
+      val cbs = t(s"duplicateClusters strategy=buckets @$nPairsDocs") {
+        val c = graft.ml.Dedup.duplicateClusters(small, strategy = "buckets")
+        c.agg(count(lit(1)), countDistinct(col("comp"))).head
+      }
+      println(s"[mlbench] buckets-mode nodes: ${cbs.getLong(0)}, clusters: ${cbs.getLong(1)}")
+    }
+
+    if (on("contamination")) {
+      // eval set: 10k docs, half re-using training cluster token
+      // sequences (true contamination), half fresh
+      val eval = corpus(spark, 20000L)
+        .withColumn("doc_id", col("doc_id") + 900000000L)
+        .localCheckpoint()
+      val hits = t("crossContamination (minShared=3, cap 1000)") {
+        graft.ml.Dedup.crossContamination(docs, eval, minShared = 3).count()
+      }
+      println(s"[mlbench] contamination pairs: $hits")
+    }
+
+    if (on("index")) {
+      val db = s"graft_mlbench_${System.nanoTime}"
+      spark.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
+      val corpusSide = docs.where(pmod(col("doc_id"), lit(20)) =!= 0)
+      val batchSide = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+      t("writeLsh (95% corpus, 32 buckets)") {
+        graft.ml.DedupIndex.writeLsh(corpusSide, s"$db.lsh", buckets = 32)
+      }
+      val skew = spark.table(s"$db.lsh")
+        .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")), expr("approx_percentile(n, 0.99)"), count(lit(1))).head
+      println(s"[mlbench] band-bucket skew: max=${skew.getLong(0)}, " +
+        s"p99=${skew.get(1)}, buckets=${skew.getLong(2)}")
+      val probed = t("probeLsh (5% batch)") {
+        graft.ml.DedupIndex.probeLsh(spark, s"$db.lsh", batchSide).count()
+      }
+      println(s"[mlbench] probe candidate pairs: $probed")
+    }
+    spark.stop()
+  }
+}

@@ -505,21 +505,92 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
-  /** Near-duplicate CLUSTERS: LSH pair generation
-    * ([[nearDuplicatePairs]]) followed by [[connectedComponents]], so
-    * transitively-linked near-dups collapse into one group even when the
-    * endpoints themselves are below the pairwise threshold. Returns
-    * (idCol, comp) for every document that has at least one near-dup;
-    * `comp` is the smallest doc id in the cluster — the conventional
-    * keeper, so `docs.join(result.where(idCol =!= comp), idCol,
-    * "left_anti")` is the deduplicated corpus. */
+  /** Linear-size VERIFIED near-dup edges via bucket STARS — the scale
+    * path for corpora with huge near-dup clusters, where the all-pairs
+    * candidate set ([[nearDuplicatePairs]]) is genuinely quadratic in
+    * the largest cluster (a b-member LSH bucket yields b(b-1)/2
+    * candidates; a few thousand-member template clusters dominate the
+    * whole job — measured in MlBench). Instead of pairing every
+    * co-bucketed doc with every other, each doc pairs only with its
+    * bucket's MINIMUM doc id: at most one edge per (doc, band) — edge
+    * count is bounded by the band-row count, LINEAR in the corpus.
+    * Each star edge is then exact-verified ([[pairJaccard]] >=
+    * `minJaccardPct`), so no false merge survives.
+    *
+    * Semantics vs the all-pairs graph under connected components:
+    * identical closure when every bucket member verifies against its
+    * bucket minimum (the near-clique shape LSH buckets have by
+    * construction); a cluster can FRAGMENT when members verify among
+    * themselves but not with the bucket minimum (possible at low
+    * thresholds with chained similarity). Use for clustering at scale;
+    * use the all-pairs operator when the exact pairwise relation is
+    * the product. */
+  def nearDuplicateBucketEdges(docs: DataFrame, textCol: String = "text",
+                               idCol: String = "doc_id", numHashes: Int = 4,
+                               bandSize: Int = 1, shingleK: Int = 3,
+                               minJaccardPct: Int = 50): DataFrame = {
+    // one tokenize+shingle pass shared by signature AND verification —
+    // the nearDuplicatePairs structure (persist gate, ns riding the
+    // banded rows, inner-join verify; see the comments there)
+    val big = graft.core.Sizing.decide("bucketEdgeShingles", 64L << 20, docs)
+    val dsh = {
+      val d = docs.select(col(idCol),
+          explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
+        .distinct()
+      if (big) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d
+    }
+    val sigAggs = signatureAggs(numHashes)
+    val sig = dsh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+    val bands = bandStructs(numHashes, bandSize)
+    val ex = sig.select(col(idCol), col("ns"), explode(array(bands: _*)).as("_b"))
+      .select(col(idCol), col("ns"), col("_b.band").as("band"), col("_b.bh").as("bh"))
+    val ctr = ex.groupBy(col("band"), col("bh"))
+      .agg(min(col(idCol)).as("_ctr"), min_by(col("ns"), col(idCol)).as("_ctrns"))
+    val edges = ex.join(ctr, Seq("band", "bh"))
+      .where(col(idCol) =!= col("_ctr"))
+      .select(col("_ctr").as("a"), col(idCol).as("b"),
+        col("_ctrns").as("nsa"), col("ns").as("nsb"))
+      .distinct()
+    edges
+      .join(dsh.select(col(idCol).as("a"), col("sh")), Seq("a"))
+      .join(dsh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("_ni"),
+        min(col("nsa")).as("nsa"), min(col("nsb")).as("nsb"))
+      .filter(col("_ni") * 100 >= (col("nsa") + col("nsb") - col("_ni")) * minJaccardPct)
+      .select(col("a"), col("b"))
+  }
+
+  /** Near-duplicate CLUSTERS: LSH pair generation followed by
+    * [[connectedComponents]], so transitively-linked near-dups collapse
+    * into one group even when the endpoints themselves are below the
+    * pairwise threshold. Returns (idCol, comp) for every document that
+    * has at least one near-dup; `comp` is the smallest doc id in the
+    * cluster — the conventional keeper, so
+    * `docs.join(result.where(idCol =!= comp), idCol, "left_anti")` is
+    * the deduplicated corpus.
+    *
+    * `strategy`: "pairs" (default) builds the exact all-pairs verified
+    * graph ([[nearDuplicatePairs]]) — quadratic in the largest cluster,
+    * right up to medium skew; "buckets" builds the linear bucket-star
+    * graph ([[nearDuplicateBucketEdges]]) — the 100 TB/template-corpus
+    * path (MlBench-measured crossover in BASELINE.md). */
   def duplicateClusters(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", numHashes: Int = 4,
                         bandSize: Int = 1, shingleK: Int = 3,
                         minJaccardPct: Int = 50,
-                        maxIter: Int = 30): DataFrame = {
-    val pairs = nearDuplicatePairs(docs, textCol, idCol, numHashes,
-      bandSize, shingleK, minJaccardPct).select(col("a"), col("b"))
+                        maxIter: Int = 30,
+                        strategy: String = "pairs"): DataFrame = {
+    require(strategy == "pairs" || strategy == "buckets",
+      s"strategy must be 'pairs' or 'buckets', got '$strategy'")
+    val pairs =
+      if (strategy == "pairs")
+        nearDuplicatePairs(docs, textCol, idCol, numHashes,
+          bandSize, shingleK, minJaccardPct).select(col("a"), col("b"))
+      else
+        nearDuplicateBucketEdges(docs, textCol, idCol, numHashes,
+          bandSize, shingleK, minJaccardPct)
     connectedComponents(pairs, "a", "b", maxIter)
       .withColumnRenamed("id", idCol)
   }

@@ -668,6 +668,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicateClusters strategy=buckets agrees with pairs on planted near-dups") {
+    import spark.implicits._
+    // three planted clusters of mutated copies + unique docs: the
+    // bucket-star graph must produce the same components as the exact
+    // all-pairs graph here (every member shares its cluster's dominant
+    // band min, so every star edge verifies)
+    // 20 tokens -> 18 3-gram shingles; one mutated token kills 3, so
+    // copy-vs-copy jaccard ~ 15/21 = 71%, comfortably above 50%
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon",
+      "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty",
+      "red orange yellow green blue indigo violet purple pink black white gray brown maroon teal navy olive lime aqua coral")
+    val docs = (base.zipWithIndex.flatMap { case (t, c) =>
+      (0 to 4).map { i =>
+        val toks = t.split(" ")
+        // mutate ONE token per copy (distinct positions), keeping
+        // 3-gram jaccard far above 50%
+        toks(7) = if (i == 0) toks(7) else s"mut${c}_$i"
+        (c * 100L + i, toks.mkString(" "))
+      }
+    } ++ Seq((900L, "completely different words entirely unrelated content here now"),
+             (901L, "another standalone document nothing shared with any cluster at all")))
+      .toDF("doc_id", "text")
+    def comps(strategy: String) =
+      graft.ml.Dedup.duplicateClusters(docs, strategy = strategy)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaPairs = comps("pairs")
+    val viaBuckets = comps("buckets")
+    assert(viaPairs == viaBuckets, s"$viaPairs vs $viaBuckets")
+    // exactly the 15 planted members cluster, keeper = cluster min
+    assert(viaPairs.size == 15 && (0 to 2).forall(c =>
+      (0 to 4).forall(i => viaPairs(c * 100L + i) == c * 100L)))
+    intercept[IllegalArgumentException] {
+      graft.ml.Dedup.duplicateClusters(docs, strategy = "nope")
+    }
+  }
+
   test("simhashNearDupPairs: templated corpus (collapsed fingerprints) stays linear") {
     import spark.implicits._
     // 600 identical docs -> ONE distinct fingerprint: the banded
