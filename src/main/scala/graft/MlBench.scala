@@ -126,6 +126,12 @@ object MlBench {
         graft.ml.Dedup.crossContamination(docs, eval, minShared = 3).count()
       }
       println(s"[mlbench] contamination pairs: $hits")
+      val hitsB = t("crossContamination + bloom prefilter") {
+        graft.ml.Dedup.crossContamination(docs, eval, minShared = 3,
+          bloomPrefilter = true).count()
+      }
+      println(s"[mlbench] contamination pairs (bloom): $hitsB" +
+        (if (hitsB == hits) " [== plain]" else " [MISMATCH!]"))
     }
 
     if (on("index")) {

@@ -1067,6 +1067,19 @@ object SparkEntry {
           numHashes = 4, bandSize = 1, shingleK = 3, minJaccardPct = 50)
         .groupBy(col("comp"))
         .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_id"))),
+    "q121_dedup_clusters_buckets" -> ((s, dir) =>
+      // the LINEAR cluster strategy under the oracle gate: verified
+      // bucket-star edges (each doc pairs only with its LSH bucket's
+      // minimum id — edge count bounded by band rows) -> connected
+      // components. The MlBench-measured scale path for template-skewed
+      // corpora (BASELINE.md "Curation-layer soak"); the oracle replays
+      // the star-edge construction, the shingle-set jaccard verify, and
+      // the closure relationally.
+      Dedup.duplicateClusters(pq(s, dir, "documents"), "text", "doc_id",
+          numHashes = 4, bandSize = 1, shingleK = 3, minJaccardPct = 50,
+          strategy = "buckets")
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_id"))),
     "q106_bm25" -> ((s, dir) =>
       // corpus-wide BM25 top-terms: tf/dl/df hash aggregations, a 1-row
       // broadcast for the corpus scalars, and a per-doc top-N window —
@@ -1262,6 +1275,19 @@ object SparkEntry {
       Dedup.crossContamination(d.where(length(col("source")) === 4),
         d.where(length(col("source")) > 4), "text", "doc_id",
         shingleK = 3, minShared = 2, maxShingleDf = 50)
+    }),
+    "q122_decontaminate_bloom" -> ((s, dir) => {
+      // the asymmetric-scale decontamination path: q109's exact chain
+      // with the broadcast Bloom pre-filter dropping train-side
+      // shingles that cannot exist in the eval set BEFORE any shuffle.
+      // Result-identical by construction (false positives ride through
+      // to the exact join), proven by sharing q109's oracle verbatim;
+      // the win is shuffled volume (MlBench-measured in BASELINE.md).
+      val d = pq(s, dir, "documents")
+      Dedup.crossContamination(d.where(length(col("source")) === 4),
+        d.where(length(col("source")) > 4), "text", "doc_id",
+        shingleK = 3, minShared = 2, maxShingleDf = 50,
+        bloomPrefilter = true)
     }),
     "q103_curation_signals" -> ((s, dir) => {
       // PII + repetition curation signals. The synthetic corpus carries
@@ -2088,6 +2114,18 @@ object SparkEntry {
       """SELECT stratum, id, n_tokens, bin, pos FROM p"""),
 
     // df-capped inverted-index join between the two source halves
+    // q122 = q109's chain with the Bloom pre-filter: the oracle is the
+    // SAME SQL — the hash match IS the proof that the pre-filter does
+    // not change results
+    "q122_decontaminate_bloom" -> (
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents), """ +
+      """sh AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)), """ +
+      """dsh AS (SELECT DISTINCT doc_id, shingle FROM sh), """ +
+      """l AS (SELECT ds.doc_id AS a, shingle FROM dsh ds JOIN documents d USING (doc_id) WHERE len(d.source) = 4), """ +
+      """r AS (SELECT ds.doc_id AS b, shingle FROM dsh ds JOIN documents d USING (doc_id) WHERE len(d.source) > 4), """ +
+      """hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM (SELECT a AS id, shingle FROM l UNION ALL SELECT b, shingle FROM r) GROUP BY 1) WHERE c > 50) """ +
+      """SELECT a, b, count(*) AS n_shared FROM (SELECT * FROM l WHERE shingle NOT IN (SELECT shingle FROM hot)) ll JOIN (SELECT * FROM r WHERE shingle NOT IN (SELECT shingle FROM hot)) rr USING (shingle) GROUP BY 1, 2 HAVING count(*) >= 2"""),
+
     "q109_decontaminate" -> (
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents), """ +
       """sh AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)), """ +
@@ -2096,6 +2134,24 @@ object SparkEntry {
       """r AS (SELECT ds.doc_id AS b, shingle FROM dsh ds JOIN documents d USING (doc_id) WHERE len(d.source) > 4), """ +
       """hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM (SELECT a AS id, shingle FROM l UNION ALL SELECT b, shingle FROM r) GROUP BY 1) WHERE c > 50) """ +
       """SELECT a, b, count(*) AS n_shared FROM (SELECT * FROM l WHERE shingle NOT IN (SELECT shingle FROM hot)) ll JOIN (SELECT * FROM r WHERE shingle NOT IN (SELECT shingle FROM hot)) rr USING (shingle) GROUP BY 1, 2 HAVING count(*) >= 2"""),
+
+    // the LINEAR strategy: star edges to each bucket's min doc id,
+    // jaccard-verified, then the same recursive-CTE closure as q105
+    "q121_dedup_clusters_buckets" -> (
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents), """ +
+      """sh AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)), """ +
+      """sig AS (SELECT doc_id, min(md5('1' || shingle)) AS h1, min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3, min(md5('4' || shingle)) AS h4 FROM sh GROUP BY doc_id), """ +
+      """bd AS (SELECT doc_id, 1 AS band, h1 AS bh FROM sig UNION ALL SELECT doc_id, 2, h2 FROM sig UNION ALL SELECT doc_id, 3, h3 FROM sig UNION ALL SELECT doc_id, 4, h4 FROM sig), """ +
+      """ctr AS (SELECT band, bh, min(doc_id) AS ctr FROM bd GROUP BY 1, 2), """ +
+      """cand AS (SELECT DISTINCT c.ctr AS a, b.doc_id AS b FROM bd b JOIN ctr c USING (band, bh) WHERE b.doc_id <> c.ctr), """ +
+      """dsh AS (SELECT DISTINCT doc_id, shingle FROM sh), """ +
+      """sz AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id), """ +
+      """inter AS (SELECT c.a, c.b, count(*) AS ni FROM cand c JOIN dsh s1 ON s1.doc_id = c.a JOIN dsh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle GROUP BY c.a, c.b), """ +
+      """pairs AS (SELECT c.a, c.b FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b WHERE coalesce(i.ni, 0) * 100 >= (sa.ns + sb.ns - coalesce(i.ni, 0)) * 50), """ +
+      """edges AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs), """ +
+      """reach AS (SELECT s, d FROM edges UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s), """ +
+      """lbl AS (SELECT s AS id, least(s, min(d)) AS comp FROM reach GROUP BY s) """ +
+      """SELECT comp, count(*) AS n_docs, max(id) AS max_id FROM lbl GROUP BY comp"""),
 
     // the q24 pipeline at threshold 50, then components as a
     // recursive-CTE transitive closure over the symmetrized pair graph

@@ -481,7 +481,9 @@ object Dedup {
   def crossContamination(left: DataFrame, right: DataFrame,
                          textCol: String = "text", idCol: String = "doc_id",
                          shingleK: Int = 3, minShared: Int = 1,
-                         maxShingleDf: Int = 1000): DataFrame = {
+                         maxShingleDf: Int = 1000,
+                         bloomPrefilter: Boolean = false,
+                         bloomFpp: Double = 0.01): DataFrame = {
     // ONE tokenize+shingle+distinct pass over both corpora, then
     // localCheckpoint: the df filter and both join inputs read it, and
     // re-deriving the explode+distinct per reference was the dominant
@@ -489,10 +491,38 @@ object Dedup {
     // than a persist) keeps AQE free to coalesce the pipeline and
     // truncates the lineage; the materialized set is (side, id,
     // shingle) — proportional to the token stream.
+    //
+    // `bloomPrefilter` is the asymmetric-scale path (huge train corpus
+    // vs small eval set — the standard decontamination shape): build a
+    // Bloom filter over the RIGHT side's distinct shingles (driver
+    // aggregate, ~1.2 MB per million shingles at fpp 0.01, broadcast),
+    // and drop left-side shingle rows the filter rejects BEFORE the
+    // distinct/checkpoint/join. Results are IDENTICAL by construction:
+    // a rejected shingle is definitely absent from the right side, so
+    // it could never produce a pair, and a false positive merely rides
+    // through to the exact join; surviving shingles keep their exact
+    // df (the filter is a pure function of the shingle value, so a
+    // shingle's left rows pass or drop atomically). What changes is
+    // the SHUFFLED VOLUME: the train-side token stream shrinks to
+    // ~the eval-matched fraction before any exchange (MlBench-measured
+    // in BASELINE.md). A membership probe has no built-in column
+    // function, so this is the one deliberate scala-UDF in ml/ — a
+    // broadcast sketch probe on a filter, outside any join or agg.
     def side(df: DataFrame, isLeft: Boolean) = df
       .select(lit(isLeft).as("_l"), col(idCol).as("_id"),
         explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
-    val sdf = side(left, isLeft = true).union(side(right, isLeft = false))
+    val leftRows =
+      if (!bloomPrefilter) side(left, isLeft = true)
+      else {
+        val rs = side(right, isLeft = false).select(col("sh")).distinct()
+          .localCheckpoint()
+        val n = math.max(rs.count(), 1L)
+        val bf = rs.stat.bloomFilter("sh", n, bloomFpp)
+        val bc = left.sparkSession.sparkContext.broadcast(bf)
+        val probe = udf((s: String) => s != null && bc.value.mightContainString(s))
+        side(left, isLeft = true).where(probe(col("sh")))
+      }
+    val sdf = leftRows.union(side(right, isLeft = false))
       .distinct()
       .localCheckpoint()
     val cold = sdf.groupBy("sh").agg(count(lit(1)).as("_df"))

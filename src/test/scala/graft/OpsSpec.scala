@@ -981,6 +981,21 @@ class OpsSpec extends AnyFunSuite {
       .crossContamination(train, eval_, "text", "doc_id", 3, 1, 1)
       .collect()
     assert(capped.isEmpty)
+    // the Bloom pre-filter changes shuffled volume, never results —
+    // equal on real data across thresholds
+    val docs = Tables.pq(spark, "/root/testdata/sf0.001", "documents")
+    val tr = docs.where(col("doc_id") % 3 === 0)
+    val ev = docs.where(col("doc_id") % 3 =!= 0)
+    for ((ms, cap) <- Seq((1, 1000), (2, 50))) {
+      val plain = graft.ml.Dedup
+        .crossContamination(tr, ev, "text", "doc_id", 3, ms, cap)
+        .collect().map(_.toSeq).toSet
+      val bloom = graft.ml.Dedup
+        .crossContamination(tr, ev, "text", "doc_id", 3, ms, cap,
+          bloomPrefilter = true)
+        .collect().map(_.toSeq).toSet
+      assert(bloom == plain && plain.nonEmpty, s"ms=$ms cap=$cap")
+    }
   }
 
   test("bruteForceTopK returns k ranked neighbors; lshTopK subset agrees on buckets") {
