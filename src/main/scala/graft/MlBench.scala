@@ -152,6 +152,63 @@ object MlBench {
       }
       println(s"[mlbench] probe candidate pairs: $probed")
     }
+
+    if (on("ann")) {
+      // the ANN half of the index layer at ~512 MB of vectors:
+      // deterministic 64-dim embeddings clustered around 256 planted
+      // directions; build/append/compact/probe the persisted IVF index
+      // and measure top-1 recall vs brute force on a 500-query sample
+      import graft.ml.{AnnIndex, Similarity}
+      val dim = 64
+      val nVec = math.min(nDocs, 2000000L)
+      val emb = spark.range(nVec).select(col("id").as("vec_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_c", pmod(xxhash64(col("vec_id"), lit("ctr")), lit(256)))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)), i =>
+            (pmod(xxhash64(col("_c"), i), lit(1000)).cast("float") - 500.0f) / 500.0f +
+              (pmod(xxhash64(col("vec_id"), i, lit("n")), lit(200)).cast("float") - 100.0f) / 1000.0f))
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      println(s"[mlbench] ann corpus: $nVec vectors x $dim dims")
+      val db = s"graft_mlann_${System.nanoTime}"
+      spark.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
+      val cm = Similarity.ivfCentroids(256, dim)
+      t("writeIvf (half corpus, 32 buckets)") {
+        AnnIndex.writeIvf(emb.where(col("vec_id") % 2 === 0), s"$db.ivf", cm,
+          buckets = 32)
+      }
+      t("appendIvf (other half)") {
+        AnnIndex.appendIvf(emb.where(col("vec_id") % 2 === 1), s"$db.ivf", cm)
+      }
+      println(s"[mlbench] index files before compact: " +
+        graft.ml.Indexes.dataFileCount(spark, s"$db.ivf"))
+      t("compact") { AnnIndex.compact(spark, s"$db.ivf") }
+      println(s"[mlbench] index files after compact: " +
+        graft.ml.Indexes.dataFileCount(spark, s"$db.ivf"))
+      val queries = emb.where(pmod(col("vec_id"), lit(4000)) === 0)
+        .localCheckpoint()
+      val nq = queries.count()
+      val top1 = t(s"probeIvf top-1, nProbe=4, $nq queries") {
+        AnnIndex.probeIvf(spark, s"$db.ivf", queries, k = 1, nProbe = 4,
+            centroids = cm)
+          .select(col("vec_id").as("q"), col("nb")).localCheckpoint()
+      }
+      val brute = t(s"brute-force top-1 (recall truth, $nq queries)") {
+        val qd = queries.select(col("vec_id").as("q"),
+          Similarity.quantize(col("embedding"), 1000).as("_q"))
+        val cd = emb.select(col("vec_id").as("nb2"),
+          Similarity.quantize(col("embedding"), 1000).as("_qb"))
+        qd.join(cd, col("q") =!= col("nb2"))
+          .withColumn("dot", Similarity.dotLong(col("_q"), col("_qb")))
+          .groupBy(col("q"))
+          .agg(max_by(col("nb2"), struct(col("dot"), -col("nb2"))).as("nb2"))
+          .localCheckpoint()
+      }
+      val agree = top1.join(brute, Seq("q"))
+        .where(col("nb") === col("nb2")).count()
+      println(f"[mlbench] ann top-1 recall: $agree/$nq = ${agree * 100.0 / nq}%.1f%%")
+    }
     spark.stop()
   }
 }

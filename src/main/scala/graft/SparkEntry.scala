@@ -1233,17 +1233,23 @@ object SparkEntry {
       }
     }),
     "q112_ann_index" -> ((s, dir) => {
-      // the persisted-ANN serve path under the DuckDB gate: write the
-      // IVF index bucketed by cell into a per-run catalog db (q104
-      // pattern, incl. the leftover sweep), then probe it with the same
-      // corpus — must equal the in-memory ivfTopK/q82 result, which the
-      // shared oracle recomputes relationally. A bucketing or cell-
-      // assignment defect anywhere in the write/read/probe cycle breaks
-      // the hash.
+      // the persisted-ANN serve path under the DuckDB gate: build the
+      // IVF index from half the corpus, append the other half through
+      // the table's own bucket spec, COMPACT the two-generation table,
+      // then probe — the full index lifecycle (q117's LSH analog). The
+      // result must equal the in-memory ivfTopK/q82 recompute, which
+      // the shared oracle replays relationally: a bucketing, cell-
+      // assignment, append-routing, or compaction defect anywhere in
+      // the cycle breaks the hash.
       val db = perRunDb(s, "graft_q112_")
       val cm = Similarity.ivfCentroids(32, 64)
-      graft.ml.AnnIndex.writeIvf(pq(s, dir, "embeddings"), s"$db.ivf", cm)
-      graft.ml.AnnIndex.probeIvf(s, s"$db.ivf", pq(s, dir, "embeddings"),
+      val emb = pq(s, dir, "embeddings")
+      graft.ml.AnnIndex.writeIvf(emb.where(col("vec_id") % 2 === 0),
+        s"$db.ivf", cm)
+      graft.ml.AnnIndex.appendIvf(emb.where(col("vec_id") % 2 === 1),
+        s"$db.ivf", cm)
+      graft.ml.AnnIndex.compact(s, s"$db.ivf")
+      graft.ml.AnnIndex.probeIvf(s, s"$db.ivf", emb,
           k = 3, nProbe = 2, centroids = cm)
         .select(col("vec_id"), col("nb"), col("dot"),
           col("rank").cast("long").as("rank"))
