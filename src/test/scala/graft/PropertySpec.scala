@@ -532,4 +532,92 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bucket-star edge law: edges are verified pairs and a subset of the all-pairs graph") {
+    import spark.implicits._
+    // random corpora of template copies + unique docs: every star edge
+    // must (1) be a TRUE pair under brute-force shingle jaccard, and
+    // (2) appear in nearDuplicatePairs' exact pair set (the star graph
+    // is a verified subgraph, never an over-merge)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj", "kk", "ll", "mm", "nn", "oo", "pp", "qq", "rr")
+    val genDoc = for {
+      n <- Gen.chooseNum(12, 18)
+      toks <- Gen.listOfN(n, Gen.oneOf(words))
+    } yield toks
+    val genCorpus = for {
+      nTmpl <- Gen.chooseNum(1, 3)
+      tmpls <- Gen.listOfN(nTmpl, genDoc)
+      copies <- Gen.chooseNum(2, 5)
+      uniq <- Gen.listOfN(4, genDoc)
+    } yield {
+      val members = tmpls.zipWithIndex.flatMap { case (t, c) =>
+        (0 until copies).map { i =>
+          val m = t.toArray
+          m(m.length - 2) = s"u${c}_$i" // one mutated token per copy
+          (c * 100L + i, m.mkString(" "))
+        }
+      }
+      members ++ uniq.zipWithIndex.map { case (t, i) =>
+        (900L + i, (t :+ s"tail$i").mkString(" "))
+      }
+    }
+    forAll(genCorpus) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      def jac(a: String, b: String): (Long, Long) = {
+        def sh(t: String) = t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+        val (sa, sb) = (sh(a), sh(b))
+        ((sa & sb).size.toLong, (sa | sb).size.toLong)
+      }
+      val byId = rows.toMap
+      val star = graft.ml.Dedup.nearDuplicateBucketEdges(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val allPairs = graft.ml.Dedup.nearDuplicatePairs(docs)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for ((a, b) <- star) {
+        val (ni, nu) = jac(byId(a), byId(b))
+        assert(ni * 100 >= nu * 50, s"star edge ($a,$b) fails brute jaccard $ni/$nu")
+      }
+      // star edges order a=bucket-min < b, all-pairs a<b: directly comparable
+      assert(star.subsetOf(allPairs), s"star ${star -- allPairs} not in all-pairs")
+    }
+  }
+
+  test("fixed-point Q18 ln matches Math.log within 1e-12 over the idf argument range") {
+    // the BM25 ln replay: y = 2(N+1)/(2 df+1) for random (N, df <= N);
+    // run the EXACT integer pipeline (range reduction + atanh series,
+    // BigInt floor division mirroring decimal(38,0)/HUGEINT) and
+    // compare against double ln — the quantization must stay orders
+    // below the 1e-6 score quantum
+    val S = BigInt("1000000000000000000")
+    val LN2 = BigInt(graft.ml.Ranking.LN2_Q18)
+    def lnQ18(num: Long, den: Long): BigInt = {
+      val q = num / den
+      val m = 63 - java.lang.Long.numberOfLeadingZeros(q)
+      val p2 = 1L << m
+      val a = BigInt(num) - BigInt(den) * p2
+      val b = BigInt(num) + BigInt(den) * p2
+      val z = a * S / b
+      val z2 = z * z / S
+      var p = z
+      var acc = z
+      for (i <- 1 until graft.ml.Ranking.lnSeriesTerms) {
+        p = p * z2 / S
+        acc += p / (2 * i + 1)
+      }
+      BigInt(m) * LN2 + 2 * acc
+    }
+    val gen = for {
+      n <- Gen.chooseNum(1L, 1000000000000L)
+      df <- Gen.chooseNum(1L, n)
+    } yield (n, df)
+    (0 until 200).foreach { i =>
+      val (n, df) = gen.apply(params, Seed(7L + i)).get
+      val (num, den) = (2 * (n + 1), 2 * df + 1)
+      val got = lnQ18(num, den).toDouble / 1e18
+      val want = math.log(num.toDouble / den)
+      assert(math.abs(got - want) < 1e-12,
+        s"N=$n df=$df: fixed $got vs double $want")
+    }
+  }
 }
