@@ -1124,6 +1124,9 @@ object SparkEntry {
         s"$db.lsh")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val outPath = s"/tmp/${db}_verdicts"
+      // pre-create so the schema'd read below works even if the stream
+      // delivers zero batches (empty incoming set)
+      new java.io.File(outPath).mkdirs()
       withStreamParts(s, 4) { ss =>
         val src = ss.readStream.schema(schema).parquet(s"$dir/documents.parq*")
           .where(length(col("source")) === 4)
@@ -1283,15 +1286,17 @@ object SparkEntry {
         shingleK = 3, minShared = 2, maxShingleDf = 50)
     }),
     "q122_decontaminate_bloom" -> ((s, dir) => {
-      // the asymmetric-scale decontamination path: q109's exact chain
-      // with the broadcast Bloom pre-filter dropping train-side
-      // shingles that cannot exist in the eval set BEFORE any shuffle.
+      // the asymmetric-scale decontamination path: the q109 chain with
+      // the big corpus half on the LEFT (train) and the small half on
+      // the RIGHT (eval) — the broadcast Bloom over the eval side's
+      // shingles drops train-side shingle rows BEFORE any shuffle.
       // Result-identical by construction (false positives ride through
-      // to the exact join), proven by sharing q109's oracle verbatim;
-      // the win is shuffled volume (MlBench-measured in BASELINE.md).
+      // to the exact join), proven by the oracle being q109's SQL with
+      // the sides swapped; the win is shuffled volume
+      // (MlBench-measured 4-12.6x in BASELINE.md).
       val d = pq(s, dir, "documents")
-      Dedup.crossContamination(d.where(length(col("source")) === 4),
-        d.where(length(col("source")) > 4), "text", "doc_id",
+      Dedup.crossContamination(d.where(length(col("source")) > 4),
+        d.where(length(col("source")) === 4), "text", "doc_id",
         shingleK = 3, minShared = 2, maxShingleDf = 50,
         bloomPrefilter = true)
     }),
@@ -2120,15 +2125,16 @@ object SparkEntry {
       """SELECT stratum, id, n_tokens, bin, pos FROM p"""),
 
     // df-capped inverted-index join between the two source halves
-    // q122 = q109's chain with the Bloom pre-filter: the oracle is the
-    // SAME SQL — the hash match IS the proof that the pre-filter does
-    // not change results
+    // q122 = q109's chain with the SIDES SWAPPED (train on the left,
+    // small eval on the right) and the Bloom pre-filter: the oracle is
+    // q109's SQL with the side predicates exchanged — the hash match
+    // IS the proof that the pre-filter does not change results
     "q122_decontaminate_bloom" -> (
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents), """ +
       """sh AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)), """ +
       """dsh AS (SELECT DISTINCT doc_id, shingle FROM sh), """ +
-      """l AS (SELECT ds.doc_id AS a, shingle FROM dsh ds JOIN documents d USING (doc_id) WHERE len(d.source) = 4), """ +
-      """r AS (SELECT ds.doc_id AS b, shingle FROM dsh ds JOIN documents d USING (doc_id) WHERE len(d.source) > 4), """ +
+      """l AS (SELECT ds.doc_id AS a, shingle FROM dsh ds JOIN documents d USING (doc_id) WHERE len(d.source) > 4), """ +
+      """r AS (SELECT ds.doc_id AS b, shingle FROM dsh ds JOIN documents d USING (doc_id) WHERE len(d.source) = 4), """ +
       """hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM (SELECT a AS id, shingle FROM l UNION ALL SELECT b, shingle FROM r) GROUP BY 1) WHERE c > 50) """ +
       """SELECT a, b, count(*) AS n_shared FROM (SELECT * FROM l WHERE shingle NOT IN (SELECT shingle FROM hot)) ll JOIN (SELECT * FROM r WHERE shingle NOT IN (SELECT shingle FROM hot)) rr USING (shingle) GROUP BY 1, 2 HAVING count(*) >= 2"""),
 
