@@ -785,6 +785,36 @@ object SparkEntry {
           col("n_frames"), col("amp_sum"), col("amp_weighted"))
     }),
 
+    "q123_flac_decode" -> ((s, dir) => {
+      // REAL FLAC codec oracle: deterministic closed-form samples are
+      // rice/FIXED-encoded into multi-frame FLAC streams (blockSize 16,
+      // so every id crosses frame boundaries and the CRC-8/16 paths)
+      // and decoded BACK by the pure-JVM decoder on the executors; the
+      // DuckDB side computes the same interleaved sample checksums
+      // analytically. A bit-order, rice, predictor, or CRC defect
+      // breaks the position-weighted checksum.
+      import org.apache.spark.sql.Encoders
+      val src = pq(s, dir, "documents").select(col("doc_id").cast("long"))
+      val flacs = src.mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val ch = (id % 2).toInt + 1
+          val nf = (id % 50).toInt + 10
+          val rate = 8000 + (id % 3).toInt * 4000
+          val samples = Array.tabulate[Short](nf * ch)(j =>
+            (((id * 7 + j * 13) % 2048) - 1024).toShort)
+          (id, graft.ml.Flac.encodeFlac(rate, ch, samples, blockSize = 16))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("media_id", "payload")
+      graft.ml.Flac.decodeFlacInfo(flacs)
+        .select(col("media_id"), col("format"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bps").cast("long").as("bps"),
+          col("n_samples"), col("amp_sum"), col("amp_weighted"))
+    }),
+
     "q92_stream_dedup" -> ((s, dir) => {
       // Streaming near-dup dedup: the per-row MinHash signature is
       // STATELESS (array_min over the shingle array — no groupBy), so it
@@ -1925,6 +1955,17 @@ object SparkEntry {
       "hv AS (SELECT id, CAST(list_sum(list_transform(range(0, 12), i -> (strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1) * 16.0 ** (11 - i))) AS BIGINT) AS h FROM ids), " +
       "csi AS (SELECT chrom, CAST(size AS BIGINT) AS size, row_number() OVER (ORDER BY chrom) - 1 AS ci FROM (VALUES ('A', 5000), ('N', 4000), ('R', 3000)) AS t(chrom, size)) " +
       "SELECT id AS row_id, chrom, (h // 3) % (size - 100) AS istart, (h // 3) % (size - 100) + 100 AS iend FROM hv JOIN csi ON h % 3 = csi.ci"),
+
+    // q91's closed-form stream decoded back through the pure-JVM FLAC
+    // codec: the analytic replay is identical (lossless codec, same
+    // samples), only the container metadata columns differ
+    "q123_flac_decode" -> (
+      "WITH p AS (SELECT doc_id AS id, (doc_id % 2) + 1 AS ch, (doc_id % 50) + 10 AS nf FROM documents), " +
+      "s AS (SELECT id, ch, nf, unnest(range(0, nf * ch)) AS j FROM p), " +
+      "v AS (SELECT id, ch, nf, j, abs(((id * 7 + j * 13) % 2048) - 1024) AS a FROM s) " +
+      "SELECT id AS media_id, 'flac' AS format, CAST(8000 + (id % 3) * 4000 AS BIGINT) AS sample_rate, " +
+      "CAST(ch AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bps, CAST(nf * ch AS BIGINT) AS n_samples, " +
+      "CAST(sum(a) AS BIGINT) AS amp_sum, CAST(sum((j + 1) * a) AS BIGINT) AS amp_weighted FROM v GROUP BY id, ch, nf"),
 
     // replays the closed-form PCM stream: ch=(id%2)+1 channels,
     // nf=(id%50)+10 frames, interleaved s_j = ((id*7+j*13)%2048)-1024

@@ -1,0 +1,452 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** REAL FLAC codec in pure JVM — the lossless audio twin of the native
+  * BAM/bigWig codecs: no external library, implemented from the public
+  * format description. This closes the "no true codec decode" carry for
+  * the one mainstream audio codec that is tractable offline: FLAC is
+  * self-contained (rice-coded linear prediction, no psychoacoustic
+  * tables), unlike mp3/Vorbis whose entropy layers need spec tables we
+  * will not reproduce from memory.
+  *
+  * Decoder coverage: STREAMINFO + arbitrary skipped metadata blocks;
+  * frames with fixed or variable blocking; CONSTANT, VERBATIM,
+  * FIXED (orders 0-4), and LPC (any order, quantized-coefficient)
+  * subframes; rice/rice2 residual partitions incl. escape-to-raw;
+  * wasted-bits; left/side, right/side, and mid/side stereo
+  * decorrelation; CRC-8 header and CRC-16 frame checks (a corrupt
+  * frame fails loudly rather than emitting wrong samples).
+  *
+  * Encoder (fixture generator) emits a strict subset — independent
+  * channels, CONSTANT or FIXED order-1 subframes with single-partition
+  * rice residuals, multi-frame at a configurable block size — enough
+  * to exercise the decoder's rice/predictor/CRC paths end-to-end with
+  * closed-form samples the DuckDB oracle can replay (q123).
+  *
+  * Scale shape: decode is a per-row kernel inside mapPartitions (the
+  * decodeImageInfo/decodeAudioInfo pattern) — embarrassingly parallel,
+  * no shuffle, corrupt blobs degrade to -1 fields instead of failing
+  * the stage.
+  */
+object Flac {
+
+  // ---- CRCs (FLAC: CRC-8 poly 0x07 init 0; CRC-16 poly 0x8005 init 0) ----
+
+  private[graft] def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private[graft] def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+        else (crc << 1) & 0xffff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ---- MSB-first bit IO ----
+
+  private[graft] final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var n = 0
+    def putBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); n += 1
+      if (n == 8) { buf += cur.toByte; cur = 0; n = 0 }
+    }
+    def put(v: Long, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) { putBit(((v >> i) & 1L).toInt); i -= 1 }
+    }
+    def putUnary(q: Int): Unit = { var i = 0; while (i < q) { putBit(0); i += 1 }; putBit(1) }
+    def align(): Unit = while (n != 0) putBit(0)
+    def bytes: Array[Byte] = { align(); buf.toArray }
+  }
+
+  private final class BitReader(bytes: Array[Byte], var bytePos: Int) {
+    private var bitPos = 0
+    def aligned: Boolean = bitPos == 0
+    def align(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+    def readBit(): Int = {
+      val b = (bytes(bytePos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      b
+    }
+    def read(bits: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < bits) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def readSigned(bits: Int): Long = {
+      val v = read(bits)
+      if (bits == 0) 0L
+      else if ((v & (1L << (bits - 1))) != 0) v - (1L << bits)
+      else v
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) q += 1
+      q
+    }
+  }
+
+  // ---- encoder (fixture subset) ----
+
+  /** Interleaved 16-bit samples -> FLAC bytes: independent channels,
+    * CONSTANT or FIXED order-1 subframes, one rice partition. */
+  def encodeFlac(sampleRate: Int, channels: Int, samples: Array[Short],
+                 blockSize: Int = 4096): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"channels $channels")
+    require(samples.length % channels == 0, "interleave mismatch")
+    require(blockSize >= 2 && blockSize <= 65536, s"blockSize $blockSize")
+    val nFrames = samples.length / channels
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new BitWriter
+    si.put(1L, 1); si.put(0L, 7); si.put(34L, 24) // last-block, STREAMINFO, len
+    si.put(blockSize.toLong, 16); si.put(blockSize.toLong, 16)
+    si.put(0L, 24); si.put(0L, 24)                // frame sizes unknown
+    si.put(sampleRate.toLong, 20)
+    si.put((channels - 1).toLong, 3)
+    si.put(15L, 5)                                 // bps-1 = 15 (16-bit)
+    si.put(nFrames.toLong, 36)
+    si.put(0L, 64); si.put(0L, 64)                 // md5 unset
+    out.write(si.bytes)
+    var frameNo = 0
+    var pos = 0
+    while (pos < nFrames) {
+      val bs = math.min(blockSize, nFrames - pos)
+      val hdr = new BitWriter
+      hdr.put(0x3ffe, 14)                          // sync
+      hdr.put(0L, 1)                               // reserved
+      hdr.put(0L, 1)                               // fixed blocking
+      hdr.put(6L, 4)                               // blocksize: 8-bit follows
+      hdr.put(0L, 4)                               // samplerate: STREAMINFO
+      hdr.put((channels - 1).toLong, 4)            // independent channels
+      hdr.put(4L, 3)                               // sample size 16-bit
+      hdr.put(0L, 1)                               // reserved
+      require(frameNo < 0x80, "fixture encoder: frame number must be 1-byte UTF-8")
+      hdr.put(frameNo.toLong, 8)                   // UTF-8 frame number
+      hdr.put((bs - 1).toLong, 8)                  // 8-bit blocksize-1
+      val hb = hdr.bytes
+      val frame = new BitWriter
+      hb.foreach(b => frame.put(b & 0xffL, 8))
+      frame.put(crc8(hb, 0, hb.length).toLong, 8)
+      var c = 0
+      while (c < channels) {
+        val chan = Array.tabulate(bs)(i => samples((pos + i) * channels + c).toInt)
+        val const = chan.forall(_ == chan(0))
+        if (const) {
+          frame.put(0L, 1); frame.put(0L, 6); frame.put(0L, 1) // CONSTANT
+          frame.put(chan(0).toLong & 0xffffL, 16)
+        } else {
+          frame.put(0L, 1); frame.put(9L, 6); frame.put(0L, 1) // FIXED order 1
+          frame.put(chan(0).toLong & 0xffffL, 16)              // warmup
+          val res = Array.tabulate(bs - 1)(i => chan(i + 1) - chan(i))
+          val zig = res.map(e => if (e >= 0) 2L * e else -2L * e - 1)
+          val maxZig = zig.foldLeft(0L)(math.max)
+          var k = 0
+          while (k < 14 && (maxZig >> k) > 1) k += 1
+          frame.put(0L, 2)                          // rice 4-bit params
+          frame.put(0L, 4)                          // partition order 0
+          frame.put(k.toLong, 4)
+          zig.foreach { u =>
+            frame.putUnary((u >> k).toInt)
+            frame.put(u & ((1L << k) - 1), k)
+          }
+        }
+        c += 1
+      }
+      frame.align()
+      val fb = frame.bytes
+      out.write(fb)
+      val c16 = crc16(fb, 0, fb.length)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      pos += bs
+      frameNo += 1
+    }
+    out.toByteArray
+  }
+
+  // ---- decoder (general) ----
+
+  case class FlacPcm(sampleRate: Int, channels: Int, bps: Int,
+                     totalSamples: Long, samples: Array[Int])
+
+  /** Decode a whole FLAC stream to interleaved PCM. Throws on a
+    * malformed stream or CRC mismatch. */
+  def decodeFlacPcm(bytes: Array[Byte]): FlacPcm = {
+    require(bytes.length >= 42 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C', "not a FLAC stream")
+    var p = 4
+    var last = false
+    var sampleRate = -1; var channels = -1; var bps = -1
+    var totalSamples = -1L
+    while (!last) {
+      val h = bytes(p) & 0xff
+      last = (h & 0x80) != 0
+      val typ = h & 0x7f
+      val len = ((bytes(p + 1) & 0xff) << 16) | ((bytes(p + 2) & 0xff) << 8) |
+        (bytes(p + 3) & 0xff)
+      if (typ == 0) {
+        val r = new BitReader(bytes, p + 4)
+        r.read(16); r.read(16); r.read(24); r.read(24)
+        sampleRate = r.read(20).toInt
+        channels = r.read(3).toInt + 1
+        bps = r.read(5).toInt + 1
+        totalSamples = r.read(36)
+      }
+      p += 4 + len
+    }
+    require(sampleRate > 0, "missing STREAMINFO")
+    val outSamples = new java.util.ArrayList[Array[Int]]()
+    while (p < bytes.length) {
+      val frameStart = p
+      val r = new BitReader(bytes, p)
+      require(r.read(14) == 0x3ffe, s"bad frame sync at $frameStart")
+      r.read(1) // reserved
+      r.read(1) // blocking strategy
+      val bsCode = r.read(4).toInt
+      val srCode = r.read(4).toInt
+      val chanAsg = r.read(4).toInt
+      val ssCode = r.read(3).toInt
+      r.read(1)
+      // UTF-8 coded frame/sample number: the lead byte's run of high
+      // 1-bits gives the byte count; the value itself is unused here
+      var lead = r.read(8).toInt
+      var ones = 0
+      while ((lead & 0x80) != 0 && ones < 7) { lead <<= 1; ones += 1 }
+      var cont = if (ones == 0) 0 else ones - 1
+      while (cont > 0) { r.read(8); cont -= 1 }
+      val blockSize = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => r.read(8).toInt + 1
+        case 7 => r.read(16).toInt + 1
+        case c if c >= 8 => 256 << (c - 8)
+        case _ => throw new IllegalArgumentException(s"reserved blocksize code")
+      }
+      srCode match {
+        case 12 => r.read(8)
+        case 13 | 14 => r.read(16)
+        case _ => ()
+      }
+      val frameBps = ssCode match {
+        case 0 => bps
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case _ => throw new IllegalArgumentException("reserved sample size")
+      }
+      val headerEnd = r.bytePos
+      require(r.aligned, "frame header must be byte-aligned before CRC-8")
+      val wantCrc8 = r.read(8).toInt
+      require(crc8(bytes, frameStart, headerEnd) == wantCrc8,
+        s"frame header CRC-8 mismatch at $frameStart")
+      val nCh = if (chanAsg < 8) chanAsg + 1 else 2
+      val chans = Array.ofDim[Array[Long]](nCh)
+      var c = 0
+      while (c < nCh) {
+        // side channel carries one extra bit
+        val extraBit = chanAsg match {
+          case 8 => if (c == 1) 1 else 0  // left/side
+          case 9 => if (c == 0) 1 else 0  // side/right
+          case 10 => if (c == 1) 1 else 0 // mid/side
+          case _ => 0
+        }
+        chans(c) = decodeSubframe(r, blockSize, frameBps + extraBit)
+        c += 1
+      }
+      r.align()
+      val frameEnd = r.bytePos
+      val wantCrc16 = r.read(16).toInt
+      require(crc16(bytes, frameStart, frameEnd) == wantCrc16,
+        s"frame CRC-16 mismatch at $frameStart")
+      p = r.bytePos
+      // stereo decorrelation
+      val dec: Array[Array[Long]] = chanAsg match {
+        case 8 => // left/side: right = left - side
+          val l = chans(0); val s = chans(1)
+          Array(l, Array.tabulate(blockSize)(i => l(i) - s(i)))
+        case 9 => // side/right: left = right + side
+          val s = chans(0); val rt = chans(1)
+          Array(Array.tabulate(blockSize)(i => rt(i) + s(i)), rt)
+        case 10 => // mid/side
+          val m = chans(0); val s = chans(1)
+          Array(
+            Array.tabulate(blockSize) { i =>
+              val mid2 = (m(i) << 1) | (s(i) & 1); (mid2 + s(i)) >> 1
+            },
+            Array.tabulate(blockSize) { i =>
+              val mid2 = (m(i) << 1) | (s(i) & 1); (mid2 - s(i)) >> 1
+            })
+        case _ => chans
+      }
+      val inter = new Array[Int](blockSize * dec.length)
+      var j = 0
+      while (j < blockSize) {
+        var cc = 0
+        while (cc < dec.length) {
+          inter(j * dec.length + cc) = dec(cc)(j).toInt
+          cc += 1
+        }
+        j += 1
+      }
+      outSamples.add(inter)
+    }
+    val total = { var t = 0; outSamples.forEach(a => t += a.length); t }
+    val all = new Array[Int](total)
+    var off = 0
+    outSamples.forEach { a => System.arraycopy(a, 0, all, off, a.length); off += a.length }
+    FlacPcm(sampleRate, channels, bps, totalSamples, all)
+  }
+
+  private def decodeSubframe(r: BitReader, n: Int, bps: Int): Array[Long] = {
+    require(r.readBit() == 0, "subframe pad bit")
+    val typ = r.read(6).toInt
+    val wasted = if (r.readBit() == 1) r.readUnary() + 1 else 0
+    val ebps = bps - wasted
+    val out: Array[Long] =
+      if (typ == 0) { // CONSTANT
+        val v = r.readSigned(ebps)
+        Array.fill(n)(v)
+      } else if (typ == 1) { // VERBATIM
+        Array.fill(n)(r.readSigned(ebps))
+      } else if (typ >= 8 && typ <= 12) { // FIXED order 0-4
+        val order = typ - 8
+        val a = new Array[Long](n)
+        var i = 0
+        while (i < order) { a(i) = r.readSigned(ebps); i += 1 }
+        val res = decodeResidual(r, n, order)
+        while (i < n) {
+          val pred = order match {
+            case 0 => 0L
+            case 1 => a(i - 1)
+            case 2 => 2 * a(i - 1) - a(i - 2)
+            case 3 => 3 * a(i - 1) - 3 * a(i - 2) + a(i - 3)
+            case 4 => 4 * a(i - 1) - 6 * a(i - 2) + 4 * a(i - 3) - a(i - 4)
+          }
+          a(i) = pred + res(i - order)
+          i += 1
+        }
+        a
+      } else if (typ >= 32) { // LPC order typ-31
+        val order = typ - 31
+        val a = new Array[Long](n)
+        var i = 0
+        while (i < order) { a(i) = r.readSigned(ebps); i += 1 }
+        val precision = r.read(4).toInt + 1
+        require(precision <= 15, "invalid LPC precision")
+        val shift = r.readSigned(5).toInt
+        require(shift >= 0, "negative LPC shift")
+        val coefs = Array.fill(order)(r.readSigned(precision))
+        val res = decodeResidual(r, n, order)
+        while (i < n) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coefs(j) * a(i - 1 - j); j += 1 }
+          a(i) = (acc >> shift) + res(i - order)
+          i += 1
+        }
+        a
+      } else throw new IllegalArgumentException(s"reserved subframe type $typ")
+    if (wasted == 0) out else out.map(_ << wasted)
+  }
+
+  private def decodeResidual(r: BitReader, blockSize: Int, order: Int): Array[Long] = {
+    val method = r.read(2).toInt
+    require(method <= 1, s"reserved residual method $method")
+    val paramBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 0xf else 0x1f
+    val partOrder = r.read(4).toInt
+    val nParts = 1 << partOrder
+    require(blockSize % nParts == 0, "partition count must divide block size")
+    val out = new Array[Long](blockSize - order)
+    var idx = 0
+    var pi = 0
+    while (pi < nParts) {
+      val count = (blockSize >> partOrder) - (if (pi == 0) order else 0)
+      val param = r.read(paramBits).toInt
+      if (param == escape) {
+        val raw = r.read(5).toInt
+        var i = 0
+        while (i < count) { out(idx) = r.readSigned(raw); idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = r.readUnary().toLong
+          val u = (q << param) | r.read(param)
+          out(idx) = if ((u & 1) == 0) u >> 1 else -((u + 1) >> 1)
+          idx += 1; i += 1
+        }
+      }
+      pi += 1
+    }
+    out
+  }
+
+  case class FlacInfo(media_id: Long, format: String, sample_rate: Int,
+                      channels: Int, bps: Int, n_samples: Long,
+                      amp_sum: Long, amp_weighted: Long)
+
+  /** Per-row FLAC decode over a binary column — decodeAudioInfo's twin:
+    * container metadata plus the same interleaved-stream checksums
+    * (amp_sum = sum |s_j|, amp_weighted = sum (j+1)|s_j|), which catch
+    * predictor/rice/decorrelation bugs positionally. Undecodable blobs
+    * degrade to -1 fields (one corrupt blob in 100 TB must not fail the
+    * stage); CRC mismatches count as undecodable. */
+  def decodeFlacInfo(df: DataFrame, idCol: String = "media_id",
+                     blobCol: String = "payload"): DataFrame = {
+    val src = df.select(col(idCol).cast("long"), col(blobCol))
+    src.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val isFlac = bytes != null && bytes.length >= 4 &&
+          bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C'
+        if (!isFlac) FlacInfo(id, Multimodal.sniffFormat(bytes), -1, -1, -1, -1L, -1L, -1L)
+        else try {
+          val pcm = decodeFlacPcm(bytes)
+          var s = 0L; var sw = 0L
+          var j = 0
+          while (j < pcm.samples.length) {
+            val v = math.abs(pcm.samples(j).toLong)
+            s += v; sw += (j + 1) * v
+            j += 1
+          }
+          FlacInfo(id, "flac", pcm.sampleRate, pcm.channels, pcm.bps,
+            pcm.samples.length.toLong, s, sw)
+        } catch {
+          case _: Exception => FlacInfo(id, "flac", -1, -1, -1, -1L, -1L, -1L)
+        }
+      }
+    }(Encoders.product[FlacInfo])
+      .toDF(idCol, "format", "sample_rate", "channels", "bps", "n_samples",
+        "amp_sum", "amp_weighted")
+  }
+}

@@ -230,6 +230,8 @@ object Multimodal {
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'A' &&
       bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ') "avi"
+    else if (bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
+      bytes(3) == 'C') "flac"
     else "unknown"
 
   /** REAL image decode (round-3): PNG/BMP/JPEG/GIF payloads are decoded
