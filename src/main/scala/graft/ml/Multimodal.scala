@@ -482,7 +482,27 @@ object Multimodal {
         val id = row.getLong(0)
         val bytes = row.getAs[Array[Byte]](1)
         val out =
-          if (sniffFormat(bytes) != "wav") bytes
+          if (sniffFormat(bytes) == "flac") try {
+            // REAL FLAC resample: pure-JVM decode, frame decimation
+            // (same keep-every-factor-th rule as the WAV branch),
+            // re-encode losslessly
+            val pcm = Flac.decodeFlacPcm(bytes)
+            val ch = pcm.channels
+            val nFrames = pcm.samples.length / ch
+            val nOut = (nFrames + factor - 1) / factor
+            val samples = new Array[Short](nOut * ch)
+            var o = 0
+            while (o < nOut) {
+              var c = 0
+              while (c < ch) {
+                samples(o * ch + c) = pcm.samples(o * factor * ch + c).toShort
+                c += 1
+              }
+              o += 1
+            }
+            Flac.encodeFlac(math.max(1, pcm.sampleRate / factor), ch, samples)
+          } catch { case _: Exception => bytes }
+          else if (sniffFormat(bytes) != "wav") bytes
           else try {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))

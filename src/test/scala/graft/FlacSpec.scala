@@ -118,6 +118,20 @@ class FlacSpec extends AnyFunSuite {
     assert(got.map(_(0)) == l.toSeq && got.map(_(1)) == r.toSeq)
   }
 
+  test("resampleAudio decimates FLAC losslessly (decode -> keep every factor-th frame -> re-encode)") {
+    import spark.implicits._
+    val ch = 2
+    val samples = Array.tabulate[Short](60 * ch)(j => ((j * 61) % 2200 - 1100).toShort)
+    val blob = Flac.encodeFlac(24000, ch, samples, blockSize = 16)
+    val out = graft.ml.Multimodal
+      .resampleAudio(Seq((1L, blob)).toDF("media_id", "payload"), factor = 3)
+      .collect().head.getAs[Array[Byte]](1)
+    val dec = Flac.decodeFlacPcm(out)
+    assert(dec.sampleRate == 8000 && dec.channels == ch)
+    val expect = (0 until 60 by 3).flatMap(f => Seq(samples(f * ch), samples(f * ch + 1)))
+    assert(dec.samples.toSeq == expect.map(_.toInt))
+  }
+
   test("decodeFlacInfo: closed-form checksums; corrupt blobs degrade to -1") {
     import spark.implicits._
     def mk(id: Long): (Long, Array[Byte]) = {
