@@ -351,6 +351,24 @@ object Multimodal {
         val id = row.getLong(0)
         val bytes = row.getAs[Array[Byte]](1)
         val fmt = sniffFormat(bytes)
+        if (fmt == "flac") {
+          // route through the pure-JVM codec; same checksum contract
+          // (n_frames = per-channel count, sums over the interleaved
+          // stream), so the generic audio path is format-agnostic
+          val viaFlac = try {
+            val pcm = Flac.decodeFlacPcm(bytes)
+            var s = 0L; var sw = 0L
+            var j = 0
+            while (j < pcm.samples.length) {
+              val v = math.abs(pcm.samples(j).toLong)
+              s += v; sw += (j + 1) * v
+              j += 1
+            }
+            AudioInfo(id, "flac", pcm.sampleRate, pcm.channels,
+              pcm.samples.length.toLong / pcm.channels, s, sw)
+          } catch { case _: Exception => AudioInfo(id, "flac", -1, -1, -1L, -1L, -1L) }
+          viaFlac
+        } else {
         val parsed =
           if (fmt != "wav") None
           else try {
@@ -384,6 +402,7 @@ object Multimodal {
               }
               AudioInfo(id, fmt, rate, ch, nFrames, s, sw)
             }
+        }
         }
       }
     }(Encoders.product[AudioInfo])

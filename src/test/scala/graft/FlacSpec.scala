@@ -132,6 +132,21 @@ class FlacSpec extends AnyFunSuite {
     assert(dec.samples.toSeq == expect.map(_.toInt))
   }
 
+  test("decodeAudioInfo routes FLAC blobs through the codec (format-agnostic path)") {
+    import spark.implicits._
+    val ch = 2
+    val samples = Array.tabulate[Short](40 * ch)(j => ((j * 91) % 1800 - 900).toShort)
+    val blob = Flac.encodeFlac(16000, ch, samples, blockSize = 16)
+    val r = graft.ml.Multimodal
+      .decodeAudioInfo(Seq((5L, blob)).toDF("media_id", "payload"))
+      .collect().head
+    assert(r.getString(1) == "flac" && r.getInt(2) == 16000 &&
+      r.getInt(3) == ch && r.getLong(4) == 40L)
+    val absVals = samples.map(s => math.abs(s.toLong))
+    assert(r.getLong(5) == absVals.sum &&
+      r.getLong(6) == absVals.zipWithIndex.map { case (v, j) => (j + 1) * v }.sum)
+  }
+
   test("decodeFlacInfo: closed-form checksums; corrupt blobs degrade to -1") {
     import spark.implicits._
     def mk(id: Long): (Long, Array[Byte]) = {
