@@ -147,6 +147,25 @@ class FlacSpec extends AnyFunSuite {
       r.getLong(6) == absVals.zipWithIndex.map { case (v, j) => (j + 1) * v }.sum)
   }
 
+  test("decoder terminates and degrades on fuzzed garbage (no hang, no wrong samples)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val blobs = (1L to 40L).map { id =>
+      val n = 8 + rnd.nextInt(200)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      // half get the magic so they enter the real parse paths
+      if (id % 2 == 0) { b(0) = 'f'; b(1) = 'L'; b(2) = 'a'; b(3) = 'C' }
+      (id, b)
+    }
+    val rowsOut = Flac.decodeFlacInfo(blobs.toDF("media_id", "payload"))
+      .collect()
+    assert(rowsOut.length == 40)
+    // every fuzzed blob must degrade (CRC/structure rejects it), never
+    // emit a positive sample count
+    assert(rowsOut.forall(_.getLong(5) == -1L))
+  }
+
   test("decodeFlacInfo: closed-form checksums; corrupt blobs degrade to -1") {
     import spark.implicits._
     def mk(id: Long): (Long, Array[Byte]) = {
