@@ -514,6 +514,15 @@ object Dedup {
     val leftRows =
       if (!bloomPrefilter) side(left, isLeft = true)
       else {
+        // size the filter by COUNTING the eval side's distinct shingles
+        // (one cheap job — the right side is small by this operator's
+        // contract). Sizing must be tight, not estimated: the probe is
+        // a random-access bit test per train-side shingle, so the
+        // filter has to stay cache-resident — an exact-sized ~1 MB
+        // filter measured 15 s on the 2M-doc soak, while a leaf-bytes
+        // estimate (garbage for checkpointed inputs) built a 19 MB
+        // filter whose cache misses ballooned the same job to 108 s,
+        // and an unclamped one to 147 s.
         val rs = side(right, isLeft = false).select(col("sh")).distinct()
           .localCheckpoint()
         val n = math.max(rs.count(), 1L)
