@@ -54,15 +54,23 @@ object ToStringRepr {
     val table = Seq(headers.map(cell), dtypes.map(cell)) ++ body
     val widths = headers.indices.map(i => table.map(_(i).length).max)
     // console-width elision: include columns left-to-right while the
-    // cumulative rendered width (cell + 2-space separator) fits
-    var cum = 0
-    var included = 0
-    while (included < headers.size &&
-        cum + widths(included) + (if (included == 0) 0 else 2) <= totalWidth) {
-      cum += widths(included) + (if (included == 0) 0 else 2)
-      included += 1
+    // cumulative rendered width (cell + 2-space separator) fits; when
+    // any column is elided the appended "..." marker costs 5 more chars
+    // (separator + 3), which the budget must reserve or lines overflow
+    def fit(budget: Int): Int = {
+      var cum = 0
+      var inc = 0
+      while (inc < headers.size &&
+          cum + widths(inc) + (if (inc == 0) 0 else 2) <= budget) {
+        cum += widths(inc) + (if (inc == 0) 0 else 2)
+        inc += 1
+      }
+      inc
     }
-    included = math.max(1, included) // always show at least one column
+    val all = fit(totalWidth)
+    val included = math.max(1, // always show at least one column
+      if (all == headers.size) all
+      else if (totalWidth == Int.MaxValue) all else fit(totalWidth - 5))
     val elided = headers.size - included
     val colMarker = if (elided > 0) Seq("...") else Nil
     def keep(cells: Seq[String]): Seq[String] = cells.take(included) ++ colMarker

@@ -143,14 +143,16 @@ object Flac {
       hdr.put(0x3ffe, 14)                          // sync
       hdr.put(0L, 1)                               // reserved
       hdr.put(0L, 1)                               // fixed blocking
-      hdr.put(6L, 4)                               // blocksize: 8-bit follows
+      // blocksize code: 8-bit tail only holds bs-1 <= 255; larger blocks
+      // need the 16-bit form or the header silently truncates
+      hdr.put(if (bs <= 256) 6L else 7L, 4)
       hdr.put(0L, 4)                               // samplerate: STREAMINFO
       hdr.put((channels - 1).toLong, 4)            // independent channels
       hdr.put(4L, 3)                               // sample size 16-bit
       hdr.put(0L, 1)                               // reserved
       require(frameNo < 0x80, "fixture encoder: frame number must be 1-byte UTF-8")
       hdr.put(frameNo.toLong, 8)                   // UTF-8 frame number
-      hdr.put((bs - 1).toLong, 8)                  // 8-bit blocksize-1
+      hdr.put((bs - 1).toLong, if (bs <= 256) 8 else 16)
       val hb = hdr.bytes
       val frame = new BitWriter
       hb.foreach(b => frame.put(b & 0xffL, 8))
@@ -268,6 +270,7 @@ object Flac {
       val wantCrc8 = r.read(8).toInt
       require(crc8(bytes, frameStart, headerEnd) == wantCrc8,
         s"frame header CRC-8 mismatch at $frameStart")
+      require(chanAsg <= 10, s"reserved channel assignment $chanAsg")
       val nCh = if (chanAsg < 8) chanAsg + 1 else 2
       val chans = Array.ofDim[Array[Long]](nCh)
       var c = 0

@@ -506,6 +506,9 @@ object Multimodal {
             // (same keep-every-factor-th rule as the WAV branch),
             // re-encode losslessly
             val pcm = Flac.decodeFlacPcm(bytes)
+            // 20/24-bit streams would wrap through .toShort and get
+            // re-stamped bps=16 — those pass through unchanged instead
+            require(pcm.bps == 16, s"non-16-bit FLAC (bps=${pcm.bps})")
             val ch = pcm.channels
             val nFrames = pcm.samples.length / ch
             val nOut = (nFrames + factor - 1) / factor

@@ -38,6 +38,75 @@ class FlacSpec extends AnyFunSuite {
     roundTrip(48000, 1, Array[Short](Short.MinValue, Short.MaxValue, 0, -1, 1, Short.MinValue))
   }
 
+  test("blocks over 256 samples use the 16-bit blocksize header (no silent truncation)") {
+    // single frame bs=1000 at the DEFAULT blockSize — the shape
+    // resampleAudio emits for any real-length audio
+    roundTrip(44100, 1, Array.tabulate[Short](1000)(i => ((i * 53) % 5000 - 2500).toShort))
+    // multi-frame: full frames of 512 (16-bit code) + short tail of 76 (8-bit code)
+    roundTrip(22050, 2, Array.tabulate[Short](2 * 588)(i => ((i * 29) % 3000 - 1500).toShort),
+      blockSize = 512)
+    // exact boundary: bs=256 still fits the 8-bit form, bs=257 must not
+    roundTrip(8000, 1, Array.tabulate[Short](256)(i => (i - 128).toShort), blockSize = 256)
+    roundTrip(8000, 1, Array.tabulate[Short](257)(i => (i - 128).toShort), blockSize = 257)
+  }
+
+  test("resampleAudio on a long FLAC blob survives the re-encode (regression: 8-bit blocksize truncation)") {
+    import spark.implicits._
+    val n = 3000 // decimated output 1500 frames > 256 -> encoder must use 16-bit code
+    val samples = Array.tabulate[Short](n)(i => ((i * 17) % 2000 - 1000).toShort)
+    val blob = Flac.encodeFlac(16000, 1, samples, blockSize = 4096)
+    val out = graft.ml.Multimodal
+      .resampleAudio(Seq((1L, blob)).toDF("media_id", "payload"), factor = 2)
+      .collect().head.getAs[Array[Byte]](1)
+    val dec = Flac.decodeFlacPcm(out)
+    assert(dec.samples.toSeq == (0 until n by 2).map(i => samples(i).toInt))
+  }
+
+  test("decoder rejects reserved channel assignments 11-15") {
+    val bytes = streamInfo(8000, 2, 2, 4096) ++
+      frame(chanAsg = 11, bs = 2) { f =>
+        f.put(0L, 1); f.put(1L, 6); f.put(0L, 1)
+        f.put(1L, 16); f.put(2L, 16)
+        f.put(0L, 1); f.put(1L, 6); f.put(0L, 1)
+        f.put(3L, 16); f.put(4L, 16)
+      }
+    intercept[IllegalArgumentException](Flac.decodeFlacPcm(bytes))
+  }
+
+  test("decoder handles rice escape-to-raw partitions (hand-crafted stream)") {
+    // FIXED order 0: residuals ARE the samples. Escape partition: rice
+    // param 0xf, then 5-bit raw width, then raw signed values.
+    val samples = Array(1234, -2048, 7, -1)
+    val bytes = streamInfo(8000, 1, samples.length, 4096) ++
+      frame(chanAsg = 0, bs = samples.length) { f =>
+        f.put(0L, 1); f.put(8L, 6); f.put(0L, 1)  // FIXED order 0
+        f.put(0L, 2)                              // method 0: 4-bit rice params
+        f.put(0L, 4)                              // partition order 0
+        f.put(0xfL, 4)                            // ESCAPE
+        f.put(13L, 5)                             // raw width 13 bits
+        samples.foreach(v => f.put(v.toLong & 0x1fffL, 13))
+      }
+    val dec = Flac.decodeFlacPcm(bytes)
+    assert(dec.samples.toSeq == samples.toSeq)
+  }
+
+  test("resampleAudio passes non-16-bit FLAC through unchanged (no wrap-to-short corruption)") {
+    import spark.implicits._
+    // 20-bit stream: VERBATIM samples outside the 16-bit range
+    val samples = Array(100000, -200000, 55555)
+    val blob = streamInfo(8000, 1, samples.length, 4096, bps = 20) ++
+      frame(chanAsg = 0, bs = samples.length, ssCode = 5) { f =>
+        f.put(0L, 1); f.put(1L, 6); f.put(0L, 1)
+        samples.foreach(v => f.put(v.toLong & 0xfffffL, 20))
+      }
+    // sanity: the decoder really reads it as 20-bit
+    assert(Flac.decodeFlacPcm(blob).samples.toSeq == samples.toSeq)
+    val out = graft.ml.Multimodal
+      .resampleAudio(Seq((1L, blob)).toDF("media_id", "payload"), factor = 2)
+      .collect().head.getAs[Array[Byte]](1)
+    assert(out.toSeq == blob.toSeq)
+  }
+
   test("decoder rejects tampered frames via CRC") {
     val enc = Flac.encodeFlac(8000, 1,
       Array.tabulate[Short](50)(i => (i * 31 - 700).toShort))
@@ -48,24 +117,24 @@ class FlacSpec extends AnyFunSuite {
   }
 
   private def streamInfo(rate: Int, ch: Int, nSamples: Long,
-                         blockSize: Int): Array[Byte] = {
+                         blockSize: Int, bps: Int = 16): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     bos.write("fLaC".getBytes("US-ASCII"))
     val w = new Flac.BitWriter
     w.put(1L, 1); w.put(0L, 7); w.put(34L, 24)
     w.put(blockSize.toLong, 16); w.put(blockSize.toLong, 16)
     w.put(0L, 24); w.put(0L, 24)
-    w.put(rate.toLong, 20); w.put((ch - 1).toLong, 3); w.put(15L, 5)
+    w.put(rate.toLong, 20); w.put((ch - 1).toLong, 3); w.put((bps - 1).toLong, 5)
     w.put(nSamples, 36); w.put(0L, 64); w.put(0L, 64)
     bos.write(w.bytes)
     bos.toByteArray
   }
 
-  private def frame(chanAsg: Int, bs: Int)(build: Flac.BitWriter => Unit): Array[Byte] = {
+  private def frame(chanAsg: Int, bs: Int, ssCode: Int = 4)(build: Flac.BitWriter => Unit): Array[Byte] = {
     val hdr = new Flac.BitWriter
     hdr.put(0x3ffe, 14); hdr.put(0L, 1); hdr.put(0L, 1)
     hdr.put(6L, 4); hdr.put(0L, 4); hdr.put(chanAsg.toLong, 4)
-    hdr.put(4L, 3); hdr.put(0L, 1)
+    hdr.put(ssCode.toLong, 3); hdr.put(0L, 1)
     hdr.put(0L, 8)            // frame number 0 (1-byte UTF-8)
     hdr.put((bs - 1).toLong, 8)
     val hb = hdr.bytes
