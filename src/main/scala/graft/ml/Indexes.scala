@@ -72,15 +72,17 @@ object Indexes {
   }
 
   /** Data-file count under a catalog table's location — the
-    * compaction metric (and its test hook). */
+    * compaction metric (and its test hook). Walks through the Hadoop
+    * FileSystem API so the metric holds on any catalog location scheme
+    * (file://, hdfs://, s3a://), not just local paths. */
   def dataFileCount(spark: SparkSession, table: String): Int = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = spark.sessionState.catalog.getTableMetadata(ident).location
-    val dir = new java.io.File(loc)
-    def walk(f: java.io.File): Int =
-      if (f.isDirectory) f.listFiles().map(walk).sum
-      else if (f.getName.endsWith(".parquet")) 1
-      else 0
-    walk(dir)
+    val path = new org.apache.hadoop.fs.Path(loc)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(path, true)
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
   }
 }
