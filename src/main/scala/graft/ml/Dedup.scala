@@ -229,8 +229,8 @@ object Dedup {
     * bit_count(xor) verify trims it to precisely the brute-force
     * all-pairs answer. Output: (a, b, hamming) with a < b.
     *
-    * Scale design — the per-bucket quadratic is guarded twice, with NO
-    * completeness tradeoff:
+    * Scale design — the per-bucket quadratic is BOUNDED, with NO
+    * completeness tradeoff and no silent bottom-out:
     *
     *  1. The banded self-join runs over DISTINCT fingerprints, not
     *     documents. A templated/empty-doc corpus — thousands of
@@ -240,22 +240,37 @@ object Dedup {
     *     of hash joins on the full fingerprint plus an intra-class
     *     self-join whose quadratic size equals the true output size
     *     (identical fingerprints really are pairwise near-dups).
-    *  2. Buckets still hotter than `maxBucket` distinct fingerprints
-    *     are re-banded recursively: two fingerprints in the same
-    *     (chunk, cv) bucket agree on that chunk, so their REMAINING
-    *     bits differ by <= maxHamming, and pigeonhole applies again —
-    *     split the fingerprint-with-chunk-zeroed into maxHamming+1
-    *     sub-chunks and the pair must agree on at least one. The hot
-    *     bucket's self-join key widens to (chunk, cv, subchunk,
-    *     subvalue), cutting its population by ~2^(60/(t+1)) while
-    *     keeping the candidate set a superset of the true answer.
+    *  2. Buckets hotter than `maxBucket` distinct fingerprints are
+    *     re-banded RECURSIVELY until they fit: rows in one bucket
+    *     agree on every key chunk so far, so a near-dup pair's
+    *     differing bits (<= maxHamming of them) all lie in the
+    *     remaining bits, and pigeonhole applies again — split the
+    *     remainder into maxHamming+1 sub-chunks and the pair must
+    *     agree on at least one. Crucially the consumed chunk's bits
+    *     are COMPACTED OUT of the remainder, not merely zeroed: a
+    *     zeroed span is identically zero on every row, so any
+    *     sub-chunk covering it would re-collect the entire bucket and
+    *     the split would never make progress (the round-9
+    *     implementation had exactly that blind spot when a sub-chunk
+    *     aligned with the zeroed chunk, i.e. in the default
+    *     bands == maxHamming+1 configuration).
+    *
+    * The recursion is driver-paced (the CC-loop pattern): each level
+    * localCheckpoints its surviving stream, takes a tiny hot-key
+    * census, and stops when no bucket exceeds `maxBucket` — or when
+    * the remainder has shrunk to <= maxHamming bits, at which point
+    * every pair still sharing a bucket differs in at most maxHamming
+    * bits, i.e. the per-bucket join's output IS the true answer and
+    * "quadratic" is output size, not waste. Termination is
+    * structural: each level removes >= 1 remainder bit. Bucket keys
+    * accumulate as xxhash64 chains; a hash collision can only MERGE
+    * buckets (a candidate superset the bit_count verify trims), never
+    * split one, so exactness is preserved.
     *
     * Everything else is one fingerprint aggregation and hash joins;
     * never an all-pairs compare, and no single join key carries more
-    * than ~`maxBucket` rows unless the corpus packs > maxBucket
-    * distinct fingerprints into one 15-bit chunk AND one 15-bit
-    * sub-chunk simultaneously (md5-vote bits make that a deliberate
-    * construction, not a data shape). */
+    * than `maxBucket` rows except where quadratic equals output size
+    * (identical fingerprints; residual <= maxHamming-bit buckets). */
   def simhashNearDupPairs(df: DataFrame, maxHamming: Int = 3,
                           bands: Int = 4, textCol: String = "text",
                           idCol: String = "doc_id",
@@ -265,56 +280,82 @@ object Dedup {
     require(bands >= 1 && bands <= 60,
       s"bands ($bands) must be in [1, 60] so every chunk is >= 1 bit wide")
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2")
-    val bits = 60
     // (id, simhash); checkpointed because four consumers read it
     // (distinct fingerprints, the two expansion joins, the intra-class
     // join) and the tokenize+md5-vote aggregation is the expensive part.
     val fp = simhash60(df, textCol, idCol, "simhash").localCheckpoint()
-    val fpd = fp.select(col("simhash")).distinct()
-    val width = bits / bands
-    def chunkStructs(src: Column, nChunks: Int, prefix: String): Seq[Column] = {
-      val w0 = bits / nChunks
-      (0 until nChunks).map { c =>
-        val lo = c * w0
-        val w = if (c == nChunks - 1) bits - lo else w0
-        struct(lit(c).as(s"${prefix}chunk"),
-          shiftright(src, lo).bitwiseAND(lit((1L << w) - 1)).as(s"${prefix}cv"))
+    simhashPairsFromFp(fp, maxHamming, bands, idCol, maxBucket)
+  }
+
+  /** Banding core of [[simhashNearDupPairs]] over a precomputed
+    * (idCol, simhash) frame — split out so tests can drive the
+    * recursive re-band with crafted fingerprints. `fp` should already
+    * be checkpointed/cached: it is read by four consumers. */
+  private[graft] def simhashPairsFromFp(fp: DataFrame, maxHamming: Int,
+      bands: Int, idCol: String, maxBucket: Int): DataFrame = {
+    val bits = 60
+    // Split a `bitsIn`-wide value into n chunks. Each struct carries
+    // the chunk index, the chunk's value, and the remainder with that
+    // chunk's bits compacted out (low bits kept, high bits shifted
+    // down over the consumed span).
+    def splitStructs(rem: Column, bitsIn: Int, n: Int): Seq[Column] = {
+      val w0 = bitsIn / n
+      (0 until n).map { s =>
+        val lo = s * w0
+        val w = if (s == n - 1) bitsIn - lo else w0
+        struct(lit(s).as("c"),
+          shiftright(rem, lo).bitwiseAND(lit((1L << w) - 1)).as("v"),
+          rem.bitwiseAND(lit((1L << lo) - 1))
+            .bitwiseOR(shiftleft(shiftright(rem, lo + w), lo)).as("rem"))
       }
     }
-    val ex = fpd.select(col("simhash"),
-        explode(array(chunkStructs(col("simhash"), bands, ""): _*)).as("_c"))
-      .select(col("simhash"), col("_c.chunk").as("chunk"), col("_c.cv").as("cv"))
-    // Hot-bucket census: tiny ((chunk, cv) cardinality is bounded by
-    // bands * distinct fingerprints), broadcast to split the stream.
-    val hot = ex.groupBy(col("chunk"), col("cv")).agg(count(lit(1)).as("_n"))
-      .where(col("_n") > maxBucket).select(col("chunk"), col("cv"))
-    val exCold = ex.join(broadcast(hot), Seq("chunk", "cv"), "left_anti")
-    // Re-band hot rows over the fingerprint with this chunk's bits
-    // zeroed (both sides of any candidate pair zero the SAME bits, so
-    // sub-chunk agreement still witnesses real-bit agreement).
-    val subBands = maxHamming + 1
-    val chunkMask = (0 until bands).map { c =>
-      val lo = c * width
-      val w = if (c == bands - 1) bits - lo else width
-      ((1L << w) - 1) << lo
-    }
-    val maskCol = element_at(
-      array(chunkMask.map(lit): _*), col("chunk") + 1)
-    val rem = col("simhash").bitwiseAND(bitwise_not(maskCol))
-    val exHot = ex.join(broadcast(hot), Seq("chunk", "cv"))
-      .select(col("simhash"), col("chunk"), col("cv"),
-        explode(array(chunkStructs(rem, subBands, "s"): _*)).as("_s"))
-      .select(col("simhash"), col("chunk"), col("cv"),
-        col("_s.schunk").as("schunk"), col("_s.scv").as("scv"))
-    def fpPairs(e: DataFrame, keys: Seq[String]): DataFrame = {
+    def fpPairs(e: DataFrame): DataFrame = {
       val l = e.alias("l")
       val r = e.alias("r")
-      val cond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
-        .reduce(_ && _) && col("l.simhash") < col("r.simhash")
-      l.join(r, cond).select(col("l.simhash").as("fa"), col("r.simhash").as("fb"))
+      l.join(r, col("l.key") === col("r.key") &&
+          col("l.simhash") < col("r.simhash"))
+        .select(col("l.simhash").as("fa"), col("r.simhash").as("fb"))
     }
-    val candFp = fpPairs(exCold, Seq("chunk", "cv"))
-      .union(fpPairs(exHot, Seq("chunk", "cv", "schunk", "scv")))
+    val fpd = fp.select(col("simhash")).distinct()
+    val subBands = maxHamming + 1
+    // level-1 stream: one row per (distinct fingerprint, band chunk);
+    // checkpointed per level — each stream feeds the census, the cold
+    // pair join, and the next level's hot join.
+    var pending = fpd.select(col("simhash"),
+        explode(array(splitStructs(col("simhash"), bits, bands): _*)).as("_s"))
+      .select(col("simhash"), xxhash64(col("_s.c"), col("_s.v")).as("key"),
+        col("_s.rem").as("rem"))
+      .localCheckpoint()
+    var remBits = bits - bits / bands
+    val coldParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var done = false
+    while (!done) {
+      if (remBits <= maxHamming) {
+        // nothing splittable remains: agreement on every key chunk
+        // leaves <= maxHamming differing bits, so every pair still
+        // sharing a bucket is a true near-dup — pair them all
+        coldParts += pending
+        done = true
+      } else {
+        val hotKeys = pending.groupBy(col("key")).agg(count(lit(1)).as("_n"))
+          .where(col("_n") > maxBucket).select(col("key")).localCheckpoint()
+        if (hotKeys.isEmpty) {
+          coldParts += pending
+          done = true
+        } else {
+          coldParts += pending.join(broadcast(hotKeys), Seq("key"), "left_anti")
+          pending = pending.join(broadcast(hotKeys), Seq("key"))
+            .select(col("simhash"), col("key"),
+              explode(array(splitStructs(col("rem"), remBits, subBands): _*)).as("_s"))
+            .select(col("simhash"),
+              xxhash64(col("key"), col("_s.c"), col("_s.v")).as("key"),
+              col("_s.rem").as("rem"))
+            .localCheckpoint()
+          remBits -= remBits / subBands
+        }
+      }
+    }
+    val candFp = coldParts.map(fpPairs).reduce(_ union _)
       .distinct()
       .select(col("fa"), col("fb"),
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))

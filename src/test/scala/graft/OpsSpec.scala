@@ -668,6 +668,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash re-band recursion splits buckets that agree on chunk AND sub-chunk") {
+    import spark.implicits._
+    // Adversarial population for the one-level re-band: every
+    // fingerprint is zero in bits 0-44 (so chunks 0-2 collide AND,
+    // under zero-masking instead of compaction, every aligned
+    // sub-chunk collides too — the round-9 blind spot where the
+    // "split" re-collected the whole bucket). The compacted recursion
+    // must keep descending until the differing top bits enter a key
+    // chunk, terminate, and still equal brute force exactly.
+    val fps = (1L to 6L).map(k => (k, k << 55))
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(brute.size == 15) // all pairs: xor of 1..6 has <= 3 bits
+    val fpDf = fps.toDF("doc_id", "simhash").localCheckpoint()
+    val got = graft.ml.Dedup
+      .simhashPairsFromFp(fpDf, maxHamming = 3, bands = 4, idCol = "doc_id",
+        maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"${got.size} vs ${brute.size}")
+    // same population at a bound that excludes some pairs: hamming
+    // verify still trims the deep-bucket candidates exactly
+    val brute1 = brute.filter(_._3 <= 1L)
+    val got1 = graft.ml.Dedup
+      .simhashPairsFromFp(fpDf, maxHamming = 1, bands = 4, idCol = "doc_id",
+        maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got1 == brute1, s"${got1.size} vs ${brute1.size}")
+  }
+
   test("duplicateClusters strategy=buckets agrees with pairs on planted near-dups") {
     import spark.implicits._
     // three planted clusters of mutated copies + unique docs: the
