@@ -20,9 +20,15 @@ object PlanCheck {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     // --summary: one markdown row of plan stats per query (all queries) —
-    // the PLANS.md generator for the plan-quality audit
-    if (args.length > 1 && args(1) == "--summary") {
-      println(s"Config: local[$cpus], shuffle.partitions=$cpus, AQE on, data=$dir")
+    // the PLANS.md generator for the plan-quality audit. --summary-forced
+    // emits the same table with every Sizing gate forced HIGH (the
+    // above-gate branches a 100x-scale run would execute).
+    if (args.length > 1 &&
+        (args(1) == "--summary" || args(1) == "--summary-forced")) {
+      val forcedMode = args(1) == "--summary-forced"
+      if (forcedMode) spark.conf.set(graft.core.Sizing.ForceKey, "salted")
+      println(s"Config: local[$cpus], shuffle.partitions=$cpus, AQE on, data=$dir" +
+        (if (forcedMode) ", ALL SIZING GATES FORCED SALTED" else ""))
       println()
       println("| query | exchanges | sorts | broadcast joins | sort-merge joins | notes |")
       println("|---|---|---|---|---|---|")

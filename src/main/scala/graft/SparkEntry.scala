@@ -815,6 +815,47 @@ object SparkEntry {
           col("n_samples"), col("amp_sum"), col("amp_weighted"))
     }),
 
+    "q124_media_ann" -> ((s, dir) => {
+      // the MULTIMODAL -> ANN loop under the DuckDB gate: decode the
+      // q98 fixture images (BMP/PNG, closed-form pixels), extract the
+      // ENGINE-EXACT integer grid features (raw per-cell luminance
+      // sums, normalize=false — exact through Float and through the
+      // floor(x*1000) quantization in both engines), build a persisted
+      // IVF index over them, and probe it with the same vectors. The
+      // oracle recomputes the pixel grid analytically and replays
+      // quantization, cell assignment, and the probe relationally — a
+      // defect anywhere in image decode, grid mapping, quantization,
+      // or the index lifecycle breaks the hash. (Video frames reach
+      // this same path as BMP re-wraps — q99 pins that decode.)
+      import org.apache.spark.sql.Encoders
+      val src = pq(s, dir, "documents").select(col("doc_id").cast("long"))
+      val imgs = src.mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val sd = (id % 1000).toInt
+          val w = (id % 13).toInt + 2
+          val h = (id % 9).toInt + 2
+          def pix(x: Int, y: Int): (Int, Int, Int) =
+            ((sd + 7 * x + 13 * y) % 256, (3 * sd + 5 * x + y) % 256,
+              (sd + x * y) % 256)
+          val bytes =
+            if (id % 2 == 0) Multimodal.encodeBmp(w, h, pix _)
+            else Multimodal.encodePng(w, h, pix _)
+          (id, bytes)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("media_id", "payload")
+      val feats = Multimodal.imageFeatures(imgs, normalize = false)
+      val cm = Similarity.ivfCentroids(8, 16)
+      val db = perRunDb(s, "graft_q124_")
+      graft.ml.AnnIndex.writeIvf(feats, s"$db.ivf", cm,
+        idCol = "media_id", vecCol = "feature", buckets = 4)
+      graft.ml.AnnIndex.probeIvf(s, s"$db.ivf", feats, k = 2, nProbe = 2,
+          centroids = cm, idCol = "media_id", vecCol = "feature")
+        .select(col("media_id"), col("nb"), col("dot"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "q92_stream_dedup" -> ((s, dir) => {
       // Streaming near-dup dedup: the per-row MinHash signature is
       // STATELESS (array_min over the shingle array — no groupBy), so it
@@ -1204,6 +1245,10 @@ object SparkEntry {
       graft.ml.DedupIndex.appendLsh(corpus.where(col("doc_id") % 2 === 1),
         s"$db.lsh")
       graft.ml.DedupIndex.compact(s, s"$db.lsh")
+      // retire every 10th corpus doc (keeper-drop shape); the oracle's
+      // index side excludes them
+      graft.ml.DedupIndex.deleteByIds(s, s"$db.lsh",
+        corpus.where(col("doc_id") % 10 === 0).select(col("doc_id")))
       graft.ml.DedupIndex.probeLsh(s, s"$db.lsh",
         d.where(length(col("source")) === 4))
     }),
@@ -1282,6 +1327,10 @@ object SparkEntry {
       graft.ml.AnnIndex.appendIvf(emb.where(col("vec_id") % 2 === 1),
         s"$db.ivf", cm)
       graft.ml.AnnIndex.compact(s, s"$db.ivf")
+      // retire every 7th vector (takedown shape); the oracle's index
+      // side excludes them while the probe side keeps querying with all
+      graft.ml.AnnIndex.deleteByIds(s, s"$db.ivf",
+        emb.where(col("vec_id") % 7 === 0).select(col("vec_id")))
       graft.ml.AnnIndex.probeIvf(s, s"$db.ivf", emb,
           k = 3, nProbe = 2, centroids = cm)
         .select(col("vec_id"), col("nb"), col("dot"),
@@ -1440,13 +1489,22 @@ object SparkEntry {
       "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, nb) AS rn FROM p) " +
       s"WHERE rn <= $k"
 
-  private def ivfTopKOracleSql(nCells: Int, dim: Int, nProbe: Int, k: Int): String = {
+  private def ivfTopKOracleSql(nCells: Int, dim: Int, nProbe: Int, k: Int,
+                               memWhere: String = "TRUE"): String =
+    ivfTopKOracleSqlFrom(quantCte, nCells, dim, nProbe, k, memWhere)
+
+  /** IVF probe replay over an arbitrary vector CTE — `vecCte` must
+    * define `q AS (SELECT vec_id, v)` with `v` the quantized integer
+    * vector list (what [[Similarity.quantize]] produces engine-side). */
+  private def ivfTopKOracleSqlFrom(vecCte: String, nCells: Int, dim: Int,
+                                   nProbe: Int, k: Int,
+                                   memWhere: String = "TRUE"): String = {
     val cmLit = Similarity.ivfCentroids(nCells, dim)
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    s"WITH $quantCte, " +
+    s"WITH $vecCte, " +
       s"cm AS (SELECT $cmLit AS m), " +
       s"cel AS (SELECT vec_id, v, list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)]) AS cl FROM q, cm), " +
-      "mem AS (SELECT vec_id AS nb, v AS vb, cl[1].c AS cell FROM cel), " +
+      s"mem AS (SELECT vec_id AS nb, v AS vb, cl[1].c AS cell FROM cel WHERE $memWhere), " +
       s"prb AS (SELECT vec_id, v, unnest(list_transform(cl[1:$nProbe], s -> s.c)) AS cell FROM cel), " +
       "p AS (SELECT DISTINCT l.vec_id, r.nb, " +
       s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> l.v[i] * r.vb[i])) AS BIGINT) AS dot " +
@@ -1823,7 +1881,10 @@ object SparkEntry {
 
     // the q82 semantics, but computed through the persisted bucketed
     // index on the Spark side — identical relational recompute
-    "q112_ann_index" -> ivfTopKOracleSql(nCells = 32, dim = 64, nProbe = 2, k = 3),
+    // the delete step retires vec_id % 7 == 0 from the INDEX side only;
+    // probes still query with every vector
+    "q112_ann_index" -> ivfTopKOracleSql(nCells = 32, dim = 64, nProbe = 2,
+      k = 3, memWhere = "vec_id % 7 <> 0"),
 
     // the whole curation chain replayed: MATERIALIZED hints keep the
     // two recursions (transitive closure, greedy pack) from recomputing
@@ -1978,6 +2039,21 @@ object SparkEntry {
       "CAST(sum(a) AS BIGINT) AS amp_sum, CAST(sum((j + 1) * a) AS BIGINT) AS amp_weighted " +
       "FROM v GROUP BY id, ch, nf"),
 
+    // the multimodal -> ANN loop: analytic pixel-grid INTEGER features
+    // (q98's closed-form pixels, raw per-cell luminance sums), then the
+    // same IVF probe replay as q112/q82 over the computed vectors
+    "q124_media_ann" -> ("SELECT vec_id AS media_id, nb, dot, rank FROM (" +
+      ivfTopKOracleSqlFrom(
+        "d AS (SELECT doc_id, doc_id % 1000 AS sd, doc_id % 13 + 2 AS w, doc_id % 9 + 2 AS h FROM documents), " +
+        "pxy AS (SELECT doc_id, sd, w, h, unnest(range(0, h)) AS y FROM d), " +
+        "px AS (SELECT doc_id, sd, w, h, y, unnest(range(0, w)) AS x FROM pxy), " +
+        "lm AS (SELECT doc_id, least(3, (y*4)//h)*4 + least(3, (x*4)//w) AS cell, (sd + 7*x + 13*y)%256 + (3*sd + 5*x + y)%256 + (sd + x*y)%256 AS luma FROM px), " +
+        "cs AS (SELECT doc_id, cell, CAST(sum(luma) AS BIGINT) AS s FROM lm GROUP BY 1, 2), " +
+        "cells AS (SELECT doc_id, unnest(range(0, 16)) AS cell FROM d), " +
+        "cv AS (SELECT c.doc_id, c.cell, 1000 * coalesce(s.s, 0) AS qv FROM cells c LEFT JOIN cs s ON s.doc_id = c.doc_id AND s.cell = c.cell), " +
+        "q AS (SELECT doc_id AS vec_id, list(qv ORDER BY cell) AS v FROM cv GROUP BY doc_id)",
+        nCells = 8, dim = 16, nProbe = 2, k = 2) + ")"),
+
     // batch replay of the streamed MinHash dedup: one row per distinct
     // signature class (same shingle/md5 min construction as q23)
     "q92_stream_dedup" -> (
@@ -2113,7 +2189,7 @@ object SparkEntry {
       """src AS (SELECT doc_id, length(source) AS ls FROM documents) """ +
       """SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_bands, max(l.ns) AS ns_a, max(r.ns) AS ns_b """ +
       """FROM bd l JOIN src sl ON sl.doc_id = l.doc_id AND sl.ls = 4 """ +
-      """JOIN bd r ON l.band = r.band AND l.bh = r.bh """ +
+      """JOIN bd r ON l.band = r.band AND l.bh = r.bh AND r.doc_id % 10 <> 0 """ +
       """JOIN src sr ON sr.doc_id = r.doc_id AND sr.ls > 4 """ +
       """GROUP BY 1, 2"""),
 
@@ -2189,7 +2265,10 @@ object SparkEntry {
       """SELECT a, b, count(*) AS n_shared FROM (SELECT * FROM l WHERE shingle NOT IN (SELECT shingle FROM hot)) ll JOIN (SELECT * FROM r WHERE shingle NOT IN (SELECT shingle FROM hot)) rr USING (shingle) GROUP BY 1, 2 HAVING count(*) >= 2"""),
 
     // the LINEAR strategy: star edges to each bucket's min doc id,
-    // jaccard-verified, then the same recursive-CTE closure as q105
+    // jaccard-verified, then ONE second-chance round (members whose
+    // every star edge failed re-pair against the bucket's min VERIFIED
+    // member, falling back to its second minimum), then the same
+    // recursive-CTE closure as q105
     "q121_dedup_clusters_buckets" -> (
       """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents), """ +
       """sh AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle FROM (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w)), """ +
@@ -2201,7 +2280,16 @@ object SparkEntry {
       """sz AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id), """ +
       """inter AS (SELECT c.a, c.b, count(*) AS ni FROM cand c JOIN dsh s1 ON s1.doc_id = c.a JOIN dsh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle GROUP BY c.a, c.b), """ +
       """pairs AS (SELECT c.a, c.b FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b WHERE coalesce(i.ni, 0) * 100 >= (sa.ns + sb.ns - coalesce(i.ni, 0)) * 50), """ +
-      """edges AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs), """ +
+      """rec AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs), """ +
+      """needy AS (SELECT DISTINCT c.b FROM cand c LEFT JOIN pairs p ON p.a = c.a AND p.b = c.b WHERE p.a IS NULL AND c.b NOT IN (SELECT id FROM rec)), """ +
+      """vm AS (SELECT m.band, m.bh, min(CASE WHEN p.a IS NOT NULL THEN m.doc_id END) AS va, min(m.doc_id) AS m2 FROM (SELECT b.band, b.bh, b.doc_id, c.ctr FROM bd b JOIN ctr c USING (band, bh) WHERE b.doc_id <> c.ctr) m LEFT JOIN pairs p ON p.a = m.ctr AND p.b = m.doc_id GROUP BY 1, 2), """ +
+      """a2 AS (SELECT band, bh, coalesce(va, m2) AS a2 FROM vm), """ +
+      """e2 AS (SELECT DISTINCT least(x.a2, m.doc_id) AS a, greatest(x.a2, m.doc_id) AS b FROM bd m JOIN needy n ON n.b = m.doc_id JOIN a2 x ON x.band = m.band AND x.bh = m.bh WHERE x.a2 <> m.doc_id), """ +
+      """e2f AS (SELECT e.a, e.b FROM e2 e LEFT JOIN cand c ON c.a = e.a AND c.b = e.b WHERE c.a IS NULL), """ +
+      """inter2 AS (SELECT c.a, c.b, count(*) AS ni FROM e2f c JOIN dsh s1 ON s1.doc_id = c.a JOIN dsh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle GROUP BY c.a, c.b), """ +
+      """pairs2 AS (SELECT c.a, c.b FROM e2f c LEFT JOIN inter2 i ON i.a = c.a AND i.b = c.b JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b WHERE coalesce(i.ni, 0) * 100 >= (sa.ns + sb.ns - coalesce(i.ni, 0)) * 50), """ +
+      """allp AS (SELECT a, b FROM pairs UNION ALL SELECT a, b FROM pairs2), """ +
+      """edges AS (SELECT a AS s, b AS d FROM allp UNION SELECT b, a FROM allp), """ +
       """reach AS (SELECT s, d FROM edges UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s), """ +
       """lbl AS (SELECT s AS id, least(s, min(d)) AS comp FROM reach GROUP BY s) """ +
       """SELECT comp, count(*) AS n_docs, max(id) AS max_id FROM lbl GROUP BY comp"""),

@@ -102,17 +102,24 @@ object Sizing {
             distinct >= 4L * cores && hottest <= 1.0 / (2 * cores))
         }
       }
-    val plan = (minS, maxE) match {
-      case (Some(s), Some(e)) if !manyBalancedKeys =>
-        val span = math.max(e - s, 1L)
-        if (span < 4L * 16384L) None
-        else {
-          val target = span / (8L * cores)
-          var b = 16384L
-          while (b < target && b < (1L << 24)) b *= 2
-          Some(b)
-        }
-      case _ => None
+    def binFor(s: Long, e: Long): Long = {
+      val span = math.max(e - s, 1L)
+      val target = span / (8L * cores)
+      var b = 16384L
+      while (b < target && b < (1L << 24)) b *= 2
+      b
+    }
+    val plan = forced() match {
+      // forced salted: the audit wants the salted plan SHAPE, so the
+      // narrow-span / many-balanced-keys demotions are bypassed
+      case Some(true) => Some(binFor(minS.getOrElse(0L), maxE.getOrElse(1L)))
+      case Some(false) => None
+      case None => (minS, maxE) match {
+        case (Some(s), Some(e)) if !manyBalancedKeys =>
+          if (math.max(e - s, 1L) < 4L * 16384L) None
+          else Some(binFor(s, e))
+        case _ => None
+      }
     }
     Sizing.log.info("[graft.sizing] saltPlan={}",
       plan.map(_.toString).getOrElse(
@@ -151,14 +158,32 @@ object Sizing {
     else df
   }
 
+  /** Conf key overriding every size gate: "salted" forces the big-input
+    * branch, "plain" forces the small one, anything else defers to the
+    * measured thresholds. The audit hook for PLANS.md's forced-gate
+    * section and PlanContractSpec: the plans a 100x-the-bench run would
+    * execute are the ABOVE-gate branches, which sf0.1 leaf bytes never
+    * trigger — forcing the gate lets the contract tests pin those plan
+    * shapes without terabyte fixtures. */
+  val ForceKey = "spark.graft.sizing.force"
+
+  private def forced(): Option[Boolean] =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(ForceKey, "") match {
+      case "salted" => Some(true)
+      case "plain" => Some(false)
+      case _ => None
+    }
+
   /** Gate + log: true = take the salted path. */
   def decide(op: String, threshold: Long, dfs: DataFrame*): Boolean = {
     val bytes = leafScanBytes(dfs: _*)
-    val big = bytes > threshold
+    val big = forced().getOrElse(bytes > threshold)
     lastDecision.set((op, bytes.toLong, big))
-    log.info("[graft.sizing] {}: leafScanBytes={} threshold={} -> {}",
+    log.info("[graft.sizing] {}: leafScanBytes={} threshold={} -> {}{}",
       op, bytes, threshold.asInstanceOf[AnyRef],
-      if (big) "salted" else "plain")
+      if (big) "salted" else "plain",
+      if (forced().isDefined) " (FORCED)" else "")
     big
   }
 

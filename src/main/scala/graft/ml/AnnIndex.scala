@@ -76,6 +76,15 @@ object AnnIndex {
   def compact(spark: SparkSession, table: String): Unit =
     Indexes.compactBucketedTable(spark, table)
 
+  /** Retire vectors from the index (deleted documents, takedowns):
+    * removes every row whose vector id appears in `ids`, through the
+    * same spec-preserving crash-safe rewrite as [[compact]] — the
+    * centroid fingerprint travels, probe plans are unchanged, and the
+    * table comes out compacted as a side effect. */
+  def deleteByIds(spark: SparkSession, table: String, ids: DataFrame,
+                  idCol: String = "vec_id"): Unit =
+    Indexes.deleteFromBucketedTable(spark, table, ids, idCol)
+
   /** Assign every vector its MEMBERSHIP cell (nearest centroid, the
     * head of [[Similarity.nearestCells]]) and save as a parquet table
     * bucketed + sorted by `_cell`. Stores the quantized vector (`_q`)

@@ -107,6 +107,15 @@ object DedupIndex {
   def compact(spark: SparkSession, table: String): Unit =
     Indexes.compactBucketedTable(spark, table)
 
+  /** Retire documents from the index (keeper drops after dedup,
+    * takedowns): removes every band row whose doc id appears in `ids`,
+    * through the same spec-preserving crash-safe rewrite as
+    * [[compact]] — band-spec properties travel, probe plans are
+    * unchanged, and the table comes out compacted as a side effect. */
+  def deleteByIds(spark: SparkSession, table: String, ids: DataFrame,
+                  idCol: String = "doc_id"): Unit =
+    Indexes.deleteFromBucketedTable(spark, table, ids, idCol)
+
   /** Incremental maintenance: append a new batch's banded rows through
     * the table's own bucket spec (hash and count come from the catalog,
     * not this writer) — every (band, bh) group keeps landing in its one

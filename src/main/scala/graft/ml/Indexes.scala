@@ -28,17 +28,19 @@ import org.apache.spark.sql.functions.col
   */
 object Indexes {
 
-  /** Rewrite a bucketed catalog table to one file per bucket,
-    * preserving its bucket spec, sort spec, and `graft.*` table
-    * properties. The rewrite is one `repartition` on the bucket
-    * columns (partitioner == bucket hash, so each task owns exactly
-    * one bucket and writes exactly one file) plus the catalog swap. */
-  def compactBucketedTable(spark: SparkSession, table: String): Unit = {
+  /** Rewrite a bucketed catalog table through its OWN bucket spec,
+    * applying `transform` to the rows on the way — the shared core of
+    * [[compactBucketedTable]] (transform = identity) and
+    * [[deleteFromBucketedTable]] (transform = anti-join). Preserves
+    * bucket spec, sort spec, and `graft.*` table properties; swaps via
+    * the crash-safe rename dance described on the object. */
+  private def rewriteBucketedTable(spark: SparkSession, table: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val catalog = spark.sessionState.catalog
     val meta = catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
-      s"compact: table $table carries no bucket spec — not a graft index table"))
+      s"rewrite: table $table carries no bucket spec — not a graft index table"))
     val props = meta.properties.filter { case (k, _) => k.startsWith("graft.") }
     val staging = table + "_compacting"
     val retired = table + "_precompact"
@@ -53,8 +55,9 @@ object Indexes {
     // and the rewrite emits as many files per bucket as before. A
     // plain path read has no partitioning claim, the exchange is real,
     // and each task owns exactly one bucket.
-    val writer = spark.read.schema(spark.table(table).schema)
-      .parquet(meta.location.toString)
+    val writer = transform(
+      spark.read.schema(spark.table(table).schema)
+        .parquet(meta.location.toString))
       .repartition(spec.numBuckets, bcols.map(col): _*)
       .write.format("parquet")
       .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
@@ -69,6 +72,31 @@ object Indexes {
     spark.sql(s"ALTER TABLE $table RENAME TO $retired")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     spark.sql(s"DROP TABLE $retired")
+  }
+
+  /** Rewrite a bucketed catalog table to one file per bucket,
+    * preserving its bucket spec, sort spec, and `graft.*` table
+    * properties. The rewrite is one `repartition` on the bucket
+    * columns (partitioner == bucket hash, so each task owns exactly
+    * one bucket and writes exactly one file) plus the catalog swap. */
+  def compactBucketedTable(spark: SparkSession, table: String): Unit =
+    rewriteBucketedTable(spark, table, identity)
+
+  /** Retire documents/vectors from a persisted index (dedup keeper
+    * drops, takedowns): rewrite the table WITHOUT the rows whose
+    * `idCol` appears in `ids`, through the same spec-preserving
+    * crash-safe machinery as compaction — so a delete is also a
+    * compaction (one file per bucket afterwards) and probe plans are
+    * untouched. `ids` is a one-column frame (or any frame carrying
+    * `idCol`); it is broadcast, so keep it to the operational scale of
+    * a delete list, not a second corpus. */
+  def deleteFromBucketedTable(spark: SparkSession, table: String,
+                              ids: org.apache.spark.sql.DataFrame,
+                              idCol: String): Unit = {
+    val del = ids.select(col(idCol)).distinct()
+    rewriteBucketedTable(spark, table,
+      df => df.join(org.apache.spark.sql.functions.broadcast(del),
+        Seq(idCol), "left_anti"))
   }
 
   /** Data-file count under a catalog table's location — the

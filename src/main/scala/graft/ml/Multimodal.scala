@@ -146,10 +146,20 @@ object Multimodal {
     * the dot-product kernels. Non-image payloads fall back to a byte
     * histogram of the same dimension, ALSO L2-normalized here (unlike
     * [[extractFeatures]], whose histogram is count-normalized and not
-    * unit-length), so a mixed corpus embeds into one space. */
+    * unit-length), so a mixed corpus embeds into one space.
+    *
+    * `normalize = false` emits the RAW per-cell luminance SUMS (and the
+    * raw histogram counts on the fallback path) instead: exact
+    * integers, which stay exact through Float (cell sums are bounded
+    * far below 2^24) and through the ANN layer's floor(x*1000)
+    * quantization in BOTH engines — the engine-exact variant an
+    * external SQL oracle can replay bit-for-bit (q124). The cost is
+    * scale sensitivity (a bright image dots higher), so keep the
+    * default for similarity semantics. */
   def imageFeatures(df: DataFrame, gridW: Int = 4, gridH: Int = 4,
                     idCol: String = "media_id",
-                    blobCol: String = "payload"): DataFrame = {
+                    blobCol: String = "payload",
+                    normalize: Boolean = true): DataFrame = {
     require(gridW >= 1 && gridH >= 1)
     val dim = gridW * gridH
     val src = df.select(col(idCol).cast("long"), col(blobCol))
@@ -185,7 +195,8 @@ object Multimodal {
           }
           var c = 0
           while (c < dim) {
-            f(c) = if (counts(c) > 0) sums(c).toFloat / counts(c) else 0f
+            f(c) = if (!normalize) sums(c).toFloat
+              else if (counts(c) > 0) sums(c).toFloat / counts(c) else 0f
             c += 1
           }
         } else if (bytes != null) {
@@ -196,14 +207,16 @@ object Multimodal {
             i += 1
           }
         }
-        // unit-normalize: the ANN kernels rank by dot product
-        var nrm = 0.0
-        var j = 0
-        while (j < dim) { nrm += f(j).toDouble * f(j); j += 1 }
-        if (nrm > 0) {
-          val inv = (1.0 / math.sqrt(nrm)).toFloat
-          j = 0
-          while (j < dim) { f(j) *= inv; j += 1 }
+        if (normalize) {
+          // unit-normalize: the ANN kernels rank by dot product
+          var nrm = 0.0
+          var j = 0
+          while (j < dim) { nrm += f(j).toDouble * f(j); j += 1 }
+          if (nrm > 0) {
+            val inv = (1.0 / math.sqrt(nrm)).toFloat
+            j = 0
+            while (j < dim) { f(j) *= inv; j += 1 }
+          }
         }
         MediaFeature(id, f)
       }

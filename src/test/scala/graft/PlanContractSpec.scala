@@ -497,6 +497,28 @@ class PlanContractSpec extends AnyFunSuite {
         AnnIndex.probeIvf(spark, s"$db.ivf", emb, k = 2, nProbe = 2,
           centroids = Similarity.ivfCentroids(4, 64))
       }
+      // DELETE: retire vec_id % 5 == 0 from the index; the rewrite must
+      // keep the bucketed probe shape (same exchange count, bucketed
+      // scan), stay compacted, never surface a deleted id as a
+      // neighbor, and keep serving deleted ids as QUERIES
+      AnnIndex.deleteByIds(spark, s"$db.ivf",
+        emb.where(col("vec_id") % 5 === 0).select(col("vec_id")))
+      assert(Indexes.dataFileCount(spark, s"$db.ivf") <= 4)
+      val delDf = AnnIndex.probeIvf(spark, s"$db.ivf", emb,
+        k = 2, nProbe = 2, centroids = cm)
+      val delPlan = delDf.queryExecution.executedPlan.toString
+      assert(delPlan.contains("Bucketed: true"), delPlan.take(2000))
+      assert("Exchange".r.findAllIn(delPlan).size ==
+        "Exchange".r.findAllIn(beforePlan).size)
+      val delRows = delDf.collect()
+      assert(delRows.nonEmpty)
+      assert(delRows.forall(_.getAs[Long]("nb") % 5 != 0))
+      assert(delRows.exists(_.getAs[Long]("vec_id") % 5 == 0))
+      // properties survived the delete rewrite too
+      intercept[IllegalArgumentException] {
+        AnnIndex.probeIvf(spark, s"$db.ivf", emb, k = 2, nProbe = 2,
+          centroids = Similarity.ivfCentroids(4, 64))
+      }
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     // LSH analog: append then compact, probe equal, props preserved
@@ -515,6 +537,51 @@ class PlanContractSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DedupIndex.probeLsh(spark, s"$db.lsh", batch, numHashes = 8)
     }
+    // DELETE: retiring docs removes exactly their candidate pairs —
+    // probe answer equals the pre-delete answer minus deleted b's
+    DedupIndex.deleteByIds(spark, s"$db.lsh",
+      corpus.where(col("doc_id") % 5 === 0).select(col("doc_id")))
+    assert(Indexes.dataFileCount(spark, s"$db.lsh") <= 4)
+    val lshDel = DedupIndex.probeLsh(spark, s"$db.lsh", batch)
+      .collect().map(_.toSeq).toSet
+    assert(lshDel == lshAfter.filter(r => r(1).asInstanceOf[Long] % 5 != 0))
+    assert(lshDel.nonEmpty)
+    intercept[IllegalArgumentException] {
+      DedupIndex.probeLsh(spark, s"$db.lsh", batch, numHashes = 8)
+    }
+  }
+
+  test("forced-gate audit: every Sizing-gated query keeps the plan invariants above-gate") {
+    // sf0.1 leaf bytes never trip the 32/64 MB gates, so the salted /
+    // two-phase branches a 100x run would execute are invisible to the
+    // normal plan audit. Force every gate HIGH and assert the contract
+    // on the plans that would actually run at scale: no cartesian or
+    // nested-loop join anywhere, exchange counts stay small constants.
+    val gated = Seq(
+      "q03_merge", "q09_cumsum", "q11_rle",                  // salted sweeps
+      "q12_overlap", "q13_overlap_invert", "q14_join",       // range joins
+      "q15_intersect", "q16_count", "q17_subtract",
+      "q19_setint", "q20_setunion", "q52_join_first",
+      "q53_overlap_contained", "q55_count_slack", "q96_join_outer",
+      "q18_nearest", "q42_nearest_k", "q43_nearest_upstream", // nearest sweeps
+      "q45_rle_divide", "q57_bigwig_divide",                  // rle arithmetic
+      "q23_minhash", "q24_lsh_jaccard",                       // dedup shingles
+      "q105_dedup_clusters", "q121_dedup_clusters_buckets")
+    spark.conf.set(graft.core.Sizing.ForceKey, "salted")
+    try {
+      for (q <- gated) {
+        val plan = SparkEntry.queries(q)(spark, dir)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"$q: cartesian\n${plan.take(2000)}")
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: BNLJ\n${plan.take(2000)}")
+        val ex = "Exchange".r.findAllIn(plan).size
+        assert(ex <= 30, s"$q: $ex exchanges above-gate\n${plan.take(2000)}")
+      }
+      // and the force really flips a gate: the merge dispatch must have
+      // gone salted on an input far below the threshold
+      val last = graft.core.Sizing.lastDecision.get()
+      assert(last != null && last._3, s"expected a forced-salted decision, got $last")
+    } finally spark.conf.unset(graft.core.Sizing.ForceKey)
   }
 
   test("index tables without their validation properties are rejected, not probed") {
