@@ -318,6 +318,11 @@ final case class GenomicFrame(df: DataFrame) {
     * console_width). */
   def repr(maxRows: Int = -1): String = ToStringRepr.tostring(df, maxRows)
 
+  /** Jupyter-style HTML repr honoring the `html_max_cols` /
+    * `html_max_rows` display options. */
+  def reprHtml(maxRows: Int = -1, maxCols: Int = -1): String =
+    ToStringRepr.tohtml(df, maxRows, maxCols)
+
   /** remove_nonloc_columns (reference core/pyranges_main.py:5098-5121). */
   def removeNonLocColumns: GenomicFrame =
     GenomicFrame(df.select((GenomeLoc ++

@@ -102,4 +102,48 @@ object ToStringRepr {
       s"\nGenomicFrame with $total rows and ${headers.size} columns." +
       hiddenLine + chromLine
   }
+
+  /** HTML repr (the Jupyter surface, reference options
+    * `html_max_cols` / `html_max_rows` from core/options.py): same
+    * preview semantics as [[tostring]] but capped by the html options —
+    * `html_max_rows` preview rows (falling back to `max_rows_to_show`
+    * when unset, matching the option's documented contract) and
+    * `html_max_cols` columns, the rest elided behind a "..." column
+    * with a hidden-count note. Cell text is HTML-escaped. Explicit
+    * arguments override the options. */
+  def tohtml(df: DataFrame, maxRows: Int = -1, maxCols: Int = -1): String = {
+    val nRows =
+      if (maxRows >= 0) maxRows
+      else Options.getOption("html_max_rows")
+        .orElse(Options.getOption("max_rows_to_show")).getOrElse(8)
+    val nCols =
+      if (maxCols >= 0) maxCols
+      else Options.getOption("html_max_cols").getOrElse(20)
+    val shown = df.limit(nRows + 1).collect()
+    val truncated = shown.length > nRows
+    val rows = shown.take(nRows)
+    val headers = df.columns.toSeq
+    val dtypes = df.schema.fields.map(f => dtypeName(f.dataType)).toSeq
+    val included = math.max(1, math.min(nCols, headers.size))
+    val elided = headers.size - included
+    val rail = if (elided > 0) Seq("...") else Nil
+    def esc(v: Any): String = {
+      val s = if (v == null) "null" else v.toString
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    }
+    def tr(cells: Seq[String], tag: String): String =
+      cells.map(c => s"<$tag>$c</$tag>").mkString("<tr>", "", "</tr>")
+    val head = tr(headers.take(included).map(esc) ++ rail, "th") +
+      tr(dtypes.take(included).map(esc) ++ rail, "th")
+    val body = rows.toSeq.map(r =>
+        tr((0 until included).map(i => esc(r.get(i))) ++ rail, "td")) ++
+      (if (truncated)
+        Seq(tr(Seq.fill(included + rail.size)("..."), "td")) else Nil)
+    val total = df.count()
+    val hiddenNote =
+      if (elided > 0) s""" <span>($elided columns not shown)</span>""" else ""
+    s"""<div><table border="1" class="dataframe"><thead>$head</thead>""" +
+      s"<tbody>${body.mkString}</tbody></table>" +
+      s"<p>$total rows &#215; ${headers.size} columns$hiddenNote</p></div>"
+  }
 }

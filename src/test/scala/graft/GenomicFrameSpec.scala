@@ -250,4 +250,35 @@ class GenomicFrameSpec extends AnyFunSuite {
       assert(!rFull.contains("columns not shown"))
     } finally Options.resetOptions()
   }
+
+  test("reprHtml honors html_max_cols and html_max_rows, escapes cells") {
+    import graft.core.Options
+    import spark.implicits._
+    Options.resetOptions()
+    try {
+      val many = mk((1 to 20).map(i => ("chr1", "+", i.toLong, i + 5L)): _*)
+      // html_max_rows unset -> falls back to max_rows_to_show
+      Options.setOption("max_rows_to_show", 4)
+      val h = many.reprHtml()
+      assert(h.count(_ == '<') > 0 && h.contains("20 rows"))
+      assert("<tr><td>".r.findAllIn(h).size == 5) // 4 preview + "..." row
+      // html_max_rows takes precedence once set
+      Options.setOption("html_max_rows", 2)
+      assert("<tr><td>".r.findAllIn(many.reprHtml()).size == 3)
+      // column cap elides behind a "..." th and counts the hidden
+      Options.setOption("html_max_cols", 3)
+      val wide = Seq((1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+        .toDF("c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8")
+      val hw = graft.core.ToStringRepr.tohtml(wide)
+      assert(hw.contains("<th>c3</th><th>...</th>") && !hw.contains("<th>c4"))
+      assert(hw.contains("(5 columns not shown)"))
+      assert(hw.contains("8 columns"))
+      // explicit args override; cells escape markup
+      assert(!graft.core.ToStringRepr.tohtml(wide, maxCols = 8)
+        .contains("not shown"))
+      val evil = Seq(("<b>&x", 1L)).toDF("s", "n")
+      val he = graft.core.ToStringRepr.tohtml(evil)
+      assert(he.contains("&lt;b&gt;&amp;x") && !he.contains("<b>&x"))
+    } finally Options.resetOptions()
+  }
 }
