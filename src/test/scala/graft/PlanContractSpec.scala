@@ -549,6 +549,13 @@ class PlanContractSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DedupIndex.probeLsh(spark, s"$db.lsh", batch, numHashes = 8)
     }
+    // deleting ids absent from the index is a no-op rewrite
+    import spark.implicits._
+    DedupIndex.deleteByIds(spark, s"$db.lsh",
+      Seq(-1L, -2L).toDF("doc_id"))
+    val lshNoop = DedupIndex.probeLsh(spark, s"$db.lsh", batch)
+      .collect().map(_.toSeq).toSet
+    assert(lshNoop == lshDel)
   }
 
   test("forced-gate audit: every Sizing-gated query keeps the plan invariants above-gate") {
