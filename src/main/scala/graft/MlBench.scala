@@ -147,6 +147,25 @@ object MlBench {
       }
     }
 
+    // narrow A/B mode: ONLY the full-scale second-chance star run —
+    // for interleaved perf comparisons without the 500k pairs block
+    if (on("star")) {
+      for (i <- 1 to 2) {
+        val cb = t(s"star run $i: buckets secondChance=true @$nDocs") {
+          graft.ml.Dedup.duplicateClusters(docs, strategy = "buckets",
+            secondChance = true).localCheckpoint()
+        }
+        val t2 = docs.groupBy(col("cluster")).agg(count(lit(1)).as("_n"))
+          .where(col("_n") >= 2).select(col("cluster"))
+        val r = docs.join(t2, Seq("cluster"))
+          .select(col("doc_id"))
+          .join(cb.select(col("doc_id"), col("comp")), Seq("doc_id"), "left")
+          .agg(count(lit(1)), count(col("comp"))).head
+        println(f"[mlbench] star sc=true vs truth: ${r.getLong(1)}/${r.getLong(0)} " +
+          f"= ${r.getLong(1) * 100.0 / r.getLong(0)}%.2f%%")
+      }
+    }
+
     if (on("contamination")) {
       // eval set: 10k docs, half re-using training cluster token
       // sequences (true contamination), half fresh
