@@ -627,7 +627,11 @@ object Dedup {
       val d = docs.select(col(idCol),
           explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
         .distinct()
-      if (big) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the second-chance round raises dsh's consumer count from 3 to
+      // 5 (two more verify joins), which moves the persist break-even
+      // below the size gate (A/B'd in BASELINE.md)
+      if (big || secondChance)
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d
     }
     val sigAggs = signatureAggs(numHashes)
