@@ -828,7 +828,11 @@ object SparkEntry {
       // or the index lifecycle breaks the hash. (Video frames reach
       // this same path as BMP re-wraps — q99 pins that decode.)
       import org.apache.spark.sql.Encoders
-      val src = pq(s, dir, "documents").select(col("doc_id").cast("long"))
+      // fan out the tiny id scan BEFORE the encode/decode kernels (one
+      // row group = one task otherwise), and pin the features: they
+      // feed both the index write and the probe
+      val src = graft.core.Sizing.fanOutSmallScan(
+        pq(s, dir, "documents").select(col("doc_id").cast("long")))
       val imgs = src.mapPartitions { it =>
         it.map { row =>
           val id = row.getLong(0)
@@ -846,7 +850,8 @@ object SparkEntry {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
         .toDF("media_id", "payload")
       val feats = Multimodal.imageFeatures(imgs, normalize = false)
-      val cm = Similarity.ivfCentroids(8, 16)
+        .localCheckpoint()
+      val cm = Similarity.ivfCentroids(32, 16)
       val db = perRunDb(s, "graft_q124_")
       graft.ml.AnnIndex.writeIvf(feats, s"$db.ivf", cm,
         idCol = "media_id", vecCol = "feature", buckets = 4)
@@ -2052,7 +2057,7 @@ object SparkEntry {
         "cells AS (SELECT doc_id, unnest(range(0, 16)) AS cell FROM d), " +
         "cv AS (SELECT c.doc_id, c.cell, 1000 * coalesce(s.s, 0) AS qv FROM cells c LEFT JOIN cs s ON s.doc_id = c.doc_id AND s.cell = c.cell), " +
         "q AS (SELECT doc_id AS vec_id, list(qv ORDER BY cell) AS v FROM cv GROUP BY doc_id)",
-        nCells = 8, dim = 16, nProbe = 2, k = 2) + ")"),
+        nCells = 32, dim = 16, nProbe = 2, k = 2) + ")"),
 
     // batch replay of the streamed MinHash dedup: one row per distinct
     // signature class (same shingle/md5 min construction as q23)
