@@ -76,10 +76,14 @@ object Bam {
   def readBam(spark: SparkSession, path: String, mapq: Int = 0,
               requiredFlag: Int = 0, filterFlag: Int = 1540,
               sparse: Boolean = true): DataFrame = {
-    val fs = new java.io.File(path)
+    // list through the Hadoop FileSystem API so directory inputs work
+    // on any scheme (file://, hdfs://, s3a://), not just local paths
+    val p = new org.apache.hadoop.fs.Path(path)
+    val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val files: Seq[String] =
-      if (fs.isDirectory) fs.listFiles().filter(_.getName.endsWith(".bam"))
-        .map(_.getAbsolutePath).sorted.toSeq
+      if (hfs.getFileStatus(p).isDirectory)
+        hfs.listStatus(p).filter(_.getPath.getName.endsWith(".bam"))
+          .map(_.getPath.toString).sorted.toSeq
       else Seq(path)
     val rdd = spark.sparkContext.parallelize(files, files.size)
       .flatMap(parseBamRecords)
@@ -92,10 +96,14 @@ object Bam {
 
   /** Stream one BAM file's alignment records (executor-side). */
   def parseBamRecords(path: String): Iterator[org.apache.spark.sql.Row] = {
-    import java.io.{BufferedInputStream, DataInputStream, EOFException, FileInputStream}
+    import java.io.{BufferedInputStream, DataInputStream, EOFException}
+    // executor-side open through the Hadoop FileSystem API (the stream
+    // is consumed sequentially, so any scheme works)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val raw = hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
     val in = new DataInputStream(new BufferedInputStream(
       new java.util.zip.GZIPInputStream(
-        new BufferedInputStream(new FileInputStream(path), 1 << 16), 1 << 16), 1 << 16))
+        new BufferedInputStream(raw, 1 << 16), 1 << 16), 1 << 16))
     def readLE(n: Int): java.nio.ByteBuffer = {
       val b = new Array[Byte](n)
       in.readFully(b)

@@ -95,16 +95,28 @@ object BigWig {
     indexOff
   }
 
-  private def readAt(raf: java.io.RandomAccessFile, off: Long, n: Int): java.nio.ByteBuffer = {
+  /** Positioned reader over the Hadoop FileSystem API, so the bigWig
+    * READ path works on any scheme (file://, hdfs://, s3a://) — the
+    * java.io.RandomAccessFile it replaces only spoke local paths.
+    * FSDataInputStream's positioned readFully is thread-safe and
+    * seek-free, which also suits the executor-side block fetches. */
+  private final class SeekIn(path: String) {
+    private val p = new org.apache.hadoop.fs.Path(path)
+    private val in =
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    def readFully(off: Long, buf: Array[Byte]): Unit = in.readFully(off, buf)
+    def close(): Unit = in.close()
+  }
+
+  private def readAt(raf: SeekIn, off: Long, n: Int): java.nio.ByteBuffer = {
     val b = new Array[Byte](n)
-    raf.seek(off)
-    raf.readFully(b)
+    raf.readFully(off, b)
     leBuf(b)
   }
 
   /** Driver-side index scan: chrom dictionary + R-tree leaf block list. */
   private def readIndex(path: String): (Map[Int, String], Boolean, Seq[(Long, Long)]) = {
-    val raf = new java.io.RandomAccessFile(path, "r")
+    val raf = new SeekIn(path)
     try {
       val h = readAt(raf, 0, 64)
       require(h.getInt == BigWigMagic, s"$path: not a bigWig (bad magic)")
@@ -227,11 +239,10 @@ object BigWig {
       val mine = it.toArray.sortBy(_._1)
       if (mine.isEmpty) Iterator.empty
       else {
-        val raf = new java.io.RandomAccessFile(path, "r")
+        val raf = new SeekIn(path)
         val rows = mine.iterator.flatMap { case (off, size) =>
           val raw = new Array[Byte](size.toInt)
-          raf.seek(off)
-          raf.readFully(raw)
+          raf.readFully(off, raw)
           parseSection(if (compressed) inflate(raw) else raw, chromsB.value)
         }
         new Iterator[Row] {
@@ -253,7 +264,13 @@ object BigWig {
     * the interval payload is complete). Sections are compressed on the
     * executors; the input is persisted across the two passes (chrom
     * dictionary, then sections) so upstream plans run once. chromSizes
-    * defaults to each chromosome's max End. */
+    * defaults to each chromosome's max End.
+    *
+    * The WRITE side targets a LOCAL path: the bigWig layout needs
+    * seekable writes (the R-tree and header back-patch offsets), which
+    * object stores and HDFS streams cannot express — standard practice
+    * (kentUtils included) is to write locally and upload. The READ
+    * side is scheme-agnostic via the Hadoop FileSystem API. */
   def writeBigwig(df: DataFrame, path: String,
                   chromSizes: Map[String, Long] = Map.empty,
                   valueCol: String = "Value",
