@@ -736,6 +736,69 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket-star second chance links members whose only shared bucket has a dissimilar minimum") {
+    import spark.implicits._
+    // The scenario the second chance exists for: a bucket {x, a, b}
+    // whose minimum x is NOT a near-dup of anyone, while a and b are
+    // near-dups of each other and share no other bucket. Round 1 tries
+    // only (x,a) and (x,b) — both fail — so without the second chance
+    // a and b are silently dropped; with it, b re-pairs against the
+    // bucket's second minimum a and the verified edge restores the
+    // pairs-mode cluster. The fixture is ENGINEERED deterministically:
+    // a shared 3-gram with a tiny band-1 hash forces the co-bucket,
+    // and a seed search makes the bands-2..4 minima of a and b differ
+    // so band 1 is their only meeting point.
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    def shingles(toks: Seq[String]): Seq[String] =
+      toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    def hk(k: Int, shs: Seq[String]): String =
+      shs.map(s => md5hex(k.toString + s)).min
+    val anchorTok = (0 until 500000).iterator.map(i => s"z$i")
+      .find(t => md5hex("1" + s"$t aa bb").startsWith("0000")).get
+    val anchorHash = md5hex("1" + s"$anchorTok aa bb")
+    val a3 = Seq(anchorTok, "aa", "bb")
+    val shared = (1 to 11).map(i => s"s$i")
+    val xToks = a3 ++ (1 to 16).map(i => s"u$i")
+    val sx = shingles(xToks)
+    val Some((aToks, bToks)) = (1 to 2000).iterator.map { seed =>
+      (a3 ++ shared ++ (1 to 5).map(i => s"p${seed}_$i"),
+        a3 ++ shared ++ (1 to 5).map(i => s"q${seed}_$i"))
+    }.find { case (at, bt) =>
+      val (sa, sb) = (shingles(at), shingles(bt))
+      // band 1: the engineered anchor shingle is the minimum in all
+      // three docs; bands 2-4: a and b never agree
+      Seq(sa, sb, sx).forall(s => hk(1, s) == anchorHash) &&
+        (2 to 4).forall(k => hk(k, sa) != hk(k, sb))
+    }
+    val (sa, sb) = (shingles(aToks), shingles(bToks))
+    def jacPct(p: Seq[String], q: Seq[String]): Long =
+      p.toSet.intersect(q.toSet).size * 100L / p.toSet.union(q.toSet).size
+    assert(jacPct(sa, sb) >= 50, "fixture: a/b must verify")
+    assert(jacPct(sx, sa) < 50 && jacPct(sx, sb) < 50,
+      "fixture: x must fail the verify against both")
+    val docs = Seq((1L, xToks.mkString(" ")), (2L, aToks.mkString(" ")),
+      (3L, bToks.mkString(" "))).toDF("doc_id", "text")
+    // engine sanity: the engine's band hashes agree with the fixture math
+    val sig = Dedup.minhashSignature(docs).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(k => r.getString(k))).toMap
+    assert(sig.values.map(_.head).toSet.size == 1, "band-1 co-bucket")
+    assert((1 to 3).forall(k => sig(2L)(k) != sig(3L)(k)), "bands 2-4 split a/b")
+    def clusters(sc: Boolean) = graft.ml.Dedup
+      .duplicateClusters(docs, strategy = "buckets", secondChance = sc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters(sc = false).isEmpty,
+      "round 1 alone must drop the a/b cluster (the gap being closed)")
+    val got = clusters(sc = true)
+    assert(got == Map(2L -> 2L, 3L -> 2L), s"second chance must restore it: $got")
+    // and the restored clustering equals the exact pairs-mode answer
+    val viaPairs = graft.ml.Dedup.duplicateClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == viaPairs)
+  }
+
   test("simhashNearDupPairs: templated corpus (collapsed fingerprints) stays linear") {
     import spark.implicits._
     // 600 identical docs -> ONE distinct fingerprint: the banded
