@@ -236,6 +236,15 @@ object MlBench {
       t("compact") { AnnIndex.compact(spark, s"$db.ivf") }
       println(s"[mlbench] index files after compact: " +
         graft.ml.Indexes.dataFileCount(spark, s"$db.ivf"))
+      // retire 10% of the corpus (takedown shape) through the
+      // spec-preserving rewrite; the index must stay one-file-per-bucket
+      // and the retired ids must vanish from probe results
+      t("deleteByIds (10% of corpus)") {
+        AnnIndex.deleteByIds(spark, s"$db.ivf",
+          emb.where(pmod(col("vec_id"), lit(10)) === 3).select(col("vec_id")))
+      }
+      println(s"[mlbench] index files after delete: " +
+        graft.ml.Indexes.dataFileCount(spark, s"$db.ivf"))
       val queries = emb.where(pmod(col("vec_id"), lit(4000)) === 0)
         .localCheckpoint()
       val nq = queries.count()
@@ -244,10 +253,15 @@ object MlBench {
             centroids = cm)
           .select(col("vec_id").as("q"), col("nb")).localCheckpoint()
       }
+      val leaked = top1.where(pmod(col("nb"), lit(10)) === 3).count()
+      println(s"[mlbench] deleted ids surfacing as neighbors: $leaked" +
+        (if (leaked == 0) " [OK]" else " [LEAK!]"))
       val brute = t(s"brute-force top-1 (recall truth, $nq queries)") {
         val qd = queries.select(col("vec_id").as("q"),
           Similarity.quantize(col("embedding"), 1000).as("_q"))
-        val cd = emb.select(col("vec_id").as("nb2"),
+        // truth over the SURVIVING corpus (the delete removed 10%)
+        val cd = emb.where(pmod(col("vec_id"), lit(10)) =!= 3)
+          .select(col("vec_id").as("nb2"),
           Similarity.quantize(col("embedding"), 1000).as("_qb"))
         qd.join(cd, col("q") =!= col("nb2"))
           .withColumn("dot", Similarity.dotLong(col("_q"), col("_qb")))

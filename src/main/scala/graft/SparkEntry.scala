@@ -1305,8 +1305,10 @@ object SparkEntry {
       val name = s"q113_mem_${System.nanoTime}"
       withStreamParts(s, 4) { ss =>
         val src = ss.readStream.schema(schema).parquet(s"$dir/embeddings.parq*")
+        // no centroids passed: the serve path reads the matrix the
+        // index stores about itself (stamped at build, chunk-encoded)
         val best = graft.ml.AnnIndex.probeStreamBest(ss, s"$db.ivf", src,
-          nProbe = 2, centroids = cm)
+          nProbe = 2)
         val q = best.writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -44,11 +44,43 @@ object AnnIndex {
     * wrote), and validating it vacuously would be exactly the silent
     * wrong-cell join the fingerprint exists to prevent. Rebuild with
     * [[writeIvf]]. */
+  private def readProps(spark: SparkSession, table: String): Map[String, String] =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  /** The centroid matrix the index stores about itself (stamped by
+    * [[writeIvf]], preserved through compact/delete rewrites) — so
+    * serve paths can probe WITHOUT the caller reconstructing the
+    * matrix. Chunked across <= 2000-char properties because real
+    * metastores cap property-value length. */
+  def storedCentroids(spark: SparkSession, table: String): Array[Array[Long]] = {
+    val props = readProps(spark, table)
+    val n = props.getOrElse("graft.ivf.centroids.n",
+      throw new IllegalStateException(
+        s"AnnIndex: table $table stores no centroid matrix (built by an " +
+          "older writeIvf?) — pass centroids explicitly")).toInt
+    (0 until n).map(i => props(s"graft.ivf.centroids.$i")).mkString
+      .split(";").map(_.split(",").map(_.toLong))
+  }
+
+  /** The quantization scale the index was built under. */
+  def storedScale(spark: SparkSession, table: String): Int =
+    readProps(spark, table).getOrElse("graft.ivf.scale",
+      throw new IllegalStateException(
+        s"AnnIndex: table $table stores no graft.ivf.scale")).toInt
+
+  /** Resolve (centroids, scale): the caller's values, or the table's
+    * own stored spec when centroids is null. */
+  private def resolveSpec(spark: SparkSession, table: String,
+                          centroids: Array[Array[Long]],
+                          scale: Int): (Array[Array[Long]], Int) =
+    if (centroids == null) (storedCentroids(spark, table), storedScale(spark, table))
+    else (centroids, scale)
+
   private def validateSpec(spark: SparkSession, table: String,
                            centroids: Array[Array[Long]],
                            scale: Int): Unit = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = readProps(spark, table)
     props.get("graft.ivf.fp") match {
       case Some(stored) =>
         require(stored == centroidFp(centroids, scale),
@@ -103,11 +135,20 @@ object AnnIndex {
       .sortBy("_cell", idCol)
       .mode("overwrite")
       .saveAsTable(table)
+    // the index describes itself: fingerprint for fail-fast validation
+    // PLUS the full matrix (chunked under metastore value-length caps)
+    // so serve paths can probe without reconstructing the centroids
+    val enc = centroids.map(_.mkString(",")).mkString(";")
+    val chunks = enc.grouped(2000).toSeq
     df.sparkSession.sql(
       s"ALTER TABLE $table SET TBLPROPERTIES(" +
         s"'graft.ivf.fp'='${centroidFp(centroids, scale)}'," +
         s"'graft.ivf.nCentroids'='${centroids.length}'," +
-        s"'graft.ivf.scale'='$scale')")
+        s"'graft.ivf.scale'='$scale'," +
+        s"'graft.ivf.centroids.n'='${chunks.size}'," +
+        chunks.zipWithIndex.map { case (c, i) =>
+          s"'graft.ivf.centroids.$i'='$c'"
+        }.mkString(",") + ")")
   }
 
   /** Incremental index maintenance: append a new batch of vectors into
@@ -121,13 +162,14 @@ object AnnIndex {
     * single-file-per-bucket ordering opt-in of the interval tables is
     * inapplicable here, and the ANN probe never uses it). */
   def appendIvf(df: DataFrame, table: String,
-                centroids: Array[Array[Long]], idCol: String = "vec_id",
+                centroids: Array[Array[Long]] = null, idCol: String = "vec_id",
                 vecCol: String = "embedding", scale: Int = 1000): Unit = {
-    validateSpec(df.sparkSession, table, centroids, scale)
+    val (cm, sc) = resolveSpec(df.sparkSession, table, centroids, scale)
+    validateSpec(df.sparkSession, table, cm, sc)
     df.select(col(idCol).cast("long").as(idCol),
-        Similarity.quantize(col(vecCol), scale).as("_q"))
+        Similarity.quantize(col(vecCol), sc).as("_q"))
       .withColumn("_cell",
-        Similarity.nearestCells(col("_q"), centroids, 1).getItem(0))
+        Similarity.nearestCells(col("_q"), cm, 1).getItem(0))
       .write.mode("append")
       .insertInto(table)
   }
@@ -142,18 +184,19 @@ object AnnIndex {
     * `foreachBatch` with the batch-mode [[probeIvf]] instead. */
   def probeStreamBest(spark: SparkSession, table: String,
                       queryStream: DataFrame, nProbe: Int,
-                      centroids: Array[Array[Long]],
+                      centroids: Array[Array[Long]] = null,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
                       scale: Int = 1000): DataFrame = {
-    validateSpec(spark, table, centroids, scale)
+    val (cm, sc) = resolveSpec(spark, table, centroids, scale)
+    validateSpec(spark, table, cm, sc)
     val idx = spark.table(table)
       .select(col(idCol).as("nb"), col("_q").as("_qb"), col("_cell"))
     val probes = queryStream
       .select(col(idCol).cast("long").as(idCol),
-        Similarity.quantize(col(vecCol), scale).as("_q"))
+        Similarity.quantize(col(vecCol), sc).as("_q"))
       .withColumn("_cell",
-        explode(Similarity.nearestCells(col("_q"), centroids, nProbe)))
+        explode(Similarity.nearestCells(col("_q"), cm, nProbe)))
     probes.join(idx, Seq("_cell"))
       .filter(col(idCol) =!= col("nb"))
       .withColumn("dot", Similarity.dotLong(col("_q"), col("_qb")))
@@ -170,17 +213,18 @@ object AnnIndex {
     * semantics as `ivfTopK` with these centroids when the queries are
     * the indexed corpus itself (self-matches are excluded). */
   def probeIvf(spark: SparkSession, table: String, queries: DataFrame,
-               k: Int, nProbe: Int, centroids: Array[Array[Long]],
+               k: Int, nProbe: Int, centroids: Array[Array[Long]] = null,
                idCol: String = "vec_id", vecCol: String = "embedding",
                scale: Int = 1000): DataFrame = {
-    validateSpec(spark, table, centroids, scale)
+    val (cm, sc) = resolveSpec(spark, table, centroids, scale)
+    validateSpec(spark, table, cm, sc)
     val idx = spark.table(table)
       .select(col(idCol).as("nb"), col("_q").as("_qb"), col("_cell"))
     val probes = graft.core.Sizing.fanOutSmallScan(queries)
       .select(col(idCol).cast("long").as(idCol),
-        Similarity.quantize(col(vecCol), scale).as("_q"))
+        Similarity.quantize(col(vecCol), sc).as("_q"))
       .withColumn("_cell",
-        explode(Similarity.nearestCells(col("_q"), centroids, nProbe)))
+        explode(Similarity.nearestCells(col("_q"), cm, nProbe)))
     val pairs = probes.join(idx, Seq("_cell"))
       .filter(col(idCol) =!= col("nb"))
       .withColumn("dot", Similarity.dotLong(col("_q"), col("_qb")))

@@ -519,6 +519,14 @@ class PlanContractSpec extends AnyFunSuite {
         AnnIndex.probeIvf(spark, s"$db.ivf", emb, k = 2, nProbe = 2,
           centroids = Similarity.ivfCentroids(4, 64))
       }
+      // SELF-DESCRIBING: the table's stored (chunked) centroid matrix
+      // round-trips exactly and drives an equal probe with no centroids
+      // passed — even after the compact AND delete rewrites
+      assert(AnnIndex.storedCentroids(spark, s"$db.ivf").map(_.toSeq).toSeq
+        == cm.map(_.toSeq).toSeq)
+      val selfRows = AnnIndex.probeIvf(spark, s"$db.ivf", emb,
+        k = 2, nProbe = 2).collect().map(_.toSeq).toSet
+      assert(selfRows == delRows.map(_.toSeq).toSet)
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     // LSH analog: append then compact, probe equal, props preserved
