@@ -156,18 +156,30 @@ object Similarity {
   /** The `nProbe` nearest centroid cell ids for a quantized vector, as
     * one pure codegen'd expression (no UDF): |v-c|^2 orders identically
     * to |c|^2 - 2*v.c (the |v|^2 term shifts every centroid's distance
-    * equally), so each centroid contributes one literal-array DotLong
-    * and the nProbe nearest cells fall out of one array_sort. Euclidean
-    * is the metric KMeans optimized, so probe cells line up with
-    * membership cells (raw dot would bias toward long centroids).
-    * Element 0 is the MEMBERSHIP cell. */
+    * equally), so each centroid contributes one literal-array DotLong.
+    * Euclidean is the metric KMeans optimized, so probe cells line up
+    * with membership cells (raw dot would bias toward long centroids).
+    * Element 0 is the MEMBERSHIP cell.
+    *
+    * nProbe == 1 — the INDEX-BUILD path that runs once per corpus row —
+    * is an argmin via `least` over the (d, c) structs, which stays
+    * inside whole-stage codegen. nProbe > 1 (the query side) keeps the
+    * array_sort formulation; its comparator is interpreted per element
+    * (Spark's ArraySort lambda always is), which measured CATASTROPHIC
+    * on the corpus path at 2M x 256 cells — TimSort's ~2k interpreted
+    * struct compares per row made writeIvf ~1,000 s where the least()
+    * argmin is seconds (BASELINE.md round-10 row) — but is proportionate
+    * on query-sized inputs. The tie-break is identical in both forms:
+    * struct ordering (d, then c). */
   def nearestCells(q: Column, centers: Array[Array[Long]], nProbe: Int): Column = {
-    val distArr = array(centers.zipWithIndex.map { case (c, ci) =>
+    val distStructs = centers.zipWithIndex.map { case (c, ci) =>
       val c2 = c.map(v => v * v).sum
       struct((lit(c2) - lit(2L) * dotLong(q, typedLit(c.toSeq))).as("d"),
         lit(ci.toLong).as("c"))
-    }: _*)
-    transform(slice(array_sort(distArr), 1, nProbe), s => s.getField("c"))
+    }
+    if (nProbe == 1) array(least(distStructs: _*).getField("c"))
+    else transform(slice(array_sort(array(distStructs: _*)), 1, nProbe),
+      s => s.getField("c"))
   }
 
   /** Supervised nearest-centroid assignment (a Rocchio-style classifier
