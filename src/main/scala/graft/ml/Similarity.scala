@@ -177,7 +177,9 @@ object Similarity {
       struct((lit(c2) - lit(2L) * dotLong(q, typedLit(c.toSeq))).as("d"),
         lit(ci.toLong).as("c"))
     }
-    if (nProbe == 1) array(least(distStructs: _*).getField("c"))
+    if (nProbe == 1)
+      array((if (distStructs.length == 1) distStructs.head
+             else least(distStructs: _*)).getField("c"))
     else transform(slice(array_sort(array(distStructs: _*)), 1, nProbe),
       s => s.getField("c"))
   }
@@ -225,13 +227,16 @@ object Similarity {
       "nearestCentroid: no labeled vectors (empty input after null filter)")
     // argmin over struct(-score, label): equal scores pick the smaller
     // label; the centroid literals keep the scoring pass in whole-stage
-    // codegen (same shape as nearestCells)
-    val scored = array(cents.map { case (lab, n, sv) =>
+    // codegen (same shape as nearestCells) — least(), not array_sort,
+    // because ArraySort's comparator is interpreted per element and
+    // this runs once per corpus row (the nearestCells lesson)
+    val scored = cents.map { case (lab, n, sv) =>
       struct((lit(0.0) - dotLong(col("_q"), typedLit(sv.toSeq)).cast("double")
         / lit(n.toDouble)).as("d"), lit(lab).as("c"))
-    }: _*)
+    }
+    val best = if (scored.length == 1) scored.head else least(scored: _*)
     graft.core.Sizing.fanOutSmallScan(q0)
-      .withColumn("assigned", element_at(array_sort(scored), 1).getField("c"))
+      .withColumn("assigned", best.getField("c"))
       .groupBy(col("label"), col("assigned"))
       .agg(count(lit(1)).as("n"))
   }
