@@ -166,6 +166,28 @@ object MlBench {
       }
     }
 
+    if (on("simhash")) {
+      // simhash near-dup at corpus scale: template clusters collapse
+      // members onto few DISTINCT fingerprints (the distinct-fp path's
+      // reason to exist) while the 5% mutation noise spreads the rest a
+      // few bits apart. Two runs, default gate vs a tiny maxBucket that
+      // FORCES the recursive re-band guard over the naturally hot
+      // buckets — the guard is exact, so both must emit the identical
+      // pair count (run with GRAFT_SIMHASH_DEBUG=1 to see the per-level
+      // census). This is the at-scale evidence for the rebuilt
+      // compacted-remainder recursion (round-10).
+      val counts = for (mb <- Seq(1 << 16, 64)) yield {
+        val n = t(s"simhashNearDupPairs maxHamming=3 bands=4 maxBucket=$mb @$nDocs") {
+          graft.ml.Dedup.simhashNearDupPairs(docs, maxBucket = mb).count()
+        }
+        println(s"[mlbench] simhash pairs (maxBucket=$mb): $n")
+        n
+      }
+      println(s"[mlbench] guard exactness: " +
+        (if (counts.distinct.size == 1) "identical pair counts [OK]"
+         else s"PAIR COUNTS DIFFER $counts [BUG!]"))
+    }
+
     if (on("contamination")) {
       // eval set: 10k docs, half re-using training cluster token
       // sequences (true contamination), half fresh

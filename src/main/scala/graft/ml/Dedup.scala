@@ -328,17 +328,26 @@ object Dedup {
       .localCheckpoint()
     var remBits = bits - bits / bands
     val coldParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // GRAFT_SIMHASH_DEBUG: per-level census prints for soak observation
+    // (the GRAFT_CC_DEBUG pattern) — extra count() jobs, so env-gated
+    val debug = sys.env.contains("GRAFT_SIMHASH_DEBUG")
+    var level = 0
     var done = false
     while (!done) {
+      level += 1
       if (remBits <= maxHamming) {
         // nothing splittable remains: agreement on every key chunk
         // leaves <= maxHamming differing bits, so every pair still
         // sharing a bucket is a true near-dup — pair them all
+        if (debug) println(s"[graft.simhash] level=$level remBits=$remBits " +
+          s"pendingRows=${pending.count()} -> residual (pair all)")
         coldParts += pending
         done = true
       } else {
         val hotKeys = pending.groupBy(col("key")).agg(count(lit(1)).as("_n"))
           .where(col("_n") > maxBucket).select(col("key")).localCheckpoint()
+        if (debug) println(s"[graft.simhash] level=$level remBits=$remBits " +
+          s"pendingRows=${pending.count()} hotKeys=${hotKeys.count()}")
         if (hotKeys.isEmpty) {
           coldParts += pending
           done = true
