@@ -85,8 +85,11 @@ object Bam {
         hfs.listStatus(p).filter(_.getPath.getName.endsWith(".bam"))
           .map(_.getPath.toString).sorted.toSeq
       else Seq(path)
+    // executors open through the SESSION's Hadoop conf (spark.hadoop.*
+    // overrides travel — credentials, endpoints), serialized alongside
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val rdd = spark.sparkContext.parallelize(files, files.size)
-      .flatMap(parseBamRecords)
+      .flatMap(f => parseBamRecords(f, conf.value))
     val df = spark.createDataFrame(rdd, fullSchema)
     filterReads(df, mapq, requiredFlag, filterFlag, sparse)
   }
@@ -95,12 +98,14 @@ object Bam {
   private val cigarOp = "MIDNSHP=X".toCharArray
 
   /** Stream one BAM file's alignment records (executor-side). */
-  def parseBamRecords(path: String): Iterator[org.apache.spark.sql.Row] = {
+  def parseBamRecords(path: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Iterator[org.apache.spark.sql.Row] = {
     import java.io.{BufferedInputStream, DataInputStream, EOFException}
     // executor-side open through the Hadoop FileSystem API (the stream
     // is consumed sequentially, so any scheme works)
     val hp = new org.apache.hadoop.fs.Path(path)
-    val raw = hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
+    val raw = hp.getFileSystem(conf).open(hp)
     val in = new DataInputStream(new BufferedInputStream(
       new java.util.zip.GZIPInputStream(
         new BufferedInputStream(raw, 1 << 16), 1 << 16), 1 << 16))

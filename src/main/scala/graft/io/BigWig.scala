@@ -100,10 +100,10 @@ object BigWig {
     * java.io.RandomAccessFile it replaces only spoke local paths.
     * FSDataInputStream's positioned readFully is thread-safe and
     * seek-free, which also suits the executor-side block fetches. */
-  private final class SeekIn(path: String) {
+  private final class SeekIn(path: String,
+      conf: org.apache.hadoop.conf.Configuration) {
     private val p = new org.apache.hadoop.fs.Path(path)
-    private val in =
-      p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    private val in = p.getFileSystem(conf).open(p)
     def readFully(off: Long, buf: Array[Byte]): Unit = in.readFully(off, buf)
     def close(): Unit = in.close()
   }
@@ -115,8 +115,9 @@ object BigWig {
   }
 
   /** Driver-side index scan: chrom dictionary + R-tree leaf block list. */
-  private def readIndex(path: String): (Map[Int, String], Boolean, Seq[(Long, Long)]) = {
-    val raf = new SeekIn(path)
+  private def readIndex(path: String,
+      conf: org.apache.hadoop.conf.Configuration): (Map[Int, String], Boolean, Seq[(Long, Long)]) = {
+    val raf = new SeekIn(path, conf)
     try {
       val h = readAt(raf, 0, 64)
       require(h.getInt == BigWigMagic, s"$path: not a bigWig (bad magic)")
@@ -231,7 +232,10 @@ object BigWig {
     * natively. Block decompression is distributed: one partition per
     * slice of the R-tree leaf list. */
   def readBigwig(spark: SparkSession, path: String): DataFrame = {
-    val (chroms, compressed, blocks) = readIndex(path)
+    // executors reopen through the SESSION's Hadoop conf (spark.hadoop.*
+    // overrides travel — credentials, endpoints), serialized alongside
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val (chroms, compressed, blocks) = readIndex(path, conf.value)
     val chromsB = spark.sparkContext.broadcast(chroms)
     val slices = math.max(1, math.min(blocks.size,
       spark.sparkContext.defaultParallelism * 4))
@@ -239,7 +243,7 @@ object BigWig {
       val mine = it.toArray.sortBy(_._1)
       if (mine.isEmpty) Iterator.empty
       else {
-        val raf = new SeekIn(path)
+        val raf = new SeekIn(path, conf.value)
         val rows = mine.iterator.flatMap { case (off, size) =>
           val raw = new Array[Byte](size.toInt)
           raf.readFully(off, raw)

@@ -179,9 +179,10 @@ class IoSpec extends AnyFunSuite {
     // our independent python decoder agrees (cross-parser check happens
     // in the q86/q87 oracles; here just pin the index invariants)
     val (chroms, compressed, blocks) = {
-      val m = graft.io.BigWig.getClass.getDeclaredMethod("readIndex", classOf[String])
+      val m = graft.io.BigWig.getClass.getDeclaredMethod("readIndex",
+        classOf[String], classOf[org.apache.hadoop.conf.Configuration])
       m.setAccessible(true)
-      m.invoke(graft.io.BigWig, s"$d/out.bw")
+      m.invoke(graft.io.BigWig, s"$d/out.bw", spark.sessionState.newHadoopConf())
         .asInstanceOf[(Map[Int, String], Boolean, Seq[(Long, Long)])]
     }
     assert(chroms == Map(0 -> "chr2", 1 -> "chr10")) // natsort ids
@@ -204,9 +205,10 @@ class IoSpec extends AnyFunSuite {
         r.getDouble(3))).toSet
     assert(back == rows.toSet)
     val (chroms, compressed, blocks) = {
-      val m = graft.io.BigWig.getClass.getDeclaredMethod("readIndex", classOf[String])
+      val m = graft.io.BigWig.getClass.getDeclaredMethod("readIndex",
+        classOf[String], classOf[org.apache.hadoop.conf.Configuration])
       m.setAccessible(true)
-      m.invoke(graft.io.BigWig, s"$d/big.bw")
+      m.invoke(graft.io.BigWig, s"$d/big.bw", spark.sessionState.newHadoopConf())
         .asInstanceOf[(Map[Int, String], Boolean, Seq[(Long, Long)])]
     }
     assert(compressed && blocks.size == 1150) // one section per row
@@ -448,5 +450,24 @@ class IoSpec extends AnyFunSuite {
     assert(r1.count() == 50)
     assert(r1.join(cs, Seq(Chrom)).filter(col(End) > col("size") || col(Start) < 0).count() == 0)
     assert(r1.exceptAll(r2).count() == 0)  // deterministic
+  }
+
+  test("SerializableHadoopConf carries session overrides through serialization") {
+    // the executor-side contract: spark.hadoop.* overrides (credentials,
+    // endpoints) must survive into the deserialized conf the BAM/bigWig
+    // readers open files with
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set("graft.test.marker", "travels")
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(new graft.io.SerializableHadoopConf(conf))
+    oos.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.io.SerializableHadoopConf]
+    assert(back.value.get("graft.test.marker") == "travels")
+    // and a FileSystem opened from it still reads local paths
+    val p = new org.apache.hadoop.fs.Path("/tmp")
+    assert(p.getFileSystem(back.value).exists(p))
   }
 }
