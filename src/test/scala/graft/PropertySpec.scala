@@ -620,4 +620,43 @@ class PropertySpec extends AnyFunSuite {
         s"N=$n df=$df: fixed $got vs double $want")
     }
   }
+
+  test("simhash re-band recursion equals brute force on random clustered fingerprints") {
+    // random 60-bit fingerprints engineered into hamming-close clusters
+    // (a few bases, members = bases with 0-5 random bit flips, so the
+    // set mixes identical fps, near pairs, and far pairs); the banded
+    // path with a TINY maxBucket — forcing the compacted-remainder
+    // recursion — must equal brute-force all-pairs exactly
+    val mask60 = (1L << 60) - 1
+    val genFps: Gen[List[Long]] = for {
+      nBase <- Gen.chooseNum(3, 8)
+      bases <- Gen.listOfN(nBase, Gen.chooseNum(Long.MinValue, Long.MaxValue)
+        .map(_ & mask60))
+      n <- Gen.chooseNum(12, 30)
+      picks <- Gen.listOfN(n, for {
+        b <- Gen.oneOf(bases)
+        nf <- Gen.chooseNum(0, 5)
+        flips <- Gen.listOfN(nf, Gen.chooseNum(0, 59))
+      } yield flips.foldLeft(b)((v, i) => v ^ (1L << i)))
+    } yield picks
+    import spark.implicits._
+    forAll(genFps) { fps =>
+      val withIds = fps.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+      val fpDf = withIds.toDF("doc_id", "simhash").localCheckpoint()
+      for (t <- Seq(1, 3)) {
+        val brute = (for {
+          (fa, a) <- withIds.map(_.swap)
+          (fb, b) <- withIds.map(_.swap)
+          if a < b && java.lang.Long.bitCount(fa ^ fb) <= t
+        } yield (a, b, java.lang.Long.bitCount(fa ^ fb).toLong)).toSet
+        for (mb <- Seq(2, 1 << 16)) {
+          val got = graft.ml.Dedup
+            .simhashPairsFromFp(fpDf, maxHamming = t, bands = 4,
+              idCol = "doc_id", maxBucket = mb)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+          assert(got == brute, s"t=$t maxBucket=$mb: ${got.size} vs ${brute.size}")
+        }
+      }
+    }
+  }
 }
