@@ -467,6 +467,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming serve picks up an index delete on the next trigger (takedown)") {
+    import graft.ml.{AnnIndex, Similarity}
+    import org.apache.spark.sql.functions.col
+    // the operational shape: a takedown lands between serve triggers —
+    // deleteByIds rewrites the table (crash-safe swap), and the NEXT
+    // AvailableNow run re-resolves the catalog table, so retired ids
+    // must vanish; the stored centroid matrix must survive the rewrite
+    // (the probe passes none)
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.pq(spark, dir, "embeddings")
+    val cm = Similarity.ivfCentroids(8, 64)
+    val db = TestDbs.perRun(spark, "graft_sdel_")
+    AnnIndex.writeIvf(emb, s"$db.ivf", cm, buckets = 4)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    def serve(): Set[Seq[Any]] = {
+      val src = spark.readStream.schema(schema).parquet(s"$dir/embeddings.parq*")
+      val best = AnnIndex.probeStreamBest(spark, s"$db.ivf", src, nProbe = 2)
+      val name = s"sdel_${System.nanoTime}"
+      val q = best.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).collect().map(_.toSeq).toSet
+    }
+    val before = serve()
+    assert(before.exists(r => r(1).asInstanceOf[Long] % 3 == 0),
+      "precondition: some pre-delete neighbor ids are % 3 == 0")
+    AnnIndex.deleteByIds(spark, s"$db.ivf",
+      emb.where(col("vec_id") % 3 === 0).select(col("vec_id")))
+    val after = serve()
+    assert(after.nonEmpty &&
+      !after.exists(r => r(1).asInstanceOf[Long] % 3 == 0),
+      "retired ids must not surface after the delete")
+    val batch = AnnIndex.probeIvf(spark, s"$db.ivf", emb, k = 1, nProbe = 2)
+      .select(col("vec_id"), col("nb"), col("dot"))
+      .collect().map(_.toSeq).toSet
+    assert(after == batch)
+  }
+
   test("streaming LSH dedup probe: band hits aggregate to the batch answer") {
     import graft.ml.DedupIndex
     import org.apache.spark.sql.functions._
