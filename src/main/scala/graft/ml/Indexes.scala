@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions.col
   * Crash safety: the live table is never dropped before its
   * replacement holds the full data. The swap is
   * rename(live -> _precompact); rename(staging -> live);
-  * drop(_precompact) — an interruption leaves either the staging or
-  * the `_precompact` table on disk for manual cleanup, and the
+  * drop(_precompact) — an interruption leaves either a stale staging
+  * table (dropped on the next rewrite) or, in the window between the
+  * two renames, no live table but an intact `_precompact`, which the
+  * next rewrite RESTORES automatically before proceeding. The
   * `graft.*` properties travel WITH whichever table is current, so the
   * fail-fast spec validation on probe/append never sees a
   * half-compacted state.
@@ -38,12 +40,19 @@ object Indexes {
       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val catalog = spark.sessionState.catalog
+    val staging = table + "_compacting"
+    val retired = table + "_precompact"
+    // crash recovery: an interruption BETWEEN the two swap renames
+    // leaves no live table but an intact, complete `_precompact` —
+    // restore it instead of failing the retry (the properties traveled
+    // with it, so the restored table validates as before the crash)
+    if (!catalog.tableExists(ident) && catalog.tableExists(
+        spark.sessionState.sqlParser.parseTableIdentifier(retired)))
+      spark.sql(s"ALTER TABLE $retired RENAME TO $table")
     val meta = catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"rewrite: table $table carries no bucket spec — not a graft index table"))
     val props = meta.properties.filter { case (k, _) => k.startsWith("graft.") }
-    val staging = table + "_compacting"
-    val retired = table + "_precompact"
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     spark.sql(s"DROP TABLE IF EXISTS $retired")
     val bcols = spec.bucketColumnNames

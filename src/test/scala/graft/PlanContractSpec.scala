@@ -459,6 +459,31 @@ class PlanContractSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("index rewrite recovers from a crash between the swap renames") {
+    import graft.ml.{AnnIndex, Similarity}
+    // the one crash window the rename dance leaves: live renamed to
+    // _precompact, replacement not yet renamed in — the next rewrite
+    // must RESTORE the retired table and complete, properties intact
+    val db = TestDbs.perRun(spark, "graft_crash_")
+    val cm = Similarity.ivfCentroids(8, 64)
+    val emb = Tables.pq(spark, dir, "embeddings")
+    AnnIndex.writeIvf(emb, s"$db.ivf", cm, buckets = 4)
+    val before = AnnIndex.probeIvf(spark, s"$db.ivf", emb,
+      k = 1, nProbe = 2, centroids = cm).collect().map(_.toSeq).toSet
+    spark.sql(s"ALTER TABLE $db.ivf RENAME TO $db.ivf_precompact")
+    AnnIndex.compact(spark, s"$db.ivf")
+    assert(spark.catalog.tableExists(s"$db.ivf"))
+    assert(!spark.catalog.tableExists(s"$db.ivf_precompact"))
+    val after = AnnIndex.probeIvf(spark, s"$db.ivf", emb,
+      k = 1, nProbe = 2, centroids = cm).collect().map(_.toSeq).toSet
+    assert(after == before && after.nonEmpty)
+    // the fingerprint traveled through the recovery + rewrite
+    intercept[IllegalArgumentException] {
+      AnnIndex.probeIvf(spark, s"$db.ivf", emb, k = 1, nProbe = 2,
+        centroids = Similarity.ivfCentroids(4, 64))
+    }
+  }
+
   test("index compaction: files collapse to one per bucket, probe plan and answer unchanged") {
     import graft.ml.{AnnIndex, DedupIndex, Indexes, Similarity}
     val db = TestDbs.perRun(spark, "graft_cmp_")
