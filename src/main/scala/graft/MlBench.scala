@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.MlBench [nDocs] [mode...]"
   *     nDocs default 2000000 (~600 MB of text); modes: all | clusters |
-  *     contamination | index
+  *     star | simhash | contamination | index | ann (star is the
+  *     narrow interleave-A/B run; simhash is the guard-exactness run)
   */
 object MlBench {
 
