@@ -452,6 +452,24 @@ class IoSpec extends AnyFunSuite {
     assert(r1.exceptAll(r2).count() == 0)  // deterministic
   }
 
+  test("readBam on a directory lists .bam files through the Hadoop FS API") {
+    // the cluster layout: a directory of per-shard BAMs; listing goes
+    // through FileSystem.listStatus (scheme-agnostic), filters non-.bam
+    // entries, and unions in sorted order
+    val d = tmp("bamdir")
+    val src = java.nio.file.Paths.get("/root/reference/pyranges1/data/smaller.bam")
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$d/a.bam"))
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$d/b.bam"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/notes.txt"), "skip me")
+    val one = graft.io.Bam.readBam(spark, s"$d/a.bam", filterFlag = 0, sparse = false)
+      .collect().map(_.toSeq)
+    val both = graft.io.Bam.readBam(spark, d, filterFlag = 0, sparse = false)
+      .collect().map(_.toSeq)
+    assert(both.length == 2 * one.length && one.nonEmpty)
+    assert(both.toSeq.sortBy(_.toString) ==
+      (one ++ one).toSeq.sortBy(_.toString))
+  }
+
   test("SerializableHadoopConf carries session overrides through serialization") {
     // the executor-side contract: spark.hadoop.* overrides (credentials,
     // endpoints) must survive into the deserialized conf the BAM/bigWig
