@@ -357,7 +357,10 @@ class PlanContractSpec extends AnyFunSuite {
     val half1 = emb.where(col("vec_id") % 2 === 0)
     val half2 = emb.where(col("vec_id") % 2 === 1)
     AnnIndex.writeIvf(half1, s"$db.inc", cm, buckets = 4)
-    AnnIndex.appendIvf(half2, s"$db.inc", cm)
+    // no centroids passed: the append resolves cell assignment from the
+    // table's own stored matrix/scale — equality with the one-shot
+    // index below proves the stored spec drove identical cells
+    AnnIndex.appendIvf(half2, s"$db.inc")
     AnnIndex.writeIvf(emb, s"$db.full", cm, buckets = 4)
     val viaInc = AnnIndex.probeIvf(spark, s"$db.inc", emb,
       k = 2, nProbe = 2, centroids = cm).collect().map(_.toSeq).toSet
