@@ -609,7 +609,11 @@ class PlanContractSpec extends AnyFunSuite {
       "q18_nearest", "q42_nearest_k", "q43_nearest_upstream", // nearest sweeps
       "q45_rle_divide", "q57_bigwig_divide",                  // rle arithmetic
       "q23_minhash", "q24_lsh_jaccard",                       // dedup shingles
-      "q105_dedup_clusters", "q121_dedup_clusters_buckets")
+      "q105_dedup_clusters", "q121_dedup_clusters_buckets",
+      // the rest of the 26 queries whose PLANS.md row changes above-gate
+      "q05_complement", "q27_slice", "q30_maptoglobal", "q31_maptolocal",
+      "q35_multioverlap", "q40_jaccard_stat", "q46_mcc", "q50_window_grouped",
+      "q62_frame", "q78_spliced_seq", "q80_summary", "q93_cli")
     spark.conf.set(graft.core.Sizing.ForceKey, "salted")
     try {
       for (q <- gated) {
