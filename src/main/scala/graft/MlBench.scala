@@ -71,6 +71,18 @@ object MlBench {
       .config("spark.driver.memory", "24g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional conf overrides (Profile's pattern) — e.g. the verify-key
+    // A/B: SPARK_GRAFT_CONF="spark.graft.dedup.verifyKey=string"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            spark.conf.set(k, v)
+            println(s"[mlbench] conf $k=$v")
+          case _ =>
+            System.err.println(s"[mlbench] ignoring malformed SPARK_GRAFT_CONF segment '$kv'")
+        }
+      })
     def t[T](what: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[mlbench] $what: ${(System.nanoTime() - t0) / 1e9}%.1fs")

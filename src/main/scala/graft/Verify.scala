@@ -18,6 +18,20 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional conf overrides (same pattern as Profile): lets the forced-gate
+    // oracle run produce all DuckDB hashes with the salted/two-phase branches
+    // a 100x deployment would execute, e.g.
+    //   SPARK_GRAFT_CONF="spark.graft.sizing.force=salted"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            spark.conf.set(k, v)
+            println(s"[verify] conf $k=$v")
+          case _ =>
+            System.err.println(s"[verify] ignoring malformed SPARK_GRAFT_CONF segment '$kv' (want k=v)")
+        }
+      })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }

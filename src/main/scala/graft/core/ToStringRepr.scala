@@ -110,8 +110,15 @@ object ToStringRepr {
     * when unset, matching the option's documented contract) and
     * `html_max_cols` columns, the rest elided behind a "..." column
     * with a hidden-count note. Cell text is HTML-escaped. Explicit
-    * arguments override the options. */
-  def tohtml(df: DataFrame, maxRows: Int = -1, maxCols: Int = -1): String = {
+    * arguments override the options.
+    *
+    * The exact-total footer costs a `count()` job only when the frame
+    * is actually truncated (otherwise the preview collect already IS
+    * the total); a display surface that re-renders the same frame
+    * repeatedly (Jupyter re-executing a cell) can pass a cached
+    * `totalRows` to skip that job entirely. */
+  def tohtml(df: DataFrame, maxRows: Int = -1, maxCols: Int = -1,
+             totalRows: Long = -1L): String = {
     val nRows =
       if (maxRows >= 0) maxRows
       else Options.getOption("html_max_rows")
@@ -139,7 +146,10 @@ object ToStringRepr {
         tr((0 until included).map(i => esc(r.get(i))) ++ rail, "td")) ++
       (if (truncated)
         Seq(tr(Seq.fill(included + rail.size)("..."), "td")) else Nil)
-    val total = df.count()
+    val total =
+      if (totalRows >= 0L) totalRows
+      else if (!truncated) rows.length.toLong // preview covered the frame
+      else df.count()
     val hiddenNote =
       if (elided > 0) s""" <span>($elided columns not shown)</span>""" else ""
     s"""<div><table border="1" class="dataframe"><thead>$head</thead>""" +

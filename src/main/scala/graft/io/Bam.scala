@@ -82,7 +82,8 @@ object Bam {
     val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val files: Seq[String] =
       if (hfs.getFileStatus(p).isDirectory)
-        hfs.listStatus(p).filter(_.getPath.getName.endsWith(".bam"))
+        hfs.listStatus(p)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".bam"))
           .map(_.getPath.toString).sorted.toSeq
       else Seq(path)
     // executors open through the SESSION's Hadoop conf (spark.hadoop.*

@@ -632,6 +632,7 @@ object Dedup {
     // the nearDuplicatePairs structure (persist gate, ns riding the
     // banded rows, inner-join verify; see the comments there)
     val big = graft.core.Sizing.decide("bucketEdgeShingles", 64L << 20, docs)
+    val dshPersisted = big || secondChance
     val dsh = {
       val d = docs.select(col(idCol),
           explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
@@ -639,7 +640,7 @@ object Dedup {
       // the second-chance round raises dsh's consumer count from 3 to
       // 5 (two more verify joins), which moves the persist break-even
       // below the size gate (A/B'd in BASELINE.md)
-      if (big || secondChance)
+      if (dshPersisted)
         d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d
     }
@@ -660,18 +661,37 @@ object Dedup {
         col("_ctrns").as("nsa"), col("ns").as("nsb"))
       .distinct()
     val edges = if (secondChance) edges0.localCheckpoint() else edges0
+    // Verify-join shingle representation: a 128-bit two-long digest of
+    // the shingle instead of the raw string. The join KEY only needs
+    // shingle equality, not the text — and this join is the operator's
+    // widest shuffle (the 8M star soak died on /tmp disk during exactly
+    // it, BASELINE.md round10-star-8m-ceiling; avg shingle string ~20 B
+    // + UTF8String overhead vs 16 B of packed longs, and the downstream
+    // groupBy re-shuffles the same width again). A false intersection
+    // needs two DIFFERENT shingles to agree on both independently-
+    // seeded xxhash64 values (~2^-128 per cross pair): collision-safe
+    // in practice. The string path stays selectable
+    // (spark.graft.dedup.verifyKey=string) as the bit-identical A/B
+    // control — soak rows in BASELINE.md.
+    val useDigest = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.dedup.verifyKey", "digest") != "string"
+    val dshV =
+      if (useDigest)
+        dsh.select(col(idCol), xxhash64(col("sh")).as("k1"),
+          xxhash64(lit(0x9e3779b97f4a7c15L), col("sh")).as("k2"))
+      else dsh.select(col(idCol), col("sh").as("k1"), lit(0L).as("k2"))
     // exact-jaccard verify of candidate edges carrying (nsa, nsb); the
     // input must be distinct on (a, b) or the intersection counts double
     def verify(e: DataFrame): DataFrame = e
-      .join(dsh.select(col(idCol).as("a"), col("sh")), Seq("a"))
-      .join(dsh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
+      .join(dshV.select(col(idCol).as("a"), col("k1"), col("k2")), Seq("a"))
+      .join(dshV.select(col(idCol).as("b"), col("k1"), col("k2")), Seq("b", "k1", "k2"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("_ni"),
         min(col("nsa")).as("nsa"), min(col("nsb")).as("nsb"))
       .filter(col("_ni") * 100 >= (col("nsa") + col("nsb") - col("_ni")) * minJaccardPct)
       .select(col("a"), col("b"))
     val v1 = verify(edges)
-    if (!secondChance) v1
+    val result = if (!secondChance) v1
     else {
       val vp = v1.localCheckpoint()
       // members every one of whose star edges failed the verify: not
@@ -712,6 +732,20 @@ object Dedup {
       // round-2 pairs are disjoint from round 1 by the anti-join, so
       // the union needs no distinct
       vp.union(verify(e2))
+    }
+    if (!dshPersisted) result
+    else {
+      // pin the (linear, verified-edges-only) output so releasing the
+      // shingle cache can't force a recompute through it, then free
+      // dsh — repeated calls in a long-lived session no longer
+      // accumulate block-manager storage. The intermediate
+      // localCheckpoints (ex/edges/vp) lose their last reference here
+      // and are reclaimed by the ContextCleaner on GC. The downstream
+      // consumer (connectedComponents) iterates over these edges, so
+      // the checkpoint also saves it per-iteration recompute.
+      val out = result.localCheckpoint()
+      dsh.unpersist()
+      out
     }
   }
 

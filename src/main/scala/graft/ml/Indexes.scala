@@ -97,16 +97,31 @@ object Indexes {
     * crash-safe machinery as compaction — so a delete is also a
     * compaction (one file per bucket afterwards) and probe plans are
     * untouched. `ids` is a one-column frame (or any frame carrying
-    * `idCol`); it is broadcast, so keep it to the operational scale of
-    * a delete list, not a second corpus. */
+    * `idCol`). An operational-scale delete list is broadcast (one
+    * executor-local hash probe, no extra shuffle on the rewrite); a
+    * list too large to sit on the driver falls back to a shuffled
+    * left_anti join — the count that sizes the gate is one cheap job
+    * against a rewrite that rescans the whole table anyway. */
   def deleteFromBucketedTable(spark: SparkSession, table: String,
                               ids: org.apache.spark.sql.DataFrame,
                               idCol: String): Unit = {
     val del = ids.select(col(idCol)).distinct()
+    // ~2M distinct ids ≈ tens of MB broadcast — comfortably under the
+    // driver/executor budget; beyond that the takedown list behaves
+    // like a second corpus and must shuffle
+    val broadcastable =
+      del.limit((maxBroadcastDeleteIds + 1).toInt).count() <= maxBroadcastDeleteIds
     rewriteBucketedTable(spark, table,
-      df => df.join(org.apache.spark.sql.functions.broadcast(del),
-        Seq(idCol), "left_anti"))
+      df =>
+        if (broadcastable)
+          df.join(org.apache.spark.sql.functions.broadcast(del),
+            Seq(idCol), "left_anti")
+        else df.join(del, Seq(idCol), "left_anti"))
   }
+
+  /** Gate for [[deleteFromBucketedTable]]'s broadcast-vs-shuffle plan;
+    * the limit+count probe never scans past this many ids. */
+  val maxBroadcastDeleteIds: Long = 2000000L
 
   /** Data-file count under a catalog table's location — the
     * compaction metric (and its test hook). Walks through the Hadoop

@@ -107,6 +107,25 @@ class FlacSpec extends AnyFunSuite {
     assert(out.toSeq == blob.toSeq)
   }
 
+  test("resampleAudio passes 24-bit FLAC through byte-equal (bps guard, not wrap)") {
+    import spark.implicits._
+    // 24-bit stream: VERBATIM samples outside even the 20-bit range, so
+    // a wrap-through-Short (or through 20-bit) would visibly corrupt
+    val samples = Array(4000000, -7000000, 8388607, -8388608)
+    val blob = streamInfo(8000, 1, samples.length, 4096, bps = 24) ++
+      frame(chanAsg = 0, bs = samples.length, ssCode = 6) { f =>
+        f.put(0L, 1); f.put(1L, 6); f.put(0L, 1)
+        samples.foreach(v => f.put(v.toLong & 0xffffffL, 24))
+      }
+    // sanity: a well-formed 24-bit stream the decoder fully understands
+    val dec = Flac.decodeFlacPcm(blob)
+    assert(dec.bps == 24 && dec.samples.toSeq == samples.toSeq)
+    val out = graft.ml.Multimodal
+      .resampleAudio(Seq((1L, blob)).toDF("media_id", "payload"), factor = 2)
+      .collect().head.getAs[Array[Byte]](1)
+    assert(out.toSeq == blob.toSeq)
+  }
+
   test("decoder rejects tampered frames via CRC") {
     val enc = Flac.encodeFlac(8000, 1,
       Array.tabulate[Short](50)(i => (i * 31 - 700).toShort))
