@@ -318,6 +318,20 @@ object Dedup {
     }
     val fpd = fp.select(col("simhash")).distinct()
     val subBands = maxHamming + 1
+    // Per-level pending storage: DISK_ONLY, not the default
+    // MEMORY_AND_DISK — the per-level stream is the recursion's bulk
+    // state (tens of millions of (fp, key, rem) rows at 8M docs) and
+    // is read back exactly twice (census + split/cold sort), so pinning
+    // it in the heap buys little and competes with execution memory at
+    // soak scale (the 4M→8M wall grew ~3x on a 2x doubling with the
+    // heap-resident default). The lineage truncation localCheckpoint
+    // provides is kept. A/B control: spark.graft.simhash.pendingStorage
+    // =memory restores the old level (BASELINE.md curve rows).
+    val pendingLevel =
+      if (org.apache.spark.sql.internal.SQLConf.get.getConfString(
+          "spark.graft.simhash.pendingStorage", "disk") == "memory")
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      else org.apache.spark.storage.StorageLevel.DISK_ONLY
     // level-1 stream: one row per (distinct fingerprint, band chunk);
     // checkpointed per level — each stream feeds the census, the cold
     // pair join, and the next level's hot join.
@@ -325,7 +339,7 @@ object Dedup {
         explode(array(splitStructs(col("simhash"), bits, bands): _*)).as("_s"))
       .select(col("simhash"), xxhash64(col("_s.c"), col("_s.v")).as("key"),
         col("_s.rem").as("rem"))
-      .localCheckpoint()
+      .localCheckpoint(true, pendingLevel)
     var remBits = bits - bits / bands
     val coldParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // GRAFT_SIMHASH_DEBUG: per-level census prints for soak observation
@@ -359,7 +373,7 @@ object Dedup {
             .select(col("simhash"),
               xxhash64(col("key"), col("_s.c"), col("_s.v")).as("key"),
               col("_s.rem").as("rem"))
-            .localCheckpoint()
+            .localCheckpoint(true, pendingLevel)
           remBits -= remBits / subBands
         }
       }
