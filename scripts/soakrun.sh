@@ -1,0 +1,16 @@
+#!/bin/bash
+# Bare-java MlBench soak launcher: replicates build.sbt's forked JVM
+# flags (JDK17 --add-opens + ParallelGC + 24g heap) so measurements run
+# against the SAME engine sbt forks, without holding the sbt lock.
+# Usage: scripts/soakrun.sh <classesDir> <args...>
+#   e.g. scripts/soakrun.sh /tmp/graft-classes 2000000 starab
+CLASSES="$1"; shift
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS -XX:+UseParallelGC "-Xmx${SPARK_DRIVER_MEM:-24g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "/opt/spark/jars/*:$CLASSES" graft.MlBench "$@"

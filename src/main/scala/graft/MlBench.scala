@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.MlBench [nDocs] [mode...]"
   *     nDocs default 2000000 (~600 MB of text); modes: all | clusters |
-  *     star | simhash | contamination | index | ann (star is the
-  *     narrow interleave-A/B run; simhash is the guard-exactness run)
+  *     star | starab | recall | simhash | contamination | index | ann
+  *     (star is the narrow interleave-A/B run; starab the digest-vs-
+  *     string verify-key A/B with byte footprints and an output
+  *     identity check; recall the banding-knob coverage/wall sweep;
+  *     simhash the guard-exactness run). "all" covers the per-round
+  *     soak set, not starab/recall, which are targeted studies.
   */
 object MlBench {
 
@@ -59,10 +63,46 @@ object MlBench {
       .select(col("doc_id"), col("cluster"), col("text"))
   }
 
+  /** Coverage vs the corpus's GROUND TRUTH (the `cluster` column):
+    * fraction of true >=2-member cluster members the labeling assigns
+    * to any component, plus how many components the true members
+    * spread over (fragmentation). */
+  private def truthCoverage(src: DataFrame, labels: DataFrame,
+                            what: String): Unit = {
+    val t2 = src.groupBy(col("cluster")).agg(count(lit(1)).as("_n"))
+      .where(col("_n") >= 2).select(col("cluster"))
+    val members = src.join(t2, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"))
+    val r = members
+      .join(labels.select(col("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .agg(count(lit(1)), count(col("comp")), countDistinct(col("cluster")),
+        countDistinct(col("comp"))).head
+    println(f"[mlbench] $what vs truth: members=${r.getLong(0)} " +
+      f"clustered=${r.getLong(1)} (${r.getLong(1) * 100.0 / r.getLong(0)}%.2f%%), " +
+      s"true clusters=${r.getLong(2)}, comps over true members=${r.getLong(3)}")
+  }
+
+  /** Cumulative per-stage IO counters for soak footprint deltas. Reads
+    * briefly sleep first so the async listener bus drains. */
+  private class IoListener extends org.apache.spark.scheduler.SparkListener {
+    private val sw = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snap(): (Long, Long) = { Thread.sleep(3000); (sw.get, spill.get) }
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(2000000L)
     val modes = { val m = args.drop(1).toSet; if (m.isEmpty) Set("all") else m }
-    def on(m: String) = modes.contains("all") || modes.contains(m)
+    def on(m: String) = modes.contains(m) ||
+      (modes.contains("all") && !Set("starab", "recall").contains(m))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,23 +135,6 @@ object MlBench {
       f"${stats.getLong(1) / 1e6}%.0f MB text, ${stats.getLong(2)} true clusters")
 
     if (on("clusters")) {
-      // coverage vs the corpus's GROUND TRUTH (the `cluster` column):
-      // fraction of true >=2-member cluster members the labeling
-      // assigns to any component, plus how many components the true
-      // members spread over (fragmentation)
-      def truthCoverage(src: DataFrame, labels: DataFrame, what: String): Unit = {
-        val t2 = src.groupBy(col("cluster")).agg(count(lit(1)).as("_n"))
-          .where(col("_n") >= 2).select(col("cluster"))
-        val members = src.join(t2, Seq("cluster"))
-          .select(col("doc_id"), col("cluster"))
-        val r = members
-          .join(labels.select(col("doc_id"), col("comp")), Seq("doc_id"), "left")
-          .agg(count(lit(1)), count(col("comp")), countDistinct(col("cluster")),
-            countDistinct(col("comp"))).head
-        println(f"[mlbench] $what vs truth: members=${r.getLong(0)} " +
-          f"clustered=${r.getLong(1)} (${r.getLong(1) * 100.0 / r.getLong(0)}%.2f%%), " +
-          s"true clusters=${r.getLong(2)}, comps over true members=${r.getLong(3)}")
-      }
       // LINEAR strategy at full scale, second-chance OFF vs ON
       for (sc <- Seq(false, true)) {
         val cb = t(s"duplicateClusters strategy=buckets secondChance=$sc @$nDocs") {
@@ -176,6 +199,55 @@ object MlBench {
           .agg(count(lit(1)), count(col("comp"))).head
         println(f"[mlbench] star sc=true vs truth: ${r.getLong(1)}/${r.getLong(0)} " +
           f"= ${r.getLong(1) * 100.0 / r.getLong(0)}%.2f%%")
+      }
+    }
+
+    // verify-key A/B: the 128-bit shingle-digest verify join vs the
+    // legacy string join — interleaved walls, per-run shuffle-write /
+    // spill deltas (the 8M ceiling was a DISK footprint, so bytes are
+    // the primary metric), and an exact output-identity check (the
+    // digest path must be bit-identical, not just same-coverage)
+    if (on("starab")) {
+      val io = new IoListener
+      spark.sparkContext.addSparkListener(io)
+      var first = Map.empty[String, DataFrame]
+      for (i <- 1 to 2; key <- Seq("digest", "string")) {
+        spark.conf.set("spark.graft.dedup.verifyKey", key)
+        val (sw0, sp0) = io.snap()
+        val cb = t(s"starab run $i: verifyKey=$key @$nDocs") {
+          graft.ml.Dedup.duplicateClusters(docs, strategy = "buckets",
+            secondChance = true).localCheckpoint()
+        }
+        val (sw1, sp1) = io.snap()
+        println(f"[mlbench] starab $key run $i: shuffleWrite=${(sw1 - sw0) / 1e9}%.2f GB " +
+          f"spill=${(sp1 - sp0) / 1e9}%.2f GB")
+        if (i == 1) first += key -> cb
+      }
+      spark.conf.unset("spark.graft.dedup.verifyKey")
+      val d = first("digest"); val s = first("string")
+      val extra = d.except(s).count(); val missing = s.except(d).count()
+      println(s"[mlbench] starab identity: digest-vs-string extra=$extra " +
+        s"missing=$missing " +
+        (if (extra == 0 && missing == 0) "[BIT-IDENTICAL]" else "[DIFFER!]"))
+    }
+
+    // recall-knob sweep (VERDICT r10 item #5): truth coverage is
+    // bounded by banding recall, not the second-chance pass — measure
+    // what more hashes / wider bands BUY (coverage) and COST (wall)
+    // so a 100 TB user can price recall. bandSize=2 with 8 hashes
+    // halves per-band collision probability (bands of 2 minhashes);
+    // 8 bands of 1 doubles the chances a shared minhash co-buckets.
+    if (on("recall")) {
+      for ((nh, bs) <- Seq((4, 1), (8, 1), (8, 2))) {
+        val cb = t(s"recall: buckets sc=true numHashes=$nh bandSize=$bs @$nDocs") {
+          graft.ml.Dedup.duplicateClusters(docs, strategy = "buckets",
+            numHashes = nh, bandSize = bs, secondChance = true)
+            .localCheckpoint()
+        }
+        val cnt = cb.agg(count(lit(1)), countDistinct(col("comp"))).head
+        println(s"[mlbench] recall nh=$nh bs=$bs nodes: ${cnt.getLong(0)}, " +
+          s"clusters: ${cnt.getLong(1)}")
+        truthCoverage(docs, cb, s"recall nh=$nh bs=$bs @$nDocs")
       }
     }
 

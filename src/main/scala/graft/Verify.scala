@@ -10,13 +10,21 @@ object Verify {
     // re-verification; the driver passes none and gets the full suite)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — the
+    // multi-process portability smoke runs the same contract on
+    // local-cluster[n,c,mem] (real executor JVMs: real closure
+    // serialization, conf shipping, and disk-shuffle paths). That mode
+    // needs the library on the EXECUTOR classpath: pass the packaged
+    // jar via SPARK_GRAFT_JARS (sbt package).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional conf overrides (same pattern as Profile): lets the forced-gate
     // oracle run produce all DuckDB hashes with the salted/two-phase branches
