@@ -202,16 +202,17 @@ object MlBench {
       }
     }
 
-    // verify-key A/B: the 128-bit shingle-digest verify join vs the
-    // legacy string join — interleaved walls, per-run shuffle-write /
-    // spill deltas (the 8M ceiling was a DISK footprint, so bytes are
-    // the primary metric), and an exact output-identity check (the
-    // digest path must be bit-identical, not just same-coverage)
+    // verify-key A/B: the per-doc shingle-ARRAY verify join vs the
+    // legacy row-explosion string join — interleaved walls, per-run
+    // shuffle-write / spill deltas (the 8M ceiling was a DISK
+    // footprint, so bytes are the primary metric), and an exact
+    // output-identity check (the array path must be bit-identical,
+    // not just same-coverage)
     if (on("starab")) {
       val io = new IoListener
       spark.sparkContext.addSparkListener(io)
       var first = Map.empty[String, DataFrame]
-      for (i <- 1 to 2; key <- Seq("digest", "string")) {
+      for (i <- 1 to 2; key <- Seq("array", "string")) {
         spark.conf.set("spark.graft.dedup.verifyKey", key)
         val (sw0, sp0) = io.snap()
         val cb = t(s"starab run $i: verifyKey=$key @$nDocs") {
@@ -224,9 +225,9 @@ object MlBench {
         if (i == 1) first += key -> cb
       }
       spark.conf.unset("spark.graft.dedup.verifyKey")
-      val d = first("digest"); val s = first("string")
+      val d = first("array"); val s = first("string")
       val extra = d.except(s).count(); val missing = s.except(d).count()
-      println(s"[mlbench] starab identity: digest-vs-string extra=$extra " +
+      println(s"[mlbench] starab identity: array-vs-string extra=$extra " +
         s"missing=$missing " +
         (if (extra == 0 && missing == 0) "[BIT-IDENTICAL]" else "[DIFFER!]"))
     }

@@ -642,24 +642,60 @@ object Dedup {
                                bandSize: Int = 1, shingleK: Int = 3,
                                minJaccardPct: Int = 50,
                                secondChance: Boolean = true): DataFrame = {
+    // Shingle representation for the verify joins —
+    // spark.graft.dedup.verifyKey:
+    //   "array" (default): ONE row per doc carrying its distinct
+    //     shingle ARRAY, computed map-side (array_distinct replaces the
+    //     global (id, sh) distinct shuffle); each verify join ships one
+    //     array row per edge side and the intersection is a scalar
+    //     array_intersect — no post-join groupBy at all. This is the
+    //     scale path: the row-explosion verify was the operator's
+    //     widest shuffle (~38 rows per edge side + an equally wide
+    //     groupBy re-shuffle; the 8M star soak died on /tmp disk inside
+    //     it, BASELINE.md round10-star-8m-ceiling).
+    //   "string": the round-10 row-explosion verify, kept as the
+    //     bit-identical A/B control (BASELINE.md round11 soak rows).
+    // A third variant — row explosion keyed by a 128-bit xxhash64
+    // digest pair — was built and MEASURED WORSE than the strings it
+    // replaced (18.73 vs 15.27 GB shuffle written at 2M docs: lz4
+    // compresses repetitive shingle text ~3x while random digests are
+    // incompressible), so it was dropped; the soak row records it.
+    val useArrays = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.dedup.verifyKey", "array") != "string"
     // one tokenize+shingle pass shared by signature AND verification —
     // the nearDuplicatePairs structure (persist gate, ns riding the
     // banded rows, inner-join verify; see the comments there)
     val big = graft.core.Sizing.decide("bucketEdgeShingles", 64L << 20, docs)
-    val dshPersisted = big || secondChance
-    val dsh = {
-      val d = docs.select(col(idCol),
-          explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
-        .distinct()
-      // the second-chance round raises dsh's consumer count from 3 to
-      // 5 (two more verify joins), which moves the persist break-even
-      // below the size gate (A/B'd in BASELINE.md)
-      if (dshPersisted)
+    val shsPersisted = big || secondChance
+    def pin(d: DataFrame): DataFrame =
+      if (shsPersisted)
         d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d
-    }
+    // the second-chance round raises the shingle frame's consumer
+    // count from 3 to 5 (two more verify joins), which moves the
+    // persist break-even below the size gate (A/B'd in BASELINE.md)
+    val docArr =
+      if (useArrays)
+        pin(docs.select(col(idCol),
+            array_distinct(TextOps.wordShingles(col(textCol), shingleK)).as("_shs"))
+          .where(size(col("_shs")) > 0))
+      else null
+    val dsh =
+      if (useArrays) null
+      else pin(docs.select(col(idCol),
+          explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
+        .distinct())
     val sigAggs = signatureAggs(numHashes)
-    val sig = dsh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+    // array mode: exploding the per-doc DISTINCT array keeps every
+    // shingle row of a doc inside its input partition, so the groupBy's
+    // partial aggregation collapses to one row per doc BEFORE the
+    // exchange — the signature shuffle is (docs x numHashes) hex mins,
+    // not the (id, shingle) stream the global-distinct spelling ships
+    val sig =
+      if (useArrays)
+        docArr.select(col(idCol), explode(col("_shs")).as("sh"))
+          .groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+      else dsh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
     val bands = bandStructs(numHashes, bandSize)
     val ex0 = sig.select(col(idCol), col("ns"), explode(array(bands: _*)).as("_b"))
       .select(col(idCol), col("ns"), col("_b.band").as("band"), col("_b.bh").as("bh"))
@@ -675,33 +711,24 @@ object Dedup {
         col("_ctrns").as("nsa"), col("ns").as("nsb"))
       .distinct()
     val edges = if (secondChance) edges0.localCheckpoint() else edges0
-    // Verify-join shingle representation: a 128-bit two-long digest of
-    // the shingle instead of the raw string. The join KEY only needs
-    // shingle equality, not the text — and this join is the operator's
-    // widest shuffle (the 8M star soak died on /tmp disk during exactly
-    // it, BASELINE.md round10-star-8m-ceiling; avg shingle string ~20 B
-    // + UTF8String overhead vs 16 B of packed longs, and the downstream
-    // groupBy re-shuffles the same width again). A false intersection
-    // needs two DIFFERENT shingles to agree on both independently-
-    // seeded xxhash64 values (~2^-128 per cross pair): collision-safe
-    // in practice. The string path stays selectable
-    // (spark.graft.dedup.verifyKey=string) as the bit-identical A/B
-    // control — soak rows in BASELINE.md.
-    val useDigest = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.dedup.verifyKey", "digest") != "string"
-    val dshV =
-      if (useDigest)
-        dsh.select(col(idCol), xxhash64(col("sh")).as("k1"),
-          xxhash64(lit(0x9e3779b97f4a7c15L), col("sh")).as("k2"))
-      else dsh.select(col(idCol), col("sh").as("k1"), lit(0L).as("k2"))
     // exact-jaccard verify of candidate edges carrying (nsa, nsb); the
-    // input must be distinct on (a, b) or the intersection counts double
-    def verify(e: DataFrame): DataFrame = e
-      .join(dshV.select(col(idCol).as("a"), col("k1"), col("k2")), Seq("a"))
-      .join(dshV.select(col(idCol).as("b"), col("k1"), col("k2")), Seq("b", "k1", "k2"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("_ni"),
-        min(col("nsa")).as("nsa"), min(col("nsb")).as("nsb"))
+    // input must be distinct on (a, b) or the intersection counts
+    // double. Array mode: one (already-distinct) shingle array per
+    // edge side, intersection as a scalar — the arrays ship once per
+    // edge instead of once per (edge, shingle), and the count needs no
+    // re-shuffle. String mode: the round-10 row-explosion + groupBy.
+    def verify(e: DataFrame): DataFrame =
+      (if (useArrays)
+        e.join(docArr.select(col(idCol).as("a"), col("_shs").as("_sa")), Seq("a"))
+          .join(docArr.select(col(idCol).as("b"), col("_shs").as("_sb")), Seq("b"))
+          .select(col("a"), col("b"), col("nsa"), col("nsb"),
+            size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("_ni"))
+      else
+        e.join(dsh.select(col(idCol).as("a"), col("sh")), Seq("a"))
+          .join(dsh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("_ni"),
+            min(col("nsa")).as("nsa"), min(col("nsb")).as("nsb")))
       .filter(col("_ni") * 100 >= (col("nsa") + col("nsb") - col("_ni")) * minJaccardPct)
       .select(col("a"), col("b"))
     val v1 = verify(edges)
@@ -747,18 +774,18 @@ object Dedup {
       // the union needs no distinct
       vp.union(verify(e2))
     }
-    if (!dshPersisted) result
+    if (!shsPersisted) result
     else {
       // pin the (linear, verified-edges-only) output so releasing the
       // shingle cache can't force a recompute through it, then free
-      // dsh — repeated calls in a long-lived session no longer
+      // it — repeated calls in a long-lived session no longer
       // accumulate block-manager storage. The intermediate
       // localCheckpoints (ex/edges/vp) lose their last reference here
       // and are reclaimed by the ContextCleaner on GC. The downstream
       // consumer (connectedComponents) iterates over these edges, so
       // the checkpoint also saves it per-iteration recompute.
       val out = result.localCheckpoint()
-      dsh.unpersist()
+      (if (useArrays) docArr else dsh).unpersist()
       out
     }
   }

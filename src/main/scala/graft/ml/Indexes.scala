@@ -109,8 +109,8 @@ object Indexes {
     // ~2M distinct ids ≈ tens of MB broadcast — comfortably under the
     // driver/executor budget; beyond that the takedown list behaves
     // like a second corpus and must shuffle
-    val broadcastable =
-      del.limit((maxBroadcastDeleteIds + 1).toInt).count() <= maxBroadcastDeleteIds
+    val gate = maxBroadcastDeleteIds(spark)
+    val broadcastable = del.limit((gate + 1).toInt).count() <= gate
     rewriteBucketedTable(spark, table,
       df =>
         if (broadcastable)
@@ -120,8 +120,12 @@ object Indexes {
   }
 
   /** Gate for [[deleteFromBucketedTable]]'s broadcast-vs-shuffle plan;
-    * the limit+count probe never scans past this many ids. */
-  val maxBroadcastDeleteIds: Long = 2000000L
+    * the limit+count probe never scans past this many ids. Conf-
+    * tunable so deployments with tighter driver memory can lower it
+    * (and tests can force the shuffle path). */
+  def maxBroadcastDeleteIds(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.index.maxBroadcastDeleteIds")
+      .map(_.toLong).getOrElse(2000000L)
 
   /** Data-file count under a catalog table's location — the
     * compaction metric (and its test hook). Walks through the Hadoop

@@ -799,6 +799,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got == viaPairs)
   }
 
+  test("bucket-edge verify: array mode and legacy string mode emit identical edges") {
+    import spark.implicits._
+    // clusters of near-identical docs (one mutated token each) plus
+    // unique noise: enough verified edges and enough FAILED candidates
+    // that both verify-join spellings are exercised on both outcomes
+    val docs = (0L until 90L).map { i =>
+      val c = i / 6
+      val toks = (0 until 20).map { p =>
+        if (p == (i % 6) + 3) s"m${i}_$p"
+        else if (i % 6 >= 4) s"w${c}x$p"   // 2 of 6: different cluster text
+        else s"w${c}_$p"
+      }
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    def edges(key: String): Set[(Long, Long)] = {
+      spark.conf.set("spark.graft.dedup.verifyKey", key)
+      try graft.ml.Dedup.nearDuplicateBucketEdges(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.dedup.verifyKey")
+    }
+    val viaArray = edges("array")
+    val viaString = edges("string")
+    assert(viaArray.nonEmpty, "fixture must produce verified edges")
+    assert(viaArray == viaString,
+      s"array-vs-string mismatch: only-array=${viaArray -- viaString} " +
+        s"only-string=${viaString -- viaArray}")
+  }
+
   test("simhashNearDupPairs: templated corpus (collapsed fingerprints) stays linear") {
     import spark.implicits._
     // 600 identical docs -> ONE distinct fingerprint: the banded

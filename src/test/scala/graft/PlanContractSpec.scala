@@ -585,10 +585,15 @@ class PlanContractSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DedupIndex.probeLsh(spark, s"$db.lsh", batch, numHashes = 8)
     }
-    // deleting ids absent from the index is a no-op rewrite
+    // deleting ids absent from the index is a no-op rewrite — run it
+    // with the broadcast gate forced to 0, so the takedown-list
+    // fallback (shuffled left_anti instead of a driver broadcast, the
+    // 100x-scale delete-list path) is what actually executes
     import spark.implicits._
-    DedupIndex.deleteByIds(spark, s"$db.lsh",
+    spark.conf.set("spark.graft.index.maxBroadcastDeleteIds", "0")
+    try DedupIndex.deleteByIds(spark, s"$db.lsh",
       Seq(-1L, -2L).toDF("doc_id"))
+    finally spark.conf.unset("spark.graft.index.maxBroadcastDeleteIds")
     val lshNoop = DedupIndex.probeLsh(spark, s"$db.lsh", batch)
       .collect().map(_.toSeq).toSet
     assert(lshNoop == lshDel)
