@@ -108,19 +108,42 @@ object Dedup {
   def pairJaccard(docs: DataFrame, candidates: DataFrame,
                   textCol: String = "text", idCol: String = "doc_id",
                   shingleK: Int = 3): DataFrame = {
-    val sh = graft.core.Sizing.fanOutSmallScan(docs)
-      .select(col(idCol), explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
-      .distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("ns"))
-    val inter = candidates
-      .join(sh.select(col(idCol).as("a"), col("sh")), Seq("a"))
-      .join(sh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
-    candidates.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("ni"))
-      .join(sizes.select(col(idCol).as("a"), col("ns").as("nsa")), Seq("a"))
-      .join(sizes.select(col(idCol).as("b"), col("ns").as("nsb")), Seq("b"))
-      .select(col("a"), col("b"), col("ni").as("n_intersect"),
-        (col("nsa") + col("nsb") - col("ni")).as("n_union"))
+    // array verify (the nearDuplicateBucketEdges scale finding: one
+    // distinct-shingle array per pair side, scalar intersect, no
+    // groupBy re-shuffle); "string" keeps the row-explosion control.
+    // Zero-intersection candidates surface with n_intersect=0 in both
+    // spellings; candidates whose doc has no shingles drop in both.
+    val useArrays = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.dedup.verifyKey", "array") != "string"
+    if (useArrays) {
+      val arr = graft.core.Sizing.fanOutSmallScan(docs)
+        .select(col(idCol),
+          array_distinct(TextOps.wordShingles(col(textCol), shingleK)).as("_shs"))
+        .where(size(col("_shs")) > 0)
+      candidates
+        .join(arr.select(col(idCol).as("a"), col("_shs").as("_sa")), Seq("a"))
+        .join(arr.select(col(idCol).as("b"), col("_shs").as("_sb")), Seq("b"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("ni"),
+          size(col("_sa")).cast("long").as("nsa"),
+          size(col("_sb")).cast("long").as("nsb"))
+        .select(col("a"), col("b"), col("ni").as("n_intersect"),
+          (col("nsa") + col("nsb") - col("ni")).as("n_union"))
+    } else {
+      val sh = graft.core.Sizing.fanOutSmallScan(docs)
+        .select(col(idCol), explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("ns"))
+      val inter = candidates
+        .join(sh.select(col(idCol).as("a"), col("sh")), Seq("a"))
+        .join(sh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ni"))
+      candidates.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("ni"))
+        .join(sizes.select(col(idCol).as("a"), col("ns").as("nsa")), Seq("a"))
+        .join(sizes.select(col(idCol).as("b"), col("ns").as("nsb")), Seq("b"))
+        .select(col("a"), col("b"), col("ni").as("n_intersect"),
+          (col("nsa") + col("nsb") - col("ni")).as("n_union"))
+    }
   }
 
   /** MinHash near-dup pipeline: signature -> LSH buckets -> exact Jaccard
@@ -141,18 +164,39 @@ object Dedup {
     // Gated on LEAF scan bytes (Sizing), not the derived-plan estimate,
     // which swings 2-5x with projection width (round-2 reconciliation).
     val big = graft.core.Sizing.decide("nearDupShingles", 64L << 20, docs)
-    val dsh = {
-      val d = docs.select(col(idCol),
-          explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
-        .distinct()
+    // verify-join representation — same dispatch and A/B control as
+    // [[nearDuplicateBucketEdges]] (spark.graft.dedup.verifyKey):
+    // "array" ships one distinct-shingle array per candidate side and
+    // intersects in place (measured -46% shuffle / -85% spill on the
+    // star soak's identical join shape); "string" is the row-explosion
+    // legacy control.
+    val useArrays = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.dedup.verifyKey", "array") != "string"
+    def pin(d: DataFrame): DataFrame =
       if (big) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d
-    }
+    val docArr =
+      if (useArrays)
+        pin(docs.select(col(idCol),
+            array_distinct(TextOps.wordShingles(col(textCol), shingleK)).as("_shs"))
+          .where(size(col("_shs")) > 0))
+      else null
+    val dsh =
+      if (useArrays) null
+      else pin(docs.select(col(idCol),
+          explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
+        .distinct())
     // one groupBy yields signature AND set size; the band self-join then
     // carries both sides' sizes through, so only the intersection count
-    // needs another join against the shingle table.
+    // needs another join against the shingle table. Array mode explodes
+    // the per-doc DISTINCT array, so the partial aggregation collapses
+    // to one row per doc before the exchange.
     val sigAggs = signatureAggs(numHashes)
-    val sig = dsh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+    val sig =
+      if (useArrays)
+        docArr.select(col(idCol), explode(col("_shs")).as("sh"))
+          .groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+      else dsh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
     val bands = bandStructs(numHashes, bandSize)
     val exploded = sig.select(col(idCol), col("ns"), explode(array(bands: _*)).as("_b"))
       .select(col(idCol), col("ns"), col("_b.band"), col("_b.bh"))
@@ -181,7 +225,21 @@ object Dedup {
     // difference is minJaccardPct=0 with bandSize>1 — callers wanting
     // the raw LSH candidate set there should read `cand` semantics,
     // not this verified-Jaccard output.
-    cand
+    if (useArrays)
+      // the n_intersect > 0 filter mirrors the string path's inner
+      // join, which silently drops zero-intersection candidates — the
+      // two spellings stay bit-identical, caveat included
+      cand
+        .join(docArr.select(col(idCol).as("a"), col("_shs").as("_sa")), Seq("a"))
+        .join(docArr.select(col(idCol).as("b"), col("_shs").as("_sb")), Seq("b"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("n_intersect"),
+          col("nsa"), col("nsb"))
+        .filter(col("n_intersect") > 0)
+        .select(col("a"), col("b"), col("n_intersect"),
+          (col("nsa") + col("nsb") - col("n_intersect")).as("n_union"))
+        .filter(col("n_intersect") * 100 >= col("n_union") * minJaccardPct)
+    else cand
       .join(dsh.select(col(idCol).as("a"), col("sh")), Seq("a"))
       .join(dsh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
       .groupBy(col("a"), col("b"))

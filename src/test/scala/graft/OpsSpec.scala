@@ -827,6 +827,59 @@ class OpsSpec extends AnyFunSuite {
         s"only-string=${viaString -- viaArray}")
   }
 
+  test("nearDuplicatePairs: array and string verify modes are bit-identical, " +
+       "including the minJaccardPct=0 bandSize>1 zero-intersection contract") {
+    import spark.implicits._
+    val docs = (0L until 60L).map { i =>
+      val c = i / 6
+      val toks = (0 until 20).map { p =>
+        if (p == (i % 6) + 3) s"m${i}_$p"
+        else if (i % 6 >= 4) s"w${c}x$p"
+        else s"w${c}_$p"
+      }
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    def pairs(key: String, minPct: Int, bandSz: Int): Set[(Long, Long, Long, Long)] = {
+      spark.conf.set("spark.graft.dedup.verifyKey", key)
+      try Dedup.nearDuplicatePairs(docs, numHashes = 4, bandSize = bandSz,
+          minJaccardPct = minPct)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      finally spark.conf.unset("spark.graft.dedup.verifyKey")
+    }
+    for ((minPct, bandSz) <- Seq((50, 1), (0, 2))) {
+      val a = pairs("array", minPct, bandSz)
+      val s = pairs("string", minPct, bandSz)
+      assert(a.nonEmpty, s"fixture must produce pairs at pct=$minPct band=$bandSz")
+      assert(a == s, s"pct=$minPct band=$bandSz: only-array=${a -- s} only-string=${s -- a}")
+    }
+  }
+
+  test("pairJaccard: array and string modes agree, zero-intersection candidates " +
+       "surface as n_intersect=0 and shingle-less docs drop, in both") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta theta"),
+      (3L, "one two three four five six seven"),
+      (4L, "too short")                                   // < shingleK words: no shingles
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("a", "b")
+    def jac(key: String): Set[(Long, Long, Long, Long)] = {
+      spark.conf.set("spark.graft.dedup.verifyKey", key)
+      try Dedup.pairJaccard(docs, cands)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      finally spark.conf.unset("spark.graft.dedup.verifyKey")
+    }
+    val a = jac("array")
+    val s = jac("string")
+    assert(a == s, s"only-array=${a -- s} only-string=${s -- a}")
+    assert(a.exists(t => t._1 == 1L && t._2 == 3L && t._3 == 0L),
+      "the disjoint (1,3) candidate must surface with n_intersect=0")
+    assert(!a.exists(t => t._2 == 4L), "the shingle-less doc's candidate must drop")
+  }
+
   test("simhashNearDupPairs: templated corpus (collapsed fingerprints) stays linear") {
     import spark.implicits._
     // 600 identical docs -> ONE distinct fingerprint: the banded
