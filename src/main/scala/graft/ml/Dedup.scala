@@ -861,7 +861,16 @@ object Dedup {
     * graph ([[nearDuplicatePairs]]) — quadratic in the largest cluster,
     * right up to medium skew; "buckets" builds the linear bucket-star
     * graph ([[nearDuplicateBucketEdges]]) — the 100 TB/template-corpus
-    * path (MlBench-measured crossover in BASELINE.md). */
+    * path (MlBench-measured crossover in BASELINE.md).
+    *
+    * Recall knob, measured (BASELINE.md round11-star-recall-knob): in
+    * buckets mode, `numHashes` 4 -> 8 at `bandSize` 1 buys ~+1.3pp
+    * truth coverage (93.2 -> 94.5% at 2M docs) for ~+40% warm wall —
+    * 8 OR-bands double band rows, the linear cost driver. Do NOT raise
+    * `bandSize` to compensate: bandSize=2 at numHashes=8 costs the
+    * same and DROPS coverage below the 4-hash baseline (91.7%), since
+    * the within-band AND suppresses recall faster than the extra
+    * hashes restore it. */
   def duplicateClusters(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", numHashes: Int = 4,
                         bandSize: Int = 1, shingleK: Int = 3,
