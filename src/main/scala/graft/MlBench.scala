@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   *     (star is the narrow interleave-A/B run; starab the digest-vs-
   *     string verify-key A/B with byte footprints and an output
   *     identity check; recall the banding-knob coverage/wall sweep;
-  *     simhash the guard-exactness run). "all" covers the per-round
-  *     soak set, not starab/recall, which are targeted studies.
+  *     simhash the guard-exactness run; annrecall the IVF nProbe/cell
+  *     recall-vs-wall sweep). "all" covers the per-round soak set, not
+  *     starab/recall/annrecall, which are targeted studies.
   */
 object MlBench {
 
@@ -102,7 +103,7 @@ object MlBench {
     val nDocs = args.headOption.map(_.toLong).getOrElse(2000000L)
     val modes = { val m = args.drop(1).toSet; if (m.isEmpty) Set("all") else m }
     def on(m: String) = modes.contains(m) ||
-      (modes.contains("all") && !Set("starab", "recall").contains(m))
+      (modes.contains("all") && !Set("starab", "recall", "annrecall").contains(m))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -380,6 +381,62 @@ object MlBench {
       val agree = top1.join(brute, Seq("q"))
         .where(col("nb") === col("nb2")).count()
       println(f"[mlbench] ann top-1 recall: $agree/$nq = ${agree * 100.0 / nq}%.1f%%")
+    }
+    if (on("annrecall")) {
+      // the ANN twin of the `recall` banding sweep: recall-vs-wall
+      // economics for the two IVF knobs a 100 TB user can turn —
+      // nProbe (query-side coverage) at the matched cell count, and
+      // cell count itself (build-side granularity) at fixed nProbe.
+      // Truth = brute-force top-1 over the full corpus, computed once.
+      import graft.ml.{AnnIndex, Similarity}
+      val dim = 64
+      val nVec = math.min(nDocs, 2000000L)
+      val emb = spark.range(nVec).select(col("id").as("vec_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_c", pmod(xxhash64(col("vec_id"), lit("ctr")), lit(256)))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)), i =>
+            (pmod(xxhash64(col("_c"), i), lit(1000)).cast("float") - 500.0f) / 500.0f +
+              (pmod(xxhash64(col("vec_id"), i, lit("n")), lit(200)).cast("float") - 100.0f) / 1000.0f))
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val queries = emb.where(pmod(col("vec_id"), lit(4000)) === 0)
+        .localCheckpoint()
+      val nq = queries.count()
+      println(s"[mlbench] annrecall corpus: $nVec vectors x $dim dims, $nq queries")
+      val brute = t(s"annrecall brute-force truth ($nq queries)") {
+        val qd = queries.select(col("vec_id").as("q"),
+          Similarity.quantize(col("embedding"), 1000).as("_q"))
+        val cd = emb.select(col("vec_id").as("nb2"),
+          Similarity.quantize(col("embedding"), 1000).as("_qb"))
+        qd.join(cd, col("q") =!= col("nb2"))
+          .withColumn("dot", Similarity.dotLong(col("_q"), col("_qb")))
+          .groupBy(col("q"))
+          .agg(max_by(col("nb2"), struct(col("dot"), -col("nb2"))).as("nb2"))
+          .localCheckpoint()
+      }
+      def measure(table: String, cm: Array[Array[Long]], nProbe: Int,
+                  label: String): Unit = {
+        val top1 = t(s"annrecall probe $label") {
+          AnnIndex.probeIvf(spark, table, queries, k = 1, nProbe = nProbe,
+              centroids = cm)
+            .select(col("vec_id").as("q"), col("nb")).localCheckpoint()
+        }
+        val agree = top1.join(brute, Seq("q"))
+          .where(col("nb") === col("nb2")).count()
+        println(f"[mlbench] annrecall $label: top-1 recall $agree/$nq " +
+          f"= ${agree * 100.0 / nq}%.1f%%")
+      }
+      for (cells <- Seq(64, 256, 1024)) {
+        val cm = Similarity.ivfCentroids(cells, dim)
+        val db = s"graft_mlannr_${cells}_${System.nanoTime}"
+        spark.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
+        t(s"annrecall writeIvf cells=$cells") {
+          AnnIndex.writeIvf(emb, s"$db.ivf", cm, buckets = 32)
+        }
+        val probes = if (cells == 256) Seq(1, 2, 4, 8, 16) else Seq(4)
+        for (np <- probes) measure(s"$db.ivf", cm, np, s"cells=$cells nProbe=$np")
+      }
     }
     spark.stop()
   }
