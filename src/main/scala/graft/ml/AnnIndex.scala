@@ -211,7 +211,15 @@ object AnnIndex {
     * literals), explode, and equi-join the bucketed index on `_cell` —
     * zero exchange on the index side (pinned in PlanContractSpec). Same
     * semantics as `ivfTopK` with these centroids when the queries are
-    * the indexed corpus itself (self-matches are excluded). */
+    * the indexed corpus itself (self-matches are excluded).
+    *
+    * Recall knob, measured (BASELINE.md round11-ann-recall-knob, 2M x
+    * 64-dim): at a cell count matched to the data's cluster scale,
+    * top-1 recall was 78/94/99.4/100% for nProbe 1/2/4/8 with the
+    * probe wall FLAT to nProbe=4 (fixed costs dominate) — buy recall
+    * with nProbe first; raising the cell count instead cuts per-cell
+    * scan cost but loses recall at fixed nProbe and pays O(cells)
+    * per-row build cost. */
   def probeIvf(spark: SparkSession, table: String, queries: DataFrame,
                k: Int, nProbe: Int, centroids: Array[Array[Long]] = null,
                idCol: String = "vec_id", vecCol: String = "embedding",
