@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   *     string verify-key A/B with byte footprints and an output
   *     identity check; recall the banding-knob coverage/wall sweep;
   *     simhash the guard-exactness run; annrecall the IVF nProbe/cell
-  *     recall-vs-wall sweep). "all" covers the per-round soak set, not
-  *     starab/recall/annrecall, which are targeted studies.
+  *     recall-vs-wall sweep; serve the streaming index-serve throughput
+  *     run). "all" covers the per-round soak set, not
+  *     starab/recall/annrecall/serve, which are targeted studies.
   */
 object MlBench {
 
@@ -52,8 +53,14 @@ object MlBench {
         lit(2000000000000L) + pmod(xxhash64(col("doc_id"), lit("c")), lit(nMed)))
       .otherwise(
         lit(3000000000000L) + pmod(xxhash64(col("doc_id"), lit("c")), lit(nMega)))
+    // partitions scale with the corpus, not just cores: at 16M docs the
+    // 1-per-core local default made 452 MiB localCheckpoint blocks that
+    // starved the unified pool (BASELINE.md round11-star-16m-ceiling) —
+    // cap blocks near 64 MiB (~300 B/doc => ~200k docs/partition)
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      (n / 200000L).toInt)
     spark.range(n).select(col("id").as("doc_id"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(parts)
       .withColumn("cluster", cluster)
       .withColumn("text", concat_ws(" ",
         transform(sequence(lit(0), lit(39)), i =>
@@ -103,7 +110,7 @@ object MlBench {
     val nDocs = args.headOption.map(_.toLong).getOrElse(2000000L)
     val modes = { val m = args.drop(1).toSet; if (m.isEmpty) Set("all") else m }
     def on(m: String) = modes.contains(m) ||
-      (modes.contains("all") && !Set("starab", "recall", "annrecall").contains(m))
+      (modes.contains("all") && !Set("starab", "recall", "annrecall", "serve").contains(m))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -381,6 +388,77 @@ object MlBench {
       val agree = top1.join(brute, Seq("q"))
         .where(col("nb") === col("nb2")).count()
       println(f"[mlbench] ann top-1 recall: $agree/$nq = ${agree * 100.0 / nq}%.1f%%")
+    }
+    if (on("serve")) {
+      // streaming index-serve throughput: the q113/q120 shape at soak
+      // scale. 95% of the corpus is indexed (writeLsh); the other 5%
+      // arrives as a file stream in ~10 micro-batches (AvailableNow +
+      // maxFilesPerTrigger) and probes the bucketed index per batch.
+      // Run 1: band-hit generation only (noop sink) — the index-serve
+      // hot path. Run 2: + per-batch exact-Jaccard verify against a
+      // PREBUILT doc->distinct-shingle-array sidecar (the production
+      // design: verify state is precomputed next to the index, not
+      // re-shingled per batch), with a keeper verdict per candidate.
+      import graft.ml.{Dedup, DedupIndex, TextOps}
+      // modulo split so the 5% stream mirrors the corpus mix (a range
+      // split would make the stream ALL template docs — doc_id ranges
+      // encode cluster type)
+      val idxDocs = docs.where(pmod(col("doc_id"), lit(20)) =!= 0)
+      val streamDocs = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+      val nIdx = nDocs - nDocs / 20
+      val nStream = streamDocs.count()
+      val db = s"graft_mlserve_${System.nanoTime}"
+      spark.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
+      t(s"serve writeLsh (${nIdx} docs, 32 buckets)") {
+        DedupIndex.writeLsh(idxDocs, s"$db.lsh", buckets = 32)
+      }
+      val arrs = t("serve shingle-array sidecar (full corpus)") {
+        docs.select(col("doc_id"),
+            array_distinct(TextOps.wordShingles(col("text"), 3)).as("_shs"))
+          .where(size(col("_shs")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      arrs.count()
+      val dirS = s"/tmp/graft_mlserve_stream_${System.nanoTime}"
+      streamDocs.repartition(20).write.parquet(dirS)
+      val schema = spark.read.parquet(dirS).schema
+      def source() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(dirS)
+      val hitRows = new java.util.concurrent.atomic.AtomicLong
+      val t0 = System.nanoTime()
+      val q1 = DedupIndex.probeStream(spark, s"$db.lsh", source())
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) => hitRows.addAndGet(b.count()); () }
+        .start()
+      q1.awaitTermination()
+      val w1 = (System.nanoTime() - t0) / 1e9
+      println(f"[mlbench] serve probe-only: $nStream docs in $w1%.1fs = " +
+        f"${nStream / w1}%.0f docs/s, band-hit rows=${hitRows.get}")
+      val cands = new java.util.concurrent.atomic.AtomicLong
+      val keeps = new java.util.concurrent.atomic.AtomicLong
+      val t1 = System.nanoTime()
+      val q2 = DedupIndex.probeStream(spark, s"$db.lsh", source())
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val cand = b.select(col("a"), col("b")).distinct()
+          val v = cand
+            .join(arrs.select(col("doc_id").as("a"), col("_shs").as("_sa")), Seq("a"))
+            .join(arrs.select(col("doc_id").as("b"), col("_shs").as("_sb")), Seq("b"))
+            .select(size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("ni"),
+              (size(col("_sa")) + size(col("_sb"))).cast("long").as("nn"))
+            .agg(count(lit(1)), sum(when(col("ni") * 100 >= (col("nn") - col("ni")) * 50, 1L)
+              .otherwise(0L))).head
+          cands.addAndGet(v.getLong(0)); keeps.addAndGet(v.getLong(1)); ()
+        }
+        .start()
+      q2.awaitTermination()
+      val w2 = (System.nanoTime() - t1) / 1e9
+      println(f"[mlbench] serve probe+verify: $nStream docs in $w2%.1fs = " +
+        f"${nStream / w2}%.0f docs/s, candidates=${cands.get}, " +
+        s"verified-dup=${keeps.get}")
+      arrs.unpersist()
     }
     if (on("annrecall")) {
       // the ANN twin of the `recall` banding sweep: recall-vs-wall
