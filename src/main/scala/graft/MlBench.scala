@@ -84,7 +84,7 @@ object MlBench {
     val r = members
       .join(labels.select(col("doc_id"), col("comp")), Seq("doc_id"), "left")
       .agg(count(lit(1)), count(col("comp")), countDistinct(col("cluster")),
-        countDistinct(col("comp"))).head
+        countDistinct(col("comp"))).head()
     println(f"[mlbench] $what vs truth: members=${r.getLong(0)} " +
       f"clustered=${r.getLong(1)} (${r.getLong(1) * 100.0 / r.getLong(0)}%.2f%%), " +
       s"true clusters=${r.getLong(2)}, comps over true members=${r.getLong(3)}")
@@ -138,7 +138,7 @@ object MlBench {
     }
     val docs = corpus(spark, nDocs).localCheckpoint()
     val stats = docs.agg(count(lit(1)), sum(length(col("text"))),
-      countDistinct(col("cluster"))).head
+      countDistinct(col("cluster"))).head()
     println(s"[mlbench] corpus: ${stats.getLong(0)} docs, " +
       f"${stats.getLong(1) / 1e6}%.0f MB text, ${stats.getLong(2)} true clusters")
 
@@ -149,7 +149,7 @@ object MlBench {
           graft.ml.Dedup.duplicateClusters(docs, strategy = "buckets",
             secondChance = sc).localCheckpoint()
         }
-        val cnt = cb.agg(count(lit(1)), countDistinct(col("comp"))).head
+        val cnt = cb.agg(count(lit(1)), countDistinct(col("comp"))).head()
         println(s"[mlbench] buckets(sc=$sc) nodes: ${cnt.getLong(0)}, " +
           s"clusters: ${cnt.getLong(1)}")
         truthCoverage(docs, cb, s"buckets(sc=$sc) @$nDocs")
@@ -169,7 +169,7 @@ object MlBench {
       val cc = t(s"duplicateClusters strategy=pairs @$nPairsDocs") {
         graft.ml.Dedup.duplicateClusters(small).localCheckpoint()
       }
-      val ccCnt = cc.agg(count(lit(1)), countDistinct(col("comp"))).head
+      val ccCnt = cc.agg(count(lit(1)), countDistinct(col("comp"))).head()
       println(s"[mlbench] pairs-mode nodes: ${ccCnt.getLong(0)}, clusters: ${ccCnt.getLong(1)}")
       truthCoverage(small, cc, s"pairs @$nPairsDocs")
       for (sc <- Seq(false, true)) {
@@ -177,7 +177,7 @@ object MlBench {
           graft.ml.Dedup.duplicateClusters(small, strategy = "buckets",
             secondChance = sc).localCheckpoint()
         }
-        val cnt = cbs.agg(count(lit(1)), countDistinct(col("comp"))).head
+        val cnt = cbs.agg(count(lit(1)), countDistinct(col("comp"))).head()
         println(s"[mlbench] buckets(sc=$sc) nodes: ${cnt.getLong(0)}, " +
           s"clusters: ${cnt.getLong(1)}")
         truthCoverage(small, cbs, s"buckets(sc=$sc) @$nPairsDocs")
@@ -185,7 +185,7 @@ object MlBench {
         // strategy also clusters (target >= 95%)
         val ov = cc.select(col("doc_id"))
           .join(cbs.select(col("doc_id"), lit(1).as("_in")), Seq("doc_id"), "left")
-          .agg(count(lit(1)), count(col("_in"))).head
+          .agg(count(lit(1)), count(col("_in"))).head()
         println(f"[mlbench] buckets(sc=$sc) covers ${ov.getLong(1)}/${ov.getLong(0)} " +
           f"= ${ov.getLong(1) * 100.0 / ov.getLong(0)}%.2f%% of pairs-mode members")
       }
@@ -204,7 +204,7 @@ object MlBench {
         val r = docs.join(t2, Seq("cluster"))
           .select(col("doc_id"))
           .join(cb.select(col("doc_id"), col("comp")), Seq("doc_id"), "left")
-          .agg(count(lit(1)), count(col("comp"))).head
+          .agg(count(lit(1)), count(col("comp"))).head()
         println(f"[mlbench] star sc=true vs truth: ${r.getLong(1)}/${r.getLong(0)} " +
           f"= ${r.getLong(1) * 100.0 / r.getLong(0)}%.2f%%")
       }
@@ -253,7 +253,7 @@ object MlBench {
             numHashes = nh, bandSize = bs, secondChance = true)
             .localCheckpoint()
         }
-        val cnt = cb.agg(count(lit(1)), countDistinct(col("comp"))).head
+        val cnt = cb.agg(count(lit(1)), countDistinct(col("comp"))).head()
         println(s"[mlbench] recall nh=$nh bs=$bs nodes: ${cnt.getLong(0)}, " +
           s"clusters: ${cnt.getLong(1)}")
         truthCoverage(docs, cb, s"recall nh=$nh bs=$bs @$nDocs")
@@ -310,7 +310,7 @@ object MlBench {
       }
       val skew = spark.table(s"$db.lsh")
         .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
-        .agg(max(col("n")), expr("approx_percentile(n, 0.99)"), count(lit(1))).head
+        .agg(max(col("n")), expr("approx_percentile(n, 0.99)"), count(lit(1))).head()
       println(s"[mlbench] band-bucket skew: max=${skew.getLong(0)}, " +
         s"p99=${skew.get(1)}, buckets=${skew.getLong(2)}")
       val probed = t("probeLsh (5% batch)") {
@@ -449,7 +449,7 @@ object MlBench {
             .select(size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("ni"),
               (size(col("_sa")) + size(col("_sb"))).cast("long").as("nn"))
             .agg(count(lit(1)), sum(when(col("ni") * 100 >= (col("nn") - col("ni")) * 50, 1L)
-              .otherwise(0L))).head
+              .otherwise(0L))).head()
           cands.addAndGet(v.getLong(0)); keeps.addAndGet(v.getLong(1)); ()
         }
         .start()
