@@ -199,6 +199,9 @@ object MlBench {
           graft.ml.Dedup.duplicateClusters(docs, strategy = "buckets",
             secondChance = true).localCheckpoint()
         }
+        // record which verify representation the auto dispatch picked
+        println(s"[mlbench] star sizing decision: " +
+          s"${graft.core.Sizing.lastDecision.get()}")
         val t2 = docs.groupBy(col("cluster")).agg(count(lit(1)).as("_n"))
           .where(col("_n") >= 2).select(col("cluster"))
         val r = docs.join(t2, Seq("cluster"))

@@ -102,19 +102,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Verify-join representation dispatch (spark.graft.dedup.verifyKey).
+    * "auto" (default) follows the caller's leaf-bytes gate — the same
+    * Sizing.decide that governs the shingle persist: ARRAYS above it
+    * (one distinct-shingle array per pair side, scalar intersect — the
+    * scale path: -46% shuffle / -85% spill at 2M-8M docs with walls at
+    * parity, BASELINE.md round11-star-array-ab), row-explosion STRINGS
+    * below it (measured ~2x faster steady at suite scale, where
+    * per-row array handling dominates and footprint is irrelevant —
+    * interleaved q24 Profile A/B, round11). "array"/"string" force a
+    * spelling; outputs are bit-identical in every mode (OpsSpec A/Bs +
+    * the 2M/4M starab identity check), so the dispatch can never
+    * change results. In-memory frames without leaf stats default to
+    * Long.MaxValue size and so read as big -> arrays, the right call
+    * for checkpointed soak corpora. */
+  private[ml] def verifyArrays(big: Boolean): Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.dedup.verifyKey", "auto") match {
+      case "array" => true
+      case "string" => false
+      case _ => big
+    }
+
   /** Exact shingle-set Jaccard for candidate pairs: returns (a, b,
     * n_intersect, n_union) — integer-valued so the similarity is exact.
     * `docs` must carry (idCol, textCol). */
   def pairJaccard(docs: DataFrame, candidates: DataFrame,
                   textCol: String = "text", idCol: String = "doc_id",
                   shingleK: Int = 3): DataFrame = {
-    // array verify (the nearDuplicateBucketEdges scale finding: one
-    // distinct-shingle array per pair side, scalar intersect, no
-    // groupBy re-shuffle); "string" keeps the row-explosion control.
+    // representation via [[verifyArrays]] (auto = this leaf-bytes gate).
     // Zero-intersection candidates surface with n_intersect=0 in both
     // spellings; candidates whose doc has no shingles drop in both.
-    val useArrays = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.dedup.verifyKey", "array") != "string"
+    val useArrays = verifyArrays(
+      graft.core.Sizing.decide("pairJaccardShingles", 64L << 20, docs))
     if (useArrays) {
       val arr = graft.core.Sizing.fanOutSmallScan(docs)
         .select(col(idCol),
@@ -164,14 +184,9 @@ object Dedup {
     // Gated on LEAF scan bytes (Sizing), not the derived-plan estimate,
     // which swings 2-5x with projection width (round-2 reconciliation).
     val big = graft.core.Sizing.decide("nearDupShingles", 64L << 20, docs)
-    // verify-join representation — same dispatch and A/B control as
-    // [[nearDuplicateBucketEdges]] (spark.graft.dedup.verifyKey):
-    // "array" ships one distinct-shingle array per candidate side and
-    // intersects in place (measured -46% shuffle / -85% spill on the
-    // star soak's identical join shape); "string" is the row-explosion
-    // legacy control.
-    val useArrays = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.dedup.verifyKey", "array") != "string"
+    // verify-join representation via [[verifyArrays]]: auto follows the
+    // same leaf-bytes gate as the persist above.
+    val useArrays = verifyArrays(big)
     def pin(d: DataFrame): DataFrame =
       if (big) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else d
@@ -700,30 +715,23 @@ object Dedup {
                                bandSize: Int = 1, shingleK: Int = 3,
                                minJaccardPct: Int = 50,
                                secondChance: Boolean = true): DataFrame = {
-    // Shingle representation for the verify joins —
-    // spark.graft.dedup.verifyKey:
-    //   "array" (default): ONE row per doc carrying its distinct
-    //     shingle ARRAY, computed map-side (array_distinct replaces the
-    //     global (id, sh) distinct shuffle); each verify join ships one
-    //     array row per edge side and the intersection is a scalar
-    //     array_intersect — no post-join groupBy at all. This is the
-    //     scale path: the row-explosion verify was the operator's
-    //     widest shuffle (~38 rows per edge side + an equally wide
-    //     groupBy re-shuffle; the 8M star soak died on /tmp disk inside
-    //     it, BASELINE.md round10-star-8m-ceiling).
-    //   "string": the round-10 row-explosion verify, kept as the
-    //     bit-identical A/B control (BASELINE.md round11 soak rows).
-    // A third variant — row explosion keyed by a 128-bit xxhash64
-    // digest pair — was built and MEASURED WORSE than the strings it
-    // replaced (18.73 vs 15.27 GB shuffle written at 2M docs: lz4
-    // compresses repetitive shingle text ~3x while random digests are
-    // incompressible), so it was dropped; the soak row records it.
-    val useArrays = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.dedup.verifyKey", "array") != "string"
+    // Shingle representation for the verify joins: [[verifyArrays]]
+    // (auto follows the leaf-bytes gate below). ARRAY mode is the scale
+    // path here — the row-explosion verify was the operator's widest
+    // shuffle (~38 rows per edge side + an equally wide groupBy
+    // re-shuffle; the 8M star soak died on /tmp disk inside it,
+    // BASELINE.md round10-star-8m-ceiling, removed by arrays in
+    // round11-star-8m). A third variant — row explosion keyed by a
+    // 128-bit xxhash64 digest pair — was built and MEASURED WORSE than
+    // the strings it replaced (18.73 vs 15.27 GB shuffle written at 2M
+    // docs: lz4 compresses repetitive shingle text ~3x while random
+    // digests are incompressible), so it was dropped; the soak row
+    // records it.
     // one tokenize+shingle pass shared by signature AND verification —
     // the nearDuplicatePairs structure (persist gate, ns riding the
     // banded rows, inner-join verify; see the comments there)
     val big = graft.core.Sizing.decide("bucketEdgeShingles", 64L << 20, docs)
+    val useArrays = verifyArrays(big)
     val shsPersisted = big || secondChance
     def pin(d: DataFrame): DataFrame =
       if (shsPersisted)
