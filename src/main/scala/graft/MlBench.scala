@@ -136,6 +136,13 @@ object MlBench {
       println(f"[mlbench] $what: ${(System.nanoTime() - t0) / 1e9}%.1fs")
       r
     }
+    // the checkpointed synthetic corpus inherits range-leaf stats
+    // (~22 B/doc vs ~300 B real), so the auto verify dispatch would
+    // trip its 64 MB gate ~14x late — pin the scale path the soaks
+    // exist to measure, unless a SPARK_GRAFT_CONF override already
+    // chose (the starab A/B sets both spellings explicitly)
+    if (spark.conf.getOption("spark.graft.dedup.verifyKey").isEmpty)
+      spark.conf.set("spark.graft.dedup.verifyKey", "array")
     val docs = corpus(spark, nDocs).localCheckpoint()
     val stats = docs.agg(count(lit(1)), sum(length(col("text"))),
       countDistinct(col("cluster"))).head()

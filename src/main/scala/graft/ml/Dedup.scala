@@ -113,9 +113,12 @@ object Dedup {
     * interleaved q24 Profile A/B, round11). "array"/"string" force a
     * spelling; outputs are bit-identical in every mode (OpsSpec A/Bs +
     * the 2M/4M starab identity check), so the dispatch can never
-    * change results. In-memory frames without leaf stats default to
-    * Long.MaxValue size and so read as big -> arrays, the right call
-    * for checkpointed soak corpora. */
+    * change results. Caveat for non-file frames: a checkpointed frame
+    * inherits its ORIGINAL leaves' stats (a range-built synthetic
+    * corpus reads ~22 B/row, underestimating real text ~14x), so the
+    * gate trips late there — force "array" for in-memory corpora you
+    * know are big (the soak harness does); parquet-backed corpora, the
+    * production case, report true scan bytes. */
   private[ml] def verifyArrays(big: Boolean): Boolean =
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.dedup.verifyKey", "auto") match {
