@@ -39,6 +39,80 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("checkpoint restart: file-sink resume is exactly-once across two runs") {
+    // every other streaming test is one uninterrupted pass; production
+    // streams RESTART, and exactly-once across a restart rests on the
+    // offset log + file-sink commit log in the checkpoint. Two
+    // sequential AvailableNow runs share one checkpoint; files added
+    // in between must be processed exactly once and earlier files not
+    // reprocessed.
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_").toString
+    val src = s"$base/src"; val sink = s"$base/sink"; val chk = s"$base/chk"
+    val docs = Tables.pq(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .localCheckpoint()
+    docs.where(col("doc_id") % 2 === 0).write.parquet(s"$src/p=a")
+    val schema = spark.read.parquet(s"$src/p=a").schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$src/p=*")
+        .withColumn("toks", size(graft.ml.TextOps.tokens(col("text"))))
+        .select(col("doc_id"), col("toks"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(sink).count()
+    docs.where(col("doc_id") % 2 =!= 0).write.parquet(s"$src/p=b")
+    runOnce()
+    val got = spark.read.parquet(sink)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val want = docs
+      .withColumn("toks", size(graft.ml.TextOps.tokens(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    assert(afterFirst == want.size / 2 + want.size % 2)
+    assert(got.size == want.size, s"exactly-once violated: ${got.size} vs ${want.size}")
+    assert(got.toSet == want.toSet)
+  }
+
+  test("checkpoint restart: flatMapGroupsWithState recovers open-island state") {
+    // the stateful analog: an island left OPEN by run 1 lives only in
+    // the state store; run 2 (same checkpoint) must close it from
+    // recovered state when a later interval arrives. Losing state
+    // silently drops the island — the classic restart bug this pins.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_restate_").toString
+    val src = s"$base/src"; val sink = s"$base/sink"; val chk = s"$base/chk"
+    Seq(StreamingOps.InInterval("c", 1, 5), StreamingOps.InInterval("c", 4, 9))
+      .toDS().write.parquet(s"$src/p=a")
+    val schema = spark.read.parquet(s"$src/p=a").schema
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(s"$src/p=*")
+        .as[StreamingOps.InInterval]
+      val q = StreamingOps.streamingMerge(in)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 0)  // [1,9) still open, in state
+    Seq(StreamingOps.InInterval("c", 50, 60), StreamingOps.InInterval("c", 100, 110))
+      .toDS().write.parquet(s"$src/p=b")
+    runOnce()
+    val closed = spark.read.parquet(sink).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // run 2 closes BOTH the recovered [1,9) island (n=2) and [50,60)
+    // (n=1, closed by 100's arrival); [100,110) stays open
+    assert(closed == Set(("c", 1L, 9L, 2L), ("c", 50L, 60L, 1L)),
+      s"state not recovered across restart: $closed")
+  }
+
   test("tileCoverage compiles to a streaming windowed agg and runs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
