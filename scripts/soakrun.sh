@@ -11,6 +11,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS -XX:+UseParallelGC "-Xmx${SPARK_DRIVER_MEM:-24g}" \
-  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+# honor the same env overrides build.sbt honors, or A/Bs recorded as
+# same-engine would silently diverge (GC choice, bin size)
+BINSIZE_FLAG=""
+[ -n "$SPARK_GRAFT_BINSIZE" ] && BINSIZE_FLAG="-Dspark.graft.join.binSize=$SPARK_GRAFT_BINSIZE"
+exec java $OPENS "-XX:+Use${SPARK_GRAFT_GC:-Parallel}GC" "-Xmx${SPARK_DRIVER_MEM:-24g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC $BINSIZE_FLAG \
   -cp "/opt/spark/jars/*:$CLASSES" graft.MlBench "$@"

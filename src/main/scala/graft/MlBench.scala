@@ -91,7 +91,12 @@ object MlBench {
   }
 
   /** Cumulative per-stage IO counters for soak footprint deltas. Reads
-    * briefly sleep first so the async listener bus drains. */
+    * briefly sleep first so the async listener bus drains. KNOWN
+    * LIMIT: the 3 s drain is heuristic (the bus's waitUntilEmpty is
+    * private[spark]); a straggler stage-completed event could land in
+    * the next run's delta. Acceptable for the A/Bs this serves — the
+    * measured gaps (8 vs 15 GB, 17 vs 31 GB) are orders above any
+    * single tail stage — but do not reuse this for sub-GB deltas. */
   private class IoListener extends org.apache.spark.scheduler.SparkListener {
     private val sw = new java.util.concurrent.atomic.AtomicLong
     private val spill = new java.util.concurrent.atomic.AtomicLong
@@ -229,6 +234,10 @@ object MlBench {
     if (on("starab")) {
       val io = new IoListener
       spark.sparkContext.addSparkListener(io)
+      // restore the session's pin afterwards — unsetting would drop
+      // later modes in the same invocation to "auto", which the
+      // stat-starved checkpoint corpus resolves to the string path
+      val priorKey = spark.conf.getOption("spark.graft.dedup.verifyKey")
       var first = Map.empty[String, DataFrame]
       for (i <- 1 to 2; key <- Seq("array", "string")) {
         spark.conf.set("spark.graft.dedup.verifyKey", key)
@@ -242,7 +251,10 @@ object MlBench {
           f"spill=${(sp1 - sp0) / 1e9}%.2f GB")
         if (i == 1) first += key -> cb
       }
-      spark.conf.unset("spark.graft.dedup.verifyKey")
+      priorKey match {
+        case Some(k) => spark.conf.set("spark.graft.dedup.verifyKey", k)
+        case None => spark.conf.unset("spark.graft.dedup.verifyKey")
+      }
       val d = first("array"); val s = first("string")
       val extra = d.except(s).count(); val missing = s.except(d).count()
       println(s"[mlbench] starab identity: array-vs-string extra=$extra " +
@@ -458,8 +470,11 @@ object MlBench {
             .join(arrs.select(col("doc_id").as("b"), col("_shs").as("_sb")), Seq("b"))
             .select(size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("ni"),
               (size(col("_sa")) + size(col("_sb"))).cast("long").as("nn"))
-            .agg(count(lit(1)), sum(when(col("ni") * 100 >= (col("nn") - col("ni")) * 50, 1L)
-              .otherwise(0L))).head()
+            .agg(count(lit(1)),
+              // coalesce: sum() is NULL on an empty micro-batch and
+              // getLong would crash the stream
+              coalesce(sum(when(col("ni") * 100 >= (col("nn") - col("ni")) * 50, 1L)
+                .otherwise(0L)), lit(0L))).head()
           cands.addAndGet(v.getLong(0)); keeps.addAndGet(v.getLong(1)); ()
         }
         .start()

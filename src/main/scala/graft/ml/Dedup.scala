@@ -124,7 +124,12 @@ object Dedup {
       .getConfString("spark.graft.dedup.verifyKey", "auto") match {
       case "array" => true
       case "string" => false
-      case _ => big
+      case "auto" => big
+      case other =>
+        // reject typos loudly: a forced A/B silently falling back to
+        // the auto gate would measure the WRONG path
+        throw new IllegalArgumentException(
+          s"spark.graft.dedup.verifyKey must be auto|array|string, got '$other'")
     }
 
   /** Exact shingle-set Jaccard for candidate pairs: returns (a, b,
@@ -243,29 +248,42 @@ object Dedup {
     // difference is minJaccardPct=0 with bandSize>1 — callers wanting
     // the raw LSH candidate set there should read `cand` semantics,
     // not this verified-Jaccard output.
-    if (useArrays)
-      // the n_intersect > 0 filter mirrors the string path's inner
-      // join, which silently drops zero-intersection candidates — the
-      // two spellings stay bit-identical, caveat included
-      cand
-        .join(docArr.select(col(idCol).as("a"), col("_shs").as("_sa")), Seq("a"))
-        .join(docArr.select(col(idCol).as("b"), col("_shs").as("_sb")), Seq("b"))
-        .select(col("a"), col("b"),
-          size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("n_intersect"),
-          col("nsa"), col("nsb"))
-        .filter(col("n_intersect") > 0)
+    val result =
+      if (useArrays)
+        // the n_intersect > 0 filter mirrors the string path's inner
+        // join, which silently drops zero-intersection candidates — the
+        // two spellings stay bit-identical, caveat included
+        cand
+          .join(docArr.select(col(idCol).as("a"), col("_shs").as("_sa")), Seq("a"))
+          .join(docArr.select(col(idCol).as("b"), col("_shs").as("_sb")), Seq("b"))
+          .select(col("a"), col("b"),
+            size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("n_intersect"),
+            col("nsa"), col("nsb"))
+          .filter(col("n_intersect") > 0)
+          .select(col("a"), col("b"), col("n_intersect"),
+            (col("nsa") + col("nsb") - col("n_intersect")).as("n_union"))
+          .filter(col("n_intersect") * 100 >= col("n_union") * minJaccardPct)
+      else cand
+        .join(dsh.select(col(idCol).as("a"), col("sh")), Seq("a"))
+        .join(dsh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_intersect"),
+          min(col("nsa")).as("nsa"), min(col("nsb")).as("nsb"))
         .select(col("a"), col("b"), col("n_intersect"),
           (col("nsa") + col("nsb") - col("n_intersect")).as("n_union"))
         .filter(col("n_intersect") * 100 >= col("n_union") * minJaccardPct)
-    else cand
-      .join(dsh.select(col(idCol).as("a"), col("sh")), Seq("a"))
-      .join(dsh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_intersect"),
-        min(col("nsa")).as("nsa"), min(col("nsb")).as("nsb"))
-      .select(col("a"), col("b"), col("n_intersect"),
-        (col("nsa") + col("nsb") - col("n_intersect")).as("n_union"))
-      .filter(col("n_intersect") * 100 >= col("n_union") * minJaccardPct)
+    if (!big) result
+    else {
+      // same leaked-persist hygiene as nearDuplicateBucketEdges: pin
+      // the (filtered, far smaller) output, then free the shingle
+      // cache — a leaked persist both accumulates block-manager state
+      // across calls AND silently substitutes into any later query
+      // sharing the docs->shingles subtree (the q24 audit-corruption
+      // lesson, PLANS.md audit-hygiene note)
+      val out = result.localCheckpoint()
+      (if (useArrays) docArr else dsh).unpersist()
+      out
+    }
   }
 
   /** 60-bit SimHash over whitespace tokens: per token take the first 15
@@ -792,6 +810,10 @@ object Dedup {
           .join(docArr.select(col(idCol).as("b"), col("_shs").as("_sb")), Seq("b"))
           .select(col("a"), col("b"), col("nsa"), col("nsb"),
             size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("_ni"))
+          // mirror the string path's inner join, which drops
+          // zero-intersection edges — keeps the two spellings
+          // bit-identical even at minJaccardPct=0
+          .filter(col("_ni") > 0)
       else
         e.join(dsh.select(col(idCol).as("a"), col("sh")), Seq("a"))
           .join(dsh.select(col(idCol).as("b"), col("sh")), Seq("b", "sh"))

@@ -110,7 +110,10 @@ object Indexes {
     // driver/executor budget; beyond that the takedown list behaves
     // like a second corpus and must shuffle
     val gate = maxBroadcastDeleteIds(spark)
-    val broadcastable = del.limit((gate + 1).toInt).count() <= gate
+    // saturate: a conf >= Int.MaxValue means "always broadcast", and
+    // (gate + 1).toInt would otherwise go negative and crash limit()
+    val probe = if (gate >= Int.MaxValue - 1) Int.MaxValue else (gate + 1).toInt
+    val broadcastable = del.limit(probe).count() <= gate
     rewriteBucketedTable(spark, table,
       df =>
         if (broadcastable)
