@@ -597,6 +597,17 @@ class PlanContractSpec extends AnyFunSuite {
     val lshNoop = DedupIndex.probeLsh(spark, s"$db.lsh", batch)
       .collect().map(_.toSeq).toSet
     assert(lshNoop == lshDel)
+    // and the opposite extreme: a gate >= Int.MaxValue means "always
+    // broadcast" and must SATURATE the probe limit, not overflow it to
+    // a negative limit() (regression: (gate+1).toInt went negative)
+    spark.conf.set("spark.graft.index.maxBroadcastDeleteIds",
+      Long.MaxValue.toString)
+    try DedupIndex.deleteByIds(spark, s"$db.lsh",
+      Seq(-3L).toDF("doc_id"))
+    finally spark.conf.unset("spark.graft.index.maxBroadcastDeleteIds")
+    val lshNoop2 = DedupIndex.probeLsh(spark, s"$db.lsh", batch)
+      .collect().map(_.toSeq).toSet
+    assert(lshNoop2 == lshDel)
   }
 
   test("forced-gate audit: every Sizing-gated query keeps the plan invariants above-gate") {
