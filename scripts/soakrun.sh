@@ -15,6 +15,9 @@ done
 # same-engine would silently diverge (GC choice, bin size)
 BINSIZE_FLAG=""
 [ -n "$SPARK_GRAFT_BINSIZE" ] && BINSIZE_FLAG="-Dspark.graft.join.binSize=$SPARK_GRAFT_BINSIZE"
+# SOAKRUN_EXTRA_JVM: extra -D/-XX flags for one-off A/Bs (e.g. a
+# compression-codec study) without editing the script
 exec java $OPENS "-XX:+Use${SPARK_GRAFT_GC:-Parallel}GC" "-Xmx${SPARK_DRIVER_MEM:-24g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC $BINSIZE_FLAG \
+  $SOAKRUN_EXTRA_JVM \
   -cp "/opt/spark/jars/*:$CLASSES" graft.MlBench "$@"

@@ -206,11 +206,18 @@ object MlBench {
     // narrow A/B mode: ONLY the full-scale second-chance star run —
     // for interleaved perf comparisons without the 500k pairs block
     if (on("star")) {
+      val io = new IoListener
+      spark.sparkContext.addSparkListener(io)
       for (i <- 1 to 2) {
+        val (sw0, sp0) = io.snap()
         val cb = t(s"star run $i: buckets secondChance=true @$nDocs") {
           graft.ml.Dedup.duplicateClusters(docs, strategy = "buckets",
             secondChance = true).localCheckpoint()
         }
+        val (sw1, sp1) = io.snap()
+        println(f"[mlbench] star run $i footprint: " +
+          f"shuffleWrite=${(sw1 - sw0) / 1e9}%.2f GB spill=${(sp1 - sp0) / 1e9}%.2f GB " +
+          s"codec=${spark.sparkContext.getConf.get("spark.io.compression.codec", "lz4")}")
         // record which verify representation the auto dispatch picked
         println(s"[mlbench] star sizing decision: " +
           s"${graft.core.Sizing.lastDecision.get()}")
