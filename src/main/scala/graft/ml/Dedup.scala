@@ -903,7 +903,14 @@ object Dedup {
     * `bandSize` to compensate: bandSize=2 at numHashes=8 costs the
     * same and DROPS coverage below the 4-hash baseline (91.7%), since
     * the within-band AND suppresses recall faster than the extra
-    * hashes restore it. */
+    * hashes restore it.
+    *
+    * Disk-bound deployments: `spark.io.compression.codec=zstd` (a
+    * STATIC conf — set at launch) halves this pipeline's shuffle/spill
+    * footprint for ~16% wall (BASELINE.md round11-shuffle-codec); it
+    * is what took the 16M-doc single-host soak from detonation to
+    * completion. Coverage is measured scale-stable 500k -> 16M (32x)
+    * at 93.24-93.34%. */
   def duplicateClusters(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", numHashes: Int = 4,
                         bandSize: Int = 1, shingleK: Int = 3,
