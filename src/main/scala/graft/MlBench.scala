@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   *     identity check; recall the banding-knob coverage/wall sweep;
   *     simhash the guard-exactness run; annrecall the IVF nProbe/cell
   *     recall-vs-wall sweep; serve the streaming index-serve throughput
-  *     run). "all" covers the per-round soak set, not
-  *     starab/recall/annrecall/serve, which are targeted studies.
+  *     run; paradedup the paragraph-dedup + shard-export soak with a
+  *     width-invariance identity check). "all" covers the per-round
+  *     soak set, not starab/recall/annrecall/serve/paradedup, which
+  *     are targeted studies.
   */
 object MlBench {
 
@@ -115,7 +117,8 @@ object MlBench {
     val nDocs = args.headOption.map(_.toLong).getOrElse(2000000L)
     val modes = { val m = args.drop(1).toSet; if (m.isEmpty) Set("all") else m }
     def on(m: String) = modes.contains(m) ||
-      (modes.contains("all") && !Set("starab", "recall", "annrecall", "serve").contains(m))
+      (modes.contains("all") &&
+        !Set("starab", "recall", "annrecall", "serve", "paradedup").contains(m))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -546,6 +549,81 @@ object MlBench {
         }
         val probes = if (cells == 256) Seq(1, 2, 4, 8, 16) else Seq(4)
         for (np <- probes) measure(s"$db.ivf", cm, np, s"cells=$cells nProbe=$np")
+      }
+    }
+
+    if (on("paradedup")) {
+      // paragraph-structured twin of the corpus: 8 paragraphs of 5
+      // tokens per doc — cluster members share most paragraphs VERBATIM
+      // (the ~5% token mutation leaves ~3/4 of 5-token paragraphs
+      // untouched), so the winner fold sees real duplication AND real
+      // skew: a mega-cluster paragraph recurs ~3000 times, a medium one
+      // ~300, the unique tail almost never. That is exactly the
+      // distribution the map-side-partial min(struct) fold exists for.
+      val ws = split(trim(col("text")), "\\s+")
+      val k = 5
+      val ptext = concat_ws("\n",
+        transform(sequence(lit(0), ceil(size(ws) / lit(k.toDouble)).cast("int") - 1),
+          i => array_join(slice(ws, i * k + 1, lit(k)), " ")))
+      val pdocs = docs.select(col("doc_id"), ptext.as("text")).localCheckpoint()
+      val io = new IoListener; spark.sparkContext.addSparkListener(io)
+      def fingerprint(d: DataFrame): (Long, Long) = {
+        val r = d.agg(count(lit(1)),
+          sum(conv(substring(md5(concat_ws("", col("doc_id"), col("text"),
+            col("n_paras"), col("n_kept"))), 1, 15), 16, 10).cast("long"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (sw0, sp0) = io.snap()
+      val first = t(s"paradedup first @$nDocs") {
+        graft.ml.Dedup.dedupParagraphs(pdocs).localCheckpoint()
+      }
+      val (sw1, sp1) = io.snap()
+      val s1 = first.agg(sum("n_paras"), sum("n_kept"),
+        sum(when(col("n_kept") === 0, 1L).otherwise(0L))).head()
+      println(f"[mlbench] paradedup first: paras=${s1.getLong(0)} kept=${s1.getLong(1)} " +
+        f"(${s1.getLong(1) * 100.0 / s1.getLong(0)}%.2f%%), emptied docs=${s1.getLong(2)}, " +
+        f"shuffle ${(sw1 - sw0) / 1e9}%.2f GB, spill ${(sp1 - sp0) / 1e9}%.2f GB")
+      // partitioning invariance AT SOAK SCALE: the same corpus through
+      // a cloned session at a non-divisor shuffle width must produce a
+      // bit-identical result set (fingerprint = count + md5 sum)
+      val fp1 = fingerprint(first)
+      val sess2 = spark.newSession()
+      sess2.conf.set("spark.sql.shuffle.partitions", "23")
+      val first23 = t(s"paradedup first @$nDocs width=23") {
+        graft.ml.Dedup.dedupParagraphs(
+          sess2.createDataFrame(pdocs.rdd, pdocs.schema)).localCheckpoint()
+      }
+      val fp2 = fingerprint(first23)
+      println(s"[mlbench] paradedup invariance: width-32 $fp1 vs width-23 $fp2 " +
+        (if (fp1 == fp2) "[BIT-IDENTICAL]" else "[MISMATCH]"))
+      val (sw2, sp2) = io.snap()
+      val dfm = t(s"paradedup df<=100 @$nDocs") {
+        graft.ml.Dedup.dedupParagraphs(pdocs, mode = "df", maxDocFreq = 100)
+          .localCheckpoint()
+      }
+      val (sw3, sp3) = io.snap()
+      val s2 = dfm.agg(sum("n_paras"), sum("n_kept"),
+        sum(when(col("n_kept") === 0, 1L).otherwise(0L))).head()
+      println(f"[mlbench] paradedup df<=100: paras=${s2.getLong(0)} kept=${s2.getLong(1)} " +
+        f"(${s2.getLong(1) * 100.0 / s2.getLong(0)}%.2f%%), emptied docs=${s2.getLong(2)}, " +
+        f"shuffle ${(sw3 - sw2) / 1e9}%.2f GB, spill ${(sp3 - sp2) / 1e9}%.2f GB")
+      // deterministic shard export at the same scale: wall, hash
+      // balance, and the one-file-per-shard layout contract
+      val shardDir = s"/tmp/graft_shards_${System.nanoTime}"
+      try {
+        val man = t(s"exportShards 256 @$nDocs") {
+          graft.ml.Sampling.exportShards(pdocs, shardDir, "doc_id",
+            nShards = 256)
+        }
+        val b = man.agg(count(lit(1)), min("n_docs"), max("n_docs")).head()
+        val files = new java.io.File(shardDir).listFiles()
+          .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+          .map(_.listFiles().count(f => f.getName.endsWith(".parquet")))
+        println(s"[mlbench] shards: ${b.getLong(0)} shards, docs min=${b.getLong(1)} " +
+          s"max=${b.getLong(2)}, files/shard max=${files.max}")
+      } finally {
+        new scala.reflect.io.Directory(new java.io.File(shardDir))
+          .deleteRecursively()
       }
     }
     spark.stop()

@@ -1422,6 +1422,38 @@ object SparkEntry {
           col("n_digit_runs"), col("scrub_len"),
           col("top_count"), col("n_shingles"))
     }),
+    "q125_paragraph_dedup" -> ((s, dir) => {
+      // corpus-wide CCNet-style paragraph dedup, keep-first mode: the
+      // flat corpus gets a paragraph structure (5 consecutive words per
+      // paragraph — the templated texts share real spans at that
+      // width), then every duplicated paragraph survives only at its
+      // globally-first (doc_id, position). The reassembled text's md5
+      // pins split, winner fold, AND in-order reassembly end-to-end.
+      val d = pq(s, dir, "documents")
+      Dedup.dedupParagraphs(d.withColumn("text", paraChunks(5)),
+          "text", "doc_id")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("text")).as("clean_md5"))
+    }),
+    "q126_boilerplate_removal" -> ((s, dir) => {
+      // document-frequency mode of the same operator: paragraphs
+      // appearing in MORE than 2 distinct documents are boilerplate
+      // and vanish everywhere; rare paragraphs stay wherever they occur
+      val d = pq(s, dir, "documents")
+      Dedup.dedupParagraphs(d.withColumn("text", paraChunks(5)),
+          "text", "doc_id", mode = "df", maxDocFreq = 2)
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("text")).as("clean_md5"))
+    }),
+    "q127_shard_assign" -> ((s, dir) =>
+      // deterministic hash sharding for training export: shard is a
+      // pure function of doc_id (the samplers' 24-bit md5 draw mod n),
+      // so the oracle replays every assignment; the per-shard rollup
+      // also demonstrates the balance hash sharding buys
+      Sampling.assignShards(pq(s, dir, "documents"), "doc_id", nShards = 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
   )
 
   /** DuckDB twin of `ml.Sampling.hash24` (expects a CTE column `h` =
@@ -1431,6 +1463,34 @@ object SparkEntry {
   private val hash24OracleSql: String = (0 until 6).map(i =>
     s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * ${math.pow(16, 5 - i).toLong}")
     .mkString(" + ")
+
+  /** Re-shape the flat `documents.text` into newline-separated
+    * paragraphs of `k` words each, so the paragraph operators (q125,
+    * q126) have real cross-document duplicate spans to act on; the
+    * DuckDB twin [[paraChunkCtes]] replays the identical chunking. */
+  private def paraChunks(k: Int): org.apache.spark.sql.Column = {
+    val ws = split(trim(col("text")), "\\s+")
+    concat_ws("\n",
+      transform(sequence(lit(0), ceil(size(ws) / lit(k.toDouble)).cast("int") - 1),
+        i => array_join(slice(ws, i * k + 1, lit(k)), " ")))
+  }
+
+  /** DuckDB twin of [[paraChunks]] + the operator's own split: CTEs
+    * ending in `pp(doc_id, idx, para)` — non-empty paragraphs with
+    * 0-based positions. */
+  private def paraChunkCtes(k: Int): String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents), """ +
+    s"""p AS (SELECT doc_id, i - 1 AS idx, array_to_string(ws[(i-1)*$k+1:i*$k], ' ') AS para FROM (SELECT doc_id, ws, unnest(generate_series(1, CAST(ceil(len(ws)/$k.0) AS INT))) AS i FROM w)), """ +
+    """pp AS (SELECT * FROM p WHERE length(para) > 0), """
+
+  /** DuckDB replay of dedupParagraphs' reassembly over a CTE
+    * `win(doc_id, idx, para)` of surviving paragraphs: in-order
+    * newline re-join, md5 of the rebuilt text, all-dropped documents
+    * restored with text = ''. */
+  private val paraReassembleSql: String =
+    """re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(para, chr(10) ORDER BY idx)) AS clean_md5 FROM win GROUP BY 1), """ +
+    """tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM pp GROUP BY 1) """ +
+    """SELECT d.doc_id, coalesce(t.n_paras, 0) AS n_paras, coalesce(r.n_kept, 0) AS n_kept, coalesce(r.clean_md5, md5('')) AS clean_md5 FROM documents d LEFT JOIN tot t USING (doc_id) LEFT JOIN re r USING (doc_id)"""
 
   /** DuckDB SQL for simhash60: identical md5 bit votes, generated
     * per-bit (60 sums), fingerprint reassembled from the vote signs. */
@@ -2333,5 +2393,25 @@ object SparkEntry {
       """c AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY 1, 2), """ +
       """t AS (SELECT doc_id, max(c) AS top_count, sum(c) AS n_shingles FROM c GROUP BY 1) """ +
       """SELECT p.doc_id, n_emails, n_ipv4, n_digit_runs, scrub_len, CAST(coalesce(top_count, 0) AS BIGINT) AS top_count, CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles FROM p LEFT JOIN t USING (doc_id)"""),
+
+    // identical 5-word chunking, keep-first winner via a (doc_id, idx)
+    // window, reassembly as an ORDER BY idx string_agg — the md5 of the
+    // rebuilt text must match Spark's byte-for-byte
+    "q125_paragraph_dedup" -> (paraChunkCtes(5) +
+      """win AS (SELECT doc_id, idx, para FROM pp QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1), """ +
+      paraReassembleSql),
+
+    // same chunking; boilerplate = paragraphs in > 2 distinct docs,
+    // dropped everywhere via NOT EXISTS
+    "q126_boilerplate_removal" -> (paraChunkCtes(5) +
+      """freq AS (SELECT para FROM pp GROUP BY para HAVING count(DISTINCT doc_id) > 2), """ +
+      """win AS (SELECT doc_id, idx, para FROM pp WHERE NOT EXISTS (SELECT 1 FROM freq f WHERE f.para = pp.para)), """ +
+      paraReassembleSql),
+
+    // the same 24-bit md5 draw as the samplers, mod 16
+    "q127_shard_assign" -> (
+      "WITH h AS (SELECT doc_id, n_chars, md5(doc_id || 'graftshard') AS h FROM documents) " +
+      s"SELECT CAST(($hash24OracleSql) % 16 AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id FROM h GROUP BY 1"),
   )
 }

@@ -930,4 +930,93 @@ object Dedup {
     connectedComponents(pairs, "a", "b", maxIter)
       .withColumnRenamed("id", idCol)
   }
+
+  /** Corpus-wide PARAGRAPH-level exact dedup — the CCNet-style
+    * pre-processing step that document-level dedup cannot express:
+    * boilerplate (headers, footers, cookie banners, license blocks)
+    * repeats across millions of otherwise-distinct pages, and the
+    * right unit of removal is the paragraph, not the document. Splits
+    * every document into paragraphs on the literal separator `sep`,
+    * drops duplicated paragraphs across the WHOLE corpus, and
+    * reassembles each document from its surviving paragraphs in their
+    * original order (re-joined with `sep`). Empty paragraphs
+    * (consecutive separators) are dropped everywhere. Two modes:
+    *
+    *   - `"first"`: keep only the globally FIRST occurrence of each
+    *     distinct paragraph — "first" = smallest (`idCol`, position) —
+    *     so repeated text survives exactly once, in its earliest
+    *     document (the CCNet dedup rule).
+    *   - `"df"`: drop EVERY occurrence of a paragraph appearing in
+    *     more than `maxDocFreq` DISTINCT documents (pure boilerplate
+    *     removal — a paragraph on three thousand pages carries no
+    *     information in any of them), keeping rare paragraphs
+    *     wherever they occur.
+    *
+    * Returns one row per input document: (`idCol`, `textCol` cleaned,
+    * `n_paras`, `n_kept`) — documents whose paragraphs all drop come
+    * back with text = "" and n_kept = 0, so the caller can filter or
+    * keep empty shells explicitly.
+    *
+    * Scale design: paragraphs are grouped by their RAW TEXT, not a
+    * digest — exact by construction, and the shuffle is narrower
+    * (the digest spelling still has to carry the text for
+    * reassembly, and shuffle compression likes repetitive text ~3x
+    * better than random digests — measured in BASELINE.md
+    * round11-star-array-ab). "first" mode is join-free: the winner
+    * of each paragraph group is a `min(struct(id, pos))` fold —
+    * map-side partial aggregation collapses each input partition's
+    * occurrences before the exchange, so a paragraph occurring a
+    * billion times ships one row per upstream partition, never a
+    * skewed reduce. The whole plan is two linear shuffles (winner
+    * agg on the paragraph, reassembly agg on the id) plus the
+    * n_paras join, which shares the reassembly's `idCol`
+    * partitioning. "df" mode adds one distinct-doc-frequency agg
+    * (same map-side-partial shape) and drops hot paragraphs with a
+    * `left_anti` join against the OVER-frequency set — the small
+    * side by construction (distinct boilerplate paragraphs, not
+    * their occurrences), so AQE broadcasts it in practice. */
+  def dedupParagraphs(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", sep: String = "\n",
+                      mode: String = "first",
+                      maxDocFreq: Int = 1): DataFrame = {
+    require(mode == "first" || mode == "df",
+      s"mode must be 'first' or 'df', got '$mode'")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), qsep)).as(Seq("_i", "_p")))
+      .where(length(col("_p")) > 0)
+    val kept = mode match {
+      case "first" =>
+        paras.groupBy(col("_p"))
+          .agg(min(struct(col(idCol), col("_i"))).as("_w"))
+          .select(col("_w").getField(idCol).as(idCol),
+            col("_w").getField("_i").as("_i"), col("_p"))
+      case "df" =>
+        val hot = paras.groupBy(col("_p"))
+          .agg(countDistinct(col(idCol)).as("_df"))
+          .where(col("_df") > maxDocFreq)
+          .select(col("_p"))
+        paras.join(hot, Seq("_p"), "left_anti")
+          .select(col(idCol), col("_i"), col("_p"))
+    }
+    // reassembly: per-doc sort by original position happens INSIDE the
+    // row (sort_array over the collected structs — struct order is
+    // (_i, _p), so position leads), not as a shuffle sort
+    val reasm = kept.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_i"), col("_p")))).as("_ps"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("_ps"), x => x.getField("_p"))).as(textCol),
+        size(col("_ps")).cast("long").as("n_kept"))
+    // n_paras comes from a pure column expression on the input (no
+    // third shuffle); the left join restores all-dropped documents
+    docs.select(col(idCol),
+        size(filter(split(col(textCol), qsep), p => length(p) > 0))
+          .cast("long").as("n_paras"))
+      .join(reasm, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -169,4 +169,54 @@ object Sampling {
       .withColumn("rep", explode(sequence(lit(1L), col("_nc"))))
       .drop("_nc")
   }
+
+  /** Deterministic shard assignment for training-data export: adds a
+    * `shard` column in [0, nShards) from the same 24-bit md5 draw the
+    * samplers use (`hash24(id, salt) % nShards`) — so the shard of a
+    * document is a pure function of its id, reproducible on any
+    * engine, any partitioning, any rerun. That is the property a
+    * resumable 100 TB export needs: a re-run after a partial failure
+    * re-derives the same shard for every row, so completed shards can
+    * be skipped instead of rewritten, and a downstream trainer can
+    * address any document's shard without an index. Hash sharding also
+    * balances by construction (each shard gets ~n/nShards rows
+    * regardless of input order or skewed metadata). */
+  def assignShards(df: DataFrame, idCol: String = "doc_id",
+                   nShards: Int = 1024,
+                   salt: String = "graftshard"): DataFrame = {
+    require(nShards >= 1 && nShards <= (1 << 24),
+      s"nShards must be in [1, 2^24], got $nShards")
+    df.withColumn("shard",
+      pmod(hash24(col(idCol), salt), lit(nShards.toLong)).cast("int"))
+  }
+
+  /** Shard a corpus to `path` as parquet, one directory per shard
+    * (`shard=K/`), with a per-shard `_manifest` parquet (row count,
+    * char volume, id range) written next to the data — underscore-
+    * prefixed, so corpus readers skip it but a resuming exporter or a
+    * trainer's data loader can read it without listing data files.
+    * Returns the manifest, computed from the data as written.
+    *
+    * Scale shape: one `repartition(nShards, shard)` exchange puts each
+    * shard wholly inside one task, so every `shard=K/` directory holds
+    * exactly ONE file — the layout trainers want (a shard is a file,
+    * not a directory scan), and the write parallelism is nShards. Size
+    * shards so a shard fits an executor (the assignment hash balances
+    * them); the manifest is one groupBy over the written data, a
+    * recount that certifies the files on disk rather than trusting the
+    * plan that produced them. */
+  def exportShards(df: DataFrame, path: String, idCol: String = "doc_id",
+                   nShards: Int = 1024, textCol: String = "text",
+                   salt: String = "graftshard"): DataFrame = {
+    assignShards(df, idCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    val back = df.sparkSession.read.parquet(path)
+    val manifest = back.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).as("n_chars"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    df.sparkSession.read.parquet(s"$path/_manifest")
+  }
 }

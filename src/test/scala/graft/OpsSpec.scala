@@ -1336,4 +1336,132 @@ class OpsSpec extends AnyFunSuite {
     val fps = df.select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
+
+  // ---- paragraph-level dedup (CCNet-style) ----
+
+  private def paraDocs = {
+    import spark.implicits._
+    // doc 1: unique A, boilerplate B; doc 2: B twice + unique C;
+    // doc 3: ONLY boilerplate B; doc 4: empty paragraphs around unique D
+    Seq(
+      (1L, "alpha text\nBOILER"),
+      (2L, "BOILER\ncharlie text\nBOILER"),
+      (3L, "BOILER"),
+      (4L, "\ndelta text\n\n")).toDF("doc_id", "text")
+  }
+
+  test("dedupParagraphs keep-first keeps each paragraph at its smallest (doc, pos)") {
+    val got = Dedup.dedupParagraphs(paraDocs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // BOILER's first occurrence is (doc 1, pos 1): doc 1 keeps both
+    // paragraphs; doc 2 loses BOTH its copies (within-doc repeats drop
+    // too); doc 3 drops to an empty shell; doc 4's empties never count
+    assert(got == Seq(
+      (1L, "alpha text\nBOILER", 2L, 2L),
+      (2L, "charlie text", 3L, 1L),
+      (3L, "", 1L, 0L),
+      (4L, "delta text", 1L, 1L)))
+  }
+
+  test("dedupParagraphs df mode drops only over-frequency paragraphs, everywhere") {
+    // BOILER appears in 3 distinct docs > maxDocFreq=2 -> dropped in
+    // all of them, including both copies in doc 2; unique paragraphs
+    // stay put (unlike keep-first, doc 2 keeps nothing of BOILER but
+    // would keep a paragraph shared with just one other doc)
+    val got = Dedup.dedupParagraphs(paraDocs, mode = "df", maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "alpha text", 2L, 1L),
+      (2L, "charlie text", 3L, 1L),
+      (3L, "", 1L, 0L),
+      (4L, "delta text", 1L, 1L)))
+    // at maxDocFreq=3 nothing is over-frequency: docs reassemble whole
+    // (minus empty paragraphs), within-doc repeats intact
+    val all = Dedup.dedupParagraphs(paraDocs, mode = "df", maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(all == Seq((1L, "alpha text\nBOILER"),
+      (2L, "BOILER\ncharlie text\nBOILER"), (3L, "BOILER"),
+      (4L, "delta text")))
+  }
+
+  test("dedupParagraphs is partitioning-independent and validates its mode") {
+    val base = Dedup.dedupParagraphs(paraDocs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val rep = Dedup.dedupParagraphs(paraDocs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(base == rep)
+    intercept[IllegalArgumentException] {
+      Dedup.dedupParagraphs(paraDocs, mode = "nope")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupParagraphs(paraDocs, mode = "df", maxDocFreq = 0)
+    }
+  }
+
+  // ---- deterministic shard assignment / export ----
+
+  test("assignShards is a pure function of id: deterministic, in-range, balanced") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val got = graft.ml.Sampling.assignShards(df, "doc_id", nShards = 8)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.forall { case (_, s) => s >= 0 && s < 8 })
+    // same assignment under different partitioning and row order
+    val again = graft.ml.Sampling
+      .assignShards(df.repartition(13).orderBy(desc("doc_id")), "doc_id", 8)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toMap == again.toMap)
+    // hash balance: every shard within 2x of the uniform share
+    val sizes = got.groupBy(_._2).values.map(_.size)
+    assert(sizes.size == 8 && sizes.min > 125 && sizes.max < 500,
+      s"shard sizes ${sizes.toSeq.sorted}")
+    intercept[IllegalArgumentException] {
+      graft.ml.Sampling.assignShards(df, "doc_id", nShards = 0)
+    }
+  }
+
+  test("exportShards writes one file per shard and a manifest that recounts the data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    try {
+      val df = (1L to 500L).map(i => (i, "w " * (i % 7).toInt + "end"))
+        .toDF("doc_id", "text")
+      val man = graft.ml.Sampling.exportShards(df, dir, "doc_id", nShards = 4)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      // layout: shard=K directories, exactly one data file each
+      val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filterNot(_.startsWith("_")).sorted.toSeq
+      assert(dirs == (0 until 4).map(i => s"shard=$i"))
+      for (d <- dirs) {
+        val files = new java.io.File(s"$dir/$d").listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"$d has ${files.length} data files")
+      }
+      // manifest matches an independent recount of the written corpus
+      val back = spark.read.parquet(dir)
+      val re = back.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("c"),
+          min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      assert(man == re)
+      assert(man.map(_._2).sum == 500L)
+      // shard column survives the roundtrip as the partition column and
+      // equals a fresh assignment
+      val fresh = graft.ml.Sampling.assignShards(df, "doc_id", 4)
+        .select("doc_id", "shard").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      val stored = back.select("doc_id", "shard").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(fresh == stored)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
