@@ -567,11 +567,15 @@ object MlBench {
           i => array_join(slice(ws, i * k + 1, lit(k)), " ")))
       val pdocs = docs.select(col("doc_id"), ptext.as("text")).localCheckpoint()
       val io = new IoListener; spark.sparkContext.addSparkListener(io)
-      def fingerprint(d: DataFrame): (Long, Long) = {
+      def fingerprint(d: DataFrame): (Long, Long, Long) = {
+        // two independent 32-bit md5 chunk sums: 2^32 x up to 2^31 rows
+        // stays inside a long (a 60-bit chunk sum overflowed at 2M rows)
+        val h = md5(concat_ws("\u0001", col("doc_id"), col("text"),
+          col("n_paras"), col("n_kept")))
         val r = d.agg(count(lit(1)),
-          sum(conv(substring(md5(concat_ws("", col("doc_id"), col("text"),
-            col("n_paras"), col("n_kept"))), 1, 15), 16, 10).cast("long"))).head()
-        (r.getLong(0), r.getLong(1))
+          sum(conv(substring(h, 1, 8), 16, 10).cast("long")),
+          sum(conv(substring(h, 9, 8), 16, 10).cast("long"))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
       }
       val (sw0, sp0) = io.snap()
       val first = t(s"paradedup first @$nDocs") {

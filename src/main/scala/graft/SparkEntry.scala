@@ -1454,6 +1454,21 @@ object SparkEntry {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+    "q128_pq_adc" -> ((s, dir) =>
+      // IVF-PQ: vectors compress to 4 one-byte codes (md5-literal
+      // codebooks), probes score candidates by ADC lookup sums — the
+      // oracle replays encode, LUT, and scoring integer-exactly
+      graft.ml.Pq.ivfPqTopK(pq(s, dir, "embeddings"), k = 3,
+        codebooks = graft.ml.Pq.pqCodebooks(4, 8, 16),
+        centroids = Similarity.ivfCentroids(32, 64), nProbe = 2)),
+    "q129_pq_rerank" -> ((s, dir) =>
+      // same index, ADC shortlist of 10 re-ranked by EXACT quantized
+      // dot — the standard PQ recall repair; the oracle replays both
+      // stages, so a defect in either changes the hash
+      graft.ml.Pq.ivfPqTopK(pq(s, dir, "embeddings"), k = 3,
+        codebooks = graft.ml.Pq.pqCodebooks(4, 8, 16),
+        centroids = Similarity.ivfCentroids(32, 64), nProbe = 2,
+        rerank = 10)),
   )
 
   /** DuckDB twin of `ml.Sampling.hash24` (expects a CTE column `h` =
@@ -1579,6 +1594,48 @@ object SparkEntry {
       "SELECT vec_id, nb, dot, CAST(rn AS BIGINT) AS rank FROM " +
       "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, nb) AS rn FROM p) " +
       s"WHERE rn <= $k"
+  }
+
+  /** DuckDB replay of [[graft.ml.Pq.ivfPqTopK]]: the IVF cell replay of
+    * [[ivfTopKOracleSqlFrom]] plus PQ — per-subspace codebook literals,
+    * encode as a list_sort argmin over (d, c) structs (same tie-break
+    * as the engine's least()), ADC scores as per-subspace dot sums, and
+    * optionally the exact-dot re-rank of the ADC shortlist. */
+  private def pqTopKOracleSql(nCells: Int, dim: Int, nProbe: Int,
+                              mSub: Int, kCodes: Int, k: Int,
+                              rerank: Int): String = {
+    val subDim = dim / mSub
+    val cmLit = Similarity.ivfCentroids(nCells, dim)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val cbLit = graft.ml.Pq.pqCodebooks(mSub, kCodes, subDim)
+      .map(_.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    def subdot(vexpr: String, s: Int, codeExpr: String) =
+      s"list_sum(list_transform(range(1, ${subDim + 1}), i -> $vexpr[${s * subDim} + i] * b[${s + 1}][$codeExpr + 1][i]))"
+    val codeArr = (0 until mSub).map { s =>
+      s"list_sort([{'d': list_sum(list_transform(range(1, ${subDim + 1}), i -> b[${s + 1}][c + 1][i] * b[${s + 1}][c + 1][i])) - 2 * ${subdot("vb", s, "c")}, 'c': c} FOR c IN range(0, $kCodes)])[1].c"
+    }.mkString("[", ", ", "]")
+    val scoreSum = (0 until mSub)
+      .map(s => subdot("l.v", s, s"r.codes[${s + 1}]")).mkString(" + ")
+    val head =
+      s"WITH $quantCte, cm AS (SELECT $cmLit AS m), cb AS (SELECT $cbLit AS b), " +
+      s"cel AS (SELECT vec_id, v, list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)]) AS cl FROM q, cm), " +
+      s"mem AS (SELECT vec_id AS nb, v AS vb, cl[1].c AS cell FROM cel), " +
+      s"codes AS (SELECT nb, cell, $codeArr AS codes FROM mem, cb), " +
+      s"prb AS (SELECT vec_id, v, unnest(list_transform(cl[1:$nProbe], s -> s.c)) AS cell FROM cel), " +
+      s"p AS (SELECT l.vec_id, r.nb, CAST($scoreSum AS BIGINT) AS score FROM prb l JOIN codes r ON l.cell = r.cell AND l.vec_id <> r.nb, cb) "
+    if (rerank <= 0)
+      head +
+        "SELECT vec_id, nb, score, CAST(rn AS BIGINT) AS rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nb) AS rn FROM p) " +
+        s"WHERE rn <= $k"
+    else
+      head.stripSuffix(" ") + ", " +
+        s"sl AS (SELECT vec_id, nb FROM (SELECT vec_id, nb, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nb) AS rn FROM p) WHERE rn <= $rerank), " +
+        s"ex AS (SELECT sl.vec_id, sl.nb, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> ql.v[i] * qr.v[i])) AS BIGINT) AS score FROM sl JOIN q ql ON ql.vec_id = sl.vec_id JOIN q qr ON qr.vec_id = sl.nb) " +
+        "SELECT vec_id, nb, score, CAST(rn AS BIGINT) AS rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nb) AS rn FROM ex) " +
+        s"WHERE rn <= $k"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2413,5 +2470,11 @@ object SparkEntry {
       "WITH h AS (SELECT doc_id, n_chars, md5(doc_id || 'graftshard') AS h FROM documents) " +
       s"SELECT CAST(($hash24OracleSql) % 16 AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs, " +
       "CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id FROM h GROUP BY 1"),
+
+    "q128_pq_adc" -> pqTopKOracleSql(nCells = 32, dim = 64, nProbe = 2,
+      mSub = 4, kCodes = 8, k = 3, rerank = 0),
+
+    "q129_pq_rerank" -> pqTopKOracleSql(nCells = 32, dim = 64, nProbe = 2,
+      mSub = 4, kCodes = 8, k = 3, rerank = 10),
   )
 }

@@ -279,6 +279,12 @@ class GenomicFrameSpec extends AnyFunSuite {
       val evil = Seq(("<b>&x", 1L)).toDF("s", "n")
       val he = graft.core.ToStringRepr.tohtml(evil)
       assert(he.contains("&lt;b&gt;&amp;x") && !he.contains("<b>&x"))
+      // a caller-supplied cached total short-circuits the footer count
+      // job (the Jupyter re-render path); the preview itself already IS
+      // the total for non-truncated frames
+      assert(graft.core.ToStringRepr.tohtml(evil, totalRows = 42L)
+        .contains("42 rows"))
+      assert(he.contains("1 rows"))
     } finally Options.resetOptions()
   }
 }

@@ -461,6 +461,10 @@ class IoSpec extends AnyFunSuite {
     java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$d/a.bam"))
     java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$d/b.bam"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/notes.txt"), "skip me")
+    // a SUBDIRECTORY whose name ends in .bam must be skipped too (it
+    // would otherwise be opened as a file executor-side and fail
+    // mid-job) — the isFile guard, not just the suffix check
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$d/sub.bam"))
     val one = graft.io.Bam.readBam(spark, s"$d/a.bam", filterFlag = 0, sparse = false)
       .collect().map(_.toSeq)
     val both = graft.io.Bam.readBam(spark, d, filterFlag = 0, sparse = false)

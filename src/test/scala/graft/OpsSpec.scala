@@ -1400,6 +1400,74 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- product quantization ----
+
+  test("pqEncode snaps codebook rows to their own codes; ADC equals the reconstruction dot") {
+    import spark.implicits._
+    val cb = graft.ml.Pq.pqCodebooks(4, 8, 4) // dim 16, 8 codes/subspace
+    // a vector assembled FROM codebook entries must encode back to
+    // exactly those codes (distance 0 beats every distinct entry)
+    val picks = Seq(2, 5, 0, 7)
+    val v = picks.zipWithIndex.flatMap { case (c, s) => cb(s)(c) }
+    val df = Seq((1L, v)).toDF("id", "v")
+    val codes = df.select(graft.ml.Pq.pqEncode(col("v"), cb).as("codes"))
+      .head().getSeq[Long](0)
+    assert(codes == picks.map(_.toLong))
+    // ADC against own codes == exact dot with the vector itself (the
+    // reconstruction of a codebook-exact vector is the vector)
+    val q = (1 to 16).map(i => (i * 37 % 23 - 11).toLong)
+    val expect = q.zip(v).map { case (a, b) => a * b }.sum
+    val got = df.select(graft.ml.Pq.adcScore(
+      graft.ml.Pq.adcLut(typedLit(q), cb),
+      graft.ml.Pq.pqEncode(col("v"), cb), 4).as("s")).head().getLong(0)
+    assert(got == expect)
+  }
+
+  test("ivfPqTopK rerank scores are exact dots; parameter validation") {
+    import spark.implicits._
+    // 3 tight planted clusters in 16 dims (millivalue floats quantize
+    // exactly at x1000)
+    val base = Seq.tabulate(3, 16)((c, d) => ((c * 101 + d * 7) % 200 - 100))
+    val rows = for (c <- 0 until 3; j <- 0 until 4) yield
+      (c * 10L + j, base(c).zipWithIndex.map { case (v, d) =>
+        (v + (if (d == j) 1 else 0)).toFloat / 1000f })
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.ml.Pq.ivfPqTopK(df, k = 2,
+      codebooks = graft.ml.Pq.pqCodebooks(4, 8, 4),
+      centroids = Similarity.ivfCentroids(8, 16), nProbe = 2, rerank = 6)
+    val rowsOut = got.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    // every re-ranked score must equal the EXACT quantized dot of the pair
+    val qv = df.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (((a, b), s) <- rowsOut)
+      assert(s == qv(a).zip(qv(b)).map { case (x, y) => x * y }.sum,
+        s"pair ($a,$b)")
+    // shape: ranks are 1..k per query, no self pairs, and the exact
+    // re-rank orders by descending dot (ties to smaller nb)
+    val byQ = rowsOut.groupBy(_._1._1)
+    for ((_, rs) <- byQ) assert(rs.length <= 2)
+    assert(rowsOut.forall { case ((a, b), _) => a != b })
+    val ranked = got.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(2), r.getLong(1)))
+      .groupBy(_._1)
+    for ((_, rs) <- ranked) {
+      val o = rs.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(o == o.sortBy { case (s, nb) => (-s, nb) })
+    }
+    intercept[IllegalArgumentException] {
+      graft.ml.Pq.ivfPqTopK(df, k = 5,
+        codebooks = graft.ml.Pq.pqCodebooks(4, 8, 4),
+        centroids = Similarity.ivfCentroids(8, 16), rerank = 3)
+    }
+    intercept[IllegalArgumentException] { // codebooks don't cover dim
+      graft.ml.Pq.ivfPqTopK(df, k = 1,
+        codebooks = graft.ml.Pq.pqCodebooks(2, 8, 4),
+        centroids = Similarity.ivfCentroids(8, 16))
+    }
+  }
+
   // ---- deterministic shard assignment / export ----
 
   test("assignShards is a pure function of id: deterministic, in-range, balanced") {
