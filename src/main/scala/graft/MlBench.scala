@@ -29,9 +29,10 @@ import org.apache.spark.sql.functions._
   *     simhash the guard-exactness run; annrecall the IVF nProbe/cell
   *     recall-vs-wall sweep; serve the streaming index-serve throughput
   *     run; paradedup the paragraph-dedup + shard-export soak with a
-  *     width-invariance identity check). "all" covers the per-round
-  *     soak set, not starab/recall/annrecall/serve/paradedup, which
-  *     are targeted studies.
+  *     width-invariance identity check; pq the IVF-PQ recall/payload
+  *     economics study). "all" covers the per-round soak set, not
+  *     starab/recall/annrecall/serve/paradedup/pq, which are targeted
+  *     studies.
   */
 object MlBench {
 
@@ -118,7 +119,7 @@ object MlBench {
     val modes = { val m = args.drop(1).toSet; if (m.isEmpty) Set("all") else m }
     def on(m: String) = modes.contains(m) ||
       (modes.contains("all") &&
-        !Set("starab", "recall", "annrecall", "serve", "paradedup").contains(m))
+        !Set("starab", "recall", "annrecall", "serve", "paradedup", "pq").contains(m))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -495,14 +496,11 @@ object MlBench {
         s"verified-dup=${keeps.get}")
       arrs.unpersist()
     }
-    if (on("annrecall")) {
-      // the ANN twin of the `recall` banding sweep: recall-vs-wall
-      // economics for the two IVF knobs a 100 TB user can turn —
-      // nProbe (query-side coverage) at the matched cell count, and
-      // cell count itself (build-side granularity) at fixed nProbe.
-      // Truth = brute-force top-1 over the full corpus, computed once.
-      import graft.ml.{AnnIndex, Similarity}
-      val dim = 64
+    // clustered embedding corpus (256 planted centers + per-vector
+    // noise), its 1-in-4000 query slice, and brute-force top-1 truth —
+    // shared by the annrecall and pq recall studies
+    def embTruth(dim: Int): (DataFrame, DataFrame, DataFrame, Long) = {
+      import graft.ml.Similarity
       val nVec = math.min(nDocs, 2000000L)
       val emb = spark.range(nVec).select(col("id").as("vec_id"))
         .repartition(spark.sparkContext.defaultParallelism)
@@ -516,8 +514,8 @@ object MlBench {
       val queries = emb.where(pmod(col("vec_id"), lit(4000)) === 0)
         .localCheckpoint()
       val nq = queries.count()
-      println(s"[mlbench] annrecall corpus: $nVec vectors x $dim dims, $nq queries")
-      val brute = t(s"annrecall brute-force truth ($nq queries)") {
+      println(s"[mlbench] embedding corpus: $nVec vectors x $dim dims, $nq queries")
+      val brute = t(s"brute-force truth ($nq queries)") {
         val qd = queries.select(col("vec_id").as("q"),
           Similarity.quantize(col("embedding"), 1000).as("_q"))
         val cd = emb.select(col("vec_id").as("nb2"),
@@ -528,6 +526,18 @@ object MlBench {
           .agg(max_by(col("nb2"), struct(col("dot"), -col("nb2"))).as("nb2"))
           .localCheckpoint()
       }
+      (emb, queries, brute, nq)
+    }
+
+    if (on("annrecall")) {
+      // the ANN twin of the `recall` banding sweep: recall-vs-wall
+      // economics for the two IVF knobs a 100 TB user can turn —
+      // nProbe (query-side coverage) at the matched cell count, and
+      // cell count itself (build-side granularity) at fixed nProbe.
+      // Truth = brute-force top-1 over the full corpus, computed once.
+      import graft.ml.{AnnIndex, Similarity}
+      val dim = 64
+      val (emb, queries, brute, nq) = embTruth(dim)
       def measure(table: String, cm: Array[Array[Long]], nProbe: Int,
                   label: String): Unit = {
         val top1 = t(s"annrecall probe $label") {
@@ -549,6 +559,64 @@ object MlBench {
         }
         val probes = if (cells == 256) Seq(1, 2, 4, 8, 16) else Seq(4)
         for (np <- probes) measure(s"$db.ivf", cm, np, s"cells=$cells nProbe=$np")
+      }
+    }
+
+    if (on("pq")) {
+      // PQ ECONOMICS at soak scale: what the m-codes-per-vector
+      // representation costs in recall and buys in payload, and what
+      // the exact-dot re-rank repairs. Same corpus/truth as annrecall
+      // (256 planted clusters, brute-force top-1 ground truth).
+      import graft.ml.{Pq, Similarity}
+      val dim = 64
+      val (emb, queries, brute, nq) = embTruth(dim)
+      val nVec = emb.count()
+      val cm = Similarity.ivfCentroids(256, dim)
+      // md5-literal codebooks first as the UNTRAINED control (the
+      // oracle scheme), then trained codebooks across the k axis —
+      // PQ accuracy is the codebook fit, so this is the measurement
+      // that matters
+      for ((m, kc, trained) <- Seq((8, 16, false), (8, 16, true),
+          (8, 64, true), (8, 256, true))) {
+        val cb =
+          if (!trained) Pq.pqCodebooks(m, kc, dim / m)
+          else t(s"pq train m=$m k=$kc") {
+            Pq.trainCodebooks(emb, "embedding", m, kc, dim)
+          }
+        val tag = if (trained) "trained" else "md5"
+        // encode pass = the index-build payload: wall + logical width
+        val q = Similarity.quantize(col("embedding"), 1000)
+        val enc = t(s"pq encode m=$m k=$kc $tag @$nVec") {
+          emb.select(col("vec_id"),
+            element_at(Similarity.nearestCells(q, cm, 1), 1).as("cell"),
+            Pq.pqEncode(q, cb).as("codes")).localCheckpoint()
+        }
+        enc.head()
+        println(f"[mlbench] pq payload m=$m k=$kc $tag: ~${m} B codes/vec vs " +
+          f"${dim * 8} B quantized vec (${dim * 8.0 / m}%.0fx narrower candidate side)")
+        for ((rr, label) <- Seq((0, "adc"), (32, "adc+rerank32"))) {
+          val top1 = t(s"pq probe m=$m k=$kc $tag $label (incl. encode)") {
+            Pq.ivfPqTopK(emb, k = 1, codebooks = cb, centroids = cm,
+                nProbe = 4, rerank = rr, queries = queries)
+              .where(col("rank") === 1)
+              .select(col("vec_id").as("q"), col("nb")).localCheckpoint()
+          }
+          val agree = top1.join(brute, Seq("q"))
+            .where(col("nb") === col("nb2")).count()
+          // TWO metrics, because this corpus has ~7,800-member
+          // near-identical clusters: exact-top-1 recall is an
+          // INTRA-cluster discrimination task (all members share a
+          // code word, so ADC ties across the cluster and top-R is
+          // the R smallest ids — no code-based method can resolve
+          // it), while cluster-hit@1 is the retrieval/near-dup
+          // question the representation actually answers
+          val clusterHit = top1.where(
+            pmod(xxhash64(col("q"), lit("ctr")), lit(256)) ===
+              pmod(xxhash64(col("nb"), lit("ctr")), lit(256))).count()
+          println(f"[mlbench] pq m=$m k=$kc $tag $label: exact-top1 $agree/$nq " +
+            f"= ${agree * 100.0 / nq}%.1f%%, cluster-hit@1 $clusterHit/$nq " +
+            f"= ${clusterHit * 100.0 / nq}%.1f%%")
+        }
       }
     }
 

@@ -1469,6 +1469,31 @@ object SparkEntry {
         codebooks = graft.ml.Pq.pqCodebooks(4, 8, 16),
         centroids = Similarity.ivfCentroids(32, 64), nProbe = 2,
         rerank = 10)),
+    "q130_pq_index" -> ((s, dir) => {
+      // the PERSISTED PQ index lifecycle (q112's PQ analog): build the
+      // codes-carrying IVF table from half the corpus, append the
+      // other half (codes re-derived from the STORED codebooks),
+      // compact, retire every 7th vector, then ADC-probe with exact
+      // re-rank — the oracle replays encode/LUT/ADC/re-rank over the
+      // surviving corpus, so a defect anywhere in codebook storage,
+      // append encoding, compaction, delete, or the pruned-scan probe
+      // breaks the hash
+      val db = perRunDb(s, "graft_q130_")
+      val cm = Similarity.ivfCentroids(32, 64)
+      val cb = graft.ml.Pq.pqCodebooks(4, 8, 16)
+      val emb = pq(s, dir, "embeddings")
+      graft.ml.AnnIndex.writeIvf(emb.where(col("vec_id") % 2 === 0),
+        s"$db.ivfpq", cm, codebooks = cb)
+      graft.ml.AnnIndex.appendIvf(emb.where(col("vec_id") % 2 === 1),
+        s"$db.ivfpq", cm)
+      graft.ml.AnnIndex.compact(s, s"$db.ivfpq")
+      graft.ml.AnnIndex.deleteByIds(s, s"$db.ivfpq",
+        emb.where(col("vec_id") % 7 === 0).select(col("vec_id")))
+      graft.ml.AnnIndex.probeIvfAdc(s, s"$db.ivfpq", emb,
+          k = 3, nProbe = 2, rerank = 10)
+        .select(col("vec_id"), col("nb"), col("score"),
+          col("rank").cast("long").as("rank"))
+    }),
   )
 
   /** DuckDB twin of `ml.Sampling.hash24` (expects a CTE column `h` =
@@ -1603,7 +1628,8 @@ object SparkEntry {
     * optionally the exact-dot re-rank of the ADC shortlist. */
   private def pqTopKOracleSql(nCells: Int, dim: Int, nProbe: Int,
                               mSub: Int, kCodes: Int, k: Int,
-                              rerank: Int): String = {
+                              rerank: Int,
+                              memWhere: String = "TRUE"): String = {
     val subDim = dim / mSub
     val cmLit = Similarity.ivfCentroids(nCells, dim)
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
@@ -1620,7 +1646,7 @@ object SparkEntry {
     val head =
       s"WITH $quantCte, cm AS (SELECT $cmLit AS m), cb AS (SELECT $cbLit AS b), " +
       s"cel AS (SELECT vec_id, v, list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)]) AS cl FROM q, cm), " +
-      s"mem AS (SELECT vec_id AS nb, v AS vb, cl[1].c AS cell FROM cel), " +
+      s"mem AS (SELECT vec_id AS nb, v AS vb, cl[1].c AS cell FROM cel WHERE $memWhere), " +
       s"codes AS (SELECT nb, cell, $codeArr AS codes FROM mem, cb), " +
       s"prb AS (SELECT vec_id, v, unnest(list_transform(cl[1:$nProbe], s -> s.c)) AS cell FROM cel), " +
       s"p AS (SELECT l.vec_id, r.nb, CAST($scoreSum AS BIGINT) AS score FROM prb l JOIN codes r ON l.cell = r.cell AND l.vec_id <> r.nb, cb) "
@@ -2476,5 +2502,11 @@ object SparkEntry {
 
     "q129_pq_rerank" -> pqTopKOracleSql(nCells = 32, dim = 64, nProbe = 2,
       mSub = 4, kCodes = 8, k = 3, rerank = 10),
+
+    // the persisted-index lifecycle probe: identical replay minus the
+    // retired vectors (q112's delete shape)
+    "q130_pq_index" -> pqTopKOracleSql(nCells = 32, dim = 64, nProbe = 2,
+      mSub = 4, kCodes = 8, k = 3, rerank = 10,
+      memWhere = "vec_id % 7 <> 0"),
   )
 }

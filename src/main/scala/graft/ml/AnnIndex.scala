@@ -69,6 +69,29 @@ object AnnIndex {
       throw new IllegalStateException(
         s"AnnIndex: table $table stores no graft.ivf.scale")).toInt
 
+  /** The PQ codebooks a [[writeIvf]]`(codebooks = ...)` index stores
+    * about itself (chunked like the centroid matrix; subspaces joined
+    * with '|'), or null when the index was built without PQ. */
+  def storedCodebooks(spark: SparkSession,
+                      table: String): Array[Array[Array[Long]]] = {
+    val props = readProps(spark, table)
+    props.get("graft.pq.codebooks.n") match {
+      case None => null
+      case Some(n) =>
+        (0 until n.toInt).map(i => props(s"graft.pq.codebooks.$i")).mkString
+          .split("\\|").map(_.split(";").map(_.split(",").map(_.toLong)))
+    }
+  }
+
+  private def codebookProps(codebooks: Array[Array[Array[Long]]]): String = {
+    val enc = codebooks.map(_.map(_.mkString(",")).mkString(";")).mkString("|")
+    val chunks = enc.grouped(2000).toSeq
+    s"'graft.pq.codebooks.n'='${chunks.size}'," +
+      chunks.zipWithIndex.map { case (c, i) =>
+        s"'graft.pq.codebooks.$i'='$c'"
+      }.mkString(",")
+  }
+
   /** Resolve (centroids, scale): the caller's values, or the table's
     * own stored spec when centroids is null. */
   private def resolveSpec(spark: SparkSession, table: String,
@@ -124,11 +147,20 @@ object AnnIndex {
   def writeIvf(df: DataFrame, table: String,
                centroids: Array[Array[Long]], idCol: String = "vec_id",
                vecCol: String = "embedding", scale: Int = 1000,
-               buckets: Int = 8): Unit = {
-    df.select(col(idCol).cast("long").as(idCol),
+               buckets: Int = 8,
+               codebooks: Array[Array[Array[Long]]] = null): Unit = {
+    val base = df.select(col(idCol).cast("long").as(idCol),
         Similarity.quantize(col(vecCol), scale).as("_q"))
       .withColumn("_cell",
         Similarity.nearestCells(col("_q"), centroids, 1).getItem(0))
+    // optional PQ sidecar: m small codes per vector next to the exact
+    // vector — ADC probes scan ONLY (_cell, id, _codes) (column pruning
+    // skips the wide _q array at the parquet scan, pinned in
+    // PlanContractSpec), exact probes and the re-rank still have _q
+    val withCodes =
+      if (codebooks == null) base
+      else base.withColumn("_codes", Pq.pqEncode(col("_q"), codebooks))
+    withCodes
       .repartition(buckets, col("_cell"))
       .write.format("parquet")
       .bucketBy(buckets, "_cell")
@@ -148,7 +180,9 @@ object AnnIndex {
         s"'graft.ivf.centroids.n'='${chunks.size}'," +
         chunks.zipWithIndex.map { case (c, i) =>
           s"'graft.ivf.centroids.$i'='$c'"
-        }.mkString(",") + ")")
+        }.mkString(",") +
+        (if (codebooks == null) ""
+         else "," + codebookProps(codebooks)) + ")")
   }
 
   /** Incremental index maintenance: append a new batch of vectors into
@@ -166,10 +200,15 @@ object AnnIndex {
                 vecCol: String = "embedding", scale: Int = 1000): Unit = {
     val (cm, sc) = resolveSpec(df.sparkSession, table, centroids, scale)
     validateSpec(df.sparkSession, table, cm, sc)
-    df.select(col(idCol).cast("long").as(idCol),
+    val base = df.select(col(idCol).cast("long").as(idCol),
         Similarity.quantize(col(vecCol), sc).as("_q"))
       .withColumn("_cell",
         Similarity.nearestCells(col("_q"), cm, 1).getItem(0))
+    // a PQ-carrying index appends PQ-carrying rows (insertInto is
+    // positional — the schema must match the table's)
+    val cbs = storedCodebooks(df.sparkSession, table)
+    (if (cbs == null) base
+     else base.withColumn("_codes", Pq.pqEncode(col("_q"), cbs)))
       .write.mode("append")
       .insertInto(table)
   }
@@ -240,5 +279,64 @@ object AnnIndex {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("dot").desc, col("nb"))
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** ADC probe of a PQ-carrying [[writeIvf]] index: candidates are
+    * scored from their stored `_codes` against a per-query lookup
+    * table, so the index side of the join reads ONLY (`_cell`, id,
+    * `_codes`) — column pruning drops the wide `_q` array at the
+    * parquet scan (pinned in PlanContractSpec), which is the I/O
+    * shape a 100 TB serve wants: the vectors stay on disk, the codes
+    * travel. `rerank > 0` re-orders the top `rerank` ADC candidates
+    * per query by exact dot, reading `_q` back for the shortlist only
+    * (one narrow join). Output: (idCol, nb, score, rank) — ADC
+    * estimates when rerank == 0, exact dots after a re-rank.
+    * Semantics match [[graft.ml.Pq.ivfPqTopK]] with the stored
+    * codebooks/centroids (pinned in PlanContractSpec). */
+  def probeIvfAdc(spark: SparkSession, table: String, queries: DataFrame,
+                  k: Int, nProbe: Int, rerank: Int = 0,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cm = storedCentroids(spark, table)
+    val sc = storedScale(spark, table)
+    validateSpec(spark, table, cm, sc)
+    val cbs = storedCodebooks(spark, table)
+    require(cbs != null,
+      s"AnnIndex: table $table stores no PQ codebooks — build with " +
+        "writeIvf(codebooks = ...) or probe with probeIvf")
+    val m = cbs.length
+    val idx = spark.table(table)
+      .select(col(idCol).as("nb"), col("_codes"), col("_cell"))
+    val probes = graft.core.Sizing.fanOutSmallScan(queries)
+      .select(col(idCol).cast("long").as(idCol),
+        Similarity.quantize(col(vecCol), sc).as("_q"))
+      .withColumn("_cell",
+        explode(Similarity.nearestCells(col("_q"), cm, nProbe)))
+      .select(col(idCol), col("_cell"), col("_q"),
+        Pq.adcLut(col("_q"), cbs).as("_lut"))
+    val scored = probes.join(idx, Seq("_cell"))
+      .filter(col(idCol) =!= col("nb"))
+      .select(col(idCol), col("nb"),
+        Pq.adcScore(col("_lut"), col("_codes"), m).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("nb"))
+    if (rerank <= 0)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    else {
+      require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+      val shortlist = scored.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= rerank).drop("_r", "score")
+      val qv = graft.core.Sizing.fanOutSmallScan(queries)
+        .select(col(idCol).cast("long").as("_qid"),
+          Similarity.quantize(col(vecCol), sc).as("_q"))
+      val exact = shortlist
+        .join(qv, col(idCol) === col("_qid"))
+        .join(spark.table(table).select(col(idCol).as("nb"),
+          col("_q").as("_qb")), Seq("nb"))
+        .select(col(idCol), col("nb"),
+          Similarity.dotLong(col("_q"), col("_qb")).as("score"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("score").desc, col("nb"))
+      exact.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+    }
   }
 }

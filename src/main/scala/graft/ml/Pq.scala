@@ -46,6 +46,39 @@ object Pq {
     }
   }
 
+  /** Train per-subspace codebooks with k-means over the corpus's OWN
+    * subvectors — the production path: PQ's accuracy is entirely a
+    * function of how well the codebook tiles the data distribution,
+    * and random codebooks quantize real data to noise (measured in
+    * MlBench `pq`: md5-literal codebooks score ~0% top-1 on the 2M
+    * soak corpus where trained ones are usable; the md5 scheme exists
+    * for cross-engine oracle replay, not production). Deterministic:
+    * fixed seed and iteration count, training sample capped at
+    * ~`sampleN` rows by a hash filter on the vector bytes. Returns the
+    * same m x k x subDim long matrix [[pqCodebooks]] produces, in the
+    * quantized integer space. */
+  def trainCodebooks(df: DataFrame, vecCol: String = "embedding",
+                     m: Int = 8, k: Int = 256, dim: Int = 64,
+                     scale: Int = 1000,
+                     sampleN: Long = 200000L): Array[Array[Array[Long]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val n = math.max(df.count(), 1L)
+    val every = math.max(1L, n / sampleN)
+    val sample = df.where(pmod(xxhash64(col(vecCol)), lit(every)) === 0)
+      .select(Similarity.quantize(col(vecCol), scale).as("_q"))
+      .localCheckpoint()
+    Array.tabulate(m) { s =>
+      val feats = sample.select(array_to_vector(
+        transform(slice(col("_q"), s * subDim + 1, subDim),
+          x => x.cast("double"))).as("features"))
+      new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(feats)
+        .clusterCenters.map(_.toArray.map(math.round))
+    }
+  }
+
   /** PQ-encode a quantized long-array column: array of `m` code ids,
     * code s = argmin_c |v_s - codebook(s)(c)|^2 over the s-th
     * subvector. Pure codegen'd column expression: per subspace the
@@ -111,7 +144,8 @@ object Pq {
                 vecCol: String = "embedding",
                 codebooks: Array[Array[Array[Long]]],
                 centroids: Array[Array[Long]], nProbe: Int = 2,
-                rerank: Int = 0, scale: Int = 1000): DataFrame = {
+                rerank: Int = 0, scale: Int = 1000,
+                queries: DataFrame = null): DataFrame = {
     val m = codebooks.length
     require(m >= 1 && codebooks.forall(_.length == codebooks(0).length) &&
       codebooks.forall(_.forall(_.length == codebooks(0)(0).length)),
@@ -121,6 +155,14 @@ object Pq {
         s"centroids have ${centroids(0).length}")
     val base = graft.core.Sizing.fanOutSmallScan(df)
       .select(col(idCol).cast("long").as(idCol),
+        Similarity.quantize(col(vecCol), scale).as("_q"))
+    // query side defaults to the corpus itself (every vector probes);
+    // pass `queries` for the serve shape — a small probe set against a
+    // large encoded corpus (ids share the corpus id space, so the
+    // self-pair filter still applies)
+    val qbase =
+      if (queries == null) base
+      else queries.select(col(idCol).cast("long").as(idCol),
         Similarity.quantize(col(vecCol), scale).as("_q"))
     // candidate side: membership cell + codes; the vector itself is
     // dropped unless the re-rank pass needs it back
@@ -132,11 +174,11 @@ object Pq {
     // each member owns exactly ONE membership cell, so a (query, nb)
     // pair can match at most once — the join is duplicate-free by
     // construction (no defensive exchange)
-    val queries = base.select(col(idCol), col("_q"),
+    val probes = qbase.select(col(idCol), col("_q"),
         posexplode(Similarity.nearestCells(col("_q"), centroids, nProbe))
           .as(Seq("_p", "_cell")))
       .select(col(idCol), col("_cell"), adcLut(col("_q"), codebooks).as("_lut"))
-    val scored = queries.join(members, Seq("_cell"))
+    val scored = probes.join(members, Seq("_cell"))
       .filter(col(idCol) =!= col("nb"))
       .select(col(idCol), col("nb"),
         adcScore(col("_lut"), col("_codes"), m).as("score"))
@@ -149,7 +191,7 @@ object Pq {
       val shortlist = scored.withColumn("_r", row_number().over(w))
         .filter(col("_r") <= rerank).drop("_r", "score")
       val exact = shortlist
-        .join(base.select(col(idCol).as("_qid"), col("_q")),
+        .join(qbase.select(col(idCol).as("_qid"), col("_q")),
           col(idCol) === col("_qid"))
         .join(base.select(col(idCol).as("nb"), col("_q").as("_qb")), Seq("nb"))
         .select(col(idCol), col("nb"),

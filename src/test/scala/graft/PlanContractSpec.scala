@@ -810,4 +810,71 @@ class PlanContractSpec extends AnyFunSuite {
     // the only exchange allowed is the broadcast one (dim side)
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(1500))
   }
+
+  test("pq index: ADC probe prunes the vector column at the scan, lifecycle preserves codebooks") {
+    import graft.ml.{AnnIndex, Pq, Similarity}
+    val db = TestDbs.perRun(spark, "graft_pqidx_")
+    val cm = Similarity.ivfCentroids(8, 64)
+    val cb = Pq.pqCodebooks(4, 8, 16)
+    val emb = Tables.pq(spark, dir, "embeddings")
+    AnnIndex.writeIvf(emb.where(col("vec_id") % 2 === 0), s"$db.pq", cm,
+      buckets = 4, codebooks = cb)
+    // append re-derives codes from the STORED codebooks (no caller
+    // matrix); compact + delete must preserve the graft.pq.* props
+    AnnIndex.appendIvf(emb.where(col("vec_id") % 2 === 1), s"$db.pq", cm)
+    AnnIndex.compact(spark, s"$db.pq")
+    AnnIndex.deleteByIds(spark, s"$db.pq",
+      emb.where(col("vec_id") % 11 === 0).select(col("vec_id")))
+    val stored = AnnIndex.storedCodebooks(spark, s"$db.pq")
+    assert(stored != null &&
+      stored.map(_.map(_.toSeq).toSeq).toSeq == cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // the ADC probe's index-side parquet scan reads (_cell, id, _codes)
+    // and NOT the wide _q vector — the I/O contract PQ exists for
+    val probe = AnnIndex.probeIvfAdc(spark, s"$db.pq", emb, k = 2, nProbe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+      .filter(_.contains("_codes"))
+    assert(scanSchemas.nonEmpty && scanSchemas.forall(!_.contains("_q:")),
+      plan.take(3000))
+    // and the serve path agrees with the in-memory operator over the
+    // surviving corpus, ADC and re-ranked alike
+    val live = emb.where(col("vec_id") % 11 =!= 0)
+    val viaMem = Pq.ivfPqTopK(live, k = 2, codebooks = cb, centroids = cm,
+      nProbe = 2, queries = emb).collect().map(_.toSeq).toSet
+    assert(probe.collect().map(_.toSeq).toSet == viaMem)
+    val probeRr = AnnIndex.probeIvfAdc(spark, s"$db.pq", emb, k = 2,
+      nProbe = 2, rerank = 5)
+    val viaMemRr = Pq.ivfPqTopK(live, k = 2, codebooks = cb, centroids = cm,
+      nProbe = 2, rerank = 5, queries = emb).collect().map(_.toSeq).toSet
+    assert(probeRr.collect().map(_.toSeq).toSet == viaMemRr)
+    // a codes-free index refuses the ADC probe instead of mis-joining
+    AnnIndex.writeIvf(emb, s"$db.plain", cm, buckets = 4)
+    intercept[IllegalArgumentException] {
+      AnnIndex.probeIvfAdc(spark, s"$db.plain", emb, k = 2, nProbe = 2)
+    }
+  }
+
+  test("dedupParagraphs plans are bounded: <=4 exchanges first, <=6 df; shards shuffle-free") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"alpha $i\nBOILER\ngamma ${i % 5}"))
+      .toDF("doc_id", "text")
+    // keep-first: winner agg (1 exchange on the paragraph), reassembly
+    // agg (1 on the id), and the n_paras join (<=2 more) — no window
+    // over the paragraph key, no cartesian anywhere
+    val p1 = graft.ml.Dedup.dedupParagraphs(docs)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p1).size <= 4, p1.take(2500))
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"), p1.take(2500))
+    // df mode adds the frequency agg + anti join
+    val p2 = graft.ml.Dedup.dedupParagraphs(docs, mode = "df", maxDocFreq = 2)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p2).size <= 6, p2.take(2500))
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"), p2.take(2500))
+    // shard assignment is a pure projection — ZERO exchanges
+    val p3 = graft.ml.Sampling.assignShards(docs, "doc_id", 16)
+      .queryExecution.executedPlan.toString
+    assert(!p3.contains("Exchange"), p3.take(1500))
+  }
 }
