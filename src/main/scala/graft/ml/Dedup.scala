@@ -1011,8 +1011,10 @@ object Dedup {
     // n_paras comes from a pure column expression on the input (no
     // third shuffle); the left join restores all-dropped documents
     docs.select(col(idCol),
-        size(filter(split(col(textCol), qsep), p => length(p) > 0))
-          .cast("long").as("n_paras"))
+        // coalesce: a NULL text splits to NULL (not an empty array), and
+        // the document must still come back as (0 paragraphs, 0 kept)
+        coalesce(size(filter(split(col(textCol), qsep), p => length(p) > 0))
+          .cast("long"), lit(0L)).as("n_paras"))
       .join(reasm, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col(textCol), lit("")).as(textCol),

@@ -180,7 +180,10 @@ object Sampling {
     * be skipped instead of rewritten, and a downstream trainer can
     * address any document's shard without an index. Hash sharding also
     * balances by construction (each shard gets ~n/nShards rows
-    * regardless of input order or skewed metadata). */
+    * regardless of input order or skewed metadata). A NULL id hashes
+    * to a NULL shard (md5 null-propagates, same contract as the
+    * samplers' draw) — filter or sentinel-tag null ids upstream, or an
+    * export writes them to the null partition directory. */
   def assignShards(df: DataFrame, idCol: String = "doc_id",
                    nShards: Int = 1024,
                    salt: String = "graftshard"): DataFrame = {

@@ -1392,6 +1392,16 @@ class OpsSpec extends AnyFunSuite {
     val rep = Dedup.dedupParagraphs(paraDocs.repartition(7)).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(base == rep)
+    // NULL and empty texts come back as empty shells with zero counts,
+    // never NULL counts
+    import spark.implicits._
+    val withNull = Seq((1L, "x y"), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+    val shells = Dedup.dedupParagraphs(withNull).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(shells == Seq((1L, "x y", 1L, 1L), (2L, "", 0L, 0L),
+      (3L, "", 0L, 0L)))
     intercept[IllegalArgumentException] {
       Dedup.dedupParagraphs(paraDocs, mode = "nope")
     }
