@@ -1469,6 +1469,51 @@ object SparkEntry {
         codebooks = graft.ml.Pq.pqCodebooks(4, 8, 16),
         centroids = Similarity.ivfCentroids(32, 64), nProbe = 2,
         rerank = 10)),
+    "q131_stream_boilerplate" -> ((s, dir) => {
+      // the STREAMING serve path of paragraph curation: a batch pass
+      // over the reference corpus (source len > 4) derives the hot
+      // over-frequency paragraph set; the incoming stream (len == 4)
+      // splits per-row, drops hot paragraphs via a stream-static
+      // left_anti (no state store), and each micro-batch's survivors
+      // reassemble in foreachBatch. The oracle replays chunking, the
+      // df>2 hot set, the anti-join, and the ordered reassembly.
+      val db = perRunDb(s, "graft_q131_")
+      val d = pq(s, dir, "documents")
+      val chunked = d.withColumn("text", paraChunks(5))
+      val hotPath = s"/tmp/${db}_hot"
+      graft.ml.Dedup.splitParagraphs(chunked.where(length(col("source")) > 4))
+        .groupBy(col("_p")).agg(countDistinct(col("doc_id")).as("_df"))
+        .where(col("_df") > 2).select(col("_p"))
+        .write.mode("overwrite").parquet(hotPath)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val outPath = s"/tmp/${db}_kept"
+      new java.io.File(outPath).mkdirs()
+      withStreamParts(s, 4) { ss =>
+        val src = ss.readStream.schema(schema).parquet(s"$dir/documents.parq*")
+          .where(length(col("source")) === 4)
+          .withColumn("text", paraChunks(5))
+        val hot = ss.read.parquet(hotPath)
+        val kept = graft.ml.Dedup.paragraphFilterStream(src, hot)
+        val q = kept.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.ml.Dedup.reassembleParagraphs(batch)
+              .write.mode("append").parquet(outPath)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val re = s.read.schema("doc_id LONG, text STRING, n_kept LONG")
+        .parquet(outPath)
+      chunked.where(length(col("source")) === 4)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), "\n"), p => length(p) > 0))
+            .cast("long").as("n_paras"))
+        .join(re, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_paras"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(coalesce(col("text"), lit(""))).as("clean_md5"))
+    }),
     "q130_pq_index" -> ((s, dir) => {
       // the PERSISTED PQ index lifecycle (q112's PQ analog): build the
       // codes-carrying IVF table from half the corpus, append the
@@ -2508,5 +2553,16 @@ object SparkEntry {
     "q130_pq_index" -> pqTopKOracleSql(nCells = 32, dim = 64, nProbe = 2,
       mSub = 4, kCodes = 8, k = 3, rerank = 10,
       memWhere = "vec_id % 7 <> 0"),
+
+    // streaming serve path replayed relationally: same chunking, the
+    // reference side's df>2 hot set, the anti-join, ordered reassembly
+    "q131_stream_boilerplate" -> (paraChunkCtes(5) +
+      """src AS (SELECT doc_id, length(source) AS ls FROM documents), """ +
+      """hot AS (SELECT para FROM pp JOIN src USING (doc_id) WHERE ls > 4 GROUP BY para HAVING count(DISTINCT doc_id) > 2), """ +
+      """inc AS (SELECT pp.doc_id, pp.idx, pp.para FROM pp JOIN src USING (doc_id) WHERE ls = 4), """ +
+      """win AS (SELECT doc_id, idx, para FROM inc WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.para = inc.para)), """ +
+      """re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(para, chr(10) ORDER BY idx)) AS clean_md5 FROM win GROUP BY 1), """ +
+      """tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM inc GROUP BY 1) """ +
+      """SELECT d.doc_id, coalesce(t.n_paras, 0) AS n_paras, coalesce(r.n_kept, 0) AS n_kept, coalesce(r.clean_md5, md5('')) AS clean_md5 FROM (SELECT doc_id FROM documents WHERE length(source) = 4) d LEFT JOIN tot t USING (doc_id) LEFT JOIN re r USING (doc_id)"""),
   )
 }

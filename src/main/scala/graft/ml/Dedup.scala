@@ -975,6 +975,51 @@ object Dedup {
     * `left_anti` join against the OVER-frequency set — the small
     * side by construction (distinct boilerplate paragraphs, not
     * their occurrences), so AQE broadcasts it in practice. */
+  /** Paragraph rows of a document frame: (idCol, _i, _p) — 0-based
+    * position, non-empty paragraphs, split on the LITERAL `sep`. Pure
+    * per-row expressions (streaming-legal); the shared front half of
+    * [[dedupParagraphs]] and [[paragraphFilterStream]]. */
+  def splitParagraphs(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id",
+                      sep: String = "\n"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("_i", "_p")))
+      .where(length(col("_p")) > 0)
+
+  /** Rebuild documents from surviving (idCol, _i, _p) paragraph rows:
+    * (idCol, textCol, n_kept). Per-doc ordering happens INSIDE the row
+    * (sort_array over the collected (position, paragraph) structs —
+    * position leads the struct, so it drives the sort), not as a
+    * shuffle sort. Documents with no surviving rows are absent — left
+    * join the original frame to restore empty shells (see
+    * [[dedupParagraphs]]'s tail). */
+  def reassembleParagraphs(paras: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id",
+                           sep: String = "\n"): DataFrame =
+    paras.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_i"), col("_p")))).as("_ps"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("_ps"), x => x.getField("_p"))).as(textCol),
+        size(col("_ps")).cast("long").as("n_kept"))
+
+  /** STREAMING boilerplate filter — the serve path of
+    * [[dedupParagraphs]]'s df mode: split an unbounded document stream
+    * into paragraphs (stateless per-row) and drop every paragraph that
+    * appears in the static `hot` frame (one `_p` column — the
+    * over-frequency set a batch pass derives; persist it as a table
+    * and re-derive on a cadence). The join is stream-static left_anti:
+    * no state store, no watermark, append-legal. Returns surviving
+    * (idCol, _i, _p) rows; reassemble per micro-batch with
+    * [[reassembleParagraphs]] in `foreachBatch`, or downstream. */
+  def paragraphFilterStream(stream: DataFrame, hot: DataFrame,
+                            textCol: String = "text",
+                            idCol: String = "doc_id",
+                            sep: String = "\n"): DataFrame =
+    splitParagraphs(stream, textCol, idCol, sep)
+      .join(hot.select(col("_p")), Seq("_p"), "left_anti")
+      .select(col(idCol), col("_i"), col("_p"))
+
   def dedupParagraphs(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", sep: String = "\n",
                       mode: String = "first",
@@ -983,9 +1028,7 @@ object Dedup {
       s"mode must be 'first' or 'df', got '$mode'")
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     val qsep = java.util.regex.Pattern.quote(sep)
-    val paras = docs
-      .select(col(idCol), posexplode(split(col(textCol), qsep)).as(Seq("_i", "_p")))
-      .where(length(col("_p")) > 0)
+    val paras = splitParagraphs(docs, textCol, idCol, sep)
     val kept = mode match {
       case "first" =>
         paras.groupBy(col("_p"))
@@ -1000,14 +1043,7 @@ object Dedup {
         paras.join(hot, Seq("_p"), "left_anti")
           .select(col(idCol), col("_i"), col("_p"))
     }
-    // reassembly: per-doc sort by original position happens INSIDE the
-    // row (sort_array over the collected structs — struct order is
-    // (_i, _p), so position leads), not as a shuffle sort
-    val reasm = kept.groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("_i"), col("_p")))).as("_ps"))
-      .select(col(idCol),
-        concat_ws(sep, transform(col("_ps"), x => x.getField("_p"))).as(textCol),
-        size(col("_ps")).cast("long").as("n_kept"))
+    val reasm = reassembleParagraphs(kept, textCol, idCol, sep)
     // n_paras comes from a pure column expression on the input (no
     // third shuffle); the left join restores all-dropped documents
     docs.select(col(idCol),

@@ -642,4 +642,41 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("paragraphFilterStream drops hot paragraphs stream-static, equals the batch anti-join") {
+    import spark.implicits._
+    import graft.ml.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // hot set = paragraphs seen in the "reference" corpus >= 2 docs
+    val ref = Seq((100L, "BOILER\nunique ref"), (101L, "BOILER\nother ref"))
+      .toDF("doc_id", "text")
+    val hot = Dedup.splitParagraphs(ref)
+      .groupBy(col("_p")).agg(countDistinct(col("doc_id")).as("_df"))
+      .where(col("_df") > 1).select(col("_p"))
+    val in = MemoryStream[(Long, String)]
+    val survivors = Dedup.paragraphFilterStream(
+      in.toDF().toDF("doc_id", "text"), hot)
+    val q = survivors.writeStream.format("memory").queryName("paras")
+      .outputMode("append").start()
+    in.addData((1L, "alpha\nBOILER\nomega"), (2L, "BOILER"), (3L, "solo"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("paras").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // BOILER vanishes everywhere (incl. doc 2 entirely); positions are
+    // the ORIGINAL ones, so reassembly keeps source order
+    assert(got == Set((1L, 0, "alpha"), (1L, 2, "omega"), (3L, 0, "solo")))
+    // and the streamed rows equal the batch spelling of the same filter
+    val batchRows = Dedup.splitParagraphs(
+        Seq((1L, "alpha\nBOILER\nomega"), (2L, "BOILER"), (3L, "solo"))
+          .toDF("doc_id", "text"))
+      .join(hot, Seq("_p"), "left_anti")
+      .select(col("doc_id"), col("_i"), col("_p"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == batchRows)
+    // reassembly of the streamed survivors restores in-order text
+    val re = Dedup.reassembleParagraphs(spark.table("paras"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(re == Set((1L, "alpha\nomega", 2L), (3L, "solo", 1L)))
+  }
 }
