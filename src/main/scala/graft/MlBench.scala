@@ -499,12 +499,17 @@ object MlBench {
     // clustered embedding corpus (256 planted centers + per-vector
     // noise), its 1-in-4000 query slice, and brute-force top-1 truth —
     // shared by the annrecall and pq recall studies
-    def embTruth(dim: Int): (DataFrame, DataFrame, DataFrame, Long) = {
+    def embTruth(dim: Int, spread: Boolean = false): (DataFrame, DataFrame, DataFrame, Long) = {
       import graft.ml.Similarity
       val nVec = math.min(nDocs, 2000000L)
+      // spread = every vector gets its OWN center (no planted clusters):
+      // exact-top-1 becomes a real discrimination task instead of an
+      // intra-cluster tie — the regime where PQ recall is measurable
       val emb = spark.range(nVec).select(col("id").as("vec_id"))
         .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("_c", pmod(xxhash64(col("vec_id"), lit("ctr")), lit(256)))
+        .withColumn("_c",
+          if (spread) col("vec_id")
+          else pmod(xxhash64(col("vec_id"), lit("ctr")), lit(256)))
         .withColumn("embedding",
           transform(sequence(lit(0), lit(dim - 1)), i =>
             (pmod(xxhash64(col("_c"), i), lit(1000)).cast("float") - 500.0f) / 500.0f +
@@ -594,6 +599,10 @@ object MlBench {
         enc.head()
         println(f"[mlbench] pq payload m=$m k=$kc $tag: ~${m} B codes/vec vs " +
           f"${dim * 8} B quantized vec (${dim * 8.0 / m}%.0fx narrower candidate side)")
+        // release per-config state before the next iteration: leaked
+        // checkpoint blocks from earlier configs would distort the
+        // walls the later configs report (review finding, round 12)
+        enc.unpersist()
         for ((rr, label) <- Seq((0, "adc"), (32, "adc+rerank32"))) {
           val top1 = t(s"pq probe m=$m k=$kc $tag $label (incl. encode)") {
             Pq.ivfPqTopK(emb, k = 1, codebooks = cb, centroids = cm,
@@ -616,8 +625,49 @@ object MlBench {
           println(f"[mlbench] pq m=$m k=$kc $tag $label: exact-top1 $agree/$nq " +
             f"= ${agree * 100.0 / nq}%.1f%%, cluster-hit@1 $clusterHit/$nq " +
             f"= ${clusterHit * 100.0 / nq}%.1f%%")
+          top1.unpersist()
         }
       }
+      // SPREAD regime: every vector its own center — no ties, so
+      // exact-top-1 recall measures what the codes actually resolve,
+      // and the rerank sweep prices the recall/budget curve a 100 TB
+      // user buys (ADC shortlist R, then R exact dots per query)
+      val (emb2, queries2, brute2, nq2) = embTruth(dim, spread = true)
+      val cb2 = t("pq train m=8 k=256 spread") {
+        Pq.trainCodebooks(emb2, "embedding", 8, 256, dim)
+      }
+      // two denominators: global brute truth (end-to-end = IVF recall
+      // x PQ recall) and best-in-probed-cells (rerank=100000 ranks the
+      // ENTIRE candidate set by exact dot — the IVF-only ceiling, so
+      // the PQ contribution reads separately from cell coverage)
+      val ceil = t("pq spread IVF-ceiling (exact best in probed cells)") {
+        Pq.ivfPqTopK(emb2, k = 1, codebooks = cb2, centroids = cm,
+            nProbe = 4, rerank = 100000, queries = queries2)
+          .where(col("rank") === 1)
+          .select(col("vec_id").as("q"), col("nb").as("nbc")).localCheckpoint()
+      }
+      val ivfOk = ceil.join(brute2, Seq("q"))
+        .where(col("nbc") === col("nb2")).count()
+      println(f"[mlbench] pq spread IVF-only ceiling (nProbe=4): $ivfOk/$nq2 " +
+        f"= ${ivfOk * 100.0 / nq2}%.1f%% of global truth reachable")
+      for (rr <- Seq(0, 8, 32, 128)) {
+        val label = if (rr == 0) "adc" else s"adc+rerank$rr"
+        val top1 = t(s"pq spread probe $label") {
+          Pq.ivfPqTopK(emb2, k = 1, codebooks = cb2, centroids = cm,
+              nProbe = 4, rerank = rr, queries = queries2)
+            .where(col("rank") === 1)
+            .select(col("vec_id").as("q"), col("nb")).localCheckpoint()
+        }
+        val agree = top1.join(brute2, Seq("q"))
+          .where(col("nb") === col("nb2")).count()
+        val agreeC = top1.join(ceil, Seq("q"))
+          .where(col("nb") === col("nbc")).count()
+        println(f"[mlbench] pq spread k=256 $label: end-to-end $agree/$nq2 " +
+          f"= ${agree * 100.0 / nq2}%.1f%%, vs-reachable $agreeC/$nq2 " +
+          f"= ${agreeC * 100.0 / nq2}%.1f%%")
+        top1.unpersist()
+      }
+      ceil.unpersist()
     }
 
     if (on("paradedup")) {
@@ -628,12 +678,9 @@ object MlBench {
       // skew: a mega-cluster paragraph recurs ~3000 times, a medium one
       // ~300, the unique tail almost never. That is exactly the
       // distribution the map-side-partial min(struct) fold exists for.
-      val ws = split(trim(col("text")), "\\s+")
-      val k = 5
-      val ptext = concat_ws("\n",
-        transform(sequence(lit(0), ceil(size(ws) / lit(k.toDouble)).cast("int") - 1),
-          i => array_join(slice(ws, i * k + 1, lit(k)), " ")))
-      val pdocs = docs.select(col("doc_id"), ptext.as("text")).localCheckpoint()
+      val pdocs = docs.select(col("doc_id"),
+          graft.ml.TextOps.paragraphChunks(col("text"), 5).as("text"))
+        .localCheckpoint()
       val io = new IoListener; spark.sparkContext.addSparkListener(io)
       def fingerprint(d: DataFrame): (Long, Long, Long) = {
         // two independent 32-bit md5 chunk sums: 2^32 x up to 2^31 rows

@@ -1459,16 +1459,20 @@ object SparkEntry {
       // codebooks), probes score candidates by ADC lookup sums — the
       // oracle replays encode, LUT, and scoring integer-exactly
       graft.ml.Pq.ivfPqTopK(pq(s, dir, "embeddings"), k = 3,
-        codebooks = graft.ml.Pq.pqCodebooks(4, 8, 16),
-        centroids = Similarity.ivfCentroids(32, 64), nProbe = 2)),
+          codebooks = graft.ml.Pq.pqCodebooks(4, 8, 16),
+          centroids = Similarity.ivfCentroids(32, 64), nProbe = 2)
+        .select(col("vec_id"), col("nb"), col("score"),
+          col("rank").cast("long").as("rank"))),
     "q129_pq_rerank" -> ((s, dir) =>
       // same index, ADC shortlist of 10 re-ranked by EXACT quantized
       // dot — the standard PQ recall repair; the oracle replays both
       // stages, so a defect in either changes the hash
       graft.ml.Pq.ivfPqTopK(pq(s, dir, "embeddings"), k = 3,
-        codebooks = graft.ml.Pq.pqCodebooks(4, 8, 16),
-        centroids = Similarity.ivfCentroids(32, 64), nProbe = 2,
-        rerank = 10)),
+          codebooks = graft.ml.Pq.pqCodebooks(4, 8, 16),
+          centroids = Similarity.ivfCentroids(32, 64), nProbe = 2,
+          rerank = 10)
+        .select(col("vec_id"), col("nb"), col("score"),
+          col("rank").cast("long").as("rank"))),
     "q131_stream_boilerplate" -> ((s, dir) => {
       // the STREAMING serve path of paragraph curation: a batch pass
       // over the reference corpus (source len > 4) derives the hot
@@ -1507,8 +1511,10 @@ object SparkEntry {
         .parquet(outPath)
       chunked.where(length(col("source")) === 4)
         .select(col("doc_id"),
-          size(filter(split(col("text"), "\n"), p => length(p) > 0))
-            .cast("long").as("n_paras"))
+          // same NULL-text coalesce as dedupParagraphs' tail: a NULL
+          // text must read as 0 paragraphs, matching the oracle
+          coalesce(size(filter(split(col("text"), "\n"), p => length(p) > 0))
+            .cast("long"), lit(0L)).as("n_paras"))
         .join(re, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_paras"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -1551,14 +1557,11 @@ object SparkEntry {
 
   /** Re-shape the flat `documents.text` into newline-separated
     * paragraphs of `k` words each, so the paragraph operators (q125,
-    * q126) have real cross-document duplicate spans to act on; the
-    * DuckDB twin [[paraChunkCtes]] replays the identical chunking. */
-  private def paraChunks(k: Int): org.apache.spark.sql.Column = {
-    val ws = split(trim(col("text")), "\\s+")
-    concat_ws("\n",
-      transform(sequence(lit(0), ceil(size(ws) / lit(k.toDouble)).cast("int") - 1),
-        i => array_join(slice(ws, i * k + 1, lit(k)), " ")))
-  }
+    * q126, q131) have real cross-document duplicate spans to act on;
+    * the DuckDB twin [[paraChunkCtes]] replays the identical chunking.
+    * One definition for engine and bench: [[graft.ml.TextOps.paragraphChunks]]. */
+  private def paraChunks(k: Int): org.apache.spark.sql.Column =
+    TextOps.paragraphChunks(col("text"), k)
 
   /** DuckDB twin of [[paraChunks]] + the operator's own split: CTEs
     * ending in `pp(doc_id, idx, para)` — non-empty paragraphs with

@@ -52,10 +52,15 @@ object Pq {
     * and random codebooks quantize real data to noise (measured in
     * MlBench `pq`: md5-literal codebooks score ~0% top-1 on the 2M
     * soak corpus where trained ones are usable; the md5 scheme exists
-    * for cross-engine oracle replay, not production). Deterministic:
-    * fixed seed and iteration count, training sample capped at
-    * ~`sampleN` rows by a hash filter on the vector bytes. Returns the
-    * same m x k x subDim long matrix [[pqCodebooks]] produces, in the
+    * for cross-engine oracle replay, not production). Reproducible for
+    * a FIXED environment: seed and iteration count are pinned and the
+    * training sample is hash-selected and repartitioned to a constant
+    * width before the fit — but k-means center updates are float
+    * tree-aggregations, so a different Spark version (or a last-ulp
+    * platform difference) can still flip a rounded codebook entry;
+    * persist trained codebooks (writeIvf stores them on the index)
+    * rather than re-deriving them per run. Returns the same
+    * m x k x subDim long matrix [[pqCodebooks]] produces, in the
     * quantized integer space. */
   def trainCodebooks(df: DataFrame, vecCol: String = "embedding",
                      m: Int = 8, k: Int = 256, dim: Int = 64,
@@ -69,6 +74,9 @@ object Pq {
     val every = math.max(1L, n / sampleN)
     val sample = df.where(pmod(xxhash64(col(vecCol)), lit(every)) === 0)
       .select(Similarity.quantize(col(vecCol), scale).as("_q"))
+      // constant partition width: the fit's float aggregation order no
+      // longer follows the caller's core count / input layout
+      .repartition(64)
       .localCheckpoint()
     Array.tabulate(m) { s =>
       val feats = sample.select(array_to_vector(

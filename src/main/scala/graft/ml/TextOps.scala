@@ -42,6 +42,18 @@ object TextOps {
       .otherwise(array())
   }
 
+  /** Re-shape flat text into `sep`-joined chunks of `k` words — the
+    * paragraph-structure generator shared by the paragraph-dedup
+    * queries (SparkEntry q125/q126/q131) and the MlBench paradedup
+    * soak corpus. The DuckDB twin (SparkEntry `paraChunkCtes`) replays
+    * the identical chunking; keep both in lockstep. */
+  def paragraphChunks(text: Column, k: Int, sep: String = "\n"): Column = {
+    val ws = split(trim(text), "\\s+")
+    concat_ws(sep,
+      transform(sequence(lit(0), ceil(size(ws) / lit(k.toDouble)).cast("int") - 1),
+        i => array_join(slice(ws, i * k + 1, lit(k)), " ")))
+  }
+
   /** Count of tokens found in `vocab` (stopword / wordlist hits). */
   def wordlistHits(text: Column, vocab: Seq[String]): Column =
     wordlistHitsTokens(tokens(text), vocab)
