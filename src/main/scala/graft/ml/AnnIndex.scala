@@ -245,6 +245,44 @@ object AnnIndex {
       .select(col(idCol), col("_best.nb").as("nb"), col("_best.dot").as("dot"))
   }
 
+  /** STREAMING ADC serve: [[probeStreamBest]]'s PQ twin for a
+    * codes-carrying index — each streamed query's single best neighbor
+    * by ADC score, with the static index side scanned as (`_cell`,
+    * id, `_codes`) only (the vector column stays on disk, exactly the
+    * [[probeIvfAdc]] I/O shape). Stateless stream-static join +
+    * streaming-legal `max_by` fold; scores are ADC estimates — run an
+    * exact re-rank in `foreachBatch` with [[probeIvfAdc]] when the
+    * serve needs exact ordering. */
+  def probeStreamBestAdc(spark: SparkSession, table: String,
+                         queryStream: DataFrame, nProbe: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val cm = storedCentroids(spark, table)
+    val sc = storedScale(spark, table)
+    validateSpec(spark, table, cm, sc)
+    val cbs = storedCodebooks(spark, table)
+    require(cbs != null,
+      s"AnnIndex: table $table stores no PQ codebooks — build with " +
+        "writeIvf(codebooks = ...) or serve with probeStreamBest")
+    val m = cbs.length
+    val idx = spark.table(table)
+      .select(col(idCol).as("nb"), col("_codes"), col("_cell"))
+    val probes = queryStream
+      .select(col(idCol).cast("long").as(idCol),
+        Similarity.quantize(col(vecCol), sc).as("_q"))
+      .withColumn("_cell",
+        explode(Similarity.nearestCells(col("_q"), cm, nProbe)))
+      .select(col(idCol), col("_cell"), Pq.adcLut(col("_q"), cbs).as("_lut"))
+    probes.join(idx, Seq("_cell"))
+      .filter(col(idCol) =!= col("nb"))
+      .withColumn("score", Pq.adcScore(col("_lut"), col("_codes"), m))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("nb"), col("score")),
+        struct(col("score"), -col("nb"))).as("_best"))
+      .select(col(idCol), col("_best.nb").as("nb"),
+        col("_best.score").as("score"))
+  }
+
   /** Top-`k` neighbors for each query against a [[writeIvf]] table:
     * queries compute their `nProbe` nearest cells (same centroid
     * literals), explode, and equi-join the bucketed index on `_cell` —

@@ -541,6 +541,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming ADC serve equals the batch ADC probe at k=1, and rejects codes-free indexes") {
+    import graft.ml.{AnnIndex, Pq, Similarity}
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.pq(spark, dir, "embeddings")
+    val cm = Similarity.ivfCentroids(8, 64)
+    val db = TestDbs.perRun(spark, "graft_spq_")
+    AnnIndex.writeIvf(emb, s"$db.pq", cm, buckets = 4,
+      codebooks = Pq.pqCodebooks(4, 8, 16))
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(s"$dir/embeddings.parq*")
+    val best = AnnIndex.probeStreamBestAdc(spark, s"$db.pq", src, nProbe = 2)
+    val name = s"spq_${System.nanoTime}"
+    val q = best.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name).collect().map(_.toSeq).toSet
+    val batch = AnnIndex.probeIvfAdc(spark, s"$db.pq", emb, k = 1, nProbe = 2)
+      .select(col("vec_id"), col("nb"), col("score"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    AnnIndex.writeIvf(emb, s"$db.bare", cm, buckets = 4)
+    intercept[IllegalArgumentException] {
+      AnnIndex.probeStreamBestAdc(spark, s"$db.bare", src, nProbe = 2)
+    }
+  }
+
   test("streaming serve picks up an index delete on the next trigger (takedown)") {
     import graft.ml.{AnnIndex, Similarity}
     import org.apache.spark.sql.functions.col
