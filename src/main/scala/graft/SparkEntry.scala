@@ -1498,17 +1498,21 @@ object SparkEntry {
           .withColumn("text", paraChunks(5))
         val hot = ss.read.parquet(hotPath)
         val kept = graft.ml.Dedup.paragraphFilterStream(src, hot)
+        // foreachBatch is at-least-once: key each micro-batch's output
+        // by its batchId and OVERWRITE that directory whole, so a
+        // retried batch replaces its own (possibly partial) output
+        // instead of appending duplicate survivor rows
         val q = kept.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
             graft.ml.Dedup.reassembleParagraphs(batch)
-              .write.mode("append").parquet(outPath)
+              .write.mode("overwrite").parquet(s"$outPath/b$bid")
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
       }
       val re = s.read.schema("doc_id LONG, text STRING, n_kept LONG")
-        .parquet(outPath)
+        .option("recursiveFileLookup", "true").parquet(outPath)
       chunked.where(length(col("source")) === 4)
         .select(col("doc_id"),
           // same NULL-text coalesce as dedupParagraphs' tail: a NULL

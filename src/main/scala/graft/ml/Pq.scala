@@ -61,18 +61,31 @@ object Pq {
     * persist trained codebooks (writeIvf stores them on the index)
     * rather than re-deriving them per run. Returns the same
     * m x k x subDim long matrix [[pqCodebooks]] produces, in the
-    * quantized integer space. */
+    * quantized integer space — always exactly `k` rows per subspace:
+    * when k-means converges to fewer distinct centers than `k` (a
+    * subspace whose sample has few distinct points), the codebook is
+    * padded by cycling the trained centers, so the m x k x subDim
+    * rectangularity contract `ivfPqTopK` requires always holds
+    * (duplicate codes are harmless — the encode argmin ties to the
+    * smaller code id, so a padded copy never wins).
+    *
+    * Sampling is a fixed hash-acceptance draw (`sampleFraction` of the
+    * corpus, by a 20-bit xxhash threshold on the vector bytes) — ONE
+    * pass, no `count()` pre-pass: at 100 TB an exact-count stride
+    * would double the pre-train I/O for no accuracy gain. */
   def trainCodebooks(df: DataFrame, vecCol: String = "embedding",
                      m: Int = 8, k: Int = 256, dim: Int = 64,
                      scale: Int = 1000,
-                     sampleN: Long = 200000L): Array[Array[Array[Long]]] = {
+                     sampleFraction: Double = 0.1): Array[Array[Array[Long]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim not divisible by m $m")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
     val subDim = dim / m
-    val n = math.max(df.count(), 1L)
-    val every = math.max(1L, n / sampleN)
-    val sample = df.where(pmod(xxhash64(col(vecCol)), lit(every)) === 0)
+    val bits = 1L << 20
+    val accept = math.max(1L, math.round(sampleFraction * bits))
+    val sample = df.where(pmod(xxhash64(col(vecCol)), lit(bits)) < accept)
       .select(Similarity.quantize(col(vecCol), scale).as("_q"))
       // constant partition width: the fit's float aggregation order no
       // longer follows the caller's core count / input layout
@@ -82,8 +95,10 @@ object Pq {
       val feats = sample.select(array_to_vector(
         transform(slice(col("_q"), s * subDim + 1, subDim),
           x => x.cast("double"))).as("features"))
-      new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(feats)
+      val trained = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(feats)
         .clusterCenters.map(_.toArray.map(math.round))
+      if (trained.length >= k) trained
+      else Array.tabulate(k)(i => trained(i % trained.length))
     }
   }
 

@@ -177,7 +177,8 @@ object Sampling {
     * engine, any partitioning, any rerun. That is the property a
     * resumable 100 TB export needs: a re-run after a partial failure
     * re-derives the same shard for every row, so completed shards can
-    * be skipped instead of rewritten, and a downstream trainer can
+    * be skipped instead of rewritten (the path
+    * `exportShards(resume = true)` implements), and a downstream trainer can
     * address any document's shard without an index. Hash sharding also
     * balances by construction (each shard gets ~n/nShards rows
     * regardless of input order or skewed metadata). A NULL id hashes
@@ -200,20 +201,53 @@ object Sampling {
     * trainer's data loader can read it without listing data files.
     * Returns the manifest, computed from the data as written.
     *
-    * Scale shape: one `repartition(nShards, shard)` exchange puts each
-    * shard wholly inside one task, so every `shard=K/` directory holds
-    * exactly ONE file — the layout trainers want (a shard is a file,
-    * not a directory scan), and the write parallelism is nShards. Size
-    * shards so a shard fits an executor (the assignment hash balances
-    * them); the manifest is one groupBy over the written data, a
-    * recount that certifies the files on disk rather than trusting the
-    * plan that produced them. */
+    * Scale shape: one `repartitionByRange(nShards, shard)` exchange
+    * puts each shard wholly inside one task (a range partitioner never
+    * splits equal keys, so every `shard=K/` directory holds exactly
+    * ONE file — the layout trainers want: a shard is a file, not a
+    * directory scan). Range, not hash, because hashing the shard
+    * VALUES collides: several shards land in one task while others sit
+    * empty. Range boundaries come from sampling, so a few ADJACENT
+    * shards can still share a task at the margins — write parallelism
+    * is ~nShards, not exactly nShards — but a shard is never split.
+    * Size shards so a shard fits an executor (the assignment hash
+    * balances them); the manifest is one groupBy over the written
+    * data, a recount that certifies the files on disk rather than
+    * trusting the plan that produced them.
+    *
+    * `resume = true` lists the existing `shard=K/` directories and
+    * writes ONLY the missing shards (dynamic partition overwrite, so
+    * completed directories are never touched) — the restart path for a
+    * 100 TB export that died mid-job-commit. A committed shard
+    * directory is complete (the committer moves task output in whole
+    * directories), and the assignment is a pure hash of the id, so a
+    * re-run reproduces exactly the rows the dead run would have put
+    * there. The manifest is always recomputed over ALL shards on
+    * disk. */
   def exportShards(df: DataFrame, path: String, idCol: String = "doc_id",
                    nShards: Int = 1024, textCol: String = "text",
-                   salt: String = "graftshard"): DataFrame = {
-    assignShards(df, idCol, nShards, salt)
-      .repartition(nShards, col("shard"))
-      .write.partitionBy("shard").mode("overwrite").parquet(path)
+                   salt: String = "graftshard",
+                   resume: Boolean = false): DataFrame = {
+    val assigned = assignShards(df, idCol, nShards, salt)
+    val done: Seq[Int] =
+      if (!resume) Seq.empty
+      else {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+          .map(_.getPath.getName.stripPrefix("shard="))
+          .filter(n => n.nonEmpty && n.forall(_.isDigit))
+          .map(_.toInt)
+      }
+    val todo =
+      if (done.isEmpty) assigned
+      else assigned.where(not(col("shard").isin(done: _*)))
+    val writer = todo.repartitionByRange(nShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite")
+    (if (resume) writer.option("partitionOverwriteMode", "dynamic")
+     else writer).parquet(path)
     val back = df.sparkSession.read.parquet(path)
     val manifest = back.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),

@@ -1542,4 +1542,78 @@ class OpsSpec extends AnyFunSuite {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("exportShards resume=true skips completed shard directories") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_resume_").toString
+    def dataFiles(shard: Int): Seq[String] = {
+      val d = new java.io.File(s"$dir/shard=$shard")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getName).sorted.toSeq
+    }
+    try {
+      val df = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      // simulate a partially-completed export: only the rows of shards
+      // 0 and 1 made it to disk before the "crash"
+      val assigned = graft.ml.Sampling.assignShards(df, "doc_id", 4)
+      val partialIds = assigned.where(col("shard") < 2)
+        .select("doc_id").as[Long].collect().toSet
+      graft.ml.Sampling.exportShards(
+        df.where(col("doc_id").isin(partialIds.toSeq: _*)), dir, "doc_id",
+        nShards = 4)
+      val before0 = dataFiles(0)
+      val before1 = dataFiles(1)
+      assert(before0.nonEmpty && before1.nonEmpty && dataFiles(2).isEmpty)
+      // resume over the FULL corpus: shards 0/1 must be left untouched
+      // (same physical files), shards 2/3 filled in
+      val man = graft.ml.Sampling.exportShards(df, dir, "doc_id",
+          nShards = 4, resume = true)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(dataFiles(0) == before0 && dataFiles(1) == before1,
+        "resume rewrote a completed shard")
+      assert(dataFiles(2).size == 1 && dataFiles(3).size == 1)
+      // the manifest recounts ALL shards and the corpus is complete
+      assert(man.values.sum == 500L && man.keySet == Set(0, 1, 2, 3))
+      val back = spark.read.parquet(dir).select("doc_id").as[Long]
+        .collect().sorted.toSeq
+      assert(back == (1L to 500L))
+      // a second resume with everything present rewrites nothing
+      graft.ml.Sampling.exportShards(df, dir, "doc_id", nShards = 4,
+        resume = true)
+      assert((0 to 3).map(dataFiles) ==
+        Seq(before0, before1, dataFiles(2), dataFiles(3)))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("trainCodebooks pads to a rectangular m x k x subDim codebook " +
+    "when a subspace has fewer distinct points than k") {
+    import spark.implicits._
+    // 3 distinct vectors, k = 8: k-means can only find 3 centers; the
+    // codebook must still come back k-rectangular (padded by cycling)
+    // so ivfPqTopK's rectangularity require holds
+    val df = (1 to 60)
+      .map(i => Tuple1(Array.fill(8)((i % 3).toFloat)))
+      .toDF("embedding")
+    val cb = graft.ml.Pq.trainCodebooks(df, "embedding", m = 2, k = 8,
+      dim = 8, sampleFraction = 1.0)
+    assert(cb.length == 2)
+    assert(cb.forall(_.length == 8), s"ragged: ${cb.map(_.length).toSeq}")
+    assert(cb.forall(_.forall(_.length == 4)))
+    // padded entries are copies of trained centers, never junk
+    for (s <- cb) {
+      val distinct = s.map(_.toSeq).toSet
+      assert(distinct.size <= 3 && distinct.nonEmpty)
+    }
+    // the padded codebook satisfies the operator's contract end-to-end
+    val vecs = (1L to 20L)
+      .map(i => (i, Array.fill(16)((i % 3).toFloat))).toDF("vec_id", "embedding")
+    val cb2 = Array(cb(0), cb(1), cb(0), cb(1))
+    val out = graft.ml.Pq.ivfPqTopK(vecs, k = 1, codebooks = cb2,
+      centroids = Similarity.ivfCentroids(4, 16), nProbe = 4)
+    assert(out.count() > 0)
+  }
 }
