@@ -119,7 +119,8 @@ object MlBench {
     val modes = { val m = args.drop(1).toSet; if (m.isEmpty) Set("all") else m }
     def on(m: String) = modes.contains(m) ||
       (modes.contains("all") &&
-        !Set("starab", "recall", "annrecall", "serve", "paradedup", "pq").contains(m))
+        !Set("starab", "recall", "annrecall", "serve", "paradedup", "pq",
+          "semdedup").contains(m))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -744,6 +745,102 @@ object MlBench {
         new scala.reflect.io.Directory(new java.io.File(shardDir))
           .deleteRecursively()
       }
+    }
+
+    if (on("semdedup")) {
+      // SemDeDup at soak scale, on the ann corpus shape (64-dim vectors
+      // clustered around 256 planted directions, ~10% relative noise —
+      // same-cluster cosine ~99%, cross-cluster |cosine| well under
+      // 40%, so t=90 separates cleanly and TRUTH is the planted cluster
+      // id). The planted corpus is the adversarial shape for the
+      // published pairwise rule: every planted cluster lands in one
+      // cell, so within-cell pairs are quadratic in the CLUSTER size
+      // (the all-pairs-minhash detonation, semantic edition) — anchor
+      // mode is the linear path at full scale, pairwise runs on a
+      // mix-preserving slice as the recall truth.
+      import graft.ml.SemDedup
+      import graft.ml.Similarity
+      val dim = 64
+      val nVec = nDocs
+      val emb = spark.range(nVec).select(col("id").as("vec_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("cluster", pmod(xxhash64(col("vec_id"), lit("ctr")), lit(256)))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)), i =>
+            (pmod(xxhash64(col("cluster"), i), lit(1000)).cast("float") - 500.0f) / 500.0f +
+              (pmod(xxhash64(col("vec_id"), i, lit("n")), lit(200)).cast("float") - 100.0f) / 1000.0f))
+        .localCheckpoint()
+      println(s"[mlbench] semdedup corpus: $nVec vectors x $dim dims, 256 planted clusters")
+      val cm = Similarity.ivfCentroids(256, dim)
+      val io = new IoListener; spark.sparkContext.addSparkListener(io)
+      def fp(d: DataFrame): (Long, Long, Long) = {
+        val h = md5(concat_ws("", col("vec_id"), col("cell"),
+          col("centroid_dot"), col("kept")))
+        val r = d.agg(count(lit(1)),
+          sum(conv(substring(h, 1, 8), 16, 10).cast("long")),
+          sum(conv(substring(h, 9, 8), 16, 10).cast("long"))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      def survStats(out: DataFrame, what: String): Unit = {
+        val s = out.where(col("kept"))
+          .join(emb.select(col("vec_id"), col("cluster")), "vec_id")
+          .groupBy(col("cluster")).agg(count(lit(1)).as("s"))
+          .agg(count(lit(1)), sum(col("s")), max(col("s")),
+            sum(when(col("s") === 1, 1L).otherwise(0L))).head()
+        println(f"[mlbench] $what survivors: ${s.getLong(1)} over ${s.getLong(0)} " +
+          f"clusters (ideal 256), max/cluster ${s.getLong(2)}, " +
+          f"exactly-1 clusters ${s.getLong(3)}")
+      }
+      // ANCHOR mode at full scale, x2 reps (warm read after cold)
+      var anchor: DataFrame = null
+      for (i <- 1 to 2) {
+        val (sw0, sp0) = io.snap()
+        anchor = t(s"semanticDedup anchor t=90 @$nVec rep$i") {
+          SemDedup.semanticDedup(emb, cm, 90, mode = "anchor").localCheckpoint()
+        }
+        val (sw1, sp1) = io.snap()
+        val k = anchor.agg(count(lit(1)),
+          sum(when(col("kept"), 1L).otherwise(0L))).head()
+        println(f"[mlbench] anchor @$nVec rep$i: kept ${k.getLong(1)}/${k.getLong(0)} " +
+          f"= ${k.getLong(1) * 100.0 / k.getLong(0)}%.3f%%, " +
+          f"shuffle ${(sw1 - sw0) / 1e9}%.2f GB, spill ${(sp1 - sp0) / 1e9}%.2f GB")
+      }
+      survStats(anchor, s"anchor @$nVec")
+      // partitioning invariance at soak scale (cloned session, width 23)
+      val fp1 = fp(anchor)
+      val sess2 = spark.newSession()
+      sess2.conf.set("spark.sql.shuffle.partitions", "23")
+      val a23 = t(s"semanticDedup anchor @$nVec width=23") {
+        SemDedup.semanticDedup(
+          sess2.createDataFrame(emb.rdd, emb.schema), cm, 90,
+          mode = "anchor").localCheckpoint()
+      }
+      val fp2 = fp(a23)
+      println(s"[mlbench] semdedup invariance: width-32 $fp1 vs width-23 $fp2 " +
+        (if (fp1 == fp2) "[BIT-IDENTICAL]" else "[MISMATCH]"))
+      // PAIRWISE (the published rule) on a mix-preserving slice: the
+      // recall truth for the anchor shortcut, plus its wall honestly
+      // priced (quadratic in the planted-cluster cell population)
+      val nSmall = math.min(nVec, 200000L)
+      val small = emb.where(col("vec_id") < nSmall).localCheckpoint()
+      val pw = t(s"semanticDedup pairwise t=90 @$nSmall") {
+        SemDedup.semanticDedup(small, cm, 90).localCheckpoint()
+      }
+      survStats(pw, s"pairwise @$nSmall")
+      val aS = t(s"semanticDedup anchor t=90 @$nSmall") {
+        SemDedup.semanticDedup(small, cm, 90, mode = "anchor").localCheckpoint()
+      }
+      survStats(aS, s"anchor @$nSmall")
+      // anchor drops must be a subset of pairwise drops (rank-1 is a
+      // better-ranked member for everything it kills)
+      val aDrop = aS.where(!col("kept")).select(col("vec_id"))
+      val pwDrop = pw.where(!col("kept")).select(col("vec_id"), lit(1).as("_in"))
+      val ov = aDrop.join(pwDrop, Seq("vec_id"), "left")
+        .agg(count(lit(1)), count(col("_in"))).head()
+      val pwN = pw.where(!col("kept")).count()
+      println(s"[mlbench] drops: pairwise $pwN, anchor ${ov.getLong(0)} " +
+        s"(${ov.getLong(1)} inside pairwise" +
+        (if (ov.getLong(0) == ov.getLong(1)) " [SUBSET-OK])" else " [VIOLATION!])"))
     }
     spark.stop()
   }

@@ -1549,6 +1549,21 @@ object SparkEntry {
         .select(col("vec_id"), col("nb"), col("score"),
           col("rank").cast("long").as("rank"))
     }),
+    "q132_semdedup" -> ((s, dir) =>
+      // SemDeDup (the published pairwise rule): coarse cells by nearest
+      // centroid, rank by centroid dot ascending (keep the EDGE member
+      // — the paper's diversity rule), drop anything >= 30% cosine to a
+      // better-ranked same-cell member; the oracle replays cell
+      // assignment, ranking, and the exact HUGEINT cosine gate
+      graft.ml.SemDedup.semanticDedup(pq(s, dir, "embeddings"),
+        Similarity.ivfCentroids(32, 64), thresholdPct = 30)),
+    "q133_semdedup_anchor" -> ((s, dir) =>
+      // the linear serving of the same operator: only the cell's rank-1
+      // anchor kills — the bounded fallback for skewed cells (lower
+      // recall, strictly linear), at a looser 25% threshold
+      graft.ml.SemDedup.semanticDedup(pq(s, dir, "embeddings"),
+        Similarity.ivfCentroids(32, 64), thresholdPct = 25,
+        mode = "anchor")),
   )
 
   /** DuckDB twin of `ml.Sampling.hash24` (expects a CTE column `h` =
@@ -1714,6 +1729,28 @@ object SparkEntry {
         "SELECT vec_id, nb, score, CAST(rn AS BIGINT) AS rank FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nb) AS rn FROM ex) " +
         s"WHERE rn <= $k"
+  }
+
+  /** DuckDB replay of [[graft.ml.SemDedup.semanticDedup]]: the
+    * nearestCells argmin (same list_sort-struct spelling as the IVF
+    * oracles), the per-cell centrality rank, and the exact
+    * cross-multiplied cosine gate in HUGEINT (the engine runs it in
+    * DecimalType(38,0) — both exact integer arithmetic). */
+  private def semDedupOracleSql(nCells: Int, dim: Int, tPct: Int,
+                                mode: String, keep: String): String = {
+    val cmLit = Similarity.ivfCentroids(nCells, dim)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val ordDir = if (keep == "edge") "ASC" else "DESC"
+    val killer =
+      if (mode == "anchor") "r.rn = 1 AND r.rn < l.rn" else "r.rn < l.rn"
+    s"WITH $quantCte, cm AS (SELECT $cmLit AS m), " +
+      s"cel AS (SELECT vec_id, v, list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)])[1].c AS cell FROM q, cm), " +
+      s"cd AS (SELECT vec_id, v, cell, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * m[cell + 1][i])) AS BIGINT) AS cdot, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS n2 FROM cel, cm), " +
+      s"rk AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cdot $ordDir, vec_id ASC) AS rn FROM cd), " +
+      s"dt AS (SELECT l.vec_id, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> l.v[i] * r.v[i])) AS BIGINT) AS d, l.n2 AS n2a, r.n2 AS n2b FROM rk l JOIN rk r ON l.cell = r.cell AND $killer), " +
+      s"dup AS (SELECT DISTINCT vec_id FROM dt WHERE d >= 0 AND 10000 * CAST(d AS HUGEINT) * d >= CAST(${tPct.toLong * tPct} AS HUGEINT) * n2a * n2b) " +
+      "SELECT c.vec_id, c.cell, c.cdot AS centroid_dot, (dup.vec_id IS NULL) AS kept " +
+      "FROM cd c LEFT JOIN dup ON c.vec_id = dup.vec_id"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2571,5 +2608,11 @@ object SparkEntry {
       """re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(para, chr(10) ORDER BY idx)) AS clean_md5 FROM win GROUP BY 1), """ +
       """tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM inc GROUP BY 1) """ +
       """SELECT d.doc_id, coalesce(t.n_paras, 0) AS n_paras, coalesce(r.n_kept, 0) AS n_kept, coalesce(r.clean_md5, md5('')) AS clean_md5 FROM (SELECT doc_id FROM documents WHERE length(source) = 4) d LEFT JOIN tot t USING (doc_id) LEFT JOIN re r USING (doc_id)"""),
+
+    "q132_semdedup" -> semDedupOracleSql(nCells = 32, dim = 64,
+      tPct = 30, mode = "pairwise", keep = "edge"),
+
+    "q133_semdedup_anchor" -> semDedupOracleSql(nCells = 32, dim = 64,
+      tPct = 25, mode = "anchor", keep = "edge"),
   )
 }

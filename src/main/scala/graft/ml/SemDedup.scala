@@ -1,0 +1,121 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+/** Semantic deduplication over an embedding column — the SemDeDup
+  * recipe (Abbas et al. 2023, arXiv:2303.09540): partition the corpus
+  * into coarse cells by nearest centroid, rank the members of each
+  * cell, and drop every member whose cosine similarity with a
+  * BETTER-RANKED member of the same cell clears a threshold. Near-dup
+  * text dedup (MinHash/SimHash in [[Dedup]]) catches lexical copies;
+  * this catches paraphrases, translations, and template re-renders
+  * that share no n-grams but embed to the same neighborhood — the
+  * complementary dedup axis a training-data pipeline runs AFTER
+  * lexical dedup.
+  *
+  * Semantics (deterministic, engine-portable):
+  *   - cell = argmin over `centroids` of quantized euclidean distance
+  *     ([[Similarity.nearestCells]] — ties to the smaller cell id).
+  *   - rank within cell = row_number ordered by (centroid dot, id):
+  *     ascending dot for `keep = "edge"` (the paper's rule — among
+  *     duplicates, KEEP the example least similar to the centroid, so
+  *     the survivor set hugs the distribution's boundary and stays
+  *     diverse), descending for `keep = "central"` (keep the
+  *     prototype; prefer when survivors seed retrieval/labeling).
+  *   - drop x iff some same-cell y with rank(y) < rank(x) has
+  *     cos(x, y) >= thresholdPct / 100 — evaluated on the QUANTIZED
+  *     integers as the exact cross-multiplication
+  *     `dot >= 0 AND 10^4 * dot^2 >= t^2 * |x|^2 * |y|^2` in
+  *     DecimalType(38,0) (dot^2 can exceed a long at scale 1000; the
+  *     decimal compare is still codegen'd and bit-exact, and a DuckDB
+  *     oracle replays it in HUGEINT — q132/q133).
+  *
+  * `mode = "pairwise"` is the published algorithm: every better-ranked
+  * same-cell member is a potential killer — quadratic IN THE CELL,
+  * linear across cells, so size `centroids` to the corpus (the paper
+  * runs ~n/50 cells at 1.3 B docs; the knob is cluster count, exactly
+  * like the IVF cell-sizing rule in BASELINE.md round11-ann-recall).
+  * `mode = "anchor"` compares members only against the cell's rank-1
+  * member — strictly linear, the bounded fallback when a skewed cell
+  * would detonate the pairwise join (same dispatch philosophy as
+  * `duplicateClusters` pairs/buckets).
+  *
+  * Distributed shape: one narrow projection (id, quantized vector) +
+  * cell/centroid-dot as codegen'd literal-matrix expressions (no
+  * centroid join), ONE shuffle on cell for the rank window, an
+  * equi-join on cell for the kill candidates (anchor mode joins
+  * against a <=nCells-row side — broadcast), and a distinct on the
+  * dropped ids. Nothing driver-side, nothing quadratic outside a cell.
+  *
+  * Rows whose vector is NULL or empty carry no similarity evidence:
+  * they pass through kept, with cell = -1 and a NULL centroid dot.
+  *
+  * Output: (idCol, cell, centroid_dot, kept) — the audit frame; filter
+  * `kept` for the survivor corpus.
+  */
+object SemDedup {
+
+  /** The exact integer cosine gate: cos(a, b) >= tPct/100 on quantized
+    * vectors, with |a|^2, |b|^2 passed in as columns. */
+  private def cosineGate(dot: Column, n2a: Column, n2b: Column,
+                         tPct: Int): Column = {
+    val dec = DataTypes.createDecimalType(38, 0)
+    val d = dot.cast(dec)
+    (dot >= 0) && (lit(10000L).cast(dec) * d * d >=
+      lit(tPct.toLong * tPct).cast(dec) * n2a.cast(dec) * n2b.cast(dec))
+  }
+
+  def semanticDedup(df: DataFrame, centroids: Array[Array[Long]],
+                    thresholdPct: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    mode: String = "pairwise", keep: String = "edge",
+                    scale: Int = 1000): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct must be in [1, 100], got $thresholdPct")
+    require(mode == "pairwise" || mode == "anchor",
+      s"mode must be 'pairwise' or 'anchor', got '$mode'")
+    require(keep == "edge" || keep == "central",
+      s"keep must be 'edge' or 'central', got '$keep'")
+    val cmLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val base = graft.core.Sizing.fanOutSmallScan(df).select(
+      col(idCol).cast("long").as(idCol),
+      Similarity.quantize(col(vecCol), scale).as("_q"))
+    val valid = base
+      .where(col("_q").isNotNull && size(col("_q")) > 0)
+      .withColumn("_cell",
+        element_at(Similarity.nearestCells(col("_q"), centroids, 1), 1))
+      .withColumn("_cd", Similarity.dotLong(col("_q"),
+        element_at(cmLit, col("_cell").cast("int") + 1)))
+      .withColumn("_n2", Similarity.dotLong(col("_q"), col("_q")))
+    val ord =
+      if (keep == "edge") Seq(col("_cd").asc, col(idCol).asc)
+      else Seq(col("_cd").desc, col(idCol).asc)
+    val ranked = valid.withColumn("_rn",
+      row_number().over(Window.partitionBy(col("_cell")).orderBy(ord: _*)))
+    val killers = {
+      val k = ranked.select(col("_cell"), col("_q").as("_qk"),
+        col("_n2").as("_n2k"), col("_rn").as("_rk"))
+      // anchor mode's killer side is one row per cell — broadcastable
+      if (mode == "anchor") broadcast(k.where(col("_rk") === 1)) else k
+    }
+    val dropped = ranked
+      .join(killers, Seq("_cell"))
+      .where(col("_rk") < col("_rn") &&
+        cosineGate(Similarity.dotLong(col("_q"), col("_qk")),
+          col("_n2"), col("_n2k"), thresholdPct))
+      .select(col(idCol)).distinct()
+      .withColumn("_dup", lit(true))
+    val validOut = ranked.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("_cell").as("cell"),
+        col("_cd").as("centroid_dot"),
+        coalesce(col("_dup"), lit(false)) === false)
+    val invalid = base.where(col("_q").isNull || size(col("_q")) === 0)
+      .select(col(idCol), lit(-1L).as("cell"),
+        lit(null).cast("long").as("centroid_dot"), lit(true))
+    validOut.toDF(idCol, "cell", "centroid_dot", "kept")
+      .unionByName(invalid.toDF(idCol, "cell", "centroid_dot", "kept"))
+  }
+}

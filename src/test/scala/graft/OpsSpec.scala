@@ -1616,4 +1616,102 @@ class OpsSpec extends AnyFunSuite {
       centroids = Similarity.ivfCentroids(4, 16), nProbe = 4)
     assert(out.count() > 0)
   }
+
+  // ---- semantic dedup (SemDeDup) ----
+
+  private def semCorpus = {
+    import spark.implicits._
+    // three exact-duplicate families along distinct directions plus
+    // orthogonal singletons: families collapse to one survivor at any
+    // threshold, singletons never match anything
+    val dirs = Seq(
+      Array.tabulate(8)(i => if (i == 0) 1f else 0f),
+      Array.tabulate(8)(i => if (i == 1) 1f else 0f),
+      Array.tabulate(8)(i => if (i == 2) 1f else 0f))
+    val fams = for {
+      (d, f) <- dirs.zipWithIndex
+      k <- 0 until 4
+    } yield (f * 10L + k, d.map(_ * (1f + k))) // parallel => cosine = 1
+    val singles = (0 until 3).map(i =>
+      (100L + i, Array.tabulate(8)(j => if (j == i + 3) 1f else 0f)))
+    (fams ++ singles).toDF("vec_id", "embedding")
+  }
+
+  test("semanticDedup: exact-duplicate families keep exactly one member; " +
+    "orthogonal singletons always survive") {
+    val cm = Similarity.ivfCentroids(4, 8)
+    val out = graft.ml.SemDedup.semanticDedup(semCorpus, cm,
+      thresholdPct = 99).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(out.length == 15)
+    // parallel vectors share a cell (assignment is direction-dominated
+    // for equal-norm centroids), so each family keeps exactly one
+    for (f <- 0 until 3) {
+      val fam = out.filter(t => t._1 >= f * 10 && t._1 < f * 10 + 4)
+      assert(fam.map(_._2).distinct.length == 1, s"family $f split cells")
+      assert(fam.count(_._3) == 1, s"family $f kept ${fam.count(_._3)}")
+    }
+    assert(out.filter(_._1 >= 100).forall(_._3), "a singleton was dropped")
+  }
+
+  test("semanticDedup: anchor-mode drops are a subset of pairwise drops; " +
+    "the rank-1 member of every cell survives both") {
+    val df = semCorpus
+    val cm = Similarity.ivfCentroids(4, 8)
+    def dropped(mode: String) =
+      graft.ml.SemDedup.semanticDedup(df, cm, thresholdPct = 99,
+          mode = mode)
+        .where(!col("kept")).select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+    val pw = dropped("pairwise")
+    val an = dropped("anchor")
+    assert(an.subsetOf(pw), s"anchor $an not within pairwise $pw")
+    // keep="central" flips the ranking; still one survivor per family
+    val central = graft.ml.SemDedup.semanticDedup(df, cm,
+      thresholdPct = 99, keep = "central")
+    assert(central.where(col("kept")).count() ==
+      graft.ml.SemDedup.semanticDedup(df, cm, thresholdPct = 99)
+        .where(col("kept")).count())
+  }
+
+  test("semanticDedup: NULL and empty vectors pass through kept with cell -1; " +
+    "result is invariant to input partitioning") {
+    import spark.implicits._
+    val base = semCorpus
+    val withBad = base.unionByName(
+      Seq((200L, null.asInstanceOf[Array[Float]]), (201L, Array.empty[Float]))
+        .toDF("vec_id", "embedding"))
+    val cm = Similarity.ivfCentroids(4, 8)
+    val out = graft.ml.SemDedup.semanticDedup(withBad, cm, thresholdPct = 50)
+    val bad = out.where(col("vec_id") >= 200).collect()
+    assert(bad.length == 2)
+    assert(bad.forall(r => r.getLong(1) == -1L && r.isNullAt(2) && r.getBoolean(3)))
+    val a = graft.ml.SemDedup.semanticDedup(withBad, cm, 50)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).sorted.toSeq
+    val b = graft.ml.SemDedup.semanticDedup(
+        withBad.repartition(13).orderBy(desc("vec_id")), cm, 50)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("semanticDedup: the cosine gate is exact at the threshold boundary " +
+    "(parallel vectors at t=100 drop; below-threshold pairs survive)") {
+    import spark.implicits._
+    // (3,4,0..) vs (4,3,0..): cos = 24/25 = 96% exactly — >= 96 drops,
+    // 97 keeps; scale multiplies out of the exact integer comparison
+    val df = Seq(
+      (1L, Array(3f, 4f) ++ Array.fill(6)(0f)),
+      (2L, Array(4f, 3f) ++ Array.fill(6)(0f))).toDF("vec_id", "embedding")
+    val cm = Similarity.ivfCentroids(4, 8)
+    def kept(t: Int) = graft.ml.SemDedup.semanticDedup(df, cm, t)
+      .where(col("kept")).count()
+    assert(kept(96) == 1, "cos=96% pair must drop at t=96 (inclusive gate)")
+    assert(kept(97) == 2, "cos=96% pair must survive at t=97")
+    intercept[IllegalArgumentException] {
+      graft.ml.SemDedup.semanticDedup(df, cm, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ml.SemDedup.semanticDedup(df, cm, 50, mode = "bogus")
+    }
+  }
 }
