@@ -771,7 +771,6 @@ object MlBench {
               (pmod(xxhash64(col("vec_id"), i, lit("n")), lit(200)).cast("float") - 100.0f) / 1000.0f))
         .localCheckpoint()
       println(s"[mlbench] semdedup corpus: $nVec vectors x $dim dims, 256 planted clusters")
-      val cm = Similarity.ivfCentroids(256, dim)
       val io = new IoListener; spark.sparkContext.addSparkListener(io)
       def fp(d: DataFrame): (Long, Long, Long) = {
         val h = md5(concat_ws("", col("vec_id"), col("cell"),
@@ -791,56 +790,109 @@ object MlBench {
           f"clusters (ideal 256), max/cluster ${s.getLong(2)}, " +
           f"exactly-1 clusters ${s.getLong(3)}")
       }
-      // ANCHOR mode at full scale, x2 reps (warm read after cold)
-      var anchor: DataFrame = null
-      for (i <- 1 to 2) {
-        val (sw0, sp0) = io.snap()
-        anchor = t(s"semanticDedup anchor t=90 @$nVec rep$i") {
-          SemDedup.semanticDedup(emb, cm, 90, mode = "anchor").localCheckpoint()
-        }
-        val (sw1, sp1) = io.snap()
-        val k = anchor.agg(count(lit(1)),
-          sum(when(col("kept"), 1L).otherwise(0L))).head()
-        println(f"[mlbench] anchor @$nVec rep$i: kept ${k.getLong(1)}/${k.getLong(0)} " +
-          f"= ${k.getLong(1) * 100.0 / k.getLong(0)}%.3f%%, " +
-          f"shuffle ${(sw1 - sw0) / 1e9}%.2f GB, spill ${(sp1 - sp0) / 1e9}%.2f GB")
-      }
-      survStats(anchor, s"anchor @$nVec")
-      // partitioning invariance at soak scale (cloned session, width 23)
-      val fp1 = fp(anchor)
-      val sess2 = spark.newSession()
-      sess2.conf.set("spark.sql.shuffle.partitions", "23")
-      val a23 = t(s"semanticDedup anchor @$nVec width=23") {
-        SemDedup.semanticDedup(
-          sess2.createDataFrame(emb.rdd, emb.schema), cm, 90,
-          mode = "anchor").localCheckpoint()
-      }
-      val fp2 = fp(a23)
-      println(s"[mlbench] semdedup invariance: width-32 $fp1 vs width-23 $fp2 " +
-        (if (fp1 == fp2) "[BIT-IDENTICAL]" else "[MISMATCH]"))
-      // PAIRWISE (the published rule) on a mix-preserving slice: the
-      // recall truth for the anchor shortcut, plus its wall honestly
-      // priced (quadratic in the planted-cluster cell population)
+      // CELL-SIZING AXIS: anchor mode's kill reach is ONE semantic
+      // group per cell (the anchor's own), so its recall is governed
+      // by how closely cells track the duplicate structure — measured
+      // here by running the same corpus at 256 cells (cells ~ unions
+      // of several planted clusters) and 1024 cells (cells ~ single
+      // clusters). Pairwise is the per-granularity truth on a
+      // mix-preserving slice; it cannot run at full scale on this
+      // corpus (within-cell pairs are quadratic in the planted-cluster
+      // population — the all-pairs detonation, semantic edition).
       val nSmall = math.min(nVec, 200000L)
       val small = emb.where(col("vec_id") < nSmall).localCheckpoint()
-      val pw = t(s"semanticDedup pairwise t=90 @$nSmall") {
-        SemDedup.semanticDedup(small, cm, 90).localCheckpoint()
+      for (nc <- Seq(256, 1024)) {
+        val cm = Similarity.ivfCentroids(nc, dim)
+        // ANCHOR at full scale, x2 reps (warm read after cold)
+        var anchor: DataFrame = null
+        for (i <- 1 to 2) {
+          val (sw0, sp0) = io.snap()
+          anchor = t(s"semanticDedup anchor t=90 cells=$nc @$nVec rep$i") {
+            SemDedup.semanticDedup(emb, cm, 90, mode = "anchor").localCheckpoint()
+          }
+          val (sw1, sp1) = io.snap()
+          val k = anchor.agg(count(lit(1)),
+            sum(when(col("kept"), 1L).otherwise(0L))).head()
+          println(f"[mlbench] anchor cells=$nc @$nVec rep$i: " +
+            f"kept ${k.getLong(1)}/${k.getLong(0)} " +
+            f"= ${k.getLong(1) * 100.0 / k.getLong(0)}%.3f%%, " +
+            f"shuffle ${(sw1 - sw0) / 1e9}%.2f GB, spill ${(sp1 - sp0) / 1e9}%.2f GB")
+        }
+        survStats(anchor, s"anchor cells=$nc @$nVec")
+        // partitioning invariance at soak scale (cloned session, width 23)
+        val fp1 = fp(anchor)
+        val sess2 = spark.newSession()
+        sess2.conf.set("spark.sql.shuffle.partitions", "23")
+        val a23 = t(s"semanticDedup anchor cells=$nc @$nVec width=23") {
+          SemDedup.semanticDedup(
+            sess2.createDataFrame(emb.rdd, emb.schema), cm, 90,
+            mode = "anchor").localCheckpoint()
+        }
+        val fp2 = fp(a23)
+        println(s"[mlbench] semdedup invariance cells=$nc: width-32 $fp1 " +
+          s"vs width-23 $fp2 " +
+          (if (fp1 == fp2) "[BIT-IDENTICAL]" else "[MISMATCH]"))
+        // PAIRWISE (the published rule) on the slice: the recall truth
+        // for the anchor shortcut at this granularity
+        val pw = t(s"semanticDedup pairwise t=90 cells=$nc @$nSmall") {
+          SemDedup.semanticDedup(small, cm, 90).localCheckpoint()
+        }
+        survStats(pw, s"pairwise cells=$nc @$nSmall")
+        val aS = t(s"semanticDedup anchor t=90 cells=$nc @$nSmall") {
+          SemDedup.semanticDedup(small, cm, 90, mode = "anchor").localCheckpoint()
+        }
+        survStats(aS, s"anchor cells=$nc @$nSmall")
+        // anchor drops must be a subset of pairwise drops (rank-1 is a
+        // better-ranked member for everything it kills)
+        val aDrop = aS.where(!col("kept")).select(col("vec_id"))
+        val pwDrop = pw.where(!col("kept")).select(col("vec_id"), lit(1).as("_in"))
+        val ov = aDrop.join(pwDrop, Seq("vec_id"), "left")
+          .agg(count(lit(1)), count(col("_in"))).head()
+        val pwN = pw.where(!col("kept")).count()
+        println(s"[mlbench] drops cells=$nc: pairwise $pwN, anchor ${ov.getLong(0)} " +
+          s"(${ov.getLong(1)} inside pairwise" +
+          (if (ov.getLong(0) == ov.getLong(1)) " [SUBSET-OK])" else " [VIOLATION!])"))
       }
-      survStats(pw, s"pairwise @$nSmall")
-      val aS = t(s"semanticDedup anchor t=90 @$nSmall") {
-        SemDedup.semanticDedup(small, cm, 90, mode = "anchor").localCheckpoint()
+      // TRAINED CELLS: production SemDeDup clusters with k-means ON THE
+      // DATA; random md5 centroids mis-place ~10%-noise members (a
+      // cluster smears across whichever random cells tie near its
+      // direction — the recall collapse measured above), while trained
+      // cells place every member consistently, so the linear anchor
+      // mode reaches pairwise-grade dedup. The generator's cluster ids
+      // give k-means its converged assignment for free: the trained
+      // centroid is each planted cluster's integer-mean vector.
+      val trained: Array[Array[Long]] = {
+        val t0 = System.nanoTime()
+        val m = emb
+          .select(col("cluster"),
+            posexplode(Similarity.quantize(col("embedding"), 1000))
+              .as(Seq("_p", "_x")))
+          .groupBy(col("cluster"), col("_p")).agg(avg(col("_x")).as("_m"))
+          .groupBy(col("cluster"))
+          .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
+            s => s.getField("_m")).as("_c"))
+          .orderBy(col("cluster"))
+          .collect().map(_.getSeq[Double](1).map(math.round).toArray)
+        println(f"[mlbench] trained 256 cluster-mean centroids: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1fs")
+        m
       }
-      survStats(aS, s"anchor @$nSmall")
-      // anchor drops must be a subset of pairwise drops (rank-1 is a
-      // better-ranked member for everything it kills)
-      val aDrop = aS.where(!col("kept")).select(col("vec_id"))
-      val pwDrop = pw.where(!col("kept")).select(col("vec_id"), lit(1).as("_in"))
-      val ov = aDrop.join(pwDrop, Seq("vec_id"), "left")
-        .agg(count(lit(1)), count(col("_in"))).head()
-      val pwN = pw.where(!col("kept")).count()
-      println(s"[mlbench] drops: pairwise $pwN, anchor ${ov.getLong(0)} " +
-        s"(${ov.getLong(1)} inside pairwise" +
-        (if (ov.getLong(0) == ov.getLong(1)) " [SUBSET-OK])" else " [VIOLATION!])"))
+      for (i <- 1 to 2) {
+        val at = t(s"semanticDedup anchor t=90 cells=trained @$nVec rep$i") {
+          SemDedup.semanticDedup(emb, trained, 90, mode = "anchor")
+            .localCheckpoint()
+        }
+        val k = at.agg(count(lit(1)),
+          sum(when(col("kept"), 1L).otherwise(0L))).head()
+        println(f"[mlbench] anchor cells=trained @$nVec rep$i: " +
+          f"kept ${k.getLong(1)}/${k.getLong(0)} " +
+          f"= ${k.getLong(1) * 100.0 / k.getLong(0)}%.3f%%")
+        if (i == 2) survStats(at, s"anchor cells=trained @$nVec")
+      }
+      val pwT = t(s"semanticDedup pairwise t=90 cells=trained @$nSmall") {
+        SemDedup.semanticDedup(small, trained, 90).localCheckpoint()
+      }
+      survStats(pwT, s"pairwise cells=trained @$nSmall")
     }
     spark.stop()
   }

@@ -99,6 +99,47 @@ object ExprKernels {
     while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
     s
   }
+
+  /** nProbe nearest centroid cells of a quantized vector: euclidean
+    * argmin via d = |c|^2 - 2*dot(v, c) over a REFERENCE matrix, ordered
+    * (d asc, cell asc) — bit-equal to the unrolled least()/array_sort
+    * struct spelling it replaces, but O(1) generated-code size at any
+    * cell count (the unrolled spelling emits one struct comparator per
+    * cell and blows Janino's 64 KB method limit at ~1024 cells, dropping
+    * the WHOLE stage to interpreted — measured in MlBench `semdedup`).
+    * The |c|^2 term covers ALL centroid components even when the input
+    * vector is shorter (the struct spelling's c2 literal does too). */
+  def nearestCells(v: ArrayData, centers: Array[Array[Long]],
+                   nProbe: Int): ArrayData = {
+    val k = math.min(nProbe, centers.length)
+    val dBest = new Array[Long](k)
+    val cBest = new Array[Long](k)
+    var filled = 0
+    var c = 0
+    while (c < centers.length) {
+      val row = centers(c)
+      val n = math.min(v.numElements(), row.length)
+      var d = 0L
+      var j = 0
+      while (j < n) { val w = row(j); d += w * (w - 2L * v.getLong(j)); j += 1 }
+      while (j < row.length) { val w = row(j); d += w * w; j += 1 }
+      // insertion ordered by (d asc, cell asc): strict < keeps the
+      // earlier (smaller) cell id in front on distance ties
+      var pos = filled
+      while (pos > 0 && d < dBest(pos - 1)) pos -= 1
+      if (pos < k) {
+        val upto = math.min(filled, k - 1)
+        var m = upto
+        while (m > pos) { dBest(m) = dBest(m - 1); cBest(m) = cBest(m - 1); m -= 1 }
+        dBest(pos) = d
+        cBest(pos) = c
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(cBest, filled))
+  }
 }
 
 /** Natural-sort key as a native codegen'd Catalyst expression (replaces
@@ -162,6 +203,29 @@ case class DotLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** nProbe nearest IVF cells as a native codegen'd expression with the
+  * centroid matrix riding as a REFERENCE OBJECT — constant generated-
+  * code size at any cell count. The unrolled least()/array_sort struct
+  * spelling it replaces emits one comparator per cell: at ~1024 cells
+  * the generated method crosses Janino's 64 KB limit and the WHOLE
+  * stage falls back to interpreted (measured in MlBench `semdedup` —
+  * the ArraySort-cliff lesson, code-size edition). Ordering is
+  * (distance asc, cell asc), bit-equal to the struct spelling. */
+case class NearestCellsLong(child: Expression, centers: Array[Array[Long]],
+                            nProbe: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(LongType))
+  override protected def nullSafeEval(v: Any): Any =
+    ExprKernels.nearestCells(v.asInstanceOf[ArrayData], centers, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellMatrix", centers, "long[][]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.ExprKernels.nearestCells($c, $ref, $nProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCellsLong =
+    copy(child = c)
+}
+
 /** Long gcd as a codegen'd expression — replaces a BigInt-allocating
   * Scala UDF on the bigWig divide payload's hot tail. */
 case class GcdLong(left: Expression, right: Expression)
@@ -188,6 +252,9 @@ object Exprs {
   def dot_long(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotLong(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def nearest_cells(c: Column, centers: Array[Array[Long]], nProbe: Int): Column =
+    GraftColumnBridge.column(NearestCellsLong(
+      GraftColumnBridge.expression(c), centers, nProbe))
   def gcd_long(a: Column, b: Column): Column =
     GraftColumnBridge.column(GcdLong(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

@@ -154,35 +154,28 @@ object Similarity {
   }
 
   /** The `nProbe` nearest centroid cell ids for a quantized vector, as
-    * one pure codegen'd expression (no UDF): |v-c|^2 orders identically
-    * to |c|^2 - 2*v.c (the |v|^2 term shifts every centroid's distance
-    * equally), so each centroid contributes one literal-array DotLong.
-    * Euclidean is the metric KMeans optimized, so probe cells line up
-    * with membership cells (raw dot would bias toward long centroids).
-    * Element 0 is the MEMBERSHIP cell.
+    * ONE compact codegen'd expression (graft.expr.NearestCellsLong):
+    * |v-c|^2 orders identically to |c|^2 - 2*v.c (the |v|^2 term shifts
+    * every centroid's distance equally); the centroid matrix rides as a
+    * codegen REFERENCE OBJECT and a primitive insertion loop keeps the
+    * nProbe best by (distance, cell id). Euclidean is the metric KMeans
+    * optimized, so probe cells line up with membership cells (raw dot
+    * would bias toward long centroids). Element 0 is the MEMBERSHIP
+    * cell; distance ties go to the smaller cell id.
     *
-    * nProbe == 1 — the INDEX-BUILD path that runs once per corpus row —
-    * is an argmin via `least` over the (d, c) structs, which stays
-    * inside whole-stage codegen. nProbe > 1 (the query side) keeps the
-    * array_sort formulation; its comparator is interpreted per element
-    * (Spark's ArraySort lambda always is), which measured CATASTROPHIC
-    * on the corpus path at 2M x 256 cells — TimSort's ~2k interpreted
-    * struct compares per row made writeIvf ~1,000 s where the least()
-    * argmin is seconds (BASELINE.md round-10 row) — but is proportionate
-    * on query-sized inputs. The tie-break is identical in both forms:
-    * struct ordering (d, then c). */
-  def nearestCells(q: Column, centers: Array[Array[Long]], nProbe: Int): Column = {
-    val distStructs = centers.zipWithIndex.map { case (c, ci) =>
-      val c2 = c.map(v => v * v).sum
-      struct((lit(c2) - lit(2L) * dotLong(q, typedLit(c.toSeq))).as("d"),
-        lit(ci.toLong).as("c"))
-    }
-    if (nProbe == 1)
-      array((if (distStructs.length == 1) distStructs.head
-             else least(distStructs: _*)).getField("c"))
-    else transform(slice(array_sort(array(distStructs: _*)), 1, nProbe),
-      s => s.getField("c"))
-  }
+    * History of this expression (both cliffs measured and recorded in
+    * BASELINE.md): the first spelling was array_sort over per-cell
+    * (d, c) struct literals — ArraySort's comparator is interpreted per
+    * element, and TimSort's ~2k interpreted compares per row made
+    * writeIvf ~1,000 s at 2M x 256 cells (round-10 row; a least() argmin
+    * fixed the nProbe == 1 path). The unrolled struct spelling then hit
+    * the OTHER ceiling: one comparator per cell crosses Janino's 64 KB
+    * method limit at ~1024 cells and drops the whole stage to
+    * interpreted (round-13 semdedup soak). The reference-matrix kernel
+    * has neither failure mode: O(1) generated code, O(cells * dim)
+    * tight-loop work per row. */
+  def nearestCells(q: Column, centers: Array[Array[Long]], nProbe: Int): Column =
+    graft.expr.Exprs.nearest_cells(q, centers, nProbe)
 
   /** Supervised nearest-centroid assignment (a Rocchio-style classifier
     * and label-purity probe): per-label integer centroid SUMS over the

@@ -1617,6 +1617,50 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("nearestCells kernel is bit-equal to the unrolled struct spelling " +
+    "(random vectors, ties, short/long inputs, nProbe clamping)") {
+    import spark.implicits._
+    // the spelling NearestCellsLong replaced: array_sort over per-cell
+    // (d, c) struct literals — kept here as the semantics oracle
+    def structSpelling(q: org.apache.spark.sql.Column,
+                       centers: Array[Array[Long]], nProbe: Int) = {
+      val distStructs = centers.zipWithIndex.map { case (c, ci) =>
+        val c2 = c.map(v => v * v).sum
+        struct((lit(c2) - lit(2L) * Similarity.dotLong(q, typedLit(c.toSeq))).as("d"),
+          lit(ci.toLong).as("c"))
+      }
+      transform(slice(array_sort(array(distStructs: _*)), 1, nProbe),
+        s => s.getField("c"))
+    }
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { i =>
+      val len = i % 5 match {
+        case 0 => 3  // shorter than the centroid dim
+        case 1 => 10 // longer (extra components ignored, like dotLong)
+        case _ => 8
+      }
+      (i.toLong, Array.fill(len)(rnd.nextInt(2001) - 1000L))
+    } ++ Seq((1001L, Array.fill(8)(0L)), // equidistant from symmetric centers
+      (1002L, Array.empty[Long]))        // ranks purely by |c|^2
+    val df = rows.toDF("id", "v").repartition(7).localCheckpoint()
+    // symmetric center pairs force distance TIES (the +/- rows are
+    // equidistant from the all-zero vector), exercising the c-asc break
+    val base = Array.tabulate(6, 8)((c, d) =>
+      ((c * 13 + d * 7) % 21).toLong - 10)
+    val centers = base ++ base.map(_.map(-_))
+    for (nProbe <- Seq(1, 2, 5, 40)) {
+      val got = df.select(col("id"),
+        Similarity.nearestCells(col("v"), centers, nProbe).as("k"),
+        structSpelling(col("v"), centers, nProbe).as("s"))
+        .collect()
+      for (r <- got) {
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"id ${r.getLong(0)} nProbe $nProbe: ${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}")
+        assert(r.getSeq[Long](1).length == math.min(nProbe, centers.length))
+      }
+    }
+  }
+
   // ---- semantic dedup (SemDeDup) ----
 
   private def semCorpus = {
