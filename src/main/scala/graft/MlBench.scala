@@ -893,6 +893,25 @@ object MlBench {
         SemDedup.semanticDedup(small, trained, 90).localCheckpoint()
       }
       survStats(pwT, s"pairwise cells=trained @$nSmall")
+      // UNSUPERVISED training — the in-library path a real deployment
+      // has (no cluster labels): k-means over a 10% hash sample
+      // (Similarity.trainIvfCentroids). The label-informed means above
+      // are the ceiling; this measures how close k-means gets to it.
+      val km = t(s"trainIvfCentroids k=256 @$nVec (10% sample)") {
+        Similarity.trainIvfCentroids(emb, 256)
+      }
+      for (i <- 1 to 2) {
+        val ak = t(s"semanticDedup anchor t=90 cells=kmeans @$nVec rep$i") {
+          SemDedup.semanticDedup(emb, km, 90, mode = "anchor")
+            .localCheckpoint()
+        }
+        val k = ak.agg(count(lit(1)),
+          sum(when(col("kept"), 1L).otherwise(0L))).head()
+        println(f"[mlbench] anchor cells=kmeans @$nVec rep$i: " +
+          f"kept ${k.getLong(1)}/${k.getLong(0)} " +
+          f"= ${k.getLong(1) * 100.0 / k.getLong(0)}%.3f%%")
+        if (i == 2) survStats(ak, s"anchor cells=kmeans @$nVec")
+      }
     }
     spark.stop()
   }

@@ -43,6 +43,19 @@ import org.apache.spark.sql.types.DataTypes
   * would detonate the pairwise join (same dispatch philosophy as
   * `duplicateClusters` pairs/buckets).
   *
+  * Anchor-mode recall is governed by CELL FIDELITY, not cell count
+  * (measured, BASELINE.md round13-semdedup): with random md5 centroids
+  * a noisy duplicate group smears across near-tied cells and the
+  * one-anchor-per-cell reach collapses (76% kept at 256 cells, 46% at
+  * 1024, on a corpus whose ideal keep rate is 0.013%), while centroids
+  * TRAINED on the data (k-means cluster means) place every member
+  * consistently and the linear anchor mode reaches ideal,
+  * pairwise-grade dedup (exactly 1 survivor per duplicate cluster at
+  * 2M, 10 s). At 100 TB: train `centroids` (the [[Pq.trainCodebooks]]
+  * philosophy — md5 literals exist for the cross-engine oracle
+  * contract, trained matrices for production) and size the cluster
+  * count to the duplicate structure.
+  *
   * Distributed shape: one narrow projection (id, quantized vector) +
   * cell/centroid-dot as codegen'd literal-matrix expressions (no
   * centroid join), ONE shuffle on cell for the rank window, an

@@ -303,6 +303,41 @@ object Similarity {
     }
   }
 
+  /** Train IVF coarse centroids with k-means over the corpus's OWN
+    * quantized vectors — the production path for `ivfTopK` /
+    * `AnnIndex.writeIvf` cells and [[SemDedup.semanticDedup]] clusters.
+    * The md5 [[ivfCentroids]] matrix exists for cross-engine oracle
+    * replay; on real data cells must TRACK the distribution — measured
+    * with teeth in BASELINE.md round13-semdedup: anchor-mode semantic
+    * dedup keeps 76% of a corpus under random cells and exactly the
+    * ideal 0.013% under trained ones. Same contract as
+    * [[Pq.trainCodebooks]]: a fixed hash-acceptance sample (ONE pass, no
+    * count() pre-pass), constant partition width and a fixed seed
+    * (reproducible per environment — persist trained matrices rather
+    * than re-deriving), and padding by cycling when k-means converges
+    * short of `nCells` (a padded copy never wins the argmin — ties go
+    * to the smaller cell id). Returns nCells x dim longs in quantized
+    * space, literal-portable like every centroid matrix here. */
+  def trainIvfCentroids(df: DataFrame, nCells: Int,
+                        vecCol: String = "embedding", scale: Int = 1000,
+                        sampleFraction: Double = 0.1): Array[Array[Long]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val bits = 1L << 20
+    val accept = math.max(1L, math.round(sampleFraction * bits))
+    val sample = df.where(pmod(xxhash64(col(vecCol)), lit(bits)) < accept)
+      .select(array_to_vector(transform(quantize(col(vecCol), scale),
+        x => x.cast("double"))).as("features"))
+      .repartition(64).localCheckpoint()
+    val trained = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .fit(sample).clusterCenters.map(_.toArray.map(math.round))
+    if (trained.length >= nCells) trained
+    else Array.tabulate(nCells)(i => trained(i % trained.length))
+  }
+
   /** lshBucket for a KNOWN embedding dimension: the plane matrix folds to
     * array literals (no per-row md5), so the bucket computation is a pure
     * codegen'd arithmetic pass. Produces bit-identical buckets to

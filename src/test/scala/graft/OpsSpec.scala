@@ -1661,6 +1661,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("trainIvfCentroids: rectangular nCells x dim in quantized space, " +
+    "padded when k-means converges short, and trained cells make " +
+    "semanticDedup anchor-exact on its training distribution") {
+    import spark.implicits._
+    // 3 distinct directions, 20 copies each; k = 5 forces padding
+    val df = (0 until 60)
+      .map(i => Tuple1(Array.tabulate(8)(j => if (j == i % 3) 1f else 0f)))
+      .toDF("embedding")
+    val cm = Similarity.trainIvfCentroids(df, nCells = 5, sampleFraction = 1.0)
+    assert(cm.length == 5 && cm.forall(_.length == 8))
+    // trained centers recover the 3 planted directions exactly (each
+    // direction's mean IS the direction at scale 1000)
+    val distinct = cm.map(_.toSeq).distinct
+    assert(distinct.length == 3, s"expected 3 distinct centers, got $distinct")
+    assert(distinct.forall(c => c.count(_ == 1000L) == 1 && c.count(_ == 0L) == 7))
+    // end to end: anchor-mode semantic dedup over trained cells keeps
+    // exactly one member per planted direction
+    val vecs = (0 until 30)
+      .map(i => (i.toLong, Array.tabulate(8)(j => if (j == i % 3) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ml.SemDedup.semanticDedup(vecs, cm, 99, mode = "anchor")
+    assert(out.where(col("kept")).count() == 3)
+    intercept[IllegalArgumentException] {
+      Similarity.trainIvfCentroids(df, nCells = 0)
+    }
+  }
+
   // ---- semantic dedup (SemDeDup) ----
 
   private def semCorpus = {
