@@ -1564,6 +1564,53 @@ object SparkEntry {
       graft.ml.SemDedup.semanticDedup(pq(s, dir, "embeddings"),
         Similarity.ivfCentroids(32, 64), thresholdPct = 25,
         mode = "anchor")),
+    "q134_stream_semdedup" -> ((s, dir) => {
+      // the STREAMING serve path of semantic dedup (the q131 pattern,
+      // embedding edition): a batch pairwise SemDeDup pass over the
+      // reference split (vec_id % 4 != 0) builds the survivor set; the
+      // stream (vec_id % 4 == 0) drops anything within 30% cosine of a
+      // same-cell survivor via a stateless stream-static anti join.
+      // The oracle replays the batch dedup, the cell assignment, and
+      // the per-row anti-join gate.
+      val db = perRunDb(s, "graft_q134_")
+      val cm = Similarity.ivfCentroids(32, 64)
+      val emb = pq(s, dir, "embeddings")
+      val refPath = s"/tmp/${db}_refs"
+      graft.ml.SemDedup
+        .semanticDedup(emb.where(col("vec_id") % 4 =!= 0), cm, 30)
+        .where(col("kept")).select(col("vec_id"))
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .write.mode("overwrite").parquet(refPath)
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val outPath = s"/tmp/${db}_kept"
+      new java.io.File(outPath).mkdirs()
+      withStreamParts(s, 4) { ss =>
+        val src = ss.readStream.schema(schema).parquet(s"$dir/embeddings.parq*")
+          .where(col("vec_id") % 4 === 0)
+        val refs = ss.read.parquet(refPath)
+        val kept = graft.ml.SemDedup.semanticFilterStream(src, refs, cm, 30)
+        val q = kept.writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            // batchId-keyed overwrite: retry-idempotent (q131's contract)
+            batch.write.mode("overwrite").parquet(s"$outPath/b$bid")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val surv = s.read.schema("vec_id LONG, cell LONG")
+        .option("recursiveFileLookup", "true").parquet(outPath)
+      // audit frame over every streamed row; the cell column comes from
+      // ONE spelling (the batch-side kernel), survivors join by id only
+      emb.where(col("vec_id") % 4 === 0)
+        .select(col("vec_id"),
+          element_at(Similarity.nearestCells(
+            Similarity.quantize(col("embedding"), 1000), cm, 1), 1).as("cell"))
+        .join(surv.select(col("vec_id"), lit(true).as("_k")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("_k"), lit(false)).as("kept"))
+    }),
   )
 
   /** DuckDB twin of `ml.Sampling.hash24` (expects a CTE column `h` =
@@ -1751,6 +1798,27 @@ object SparkEntry {
       s"dup AS (SELECT DISTINCT vec_id FROM dt WHERE d >= 0 AND 10000 * CAST(d AS HUGEINT) * d >= CAST(${tPct.toLong * tPct} AS HUGEINT) * n2a * n2b) " +
       "SELECT c.vec_id, c.cell, c.cdot AS centroid_dot, (dup.vec_id IS NULL) AS kept " +
       "FROM cd c LEFT JOIN dup ON c.vec_id = dup.vec_id"
+  }
+
+  /** DuckDB replay of q134: the batch pairwise SemDeDup over the
+    * reference split (the [[semDedupOracleSql]] pipeline), then the
+    * stream's anti-join gate — a streamed row is kept iff NO same-cell
+    * reference survivor clears the exact HUGEINT cosine gate. */
+  private def semStreamOracleSql(nCells: Int, dim: Int, tPct: Int): String = {
+    val cmLit = Similarity.ivfCentroids(nCells, dim)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val d = s"list_sum(list_transform(range(1, ${dim + 1}), x -> i.v[x] * r.v[x]))"
+    s"WITH $quantCte, cm AS (SELECT $cmLit AS m), " +
+      s"cel AS (SELECT vec_id, v, list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)])[1].c AS cell FROM q, cm), " +
+      s"cd AS (SELECT vec_id, v, cell, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * m[cell + 1][i])) AS BIGINT) AS cdot, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS n2 FROM cel, cm WHERE vec_id % 4 <> 0), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cdot ASC, vec_id ASC) AS rn FROM cd), " +
+      s"dt AS (SELECT l.vec_id, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> l.v[i] * r.v[i])) AS BIGINT) AS d, l.n2 AS n2a, r.n2 AS n2b FROM rk l JOIN rk r ON l.cell = r.cell AND r.rn < l.rn), " +
+      s"dup AS (SELECT DISTINCT vec_id FROM dt WHERE d >= 0 AND 10000 * CAST(d AS HUGEINT) * d >= CAST(${tPct.toLong * tPct} AS HUGEINT) * n2a * n2b), " +
+      "ref AS (SELECT rk.vec_id, rk.v, rk.cell, rk.n2 FROM rk LEFT JOIN dup ON rk.vec_id = dup.vec_id WHERE dup.vec_id IS NULL), " +
+      s"inc AS (SELECT vec_id, v, cell, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS n2 FROM cel WHERE vec_id % 4 = 0), " +
+      s"hit AS (SELECT DISTINCT i.vec_id FROM inc i JOIN ref r ON i.cell = r.cell AND $d >= 0 AND 10000 * CAST($d AS HUGEINT) * $d >= CAST(${tPct.toLong * tPct} AS HUGEINT) * i.n2 * r.n2) " +
+      "SELECT i.vec_id, i.cell, (h.vec_id IS NULL) AS kept " +
+      "FROM inc i LEFT JOIN hit h ON i.vec_id = h.vec_id"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2614,5 +2682,8 @@ object SparkEntry {
 
     "q133_semdedup_anchor" -> semDedupOracleSql(nCells = 32, dim = 64,
       tPct = 25, mode = "anchor", keep = "edge"),
+
+    "q134_stream_semdedup" -> semStreamOracleSql(nCells = 32, dim = 64,
+      tPct = 30),
   )
 }

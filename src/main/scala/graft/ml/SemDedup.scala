@@ -73,8 +73,8 @@ object SemDedup {
 
   /** The exact integer cosine gate: cos(a, b) >= tPct/100 on quantized
     * vectors, with |a|^2, |b|^2 passed in as columns. */
-  private def cosineGate(dot: Column, n2a: Column, n2b: Column,
-                         tPct: Int): Column = {
+  private[ml] def cosineGate(dot: Column, n2a: Column, n2b: Column,
+                             tPct: Int): Column = {
     val dec = DataTypes.createDecimalType(38, 0)
     val d = dot.cast(dec)
     (dot >= 0) && (lit(10000L).cast(dec) * d * d >=
@@ -130,5 +130,45 @@ object SemDedup {
         lit(null).cast("long").as("centroid_dot"), lit(true))
     validOut.toDF(idCol, "cell", "centroid_dot", "kept")
       .unionByName(invalid.toDF(idCol, "cell", "centroid_dot", "kept"))
+  }
+
+  /** The STREAMING serve path of semantic dedup (the q113/q131 pattern:
+    * batch curation builds the reference state, the stream filters
+    * against it with no state store): drop every incoming vector whose
+    * cosine with ANY member of the static `refs` set SHARING ITS CELL
+    * clears the threshold; emit survivors as (idCol, cell).
+    *
+    * Stateless stream-static left_anti on (cell equality AND the exact
+    * integer cosine gate) — per micro-batch the candidate set is
+    * bounded by the reference rows of matching cells, exactly the
+    * bucketed-equi-join property the LSH/IVF serve paths rely on, and
+    * the reference is typically the `kept` output of a batch
+    * [[semanticDedup]] pass (the survivor corpus), sized to broadcast
+    * or to a bucketed scan. Rows with NULL/empty vectors carry no
+    * similarity evidence and pass through (the gate is null). Use the
+    * same `centroids` the batch pass used — trained matrices for
+    * production, per the cell-fidelity measurements. */
+  def semanticFilterStream(stream: DataFrame, refs: DataFrame,
+                           centroids: Array[Array[Long]],
+                           thresholdPct: Int, idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           scale: Int = 1000): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct must be in [1, 100], got $thresholdPct")
+    val prep = stream.select(col(idCol).cast("long").as(idCol),
+        Similarity.quantize(col(vecCol), scale).as("_q"))
+      .withColumn("_cell",
+        element_at(Similarity.nearestCells(col("_q"), centroids, 1), 1))
+      .withColumn("_n2", Similarity.dotLong(col("_q"), col("_q")))
+    val refPrep = refs.select(Similarity.quantize(col(vecCol), scale).as("_qr"))
+      .withColumn("_cellr",
+        element_at(Similarity.nearestCells(col("_qr"), centroids, 1), 1))
+      .withColumn("_n2r", Similarity.dotLong(col("_qr"), col("_qr")))
+    prep.join(refPrep,
+        col("_cell") === col("_cellr") &&
+          cosineGate(Similarity.dotLong(col("_q"), col("_qr")),
+            col("_n2"), col("_n2r"), thresholdPct),
+        "left_anti")
+      .select(col(idCol), col("_cell").as("cell"))
   }
 }

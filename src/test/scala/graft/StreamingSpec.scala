@@ -570,6 +570,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticFilterStream: streamed survivors equal the batch anti-join, " +
+    "the gate actually drops, and null vectors pass through") {
+    import graft.ml.{SemDedup, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.pq(spark, dir, "embeddings")
+    val cm = Similarity.ivfCentroids(8, 64)
+    val refs = emb.where(col("vec_id") % 3 === 0)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .parquet(s"$dir/embeddings.parq*").where(col("vec_id") % 3 =!= 0)
+    val kept = SemDedup.semanticFilterStream(src, refs, cm, 15)
+    val name = s"semf_${System.nanoTime}"
+    val q = kept.writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name).collect().map(_.toSeq).toSet
+    // the operator is a plain stream-static plan: applied to the same
+    // rows as a batch frame it must produce the identical survivor set
+    val batch = SemDedup.semanticFilterStream(
+      emb.where(col("vec_id") % 3 =!= 0), refs, cm, 15)
+      .collect().map(_.toSeq).toSet
+    val nIn = emb.where(col("vec_id") % 3 =!= 0).count()
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.size < nIn, "the gate dropped nothing at t=15")
+    // a NULL-vector row has no similarity evidence: kept (gate is null)
+    import spark.implicits._
+    val withNull = emb.select(col("vec_id"), col("embedding")).unionByName(
+      Seq((9999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val nulled = SemDedup.semanticFilterStream(withNull, refs, cm, 100)
+      .where(col("vec_id") === 9999L).collect()
+    assert(nulled.length == 1 && nulled.head.isNullAt(1))
+  }
+
   test("streaming serve picks up an index delete on the next trigger (takedown)") {
     import graft.ml.{AnnIndex, Similarity}
     import org.apache.spark.sql.functions.col
