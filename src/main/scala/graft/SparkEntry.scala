@@ -1788,14 +1788,18 @@ object SparkEntry {
     val cmLit = Similarity.ivfCentroids(nCells, dim)
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val ordDir = if (keep == "edge") "ASC" else "DESC"
+    // killers come from rkv (zero-norm rows pruned, re-ranked): in
+    // anchor mode the cell's anchor is the best-ranked row that CAN
+    // kill — a degenerate zero vector never freezes its cell
     val killer =
-      if (mode == "anchor") "r.rn = 1 AND r.rn < l.rn" else "r.rn < l.rn"
+      if (mode == "anchor") "r.rv = 1 AND r.rn < l.rn" else "r.rn < l.rn"
     s"WITH $quantCte, cm AS (SELECT $cmLit AS m), " +
       s"cel AS (SELECT vec_id, v, list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)])[1].c AS cell FROM q, cm), " +
       s"cd AS (SELECT vec_id, v, cell, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * m[cell + 1][i])) AS BIGINT) AS cdot, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS n2 FROM cel, cm), " +
       s"rk AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cdot $ordDir, vec_id ASC) AS rn FROM cd), " +
-      s"dt AS (SELECT l.vec_id, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> l.v[i] * r.v[i])) AS BIGINT) AS d, l.n2 AS n2a, r.n2 AS n2b FROM rk l JOIN rk r ON l.cell = r.cell AND $killer), " +
-      s"dup AS (SELECT DISTINCT vec_id FROM dt WHERE d >= 0 AND 10000 * CAST(d AS HUGEINT) * d >= CAST(${tPct.toLong * tPct} AS HUGEINT) * n2a * n2b) " +
+      "rkv AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY rn) AS rv FROM rk WHERE n2 > 0), " +
+      s"dt AS (SELECT l.vec_id, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> l.v[i] * r.v[i])) AS BIGINT) AS d, l.n2 AS n2a, r.n2 AS n2b FROM rk l JOIN rkv r ON l.cell = r.cell AND $killer), " +
+      s"dup AS (SELECT DISTINCT vec_id FROM dt WHERE n2a > 0 AND n2b > 0 AND d >= 0 AND 10000 * CAST(d AS HUGEINT) * d >= CAST(${tPct.toLong * tPct} AS HUGEINT) * n2a * n2b) " +
       "SELECT c.vec_id, c.cell, c.cdot AS centroid_dot, (dup.vec_id IS NULL) AS kept " +
       "FROM cd c LEFT JOIN dup ON c.vec_id = dup.vec_id"
   }
@@ -1812,11 +1816,12 @@ object SparkEntry {
       s"cel AS (SELECT vec_id, v, list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)])[1].c AS cell FROM q, cm), " +
       s"cd AS (SELECT vec_id, v, cell, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * m[cell + 1][i])) AS BIGINT) AS cdot, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS n2 FROM cel, cm WHERE vec_id % 4 <> 0), " +
       "rk AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cdot ASC, vec_id ASC) AS rn FROM cd), " +
-      s"dt AS (SELECT l.vec_id, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> l.v[i] * r.v[i])) AS BIGINT) AS d, l.n2 AS n2a, r.n2 AS n2b FROM rk l JOIN rk r ON l.cell = r.cell AND r.rn < l.rn), " +
-      s"dup AS (SELECT DISTINCT vec_id FROM dt WHERE d >= 0 AND 10000 * CAST(d AS HUGEINT) * d >= CAST(${tPct.toLong * tPct} AS HUGEINT) * n2a * n2b), " +
+      "rkv AS (SELECT * FROM rk WHERE n2 > 0), " +
+      s"dt AS (SELECT l.vec_id, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> l.v[i] * r.v[i])) AS BIGINT) AS d, l.n2 AS n2a, r.n2 AS n2b FROM rk l JOIN rkv r ON l.cell = r.cell AND r.rn < l.rn), " +
+      s"dup AS (SELECT DISTINCT vec_id FROM dt WHERE n2a > 0 AND n2b > 0 AND d >= 0 AND 10000 * CAST(d AS HUGEINT) * d >= CAST(${tPct.toLong * tPct} AS HUGEINT) * n2a * n2b), " +
       "ref AS (SELECT rk.vec_id, rk.v, rk.cell, rk.n2 FROM rk LEFT JOIN dup ON rk.vec_id = dup.vec_id WHERE dup.vec_id IS NULL), " +
       s"inc AS (SELECT vec_id, v, cell, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS n2 FROM cel WHERE vec_id % 4 = 0), " +
-      s"hit AS (SELECT DISTINCT i.vec_id FROM inc i JOIN ref r ON i.cell = r.cell AND $d >= 0 AND 10000 * CAST($d AS HUGEINT) * $d >= CAST(${tPct.toLong * tPct} AS HUGEINT) * i.n2 * r.n2) " +
+      s"hit AS (SELECT DISTINCT i.vec_id FROM inc i JOIN ref r ON i.cell = r.cell AND i.n2 > 0 AND r.n2 > 0 AND $d >= 0 AND 10000 * CAST($d AS HUGEINT) * $d >= CAST(${tPct.toLong * tPct} AS HUGEINT) * i.n2 * r.n2) " +
       "SELECT i.vec_id, i.cell, (h.vec_id IS NULL) AS kept " +
       "FROM inc i LEFT JOIN hit h ON i.vec_id = h.vec_id"
   }

@@ -216,6 +216,22 @@ case class NearestCellsLong(child: Expression, centers: Array[Array[Long]],
     extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def inputTypes = Seq(ArrayType(LongType))
+  // Array fields compare by REFERENCE under case-class equality, which
+  // would break expression canonicalization (sameResult / ReuseExchange
+  // / subexpression elimination) between plans built from equal-content
+  // but separately-constructed matrices — compare and hash by content
+  override def equals(other: Any): Boolean = other match {
+    case NearestCellsLong(c, m, p) =>
+      c == child && p == nProbe &&
+        java.util.Arrays.deepEquals(
+          m.asInstanceOf[Array[AnyRef]], centers.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        centers.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(nProbe))
   override protected def nullSafeEval(v: Any): Any =
     ExprKernels.nearestCells(v.asInstanceOf[ArrayData], centers, nProbe)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -80,12 +80,8 @@ object Pq {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim not divisible by m $m")
-    require(sampleFraction > 0 && sampleFraction <= 1,
-      s"sampleFraction must be in (0, 1], got $sampleFraction")
     val subDim = dim / m
-    val bits = 1L << 20
-    val accept = math.max(1L, math.round(sampleFraction * bits))
-    val sample = df.where(pmod(xxhash64(col(vecCol)), lit(bits)) < accept)
+    val sample = Similarity.sampleByHash(df, vecCol, sampleFraction)
       .select(Similarity.quantize(col(vecCol), scale).as("_q"))
       // constant partition width: the fit's float aggregation order no
       // longer follows the caller's core count / input layout
@@ -95,10 +91,8 @@ object Pq {
       val feats = sample.select(array_to_vector(
         transform(slice(col("_q"), s * subDim + 1, subDim),
           x => x.cast("double"))).as("features"))
-      val trained = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(feats)
-        .clusterCenters.map(_.toArray.map(math.round))
-      if (trained.length >= k) trained
-      else Array.tabulate(k)(i => trained(i % trained.length))
+      Similarity.padToK(new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+        .fit(feats).clusterCenters.map(_.toArray.map(math.round)), k)
     }
   }
 

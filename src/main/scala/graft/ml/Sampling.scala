@@ -201,17 +201,21 @@ object Sampling {
     * trainer's data loader can read it without listing data files.
     * Returns the manifest, computed from the data as written.
     *
-    * Scale shape: one `repartitionByRange(nShards, shard)` exchange
-    * puts each shard wholly inside one task (a range partitioner never
+    * Scale shape: one `repartition(nShards, shard)` hash exchange puts
+    * each shard wholly inside one task (a hash partitioner never
     * splits equal keys, so every `shard=K/` directory holds exactly
     * ONE file — the layout trainers want: a shard is a file, not a
-    * directory scan). Range, not hash, because hashing the shard
-    * VALUES collides: several shards land in one task while others sit
-    * empty. Range boundaries come from sampling, so a few ADJACENT
-    * shards can still share a task at the margins — write parallelism
-    * is ~nShards, not exactly nShards — but a shard is never split.
-    * Size shards so a shard fits an executor (the assignment hash
-    * balances them); the manifest is one groupBy over the written
+    * directory scan). Hashing the shard VALUES can collide — a task
+    * may own several shards while others sit empty, so write
+    * parallelism is the number of distinct murmur3(shard) % nShards
+    * residues (close to nShards by the balls-in-bins bound, never
+    * exactly it) — the honest trade: `repartitionByRange` would map
+    * shards 1:1 to tasks, but its RangePartitioner boundary sampling
+    * is an EXTRA JOB that re-reads the full input lineage before the
+    * real shuffle, doubling input I/O at the 100 TB export scale
+    * (the same pre-pass class the count()-free samplers exist to
+    * avoid). Size shards so a shard fits an executor (the assignment
+    * hash balances them); the manifest is one groupBy over the written
     * data, a recount that certifies the files on disk rather than
     * trusting the plan that produced them.
     *
@@ -244,7 +248,7 @@ object Sampling {
     val todo =
       if (done.isEmpty) assigned
       else assigned.where(not(col("shard").isin(done: _*)))
-    val writer = todo.repartitionByRange(nShards, col("shard"))
+    val writer = todo.repartition(nShards, col("shard"))
       .write.partitionBy("shard").mode("overwrite")
     (if (resume) writer.option("partitionOverwriteMode", "dynamic")
      else writer).parquet(path)

@@ -38,10 +38,12 @@ import org.apache.spark.sql.types.DataTypes
   * linear across cells, so size `centroids` to the corpus (the paper
   * runs ~n/50 cells at 1.3 B docs; the knob is cluster count, exactly
   * like the IVF cell-sizing rule in BASELINE.md round11-ann-recall).
-  * `mode = "anchor"` compares members only against the cell's rank-1
-  * member — strictly linear, the bounded fallback when a skewed cell
-  * would detonate the pairwise join (same dispatch philosophy as
-  * `duplicateClusters` pairs/buckets).
+  * `mode = "anchor"` compares members only against the cell's anchor —
+  * the best-ranked member with a non-zero norm (a degenerate zero
+  * vector sorting first must not freeze its cell) — strictly linear,
+  * the bounded fallback when a skewed cell would detonate the pairwise
+  * join (same dispatch philosophy as `duplicateClusters`
+  * pairs/buckets).
   *
   * Anchor-mode recall is governed by CELL FIDELITY, not cell count
   * (measured, BASELINE.md round13-semdedup): with random md5 centroids
@@ -72,12 +74,18 @@ import org.apache.spark.sql.types.DataTypes
 object SemDedup {
 
   /** The exact integer cosine gate: cos(a, b) >= tPct/100 on quantized
-    * vectors, with |a|^2, |b|^2 passed in as columns. */
+    * vectors, with |a|^2, |b|^2 passed in as columns. Zero-norm vectors
+    * (encoder failures, padding rows, empties) NEVER pass: cosine is
+    * undefined for them, and without the n2 > 0 guards the
+    * cross-multiplication degenerates to 0 >= 0 — a single all-zero
+    * embedding would read as a duplicate of every same-cell member and
+    * silently kill its whole cell (review find; the DuckDB oracles
+    * carry the same guards, so the contract is hash-pinned). */
   private[ml] def cosineGate(dot: Column, n2a: Column, n2b: Column,
                              tPct: Int): Column = {
     val dec = DataTypes.createDecimalType(38, 0)
     val d = dot.cast(dec)
-    (dot >= 0) && (lit(10000L).cast(dec) * d * d >=
+    (n2a > 0) && (n2b > 0) && (dot >= 0) && (lit(10000L).cast(dec) * d * d >=
       lit(tPct.toLong * tPct).cast(dec) * n2a.cast(dec) * n2b.cast(dec))
   }
 
@@ -93,26 +101,47 @@ object SemDedup {
     require(keep == "edge" || keep == "central",
       s"keep must be 'edge' or 'central', got '$keep'")
     val cmLit = typedLit(centroids.map(_.toSeq).toSeq)
+    // ONE pass over the input: NULL/empty vectors ride the main path
+    // with cell = -1 and a NULL centroid dot (when() evaluates the
+    // kernel only on valid rows); they can neither kill nor be killed
+    // (the gate's n2 > 0 guards), so they come out kept — a second
+    // scan + union for the invalid branch would re-read the corpus at
+    // exactly the scale where fanOutSmallScan is a no-op (review find)
+    val validV = col("_q").isNotNull && size(col("_q")) > 0
     val base = graft.core.Sizing.fanOutSmallScan(df).select(
-      col(idCol).cast("long").as(idCol),
-      Similarity.quantize(col(vecCol), scale).as("_q"))
-    val valid = base
-      .where(col("_q").isNotNull && size(col("_q")) > 0)
-      .withColumn("_cell",
+        col(idCol).cast("long").as(idCol),
+        Similarity.quantize(col(vecCol), scale).as("_q"))
+      .withColumn("_cell", when(validV,
         element_at(Similarity.nearestCells(col("_q"), centroids, 1), 1))
-      .withColumn("_cd", Similarity.dotLong(col("_q"),
+        .otherwise(lit(-1L)))
+      .withColumn("_cd", when(validV, Similarity.dotLong(col("_q"),
         element_at(cmLit, col("_cell").cast("int") + 1)))
+        .otherwise(lit(null).cast("long")))
       .withColumn("_n2", Similarity.dotLong(col("_q"), col("_q")))
     val ord =
       if (keep == "edge") Seq(col("_cd").asc, col(idCol).asc)
       else Seq(col("_cd").desc, col(idCol).asc)
-    val ranked = valid.withColumn("_rn",
+    val ranked = base.withColumn("_rn",
       row_number().over(Window.partitionBy(col("_cell")).orderBy(ord: _*)))
     val killers = {
-      val k = ranked.select(col("_cell"), col("_q").as("_qk"),
-        col("_n2").as("_n2k"), col("_rn").as("_rk"))
+      // zero-norm rows are inert killers (the gate's n2 > 0 guard), so
+      // they are pruned from the killer side: a no-op for pairwise
+      // semantics, and in anchor mode it means a degenerate rank-1 row
+      // (an encoder-failure zero vector that happens to sort first)
+      // can never FREEZE its cell — the anchor is the best-ranked
+      // member that can actually kill
+      val k = ranked.where(col("_n2") > 0)
+        .select(col("_cell"), col("_q").as("_qk"),
+          col("_n2").as("_n2k"), col("_rn").as("_rk"))
       // anchor mode's killer side is one row per cell — broadcastable
-      if (mode == "anchor") broadcast(k.where(col("_rk") === 1)) else k
+      if (mode == "anchor")
+        broadcast(k.groupBy(col("_cell"))
+          .agg(min_by(struct(col("_qk"), col("_n2k"), col("_rk")),
+            col("_rk")).as("_w"))
+          .select(col("_cell"), col("_w").getField("_qk").as("_qk"),
+            col("_w").getField("_n2k").as("_n2k"),
+            col("_w").getField("_rk").as("_rk")))
+      else k
     }
     val dropped = ranked
       .join(killers, Seq("_cell"))
@@ -121,15 +150,10 @@ object SemDedup {
           col("_n2"), col("_n2k"), thresholdPct))
       .select(col(idCol)).distinct()
       .withColumn("_dup", lit(true))
-    val validOut = ranked.join(dropped, Seq(idCol), "left")
+    ranked.join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("_cell").as("cell"),
         col("_cd").as("centroid_dot"),
-        coalesce(col("_dup"), lit(false)) === false)
-    val invalid = base.where(col("_q").isNull || size(col("_q")) === 0)
-      .select(col(idCol), lit(-1L).as("cell"),
-        lit(null).cast("long").as("centroid_dot"), lit(true))
-    validOut.toDF(idCol, "cell", "centroid_dot", "kept")
-      .unionByName(invalid.toDF(idCol, "cell", "centroid_dot", "kept"))
+        (coalesce(col("_dup"), lit(false)) === false).as("kept"))
   }
 
   /** The STREAMING serve path of semantic dedup (the q113/q131 pattern:
@@ -144,9 +168,11 @@ object SemDedup {
     * bucketed-equi-join property the LSH/IVF serve paths rely on, and
     * the reference is typically the `kept` output of a batch
     * [[semanticDedup]] pass (the survivor corpus), sized to broadcast
-    * or to a bucketed scan. Rows with NULL/empty vectors carry no
-    * similarity evidence and pass through (the gate is null). Use the
-    * same `centroids` the batch pass used — trained matrices for
+    * or to a bucketed scan. Rows with NULL or empty vectors carry no
+    * similarity evidence and pass through (NULL propagates through the
+    * gate; empties have |v|^2 = 0 and the gate's n2 > 0 guard rejects
+    * the match — reference-side zero-norm rows can't kill either). Use
+    * the same `centroids` the batch pass used — trained matrices for
     * production, per the cell-fidelity measurements. */
   def semanticFilterStream(stream: DataFrame, refs: DataFrame,
                            centroids: Array[Array[Long]],

@@ -324,19 +324,37 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
-    require(sampleFraction > 0 && sampleFraction <= 1,
-      s"sampleFraction must be in (0, 1], got $sampleFraction")
-    val bits = 1L << 20
-    val accept = math.max(1L, math.round(sampleFraction * bits))
-    val sample = df.where(pmod(xxhash64(col(vecCol)), lit(bits)) < accept)
+    val sample = sampleByHash(df, vecCol, sampleFraction)
       .select(array_to_vector(transform(quantize(col(vecCol), scale),
         x => x.cast("double"))).as("features"))
       .repartition(64).localCheckpoint()
-    val trained = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
-      .fit(sample).clusterCenters.map(_.toArray.map(math.round))
-    if (trained.length >= nCells) trained
-    else Array.tabulate(nCells)(i => trained(i % trained.length))
+    padToK(new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .fit(sample).clusterCenters.map(_.toArray.map(math.round)), nCells)
   }
+
+  /** The shared k-means training-sample draw (ONE pass, no count()
+    * pre-pass): a fixed 20-bit xxhash acceptance threshold on the
+    * vector bytes, with NULL and EMPTY vectors excluded — an empty
+    * array survives a bare hash filter all-or-nothing (its hash is a
+    * constant) and then crashes KMeans on dimension mismatch. One
+    * definition for [[trainIvfCentroids]] and [[Pq.trainCodebooks]];
+    * fixes to either's sampling land in both. */
+  private[ml] def sampleByHash(df: DataFrame, vecCol: String,
+                               fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1,
+      s"sampleFraction must be in (0, 1], got $fraction")
+    val bits = 1L << 20
+    val accept = math.max(1L, math.round(fraction * bits))
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+      pmod(xxhash64(col(vecCol)), lit(bits)) < accept)
+  }
+
+  /** Pad a trained center matrix short of `k` by cycling (k-means can
+    * converge to fewer distinct centers than k); a padded copy never
+    * wins an argmin — ties go to the smaller id. */
+  private[ml] def padToK(trained: Array[Array[Long]], k: Int): Array[Array[Long]] =
+    if (trained.length >= k) trained
+    else Array.tabulate(k)(i => trained(i % trained.length))
 
   /** lshBucket for a KNOWN embedding dimension: the plane matrix folds to
     * array literals (no per-row md5), so the bucket computation is a pure

@@ -1765,6 +1765,53 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("semanticDedup: zero-norm vectors neither kill nor die " +
+    "(cosine is undefined at |v| = 0 — the 0 >= 0 degeneracy is guarded)") {
+    import spark.implicits._
+    // an all-zero vector ranks FIRST in its cell under keep=edge
+    // (centroid dot 0 beats the negative dots of real members in some
+    // cells); without the n2 > 0 gate guards it would read as a
+    // duplicate of everything and kill its whole cell
+    val zero = (999L, Array.fill(8)(0f))
+    val fam = (0 until 4).map(k => (k.toLong, Array.fill(8)(1f + k)))
+    val df = (fam :+ zero).toDF("vec_id", "embedding")
+    val cm = Similarity.ivfCentroids(4, 8)
+    // the zero vector RANKS FIRST in this cell (centroid dot 0 sorts
+    // before the members' positive dots under keep=edge) — the anchor
+    // must still be the best-ranked row that CAN kill, so the family
+    // collapses in BOTH modes instead of the zero row freezing it
+    for (mode <- Seq("pairwise", "anchor")) {
+      val out = graft.ml.SemDedup.semanticDedup(df, cm, 50, mode = mode)
+        .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+      assert(out(999L), s"$mode: the zero vector must survive (no evidence)")
+      assert((0L to 3L).count(out(_)) == 1,
+        s"$mode: family kept ${(0L to 3L).count(out(_))}")
+    }
+    // streaming serve spelling: a zero/empty probe passes, and a
+    // zero-norm REFERENCE row can't kill a probe either
+    val probes = Seq((1L, Array.fill(8)(2f)), (2L, Array.empty[Float]),
+      (3L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    val refs = Seq(Tuple1(Array.fill(8)(0f))).toDF("embedding")
+    val kept = graft.ml.SemDedup.semanticFilterStream(probes, refs, cm, 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("NearestCellsLong compares by matrix CONTENT, not reference " +
+    "(canonicalization/exchange reuse across separately-built matrices)") {
+    val a = graft.expr.NearestCellsLong(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L),
+      Similarity.ivfCentroids(4, 8), 2)
+    val b = graft.expr.NearestCellsLong(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L),
+      Similarity.ivfCentroids(4, 8), 2)
+    assert(a == b && a.hashCode == b.hashCode)
+    val c = b.copy(nProbe = 3)
+    assert(a != c)
+    val d = b.copy(centers = Similarity.ivfCentroids(5, 8))
+    assert(a != d)
+  }
+
   test("semanticDedup: the cosine gate is exact at the threshold boundary " +
     "(parallel vectors at t=100 drop; below-threshold pairs survive)") {
     import spark.implicits._
