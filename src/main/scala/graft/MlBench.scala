@@ -153,11 +153,17 @@ object MlBench {
     // chose (the starab A/B sets both spellings explicitly)
     if (spark.conf.getOption("spark.graft.dedup.verifyKey").isEmpty)
       spark.conf.set("spark.graft.dedup.verifyKey", "array")
-    val docs = corpus(spark, nDocs).localCheckpoint()
-    val stats = docs.agg(count(lit(1)), sum(length(col("text"))),
-      countDistinct(col("cluster"))).head()
-    println(s"[mlbench] corpus: ${stats.getLong(0)} docs, " +
-      f"${stats.getLong(1) / 1e6}%.0f MB text, ${stats.getLong(2)} true clusters")
+    // LAZY doc-corpus build: the vector-only modes (ann/annrecall/pq/
+    // semdedup) never touch the text corpus, and at 16M+ docs its
+    // checkpoint pins gigabytes of heap they need for their own state
+    lazy val docs = {
+      val d = corpus(spark, nDocs).localCheckpoint()
+      val stats = d.agg(count(lit(1)), sum(length(col("text"))),
+        countDistinct(col("cluster"))).head()
+      println(s"[mlbench] corpus: ${stats.getLong(0)} docs, " +
+        f"${stats.getLong(1) / 1e6}%.0f MB text, ${stats.getLong(2)} true clusters")
+      d
+    }
 
     if (on("clusters")) {
       // LINEAR strategy at full scale, second-chance OFF vs ON
