@@ -877,4 +877,29 @@ class PlanContractSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p3.contains("Exchange"), p3.take(1500))
   }
+
+  test("semanticDedup plans: single-pass (no Union), anchor killers broadcast, " +
+    "bounded exchanges") {
+    import spark.implicits._
+    val vecs = (1L to 60L)
+      .map(i => (i, Array.tabulate(8)(j => (i % 5 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cm = graft.ml.Similarity.ivfCentroids(4, 8)
+    // pairwise: the NULL/empty branch rides the main path — a Union in
+    // the plan would mean the invalid-branch second scan is back
+    val pa = graft.ml.SemDedup.semanticDedup(vecs, cm, 50)
+      .queryExecution.executedPlan.toString
+    assert(!pa.contains("Union"), pa.take(2000))
+    assert("Exchange".r.findAllIn(pa).size <= 10, pa.take(2500))
+    // anchor: the one-row-per-cell killer side must BROADCAST
+    val an = graft.ml.SemDedup.semanticDedup(vecs, cm, 50, mode = "anchor")
+      .queryExecution.executedPlan.toString
+    assert(!an.contains("Union"), an.take(2000))
+    assert(an.contains("BroadcastExchange"), an.take(2500))
+    // streaming serve: the batch spelling of the same plan is one
+    // anti join — no state, no cartesian, no union
+    val fs = graft.ml.SemDedup.semanticFilterStream(vecs, vecs, cm, 50)
+      .queryExecution.executedPlan.toString
+    assert(!fs.contains("Union") && !fs.contains("CartesianProduct"), fs.take(2000))
+  }
 }
