@@ -1611,6 +1611,14 @@ object SparkEntry {
         .select(col("vec_id"), col("cell"),
           coalesce(col("_k"), lit(false)).as("kept"))
     }),
+    "q135_semdedup_central" -> ((s, dir) =>
+      // keep="central": the rank flips to centroid-dot DESC — among
+      // duplicates the PROTOTYPE survives (retrieval/labeling seeds)
+      // instead of the paper's diversity-preserving edge member; the
+      // oracle replays the flipped ordering
+      graft.ml.SemDedup.semanticDedup(pq(s, dir, "embeddings"),
+        Similarity.ivfCentroids(32, 64), thresholdPct = 30,
+        keep = "central")),
   )
 
   /** DuckDB twin of `ml.Sampling.hash24` (expects a CTE column `h` =
@@ -2690,5 +2698,8 @@ object SparkEntry {
 
     "q134_stream_semdedup" -> semStreamOracleSql(nCells = 32, dim = 64,
       tPct = 30),
+
+    "q135_semdedup_central" -> semDedupOracleSql(nCells = 32, dim = 64,
+      tPct = 30, mode = "pairwise", keep = "central"),
   )
 }
