@@ -120,7 +120,7 @@ object MlBench {
     def on(m: String) = modes.contains(m) ||
       (modes.contains("all") &&
         !Set("starab", "recall", "annrecall", "serve", "paradedup", "pq",
-          "semdedup").contains(m))
+          "semdedup", "semthresh", "semtext", "traincap").contains(m))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -899,6 +899,22 @@ object MlBench {
         SemDedup.semanticDedup(small, trained, 90).localCheckpoint()
       }
       survStats(pwT, s"pairwise cells=trained @$nSmall")
+      // FULL-SCALE banded pairwise — the run round-13's unbanded join
+      // could not finish (it detonated one task per planted cluster;
+      // BASELINE.md round13-semdedup ran pairwise only on a 200k
+      // slice). The rank-band chunking spreads each ~n/256-member
+      // cell's quadratic over pop/bandRows parallel key groups.
+      val (swp0, spp0) = io.snap()
+      val pwFull = t(s"semanticDedup pairwise BANDED t=90 cells=trained @$nVec") {
+        SemDedup.semanticDedup(emb, trained, 90).localCheckpoint()
+      }
+      val (swp1, spp1) = io.snap()
+      val kpw = pwFull.agg(count(lit(1)),
+        sum(when(col("kept"), 1L).otherwise(0L))).head()
+      println(f"[mlbench] pairwise banded @$nVec: kept ${kpw.getLong(1)}/${kpw.getLong(0)} " +
+        f"= ${kpw.getLong(1) * 100.0 / kpw.getLong(0)}%.3f%%, " +
+        f"shuffle ${(swp1 - swp0) / 1e9}%.2f GB, spill ${(spp1 - spp0) / 1e9}%.2f GB")
+      survStats(pwFull, s"pairwise banded cells=trained @$nVec")
       // UNSUPERVISED training — the in-library path a real deployment
       // has (no cluster labels): k-means over a 10% hash sample
       // (Similarity.trainIvfCentroids). The label-informed means above
@@ -918,6 +934,191 @@ object MlBench {
           f"= ${k.getLong(1) * 100.0 / k.getLong(0)}%.3f%%")
         if (i == 2) survStats(ak, s"anchor cells=kmeans @$nVec")
       }
+    }
+
+    // the planted-cluster vector corpus + its label-mean (converged
+    // k-means) centroids — shared by semthresh and traincap
+    def plantedEmb(nVec: Long, dim: Int): DataFrame =
+      spark.range(nVec).select(col("id").as("vec_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("cluster", pmod(xxhash64(col("vec_id"), lit("ctr")), lit(256)))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)), i =>
+            (pmod(xxhash64(col("cluster"), i), lit(1000)).cast("float") - 500.0f) / 500.0f +
+              (pmod(xxhash64(col("vec_id"), i, lit("n")), lit(200)).cast("float") - 100.0f) / 1000.0f))
+        .localCheckpoint()
+    def clusterMeans(emb: DataFrame): Array[Array[Long]] =
+      emb.select(col("cluster"),
+          posexplode(graft.ml.Similarity.quantize(col("embedding"), 1000))
+            .as(Seq("_p", "_x")))
+        .groupBy(col("cluster"), col("_p")).agg(avg(col("_x")).as("_m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
+          s => s.getField("_m")).as("_c"))
+        .orderBy(col("cluster"))
+        .collect().map(_.getSeq[Double](1).map(math.round).toArray)
+
+    if (on("semthresh")) {
+      // THRESHOLD ECONOMICS (VERDICT r13 item #4): what the
+      // thresholdPct knob buys (survivor volume) and costs (wall) —
+      // the semdedup twin of the LSH banding and IVF nProbe curves.
+      // Trained cells (the production configuration: cluster means =
+      // converged k-means), anchor at full scale x thresholds, plus
+      // BANDED pairwise (the published rule, full scale — the r13
+      // detonation case, now chunked) at the operating threshold.
+      import graft.ml.SemDedup
+      val dim = 64
+      val emb = plantedEmb(nDocs, dim)
+      println(s"[mlbench] semthresh corpus: $nDocs vectors x $dim dims, 256 planted clusters")
+      val trained = clusterMeans(emb)
+      def kstats(out: DataFrame, what: String): Unit = {
+        val k = out.agg(count(lit(1)),
+          sum(when(col("kept"), 1L).otherwise(0L))).head()
+        val s = out.where(col("kept"))
+          .join(emb.select(col("vec_id"), col("cluster")), "vec_id")
+          .groupBy(col("cluster")).agg(count(lit(1)).as("s"))
+          .agg(count(lit(1)), max(col("s")),
+            sum(when(col("s") === 1, 1L).otherwise(0L))).head()
+        println(f"[mlbench] semthresh $what: kept ${k.getLong(1)}/${k.getLong(0)} " +
+          f"= ${k.getLong(1) * 100.0 / k.getLong(0)}%.4f%%, clusters ${s.getLong(0)} " +
+          f"(ideal 256), max/cluster ${s.getLong(1)}, exactly-1 ${s.getLong(2)}")
+      }
+      for (tp <- Seq(85, 90, 95, 99)) {
+        val a = t(s"semthresh anchor t=$tp @$nDocs") {
+          SemDedup.semanticDedup(emb, trained, tp, mode = "anchor")
+            .localCheckpoint()
+        }
+        kstats(a, s"anchor t=$tp @$nDocs")
+        a.unpersist()
+      }
+      for (tp <- Seq(90, 99)) {
+        val p = t(s"semthresh pairwise banded t=$tp @$nDocs") {
+          SemDedup.semanticDedup(emb, trained, tp).localCheckpoint()
+        }
+        kstats(p, s"pairwise t=$tp @$nDocs")
+        p.unpersist()
+      }
+    }
+
+    if (on("traincap")) {
+      // the maxSampleRows cap (VERDICT r13 item #3 / round-13 ADVICE):
+      // training wall must go FLAT once the corpus outgrows
+      // cap/fraction, because the trained set is bounded — run this at
+      // 2M/8M/32M and compare walls
+      import graft.ml.Similarity
+      val dim = 64
+      val emb = plantedEmb(nDocs, dim)
+      val km = t(s"traincap trainIvfCentroids k=256 @$nDocs (10% draw, 256k cap)") {
+        Similarity.trainIvfCentroids(emb, 256)
+      }
+      println(s"[mlbench] traincap: ${km.length} centers x ${km(0).length} dims trained")
+      val sample = Similarity.boundedTrainingSample(emb, "embedding", 0.1,
+        1 << 18, 1000)
+      println(s"[mlbench] traincap bounded sample rows: ${sample.count()} " +
+        s"(cap ${1 << 18})")
+    }
+
+    if (on("semtext")) {
+      // TEXT-GROUNDED semantic dedup (VERDICT r13 item #5): the skewed
+      // near-dup DOC corpus (template clusters, 5% token mutation) with
+      // deterministic signed hashed-3-gram embeddings — members share
+      // ~86% of shingles, so same-cluster cosine sits near 0.86 and
+      // cross-cluster near 0. Trained coarse cells (k-means over the
+      // hashed embeddings), BANDED pairwise at full scale (the
+      // published rule on text-derived vectors), anchor comparison,
+      // overlap vs the lexical simhash pass, and a width-invariance
+      // identity check.
+      import graft.ml.{Dedup, SemDedup, Similarity, TextOps}
+      val dim = 64
+      val sparse = docs.select(col("doc_id"), col("cluster"),
+          explode(array_distinct(TextOps.wordShingles(col("text"), 3))).as("_sh"))
+        .select(col("doc_id"), col("cluster"),
+          pmod(xxhash64(col("_sh")), lit(dim.toLong)).cast("int").as("_b"),
+          (pmod(xxhash64(col("_sh"), lit("sgn")), lit(2)) * 2 - 1)
+            .cast("double").as("_v"))
+        .groupBy(col("doc_id"), col("cluster"), col("_b"))
+        .agg(sum(col("_v")).as("_s"))
+      val emb = t(s"semtext hashed-3gram embeddings @$nDocs") {
+        sparse.groupBy(col("doc_id"), col("cluster"))
+          .agg(map_from_entries(collect_list(struct(col("_b"), col("_s")))).as("_m"))
+          .select(col("doc_id").as("vec_id"), col("cluster"),
+            transform(sequence(lit(0), lit(dim - 1)), i =>
+              coalesce(element_at(col("_m"), i.cast("int")), lit(0.0))
+                .cast("float")).as("embedding"))
+          .localCheckpoint()
+      }
+      val km = t(s"semtext trainIvfCentroids k=1024 @$nDocs") {
+        Similarity.trainIvfCentroids(emb, 1024)
+      }
+      def truth(out: DataFrame, what: String): Unit = {
+        // true >=2-member cluster members: how many did semdedup drop,
+        // and do survivors collapse to ~1 per true cluster
+        val t2 = emb.groupBy(col("cluster")).agg(count(lit(1)).as("_n"))
+          .where(col("_n") >= 2).select(col("cluster"))
+        val m = emb.join(t2, Seq("cluster")).select(col("vec_id"), col("cluster"))
+          .join(out.select(col("vec_id"), col("kept")), Seq("vec_id"))
+        val r = m.agg(count(lit(1)),
+          sum(when(!col("kept"), 1L).otherwise(0L))).head()
+        val s = m.where(col("kept")).groupBy(col("cluster"))
+          .agg(count(lit(1)).as("s"))
+          .agg(count(lit(1)), max(col("s")),
+            sum(when(col("s") === 1, 1L).otherwise(0L))).head()
+        println(f"[mlbench] semtext $what vs truth: dropped ${r.getLong(1)}/${r.getLong(0)} " +
+          f"true-cluster members (${r.getLong(1) * 100.0 / r.getLong(0)}%.2f%%), " +
+          f"clusters-with-survivors ${s.getLong(0)}, max/cluster ${s.getLong(1)}, " +
+          f"exactly-1 ${s.getLong(2)}")
+      }
+      var pw70: DataFrame = null
+      for (tp <- Seq(60, 70, 80)) {
+        val pw = t(s"semtext pairwise banded t=$tp @$nDocs") {
+          SemDedup.semanticDedup(emb, km, tp).localCheckpoint()
+        }
+        val k = pw.agg(count(lit(1)),
+          sum(when(col("kept"), 1L).otherwise(0L))).head()
+        println(f"[mlbench] semtext pairwise t=$tp: kept ${k.getLong(1)}/${k.getLong(0)} " +
+          f"= ${k.getLong(1) * 100.0 / k.getLong(0)}%.2f%%")
+        truth(pw, s"pairwise t=$tp")
+        if (tp == 70) pw70 = pw else pw.unpersist()
+      }
+      val an = t(s"semtext anchor t=70 @$nDocs") {
+        SemDedup.semanticDedup(emb, km, 70, mode = "anchor").localCheckpoint()
+      }
+      truth(an, "anchor t=70")
+      // overlap with the LEXICAL axis: docs the simhash near-dup pass
+      // pairs up vs docs the semantic pass drops — the case lexical
+      // dedup already catches, and what semdedup adds beyond it
+      val pairs = t(s"semtext simhashNearDupPairs @$nDocs") {
+        Dedup.simhashNearDupPairs(docs).localCheckpoint()
+      }
+      val lexDocs = pairs.select(col("a").as("vec_id"))
+        .union(pairs.select(col("b").as("vec_id"))).distinct()
+      val ov = pw70.where(!col("kept")).select(col("vec_id"))
+        .join(lexDocs.withColumn("_lex", lit(1)), Seq("vec_id"), "left")
+        .agg(count(lit(1)), count(col("_lex"))).head()
+      val lexN = lexDocs.count()
+      println(f"[mlbench] semtext lexical overlap: semantic drops ${ov.getLong(0)}, " +
+        f"of which ${ov.getLong(1)} (${ov.getLong(1) * 100.0 / math.max(ov.getLong(0), 1)}%.1f%%) " +
+        s"also lexically paired (simhash-paired docs total: $lexN)")
+      // width invariance at soak scale (cloned session, width 23)
+      def fpSem(d: DataFrame): (Long, Long, Long) = {
+        val h = md5(concat_ws("", col("vec_id"), col("cell"),
+          col("centroid_dot"), col("kept")))
+        val r = d.agg(count(lit(1)),
+          sum(conv(substring(h, 1, 8), 16, 10).cast("long")),
+          sum(conv(substring(h, 9, 8), 16, 10).cast("long"))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val fp1 = fpSem(pw70)
+      val sess2 = spark.newSession()
+      sess2.conf.set("spark.sql.shuffle.partitions", "23")
+      val pw23 = t(s"semtext pairwise t=70 @$nDocs width=23") {
+        SemDedup.semanticDedup(
+          sess2.createDataFrame(emb.rdd, emb.schema), km, 70)
+          .localCheckpoint()
+      }
+      val fp2 = fpSem(pw23)
+      println(s"[mlbench] semtext invariance: width-32 $fp1 vs width-23 $fp2 " +
+        (if (fp1 == fp2) "[BIT-IDENTICAL]" else "[MISMATCH]"))
     }
     spark.stop()
   }

@@ -1601,11 +1601,15 @@ object SparkEntry {
       val surv = s.read.schema("vec_id LONG, cell LONG")
         .option("recursiveFileLookup", "true").parquet(outPath)
       // audit frame over every streamed row; the cell column comes from
-      // ONE spelling (the batch-side kernel), survivors join by id only
+      // ONE spelling (the batch-side kernel, with the stream's own
+      // cell = -1 convention for NULL/empty vectors), survivors join
+      // by id only
+      val q134q = Similarity.quantize(col("embedding"), 1000)
       emb.where(col("vec_id") % 4 === 0)
         .select(col("vec_id"),
-          element_at(Similarity.nearestCells(
-            Similarity.quantize(col("embedding"), 1000), cm, 1), 1).as("cell"))
+          when(col("embedding").isNotNull && size(col("embedding")) > 0,
+            element_at(Similarity.nearestCells(q134q, cm, 1), 1))
+            .otherwise(lit(-1L)).as("cell"))
         .join(surv.select(col("vec_id"), lit(true).as("_k")),
           Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"),
@@ -1619,6 +1623,32 @@ object SparkEntry {
       graft.ml.SemDedup.semanticDedup(pq(s, dir, "embeddings"),
         Similarity.ivfCentroids(32, 64), thresholdPct = 30,
         keep = "central")),
+    "q136_semdedup_index" -> ((s, dir) => {
+      // persisted semantic-dedup survivor index lifecycle (the
+      // q112/q117 shape, semantic edition): build the cell-bucketed
+      // survivor table from the first split, ADMIT a second split
+      // through appendNew (index-filter first, then self-dedup the
+      // remainder — the pinned order), compact the two-generation
+      // table, retire every (id % 10 == 3) survivor, then batch-probe
+      // the held-out split — a probe is kept iff NO stored survivor in
+      // its cell clears the exact HUGEINT cosine gate. The oracle
+      // replays the entire lifecycle relationally; a bucketing,
+      // append-routing, property, compaction, or delete defect
+      // anywhere in the cycle breaks the hash.
+      val db = perRunDb(s, "graft_q136_")
+      val cm = Similarity.ivfCentroids(32, 64)
+      val emb = pq(s, dir, "embeddings")
+      graft.ml.SemIndex.write(
+        emb.where(col("vec_id") % 4 === 1 || col("vec_id") % 4 === 2),
+        s"$db.sem", cm, thresholdPct = 30)
+      graft.ml.SemIndex.appendNew(emb.where(col("vec_id") % 4 === 3),
+        s"$db.sem")
+      graft.ml.SemIndex.compact(s, s"$db.sem")
+      graft.ml.SemIndex.deleteByIds(s, s"$db.sem",
+        emb.where(col("vec_id") % 10 === 3).select(col("vec_id")))
+      graft.ml.SemIndex.probe(s, s"$db.sem",
+        emb.where(col("vec_id") % 4 === 0))
+    }),
   )
 
   /** DuckDB twin of `ml.Sampling.hash24` (expects a CTE column `h` =
@@ -1802,8 +1832,8 @@ object SparkEntry {
     val killer =
       if (mode == "anchor") "r.rv = 1 AND r.rn < l.rn" else "r.rn < l.rn"
     s"WITH $quantCte, cm AS (SELECT $cmLit AS m), " +
-      s"cel AS (SELECT vec_id, v, list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)])[1].c AS cell FROM q, cm), " +
-      s"cd AS (SELECT vec_id, v, cell, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * m[cell + 1][i])) AS BIGINT) AS cdot, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS n2 FROM cel, cm), " +
+      s"cel AS (SELECT vec_id, v, CASE WHEN len(v) > 0 THEN list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)])[1].c ELSE -1 END AS cell FROM q, cm), " +
+      s"cd AS (SELECT vec_id, v, cell, CASE WHEN cell >= 0 THEN CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * m[cell + 1][i])) AS BIGINT) END AS cdot, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS n2 FROM cel, cm), " +
       s"rk AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cdot $ordDir, vec_id ASC) AS rn FROM cd), " +
       "rkv AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY rn) AS rv FROM rk WHERE n2 > 0), " +
       s"dt AS (SELECT l.vec_id, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> l.v[i] * r.v[i])) AS BIGINT) AS d, l.n2 AS n2a, r.n2 AS n2b FROM rk l JOIN rkv r ON l.cell = r.cell AND $killer), " +
@@ -1821,8 +1851,8 @@ object SparkEntry {
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val d = s"list_sum(list_transform(range(1, ${dim + 1}), x -> i.v[x] * r.v[x]))"
     s"WITH $quantCte, cm AS (SELECT $cmLit AS m), " +
-      s"cel AS (SELECT vec_id, v, list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)])[1].c AS cell FROM q, cm), " +
-      s"cd AS (SELECT vec_id, v, cell, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * m[cell + 1][i])) AS BIGINT) AS cdot, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS n2 FROM cel, cm WHERE vec_id % 4 <> 0), " +
+      s"cel AS (SELECT vec_id, v, CASE WHEN len(v) > 0 THEN list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)])[1].c ELSE -1 END AS cell FROM q, cm), " +
+      s"cd AS (SELECT vec_id, v, cell, CASE WHEN cell >= 0 THEN CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * m[cell + 1][i])) AS BIGINT) END AS cdot, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS n2 FROM cel, cm WHERE vec_id % 4 <> 0), " +
       "rk AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cdot ASC, vec_id ASC) AS rn FROM cd), " +
       "rkv AS (SELECT * FROM rk WHERE n2 > 0), " +
       s"dt AS (SELECT l.vec_id, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> l.v[i] * r.v[i])) AS BIGINT) AS d, l.n2 AS n2a, r.n2 AS n2b FROM rk l JOIN rkv r ON l.cell = r.cell AND r.rn < l.rn), " +
@@ -1832,6 +1862,52 @@ object SparkEntry {
       s"hit AS (SELECT DISTINCT i.vec_id FROM inc i JOIN ref r ON i.cell = r.cell AND i.n2 > 0 AND r.n2 > 0 AND $d >= 0 AND 10000 * CAST($d AS HUGEINT) * $d >= CAST(${tPct.toLong * tPct} AS HUGEINT) * i.n2 * r.n2) " +
       "SELECT i.vec_id, i.cell, (h.vec_id IS NULL) AS kept " +
       "FROM inc i LEFT JOIN hit h ON i.vec_id = h.vec_id"
+  }
+
+  /** DuckDB replay of the q136 [[graft.ml.SemIndex]] lifecycle: batch
+    * pairwise SemDeDup over split A (vec_id % 4 in (1,2)) -> survivor
+    * set; split B (% 4 = 3) admitted through the pinned appendNew
+    * order (anti-join against the A survivors FIRST, then self-dedup
+    * the remainder); the union minus the retired ids (% 10 = 3) is the
+    * index; the probe split (% 4 = 0) is kept iff no index row in its
+    * cell clears the exact HUGEINT cosine gate. */
+  private def semIndexOracleSql(nCells: Int, dim: Int, tPct: Int): String = {
+    val cmLit = Similarity.ivfCentroids(nCells, dim)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val t2 = tPct.toLong * tPct
+    // the exact integer cosine gate between row aliases l and r, the
+    // engine's DecimalType(38,0) compare replayed in HUGEINT
+    def gate(l: String, r: String): String = {
+      val d = s"list_sum(list_transform(range(1, ${dim + 1}), i -> $l.v[i] * $r.v[i]))"
+      s"$l.n2 > 0 AND $r.n2 > 0 AND $d >= 0 AND 10000 * CAST($d AS HUGEINT) * $d >= CAST($t2 AS HUGEINT) * $l.n2 * $r.n2"
+    }
+    s"WITH $quantCte, cm AS (SELECT $cmLit AS m), " +
+      s"cel AS (SELECT vec_id, v, CASE WHEN len(v) > 0 THEN list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)])[1].c ELSE -1 END AS cell FROM q, cm), " +
+      s"cd AS (SELECT vec_id, v, cell, CASE WHEN cell >= 0 THEN CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * m[cell + 1][i])) AS BIGINT) END AS cdot, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS n2 FROM cel, cm), " +
+      // split A: pairwise semdedup, survivors with a killable norm
+      "a AS (SELECT * FROM cd WHERE vec_id % 4 IN (1, 2)), " +
+      "ark AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cdot ASC, vec_id ASC) AS rn FROM a), " +
+      "arkv AS (SELECT * FROM ark WHERE n2 > 0), " +
+      s"adup AS (SELECT DISTINCT l.vec_id FROM ark l JOIN arkv r ON l.cell = r.cell AND r.rn < l.rn AND ${gate("l", "r")}), " +
+      "sa AS (SELECT ark.vec_id, ark.v, ark.cell, ark.n2 FROM ark WHERE ark.n2 > 0 AND NOT EXISTS (SELECT 1 FROM adup WHERE adup.vec_id = ark.vec_id)), " +
+      // split B: index-filter first (the pinned appendNew order); the
+      // gate join is spelled as a JOIN + id NOT EXISTS because DuckDB
+      // cannot correlate an outer table inside a list_transform lambda
+      "b AS (SELECT * FROM cd WHERE vec_id % 4 = 3), " +
+      s"bhit AS (SELECT DISTINCT l.vec_id FROM b l JOIN sa r ON l.cell = r.cell AND ${gate("l", "r")}), " +
+      "bf AS (SELECT * FROM b WHERE NOT EXISTS (SELECT 1 FROM bhit WHERE bhit.vec_id = b.vec_id)), " +
+      // ... then self-dedup the remainder under the build params
+      "brk AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cdot ASC, vec_id ASC) AS rn FROM bf), " +
+      "brkv AS (SELECT * FROM brk WHERE n2 > 0), " +
+      s"bdup AS (SELECT DISTINCT l.vec_id FROM brk l JOIN brkv r ON l.cell = r.cell AND r.rn < l.rn AND ${gate("l", "r")}), " +
+      "sb AS (SELECT brk.vec_id, brk.v, brk.cell, brk.n2 FROM brk WHERE brk.n2 > 0 AND NOT EXISTS (SELECT 1 FROM bdup WHERE bdup.vec_id = brk.vec_id)), " +
+      // the index after the takedown rewrite
+      "idx AS (SELECT * FROM (SELECT vec_id, v, cell, n2 FROM sa UNION ALL SELECT vec_id, v, cell, n2 FROM sb) WHERE vec_id % 10 <> 3), " +
+      // held-out probe split
+      "c AS (SELECT vec_id, v, cell, n2 FROM cd WHERE vec_id % 4 = 0), " +
+      s"hit AS (SELECT DISTINCT l.vec_id FROM c l JOIN idx r ON l.cell = r.cell AND ${gate("l", "r")}) " +
+      "SELECT c.vec_id, c.cell, (h.vec_id IS NULL) AS kept " +
+      "FROM c LEFT JOIN hit h ON c.vec_id = h.vec_id"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2697,6 +2773,9 @@ object SparkEntry {
       tPct = 25, mode = "anchor", keep = "edge"),
 
     "q134_stream_semdedup" -> semStreamOracleSql(nCells = 32, dim = 64,
+      tPct = 30),
+
+    "q136_semdedup_index" -> semIndexOracleSql(nCells = 32, dim = 64,
       tPct = 30),
 
     "q135_semdedup_central" -> semDedupOracleSql(nCells = 32, dim = 64,

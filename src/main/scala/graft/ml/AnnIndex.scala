@@ -25,7 +25,7 @@ object AnnIndex {
     * two unrelated cell universes — silently wrong neighbors — so the
     * fingerprint is stored on the table and every consumer validates
     * against it. */
-  private def centroidFp(centroids: Array[Array[Long]], scale: Int): String = {
+  private[ml] def centroidFp(centroids: Array[Array[Long]], scale: Int): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val bb = java.nio.ByteBuffer.allocate(8)
     def putLong(l: Long): Unit = {
@@ -44,7 +44,7 @@ object AnnIndex {
     * wrote), and validating it vacuously would be exactly the silent
     * wrong-cell join the fingerprint exists to prevent. Rebuild with
     * [[writeIvf]]. */
-  private def readProps(spark: SparkSession, table: String): Map[String, String] =
+  private[ml] def readProps(spark: SparkSession, table: String): Map[String, String] =
     spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
 
@@ -100,7 +100,7 @@ object AnnIndex {
     if (centroids == null) (storedCentroids(spark, table), storedScale(spark, table))
     else (centroids, scale)
 
-  private def validateSpec(spark: SparkSession, table: String,
+  private[ml] def validateSpec(spark: SparkSession, table: String,
                            centroids: Array[Array[Long]],
                            scale: Int): Unit = {
     val props = readProps(spark, table)
@@ -170,19 +170,28 @@ object AnnIndex {
     // the index describes itself: fingerprint for fail-fast validation
     // PLUS the full matrix (chunked under metastore value-length caps)
     // so serve paths can probe without reconstructing the centroids
-    val enc = centroids.map(_.mkString(",")).mkString(";")
-    val chunks = enc.grouped(2000).toSeq
     df.sparkSession.sql(
       s"ALTER TABLE $table SET TBLPROPERTIES(" +
-        s"'graft.ivf.fp'='${centroidFp(centroids, scale)}'," +
-        s"'graft.ivf.nCentroids'='${centroids.length}'," +
-        s"'graft.ivf.scale'='$scale'," +
-        s"'graft.ivf.centroids.n'='${chunks.size}'," +
-        chunks.zipWithIndex.map { case (c, i) =>
-          s"'graft.ivf.centroids.$i'='$c'"
-        }.mkString(",") +
+        ivfPropsSql(centroids, scale) +
         (if (codebooks == null) ""
          else "," + codebookProps(codebooks)) + ")")
+  }
+
+  /** The self-describing (fingerprint + chunked matrix + scale)
+    * property list every cell-keyed index stamps on itself — shared
+    * with [[SemIndex]] so its survivor tables validate and serve
+    * through the identical spec machinery. */
+  private[ml] def ivfPropsSql(centroids: Array[Array[Long]],
+                              scale: Int): String = {
+    val enc = centroids.map(_.mkString(",")).mkString(";")
+    val chunks = enc.grouped(2000).toSeq
+    s"'graft.ivf.fp'='${centroidFp(centroids, scale)}'," +
+      s"'graft.ivf.nCentroids'='${centroids.length}'," +
+      s"'graft.ivf.scale'='$scale'," +
+      s"'graft.ivf.centroids.n'='${chunks.size}'," +
+      chunks.zipWithIndex.map { case (c, i) =>
+        s"'graft.ivf.centroids.$i'='$c'"
+      }.mkString(",")
   }
 
   /** Incremental index maintenance: append a new batch of vectors into

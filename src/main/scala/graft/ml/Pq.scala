@@ -72,20 +72,24 @@ object Pq {
     * Sampling is a fixed hash-acceptance draw (`sampleFraction` of the
     * corpus, by a 20-bit xxhash threshold on the vector bytes) — ONE
     * pass, no `count()` pre-pass: at 100 TB an exact-count stride
-    * would double the pre-train I/O for no accuracy gain. */
+    * would double the pre-train I/O for no accuracy gain — BOUNDED at
+    * `maxSampleRows` regardless of corpus size
+    * ([[Similarity.boundedTrainingSample]]; round-13 ADVICE — the
+    * unbounded 10% draw scaled the pinned training set linearly with
+    * the corpus). */
   def trainCodebooks(df: DataFrame, vecCol: String = "embedding",
                      m: Int = 8, k: Int = 256, dim: Int = 64,
-                     scale: Int = 1000,
-                     sampleFraction: Double = 0.1): Array[Array[Array[Long]]] = {
+                     scale: Int = 1000, sampleFraction: Double = 0.1,
+                     maxSampleRows: Int = 1 << 18): Array[Array[Array[Long]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    val sample = Similarity.sampleByHash(df, vecCol, sampleFraction)
-      .select(Similarity.quantize(col(vecCol), scale).as("_q"))
-      // constant partition width: the fit's float aggregation order no
-      // longer follows the caller's core count / input layout
-      .repartition(64)
+    // constant-width, content-ordered, row-capped sample: the fit's
+    // float aggregation order no longer follows the caller's core
+    // count / input layout, and the checkpoint it pins is bounded
+    val sample = Similarity.boundedTrainingSample(df, vecCol,
+        sampleFraction, maxSampleRows, scale)
       .localCheckpoint()
     Array.tabulate(m) { s =>
       val feats = sample.select(array_to_vector(

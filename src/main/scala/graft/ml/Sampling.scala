@@ -226,21 +226,71 @@ object Sampling {
     * directory is complete (the committer moves task output in whole
     * directories), and the assignment is a pure hash of the id, so a
     * re-run reproduces exactly the rows the dead run would have put
-    * there. The manifest is always recomputed over ALL shards on
-    * disk. */
+    * there. Two safety rails on that reasoning (round-13 ADVICE):
+    * a shard only counts as done if its directory holds at least one
+    * DATA file — an empty directory left by a non-rename-atomic
+    * filesystem (object stores) is an artifact of the crash, not a
+    * commit — and the export stamps a `_export_spec` marker
+    * (nShards + salt, written BEFORE the data so it survives any
+    * crash) that a resume must match exactly: resuming with a
+    * different shard count or salt would silently re-route every row
+    * and drop whatever the skipped directories don't cover. The
+    * manifest is always recomputed over ALL shards on disk. */
   def exportShards(df: DataFrame, path: String, idCol: String = "doc_id",
                    nShards: Int = 1024, textCol: String = "text",
                    salt: String = "graftshard",
                    resume: Boolean = false): DataFrame = {
     val assigned = assignShards(df, idCol, nShards, salt)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val specPath = new org.apache.hadoop.fs.Path(p, "_export_spec")
+    val spec = s"nShards=$nShards\nsalt=$salt\n"
+    def writeSpec(): Unit = {
+      val out = fs.create(specPath, true)
+      try out.write(spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    def isDataFile(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")
     val done: Seq[Int] =
-      if (!resume) Seq.empty
+      if (!resume) {
+        // fresh export: truncate any prior layout, then stamp the spec
+        // BEFORE the data lands — a crash mid-write leaves the marker,
+        // so the rerun can resume with verified params
+        fs.delete(p, true)
+        writeSpec()
+        Seq.empty
+      }
+      else if (!fs.exists(p)) { writeSpec(); Seq.empty }
       else {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p)) Seq.empty
-        else fs.listStatus(p).toSeq
+        if (fs.exists(specPath)) {
+          val in = fs.open(specPath)
+          val stored = try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+            buf.toString("UTF-8")
+          } finally in.close()
+          require(stored == spec,
+            s"exportShards: resume params (nShards=$nShards, salt=$salt) " +
+              s"differ from the original export's marker at $specPath " +
+              s"(${stored.trim.replace('\n', ' ')}) — resuming under a " +
+              "different sharding would silently drop rows; re-export " +
+              "fresh or pass the original params")
+        } else {
+          require(!fs.listStatus(p).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith("shard=")),
+            s"exportShards: $path holds shard directories but no " +
+              "_export_spec marker — cannot verify the original nShards/" +
+              "salt, so completed shards cannot be trusted for a skip; " +
+              "re-export fresh (resume = false)")
+          writeSpec()
+        }
+        fs.listStatus(p).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+          // an EMPTY shard directory is crash debris, not a commit —
+          // only a directory with a data file counts as done
+          .filter(st => fs.listStatus(st.getPath).exists(isDataFile))
           .map(_.getPath.getName.stripPrefix("shard="))
           .filter(n => n.nonEmpty && n.forall(_.isDigit))
           .map(_.toInt)
@@ -248,10 +298,12 @@ object Sampling {
     val todo =
       if (done.isEmpty) assigned
       else assigned.where(not(col("shard").isin(done: _*)))
-    val writer = todo.repartition(nShards, col("shard"))
+    // ALWAYS dynamic partition overwrite: only the shard directories
+    // being (re)written are replaced, so the _export_spec marker and
+    // any completed shards survive; the fresh path truncated above
+    todo.repartition(nShards, col("shard"))
       .write.partitionBy("shard").mode("overwrite")
-    (if (resume) writer.option("partitionOverwriteMode", "dynamic")
-     else writer).parquet(path)
+      .option("partitionOverwriteMode", "dynamic").parquet(path)
     val back = df.sparkSession.read.parquet(path)
     val manifest = back.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),

@@ -38,12 +38,21 @@ import org.apache.spark.sql.types.DataTypes
   * linear across cells, so size `centroids` to the corpus (the paper
   * runs ~n/50 cells at 1.3 B docs; the knob is cluster count, exactly
   * like the IVF cell-sizing rule in BASELINE.md round11-ann-recall).
+  * The kill join is RANK-BAND CHUNKED (see [[audit]]) so one skewed
+  * cell degrades to bounded parallel blocks instead of detonating a
+  * single task — the structural guard minhash (pairs/buckets dispatch)
+  * and simhash (hot-bucket recursion) already carry.
   * `mode = "anchor"` compares members only against the cell's anchor —
   * the best-ranked member with a non-zero norm (a degenerate zero
   * vector sorting first must not freeze its cell) — strictly linear,
-  * the bounded fallback when a skewed cell would detonate the pairwise
-  * join (same dispatch philosophy as `duplicateClusters`
-  * pairs/buckets).
+  * the bounded fallback when even chunked-pairwise compute (inherently
+  * quadratic in the cell) costs too much.
+  *
+  * Threshold economics, measured (BASELINE.md round14-semdedup-curve):
+  * sweep `thresholdPct` x mode on the planted-cluster soak corpus to
+  * price the knob before a 100 TB run — at matched cells the kept
+  * fraction falls smoothly with the threshold while anchor wall stays
+  * flat (the threshold only changes the gate constant, not the plan).
   *
   * Anchor-mode recall is governed by CELL FIDELITY, not cell count
   * (measured, BASELINE.md round13-semdedup): with random md5 centroids
@@ -60,16 +69,19 @@ import org.apache.spark.sql.types.DataTypes
   *
   * Distributed shape: one narrow projection (id, quantized vector) +
   * cell/centroid-dot as codegen'd literal-matrix expressions (no
-  * centroid join), ONE shuffle on cell for the rank window, an
-  * equi-join on cell for the kill candidates (anchor mode joins
+  * centroid join), ONE shuffle on cell for the rank window (which also
+  * carries the per-cell population census for free), an equi-join on
+  * (cell, rank band) for the kill candidates (anchor mode joins
   * against a <=nCells-row side — broadcast), and a distinct on the
-  * dropped ids. Nothing driver-side, nothing quadratic outside a cell.
+  * dropped ids. Nothing driver-side, nothing quadratic outside a cell,
+  * and inside a hot cell the quadratic spreads over rank-band blocks.
   *
   * Rows whose vector is NULL or empty carry no similarity evidence:
   * they pass through kept, with cell = -1 and a NULL centroid dot.
   *
   * Output: (idCol, cell, centroid_dot, kept) — the audit frame; filter
-  * `kept` for the survivor corpus.
+  * `kept` for the survivor corpus, or persist it as a cell-bucketed
+  * [[SemIndex]] for repeated serve workloads.
   */
 object SemDedup {
 
@@ -89,17 +101,39 @@ object SemDedup {
       lit(tPct.toLong * tPct).cast(dec) * n2a.cast(dec) * n2b.cast(dec))
   }
 
+  /** 0-based rank band of a 1-based rank for band width `bandL`:
+    * floor((rn - 1) / bandRows) — integer-exact at any rank (the
+    * numerator is reduced to an exact multiple before the double
+    * division, so the floor can never be off by an ulp). */
+  private def bandOf(rn: Column, bandL: Column): Column = {
+    val z = rn - 1
+    ((z - pmod(z, bandL)) / bandL).cast("long")
+  }
+
   def semanticDedup(df: DataFrame, centroids: Array[Array[Long]],
                     thresholdPct: Int, idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     mode: String = "pairwise", keep: String = "edge",
-                    scale: Int = 1000): DataFrame = {
+                    scale: Int = 1000, bandRows: Int = 8192): DataFrame =
+    audit(df, centroids, thresholdPct, idCol, vecCol, mode, keep, scale,
+        bandRows)
+      .select(col(idCol), col("_cell").as("cell"),
+        col("_cd").as("centroid_dot"), col("kept"))
+
+  /** The full audit frame behind [[semanticDedup]], keeping the
+    * internal columns a persisted survivor index needs: (idCol, _cell,
+    * _cd, _q quantized vector, _n2 squared norm, kept). */
+  private[ml] def audit(df: DataFrame, centroids: Array[Array[Long]],
+                        thresholdPct: Int, idCol: String, vecCol: String,
+                        mode: String, keep: String, scale: Int,
+                        bandRows: Int): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"thresholdPct must be in [1, 100], got $thresholdPct")
     require(mode == "pairwise" || mode == "anchor",
       s"mode must be 'pairwise' or 'anchor', got '$mode'")
     require(keep == "edge" || keep == "central",
       s"keep must be 'edge' or 'central', got '$keep'")
+    require(bandRows >= 1, s"bandRows must be >= 1, got $bandRows")
     val cmLit = typedLit(centroids.map(_.toSeq).toSeq)
     // ONE pass over the input: NULL/empty vectors ride the main path
     // with cell = -1 and a NULL centroid dot (when() evaluates the
@@ -121,38 +155,62 @@ object SemDedup {
     val ord =
       if (keep == "edge") Seq(col("_cd").asc, col(idCol).asc)
       else Seq(col("_cd").desc, col(idCol).asc)
+    val wCell = Window.partitionBy(col("_cell"))
     val ranked = base.withColumn("_rn",
-      row_number().over(Window.partitionBy(col("_cell")).orderBy(ord: _*)))
-    val killers = {
-      // zero-norm rows are inert killers (the gate's n2 > 0 guard), so
-      // they are pruned from the killer side: a no-op for pairwise
-      // semantics, and in anchor mode it means a degenerate rank-1 row
-      // (an encoder-failure zero vector that happens to sort first)
-      // can never FREEZE its cell — the anchor is the best-ranked
-      // member that can actually kill
-      val k = ranked.where(col("_n2") > 0)
-        .select(col("_cell"), col("_q").as("_qk"),
-          col("_n2").as("_n2k"), col("_rn").as("_rk"))
+      row_number().over(wCell.orderBy(ord: _*)))
+    // zero-norm rows are inert killers (the gate's n2 > 0 guard), so
+    // they are pruned from the killer side: a no-op for pairwise
+    // semantics, and in anchor mode it means a degenerate rank-1 row
+    // (an encoder-failure zero vector that happens to sort first)
+    // can never FREEZE its cell — the anchor is the best-ranked
+    // member that can actually kill
+    val dropped = (if (mode == "anchor") {
       // anchor mode's killer side is one row per cell — broadcastable
-      if (mode == "anchor")
-        broadcast(k.groupBy(col("_cell"))
-          .agg(min_by(struct(col("_qk"), col("_n2k"), col("_rk")),
-            col("_rk")).as("_w"))
-          .select(col("_cell"), col("_w").getField("_qk").as("_qk"),
-            col("_w").getField("_n2k").as("_n2k"),
-            col("_w").getField("_rk").as("_rk")))
-      else k
-    }
-    val dropped = ranked
-      .join(killers, Seq("_cell"))
+      val k = ranked.where(col("_n2") > 0)
+        .groupBy(col("_cell"))
+        .agg(min_by(struct(col("_q").as("_qk"), col("_n2").as("_n2k"),
+          col("_rn").as("_rk")), col("_rn")).as("_w"))
+        .select(col("_cell"), col("_w").getField("_qk").as("_qk"),
+          col("_w").getField("_n2k").as("_n2k"),
+          col("_w").getField("_rk").as("_rk"))
+      ranked.join(broadcast(k), Seq("_cell"))
+    } else {
+      // RANK-BAND CHUNKED pairwise — the hot-cell guard. The rank
+      // window's free census (count over the same partition key; zero
+      // extra exchange) sizes each cell's band count; each killer row
+      // replicates to every band at-or-above its own, so the join is a
+      // plain equi-join on (cell, band) whose key groups hold at most
+      // `bandRows` targets. A cell within one band (the common case —
+      // size `centroids` so cells sit well under `bandRows`) joins
+      // exactly as the unbanded spelling did; a skewed cell's
+      // quadratic — inherent to the published all-better-ranked rule —
+      // spreads across ceil(pop/bandRows) parallel key groups instead
+      // of detonating one task (the builder's 2M soak could only run
+      // unbanded pairwise on a 200k slice; the band trade is killer
+      // replication, O(pop^2/bandRows) rows for a hot cell, bounded
+      // and linear in the work the rule itself demands). The price on
+      // clean corpora is one extra hash exchange pair (the join key
+      // gains the band, so the rank window's cell partitioning no
+      // longer satisfies it) — linear, and the insurance the sibling
+      // dedup operators all carry.
+      val bandL = lit(bandRows.toLong)
+      val withCnt = ranked.withColumn("_cnt", count(lit(1)).over(wCell))
+      val killers = withCnt.where(col("_n2") > 0)
+        .select(col("_cell").as("_cellk"), col("_q").as("_qk"),
+          col("_n2").as("_n2k"), col("_rn").as("_rk"),
+          explode(sequence(bandOf(col("_rn"), bandL),
+            bandOf(col("_cnt"), bandL))).as("_jb"))
+      withCnt.withColumn("_band", bandOf(col("_rn"), bandL))
+        .join(killers,
+          col("_cell") === col("_cellk") && col("_band") === col("_jb"))
+    })
       .where(col("_rk") < col("_rn") &&
         cosineGate(Similarity.dotLong(col("_q"), col("_qk")),
           col("_n2"), col("_n2k"), thresholdPct))
       .select(col(idCol)).distinct()
       .withColumn("_dup", lit(true))
     ranked.join(dropped, Seq(idCol), "left")
-      .select(col(idCol), col("_cell").as("cell"),
-        col("_cd").as("centroid_dot"),
+      .select(col(idCol), col("_cell"), col("_cd"), col("_q"), col("_n2"),
         (coalesce(col("_dup"), lit(false)) === false).as("kept"))
   }
 
@@ -169,11 +227,19 @@ object SemDedup {
     * the reference is typically the `kept` output of a batch
     * [[semanticDedup]] pass (the survivor corpus), sized to broadcast
     * or to a bucketed scan. Rows with NULL or empty vectors carry no
-    * similarity evidence and pass through (NULL propagates through the
-    * gate; empties have |v|^2 = 0 and the gate's n2 > 0 guard rejects
-    * the match — reference-side zero-norm rows can't kill either). Use
+    * similarity evidence and pass through with cell = -1 (the batch
+    * operator's audit convention — an empty vector must not argmin
+    * its way into a real cell); reference-side zero-norm rows are
+    * pruned (they can never kill — the gate's n2 > 0 guard). Use
     * the same `centroids` the batch pass used — trained matrices for
-    * production, per the cell-fidelity measurements. */
+    * production, per the cell-fidelity measurements.
+    *
+    * NOTE: a stream-static join re-evaluates the static side per
+    * micro-batch, so `refs` pays quantize + nearestCells every
+    * trigger. For a large, long-lived survivor corpus persist it as a
+    * [[SemIndex]] (cell-bucketed, vectors pre-quantized) and serve
+    * with [[SemIndex.filterStream]] — zero static-side recompute and
+    * zero index-side exchange. */
   def semanticFilterStream(stream: DataFrame, refs: DataFrame,
                            centroids: Array[Array[Long]],
                            thresholdPct: Int, idCol: String = "vec_id",
@@ -181,15 +247,18 @@ object SemDedup {
                            scale: Int = 1000): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"thresholdPct must be in [1, 100], got $thresholdPct")
+    val validV = col("_q").isNotNull && size(col("_q")) > 0
     val prep = stream.select(col(idCol).cast("long").as(idCol),
         Similarity.quantize(col(vecCol), scale).as("_q"))
-      .withColumn("_cell",
+      .withColumn("_cell", when(validV,
         element_at(Similarity.nearestCells(col("_q"), centroids, 1), 1))
+        .otherwise(lit(-1L)))
       .withColumn("_n2", Similarity.dotLong(col("_q"), col("_q")))
     val refPrep = refs.select(Similarity.quantize(col(vecCol), scale).as("_qr"))
+      .withColumn("_n2r", Similarity.dotLong(col("_qr"), col("_qr")))
+      .where(col("_n2r") > 0)
       .withColumn("_cellr",
         element_at(Similarity.nearestCells(col("_qr"), centroids, 1), 1))
-      .withColumn("_n2r", Similarity.dotLong(col("_qr"), col("_qr")))
     prep.join(refPrep,
         col("_cell") === col("_cellr") &&
           cosineGate(Similarity.dotLong(col("_q"), col("_qr")),

@@ -1,0 +1,187 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A PERSISTED semantic-dedup survivor index: the `kept` output of a
+  * batch [[SemDedup.semanticDedup]] pass, written into the catalog as
+  * a parquet table bucketed by `_cell` with the vectors pre-quantized
+  * and the norms pre-computed — the [[DedupIndex]]/[[AnnIndex]] shape
+  * for the serve workload a curation pipeline actually runs: every
+  * new batch of documents is filtered against the SAME survivor
+  * corpus, and the raw [[SemDedup.semanticFilterStream]] pays
+  * quantize + nearestCells over the whole survivor set on EVERY
+  * micro-batch (stream-static joins re-evaluate the static plan per
+  * trigger) while this table pays it once at build.
+  *
+  * Scale design: the table is bucketed on `_cell`, so the probe
+  * join's index side is a bucketed scan that already satisfies the
+  * join distribution — ZERO exchange and zero recompute on the
+  * (large) survivor side; only the (small) incoming batch shuffles.
+  * Only rows that can actually kill are stored (kept AND non-zero
+  * norm — a zero-norm survivor carries no similarity evidence), so
+  * the probe side never re-applies the validity guards.
+  *
+  * The table describes itself (the [[AnnIndex]] property scheme):
+  * centroid fingerprint + chunked matrix + scale for fail-fast spec
+  * validation, plus the build's `thresholdPct`/`mode`/`keep` so serve
+  * and append paths replay the exact build semantics without the
+  * caller re-supplying them.
+  */
+object SemIndex {
+
+  private def semProps(spark: SparkSession,
+                       table: String): Map[String, String] = {
+    val props = AnnIndex.readProps(spark, table)
+    require(props.contains("graft.sem.thresholdPct"),
+      s"SemIndex: table $table carries no graft.sem.thresholdPct — " +
+        "not a semantic-dedup survivor index (built by SemIndex.write?)")
+    props
+  }
+
+  /** The build threshold the index stores about itself. */
+  def storedThresholdPct(spark: SparkSession, table: String): Int =
+    semProps(spark, table)("graft.sem.thresholdPct").toInt
+
+  /** Build the survivor index: run the batch dedup at `thresholdPct`
+    * and persist the killers-capable survivor set (id, quantized
+    * vector, cell, squared norm) bucketed + sorted by `_cell`. */
+  def write(df: DataFrame, table: String, centroids: Array[Array[Long]],
+            thresholdPct: Int, idCol: String = "vec_id",
+            vecCol: String = "embedding", mode: String = "pairwise",
+            keep: String = "edge", scale: Int = 1000, buckets: Int = 8,
+            bandRows: Int = 8192): Unit = {
+    SemDedup.audit(df, centroids, thresholdPct, idCol, vecCol, mode,
+        keep, scale, bandRows)
+      .where(col("kept") && col("_n2") > 0)
+      .select(col(idCol), col("_q"), col("_n2"), col("_cell"))
+      .repartition(buckets, col("_cell"))
+      .write.format("parquet")
+      .bucketBy(buckets, "_cell")
+      .sortBy("_cell", idCol)
+      .mode("overwrite")
+      .saveAsTable(table)
+    df.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES(" +
+        AnnIndex.ivfPropsSql(centroids, scale) + "," +
+        s"'graft.sem.thresholdPct'='$thresholdPct'," +
+        s"'graft.sem.mode'='$mode','graft.sem.keep'='$keep')")
+  }
+
+  /** The static probe side: (cell, quantized vector, norm) read
+    * straight off the bucketed table — no quantize, no nearestCells,
+    * no exchange. */
+  private def idxSide(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+      .select(col("_cell").as("_cellr"), col("_q").as("_qr"),
+        col("_n2").as("_n2r"))
+
+  private def probePrep(queries: DataFrame, centroids: Array[Array[Long]],
+                        idCol: String, vecCol: String,
+                        scale: Int): DataFrame = {
+    val validV = col("_q").isNotNull && size(col("_q")) > 0
+    queries.select(col(idCol).cast("long").as(idCol),
+        Similarity.quantize(col(vecCol), scale).as("_q"))
+      .withColumn("_cell", when(validV,
+        element_at(Similarity.nearestCells(col("_q"), centroids, 1), 1))
+        .otherwise(lit(-1L)))
+      .withColumn("_n2", Similarity.dotLong(col("_q"), col("_q")))
+  }
+
+  private def killCond(tPct: Int): Column =
+    col("_cell") === col("_cellr") &&
+      SemDedup.cosineGate(Similarity.dotLong(col("_q"), col("_qr")),
+        col("_n2"), col("_n2r"), tPct)
+
+  /** Incremental curation: admit a new batch against the index. A
+    * batch row is dropped iff it clears the gate against an EXISTING
+    * survivor; the remainder then self-dedups under the build's own
+    * params (rank + kill within the batch), and its survivors are
+    * appended through the table's bucket spec — so the invariant the
+    * probe relies on (every stored row of cell c lives in bucket
+    * hash(c), and no two stored rows are within the threshold across
+    * a batch boundary... the batch-vs-index anti-join) survives
+    * arbitrarily many appends. Order matters and is pinned:
+    * index-filter FIRST, self-dedup the remainder — replayed by the
+    * q136 oracle. */
+  def appendNew(df: DataFrame, table: String, idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                bandRows: Int = 8192): Unit = {
+    val spark = df.sparkSession
+    val cm = AnnIndex.storedCentroids(spark, table)
+    val sc = AnnIndex.storedScale(spark, table)
+    AnnIndex.validateSpec(spark, table, cm, sc)
+    val props = semProps(spark, table)
+    val tPct = props("graft.sem.thresholdPct").toInt
+    val mode = props.getOrElse("graft.sem.mode", "pairwise")
+    val keep = props.getOrElse("graft.sem.keep", "edge")
+    val freshIds = probePrep(df, cm, idCol, vecCol, sc)
+      .join(idxSide(spark, table), killCond(tPct), "left_anti")
+      .select(col(idCol))
+    val fresh = df.select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .join(freshIds, Seq(idCol))
+    SemDedup.audit(fresh, cm, tPct, idCol, vecCol, mode, keep, sc,
+        bandRows)
+      .where(col("kept") && col("_n2") > 0)
+      .select(col(idCol), col("_q"), col("_n2"), col("_cell"))
+      .write.mode("append")
+      .insertInto(table)
+  }
+
+  /** Rewrite a multi-append index back to one file per bucket — the
+    * spec-preserving crash-safe swap of
+    * [[Indexes.compactBucketedTable]]; the `graft.*` properties
+    * (centroid fingerprint, threshold) travel. */
+  def compact(spark: SparkSession, table: String): Unit =
+    Indexes.compactBucketedTable(spark, table)
+
+  /** Retire survivors (deleted documents, takedowns) through the same
+    * spec-preserving rewrite; the table comes out compacted. Note the
+    * semantic consequence: removing a survivor re-opens its
+    * neighborhood (future probes/appends in its cell no longer hit
+    * it) — the correct behavior for a takedown. */
+  def deleteByIds(spark: SparkSession, table: String, ids: DataFrame,
+                  idCol: String = "vec_id"): Unit =
+    Indexes.deleteFromBucketedTable(spark, table, ids, idCol)
+
+  /** Batch probe: the audit frame (idCol, cell, kept) of `queries`
+    * against the survivor index — kept = no stored survivor in the
+    * query's cell clears the gate. NULL/empty query vectors carry no
+    * evidence: cell = -1, kept. Zero index-side exchange (the
+    * bucketed scan satisfies the join's distribution; pinned in
+    * PlanContractSpec). */
+  def probe(spark: SparkSession, table: String, queries: DataFrame,
+            idCol: String = "vec_id",
+            vecCol: String = "embedding"): DataFrame = {
+    val cm = AnnIndex.storedCentroids(spark, table)
+    val sc = AnnIndex.storedScale(spark, table)
+    AnnIndex.validateSpec(spark, table, cm, sc)
+    val tPct = storedThresholdPct(spark, table)
+    val prep = probePrep(graft.core.Sizing.fanOutSmallScan(queries),
+      cm, idCol, vecCol, sc)
+    val hits = prep.join(idxSide(spark, table), killCond(tPct), "left_semi")
+      .select(col(idCol)).withColumn("_h", lit(true))
+    prep.select(col(idCol), col("_cell"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("_cell").as("cell"),
+        (coalesce(col("_h"), lit(false)) === false).as("kept"))
+  }
+
+  /** STREAMING serve: [[SemDedup.semanticFilterStream]] against the
+    * persisted index — stateless stream-static left_anti on (cell,
+    * exact cosine gate), with the static side a bucketed scan of
+    * pre-quantized survivors: zero exchange AND zero per-trigger
+    * recompute on the index side, the property the LSH/IVF stream
+    * serves already have. Emits survivors as (idCol, cell). */
+  def filterStream(spark: SparkSession, table: String,
+                   stream: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val cm = AnnIndex.storedCentroids(spark, table)
+    val sc = AnnIndex.storedScale(spark, table)
+    AnnIndex.validateSpec(spark, table, cm, sc)
+    val tPct = storedThresholdPct(spark, table)
+    probePrep(stream, cm, idCol, vecCol, sc)
+      .join(idxSide(spark, table), killCond(tPct), "left_anti")
+      .select(col(idCol), col("_cell").as("cell"))
+  }
+}

@@ -317,17 +317,25 @@ object Similarity {
     * than re-deriving), and padding by cycling when k-means converges
     * short of `nCells` (a padded copy never wins the argmin — ties go
     * to the smaller cell id). Returns nCells x dim longs in quantized
-    * space, literal-portable like every centroid matrix here. */
+    * space, literal-portable like every centroid matrix here.
+    *
+    * The training set is BOUNDED: at most `maxSampleRows` rows survive
+    * regardless of corpus size (see [[boundedTrainingSample]]), so the
+    * default call cannot pin terabytes through `localCheckpoint` at
+    * 100 TB — the trainer's wall flattens once the corpus grows past
+    * cap/fraction (soak row in BASELINE.md round14-traincap). */
   def trainIvfCentroids(df: DataFrame, nCells: Int,
                         vecCol: String = "embedding", scale: Int = 1000,
-                        sampleFraction: Double = 0.1): Array[Array[Long]] = {
+                        sampleFraction: Double = 0.1,
+                        maxSampleRows: Int = 1 << 18): Array[Array[Long]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
-    val sample = sampleByHash(df, vecCol, sampleFraction)
-      .select(array_to_vector(transform(quantize(col(vecCol), scale),
+    val sample = boundedTrainingSample(df, vecCol, sampleFraction,
+        maxSampleRows, scale)
+      .select(array_to_vector(transform(col("_q"),
         x => x.cast("double"))).as("features"))
-      .repartition(64).localCheckpoint()
+      .localCheckpoint()
     padToK(new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
       .fit(sample).clusterCenters.map(_.toArray.map(math.round)), nCells)
   }
@@ -347,6 +355,39 @@ object Similarity {
     val accept = math.max(1L, math.round(fraction * bits))
     df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
       pmod(xxhash64(col(vecCol)), lit(bits)) < accept)
+  }
+
+  /** The shared BOUNDED k-means training sample for
+    * [[trainIvfCentroids]] and [[Pq.trainCodebooks]]: the
+    * [[sampleByHash]] acceptance draw, then at most
+    * `maxRows / 64` rows per 64-way hash residue — smallest content
+    * hashes first — re-hashed into a CONSTANT 64-partition width with
+    * a pinned within-partition order. Every stage is a pure function
+    * of row CONTENT (xxhash of the quantized vector), so the trained
+    * set — membership, partition layout, and row order, hence the
+    * k-means float-aggregation order — is identical on any input
+    * partitioning, and the memory the fit pins is capped at
+    * ~maxRows x vector width no matter how large the corpus grows
+    * (round-13 ADVICE: the unbounded 10% draw made the trainer itself
+    * the 100 TB bottleneck). One shuffle over the accepted fraction;
+    * shrink `fraction` as the corpus grows to cut that pass too.
+    * Returns the quantized vectors as `_q`. */
+  private[graft] def boundedTrainingSample(df: DataFrame, vecCol: String,
+                                           fraction: Double, maxRows: Int,
+                                           scale: Int): DataFrame = {
+    require(maxRows >= 64, s"maxSampleRows must be >= 64, got $maxRows")
+    val parts = 64
+    val capPer = math.max(1L, maxRows.toLong / parts)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pp")).orderBy(col("_h"), col("_q"))
+    sampleByHash(df, vecCol, fraction)
+      .select(quantize(col(vecCol), scale).as("_q"))
+      .withColumn("_h", xxhash64(col("_q")))
+      .withColumn("_pp", pmod(col("_h"), lit(parts.toLong)))
+      .repartition(parts, col("_pp"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= capPer)
+      .select(col("_q"))
   }
 
   /** Pad a trained center matrix short of `k` by cycling (k-means can

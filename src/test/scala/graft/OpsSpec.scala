@@ -1832,4 +1832,122 @@ class OpsSpec extends AnyFunSuite {
       graft.ml.SemDedup.semanticDedup(df, cm, 50, mode = "bogus")
     }
   }
+
+  test("semanticDedup pairwise rank-band chunking is exact: every band " +
+    "width produces the identical audit frame, including a hot cell " +
+    "spanning many bands") {
+    import spark.implicits._
+    val cm = Similarity.ivfCentroids(4, 8)
+    // semCorpus + a HOT 40-member parallel family: with bandRows = 1
+    // the hot cell spans dozens of bands and every killer replicates
+    // across them — the published rule's answer must not move by a row
+    // direction 7 — unused by semCorpus (families 0-2, singletons 3-5),
+    // so the family's fate is decided entirely within itself
+    val hot = (0 until 40)
+      .map(k => (500L + k, Array.tabulate(8)(j => if (j == 7) 1f + k else 0f)))
+      .toDF("vec_id", "embedding")
+    val df = semCorpus.unionByName(hot).repartition(5)
+    def run(b: Int, keep: String = "edge") =
+      graft.ml.SemDedup.semanticDedup(df, cm, 99, keep = keep, bandRows = b)
+        .collect().map(_.toSeq).toSet
+    val ref = run(1 << 20) // one band per cell — the unchunked join
+    for (b <- Seq(1, 3, 8)) assert(run(b) == ref, s"bandRows=$b diverged")
+    // the hot family keeps exactly one member under maximal chunking
+    val keptHot = graft.ml.SemDedup
+      .semanticDedup(df, cm, 99, bandRows = 1)
+      .where(col("kept") && col("vec_id") >= 500L && col("vec_id") < 600L)
+      .count()
+    assert(keptHot == 1, s"hot family kept $keptHot under bandRows=1")
+    // keep=central chunked == unchunked too; anchor ignores the band
+    assert(run(2, keep = "central") == run(1 << 20, keep = "central"))
+    intercept[IllegalArgumentException] {
+      graft.ml.SemDedup.semanticDedup(df, cm, 99, bandRows = 0)
+    }
+  }
+
+  test("boundedTrainingSample caps the training set and is a pure " +
+    "function of row content (partitioning-invariant, order pinned)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 600)
+      .map(_ => Tuple1(Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("embedding")
+    val a = Similarity.boundedTrainingSample(df, "embedding", 1.0, 128, 1000)
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    assert(a.size <= 128 && a.nonEmpty, s"cap violated: ${a.size}")
+    // identical rows, identical ORDER, from any input partitioning —
+    // the k-means float-aggregation order is content-determined
+    val b = Similarity.boundedTrainingSample(
+        df.repartition(13), "embedding", 1.0, 128, 1000)
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    val c = Similarity.boundedTrainingSample(
+        df.coalesce(1), "embedding", 1.0, 128, 1000)
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    assert(a == b && a == c)
+    intercept[IllegalArgumentException] {
+      Similarity.boundedTrainingSample(df, "embedding", 1.0, 1, 1000)
+    }
+  }
+
+  test("trainIvfCentroids under a row cap still recovers planted " +
+    "directions (duplicates collapse; the cap bounds memory, not signal)") {
+    import spark.implicits._
+    // 200 copies each of 3 directions: identical vectors share a hash,
+    // so the cap keeps at most capPer per residue — the three distinct
+    // contents all survive and k-means lands exactly on the directions
+    val df = (0 until 600)
+      .map(i => Tuple1(Array.tabulate(8)(j => if (j == i % 3) 1f else 0f)))
+      .toDF("embedding")
+    val cm = Similarity.trainIvfCentroids(df, nCells = 5,
+      sampleFraction = 1.0, maxSampleRows = 256)
+    assert(cm.length == 5 && cm.forall(_.length == 8))
+    val distinct = cm.map(_.toSeq).distinct
+    assert(distinct.length == 3, s"expected 3 distinct centers, got $distinct")
+    assert(distinct.forall(c => c.count(_ == 1000L) == 1 && c.count(_ == 0L) == 7))
+  }
+
+  test("exportShards resume validates the export spec and distrusts " +
+    "empty shard directories") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_spec_").toString
+    try {
+      val df = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      graft.ml.Sampling.exportShards(df, dir, "doc_id", nShards = 4)
+      assert(new java.io.File(s"$dir/_export_spec").exists(),
+        "fresh export must stamp the spec marker")
+      // resume under a DIFFERENT nShards or salt re-routes every row —
+      // it must fail loudly instead of silently dropping shards
+      val e1 = intercept[IllegalArgumentException] {
+        graft.ml.Sampling.exportShards(df, dir, "doc_id", nShards = 8,
+          resume = true)
+      }
+      assert(e1.getMessage.contains("nShards"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        graft.ml.Sampling.exportShards(df, dir, "doc_id", nShards = 4,
+          salt = "other", resume = true)
+      }
+      assert(e2.getMessage.contains("salt"), e2.getMessage)
+      // an EMPTY shard directory (non-rename-atomic crash debris) is
+      // NOT done: wipe shard=2's files; the resume must rewrite it
+      val s2 = new java.io.File(s"$dir/shard=2")
+      s2.listFiles().foreach(f => assert(f.delete()))
+      graft.ml.Sampling.exportShards(df, dir, "doc_id", nShards = 4,
+        resume = true)
+      assert(s2.listFiles().exists(_.getName.endsWith(".parquet")),
+        "resume skipped an empty shard directory")
+      val back = spark.read.parquet(dir).select("doc_id").as[Long]
+        .collect().sorted.toSeq
+      assert(back == (1L to 200L))
+      // shard directories WITHOUT a marker cannot be trusted for a skip
+      assert(new java.io.File(s"$dir/_export_spec").delete())
+      val e3 = intercept[IllegalArgumentException] {
+        graft.ml.Sampling.exportShards(df, dir, "doc_id", nShards = 4,
+          resume = true)
+      }
+      assert(e3.getMessage.contains("_export_spec"), e3.getMessage)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }

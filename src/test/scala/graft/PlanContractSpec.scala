@@ -879,27 +879,89 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("semanticDedup plans: single-pass (no Union), anchor killers broadcast, " +
-    "bounded exchanges") {
+    "banded kill join, bounded exchanges") {
     import spark.implicits._
     val vecs = (1L to 60L)
       .map(i => (i, Array.tabulate(8)(j => (i % 5 + j).toFloat)))
       .toDF("vec_id", "embedding")
     val cm = graft.ml.Similarity.ivfCentroids(4, 8)
     // pairwise: the NULL/empty branch rides the main path — a Union in
-    // the plan would mean the invalid-branch second scan is back
+    // the plan would mean the invalid-branch second scan is back — and
+    // the kill join carries the rank-band explode (Generate), the
+    // hot-cell guard that spreads a skewed cell over bounded key groups
     val pa = graft.ml.SemDedup.semanticDedup(vecs, cm, 50)
       .queryExecution.executedPlan.toString
     assert(!pa.contains("Union"), pa.take(2000))
-    assert("Exchange".r.findAllIn(pa).size <= 10, pa.take(2500))
-    // anchor: the one-row-per-cell killer side must BROADCAST
+    assert(pa.contains("Generate"), pa.take(2500))
+    assert("Exchange".r.findAllIn(pa).size <= 12, pa.take(2500))
+    assert(!pa.contains("CartesianProduct") &&
+      !pa.contains("BroadcastNestedLoopJoin"), pa.take(2500))
+    // anchor: the one-row-per-cell killer side must BROADCAST, and the
+    // band machinery must be absent (no Generate — linear mode)
     val an = graft.ml.SemDedup.semanticDedup(vecs, cm, 50, mode = "anchor")
       .queryExecution.executedPlan.toString
     assert(!an.contains("Union"), an.take(2000))
     assert(an.contains("BroadcastExchange"), an.take(2500))
+    assert(!an.contains("Generate"), an.take(2500))
     // streaming serve: the batch spelling of the same plan is one
     // anti join — no state, no cartesian, no union
     val fs = graft.ml.SemDedup.semanticFilterStream(vecs, vecs, cm, 50)
       .queryExecution.executedPlan.toString
     assert(!fs.contains("Union") && !fs.contains("CartesianProduct"), fs.take(2000))
+  }
+
+  test("sem survivor index: probe equals the raw stream-static recompute " +
+    "through append/compact/delete, and the bucketed index side joins " +
+    "with zero exchange") {
+    import graft.ml.{AnnIndex, SemIndex, Similarity}
+    val db = TestDbs.perRun(spark, "graft_semx_")
+    val emb = Tables.pq(spark, dir, "embeddings")
+    val cm = Similarity.ivfCentroids(8, 64)
+    val a = emb.where(col("vec_id") % 3 === 0)
+    val b = emb.where(col("vec_id") % 3 === 1)
+    val probeQ = emb.where(col("vec_id") % 3 === 2)
+    SemIndex.write(a, s"$db.sem", cm, thresholdPct = 15, buckets = 4)
+    SemIndex.appendNew(b, s"$db.sem")
+    SemIndex.compact(spark, s"$db.sem")
+    // the index is a CACHE of the survivor refs: probing it must equal
+    // the raw stream-static operator against the stored survivor rows
+    def raw(): Set[Seq[Any]] = {
+      val refs = spark.table(s"$db.sem").select(col("vec_id"))
+        .join(emb, Seq("vec_id"))
+      graft.ml.SemDedup.semanticFilterStream(probeQ, refs, cm, 15)
+        .collect().map(_.toSeq).toSet
+    }
+    def viaIdx(): Set[Seq[Any]] =
+      SemIndex.probe(spark, s"$db.sem", probeQ)
+        .where(col("kept")).select(col("vec_id"), col("cell"))
+        .collect().map(_.toSeq).toSet
+    val before = viaIdx()
+    assert(before == raw() && before.nonEmpty)
+    // a takedown re-opens the retired survivors' neighborhoods: the
+    // probe tracks the rewritten table exactly
+    SemIndex.deleteByIds(spark, s"$db.sem",
+      emb.where(col("vec_id") % 5 === 0).select(col("vec_id")))
+    val after = viaIdx()
+    assert(after == raw())
+    assert(after.size >= before.size)
+    // exchange contract: with broadcast off, the serve join's ONLY
+    // exchange is the probe side's — the bucketed scan satisfies the
+    // index side's distribution (the 100 TB serve property)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SemIndex.filterStream(spark, s"$db.sem", probeQ)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2500))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    // an AnnIndex table is not a survivor index: missing threshold
+    // property fails fast instead of serving a meaningless gate
+    AnnIndex.writeIvf(a, s"$db.ivf", cm, buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      SemIndex.probe(spark, s"$db.ivf", probeQ)
+    }
+    assert(e.getMessage.contains("thresholdPct"), e.getMessage)
   }
 }

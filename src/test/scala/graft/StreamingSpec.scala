@@ -595,13 +595,54 @@ class StreamingSpec extends AnyFunSuite {
     val nIn = emb.where(col("vec_id") % 3 =!= 0).count()
     assert(streamed == batch && streamed.nonEmpty)
     assert(streamed.size < nIn, "the gate dropped nothing at t=15")
-    // a NULL-vector row has no similarity evidence: kept (gate is null)
+    // a NULL-vector row has no similarity evidence: kept, with the
+    // batch audit convention's cell = -1 (an invalid vector must not
+    // argmin its way into a real cell — round-13 ADVICE)
     import spark.implicits._
     val withNull = emb.select(col("vec_id"), col("embedding")).unionByName(
-      Seq((9999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+      Seq((9999L, null.asInstanceOf[Array[Float]]),
+        (9998L, Array.empty[Float])).toDF("vec_id", "embedding"))
     val nulled = SemDedup.semanticFilterStream(withNull, refs, cm, 100)
-      .where(col("vec_id") === 9999L).collect()
-    assert(nulled.length == 1 && nulled.head.isNullAt(1))
+      .where(col("vec_id") >= 9998L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nulled == Set((9999L, -1L), (9998L, -1L)))
+  }
+
+  test("SemIndex.filterStream: streamed survivors equal the batch probe, " +
+    "and the serve needs no caller-supplied centroids or threshold") {
+    import graft.ml.{SemIndex, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.pq(spark, dir, "embeddings")
+    val cm = Similarity.ivfCentroids(8, 64)
+    val db = TestDbs.perRun(spark, "graft_semst_")
+    SemIndex.write(emb.where(col("vec_id") % 3 === 0), s"$db.sem", cm,
+      thresholdPct = 15, buckets = 4)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .parquet(s"$dir/embeddings.parq*").where(col("vec_id") % 3 =!= 0)
+    val kept = SemIndex.filterStream(spark, s"$db.sem", src)
+    val name = s"semix_${System.nanoTime}"
+    val q = kept.writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name).collect().map(_.toSeq).toSet
+    // batch probe over the same rows: identical survivor set
+    val batch = SemIndex.probe(spark, s"$db.sem",
+        emb.where(col("vec_id") % 3 =!= 0))
+      .where(col("kept")).select(col("vec_id"), col("cell"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // and both equal the raw stream-static operator against the same
+    // survivor refs (the index is a cache of exactly that state)
+    val refIds = graft.ml.SemDedup.semanticDedup(
+        emb.where(col("vec_id") % 3 === 0), cm, 15)
+      .where(col("kept")).select(col("vec_id"))
+    val refs = refIds.join(emb, Seq("vec_id"))
+    val raw = graft.ml.SemDedup.semanticFilterStream(
+        emb.where(col("vec_id") % 3 =!= 0), refs, cm, 15)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == raw)
   }
 
   test("streaming serve picks up an index delete on the next trigger (takedown)") {
