@@ -30,9 +30,14 @@ import org.apache.spark.sql.functions._
   *     recall-vs-wall sweep; serve the streaming index-serve throughput
   *     run; paradedup the paragraph-dedup + shard-export soak with a
   *     width-invariance identity check; pq the IVF-PQ recall/payload
-  *     economics study). "all" covers the per-round soak set, not
-  *     starab/recall/annrecall/serve/paradedup/pq, which are targeted
-  *     studies.
+  *     economics study; semdedup the SemDeDup cell-fidelity/linearity
+  *     soak incl. full-scale banded pairwise; semthresh the
+  *     thresholdPct economics curve; semtext the text-grounded
+  *     semdedup soak over hashed-3-gram embeddings with a lexical
+  *     simhash overlap; traincap the bounded-training-sample flat-wall
+  *     check). "all" covers the per-round soak set, not
+  *     starab/recall/annrecall/serve/paradedup/pq/semdedup/semthresh/
+  *     semtext/traincap, which are targeted studies.
   */
 object MlBench {
 
@@ -991,13 +996,23 @@ object MlBench {
         kstats(a, s"anchor t=$tp @$nDocs")
         a.unpersist()
       }
-      for (tp <- Seq(90, 99)) {
-        val p = t(s"semthresh pairwise banded t=$tp @$nDocs") {
-          SemDedup.semanticDedup(emb, trained, tp).localCheckpoint()
+      // the banded pairwise leg is quadratic-in-the-cell by the
+      // published rule (256 fixed cells -> per-cell population grows
+      // linearly with nDocs, pair count quadratically) — loudly skip
+      // past 2M rather than camp on one corpus for hours; the curve's
+      // pairwise anchor-truth comparison lives at the 2M point
+      if (nDocs <= 2000000L)
+        for (tp <- Seq(90, 99)) {
+          val p = t(s"semthresh pairwise banded t=$tp @$nDocs") {
+            SemDedup.semanticDedup(emb, trained, tp).localCheckpoint()
+          }
+          kstats(p, s"pairwise t=$tp @$nDocs")
+          p.unpersist()
         }
-        kstats(p, s"pairwise t=$tp @$nDocs")
-        p.unpersist()
-      }
+      else
+        println(s"[mlbench] semthresh pairwise SKIPPED at $nDocs docs " +
+          "(quadratic in the fixed-256-cell population; run the pairwise " +
+          "legs at <= 2M)")
     }
 
     if (on("traincap")) {

@@ -48,11 +48,15 @@ import org.apache.spark.sql.types.DataTypes
   * the bounded fallback when even chunked-pairwise compute (inherently
   * quadratic in the cell) costs too much.
   *
-  * Threshold economics, measured (BASELINE.md round14-semdedup-curve):
-  * sweep `thresholdPct` x mode on the planted-cluster soak corpus to
-  * price the knob before a 100 TB run — at matched cells the kept
-  * fraction falls smoothly with the threshold while anchor wall stays
-  * flat (the threshold only changes the gate constant, not the plan).
+  * Threshold economics, measured (BASELINE.md round14-banded-pairwise
+  * curve, MlBench `semthresh`): sweep `thresholdPct` x mode to price
+  * the knob before a 100 TB run — on the planted corpus the kept
+  * fraction is flat-ideal through t=85-95 and dissolves at t=99
+  * (above the same-cluster cosine), while the anchor wall stays FLAT
+  * across thresholds (the threshold changes only the gate constant,
+  * not the plan; 7.7-11.3 s at 2M, 37-43 s at 8M). On text-derived
+  * embeddings (round14-semtext) the knob is smooth: kept 71/75/80%
+  * at t=60/70/80 over hashed-3-gram vectors.
   *
   * Anchor-mode recall is governed by CELL FIDELITY, not cell count
   * (measured, BASELINE.md round13-semdedup): with random md5 centroids

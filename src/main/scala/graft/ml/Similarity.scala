@@ -323,7 +323,8 @@ object Similarity {
     * regardless of corpus size (see [[boundedTrainingSample]]), so the
     * default call cannot pin terabytes through `localCheckpoint` at
     * 100 TB — the trainer's wall flattens once the corpus grows past
-    * cap/fraction (soak row in BASELINE.md round14-traincap). */
+    * cap/fraction (BASELINE.md round14-banded-pairwise, `traincap`
+    * rows: 9.1/10.8/20.8 s at 2M/8M/32M, sample capped at 262,144). */
   def trainIvfCentroids(df: DataFrame, nCells: Int,
                         vecCol: String = "embedding", scale: Int = 1000,
                         sampleFraction: Double = 0.1,
