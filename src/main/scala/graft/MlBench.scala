@@ -758,6 +758,39 @@ object MlBench {
       }
     }
 
+    // the planted-cluster vector corpus (256 directions, ~10% relative
+    // noise), its label-mean (converged k-means) centroids, and the
+    // semdedup audit-frame fingerprint — ONE definition each, shared
+    // by the semdedup, semthresh, and traincap soaks so the cross-mode
+    // comparisons stay apples-to-apples by construction
+    def plantedEmb(nVec: Long, dim: Int): DataFrame =
+      spark.range(nVec).select(col("id").as("vec_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("cluster", pmod(xxhash64(col("vec_id"), lit("ctr")), lit(256)))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)), i =>
+            (pmod(xxhash64(col("cluster"), i), lit(1000)).cast("float") - 500.0f) / 500.0f +
+              (pmod(xxhash64(col("vec_id"), i, lit("n")), lit(200)).cast("float") - 100.0f) / 1000.0f))
+        .localCheckpoint()
+    def clusterMeans(emb: DataFrame): Array[Array[Long]] =
+      emb.select(col("cluster"),
+          posexplode(graft.ml.Similarity.quantize(col("embedding"), 1000))
+            .as(Seq("_p", "_x")))
+        .groupBy(col("cluster"), col("_p")).agg(avg(col("_x")).as("_m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
+          s => s.getField("_m")).as("_c"))
+        .orderBy(col("cluster"))
+        .collect().map(_.getSeq[Double](1).map(math.round).toArray)
+    def fpSem(d: DataFrame): (Long, Long, Long) = {
+      val h = md5(concat_ws("", col("vec_id"), col("cell"),
+        col("centroid_dot"), col("kept")))
+      val r = d.agg(count(lit(1)),
+        sum(conv(substring(h, 1, 8), 16, 10).cast("long")),
+        sum(conv(substring(h, 9, 8), 16, 10).cast("long"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
     if (on("semdedup")) {
       // SemDeDup at soak scale, on the ann corpus shape (64-dim vectors
       // clustered around 256 planted directions, ~10% relative noise —
@@ -773,24 +806,10 @@ object MlBench {
       import graft.ml.Similarity
       val dim = 64
       val nVec = nDocs
-      val emb = spark.range(nVec).select(col("id").as("vec_id"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("cluster", pmod(xxhash64(col("vec_id"), lit("ctr")), lit(256)))
-        .withColumn("embedding",
-          transform(sequence(lit(0), lit(dim - 1)), i =>
-            (pmod(xxhash64(col("cluster"), i), lit(1000)).cast("float") - 500.0f) / 500.0f +
-              (pmod(xxhash64(col("vec_id"), i, lit("n")), lit(200)).cast("float") - 100.0f) / 1000.0f))
-        .localCheckpoint()
+      val emb = plantedEmb(nVec, dim)
       println(s"[mlbench] semdedup corpus: $nVec vectors x $dim dims, 256 planted clusters")
       val io = new IoListener; spark.sparkContext.addSparkListener(io)
-      def fp(d: DataFrame): (Long, Long, Long) = {
-        val h = md5(concat_ws("", col("vec_id"), col("cell"),
-          col("centroid_dot"), col("kept")))
-        val r = d.agg(count(lit(1)),
-          sum(conv(substring(h, 1, 8), 16, 10).cast("long")),
-          sum(conv(substring(h, 9, 8), 16, 10).cast("long"))).head()
-        (r.getLong(0), r.getLong(1), r.getLong(2))
-      }
+      def fp(d: DataFrame): (Long, Long, Long) = fpSem(d)
       def survStats(out: DataFrame, what: String): Unit = {
         val s = out.where(col("kept"))
           .join(emb.select(col("vec_id"), col("cluster")), "vec_id")
@@ -874,16 +893,7 @@ object MlBench {
       // centroid is each planted cluster's integer-mean vector.
       val trained: Array[Array[Long]] = {
         val t0 = System.nanoTime()
-        val m = emb
-          .select(col("cluster"),
-            posexplode(Similarity.quantize(col("embedding"), 1000))
-              .as(Seq("_p", "_x")))
-          .groupBy(col("cluster"), col("_p")).agg(avg(col("_x")).as("_m"))
-          .groupBy(col("cluster"))
-          .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
-            s => s.getField("_m")).as("_c"))
-          .orderBy(col("cluster"))
-          .collect().map(_.getSeq[Double](1).map(math.round).toArray)
+        val m = clusterMeans(emb)
         println(f"[mlbench] trained 256 cluster-mean centroids: " +
           f"${(System.nanoTime() - t0) / 1e9}%.1fs")
         m
@@ -908,18 +918,25 @@ object MlBench {
       // could not finish (it detonated one task per planted cluster;
       // BASELINE.md round13-semdedup ran pairwise only on a 200k
       // slice). The rank-band chunking spreads each ~n/256-member
-      // cell's quadratic over pop/bandRows parallel key groups.
-      val (swp0, spp0) = io.snap()
-      val pwFull = t(s"semanticDedup pairwise BANDED t=90 cells=trained @$nVec") {
-        SemDedup.semanticDedup(emb, trained, 90).localCheckpoint()
-      }
-      val (swp1, spp1) = io.snap()
-      val kpw = pwFull.agg(count(lit(1)),
-        sum(when(col("kept"), 1L).otherwise(0L))).head()
-      println(f"[mlbench] pairwise banded @$nVec: kept ${kpw.getLong(1)}/${kpw.getLong(0)} " +
-        f"= ${kpw.getLong(1) * 100.0 / kpw.getLong(0)}%.3f%%, " +
-        f"shuffle ${(swp1 - swp0) / 1e9}%.2f GB, spill ${(spp1 - spp0) / 1e9}%.2f GB")
-      survStats(pwFull, s"pairwise banded cells=trained @$nVec")
+      // cell's quadratic over pop/bandRows parallel key groups — but
+      // the COMPUTE is inherently quadratic in the fixed-256-cell
+      // population, so past 2M this leg is loudly skipped (the 16M/32M
+      // curve runs stay anchor-only, as recorded in round 13)
+      if (nVec <= 2000000L) {
+        val (swp0, spp0) = io.snap()
+        val pwFull = t(s"semanticDedup pairwise BANDED t=90 cells=trained @$nVec") {
+          SemDedup.semanticDedup(emb, trained, 90).localCheckpoint()
+        }
+        val (swp1, spp1) = io.snap()
+        val kpw = pwFull.agg(count(lit(1)),
+          sum(when(col("kept"), 1L).otherwise(0L))).head()
+        println(f"[mlbench] pairwise banded @$nVec: kept ${kpw.getLong(1)}/${kpw.getLong(0)} " +
+          f"= ${kpw.getLong(1) * 100.0 / kpw.getLong(0)}%.3f%%, " +
+          f"shuffle ${(swp1 - swp0) / 1e9}%.2f GB, spill ${(spp1 - spp0) / 1e9}%.2f GB")
+        survStats(pwFull, s"pairwise banded cells=trained @$nVec")
+      } else
+        println(s"[mlbench] full-scale banded pairwise SKIPPED at $nVec docs " +
+          "(quadratic in the fixed-256-cell population; run this leg at <= 2M)")
       // UNSUPERVISED training — the in-library path a real deployment
       // has (no cluster labels): k-means over a 10% hash sample
       // (Similarity.trainIvfCentroids). The label-informed means above
@@ -940,28 +957,6 @@ object MlBench {
         if (i == 2) survStats(ak, s"anchor cells=kmeans @$nVec")
       }
     }
-
-    // the planted-cluster vector corpus + its label-mean (converged
-    // k-means) centroids — shared by semthresh and traincap
-    def plantedEmb(nVec: Long, dim: Int): DataFrame =
-      spark.range(nVec).select(col("id").as("vec_id"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("cluster", pmod(xxhash64(col("vec_id"), lit("ctr")), lit(256)))
-        .withColumn("embedding",
-          transform(sequence(lit(0), lit(dim - 1)), i =>
-            (pmod(xxhash64(col("cluster"), i), lit(1000)).cast("float") - 500.0f) / 500.0f +
-              (pmod(xxhash64(col("vec_id"), i, lit("n")), lit(200)).cast("float") - 100.0f) / 1000.0f))
-        .localCheckpoint()
-    def clusterMeans(emb: DataFrame): Array[Array[Long]] =
-      emb.select(col("cluster"),
-          posexplode(graft.ml.Similarity.quantize(col("embedding"), 1000))
-            .as(Seq("_p", "_x")))
-        .groupBy(col("cluster"), col("_p")).agg(avg(col("_x")).as("_m"))
-        .groupBy(col("cluster"))
-        .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
-          s => s.getField("_m")).as("_c"))
-        .orderBy(col("cluster"))
-        .collect().map(_.getSeq[Double](1).map(math.round).toArray)
 
     if (on("semthresh")) {
       // THRESHOLD ECONOMICS (VERDICT r13 item #4): what the
@@ -988,11 +983,15 @@ object MlBench {
           f"= ${k.getLong(1) * 100.0 / k.getLong(0)}%.4f%%, clusters ${s.getLong(0)} " +
           f"(ideal 256), max/cluster ${s.getLong(1)}, exactly-1 ${s.getLong(2)}")
       }
+      // persist (not localCheckpoint): unpersist() actually releases
+      // persist's cache entries between iterations, while a
+      // localCheckpoint's blocks are pinned until the RDD is GC'd —
+      // at the 8M point four pinned 8M-row audit frames would squeeze
+      // the unified pool mid-soak (round-14 review finding)
       for (tp <- Seq(85, 90, 95, 99)) {
-        val a = t(s"semthresh anchor t=$tp @$nDocs") {
-          SemDedup.semanticDedup(emb, trained, tp, mode = "anchor")
-            .localCheckpoint()
-        }
+        val a = SemDedup.semanticDedup(emb, trained, tp, mode = "anchor")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        t(s"semthresh anchor t=$tp @$nDocs") { a.count() }
         kstats(a, s"anchor t=$tp @$nDocs")
         a.unpersist()
       }
@@ -1003,9 +1002,9 @@ object MlBench {
       // pairwise anchor-truth comparison lives at the 2M point
       if (nDocs <= 2000000L)
         for (tp <- Seq(90, 99)) {
-          val p = t(s"semthresh pairwise banded t=$tp @$nDocs") {
-            SemDedup.semanticDedup(emb, trained, tp).localCheckpoint()
-          }
+          val p = SemDedup.semanticDedup(emb, trained, tp)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          t(s"semthresh pairwise banded t=$tp @$nDocs") { p.count() }
           kstats(p, s"pairwise t=$tp @$nDocs")
           p.unpersist()
         }
@@ -1114,15 +1113,8 @@ object MlBench {
       println(f"[mlbench] semtext lexical overlap: semantic drops ${ov.getLong(0)}, " +
         f"of which ${ov.getLong(1)} (${ov.getLong(1) * 100.0 / math.max(ov.getLong(0), 1)}%.1f%%) " +
         s"also lexically paired (simhash-paired docs total: $lexN)")
-      // width invariance at soak scale (cloned session, width 23)
-      def fpSem(d: DataFrame): (Long, Long, Long) = {
-        val h = md5(concat_ws("", col("vec_id"), col("cell"),
-          col("centroid_dot"), col("kept")))
-        val r = d.agg(count(lit(1)),
-          sum(conv(substring(h, 1, 8), 16, 10).cast("long")),
-          sum(conv(substring(h, 9, 8), 16, 10).cast("long"))).head()
-        (r.getLong(0), r.getLong(1), r.getLong(2))
-      }
+      // width invariance at soak scale (cloned session, width 23) —
+      // the shared fpSem fingerprint
       val fp1 = fpSem(pw70)
       val sess2 = spark.newSession()
       sess2.conf.set("spark.sql.shuffle.partitions", "23")
