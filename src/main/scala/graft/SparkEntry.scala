@@ -1649,6 +1649,17 @@ object SparkEntry {
       graft.ml.SemIndex.probe(s, s"$db.sem",
         emb.where(col("vec_id") % 4 === 0))
     }),
+    "q137_substring_dedup" -> ((s, dir) =>
+      // EXACT SUBSTRING dedup (Lee et al. 2107.06499 semantics,
+      // keep-first): every 8-token window duplicated corpus-wide
+      // survives only at its globally-first (doc_id, pos); covered
+      // tokens vanish, overlapping matches union into maximal spans.
+      // The md5 of the rebuilt text pins tokenization, the gram rank,
+      // the interval merge, AND in-order reassembly end-to-end.
+      graft.ml.Dedup.dedupSubstrings(pq(s, dir, "documents"),
+          "text", "doc_id", minMatchTokens = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text")).as("clean_md5"))),
   )
 
   /** DuckDB twin of `ml.Sampling.hash24` (expects a CTE column `h` =
@@ -2780,5 +2791,19 @@ object SparkEntry {
 
     "q135_semdedup_central" -> semDedupOracleSql(nCells = 32, dim = 64,
       tPct = 30, mode = "pairwise", keep = "central"),
+
+    // identical tokenization (trim + \s+ split, empties preserved),
+    // the same md5'd 8-token windows, the keep-first rank over
+    // (doc_id, pos), token coverage via NOT EXISTS over duplicated
+    // windows, ordered single-space reassembly — md5-pinned
+    "q137_substring_dedup" -> (
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents), """ +
+      """occ AS (SELECT doc_id, i - 1 AS p, md5(array_to_string(ws[i:i+7], ' ')) AS g FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w)), """ +
+      """dups AS (SELECT doc_id, p FROM (SELECT doc_id, p, row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn FROM occ) WHERE rn > 1), """ +
+      """tok AS (SELECT doc_id, ws[i] AS t, i - 1 AS i0 FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)), """ +
+      """keep AS (SELECT doc_id, t, i0 FROM tok WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = tok.doc_id AND d.p <= tok.i0 AND tok.i0 < d.p + 8)), """ +
+      """agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(t, ' ' ORDER BY i0)) AS clean_md5 FROM keep GROUP BY 1), """ +
+      """tot AS (SELECT doc_id, CAST(coalesce(len(ws), 0) AS BIGINT) AS n_tokens FROM w) """ +
+      """SELECT d.doc_id, coalesce(t.n_tokens, 0) AS n_tokens, coalesce(t.n_tokens, 0) - coalesce(a.n_kept, 0) AS n_removed, coalesce(a.clean_md5, md5('')) AS clean_md5 FROM documents d LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)"""),
   )
 }

@@ -1057,4 +1057,88 @@ object Dedup {
         col("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** EXACT SUBSTRING dedup — the token-span axis of the dedup family
+    * (semantics after Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499: any token window of
+    * length >= `minMatchTokens` that occurs more than once corpus-wide
+    * is a duplicated span and survives only once). Re-expressed for
+    * Spark: instead of a monolithic suffix array, every document emits
+    * one row per k-token window (k = `minMatchTokens`), keyed by the
+    * md5 of the space-joined window — a FIXED-WIDTH 32-char key, so
+    * shuffle bytes stay O(total tokens), not O(tokens x k). A window
+    * `row_number` over the gram key ranks occurrences by (id, pos);
+    * under `mode="first"` every occurrence after the globally-first is
+    * a duplicated span, under `mode="all"` every occurrence of a gram
+    * seen >= 2 times is (the published tool's default — no copy kept).
+    * A token is removed iff it is covered by any duplicated window, so
+    * overlapping matches union into maximal spans exactly like the
+    * suffix-array formulation's span extension: two duplicated windows
+    * at pos p and p+1 remove the contiguous [p, p+1+k) slab. Per-doc
+    * coverage is computed INSIDE the row (sort + interval-merge over
+    * the collected positions — no token-level explode or join), and
+    * the rebuilt text is the surviving tokens joined by single spaces
+    * (whitespace-canonical, like every text operator here).
+    *
+    * Output: (idCol, textCol = cleaned text, n_tokens, n_removed).
+    * Documents shorter than k tokens pass through untouched (their
+    * text still whitespace-canonicalized); NULL text => ("", 0, 0).
+    *
+    * Shape: TWO shuffles, both on well-distributed keys — (1) hash on
+    * the 32-char gram md5 for the rank window (group sizes = gram
+    * multiplicities; a pathological corpus-wide boilerplate gram makes
+    * one large group, but the window computes only row_number over it,
+    * which AQE splits fine), (2) hash on idCol to fold each document's
+    * duplicated positions. Rows = one per token position — the same
+    * O(N) a suffix array costs, with no driver-side structure. The
+    * interval merge is linear in per-doc duplicated windows. */
+  def dedupSubstrings(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id",
+                      minMatchTokens: Int = 8,
+                      mode: String = "first"): DataFrame = {
+    require(minMatchTokens >= 2,
+      s"minMatchTokens must be >= 2, got $minMatchTokens")
+    require(mode == "first" || mode == "all",
+      s"mode must be 'first' or 'all', got '$mode'")
+    val k = minMatchTokens
+    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+    // one md5 per window, built in-row from the token array; docs with
+    // fewer than k tokens emit nothing (the `when` guards sequence()
+    // from descending into negative stops)
+    val occ = base.select(col(idCol),
+      posexplode(when(size(col("_toks")) >= k,
+          transform(sequence(lit(0), size(col("_toks")) - k),
+            p => md5(array_join(slice(col("_toks"), p + lit(1), lit(k)), " "))))
+        .otherwise(array().cast("array<string>"))).as(Seq("_p", "_g")))
+    val byGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col(idCol), col("_p"))
+    val dups = (mode match {
+      case "first" =>
+        occ.withColumn("_rn", row_number().over(byGram)).where(col("_rn") > 1)
+      case "all" =>
+        occ.withColumn("_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))))
+          .where(col("_n") >= 2)
+    }).select(col(idCol), col("_p"))
+    val rem = dups.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_p"))).as("_dups"))
+    base.join(rem, Seq(idCol), "left")
+      // merge the sorted duplicated-window starts into disjoint
+      // [s, e) token intervals; ascending starts make the merge a
+      // single left fold (new end p+k always >= the running end)
+      .withColumn("_iv", expr(
+        s"""aggregate(coalesce(_dups, cast(array() as array<int>)),
+              cast(array() as array<struct<s: int, e: int>>),
+              (acc, p) -> if(size(acc) > 0 and p <= element_at(acc, -1).e,
+                concat(slice(acc, 1, size(acc) - 1),
+                  array(named_struct('s', element_at(acc, -1).s, 'e', p + $k))),
+                concat(acc, array(named_struct('s', p, 'e', p + $k)))))"""))
+      .withColumn("_kept", expr(
+        "filter(_toks, (t, i) -> not exists(_iv, v -> i >= v.s and i < v.e))"))
+      .select(col(idCol),
+        coalesce(array_join(col("_kept"), " "), lit("")).as(textCol),
+        coalesce(size(col("_toks")).cast("long"), lit(0L)).as("n_tokens"),
+        (coalesce(size(col("_toks")).cast("long"), lit(0L)) -
+          coalesce(size(col("_kept")).cast("long"), lit(0L))).as("n_removed"))
+  }
 }

@@ -1410,6 +1410,75 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- exact substring dedup (token-span axis) ----
+
+  private def substrDocs = {
+    import spark.implicits._
+    // doc 1 owns every gram it contains; doc 2 shares a 4-token run
+    // with doc 1 (two overlapping 3-gram windows -> one merged span);
+    // doc 3 repeats its own 3-token phrase three times
+    Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "p q r p q r p q r")).toDF("doc_id", "text")
+  }
+
+  test("dedupSubstrings keep-first removes later occurrences, merging overlapping windows") {
+    val got = Dedup.dedupSubstrings(substrDocs, minMatchTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // doc 1 is globally first for every shared gram: untouched; doc 2's
+    // windows at pos 1 ("a b c") and pos 2 ("b c d") union to [1, 5);
+    // doc 3's self-repeats: every window past pos 2 re-occurs earlier,
+    // so [3, 9) vanishes and one copy of the phrase survives
+    assert(got == Seq(
+      (1L, "a b c d e f", 6L, 0L),
+      (2L, "x y", 6L, 4L),
+      (3L, "p q r", 9L, 6L)))
+  }
+
+  test("dedupSubstrings mode=all removes every occurrence of a duplicated span") {
+    val got = Dedup.dedupSubstrings(substrDocs, minMatchTokens = 3, mode = "all")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // the shared "a b c d" run dies in BOTH docs ([0,4) in doc 1,
+    // [1,5) in doc 2); doc 3's every window occurs >= twice -> the
+    // whole document is duplicated span
+    assert(got == Seq(
+      (1L, "e f", 6L, 4L),
+      (2L, "x y", 6L, 4L),
+      (3L, "", 9L, 9L)))
+  }
+
+  test("dedupSubstrings passes short docs through canonicalized; NULL-safe; validates args") {
+    import spark.implicits._
+    val docs = Seq((1L, "  one   two  "), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(docs, minMatchTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // < k tokens: no windows, text whitespace-canonicalized; NULL ->
+    // empty shell with zero counts; "" tokenizes to one empty token
+    // (the tokens() convention) and survives as ""
+    assert(got == Seq((1L, "one two", 2L, 0L), (2L, "", 0L, 0L),
+      (3L, "", 1L, 0L)))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupSubstrings(docs, minMatchTokens = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupSubstrings(docs, mode = "nope")
+    }
+  }
+
+  test("dedupSubstrings is partitioning-independent") {
+    val base = Dedup.dedupSubstrings(substrDocs, minMatchTokens = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val rep = Dedup.dedupSubstrings(substrDocs.repartition(7), minMatchTokens = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(base == rep)
+  }
+
   // ---- product quantization ----
 
   test("pqEncode snaps codebook rows to their own codes; ADC equals the reconstruction dot") {
