@@ -1660,6 +1660,44 @@ object SparkEntry {
           "text", "doc_id", minMatchTokens = 8)
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           md5(col("text")).as("clean_md5"))),
+    "q138_stream_substring" -> ((s, dir) => {
+      // the STREAMING serve path of substring dedup (the q131 pattern
+      // at token-span granularity): a batch pass over the reference
+      // split derives the hot duplicated-gram set; each micro-batch of
+      // the incoming stream drops every token covered by a hot window
+      // via removeSubstrings in foreachBatch (membership-only — a
+      // streamed doc cannot change the hot set, so batch boundaries
+      // cannot change results). The oracle replays the hot set, the
+      // coverage, and the ordered reassembly.
+      val db = perRunDb(s, "graft_q138_")
+      val d = pq(s, dir, "documents")
+      val hotPath = s"/tmp/${db}_hot"
+      graft.ml.Dedup.hotSubstrings(d.where(length(col("source")) > 4),
+          "text", "doc_id", minMatchTokens = 8)
+        .write.mode("overwrite").parquet(hotPath)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val outPath = s"/tmp/${db}_kept"
+      new java.io.File(outPath).mkdirs()
+      withStreamParts(s, 4) { ss =>
+        val src = ss.readStream.schema(schema).parquet(s"$dir/documents.parq*")
+          .where(length(col("source")) === 4)
+        val hot = ss.read.parquet(hotPath)
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            // batchId-keyed overwrite: retry-idempotent (q131's contract)
+            graft.ml.Dedup.removeSubstrings(batch, hot,
+                "text", "doc_id", minMatchTokens = 8)
+              .write.mode("overwrite").parquet(s"$outPath/b$bid")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.schema("doc_id LONG, text STRING, n_tokens LONG, n_removed LONG")
+        .option("recursiveFileLookup", "true").parquet(outPath)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text")).as("clean_md5"))
+    }),
   )
 
   /** DuckDB twin of `ml.Sampling.hash24` (expects a CTE column `h` =
@@ -2805,5 +2843,19 @@ object SparkEntry {
       """agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(t, ' ' ORDER BY i0)) AS clean_md5 FROM keep GROUP BY 1), """ +
       """tot AS (SELECT doc_id, CAST(coalesce(len(ws), 0) AS BIGINT) AS n_tokens FROM w) """ +
       """SELECT d.doc_id, coalesce(t.n_tokens, 0) AS n_tokens, coalesce(t.n_tokens, 0) - coalesce(a.n_kept, 0) AS n_removed, coalesce(a.clean_md5, md5('')) AS clean_md5 FROM documents d LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)"""),
+
+    // serve-path replay: the reference split's >=2-occurrence gram set,
+    // membership-only coverage over the stream split, same reassembly
+    "q138_stream_substring" -> (
+      """WITH refw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents WHERE length(source) > 4), """ +
+      """hot AS (SELECT md5(array_to_string(ws[i:i+7], ' ')) AS g FROM (SELECT ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM refw) GROUP BY 1 HAVING count(*) >= 2), """ +
+      """w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents WHERE length(source) = 4), """ +
+      """occ AS (SELECT doc_id, i - 1 AS p, md5(array_to_string(ws[i:i+7], ' ')) AS g FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w)), """ +
+      """dups AS (SELECT doc_id, p FROM occ JOIN hot USING (g)), """ +
+      """tok AS (SELECT doc_id, ws[i] AS t, i - 1 AS i0 FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)), """ +
+      """keep AS (SELECT doc_id, t, i0 FROM tok WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = tok.doc_id AND d.p <= tok.i0 AND tok.i0 < d.p + 8)), """ +
+      """agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(t, ' ' ORDER BY i0)) AS clean_md5 FROM keep GROUP BY 1), """ +
+      """tot AS (SELECT doc_id, CAST(coalesce(len(ws), 0) AS BIGINT) AS n_tokens FROM w) """ +
+      """SELECT d.doc_id, coalesce(t.n_tokens, 0) AS n_tokens, coalesce(t.n_tokens, 0) - coalesce(a.n_kept, 0) AS n_removed, coalesce(a.clean_md5, md5('')) AS clean_md5 FROM (SELECT doc_id FROM documents WHERE length(source) = 4) d LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)"""),
   )
 }

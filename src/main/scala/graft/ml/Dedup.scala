@@ -1102,14 +1102,7 @@ object Dedup {
       s"mode must be 'first' or 'all', got '$mode'")
     val k = minMatchTokens
     val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
-    // one md5 per window, built in-row from the token array; docs with
-    // fewer than k tokens emit nothing (the `when` guards sequence()
-    // from descending into negative stops)
-    val occ = base.select(col(idCol),
-      posexplode(when(size(col("_toks")) >= k,
-          transform(sequence(lit(0), size(col("_toks")) - k),
-            p => md5(array_join(slice(col("_toks"), p + lit(1), lit(k)), " "))))
-        .otherwise(array().cast("array<string>"))).as(Seq("_p", "_g")))
+    val occ = gramOccurrences(base, idCol, k)
     val byGram = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_g")).orderBy(col(idCol), col("_p"))
     val dups = (mode match {
@@ -1120,12 +1113,33 @@ object Dedup {
             org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))))
           .where(col("_n") >= 2)
     }).select(col(idCol), col("_p"))
+    removeCoveredTokens(base, dups, textCol, idCol, k)
+  }
+
+  /** One row per k-token window over a (idCol, _toks) frame: (idCol,
+    * _p = 0-based start, _g = md5 of the space-joined window). Docs
+    * shorter than k tokens emit nothing (the `when` guards sequence()
+    * from descending into negative stops). */
+  private[ml] def gramOccurrences(base: DataFrame, idCol: String,
+                                  k: Int): DataFrame =
+    base.select(col(idCol),
+      posexplode(when(size(col("_toks")) >= k,
+          transform(sequence(lit(0), size(col("_toks")) - k),
+            p => md5(array_join(slice(col("_toks"), p + lit(1), lit(k)), " "))))
+        .otherwise(array().cast("array<string>"))).as(Seq("_p", "_g")))
+
+  /** Shared tail of the substring family: given the (idCol, _toks)
+    * frame and the (idCol, _p) duplicated-window starts, drop every
+    * covered token and rebuild. The sorted starts merge into disjoint
+    * [s, e) intervals with a single in-row left fold (ascending starts
+    * make the new end p+k always >= the running end), so coverage costs
+    * no token-level explode or join. */
+  private[ml] def removeCoveredTokens(base: DataFrame, dups: DataFrame,
+                                      textCol: String, idCol: String,
+                                      k: Int): DataFrame = {
     val rem = dups.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("_p"))).as("_dups"))
     base.join(rem, Seq(idCol), "left")
-      // merge the sorted duplicated-window starts into disjoint
-      // [s, e) token intervals; ascending starts make the merge a
-      // single left fold (new end p+k always >= the running end)
       .withColumn("_iv", expr(
         s"""aggregate(coalesce(_dups, cast(array() as array<int>)),
               cast(array() as array<struct<s: int, e: int>>),
@@ -1140,5 +1154,45 @@ object Dedup {
         coalesce(size(col("_toks")).cast("long"), lit(0L)).as("n_tokens"),
         (coalesce(size(col("_toks")).cast("long"), lit(0L)) -
           coalesce(size(col("_kept")).cast("long"), lit(0L))).as("n_removed"))
+  }
+
+  /** The HOT gram set of a reference corpus: every k-token window md5
+    * occurring at least `minOcc` times (within-doc repeats count, like
+    * [[dedupSubstrings]] mode="all"). Persist this as the static side
+    * of the substring serve path — the [[dedupParagraphs]] df-mode
+    * `hot` analog at token-span granularity. One shuffle (groupBy on
+    * the 32-char gram key). */
+  def hotSubstrings(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", minMatchTokens: Int = 8,
+                    minOcc: Int = 2): DataFrame = {
+    require(minMatchTokens >= 2,
+      s"minMatchTokens must be >= 2, got $minMatchTokens")
+    require(minOcc >= 1, s"minOcc must be >= 1, got $minOcc")
+    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+    gramOccurrences(base, idCol, minMatchTokens)
+      .groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+      .where(col("_n") >= minOcc).select(col("_g"))
+  }
+
+  /** SERVE path of substring dedup: remove every token covered by a
+    * window whose gram md5 appears in the static `hot` frame (one `_g`
+    * column — [[hotSubstrings]] output, persisted). Use inside
+    * `foreachBatch` for streaming ingest: the per-document regroup
+    * makes the rebuild a batch aggregation, exactly like
+    * [[reassembleParagraphs]] in the paragraph serve (q131). Shape: a
+    * left_semi on the gram key (broadcast when hot is small) + the
+    * shared one-shuffle rebuild; no rank window — membership alone
+    * decides, so a streamed document cannot change the hot set. */
+  def removeSubstrings(docs: DataFrame, hot: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       minMatchTokens: Int = 8): DataFrame = {
+    require(minMatchTokens >= 2,
+      s"minMatchTokens must be >= 2, got $minMatchTokens")
+    val k = minMatchTokens
+    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+    val dups = gramOccurrences(base, idCol, k)
+      .join(hot.select(col("_g")), Seq("_g"), "left_semi")
+      .select(col(idCol), col("_p"))
+    removeCoveredTokens(base, dups, textCol, idCol, k)
   }
 }

@@ -1470,6 +1470,41 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hotSubstrings + removeSubstrings: membership-only serve equals its spec, batch-split-invariant") {
+    import spark.implicits._
+    // reference corpus: "a b c d" appears twice (across docs) -> hot;
+    // every other window once
+    val ref = Seq((100L, "a b c d e"), (101L, "z a b c d")).toDF("doc_id", "text")
+    val hot = Dedup.hotSubstrings(ref, minMatchTokens = 4).cache()
+    assert(hot.count() == 1) // only "a b c d"
+    val in = Seq(
+      (1L, "q a b c d r"),   // one hot window at pos 1 -> [1, 5) removed
+      (2L, "a b c x d"),     // no hot window (broken run) -> untouched
+      (3L, "a b"))           // shorter than k -> untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.removeSubstrings(in, hot, minMatchTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "q r", 6L, 4L),
+      (2L, "a b c x d", 5L, 0L),
+      (3L, "a b", 2L, 0L)))
+    // batch-boundary invariance (the q138 foreachBatch contract):
+    // removing against a static hot set commutes with any split of the
+    // incoming corpus
+    val split = Dedup.removeSubstrings(in.where(col("doc_id") === 1), hot,
+        minMatchTokens = 4)
+      .union(Dedup.removeSubstrings(in.where(col("doc_id") =!= 1), hot,
+        minMatchTokens = 4))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(split == got)
+    hot.unpersist()
+    intercept[IllegalArgumentException] {
+      Dedup.hotSubstrings(ref, minOcc = 0)
+    }
+  }
+
   test("dedupSubstrings is partitioning-independent") {
     val base = Dedup.dedupSubstrings(substrDocs, minMatchTokens = 3).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet

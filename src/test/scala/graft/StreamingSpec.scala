@@ -783,4 +783,24 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(re == Set((1L, "alpha\nomega", 2L), (3L, "solo", 1L)))
   }
+
+  test("q138 streaming substring serve equals the batch removeSubstrings chain") {
+    import graft.ml.Dedup
+    // the full q138 lifecycle (hot-gram build -> AvailableNow stream ->
+    // foreachBatch removeSubstrings) must equal the one-shot batch
+    // spelling over the same splits: micro-batch boundaries cannot
+    // change a membership-only filter
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("q138_stream_substring")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val docs = Tables.pq(spark, dir, "documents")
+    val hot = Dedup.hotSubstrings(docs.where(length(col("source")) > 4),
+      "text", "doc_id", minMatchTokens = 8)
+    val batch = Dedup.removeSubstrings(docs.where(length(col("source")) === 4),
+        hot, "text", "doc_id", minMatchTokens = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("text")).as("clean_md5"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
