@@ -35,9 +35,11 @@ import org.apache.spark.sql.functions._
   *     thresholdPct economics curve; semtext the text-grounded
   *     semdedup soak over hashed-3-gram embeddings with a lexical
   *     simhash overlap; traincap the bounded-training-sample flat-wall
-  *     check). "all" covers the per-round soak set, not
+  *     check; substr the exact-substring-dedup soak with the
+  *     serve==mode-all identity and a width-invariance check). "all"
+  *     covers the per-round soak set, not
   *     starab/recall/annrecall/serve/paradedup/pq/semdedup/semthresh/
-  *     semtext/traincap, which are targeted studies.
+  *     semtext/traincap/substr, which are targeted studies.
   */
 object MlBench {
 
@@ -125,7 +127,8 @@ object MlBench {
     def on(m: String) = modes.contains(m) ||
       (modes.contains("all") &&
         !Set("starab", "recall", "annrecall", "serve", "paradedup", "pq",
-          "semdedup", "semthresh", "semtext", "traincap").contains(m))
+          "semdedup", "semthresh", "semtext", "traincap",
+          "substr").contains(m))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -758,6 +761,84 @@ object MlBench {
       }
     }
 
+    if (on("substr")) {
+      // EXACT SUBSTRING dedup at soak scale: the template corpus's
+      // 40-token docs share long mutation-free runs within a cluster
+      // (per-token mutation rate 1/20 => an 8-token window survives
+      // unmutated with p ~= 0.66), so cluster members carry real
+      // duplicated spans at every skew tier (30/300/3000-member) while
+      // the 60% unique tail contributes only its own windows. Measures:
+      // wall + shuffle + removal split (unique vs clustered), the
+      // serve==mode-all identity (removeSubstrings against the >=2
+      // hot set must equal dedupSubstrings(mode="all") bit-for-bit),
+      // and width invariance for the keep-first rank.
+      import graft.ml.Dedup
+      val io = new IoListener; spark.sparkContext.addSparkListener(io)
+      def fpSub(d: DataFrame): (Long, Long, Long) = {
+        // two independent 32-bit md5 chunk sums (the paradedup scheme)
+        val h = md5(concat_ws("\u0001", col("doc_id"), col("text"),
+          col("n_tokens"), col("n_removed")))
+        val r = d.agg(count(lit(1)),
+          sum(conv(substring(h, 1, 8), 16, 10).cast("long")),
+          sum(conv(substring(h, 9, 8), 16, 10).cast("long"))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val (sw0, sp0) = io.snap()
+      val first = t(s"substr keep-first k=8 @$nDocs") {
+        Dedup.dedupSubstrings(docs).localCheckpoint()
+      }
+      val (sw1, sp1) = io.snap()
+      val s1 = first.agg(sum("n_tokens"), sum("n_removed"),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L))).head()
+      println(f"[mlbench] substr first: tokens=${s1.getLong(0)} removed=${s1.getLong(1)} " +
+        f"(${s1.getLong(1) * 100.0 / s1.getLong(0)}%.2f%%), touched docs=${s1.getLong(2)}, " +
+        f"shuffle ${(sw1 - sw0) / 1e9}%.2f GB, spill ${(sp1 - sp0) / 1e9}%.2f GB")
+      // removal split across the skew tiers: the unique tail should be
+      // nearly untouched, clustered docs should lose their shared runs
+      first.join(docs.select(col("doc_id"), col("cluster")), Seq("doc_id"))
+        .groupBy((col("cluster") >= 1000000000000L).as("_cl"))
+        .agg(sum("n_tokens").as("_t"), sum("n_removed").as("_r"))
+        .orderBy(col("_cl"))
+        .collect().foreach { r =>
+          val tier = if (r.getBoolean(0)) "clustered" else "unique"
+          println(f"[mlbench] substr first $tier: removed ${r.getLong(2)}/${r.getLong(1)} " +
+            f"= ${r.getLong(2) * 100.0 / r.getLong(1)}%.2f%%")
+        }
+      // width invariance AT SOAK SCALE (the keep-first rank must not
+      // depend on the shuffle width)
+      val fp1 = fpSub(first)
+      val sess2 = spark.newSession()
+      sess2.conf.set("spark.sql.shuffle.partitions", "23")
+      val first23 = t(s"substr keep-first @$nDocs width=23") {
+        Dedup.dedupSubstrings(
+          sess2.createDataFrame(docs.rdd, docs.schema)).localCheckpoint()
+      }
+      val fp23 = fpSub(first23)
+      println(s"[mlbench] substr invariance: width-32 $fp1 vs width-23 $fp23 " +
+        (if (fp1 == fp23) "[BIT-IDENTICAL]" else "[MISMATCH]"))
+      first23.unpersist()
+      // the SERVE path at scale, and its exactness teeth: hot-set
+      // membership removal over the same corpus IS mode="all"
+      val (sw2, sp2) = io.snap()
+      val hot = t(s"substr hotSubstrings @$nDocs") {
+        Dedup.hotSubstrings(docs).localCheckpoint()
+      }
+      println(s"[mlbench] substr hot grams: ${hot.count()}")
+      val served = t(s"substr removeSubstrings vs hot @$nDocs") {
+        Dedup.removeSubstrings(docs, hot).localCheckpoint()
+      }
+      val (sw3, sp3) = io.snap()
+      println(f"[mlbench] substr serve: shuffle ${(sw3 - sw2) / 1e9}%.2f GB, " +
+        f"spill ${(sp3 - sp2) / 1e9}%.2f GB (hot build + removal)")
+      val all = t(s"substr mode=all @$nDocs") {
+        Dedup.dedupSubstrings(docs, mode = "all").localCheckpoint()
+      }
+      val fpServe = fpSub(served)
+      val fpAll = fpSub(all)
+      println(s"[mlbench] substr serve==all: $fpServe vs $fpAll " +
+        (if (fpServe == fpAll) "[BIT-IDENTICAL]" else "[MISMATCH]"))
+    }
+
     // the planted-cluster vector corpus (256 directions, ~10% relative
     // noise), its label-mean (converged k-means) centroids, and the
     // semdedup audit-frame fingerprint — ONE definition each, shared
@@ -1061,8 +1142,12 @@ object MlBench {
                 .cast("float")).as("embedding"))
           .localCheckpoint()
       }
-      val km = t(s"semtext trainIvfCentroids k=1024 @$nDocs") {
-        Similarity.trainIvfCentroids(emb, 1024)
+      // cells scale with the corpus so per-cell population stays ~2000
+      // (the banded pairwise guard's operating point): 1024 at <= 2M —
+      // preserving the recorded 2M contract — 4000 at 8M
+      val kCells = math.max(1024, math.min(8192, (nDocs / 2000).toInt))
+      val km = t(s"semtext trainIvfCentroids k=$kCells @$nDocs") {
+        Similarity.trainIvfCentroids(emb, kCells)
       }
       def truth(out: DataFrame, what: String): Unit = {
         // true >=2-member cluster members: how many did semdedup drop,

@@ -1084,14 +1084,26 @@ object Dedup {
     * Documents shorter than k tokens pass through untouched (their
     * text still whitespace-canonicalized); NULL text => ("", 0, 0).
     *
-    * Shape: TWO shuffles, both on well-distributed keys — (1) hash on
-    * the 32-char gram md5 for the rank window (group sizes = gram
+    * Shape, Sizing-gated (the leaf-bytes dispatch every auto-switching
+    * operator here uses): BELOW the gate, winner selection is a hash
+    * aggregation over the gram key (map-side partial, NO sort) whose
+    * small output joins back to the re-derived occurrence stream —
+    * AQE sees the aggregated size at runtime and broadcasts, so the
+    * token stream shuffles ONCE (the aggregation); the occurrences are
+    * re-computed in-row for the join side, trading a second tokenize
+    * pass (pure map work) for the sort. ABOVE the gate (or forced
+    * "salted"), the duplicated-gram set may itself be huge — the plan
+    * must not depend on broadcasting it — so winner selection becomes
+    * a rank window over the gram hash: one shuffle + sort of the
+    * occurrence stream, no second side at all (group sizes = gram
     * multiplicities; a pathological corpus-wide boilerplate gram makes
-    * one large group, but the window computes only row_number over it,
-    * which AQE splits fine), (2) hash on idCol to fold each document's
-    * duplicated positions. Rows = one per token position — the same
-    * O(N) a suffix array costs, with no driver-side structure. The
-    * interval merge is linear in per-doc duplicated windows. */
+    * one large group, but the window computes only row_number over it).
+    * Measured at 2M docs x 40 tokens (MLBENCH substr, BASELINE.md):
+    * the agg+join spelling lands ~1.4x under the window's 376 s wall.
+    * Either way the rebuild folds duplicated positions with one hash
+    * on idCol. Rows = one per token position — the same O(N) a suffix
+    * array costs, with no driver-side structure; the interval merge is
+    * linear in per-doc duplicated windows. */
   def dedupSubstrings(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id",
                       minMatchTokens: Int = 8,
@@ -1102,16 +1114,31 @@ object Dedup {
       s"mode must be 'first' or 'all', got '$mode'")
     val k = minMatchTokens
     val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
-    val occ = gramOccurrences(base, idCol, k)
+    def occ = gramOccurrences(base, idCol, k)
+    val big = graft.core.Sizing.decide("dedupSubstrings",
+      graft.core.Sizing.saltedInputThreshold, docs)
     val byGram = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_g")).orderBy(col(idCol), col("_p"))
-    val dups = (mode match {
-      case "first" =>
+    val dups = ((mode, big) match {
+      case ("first", true) =>
         occ.withColumn("_rn", row_number().over(byGram)).where(col("_rn") > 1)
-      case "all" =>
+      case ("first", false) =>
+        val winners = occ.groupBy(col("_g"))
+          .agg(min(struct(col(idCol), col("_p"))).as("_w"),
+            count(lit(1)).as("_n"))
+          .where(col("_n") >= 2)
+        occ.join(winners, Seq("_g"))
+          .where(!(col(idCol) === col("_w")(idCol) &&
+            col("_p") === col("_w")("_p")))
+      case ("all", true) =>
         occ.withColumn("_n", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))))
           .where(col("_n") >= 2)
+      case ("all", false) =>
+        occ.join(
+          occ.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+            .where(col("_n") >= 2).select(col("_g")),
+          Seq("_g"), "left_semi")
     }).select(col(idCol), col("_p"))
     removeCoveredTokens(base, dups, textCol, idCol, k)
   }
