@@ -1084,26 +1084,26 @@ object Dedup {
     * Documents shorter than k tokens pass through untouched (their
     * text still whitespace-canonicalized); NULL text => ("", 0, 0).
     *
-    * Shape, Sizing-gated (the leaf-bytes dispatch every auto-switching
-    * operator here uses): BELOW the gate, winner selection is a hash
-    * aggregation over the gram key (map-side partial, NO sort) whose
-    * small output joins back to the re-derived occurrence stream —
-    * AQE sees the aggregated size at runtime and broadcasts, so the
-    * token stream shuffles ONCE (the aggregation); the occurrences are
-    * re-computed in-row for the join side, trading a second tokenize
-    * pass (pure map work) for the sort. ABOVE the gate (or forced
-    * "salted"), the duplicated-gram set may itself be huge — the plan
-    * must not depend on broadcasting it — so winner selection becomes
-    * a rank window over the gram hash: one shuffle + sort of the
-    * occurrence stream, no second side at all (group sizes = gram
+    * Shape: TWO shuffles, both on well-distributed keys — (1) hash on
+    * the 32-char gram md5 for the rank window (group sizes = gram
     * multiplicities; a pathological corpus-wide boilerplate gram makes
-    * one large group, but the window computes only row_number over it).
-    * Measured at 2M docs x 40 tokens (MLBENCH substr, BASELINE.md):
-    * the agg+join spelling lands ~1.4x under the window's 376 s wall.
-    * Either way the rebuild folds duplicated positions with one hash
-    * on idCol. Rows = one per token position — the same O(N) a suffix
-    * array costs, with no driver-side structure; the interval merge is
-    * linear in per-doc duplicated windows. */
+    * one large group, but the window computes only row_number over it),
+    * (2) hash on idCol to fold each document's duplicated positions.
+    * Rows = one per token position — the same O(N) a suffix array
+    * costs, with no driver-side structure; the interval merge is
+    * linear in per-doc duplicated windows.
+    *
+    * MEASURED REJECTION (MLBENCH substr A/B at 2M x 40 tokens,
+    * BASELINE.md round14-substr): a Sizing-gated agg+join spelling
+    * (hash-agg winners, join back onto re-derived occurrences — the
+    * sort-free plan) tied the window on wall (371.6 vs 376.4 s) while
+    * shuffling 1.7x more (6.23 vs 3.61 GB), spilling 2.66 GB where the
+    * window spilled ZERO, and degrading 1.9x at width 23 — because the
+    * winners side (719k grams, ~43 MB) exceeds the broadcast threshold
+    * at any realistic duplication rate, so the join back is a
+    * sort-merge that re-sorts the stream the window sorts once. Both
+    * spellings were fingerprint-identical; the window stays as the
+    * ONLY spelling. */
   def dedupSubstrings(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id",
                       minMatchTokens: Int = 8,
@@ -1114,31 +1114,16 @@ object Dedup {
       s"mode must be 'first' or 'all', got '$mode'")
     val k = minMatchTokens
     val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
-    def occ = gramOccurrences(base, idCol, k)
-    val big = graft.core.Sizing.decide("dedupSubstrings",
-      graft.core.Sizing.saltedInputThreshold, docs)
+    val occ = gramOccurrences(base, idCol, k)
     val byGram = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_g")).orderBy(col(idCol), col("_p"))
-    val dups = ((mode, big) match {
-      case ("first", true) =>
+    val dups = (mode match {
+      case "first" =>
         occ.withColumn("_rn", row_number().over(byGram)).where(col("_rn") > 1)
-      case ("first", false) =>
-        val winners = occ.groupBy(col("_g"))
-          .agg(min(struct(col(idCol), col("_p"))).as("_w"),
-            count(lit(1)).as("_n"))
-          .where(col("_n") >= 2)
-        occ.join(winners, Seq("_g"))
-          .where(!(col(idCol) === col("_w")(idCol) &&
-            col("_p") === col("_w")("_p")))
-      case ("all", true) =>
+      case "all" =>
         occ.withColumn("_n", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))))
           .where(col("_n") >= 2)
-      case ("all", false) =>
-        occ.join(
-          occ.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
-            .where(col("_n") >= 2).select(col("_g")),
-          Seq("_g"), "left_semi")
     }).select(col(idCol), col("_p"))
     removeCoveredTokens(base, dups, textCol, idCol, k)
   }

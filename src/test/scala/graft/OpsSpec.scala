@@ -1505,24 +1505,6 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("dedupSubstrings gated spellings agree: forced window == plain agg+join, both modes") {
-    def run(mode: String) =
-      Dedup.dedupSubstrings(substrDocs, minMatchTokens = 3, mode = mode)
-        .collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-        .toSet
-    val plainFirst = run("first")
-    val plainAll = run("all")
-    assert(graft.core.Sizing.lastDecision.get()._1 == "dedupSubstrings" &&
-      !graft.core.Sizing.lastDecision.get()._3) // tiny input -> plain branch
-    spark.conf.set(graft.core.Sizing.ForceKey, "salted")
-    try {
-      assert(run("first") == plainFirst)
-      assert(run("all") == plainAll)
-      assert(graft.core.Sizing.lastDecision.get()._3) // forced -> window branch
-    } finally spark.conf.unset(graft.core.Sizing.ForceKey)
-  }
-
   test("dedupSubstrings is partitioning-independent") {
     val base = Dedup.dedupSubstrings(substrDocs, minMatchTokens = 3).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
