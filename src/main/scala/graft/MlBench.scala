@@ -43,6 +43,20 @@ import org.apache.spark.sql.functions._
   */
 object MlBench {
 
+  /** Two independent 32-bit md5 chunk sums over the named columns —
+    * the order-free result-set fingerprint the text-side soak identity
+    * checks share (a 60-bit chunk sum overflowed at 2M rows). ONE
+    * definition for the paradedup and substr checks; fpSem keeps its
+    * historical separator for bit-compat with recorded captures. */
+  private def chunkFingerprint(d: DataFrame,
+                               cols: Seq[String]): (Long, Long, Long) = {
+    val h = md5(concat_ws("\u0001", cols.map(col): _*))
+    val r = d.agg(count(lit(1)),
+      sum(conv(substring(h, 1, 8), 16, 10).cast("long")),
+      sum(conv(substring(h, 9, 8), 16, 10).cast("long"))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   /** Deterministic skewed corpus: `frac` splits (unique / small(30) /
     * medium(300) / mega(3000-member)) over `n` docs; every member of a
     * cluster shares the seed token sequence with ~5% of positions
@@ -697,16 +711,8 @@ object MlBench {
           graft.ml.TextOps.paragraphChunks(col("text"), 5).as("text"))
         .localCheckpoint()
       val io = new IoListener; spark.sparkContext.addSparkListener(io)
-      def fingerprint(d: DataFrame): (Long, Long, Long) = {
-        // two independent 32-bit md5 chunk sums: 2^32 x up to 2^31 rows
-        // stays inside a long (a 60-bit chunk sum overflowed at 2M rows)
-        val h = md5(concat_ws("\u0001", col("doc_id"), col("text"),
-          col("n_paras"), col("n_kept")))
-        val r = d.agg(count(lit(1)),
-          sum(conv(substring(h, 1, 8), 16, 10).cast("long")),
-          sum(conv(substring(h, 9, 8), 16, 10).cast("long"))).head()
-        (r.getLong(0), r.getLong(1), r.getLong(2))
-      }
+      def fingerprint(d: DataFrame): (Long, Long, Long) =
+        chunkFingerprint(d, Seq("doc_id", "text", "n_paras", "n_kept"))
       val (sw0, sp0) = io.snap()
       val first = t(s"paradedup first @$nDocs") {
         graft.ml.Dedup.dedupParagraphs(pdocs).localCheckpoint()
@@ -774,15 +780,8 @@ object MlBench {
       // and width invariance for the keep-first rank.
       import graft.ml.Dedup
       val io = new IoListener; spark.sparkContext.addSparkListener(io)
-      def fpSub(d: DataFrame): (Long, Long, Long) = {
-        // two independent 32-bit md5 chunk sums (the paradedup scheme)
-        val h = md5(concat_ws("\u0001", col("doc_id"), col("text"),
-          col("n_tokens"), col("n_removed")))
-        val r = d.agg(count(lit(1)),
-          sum(conv(substring(h, 1, 8), 16, 10).cast("long")),
-          sum(conv(substring(h, 9, 8), 16, 10).cast("long"))).head()
-        (r.getLong(0), r.getLong(1), r.getLong(2))
-      }
+      def fpSub(d: DataFrame): (Long, Long, Long) =
+        chunkFingerprint(d, Seq("doc_id", "text", "n_tokens", "n_removed"))
       val (sw0, sp0) = io.snap()
       val first = t(s"substr keep-first k=8 @$nDocs") {
         Dedup.dedupSubstrings(docs).localCheckpoint()
@@ -844,7 +843,11 @@ object MlBench {
         val fpAll = fpSub(all)
         println(s"[mlbench] substr serve==all: $fpServe vs $fpAll " +
           (if (fpServe == fpAll) "[BIT-IDENTICAL]" else "[MISMATCH]"))
+        // release the corpus-scale checkpoints before any later mode
+        // builds its own state (the round-11 pool-starvation lesson)
+        hot.unpersist(); served.unpersist(); all.unpersist()
       }
+      first.unpersist()
     }
 
     // the planted-cluster vector corpus (256 directions, ~10% relative

@@ -1084,11 +1084,13 @@ object Dedup {
     * Documents shorter than k tokens pass through untouched (their
     * text still whitespace-canonicalized); NULL text => ("", 0, 0).
     *
-    * Shape: TWO shuffles, both on well-distributed keys — (1) hash on
-    * the 32-char gram md5 for the rank window (group sizes = gram
+    * Shape: THREE exchanges, all on well-distributed keys — (1) hash
+    * on the 32-char gram md5 for the rank window (group sizes = gram
     * multiplicities; a pathological corpus-wide boilerplate gram makes
     * one large group, but the window computes only row_number over it),
-    * (2) hash on idCol to fold each document's duplicated positions.
+    * (2) hash on idCol to fold each document's duplicated positions —
+    * a SMALL side (duplicated occurrences only), and (3) the tokenized
+    * corpus re-hashed on idCol as the left side of the rebuild join.
     * Rows = one per token position — the same O(N) a suffix array
     * costs, with no driver-side structure; the interval merge is
     * linear in per-doc duplicated windows.
