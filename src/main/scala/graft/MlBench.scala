@@ -1122,6 +1122,34 @@ object MlBench {
         1 << 18, 1000)
       println(s"[mlbench] traincap bounded sample rows: ${sample.count()} " +
         s"(cap ${1 << 18})")
+      // ITERATION A/B (the r14 'known follow-on': the bounded draw
+      // moved the k-means local optimum — anchor kept 1.578% vs the
+      // r13 unbounded draw's 1.201%): does buying more Lloyd
+      // iterations recover cell fidelity? Measured as anchor-mode
+      // semanticDedup kept fraction + exactly-1 cluster count under
+      // cells trained at maxIter 10 (default) vs 25 vs 50.
+      for (iters <- Seq(10, 25, 50)) {
+        val kmI = t(s"traincap train k=256 maxIter=$iters @$nDocs") {
+          Similarity.trainIvfCentroids(emb, 256, maxIter = iters)
+        }
+        // t=90, the semdedup soak's recorded setting (1.578% r14 /
+        // 1.201% r13) so the A/B reads against those rows directly
+        val out = graft.ml.SemDedup.semanticDedup(emb, kmI, 90,
+          mode = "anchor").localCheckpoint()
+        val k = out.agg(count(lit(1)),
+          sum(when(col("kept"), 1L).otherwise(0L))).head()
+        val t2 = emb.groupBy(col("cluster")).agg(count(lit(1)).as("_n"))
+          .where(col("_n") >= 2).select(col("cluster"))
+        val s1 = emb.join(t2, Seq("cluster"))
+          .join(out.where(col("kept")).select(col("vec_id")), Seq("vec_id"))
+          .groupBy(col("cluster")).agg(count(lit(1)).as("s"))
+          .agg(sum(when(col("s") === 1, 1L).otherwise(0L)),
+            count(lit(1))).head()
+        println(f"[mlbench] traincap maxIter=$iters: anchor kept " +
+          f"${k.getLong(1)}/${k.getLong(0)} = ${k.getLong(1) * 100.0 / k.getLong(0)}%.3f%%, " +
+          s"clusters exactly-1 ${s1.getLong(0)}/${s1.getLong(1)}")
+        out.unpersist()
+      }
     }
 
     if (on("semtext")) {

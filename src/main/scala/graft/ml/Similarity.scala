@@ -328,16 +328,18 @@ object Similarity {
   def trainIvfCentroids(df: DataFrame, nCells: Int,
                         vecCol: String = "embedding", scale: Int = 1000,
                         sampleFraction: Double = 0.1,
-                        maxSampleRows: Int = 1 << 18): Array[Array[Long]] = {
+                        maxSampleRows: Int = 1 << 18,
+                        maxIter: Int = 10): Array[Array[Long]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val sample = boundedTrainingSample(df, vecCol, sampleFraction,
         maxSampleRows, scale)
       .select(array_to_vector(transform(col("_q"),
         x => x.cast("double"))).as("features"))
       .localCheckpoint()
-    padToK(new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+    padToK(new KMeans().setK(nCells).setSeed(42L).setMaxIter(maxIter)
       .fit(sample).clusterCenters.map(_.toArray.map(math.round)), nCells)
   }
 
