@@ -114,6 +114,11 @@ object Bench {
     // and the driver's tail-capture window cut the line's HEAD off — exactly
     // where "metric":"total","value": lives. The per-query timings already
     // stream above as individual lines; never duplicate them here.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"nFailed":$nFailed,"baseline20Sec":${math.round(baseline20Sec * 1000) / 1000.0},"sf":"$sfDir","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"gcTotalMs":${gcMillis()},"loadAvg":$load}""")
+    // loadAvgStart rides on the TOTAL line too (not only the env line at
+    // the top): the r14 driver artifact needed builder-side A/Bs to
+    // attribute a 0.53x reading to host degradation — with start load AND
+    // total GC on the one line the driver parses, a degraded capture
+    // self-reports (adjudication rule recorded in BASELINE.md)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"nFailed":$nFailed,"baseline20Sec":${math.round(baseline20Sec * 1000) / 1000.0},"sf":"$sfDir","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"gcTotalMs":${gcMillis()},"loadAvgStart":$loadStart,"loadAvg":$load}""")
   }
 }

@@ -36,10 +36,12 @@ import org.apache.spark.sql.functions._
   *     semdedup soak over hashed-3-gram embeddings with a lexical
   *     simhash overlap; traincap the bounded-training-sample flat-wall
   *     check; substr the exact-substring-dedup soak with the
-  *     serve==mode-all identity and a width-invariance check). "all"
-  *     covers the per-round soak set, not
-  *     starab/recall/annrecall/serve/paradedup/pq/semdedup/semthresh/
-  *     semtext/traincap/substr, which are targeted studies.
+  *     serve==mode-all identity and a width-invariance check; embed
+  *     the in-row hashedNgramEmbedding linearity soak with the
+  *     explode-spelling identity A/B). "all" covers the per-round
+  *     soak set, not starab/recall/annrecall/serve/paradedup/pq/
+  *     semdedup/semthresh/semtext/traincap/substr/embed, which are
+  *     targeted studies.
   */
 object MlBench {
 
@@ -142,7 +144,7 @@ object MlBench {
       (modes.contains("all") &&
         !Set("starab", "recall", "annrecall", "serve", "paradedup", "pq",
           "semdedup", "semthresh", "semtext", "traincap",
-          "substr").contains(m))
+          "substr", "embed").contains(m))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1152,6 +1154,56 @@ object MlBench {
       }
     }
 
+    if (on("embed")) {
+      // PRODUCT EMBEDDER LINEARITY (VERDICT r14 item #1): the in-row
+      // TextOps.hashedNgramEmbedding build wall at nDocs with its
+      // order-free fingerprint and shuffle footprint (should be ~0 —
+      // the operator is a pure projection), plus, at <= 2M, a
+      // bit-equality A/B against the retired explode+two-agg soak
+      // spelling (the one that went superlinear at 8M: 1475.5 s vs
+      // 94.9 s at 2M — BASELINE.md round14-semtext-8m).
+      import graft.ml.TextOps
+      val io = new IoListener; spark.sparkContext.addSparkListener(io)
+      val dim = 64
+      def fpEmb(d: DataFrame): (Long, Long, Long) = chunkFingerprint(
+        d.select(col("doc_id"), col("embedding").cast("string").as("_e")),
+        Seq("doc_id", "_e"))
+      val (sw0, sp0) = io.snap()
+      val emb = t(s"embed in-row hashed-3gram dim=$dim @$nDocs") {
+        TextOps.hashedNgramEmbedding(docs, "text", "embedding",
+            n = 3, dim = dim)
+          .select(col("doc_id"), col("embedding")).localCheckpoint()
+      }
+      val (sw1, sp1) = io.snap()
+      val fp = fpEmb(emb)
+      println(f"[mlbench] embed in-row: fp=$fp, " +
+        f"shuffle ${(sw1 - sw0) / 1e9}%.2f GB, spill ${(sp1 - sp0) / 1e9}%.2f GB")
+      if (nDocs <= 2000000L) {
+        val sparse = docs.select(col("doc_id"),
+            explode(array_distinct(TextOps.wordShingles(col("text"), 3))).as("_sh"))
+          .select(col("doc_id"),
+            pmod(xxhash64(col("_sh")), lit(dim.toLong)).cast("int").as("_b"),
+            (pmod(xxhash64(col("_sh"), lit("sgn")), lit(2)) * 2 - 1)
+              .cast("double").as("_v"))
+          .groupBy(col("doc_id"), col("_b")).agg(sum(col("_v")).as("_s"))
+        val old = t(s"embed explode+agg (retired spelling) @$nDocs") {
+          sparse.groupBy(col("doc_id"))
+            .agg(map_from_entries(collect_list(struct(col("_b"), col("_s")))).as("_m"))
+            .select(col("doc_id"),
+              transform(sequence(lit(0), lit(dim - 1)), i =>
+                coalesce(element_at(col("_m"), i.cast("int")), lit(0.0))
+                  .cast("float")).as("embedding"))
+            .localCheckpoint()
+        }
+        val fpOld = fpEmb(old)
+        println(s"[mlbench] embed identity: in-row $fp vs explode $fpOld " +
+          (if (fp == fpOld) "[BIT-IDENTICAL]" else "[MISMATCH]"))
+        old.unpersist()
+      } else println(s"[mlbench] embed explode A/B SKIPPED at $nDocs docs " +
+        "(identity proven at <= 2M; the retired spelling is the superlinear one)")
+      emb.unpersist()
+    }
+
     if (on("semtext")) {
       // TEXT-GROUNDED semantic dedup (VERDICT r13 item #5): the skewed
       // near-dup DOC corpus (template clusters, 5% token mutation) with
@@ -1164,21 +1216,14 @@ object MlBench {
       // identity check.
       import graft.ml.{Dedup, SemDedup, Similarity, TextOps}
       val dim = 64
-      val sparse = docs.select(col("doc_id"), col("cluster"),
-          explode(array_distinct(TextOps.wordShingles(col("text"), 3))).as("_sh"))
-        .select(col("doc_id"), col("cluster"),
-          pmod(xxhash64(col("_sh")), lit(dim.toLong)).cast("int").as("_b"),
-          (pmod(xxhash64(col("_sh"), lit("sgn")), lit(2)) * 2 - 1)
-            .cast("double").as("_v"))
-        .groupBy(col("doc_id"), col("cluster"), col("_b"))
-        .agg(sum(col("_v")).as("_s"))
+      // the PRODUCT in-row embedder (VERDICT r14 item #1) — bit-equal
+      // to the retired explode+two-agg scaffolding (OpsSpec pins it)
+      // but linear: zero shuffle, zero explode, per-row projection only
       val emb = t(s"semtext hashed-3gram embeddings @$nDocs") {
-        sparse.groupBy(col("doc_id"), col("cluster"))
-          .agg(map_from_entries(collect_list(struct(col("_b"), col("_s")))).as("_m"))
+        TextOps.hashedNgramEmbedding(docs, "text", "embedding",
+            n = 3, dim = dim)
           .select(col("doc_id").as("vec_id"), col("cluster"),
-            transform(sequence(lit(0), lit(dim - 1)), i =>
-              coalesce(element_at(col("_m"), i.cast("int")), lit(0.0))
-                .cast("float")).as("embedding"))
+            col("embedding"))
           .localCheckpoint()
       }
       // cells scale with the corpus so per-cell population stays ~2000

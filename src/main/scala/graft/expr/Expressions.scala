@@ -79,6 +79,109 @@ object ExprKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** nProbe nearest centroid cells via a TWO-LEVEL branch-and-bound —
+    * EXACT (bit-equal to [[nearestCells]], same (distance asc, cell
+    * asc) contract) but O(sqrt(k) x dim) per row in the common case
+    * instead of O(k x dim): super-cells are scanned in distance order
+    * and a whole group is skipped when the triangle-inequality lower
+    * bound `||v - s_g|| - radius_g` already exceeds the current
+    * nProbe-th best TRUE distance. The flat argmin dominated the 8M
+    * text-semdedup walls (assignment is O(k x dim)/row and k grows
+    * with n to hold per-cell population — BASELINE.md
+    * round14-semtext-8m); this kernel cuts it ~sqrt(k)-fold while
+    * keeping the result exact:
+    *
+    *  - candidate distances stay EXACT LONGS (`|c|^2 - 2 v.c`, the
+    *    flat kernel's loop) and ties insert by (d asc, cell asc)
+    *    explicitly — visit order across groups is distance-sorted,
+    *    not cell-sorted, so the tie compare the flat kernel gets for
+    *    free from its ascending scan is spelled out here;
+    *  - pruning bounds are FLOATING but one-sided: the bound is
+    *    deflated and the incumbent inflated by 1e-9 relative (orders
+    *    of magnitude beyond accumulated double rounding at any
+    *    realistic dim), so a group is skipped only when every member
+    *    is STRICTLY worse than the kept worst — float error can only
+    *    cost a wasted scan, never a changed result. */
+  def nearestCellsTwoLevel(v: ArrayData, idx: TwoLevelCells,
+                           nProbe: Int): ArrayData = {
+    val centers = idx.centers
+    val k = math.min(nProbe, centers.length)
+    val nv = v.numElements()
+    // |v|^2 exact (quantized longs: |x| <= ~2^20 => sums < 2^53-safe)
+    var v2 = 0L
+    var j = 0
+    while (j < nv) { val x = v.getLong(j); v2 += x * x; j += 1 }
+    val G = idx.supers.length
+    val dg = new Array[Double](G)
+    val og = new Array[Int](G)
+    var g = 0
+    while (g < G) {
+      val s = idx.supers(g)
+      var d = 0.0
+      var i = 0
+      val n = math.min(nv, s.length)
+      while (i < n) { val t = v.getLong(i) - s(i); d += t * t; i += 1 }
+      while (i < s.length) { d += s(i) * s(i); i += 1 }
+      dg(g) = d
+      // insertion into og by (d asc, g asc)
+      var pos = g
+      while (pos > 0 && d < dg(og(pos - 1))) pos -= 1
+      var m = g
+      while (m > pos) { og(m) = og(m - 1); m -= 1 }
+      og(pos) = g
+      g += 1
+    }
+    val dBest = new Array[Long](k)
+    val cBest = new Array[Long](k)
+    var filled = 0
+    var gi = 0
+    var done = false
+    while (gi < G && !done) {
+      val grp = og(gi)
+      var skip = false
+      if (filled == k) {
+        // d' = |c|^2 - 2 v.c drops the |v|^2 term; true squared
+        // distance adds it back (exact long), inflated for safety
+        val worstTrue = (dBest(k - 1) + v2).toDouble * (1 + 1e-9)
+        val sq = Math.sqrt(dg(grp))
+        val lbAll = (sq - idx.rMax) * (1 - 1e-9)
+        if (lbAll > 0 && lbAll * lbAll > worstTrue) { done = true; skip = true }
+        else {
+          val lb = (sq - idx.radius(grp)) * (1 - 1e-9)
+          if (lb > 0 && lb * lb > worstTrue) skip = true
+        }
+      }
+      if (!skip) {
+        val mem = idx.members(grp)
+        var mi = 0
+        while (mi < mem.length) {
+          val c = mem(mi)
+          val row = centers(c)
+          val n = math.min(nv, row.length)
+          var d = 0L
+          var i = 0
+          while (i < n) { val w = row(i); d += w * (w - 2L * v.getLong(i)); i += 1 }
+          while (i < row.length) { val w = row(i); d += w * w; i += 1 }
+          var pos = filled
+          while (pos > 0 && (d < dBest(pos - 1) ||
+              (d == dBest(pos - 1) && c < cBest(pos - 1)))) pos -= 1
+          if (pos < k) {
+            val upto = math.min(filled, k - 1)
+            var m = upto
+            while (m > pos) { dBest(m) = dBest(m - 1); cBest(m) = cBest(m - 1); m -= 1 }
+            dBest(pos) = d
+            cBest(pos) = c
+            if (filled < k) filled += 1
+          }
+          mi += 1
+        }
+      }
+      gi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(cBest, filled))
+  }
+
   /** Euclid gcd on longs (exact-fraction reduction in the bigWig divide
     * payload). Plain long arithmetic — no BigInt allocation per row. */
   def gcdLong(a0: Long, b0: Long): Long = {
@@ -139,6 +242,109 @@ object ExprKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       java.util.Arrays.copyOf(cBest, filled))
+  }
+}
+
+/** The driver-built two-level structure behind
+  * [[ExprKernels.nearestCellsTwoLevel]]: ~sqrt(k) super-cells (a small
+  * deterministic Lloyd pass over the k CENTROIDS — tiny: the input is
+  * the centroid matrix, never the corpus), each with its member cell
+  * ids ascending and a conservatively-inflated covering radius. Ships
+  * to executors as ONE codegen reference object, like the centroid
+  * matrix itself. */
+final class TwoLevelCells(val centers: Array[Array[Long]],
+                          val supers: Array[Array[Double]],
+                          val members: Array[Array[Int]],
+                          val radius: Array[Double],
+                          val rMax: Double) extends Serializable
+
+object TwoLevelCells {
+  /** Deterministic build: G = ceil(sqrt(k)) super-centers initialized
+    * at evenly-spaced centroid indices, 10 Lloyd iterations (ties to
+    * the smaller group), means in double space. Grouping quality only
+    * affects pruning SPEED — any partition of the cells is exact. */
+  def build(centers: Array[Array[Long]]): TwoLevelCells = {
+    val k = centers.length
+    require(k >= 1, "TwoLevelCells: empty centroid matrix")
+    val dim = centers.map(_.length).max
+    val G = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    def comp(row: Array[Long], j: Int): Double =
+      if (j < row.length) row(j).toDouble else 0.0
+    val supers = Array.tabulate(G) { i =>
+      val c = centers(((i.toLong * k) / G).toInt)
+      Array.tabulate(dim)(j => comp(c, j))
+    }
+    val assign = new Array[Int](k)
+    var it = 0
+    while (it < 10) {
+      var c = 0
+      while (c < k) {
+        val row = centers(c)
+        var best = 0
+        var bestD = Double.MaxValue
+        var g = 0
+        while (g < G) {
+          val s = supers(g)
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val x = comp(row, j) - s(j); d += x * x; j += 1 }
+          if (d < bestD) { bestD = d; best = g }
+          g += 1
+        }
+        assign(c) = best
+        c += 1
+      }
+      val sums = Array.fill(G)(new Array[Double](dim))
+      val cnt = new Array[Int](G)
+      var c2 = 0
+      while (c2 < k) {
+        val g = assign(c2)
+        val row = centers(c2)
+        var j = 0
+        while (j < dim) { sums(g)(j) += comp(row, j); j += 1 }
+        cnt(g) += 1
+        c2 += 1
+      }
+      var g = 0
+      while (g < G) {
+        if (cnt(g) > 0) {
+          var j = 0
+          while (j < dim) { supers(g)(j) = sums(g)(j) / cnt(g); j += 1 }
+        }
+        g += 1
+      }
+      it += 1
+    }
+    // members from the LAST assignment, radii against the UPDATED
+    // means (the covering property is re-measured, so the one-step
+    // mean/assignment lag cannot under-cover)
+    val members = Array.tabulate(G)(g => (0 until k).filter(assign(_) == g).toArray)
+    val radius = Array.tabulate(G) { g =>
+      val s = supers(g)
+      var r = 0.0
+      members(g).foreach { c =>
+        val row = centers(c)
+        var d = 0.0
+        var j = 0
+        while (j < dim) { val x = comp(row, j) - s(j); d += x * x; j += 1 }
+        r = math.max(r, math.sqrt(d))
+      }
+      r * (1 + 1e-9) + 1e-9
+    }
+    new TwoLevelCells(centers, supers, members, radius, radius.max)
+  }
+
+  // expression copy() during tree transforms must not rebuild the
+  // structure: memo by content hash, verified by deep equality
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, TwoLevelCells]()
+  def cached(centers: Array[Array[Long]]): TwoLevelCells = {
+    val h = java.util.Arrays.deepHashCode(centers.asInstanceOf[Array[AnyRef]])
+    val hit = cache.get(h)
+    if (hit != null && java.util.Arrays.deepEquals(
+        hit.centers.asInstanceOf[Array[AnyRef]],
+        centers.asInstanceOf[Array[AnyRef]])) hit
+    else { val b = build(centers); cache.put(h, b); b }
   }
 }
 
@@ -242,6 +448,44 @@ case class NearestCellsLong(child: Expression, centers: Array[Array[Long]],
     copy(child = c)
 }
 
+/** The two-level exact variant of [[NearestCellsLong]] — same result
+  * bit-for-bit (OpsSpec pins it against the flat kernel incl. padded
+  * duplicate centroids and short vectors), ~sqrt(k)-fold cheaper per
+  * row at large k via distance-ordered super-cell scan +
+  * triangle-inequality pruning. [[graft.ml.Similarity.nearestCells]]
+  * dispatches here above its cell-count threshold; the structure is
+  * memo-cached so Catalyst copy() churn never rebuilds it. */
+case class NearestCellsTwoLevel(child: Expression,
+                                centers: Array[Array[Long]], nProbe: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(LongType))
+  // content-based equality, the NearestCellsLong contract (array fields
+  // otherwise compare by reference and break canonicalization)
+  override def equals(other: Any): Boolean = other match {
+    case NearestCellsTwoLevel(c, m, p) =>
+      c == child && p == nProbe &&
+        java.util.Arrays.deepEquals(
+          m.asInstanceOf[Array[AnyRef]], centers.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        centers.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(nProbe))
+  @transient private lazy val idx = TwoLevelCells.cached(centers)
+  override protected def nullSafeEval(v: Any): Any =
+    ExprKernels.nearestCellsTwoLevel(v.asInstanceOf[ArrayData], idx, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellIndex", idx, "graft.expr.TwoLevelCells")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.ExprKernels.nearestCellsTwoLevel($c, $ref, $nProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCellsTwoLevel =
+    copy(child = c)
+}
+
 /** Long gcd as a codegen'd expression — replaces a BigInt-allocating
   * Scala UDF on the bigWig divide payload's hot tail. */
 case class GcdLong(left: Expression, right: Expression)
@@ -270,6 +514,10 @@ object Exprs {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def nearest_cells(c: Column, centers: Array[Array[Long]], nProbe: Int): Column =
     GraftColumnBridge.column(NearestCellsLong(
+      GraftColumnBridge.expression(c), centers, nProbe))
+  def nearest_cells_two_level(c: Column, centers: Array[Array[Long]],
+                              nProbe: Int): Column =
+    GraftColumnBridge.column(NearestCellsTwoLevel(
       GraftColumnBridge.expression(c), centers, nProbe))
   def gcd_long(a: Column, b: Column): Column =
     GraftColumnBridge.column(GcdLong(

@@ -1106,6 +1106,14 @@ object Dedup {
     * sort-merge that re-sorts the stream the window sorts once. Both
     * spellings were fingerprint-identical; the window stays as the
     * ONLY spelling. */
+  /** Above this docs-side leaf-bytes sum the substring rank window
+    * widens its shuffle (see the gate in [[dedupSubstrings]]). 256 MB:
+    * the 2M soak corpus (~600 MB) ran the default width comfortably,
+    * the 8M one (~2.4 GB) died at the default heap — the gate fires
+    * from the lower edge of the comfortable band so the widened branch
+    * carries margin rather than cutting it close. */
+  val substrWindowWidenThreshold: Long = 256L << 20
+
   def dedupSubstrings(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id",
                       minMatchTokens: Int = 8,
@@ -1116,7 +1124,24 @@ object Dedup {
       s"mode must be 'first' or 'all', got '$mode'")
     val k = minMatchTokens
     val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
-    val occ = gramOccurrences(base, idCol, k)
+    val occ0 = gramOccurrences(base, idCol, k)
+    // AUTO-WIDTH for the gram rank window (VERDICT r14 item #5): the
+    // window's per-partition sort working set is ~gram-row bytes /
+    // shuffle width, and gram rows are ~8x the text bytes (one 32-char
+    // md5 + id + pos per token) — at 8M x 40-token docs the default
+    // 32-way width handed each task a ~500 MB sort that silently died
+    // at the default 24 g heap (BASELINE.md round14-substr). Above the
+    // gate, widen the window's OWN exchange (repartition on _g satisfies
+    // the window's clustered distribution, so this swaps the exchange's
+    // width rather than adding one) to hold per-task sorts near 64 MB.
+    val occ = if (graft.core.Sizing.decide("dedupSubstrings.window",
+        substrWindowWidenThreshold, docs)) {
+      val leaf = graft.core.Sizing.leafScanBytes(docs)
+      val width = math.max(
+        docs.sparkSession.sparkContext.defaultParallelism,
+        (leaf * 8L / (64L << 20)).min(1 << 20).toInt)
+      occ0.repartition(width, col("_g"))
+    } else occ0
     val byGram = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_g")).orderBy(col(idCol), col("_p"))
     val dups = (mode match {
@@ -1147,7 +1172,14 @@ object Dedup {
     * covered token and rebuild. The sorted starts merge into disjoint
     * [s, e) intervals with a single in-row left fold (ascending starts
     * make the new end p+k always >= the running end), so coverage costs
-    * no token-level explode or join. */
+    * no token-level explode or join. The rebuild then SLICES the gaps
+    * between consecutive intervals (prev.e .. v.s) plus the tail after
+    * the last interval — O(tokens + intervals) per document, where the
+    * earlier filter+exists spelling re-scanned the whole interval list
+    * per token (O(tokens x intervals): quadratic on long, heavily
+    * duplicated documents — r14 ADVICE). Intervals are disjoint with
+    * s strictly above the previous e (touching starts merged by the
+    * fold), so every gap length is non-negative by construction. */
   private[ml] def removeCoveredTokens(base: DataFrame, dups: DataFrame,
                                       textCol: String, idCol: String,
                                       k: Int): DataFrame = {
@@ -1162,7 +1194,13 @@ object Dedup {
                   array(named_struct('s', element_at(acc, -1).s, 'e', p + $k))),
                 concat(acc, array(named_struct('s', p, 'e', p + $k)))))"""))
       .withColumn("_kept", expr(
-        "filter(_toks, (t, i) -> not exists(_iv, v -> i >= v.s and i < v.e))"))
+        """if(size(_iv) = 0, _toks,
+             concat(
+               flatten(transform(_iv, (v, i) ->
+                 slice(_toks, if(i = 0, 0, element_at(_iv, i).e) + 1,
+                   v.s - if(i = 0, 0, element_at(_iv, i).e)))),
+               slice(_toks, element_at(_iv, -1).e + 1,
+                 size(_toks) - element_at(_iv, -1).e)))"""))
       .select(col(idCol),
         coalesce(array_join(col("_kept"), " "), lit("")).as(textCol),
         coalesce(size(col("_toks")).cast("long"), lit(0L)).as("n_tokens"),

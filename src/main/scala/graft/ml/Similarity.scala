@@ -173,9 +173,31 @@ object Similarity {
     * method limit at ~1024 cells and drops the whole stage to
     * interpreted (round-13 semdedup soak). The reference-matrix kernel
     * has neither failure mode: O(1) generated code, O(cells * dim)
-    * tight-loop work per row. */
+    * tight-loop work per row.
+    *
+    * DISPATCH (round 15): at or above [[twoLevelCellThreshold]] cells
+    * the flat O(cells x dim)/row scan itself becomes the wall — the 8M
+    * text-semdedup legs were assignment-dominated at k=4000 (682-806 s,
+    * BASELINE.md round14-semtext-8m) because holding per-cell
+    * population constant forces k to grow with n. Above the threshold
+    * the call routes to the TWO-LEVEL branch-and-bound kernel
+    * (graft.expr.NearestCellsTwoLevel): distance-ordered super-cell
+    * scan + triangle-inequality pruning, ~sqrt(k)-fold cheaper per row
+    * and BIT-EQUAL by construction (exact long candidate distances,
+    * the same (distance, cell) tie contract, one-sided float bounds —
+    * OpsSpec pins the equality; every oracle query runs at k = 32 and
+    * stays on the flat kernel). */
   def nearestCells(q: Column, centers: Array[Array[Long]], nProbe: Int): Column =
-    graft.expr.Exprs.nearest_cells(q, centers, nProbe)
+    if (centers.length >= twoLevelCellThreshold)
+      graft.expr.Exprs.nearest_cells_two_level(q, centers, nProbe)
+    else graft.expr.Exprs.nearest_cells(q, centers, nProbe)
+
+  /** Cell count at which [[nearestCells]] switches to the two-level
+    * kernel. 512: the two-level scan costs ~(sqrt(k) + visited
+    * members) x dim per row against the flat kernel's k x dim, so the
+    * win is ~sqrt(k)/2-fold — material from a few hundred cells up,
+    * while every cross-engine oracle matrix (k <= 32) stays flat. */
+  val twoLevelCellThreshold: Int = 512
 
   /** Supervised nearest-centroid assignment (a Rocchio-style classifier
     * and label-purity probe): per-label integer centroid SUMS over the
@@ -324,7 +346,17 @@ object Similarity {
     * default call cannot pin terabytes through `localCheckpoint` at
     * 100 TB — the trainer's wall flattens once the corpus grows past
     * cap/fraction (BASELINE.md round14-banded-pairwise, `traincap`
-    * rows: 9.1/10.8/20.8 s at 2M/8M/32M, sample capped at 262,144). */
+    * rows: 9.1/10.8/20.8 s at 2M/8M/32M, sample capped at 262,144).
+    *
+    * `maxIter` guidance (MEASURED, BASELINE.md round15-traincap-iters):
+    * raising Lloyd iterations does NOT recover the bounded draw's
+    * cell-fidelity wobble — maxIter 10/25/50 on the capped 2M sample
+    * produced IDENTICAL anchor-semdedup results (kept 1.578%, 248/256
+    * clusters at exactly-1; k-means has already converged by the
+    * default 10). The wobble vs an unbounded draw (r13's 1.201%) is
+    * sample COMPOSITION, a different local optimum — if cell fidelity
+    * matters more than trainer wall, raise `maxSampleRows`, not
+    * `maxIter`. */
   def trainIvfCentroids(df: DataFrame, nCells: Int,
                         vecCol: String = "embedding", scale: Int = 1000,
                         sampleFraction: Double = 0.1,

@@ -1337,6 +1337,69 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("hashedNgramEmbedding (in-row) is bit-equal to the explode+agg " +
+      "spelling; short/NULL docs embed as zeros; validates args") {
+    import spark.implicits._
+    val dim = 16
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),      // exact dup: same vector
+      (3L, "a b c a b c a b c a b"),         // repeated shingles (distinct)
+      (4L, "only two"),                      // < n tokens: zero vector
+      (5L, null: String),                    // NULL: zero vector
+      (6L, "u1 u2 u3 u4 u5")).toDF("doc_id", "text")
+    def byId(d: DataFrame, c: String): Map[Long, Seq[Float]] =
+      d.collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getSeq[Float](r.fieldIndex(c))).toMap
+    for (hash <- Seq("xxhash64", "md5")) {
+      val got = byId(TextOps.hashedNgramEmbedding(docs, "text", "emb",
+        n = 3, dim = dim, hash = hash), "emb")
+      // the retired explode + two-agg spelling (r14 soak scaffolding),
+      // hash-parameterized the same way
+      val bucket = (s: org.apache.spark.sql.Column) =>
+        if (hash == "xxhash64") pmod(xxhash64(s), lit(dim.toLong)).cast("int")
+        else (conv(substring(md5(s), 1, 6), 16, 10).cast("long") % dim).cast("int")
+      val sign = (s: org.apache.spark.sql.Column) =>
+        if (hash == "xxhash64") (pmod(xxhash64(s, lit("sgn")), lit(2)) * 2 - 1).cast("double")
+        else (conv(substring(md5(s), 7, 1), 16, 10).cast("long") % 2 * 2 - 1).cast("double")
+      val exploded = docs.select(col("doc_id"),
+          explode(array_distinct(TextOps.wordShingles(col("text"), 3))).as("_sh"))
+        .select(col("doc_id"), bucket(col("_sh")).as("_b"), sign(col("_sh")).as("_v"))
+        .groupBy(col("doc_id"), col("_b")).agg(sum(col("_v")).as("_s"))
+        .groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("_b"), col("_s")))).as("_m"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(dim - 1)), i =>
+            coalesce(element_at(col("_m"), i.cast("int")), lit(0.0))
+              .cast("float")).as("emb"))
+      val old = byId(exploded, "emb")
+      // exploded drops shingle-less docs; the operator zero-embeds them
+      for ((id, v) <- got) {
+        assert(v.length == dim)
+        assert(old.get(id).map(_ == v).getOrElse(v.forall(_ == 0f)),
+          s"hash=$hash doc=$id: $v vs ${old.get(id)}")
+      }
+      assert(got(1L) == got(2L) && got(1L) != got(6L))
+      assert(got(4L).forall(_ == 0f) && got(5L).forall(_ == 0f))
+      // signed sums are non-trivial: doc 3's repeated distinct shingle
+      // set still lands integer-valued mass somewhere
+      assert(got(3L).exists(_ != 0f))
+    }
+    // distinct=false counts every occurrence: doc 3 repeats shingles,
+    // so its multiset embedding must differ from the distinct one
+    val multi = byId(TextOps.hashedNgramEmbedding(docs, "text", "emb",
+      n = 3, dim = dim, distinct = false), "emb")
+    val dist = byId(TextOps.hashedNgramEmbedding(docs, "text", "emb",
+      n = 3, dim = dim), "emb")
+    assert(multi(3L) != dist(3L) && multi(1L) == dist(1L))
+    intercept[IllegalArgumentException] {
+      TextOps.hashedNgramEmbedding(docs, "text", "emb", n = 0, dim = dim)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.hashedNgramEmbedding(docs, "text", "emb", hash = "crc")
+    }
+  }
+
   // ---- paragraph-level dedup (CCNet-style) ----
 
   private def paraDocs = {
@@ -1763,6 +1826,44 @@ class OpsSpec extends AnyFunSuite {
         assert(r.getSeq[Long](1).length == math.min(nProbe, centers.length))
       }
     }
+  }
+
+  test("two-level nearestCells is bit-equal to the flat kernel " +
+      "(ties, duplicate/padded centroids, short/empty vectors, every nProbe)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map { i =>
+      val len = i % 5 match {
+        case 0 => 3
+        case 1 => 10
+        case _ => 8
+      }
+      (i.toLong, Array.fill(len)(rnd.nextInt(2001) - 1000L))
+    } ++ Seq((2001L, Array.fill(8)(0L)), (2002L, Array.empty[Long]))
+    val df = rows.toDF("id", "v").repartition(5).localCheckpoint()
+    // 600 centers: clustered structure (so pruning actually fires),
+    // symmetric pairs (distance ties), plus padToK-style duplicates
+    // (equal-distance duplicate cells must break to the smaller id)
+    val base = Array.tabulate(299, 8)((c, d) =>
+      ((c % 10) * 200 + ((c * 13 + d * 7) % 21)).toLong - 1000)
+    val centers0 = base ++ base.map(_.map(-_))
+    val centers = centers0 ++ Array(centers0(0), centers0(1)) // 600
+    for (nProbe <- Seq(1, 3, 17, 700)) {
+      val got = df.select(col("id"),
+        graft.expr.Exprs.nearest_cells_two_level(col("v"), centers, nProbe).as("t"),
+        graft.expr.Exprs.nearest_cells(col("v"), centers, nProbe).as("f"))
+        .collect()
+      for (r <- got)
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"id ${r.getLong(0)} nProbe $nProbe: ${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}")
+    }
+    // the dispatch: >= threshold routes two-level, oracle-scale stays flat
+    assert(centers.length >= Similarity.twoLevelCellThreshold)
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    assert(bridge.expression(Similarity.nearestCells(col("v"), centers, 1))
+      .isInstanceOf[graft.expr.NearestCellsTwoLevel])
+    assert(bridge.expression(Similarity.nearestCells(col("v"), centers.take(32), 1))
+      .isInstanceOf[graft.expr.NearestCellsLong])
   }
 
   test("trainIvfCentroids: rectangular nCells x dim in quantized space, " +
