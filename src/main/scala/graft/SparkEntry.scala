@@ -1698,6 +1698,48 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           md5(col("text")).as("clean_md5"))
     }),
+    "q140_substring_index" -> ((s, dir) => {
+      // persisted hot-gram substring index lifecycle (the q136 shape at
+      // token-span granularity, VERDICT r14 item #3): build full gram
+      // counts over split A (doc_id % 4 in (1,2)) bucketed by _g,
+      // ingest split B (% 4 = 3) through the bucket spec as partial
+      // counts, retire every (% 10 = 3) ingested document via NEGATIVE
+      // counts, fold the partials with compact, then probe the held-out
+      // split (% 4 = 0) — tokens covered by a net->=2 gram vanish. The
+      // oracle replays the NET corpus (ingested minus retired) and the
+      // q138-style membership removal; a bucketing, append-routing,
+      // negative-count, property, or compaction defect anywhere in the
+      // cycle breaks the hash.
+      val db = perRunDb(s, "graft_q140_")
+      val d = pq(s, dir, "documents")
+      graft.ml.SubstrIndex.write(
+        d.where(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2),
+        s"$db.sub", minMatchTokens = 8, minOcc = 2)
+      graft.ml.SubstrIndex.append(d.where(col("doc_id") % 4 === 3),
+        s"$db.sub")
+      graft.ml.SubstrIndex.removeDocs(
+        d.where(col("doc_id") % 4 =!= 0 && col("doc_id") % 10 === 3),
+        s"$db.sub")
+      graft.ml.SubstrIndex.compact(s, s"$db.sub")
+      graft.ml.SubstrIndex.probe(s, s"$db.sub",
+          d.where(col("doc_id") % 4 === 0))
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text")).as("clean_md5"))
+    }),
+    "q139_hashed_embedding" -> ((s, dir) =>
+      // the PRODUCT text->embedding front-end (in-row signed
+      // hashed-3-gram feature hashing — zero shuffle, zero explode;
+      // the scalable embedder semanticDedup's text pipeline needs at
+      // 100 TB). hash="md5" so the oracle replays bucket (first 6 md5
+      // hex digits mod dim) and sign (digit 7's parity) exactly; the
+      // integer-valued float components are exploded to scalar BIGINTs
+      // for the cross-engine compare — every component of every
+      // document's vector is pinned.
+      graft.ml.TextOps.hashedNgramEmbedding(pq(s, dir, "documents"),
+          "text", "emb", n = 3, dim = 16, hash = "md5")
+        .select(col("doc_id"), posexplode(col("emb")).as(Seq("b", "v")))
+        .select(col("doc_id"), col("b").cast("long").as("b"),
+          col("v").cast("long").as("v"))),
   )
 
   /** DuckDB twin of `ml.Sampling.hash24` (expects a CTE column `h` =
@@ -2857,5 +2899,35 @@ object SparkEntry {
       """agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(t, ' ' ORDER BY i0)) AS clean_md5 FROM keep GROUP BY 1), """ +
       """tot AS (SELECT doc_id, CAST(coalesce(len(ws), 0) AS BIGINT) AS n_tokens FROM w) """ +
       """SELECT d.doc_id, coalesce(t.n_tokens, 0) AS n_tokens, coalesce(t.n_tokens, 0) - coalesce(a.n_kept, 0) AS n_removed, coalesce(a.clean_md5, md5('')) AS clean_md5 FROM (SELECT doc_id FROM documents WHERE length(source) = 4) d LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)"""),
+
+    // the index lifecycle collapses relationally to: hot grams of the
+    // NET reference corpus (ingested splits minus retired docs — the
+    // negative-count append makes net sums equal the never-ingested
+    // counterfactual exactly), then the q138 membership removal over
+    // the held-out probe split
+    "q140_substring_index" -> (
+      """WITH refw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 10 <> 3), """ +
+      """hot AS (SELECT md5(array_to_string(ws[i:i+7], ' ')) AS g FROM (SELECT ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM refw) GROUP BY 1 HAVING count(*) >= 2), """ +
+      """w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents WHERE doc_id % 4 = 0), """ +
+      """occ AS (SELECT doc_id, i - 1 AS p, md5(array_to_string(ws[i:i+7], ' ')) AS g FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w)), """ +
+      """dups AS (SELECT doc_id, p FROM occ JOIN hot USING (g)), """ +
+      """tok AS (SELECT doc_id, ws[i] AS t, i - 1 AS i0 FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)), """ +
+      """keep AS (SELECT doc_id, t, i0 FROM tok WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = tok.doc_id AND d.p <= tok.i0 AND tok.i0 < d.p + 8)), """ +
+      """agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(t, ' ' ORDER BY i0)) AS clean_md5 FROM keep GROUP BY 1), """ +
+      """tot AS (SELECT doc_id, CAST(coalesce(len(ws), 0) AS BIGINT) AS n_tokens FROM w) """ +
+      """SELECT d.doc_id, coalesce(t.n_tokens, 0) AS n_tokens, coalesce(t.n_tokens, 0) - coalesce(a.n_kept, 0) AS n_removed, coalesce(a.clean_md5, md5('')) AS clean_md5 FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)"""),
+
+    // identical tokenization + distinct 3-gram shingles; bucket = the
+    // first 6 md5 hex digits (decoded digit-by-digit, the hash24
+    // pattern) mod dim, sign = digit 7's parity; every component of
+    // every document's embedding is pinned as a scalar BIGINT row
+    "q139_hashed_embedding" -> (
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents), """ +
+      """sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w)), """ +
+      """hp AS (SELECT doc_id, md5(s) AS h FROM sh), """ +
+      s"""pv AS (SELECT doc_id, ($hash24OracleSql) % 16 AS b, ((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) % 2) * 2 - 1 AS v FROM hp), """ +
+      """agg AS (SELECT doc_id, b, CAST(sum(v) AS BIGINT) AS v FROM pv GROUP BY 1, 2), """ +
+      """gb AS (SELECT unnest(range(0, 16)) AS b) """ +
+      """SELECT d.doc_id, CAST(gb.b AS BIGINT) AS b, CAST(coalesce(a.v, 0) AS BIGINT) AS v FROM documents d CROSS JOIN gb LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.b = gb.b"""),
   )
 }

@@ -36,7 +36,7 @@ object Indexes {
     * [[deleteFromBucketedTable]] (transform = anti-join). Preserves
     * bucket spec, sort spec, and `graft.*` table properties; swaps via
     * the crash-safe rename dance described on the object. */
-  private def rewriteBucketedTable(spark: SparkSession, table: String,
+  private[ml] def rewriteBucketedTable(spark: SparkSession, table: String,
       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val catalog = spark.sessionState.catalog

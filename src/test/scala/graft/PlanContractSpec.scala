@@ -462,6 +462,54 @@ class PlanContractSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("substr hot-gram index: probe equals direct recompute over the net " +
+      "corpus, negative-count retirement is exact, compaction folds " +
+      "partials, hot-side aggregation plans ZERO exchange") {
+    import graft.ml.{Dedup, SubstrIndex}
+    val db = TestDbs.perRun(spark, "graft_subx_")
+    val docs = Tables.pq(spark, dir, "documents")
+    val a = docs.where(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
+    val b = docs.where(col("doc_id") % 4 === 3)
+    val ret = docs.where(col("doc_id") % 4 =!= 0 && col("doc_id") % 10 === 3)
+    val probeDocs = docs.where(col("doc_id") % 4 === 0)
+    assert(ret.count() > 0)
+    SubstrIndex.write(a, s"$db.sub", minMatchTokens = 8, minOcc = 2,
+      buckets = 4)
+    SubstrIndex.append(b, s"$db.sub")
+    SubstrIndex.removeDocs(ret, s"$db.sub")
+    val viaIdx = SubstrIndex.probe(spark, s"$db.sub", probeDocs)
+      .collect().map(_.toSeq).toSet
+    // the counterfactual: hot set recomputed from the NET corpus as if
+    // the retired docs were never ingested — negative counts must land
+    // exactly there
+    val live = docs.where(col("doc_id") % 4 =!= 0 && col("doc_id") % 10 =!= 3)
+    val direct = Dedup.removeSubstrings(probeDocs,
+        Dedup.hotSubstrings(live, minMatchTokens = 8), minMatchTokens = 8)
+      .collect().map(_.toSeq).toSet
+    assert(viaIdx == direct && viaIdx.nonEmpty)
+    // compaction folds the three generations of partial counts to one
+    // row per gram and one file per bucket; answers unchanged
+    val preRows = spark.table(s"$db.sub").count()
+    SubstrIndex.compact(spark, s"$db.sub")
+    assert(spark.table(s"$db.sub").count() < preRows)
+    assert(spark.table(s"$db.sub").groupBy(col("_g")).count()
+      .where(col("count") > 1).count() == 0)
+    assert(graft.ml.Indexes.dataFileCount(spark, s"$db.sub") == 4)
+    assert(SubstrIndex.probe(spark, s"$db.sub", probeDocs)
+      .collect().map(_.toSeq).toSet == viaIdx)
+    // zero index-side exchange: the hot-set groupBy on _g consumes the
+    // bucketed layout in place (VERDICT r14 item #3 — the raw q138
+    // parquet hot set re-shuffles per trigger once above broadcast)
+    val hotPlan = SubstrIndex.hotGrams(spark, s"$db.sub")
+      .queryExecution.executedPlan.toString
+    assert(!hotPlan.contains("Exchange"), hotPlan.take(2000))
+    // a table nothing here wrote is rejected before any join
+    probeDocs.limit(2).write.mode("overwrite").saveAsTable(s"$db.bare")
+    intercept[IllegalArgumentException] {
+      SubstrIndex.probe(spark, s"$db.bare", probeDocs)
+    }
+  }
+
   test("index rewrite recovers from a crash between the swap renames") {
     import graft.ml.{AnnIndex, Similarity}
     // the one crash window the rename dance leaves: live renamed to
@@ -876,6 +924,35 @@ class PlanContractSpec extends AnyFunSuite {
     val p3 = graft.ml.Sampling.assignShards(docs, "doc_id", 16)
       .queryExecution.executedPlan.toString
     assert(!p3.contains("Exchange"), p3.take(1500))
+  }
+
+  test("dedupSubstrings widened rank window: forced gate swaps the window " +
+      "exchange's width, adds none, and changes no rows") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"a b c d e f g h i tail$i")).toDF("doc_id", "text")
+    def runRows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val plainDf = graft.ml.Dedup.dedupSubstrings(docs)
+    val plain = plainDf.queryExecution.executedPlan.toString
+    val plainRows = runRows(plainDf)
+    spark.conf.set(graft.core.Sizing.ForceKey, "salted")
+    try {
+      val wideDf = graft.ml.Dedup.dedupSubstrings(docs)
+      val wide = wideDf.queryExecution.executedPlan.toString
+      // the explicit repartition on _g satisfies the window's clustered
+      // distribution, so it REPLACES the window's own exchange — same
+      // total count, only the width changes (BASELINE.md round14-substr
+      // 40 g heap finding; VERDICT r14 item #5)
+      assert("Exchange".r.findAllIn(wide).size ==
+        "Exchange".r.findAllIn(plain).size, wide.take(2500))
+      assert(wide.contains("hashpartitioning(_g"), wide.take(2500))
+      assert(runRows(wideDf) == plainRows)
+      val last = graft.core.Sizing.lastDecision.get()
+      assert(last != null && last._1 == "dedupSubstrings.window" && last._3,
+        s"expected a forced widen decision, got $last")
+    } finally spark.conf.unset(graft.core.Sizing.ForceKey)
   }
 
   test("semanticDedup plans: single-pass (no Union), anchor killers broadcast, " +

@@ -803,4 +803,40 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("SubstrIndex streaming serve (foreachBatch probe) equals the batch probe") {
+    import graft.ml.SubstrIndex
+    import org.apache.spark.sql.DataFrame
+    // the persisted-index edition of the q138 serve: the hot side comes
+    // off the bucketed gram table (zero index-side exchange, pinned in
+    // PlanContractSpec) and micro-batch boundaries cannot change a
+    // membership-only filter
+    val dir = "/root/testdata/sf0.001"
+    val db = TestDbs.perRun(spark, "graft_subs_")
+    val docs = Tables.pq(spark, dir, "documents")
+    SubstrIndex.write(docs.where(col("doc_id") % 3 =!= 0), s"$db.sub",
+      buckets = 4)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val outPath = s"/tmp/${db}_serve"
+    new java.io.File(outPath).mkdirs()
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/documents.parq*")
+      .where(col("doc_id") % 3 === 0)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        SubstrIndex.probe(spark, s"$db.sub", batch)
+          .write.mode("overwrite").parquet(s"$outPath/b$bid")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read
+      .schema("doc_id LONG, text STRING, n_tokens LONG, n_removed LONG")
+      .option("recursiveFileLookup", "true").parquet(outPath)
+      .collect().map(_.toSeq).toSet
+    val batchAns = SubstrIndex.probe(spark, s"$db.sub",
+        docs.where(col("doc_id") % 3 === 0))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batchAns && streamed.nonEmpty)
+  }
 }
