@@ -784,9 +784,21 @@ object MlBench {
       val io = new IoListener; spark.sparkContext.addSparkListener(io)
       def fpSub(d: DataFrame): (Long, Long, Long) =
         chunkFingerprint(d, Seq("doc_id", "text", "n_tokens", "n_removed"))
+      // REAL leaf stats for the round-15 rank-window widen gate: the
+      // localCheckpoint corpus inherits range-leaf estimates
+      // (~22 B/doc, the known ~14x understatement documented on the
+      // verifyKey pin above), which would hold the 256 MB gate low at
+      // 8M — route the corpus through parquet and read it back, as any
+      // real pipeline would (the rows are identical; only the leaf
+      // stats the Sizing gate reads become honest)
+      val docsPath = s"/tmp/mlbench_substr_$nDocs"
+      t(s"substr corpus->parquet @$nDocs") {
+        docs.write.mode("overwrite").parquet(docsPath)
+      }
+      val pdocs = spark.read.parquet(docsPath)
       val (sw0, sp0) = io.snap()
       val first = t(s"substr keep-first k=8 @$nDocs") {
-        Dedup.dedupSubstrings(docs).localCheckpoint()
+        Dedup.dedupSubstrings(pdocs).localCheckpoint()
       }
       val (sw1, sp1) = io.snap()
       val s1 = first.agg(sum("n_tokens"), sum("n_removed"),
@@ -811,8 +823,7 @@ object MlBench {
       val sess2 = spark.newSession()
       sess2.conf.set("spark.sql.shuffle.partitions", "23")
       val first23 = t(s"substr keep-first @$nDocs width=23") {
-        Dedup.dedupSubstrings(
-          sess2.createDataFrame(docs.rdd, docs.schema)).localCheckpoint()
+        Dedup.dedupSubstrings(sess2.read.parquet(docsPath)).localCheckpoint()
       }
       val fp23 = fpSub(first23)
       println(s"[mlbench] substr invariance: width-32 $fp1 vs width-23 $fp23 " +
@@ -829,22 +840,42 @@ object MlBench {
       } else {
         val (sw2, sp2) = io.snap()
         val hot = t(s"substr hotSubstrings @$nDocs") {
-          Dedup.hotSubstrings(docs).localCheckpoint()
+          Dedup.hotSubstrings(pdocs).localCheckpoint()
         }
         println(s"[mlbench] substr hot grams: ${hot.count()}")
         val served = t(s"substr removeSubstrings vs hot @$nDocs") {
-          Dedup.removeSubstrings(docs, hot).localCheckpoint()
+          Dedup.removeSubstrings(pdocs, hot).localCheckpoint()
         }
         val (sw3, sp3) = io.snap()
         println(f"[mlbench] substr serve: shuffle ${(sw3 - sw2) / 1e9}%.2f GB, " +
           f"spill ${(sp3 - sp2) / 1e9}%.2f GB (hot build + removal)")
         val all = t(s"substr mode=all @$nDocs") {
-          Dedup.dedupSubstrings(docs, mode = "all").localCheckpoint()
+          Dedup.dedupSubstrings(pdocs, mode = "all").localCheckpoint()
         }
         val fpServe = fpSub(served)
         val fpAll = fpSub(all)
         println(s"[mlbench] substr serve==all: $fpServe vs $fpAll " +
           (if (fpServe == fpAll) "[BIT-IDENTICAL]" else "[MISMATCH]"))
+        // the PERSISTED hot-gram index (round 15): the bucketed gram
+        // count table's probe must reproduce the raw hot-set serve
+        // bit-for-bit, with the hot side now derived exchange-free
+        spark.sql("CREATE DATABASE IF NOT EXISTS mlbench_subidx")
+        val (sw4, sp4) = io.snap()
+        t(s"substr index write @$nDocs") {
+          graft.ml.SubstrIndex.write(pdocs, "mlbench_subidx.sub",
+            buckets = 32)
+        }
+        val probed = t(s"substr index probe @$nDocs") {
+          graft.ml.SubstrIndex.probe(spark, "mlbench_subidx.sub", pdocs)
+            .localCheckpoint()
+        }
+        val (sw5, sp5) = io.snap()
+        val fpProbe = fpSub(probed)
+        println(f"[mlbench] substr index probe==serve: $fpProbe vs $fpServe " +
+          (if (fpProbe == fpServe) "[BIT-IDENTICAL]" else "[MISMATCH]") +
+          f" (index legs shuffle ${(sw5 - sw4) / 1e9}%.2f GB, " +
+          f"spill ${(sp5 - sp4) / 1e9}%.2f GB)")
+        probed.unpersist()
         // release the corpus-scale checkpoints before any later mode
         // builds its own state (the round-11 pool-starvation lesson)
         hot.unpersist(); served.unpersist(); all.unpersist()

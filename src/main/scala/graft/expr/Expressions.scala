@@ -182,6 +182,62 @@ object ExprKernels {
       java.util.Arrays.copyOf(cBest, filled))
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val spaceUtf8 = UTF8String.fromString(" ")
+  private val sgnUtf8 = UTF8String.fromString("sgn")
+
+  /** Signed hashed-n-gram embedding over a TOKEN ARRAY, one tight pass
+    * (the TextOps.hashedNgramEmbedding kernel). Semantics are pinned to
+    * the Column spelling it replaces, component for component:
+    * shingle = n tokens space-joined; xxhash64 mode's bucket/sign are
+    * `pmod(xxhash64(s), dim)` / `pmod(xxhash64(s, "sgn"), 2) * 2 - 1`
+    * (XXH64 seed 42, then the "sgn" literal hashed with the first
+    * hash as seed — exactly how the variadic xxhash64 chains); md5
+    * mode's are the first 6 hex digits (= first 3 digest bytes) mod
+    * dim and hex digit 7's (= byte 3's high nibble) parity. The
+    * interpreted-HOF spelling measured 695.7 s at 2M docs — per-bucket
+    * aggregate() lambdas pay dim x shingles interpreted dispatches per
+    * row; this loop is the same arithmetic fused into one pass. */
+  def hashedNgramEmbed(toks: ArrayData, n: Int, dim: Int,
+                       distinct: Boolean, md5Mode: Boolean): ArrayData = {
+    val acc = new Array[Float](dim)
+    val nt = toks.numElements()
+    if (nt >= n) {
+      val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 1
+      while (j < 2 * n - 1) { parts(j) = spaceUtf8; j += 2 }
+      var p = 0
+      while (p <= nt - n) {
+        var i = 0
+        while (i < n) { parts(2 * i) = toks.getUTF8String(p + i); i += 1 }
+        val s = UTF8String.concat(parts: _*)
+        if (seen == null || seen.add(s)) {
+          if (md5Mode) {
+            val md = md5Digest.get()
+            md.reset()
+            val d = md.digest(s.getBytes)
+            val bucket =
+              ((((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)) % dim)
+            acc(bucket) += (if (((d(3) >> 4) & 1) == 1) 1f else -1f)
+          } else {
+            val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUTF8String(s, 42L)
+            val b = (((h1 % dim) + dim) % dim).toInt
+            val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUTF8String(sgnUtf8, h1)
+            acc(b) += (if (((h2 % 2) + 2) % 2 == 1) 1f else -1f)
+          }
+        }
+        p += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc)
+  }
+
   /** Euclid gcd on longs (exact-fraction reduction in the bigWig divide
     * payload). Plain long arithmetic — no BigInt allocation per row. */
   def gcdLong(a0: Long, b0: Long): Long = {
@@ -486,6 +542,27 @@ case class NearestCellsTwoLevel(child: Expression,
     copy(child = c)
 }
 
+/** Hashed-n-gram embedding as a native codegen'd expression over the
+  * token array — the TextOps.hashedNgramEmbedding hot path. One fused
+  * pass per row (shingle + hash + accumulate), no per-bucket lambda
+  * dispatch; OpsSpec pins bit-equality with both the interpreted-HOF
+  * Column spelling and the retired explode+agg spelling. */
+case class HashedNgramEmbed(child: Expression, n: Int, dim: Int,
+                            distinct: Boolean, md5Mode: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(StringType))
+  override protected def nullSafeEval(v: Any): Any =
+    ExprKernels.hashedNgramEmbed(v.asInstanceOf[ArrayData], n, dim,
+      distinct, md5Mode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.ExprKernels.hashedNgramEmbed($c, $n, $dim, $distinct, $md5Mode)")
+  override protected def withNewChildInternal(c: Expression): HashedNgramEmbed =
+    copy(child = c)
+}
+
 /** Long gcd as a codegen'd expression — replaces a BigInt-allocating
   * Scala UDF on the bigWig divide payload's hot tail. */
 case class GcdLong(left: Expression, right: Expression)
@@ -519,6 +596,10 @@ object Exprs {
                               nProbe: Int): Column =
     GraftColumnBridge.column(NearestCellsTwoLevel(
       GraftColumnBridge.expression(c), centers, nProbe))
+  def hashed_ngram_embed(toks: Column, n: Int, dim: Int,
+                         distinct: Boolean, md5Mode: Boolean): Column =
+    GraftColumnBridge.column(HashedNgramEmbed(
+      GraftColumnBridge.expression(toks), n, dim, distinct, md5Mode))
   def gcd_long(a: Column, b: Column): Column =
     GraftColumnBridge.column(GcdLong(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

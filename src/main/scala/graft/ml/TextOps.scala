@@ -168,53 +168,45 @@ object TextOps {
     * the 2M/8M soak corpora: same-cluster ~0.86, cross ~0,
     * BASELINE.md round14-semtext).
     *
-    * Computed ENTIRELY IN-ROW: one `(bucket, sign)` struct array per
-    * document (materialized once in a temp column — CollapseProject
-    * keeps the barrier, the qualityStats lesson), then one fold per
-    * bucket — zero shuffle, zero explode, O(shingles x dim) arithmetic
-    * per row. The explode + two-shuffled-aggs spelling this replaces
-    * (MlBench's r14 soak scaffolding) went SUPERLINEAR at 8M (1475.5 s
-    * vs 94.9 s at 2M — the shuffled shingle stream enters a spill
-    * regime; BASELINE.md round14-semtext-8m); a per-row projection is
-    * linear by construction at any corpus size.
+    * Computed ENTIRELY IN-ROW by ONE fused codegen'd kernel
+    * (graft.expr.HashedNgramEmbed: tokenize once, then shingle + hash
+    * + accumulate per row) — zero shuffle, zero explode, linear by
+    * construction at any corpus size. Two spellings were measured and
+    * rejected on the way here (BASELINE.md round15-embed): the explode
+    * + two-shuffled-aggs soak scaffolding went SUPERLINEAR at 8M
+    * (1475.5 s vs 94.9 s at 2M — the shuffled shingle stream enters a
+    * spill regime), and a pure-Column higher-order-function fold was
+    * linear but paid dim x shingles INTERPRETED lambda dispatches per
+    * row (695.7 s at 2M — HOFs don't codegen). The kernel is the same
+    * arithmetic as both, fused: OpsSpec pins bit-equality against the
+    * explode spelling for both hash variants.
     *
     * `hash="xxhash64"` (default) matches the recorded soak embeddings
-    * bit-for-bit; `hash="md5"` derives bucket and sign from md5 hex
-    * digits (bucket = first 6 digits mod dim, sign = digit 7's parity)
-    * so an external SQL oracle can replay every component exactly
-    * (the q139 contract). Documents with fewer than `n` tokens (or
-    * NULL text) embed as the zero vector. Output: array<float> of
-    * integer-valued components (exact in float well past any real
-    * document's shingle count). */
+    * bit-for-bit (XXH64 seed 42; sign = the "sgn" literal chained
+    * through the variadic xxhash64); `hash="md5"` derives bucket and
+    * sign from md5 hex digits (bucket = first 6 digits mod dim, sign =
+    * digit 7's parity) so an external SQL oracle can replay every
+    * component exactly (the q139 contract). Documents with fewer than
+    * `n` tokens (or NULL text) embed as the zero vector. Output:
+    * array<float> of integer-valued components (exact in float well
+    * past any real document's shingle count). */
   def hashedNgramEmbedding(df: DataFrame, textCol: String = "text",
                            outCol: String = "embedding", n: Int = 3,
                            dim: Int = 64, distinct: Boolean = true,
                            hash: String = "xxhash64"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val sh0 = wordShingles(col(textCol), n)
-    val sh = if (distinct) array_distinct(sh0) else sh0
-    val pair: Column => Column = hash match {
-      case "xxhash64" => s => struct(
-        pmod(xxhash64(s), lit(dim.toLong)).cast("int").as("b"),
-        (pmod(xxhash64(s, lit("sgn")), lit(2)) * 2 - 1).cast("long").as("v"))
-      case "md5" => s => {
-        val h = md5(s)
-        struct(
-          (conv(substring(h, 1, 6), 16, 10).cast("long") % dim)
-            .cast("int").as("b"),
-          (conv(substring(h, 7, 1), 16, 10).cast("long") % 2 * 2 - 1)
-            .as("v"))
-      }
+    val md5Mode = hash match {
+      case "xxhash64" => false
+      case "md5" => true
       case other => throw new IllegalArgumentException(
         s"hash must be 'xxhash64' or 'md5', got '$other'")
     }
-    df.withColumn("_hne", transform(sh, pair))
-      .withColumn(outCol, transform(sequence(lit(0), lit(dim - 1)), i =>
-        aggregate(col("_hne"), lit(0L), (a, p) =>
-          a + when(p.getField("b") === i, p.getField("v")).otherwise(0L))
-          .cast("float")))
-      .drop("_hne")
+    // NULL text embeds as the zero vector (the kernel is null-safe and
+    // would propagate NULL; the coalesce pins the zero-vector contract)
+    df.withColumn(outCol, graft.expr.Exprs.hashed_ngram_embed(
+      coalesce(tokens(col(textCol)), array().cast("array<string>")),
+      n, dim, distinct, md5Mode))
   }
 
   /** PII patterns for curation filters, restricted to syntax Java regex
