@@ -144,7 +144,7 @@ object MlBench {
       (modes.contains("all") &&
         !Set("starab", "recall", "annrecall", "serve", "paradedup", "pq",
           "semdedup", "semthresh", "semtext", "traincap",
-          "substr", "embed").contains(m))
+          "substr", "embed", "assign").contains(m))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1182,6 +1182,41 @@ object MlBench {
           f"${k.getLong(1)}/${k.getLong(0)} = ${k.getLong(1) * 100.0 / k.getLong(0)}%.3f%%, " +
           s"clusters exactly-1 ${s1.getLong(0)}/${s1.getLong(1)}")
         out.unpersist()
+      }
+    }
+
+    if (on("assign")) {
+      // TWO-LEVEL vs FLAT coarse assignment, isolated (VERDICT r14
+      // item #2's deliverable is the ASSIGNMENT wall — the semtext
+      // pairwise legs conflate it with the banded kill join): same
+      // corpus embeddings, same trained centroids, full-corpus argmin
+      // scan under each kernel, walls + an order-free equality proof
+      // (sum over the probed cell lists must match exactly).
+      import graft.ml.{Similarity, TextOps}
+      val dim = 64
+      val emb = t(s"assign embeddings @$nDocs") {
+        TextOps.hashedNgramEmbedding(docs, "text", "embedding",
+            n = 3, dim = dim)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+          .localCheckpoint()
+      }
+      val kCells = math.max(1024, math.min(8192, (nDocs / 2000).toInt))
+      val km = t(s"assign trainIvfCentroids k=$kCells @$nDocs") {
+        Similarity.trainIvfCentroids(emb, kCells)
+      }
+      val q = Similarity.quantize(col("embedding"), 1000)
+      def scan(c: org.apache.spark.sql.Column): Long =
+        emb.select(aggregate(c, lit(0L), (a, x) => a + x * x + x).as("_s"))
+          .agg(sum(col("_s"))).head().getLong(0)
+      for (probe <- Seq(1, 4)) {
+        val f = t(s"assign FLAT k=$kCells nProbe=$probe @$nDocs") {
+          scan(graft.expr.Exprs.nearest_cells(q, km, probe))
+        }
+        val tl = t(s"assign TWO-LEVEL k=$kCells nProbe=$probe @$nDocs") {
+          scan(graft.expr.Exprs.nearest_cells_two_level(q, km, probe))
+        }
+        println(s"[mlbench] assign nProbe=$probe: flat=$f two-level=$tl " +
+          (if (f == tl) "[EQUAL]" else "[MISMATCH]"))
       }
     }
 

@@ -91,11 +91,12 @@ object ExprKernels {
     * round14-semtext-8m); this kernel cuts it ~sqrt(k)-fold while
     * keeping the result exact:
     *
-    *  - candidate distances stay EXACT LONGS (`|c|^2 - 2 v.c`, the
-    *    flat kernel's loop) and ties insert by (d asc, cell asc)
-    *    explicitly — visit order across groups is distance-sorted,
-    *    not cell-sorted, so the tie compare the flat kernel gets for
-    *    free from its ascending scan is spelled out here;
+    *  - candidate distances stay EXACT LONGS (the flat kernel's
+    *    true-squared-distance loop, with its partial-distance early
+    *    exit) and ties insert by (d asc, cell asc) explicitly — visit
+    *    order across groups is distance-sorted, not cell-sorted, so
+    *    the tie compare the flat kernel gets for free from its
+    *    ascending scan is spelled out here;
     *  - pruning bounds are FLOATING but one-sided: the bound is
     *    deflated and the incumbent inflated by 1e-9 relative (orders
     *    of magnitude beyond accumulated double rounding at any
@@ -107,10 +108,6 @@ object ExprKernels {
     val centers = idx.centers
     val k = math.min(nProbe, centers.length)
     val nv = v.numElements()
-    // |v|^2 exact (quantized longs: |x| <= ~2^20 => sums < 2^53-safe)
-    var v2 = 0L
-    var j = 0
-    while (j < nv) { val x = v.getLong(j); v2 += x * x; j += 1 }
     val G = idx.supers.length
     val dg = new Array[Double](G)
     val og = new Array[Int](G)
@@ -140,9 +137,10 @@ object ExprKernels {
       val grp = og(gi)
       var skip = false
       if (filled == k) {
-        // d' = |c|^2 - 2 v.c drops the |v|^2 term; true squared
-        // distance adds it back (exact long), inflated for safety
-        val worstTrue = (dBest(k - 1) + v2).toDouble * (1 + 1e-9)
+        // dBest holds TRUE squared distances (round 15 — same
+        // accumulator as the flat kernel), so the triangle bound
+        // compares directly; one-sided float slack as before
+        val worstTrue = dBest(k - 1).toDouble * (1 + 1e-9)
         val sq = Math.sqrt(dg(grp))
         val lbAll = (sq - idx.rMax) * (1 - 1e-9)
         if (lbAll > 0 && lbAll * lbAll > worstTrue) { done = true; skip = true }
@@ -158,20 +156,44 @@ object ExprKernels {
           val c = mem(mi)
           val row = centers(c)
           val n = math.min(nv, row.length)
+          // partial-distance early exit (the flat kernel's round-15
+          // guard): groups arrive nearest-first, so the incumbent is
+          // tight almost immediately and far members abandon after a
+          // few components; strict > can never skip a tie
+          val worst = if (filled == k) dBest(k - 1) else Long.MaxValue
           var d = 0L
           var i = 0
-          while (i < n) { val w = row(i); d += w * (w - 2L * v.getLong(i)); i += 1 }
-          while (i < row.length) { val w = row(i); d += w * w; i += 1 }
-          var pos = filled
-          while (pos > 0 && (d < dBest(pos - 1) ||
-              (d == dBest(pos - 1) && c < cBest(pos - 1)))) pos -= 1
-          if (pos < k) {
-            val upto = math.min(filled, k - 1)
-            var m = upto
-            while (m > pos) { dBest(m) = dBest(m - 1); cBest(m) = cBest(m - 1); m -= 1 }
-            dBest(pos) = d
-            cBest(pos) = c
-            if (filled < k) filled += 1
+          var live = true
+          while (live && i < n) {
+            val lim = math.min(i + 16, n)
+            while (i < lim) {
+              val t = row(i) - v.getLong(i)
+              d += t * t
+              i += 1
+            }
+            if (d > worst) live = false
+          }
+          while (live && i < row.length) {
+            val lim = math.min(i + 16, row.length)
+            while (i < lim) {
+              val w = row(i)
+              d += w * w
+              i += 1
+            }
+            if (d > worst) live = false
+          }
+          if (live) {
+            var pos = filled
+            while (pos > 0 && (d < dBest(pos - 1) ||
+                (d == dBest(pos - 1) && c < cBest(pos - 1)))) pos -= 1
+            if (pos < k) {
+              val upto = math.min(filled, k - 1)
+              var m = upto
+              while (m > pos) { dBest(m) = dBest(m - 1); cBest(m) = cBest(m - 1); m -= 1 }
+              dBest(pos) = d
+              cBest(pos) = c
+              if (filled < k) filled += 1
+            }
           }
           mi += 1
         }
@@ -260,14 +282,28 @@ object ExprKernels {
   }
 
   /** nProbe nearest centroid cells of a quantized vector: euclidean
-    * argmin via d = |c|^2 - 2*dot(v, c) over a REFERENCE matrix, ordered
-    * (d asc, cell asc) — bit-equal to the unrolled least()/array_sort
-    * struct spelling it replaces, but O(1) generated-code size at any
-    * cell count (the unrolled spelling emits one struct comparator per
-    * cell and blows Janino's 64 KB method limit at ~1024 cells, dropping
-    * the WHOLE stage to interpreted — measured in MlBench `semdedup`).
-    * The |c|^2 term covers ALL centroid components even when the input
-    * vector is shorter (the struct spelling's c2 literal does too). */
+    * argmin over a REFERENCE matrix, ordered (d asc, cell asc) —
+    * bit-equal to the unrolled least()/array_sort struct spelling it
+    * replaces, but O(1) generated-code size at any cell count (the
+    * unrolled spelling emits one struct comparator per cell and blows
+    * Janino's 64 KB method limit at ~1024 cells, dropping the WHOLE
+    * stage to interpreted — measured in MlBench `semdedup`).
+    *
+    * Round 15: the accumulator is the TRUE squared distance
+    * sum((c_j - v_j)^2) over the centroid's components (v_j = 0 past
+    * the vector's length — the same convention the old |c|^2 - 2 v.c
+    * form had), which is MONOTONE nondecreasing in j, so once the
+    * partial sum strictly exceeds the current nProbe-th best the cell
+    * can be abandoned mid-row (partial-distance early exit — exact by
+    * construction: a strictly-greater partial can never end <= worst,
+    * and ties are never skipped because the break is strict).
+    * MEASURED (BASELINE.md round15-assign): the full flat scan at
+    * 8M x 4000 cells x 64 dims took 150.8 s without the exit; the
+    * early-exit scan abandons most cells after a handful of
+    * components. Ordering is unchanged from the old form — for the
+    * rectangular matrices every caller builds, the two accumulators
+    * differ by the per-row constant |v|^2, which shifts every cell's
+    * distance equally. */
   def nearestCells(v: ArrayData, centers: Array[Array[Long]],
                    nProbe: Int): ArrayData = {
     val k = math.min(nProbe, centers.length)
@@ -275,24 +311,48 @@ object ExprKernels {
     val cBest = new Array[Long](k)
     var filled = 0
     var c = 0
+    val nv = v.numElements()
     while (c < centers.length) {
       val row = centers(c)
-      val n = math.min(v.numElements(), row.length)
+      val n = math.min(nv, row.length)
+      val worst = if (filled == k) dBest(k - 1) else Long.MaxValue
       var d = 0L
       var j = 0
-      while (j < n) { val w = row(j); d += w * (w - 2L * v.getLong(j)); j += 1 }
-      while (j < row.length) { val w = row(j); d += w * w; j += 1 }
-      // insertion ordered by (d asc, cell asc): strict < keeps the
-      // earlier (smaller) cell id in front on distance ties
-      var pos = filled
-      while (pos > 0 && d < dBest(pos - 1)) pos -= 1
-      if (pos < k) {
-        val upto = math.min(filled, k - 1)
-        var m = upto
-        while (m > pos) { dBest(m) = dBest(m - 1); cBest(m) = cBest(m - 1); m -= 1 }
-        dBest(pos) = d
-        cBest(pos) = c
-        if (filled < k) filled += 1
+      var live = true
+      // exit check every 16 components, not per element: the per-element
+      // branch measurably taxed the nProbe=4 path (148.1 -> 159.3 s at
+      // 8M) while the win comes from abandoning whole tails
+      while (live && j < n) {
+        val lim = math.min(j + 16, n)
+        while (j < lim) {
+          val t = row(j) - v.getLong(j)
+          d += t * t
+          j += 1
+        }
+        if (d > worst) live = false
+      }
+      while (live && j < row.length) {
+        val lim = math.min(j + 16, row.length)
+        while (j < lim) {
+          val w = row(j)
+          d += w * w
+          j += 1
+        }
+        if (d > worst) live = false
+      }
+      if (live) {
+        // insertion ordered by (d asc, cell asc): strict < keeps the
+        // earlier (smaller) cell id in front on distance ties
+        var pos = filled
+        while (pos > 0 && d < dBest(pos - 1)) pos -= 1
+        if (pos < k) {
+          val upto = math.min(filled, k - 1)
+          var m = upto
+          while (m > pos) { dBest(m) = dBest(m - 1); cBest(m) = cBest(m - 1); m -= 1 }
+          dBest(pos) = d
+          cBest(pos) = c
+          if (filled < k) filled += 1
+        }
       }
       c += 1
     }
@@ -506,11 +566,17 @@ case class NearestCellsLong(child: Expression, centers: Array[Array[Long]],
 
 /** The two-level exact variant of [[NearestCellsLong]] — same result
   * bit-for-bit (OpsSpec pins it against the flat kernel incl. padded
-  * duplicate centroids and short vectors), ~sqrt(k)-fold cheaper per
-  * row at large k via distance-ordered super-cell scan +
-  * triangle-inequality pruning. [[graft.ml.Similarity.nearestCells]]
-  * dispatches here above its cell-count threshold; the structure is
-  * memo-cached so Catalyst copy() churn never rebuilds it. */
+  * duplicate centroids and short vectors): distance-ordered super-cell
+  * scan + triangle-inequality pruning + the same partial-distance
+  * early exit. EXPLICIT OPT-IN, not the default: on high-dimensional
+  * hashed-text embeddings the triangle bound barely prunes (distance
+  * concentration) and the reordered member scan loses the flat
+  * kernel's sequential prefetch locality — measured SLOWER than flat
+  * at 8M x 4000 x 64 (172.4 vs 115.2 s; BASELINE.md round15-assign).
+  * Use it for genuinely clustered LOW-dimensional cell geometries,
+  * where the bound fires and the member scan shrinks to one or two
+  * groups. The structure is memo-cached so Catalyst copy() churn
+  * never rebuilds it. */
 case class NearestCellsTwoLevel(child: Expression,
                                 centers: Array[Array[Long]], nProbe: Int)
     extends UnaryExpression with ImplicitCastInputTypes {

@@ -175,29 +175,25 @@ object Similarity {
     * has neither failure mode: O(1) generated code, O(cells * dim)
     * tight-loop work per row.
     *
-    * DISPATCH (round 15): at or above [[twoLevelCellThreshold]] cells
-    * the flat O(cells x dim)/row scan itself becomes the wall — the 8M
-    * text-semdedup legs were assignment-dominated at k=4000 (682-806 s,
-    * BASELINE.md round14-semtext-8m) because holding per-cell
-    * population constant forces k to grow with n. Above the threshold
-    * the call routes to the TWO-LEVEL branch-and-bound kernel
-    * (graft.expr.NearestCellsTwoLevel): distance-ordered super-cell
-    * scan + triangle-inequality pruning, ~sqrt(k)-fold cheaper per row
-    * and BIT-EQUAL by construction (exact long candidate distances,
-    * the same (distance, cell) tie contract, one-sided float bounds —
-    * OpsSpec pins the equality; every oracle query runs at k = 32 and
-    * stays on the flat kernel). */
+    * ROUND-15 MEASURED OUTCOME (BASELINE.md round15-assign): the flat
+    * kernel gained a PARTIAL-DISTANCE EARLY EXIT (true-squared-distance
+    * accumulation is monotone, so a cell is abandoned mid-row once its
+    * partial sum strictly exceeds the running nProbe-th best) — 8M x
+    * k=4000 x 64-dim full-corpus assignment 150.8 -> 115.2 s,
+    * bit-equal by construction. A TWO-LEVEL branch-and-bound variant
+    * (graft.expr.NearestCellsTwoLevel: ~sqrt(k) super-cells scanned
+    * nearest-first + triangle-inequality pruning) was built, proven
+    * bit-equal (OpsSpec), and REJECTED as the default: on the
+    * high-dimensional hashed-text embeddings that motivated it, the
+    * triangle bound barely prunes (radii ~ query distances — distance
+    * concentration) and the distance-ordered member scan gives up the
+    * flat scan's sequential prefetch locality, measuring 210.1 s
+    * un-exited / 172.4 s exited vs the flat kernel's 150.8 / 115.2 s
+    * at 8M x 4000 x 64. It remains available as an explicit opt-in
+    * for genuinely clustered low-dimensional cell geometries, where
+    * the bound does fire. */
   def nearestCells(q: Column, centers: Array[Array[Long]], nProbe: Int): Column =
-    if (centers.length >= twoLevelCellThreshold)
-      graft.expr.Exprs.nearest_cells_two_level(q, centers, nProbe)
-    else graft.expr.Exprs.nearest_cells(q, centers, nProbe)
-
-  /** Cell count at which [[nearestCells]] switches to the two-level
-    * kernel. 512: the two-level scan costs ~(sqrt(k) + visited
-    * members) x dim per row against the flat kernel's k x dim, so the
-    * win is ~sqrt(k)/2-fold — material from a few hundred cells up,
-    * while every cross-engine oracle matrix (k <= 32) stays flat. */
-  val twoLevelCellThreshold: Int = 512
+    graft.expr.Exprs.nearest_cells(q, centers, nProbe)
 
   /** Supervised nearest-centroid assignment (a Rocchio-style classifier
     * and label-purity probe): per-label integer centroid SUMS over the

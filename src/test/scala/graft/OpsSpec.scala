@@ -1857,11 +1857,12 @@ class OpsSpec extends AnyFunSuite {
         assert(r.getSeq[Long](1) == r.getSeq[Long](2),
           s"id ${r.getLong(0)} nProbe $nProbe: ${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}")
     }
-    // the dispatch: >= threshold routes two-level, oracle-scale stays flat
-    assert(centers.length >= Similarity.twoLevelCellThreshold)
+    // the product path stays on the flat early-exit kernel at every k
+    // (two-level was measured SLOWER on high-dim hashed embeddings —
+    // BASELINE.md round15-assign; it remains an explicit opt-in)
     val bridge = org.apache.spark.sql.GraftColumnBridge
     assert(bridge.expression(Similarity.nearestCells(col("v"), centers, 1))
-      .isInstanceOf[graft.expr.NearestCellsTwoLevel])
+      .isInstanceOf[graft.expr.NearestCellsLong])
     assert(bridge.expression(Similarity.nearestCells(col("v"), centers.take(32), 1))
       .isInstanceOf[graft.expr.NearestCellsLong])
   }
