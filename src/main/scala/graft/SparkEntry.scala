@@ -1726,6 +1726,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           md5(col("text")).as("clean_md5"))
     }),
+    "q141_semdedup_text" -> ((s, dir) =>
+      // the END-TO-END text semantic dedup (the composition a curation
+      // pipeline runs): fused hashed-3-gram embedding -> coarse cells
+      // -> centrality rank -> exact cosine gate, one operator call.
+      // hash="md5" + literal centroids so the oracle replays the WHOLE
+      // chain — tokenization, feature hashing, quantize, cell argmin,
+      // rank, and the HUGEINT gate.
+      graft.ml.SemDedup.semanticDedupText(pq(s, dir, "documents"),
+        Similarity.ivfCentroids(16, 16), thresholdPct = 30,
+        n = 3, dim = 16, hash = "md5")),
     "q139_hashed_embedding" -> ((s, dir) =>
       // the PRODUCT text->embedding front-end (in-row signed
       // hashed-3-gram feature hashing — zero shuffle, zero explode;
@@ -1913,7 +1923,9 @@ object SparkEntry {
     * cross-multiplied cosine gate in HUGEINT (the engine runs it in
     * DecimalType(38,0) — both exact integer arithmetic). */
   private def semDedupOracleSql(nCells: Int, dim: Int, tPct: Int,
-                                mode: String, keep: String): String = {
+                                mode: String, keep: String,
+                                qCte: String = null,
+                                idAs: String = "vec_id"): String = {
     val cmLit = Similarity.ivfCentroids(nCells, dim)
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val ordDir = if (keep == "edge") "ASC" else "DESC"
@@ -1922,15 +1934,36 @@ object SparkEntry {
     // kill — a degenerate zero vector never freezes its cell
     val killer =
       if (mode == "anchor") "r.rv = 1 AND r.rn < l.rn" else "r.rn < l.rn"
-    s"WITH $quantCte, cm AS (SELECT $cmLit AS m), " +
+    // qCte: any CTE chain ending in q(vec_id, v) — default is the
+    // quantized embeddings table; q141 passes the text-embedder chain
+    val src = Option(qCte).getOrElse(quantCte)
+    s"WITH $src, cm AS (SELECT $cmLit AS m), " +
       s"cel AS (SELECT vec_id, v, CASE WHEN len(v) > 0 THEN list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)])[1].c ELSE -1 END AS cell FROM q, cm), " +
       s"cd AS (SELECT vec_id, v, cell, CASE WHEN cell >= 0 THEN CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * m[cell + 1][i])) AS BIGINT) END AS cdot, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS n2 FROM cel, cm), " +
       s"rk AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cdot $ordDir, vec_id ASC) AS rn FROM cd), " +
       "rkv AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY rn) AS rv FROM rk WHERE n2 > 0), " +
       s"dt AS (SELECT l.vec_id, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> l.v[i] * r.v[i])) AS BIGINT) AS d, l.n2 AS n2a, r.n2 AS n2b FROM rk l JOIN rkv r ON l.cell = r.cell AND $killer), " +
       s"dup AS (SELECT DISTINCT vec_id FROM dt WHERE n2a > 0 AND n2b > 0 AND d >= 0 AND 10000 * CAST(d AS HUGEINT) * d >= CAST(${tPct.toLong * tPct} AS HUGEINT) * n2a * n2b) " +
-      "SELECT c.vec_id, c.cell, c.cdot AS centroid_dot, (dup.vec_id IS NULL) AS kept " +
+      s"SELECT c.vec_id AS $idAs, c.cell, c.cdot AS centroid_dot, (dup.vec_id IS NULL) AS kept " +
       "FROM cd c LEFT JOIN dup ON c.vec_id = dup.vec_id"
+  }
+
+  /** CTE chain replaying [[graft.ml.TextOps.hashedNgramEmbedding]]
+    * (hash="md5", distinct shingles) into quantized vectors
+    * `q(vec_id, v)` — q139's arithmetic feeding the [[semDedupOracleSql]]
+    * pipeline, so q141 pins the WHOLE text->semantic-dedup chain. The
+    * embedder's integer-valued components make the x1000 quantize an
+    * exact integer multiply. */
+  private def textEmbedQCte(n: Int, dim: Int): String = {
+    val k = n - 1
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents), """ +
+    s"""sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+$k], ' ') AS s FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - $k)) AS i FROM w)), """ +
+    """hp AS (SELECT doc_id, md5(s) AS h FROM sh), """ +
+    s"""pv AS (SELECT doc_id, ($hash24OracleSql) % $dim AS b, ((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) % 2) * 2 - 1 AS v0 FROM hp), """ +
+    """ag AS (SELECT doc_id, b, sum(v0) AS v0 FROM pv GROUP BY 1, 2), """ +
+    s"""gb AS (SELECT unnest(range(0, $dim)) AS b), """ +
+    """fl AS (SELECT d.doc_id, gb.b, coalesce(a.v0, 0) AS v0 FROM documents d CROSS JOIN gb LEFT JOIN ag a ON a.doc_id = d.doc_id AND a.b = gb.b), """ +
+    """q AS (SELECT doc_id AS vec_id, list_transform(list(v0 ORDER BY b), x -> CAST(x * 1000 AS BIGINT)) AS v FROM fl GROUP BY doc_id)"""
   }
 
   /** DuckDB replay of q134: the batch pairwise SemDeDup over the
@@ -2916,6 +2949,14 @@ object SparkEntry {
       """agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, md5(string_agg(t, ' ' ORDER BY i0)) AS clean_md5 FROM keep GROUP BY 1), """ +
       """tot AS (SELECT doc_id, CAST(coalesce(len(ws), 0) AS BIGINT) AS n_tokens FROM w) """ +
       """SELECT d.doc_id, coalesce(t.n_tokens, 0) AS n_tokens, coalesce(t.n_tokens, 0) - coalesce(a.n_kept, 0) AS n_removed, coalesce(a.clean_md5, md5('')) AS clean_md5 FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)"""),
+
+    // the full text->semantic-dedup chain: the q139 embedder CTEs
+    // (md5 bucket/sign, distinct 3-grams, dense zero-filled vectors)
+    // quantized x1000 exactly, feeding the standard semdedup replay
+    // (cell argmin, centrality rank, HUGEINT cosine gate)
+    "q141_semdedup_text" -> semDedupOracleSql(nCells = 16, dim = 16,
+      tPct = 30, mode = "pairwise", keep = "edge",
+      qCte = textEmbedQCte(n = 3, dim = 16), idAs = "doc_id"),
 
     // identical tokenization + distinct 3-gram shingles; bucket = the
     // first 6 md5 hex digits (decoded digit-by-digit, the hash24

@@ -124,6 +124,27 @@ object SemDedup {
       .select(col(idCol), col("_cell").as("cell"),
         col("_cd").as("centroid_dot"), col("kept"))
 
+  /** Semantic dedup straight from TEXT — the end-to-end composition a
+    * curation pipeline runs: [[TextOps.hashedNgramEmbedding]] (the
+    * fused in-row embedder, zero shuffle) feeding [[semanticDedup]] on
+    * the derived column. One operator call takes a raw document table
+    * to the (id, cell, centroid_dot, kept) audit frame; train
+    * `centroids` with [[Similarity.trainIvfCentroids]] over the same
+    * embedder's output (or pass literal matrices for oracle replay —
+    * q141 pins THIS WHOLE CHAIN, tokenization to cosine gate, against
+    * a relational replay). Embedding components are integer-valued, so
+    * the quantize inside semanticDedup is exact at any `scale`. */
+  def semanticDedupText(docs: DataFrame, centroids: Array[Array[Long]],
+                        thresholdPct: Int, textCol: String = "text",
+                        idCol: String = "doc_id", n: Int = 3,
+                        dim: Int = 64, hash: String = "xxhash64",
+                        mode: String = "pairwise", keep: String = "edge",
+                        scale: Int = 1000, bandRows: Int = 8192): DataFrame =
+    semanticDedup(
+      TextOps.hashedNgramEmbedding(docs.select(col(idCol), col(textCol)),
+        textCol, "_emb", n, dim, hash = hash),
+      centroids, thresholdPct, idCol, "_emb", mode, keep, scale, bandRows)
+
   /** The full audit frame behind [[semanticDedup]], keeping the
     * internal columns a persisted survivor index needs: (idCol, _cell,
     * _cd, _q quantized vector, _n2 squared norm, kept). */
