@@ -105,6 +105,33 @@ object Bench {
     val baseline20Sec = results.collect {
       case (n, dt) if baseline20.contains(n) => dt
     }.sum
+    // SELF-NORMALIZING HOST YARDSTICK (VERDICT r15 item #3): re-time
+    // the frozen 20-query subset once more at the END of the run. The
+    // subset's code is pinned (unchanged since 9c7bc86, the commit the
+    // 74.8 s reference was recorded against — re-verify with
+    // `git diff 9c7bc86..HEAD -- src/main/scala/graft/SparkEntry.scala
+    // | grep '"q0'` before touching q01-q20), so round over round this
+    // number moves with the HOST GENERATION, not with code: adjudicate
+    // the gate by comparing baseline20Sec against the same line's
+    // baselineSameDaySec and the recorded bands in BASELINE.md, instead
+    // of against whichever host generation the 74.8 s landed on. Warm
+    // by construction (the whole suite ran first), so compare it only
+    // to other rounds' baselineSameDaySec, never to a cold first pass.
+    // Full-suite runs only (the driver's shape); per-query profiling
+    // invocations skip it and report -1.
+    val baselineSameDaySec = if (only.isEmpty) {
+      val subset = SparkEntry.queries.filter {
+        case (n, _) => baseline20.contains(n)
+      }
+      subset.map { case (_, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.gc()
+        dt
+      }.sum
+    } else -1.0
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     spark.stop()
@@ -119,6 +146,6 @@ object Bench {
     // attribute a 0.53x reading to host degradation — with start load AND
     // total GC on the one line the driver parses, a degraded capture
     // self-reports (adjudication rule recorded in BASELINE.md)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"nFailed":$nFailed,"baseline20Sec":${math.round(baseline20Sec * 1000) / 1000.0},"sf":"$sfDir","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"gcTotalMs":${gcMillis()},"loadAvgStart":$loadStart,"loadAvg":$load}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"nFailed":$nFailed,"baseline20Sec":${math.round(baseline20Sec * 1000) / 1000.0},"baselineSameDaySec":${math.round(baselineSameDaySec * 1000) / 1000.0},"sf":"$sfDir","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"gcTotalMs":${gcMillis()},"loadAvgStart":$loadStart,"loadAvg":$load}""")
   }
 }

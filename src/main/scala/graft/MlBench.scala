@@ -38,10 +38,13 @@ import org.apache.spark.sql.functions._
   *     check; substr the exact-substring-dedup soak with the
   *     serve==mode-all identity and a width-invariance check; embed
   *     the in-row hashedNgramEmbedding linearity soak with the
-  *     explode-spelling identity A/B). "all" covers the per-round
-  *     soak set, not starab/recall/annrecall/serve/paradedup/pq/
-  *     semdedup/semthresh/semtext/traincap/substr/embed, which are
-  *     targeted studies.
+  *     explode-spelling identity A/B; assign the isolated two-level vs
+  *     flat coarse-assignment wall A/B with an order-free identity
+  *     check; substrserve the uncontended SubstrIndex serve-throughput
+  *     + append/takedown/compact lifecycle soak). "all" covers the
+  *     per-round soak set, not starab/recall/annrecall/serve/
+  *     paradedup/pq/semdedup/semthresh/semtext/traincap/substr/embed/
+  *     assign/substrserve, which are targeted studies.
   */
 object MlBench {
 
@@ -144,7 +147,7 @@ object MlBench {
       (modes.contains("all") &&
         !Set("starab", "recall", "annrecall", "serve", "paradedup", "pq",
           "semdedup", "semthresh", "semtext", "traincap",
-          "substr", "embed", "assign").contains(m))
+          "substr", "embed", "assign", "substrserve").contains(m))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1205,9 +1208,15 @@ object MlBench {
         Similarity.trainIvfCentroids(emb, kCells)
       }
       val q = Similarity.quantize(col("embedding"), 1000)
+      // order-free but COLLISION-RESISTANT reduction of the probed cell
+      // lists (round-16 ADVICE: the old sum(x^2+x) is lossy — two
+      // different lists can collide): xxhash64 per (position, cell)
+      // pair summed, so [EQUAL] is bit-equality-grade evidence like the
+      // neighboring soaks' chunk fingerprints
       def scan(c: org.apache.spark.sql.Column): Long =
-        emb.select(aggregate(c, lit(0L), (a, x) => a + x * x + x).as("_s"))
-          .agg(sum(col("_s"))).head().getLong(0)
+        emb.select(col("vec_id"), posexplode(c).as(Seq("_p", "_c")))
+          .agg(sum(xxhash64(col("vec_id"), col("_p"), col("_c"))))
+          .head().getLong(0)
       for (probe <- Seq(1, 4)) {
         val f = t(s"assign FLAT k=$kCells nProbe=$probe @$nDocs") {
           scan(graft.expr.Exprs.nearest_cells(q, km, probe))

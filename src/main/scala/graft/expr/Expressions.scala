@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -281,6 +281,79 @@ object ExprKernels {
     s
   }
 
+  /** The exact integer cosine kill gate — `n2a > 0 AND n2b > 0 AND
+    * dot(a,b) >= 0 AND 10^4 * dot^2 >= tPct^2 * n2a * n2b` (cosine >=
+    * tPct/100 on quantized vectors, the SemDedup contract) — fused
+    * into ONE pass with a MONOTONE PARTIAL-BOUND EARLY EXIT: at any
+    * prefix p the final dot is bounded above by
+    * `dot_p + sqrt((n2a - prefA_p) * (n2b - prefB_p))` (Cauchy–Schwarz
+    * on the remaining suffix, with the suffix norms derived EXACTLY
+    * from the full norms minus the long-integer prefix sums), so once
+    * that bound falls below the required `tPct/100 * sqrt(n2a*n2b)`
+    * the pair can be abandoned mid-row. The exit is ONE-SIDED: the
+    * bound is inflated and the requirement deflated by 1e-9 relative
+    * (orders beyond accumulated double rounding), so float error can
+    * only cost a wasted scan, never a changed verdict — a skipped pair
+    * is PROVABLY below threshold. Checked every 16 components, the
+    * [[nearestCells]] cadence (a per-element branch taxed that kernel
+    * measurably).
+    *
+    * The completed-dot verdict stays EXACT at any magnitude: a double
+    * screen decides outside a 1e-9 relative guard band (double products
+    * carry ~1e-15 relative error — the band is 6 orders wider), and
+    * inside the band the compare re-runs in BigInteger, bit-equal to
+    * the DecimalType(38,0) Column spelling the DuckDB oracles replay
+    * in HUGEINT (q132/q133). Boundary ties (10^4*dot^2 == t^2*n2a*n2b)
+    * land in the band and resolve exactly — OpsSpec pins gate ==
+    * unguarded on constructed ties. */
+  def cosineKillGate(a: ArrayData, b: ArrayData, n2a: Long, n2b: Long,
+                     tPct: Int): Boolean = {
+    if (n2a <= 0 || n2b <= 0) return false
+    val n = math.min(a.numElements(), b.numElements())
+    // required = (tPct/100) * sqrt(n2a*n2b), deflated one-sidedly
+    val needD = 0.01 * tPct *
+      Math.sqrt(n2a.toDouble * n2b.toDouble) * (1 - 1e-9)
+    var dot = 0L
+    var pa = 0L
+    var pb = 0L
+    var i = 0
+    while (i < n) {
+      val lim = math.min(i + 16, n)
+      while (i < lim) {
+        val x = a.getLong(i)
+        val y = b.getLong(i)
+        dot += x * y
+        pa += x * x
+        pb += y * y
+        i += 1
+      }
+      if (i < n) {
+        val remA = (n2a - pa).toDouble
+        val remB = (n2b - pb).toDouble
+        // inflate the bound; the +1e-9 keeps the inflation one-sided
+        // even when the partial bound itself is negative
+        val ub = (dot.toDouble + Math.sqrt(remA * remB)) * (1 + 1e-9) + 1e-9
+        if (ub < needD) return false
+      }
+    }
+    if (dot < 0) return false
+    // exact verdict: double screen outside the guard band, BigInteger
+    // inside it (ties and near-ties — rare by construction)
+    val lhs = 1e4 * dot.toDouble * dot.toDouble
+    val rhs = tPct.toDouble * tPct * n2a.toDouble * n2b.toDouble
+    if (lhs > rhs * (1 + 1e-9)) true
+    else if (lhs < rhs * (1 - 1e-9)) false
+    else {
+      val big = java.math.BigInteger.valueOf(dot)
+      val l = big.multiply(big)
+        .multiply(java.math.BigInteger.valueOf(10000L))
+      val r = java.math.BigInteger.valueOf(tPct.toLong * tPct)
+        .multiply(java.math.BigInteger.valueOf(n2a))
+        .multiply(java.math.BigInteger.valueOf(n2b))
+      l.compareTo(r) >= 0
+    }
+  }
+
   /** nProbe nearest centroid cells of a quantized vector: euclidean
     * argmin over a REFERENCE matrix, ordered (d asc, cell asc) —
     * bit-equal to the unrolled least()/array_sort struct spelling it
@@ -382,6 +455,19 @@ object TwoLevelCells {
   def build(centers: Array[Array[Long]]): TwoLevelCells = {
     val k = centers.length
     require(k >= 1, "TwoLevelCells: empty centroid matrix")
+    // RECTANGULAR ONLY (round-16 ADVICE): member distances in the scan
+    // kernel accumulate over row.length components while the pruning
+    // bound and the build-time radii live in padded dim-space — for a
+    // RAGGED matrix whose short rows face a longer query, the dim-space
+    // lower bound can exceed a member's actual flat-kernel distance and
+    // a group would be wrongly skipped, silently breaking the
+    // documented bit-equality with NearestCellsLong. Every product
+    // caller (trainIvfCentroids, ivfCentroids, padToK) builds
+    // rectangular matrices; fail fast on anything else.
+    require(centers.forall(_.length == centers(0).length),
+      "TwoLevelCells: ragged centroid matrix (rows of unequal length) — " +
+        "the triangle-inequality prune is only exact for rectangular " +
+        "matrices; pad rows to a common dimension before building")
     val dim = centers.map(_.length).max
     val G = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     def comp(row: Array[Long], j: Int): Double =
@@ -451,7 +537,13 @@ object TwoLevelCells {
   }
 
   // expression copy() during tree transforms must not rebuild the
-  // structure: memo by content hash, verified by deep equality
+  // structure: memo by content hash, verified by deep equality. The
+  // cache is BOUNDED (round-16 ADVICE): a long-lived session training
+  // many centroid sets would otherwise retain every matrix (centers +
+  // supers + members) for the JVM lifetime — past the cap the whole
+  // map is dropped (the entries are pure derived state; the only cost
+  // of eviction is one rebuild per re-seen matrix).
+  private val maxCached = 16
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[Int, TwoLevelCells]()
   def cached(centers: Array[Array[Long]]): TwoLevelCells = {
@@ -460,7 +552,12 @@ object TwoLevelCells {
     if (hit != null && java.util.Arrays.deepEquals(
         hit.centers.asInstanceOf[Array[AnyRef]],
         centers.asInstanceOf[Array[AnyRef]])) hit
-    else { val b = build(centers); cache.put(h, b); b }
+    else {
+      val b = build(centers)
+      if (cache.size >= maxCached) cache.clear()
+      cache.put(h, b)
+      b
+    }
   }
 }
 
@@ -629,6 +726,34 @@ case class HashedNgramEmbed(child: Expression, n: Int, dim: Int,
     copy(child = c)
 }
 
+/** The fused early-exit cosine kill gate ([[ExprKernels.cosineKillGate]])
+  * as a native codegen'd expression — replaces the DotLong +
+  * Decimal(38,0) cross-multiplication chain on the semantic-dedup kill
+  * join's hot path (SemDedup.audit, SemIndex serve, stream filters),
+  * where the unguarded spelling paid a full-dim dot per (candidate,
+  * better-ranked) pair. Bit-equal to the Column spelling by
+  * construction (one-sided abandon + exact in-band compare); OpsSpec
+  * pins equality including constructed boundary ties. */
+case class CosineKillGate(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression, tPct: Int)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType), LongType, LongType)
+  override protected def nullSafeEval(a: Any, b: Any, n2a: Any,
+                                      n2b: Any): Any =
+    ExprKernels.cosineKillGate(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], n2a.asInstanceOf[Long],
+      n2b.asInstanceOf[Long], tPct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, x, y) =>
+      s"graft.expr.ExprKernels.cosineKillGate($a, $b, $x, $y, $tPct)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression,
+      q: Expression): CosineKillGate =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 /** Long gcd as a codegen'd expression — replaces a BigInt-allocating
   * Scala UDF on the bigWig divide payload's hot tail. */
 case class GcdLong(left: Expression, right: Expression)
@@ -666,6 +791,12 @@ object Exprs {
                          distinct: Boolean, md5Mode: Boolean): Column =
     GraftColumnBridge.column(HashedNgramEmbed(
       GraftColumnBridge.expression(toks), n, dim, distinct, md5Mode))
+  def cosine_kill_gate(a: Column, b: Column, n2a: Column, n2b: Column,
+                       tPct: Int): Column =
+    GraftColumnBridge.column(CosineKillGate(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+      GraftColumnBridge.expression(n2a), GraftColumnBridge.expression(n2b),
+      tPct))
   def gcd_long(a: Column, b: Column): Column =
     GraftColumnBridge.column(GcdLong(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

@@ -105,6 +105,22 @@ object SemDedup {
       lit(tPct.toLong * tPct).cast(dec) * n2a.cast(dec) * n2b.cast(dec))
   }
 
+  /** The FUSED spelling of [[cosineGate]] over the raw quantized
+    * vectors (graft.expr.CosineKillGate): same verdict bit-for-bit
+    * (OpsSpec pins it incl. constructed boundary ties), but the dot
+    * product carries a monotone Cauchy–Schwarz partial bound so a
+    * below-threshold pair is abandoned after a few components instead
+    * of paying the full dim — the round-15 partial-distance trick
+    * applied to the kill join that dominated the 8M text legs
+    * (VERDICT r15 item #1; assignment was only ~125 s of 790–1100 s).
+    * One-sided by construction: a skip can never change the verdict,
+    * and in-band verdicts re-run exactly (BigInteger == the oracle's
+    * HUGEINT). The Column [[cosineGate]] stays as the relational
+    * contract the DuckDB oracles replay. */
+  private[ml] def killGate(q: Column, qk: Column, n2a: Column,
+                           n2b: Column, tPct: Int): Column =
+    graft.expr.Exprs.cosine_kill_gate(q, qk, n2a, n2b, tPct)
+
   /** 0-based rank band of a 1-based rank for band width `bandL`:
     * floor((rn - 1) / bandRows) — integer-exact at any rank (the
     * numerator is reduced to an exact multiple before the double
@@ -230,8 +246,8 @@ object SemDedup {
           col("_cell") === col("_cellk") && col("_band") === col("_jb"))
     })
       .where(col("_rk") < col("_rn") &&
-        cosineGate(Similarity.dotLong(col("_q"), col("_qk")),
-          col("_n2"), col("_n2k"), thresholdPct))
+        killGate(col("_q"), col("_qk"), col("_n2"), col("_n2k"),
+          thresholdPct))
       .select(col(idCol)).distinct()
       .withColumn("_dup", lit(true))
     ranked.join(dropped, Seq(idCol), "left")
@@ -265,6 +281,39 @@ object SemDedup {
     * [[SemIndex]] (cell-bucketed, vectors pre-quantized) and serve
     * with [[SemIndex.filterStream]] — zero static-side recompute and
     * zero index-side exchange. */
+  /** The TEXT spelling of [[semanticFilterStream]] — the serve-side
+    * twin of [[semanticDedupText]]: embed each incoming document
+    * per-row with the fused [[TextOps.hashedNgramEmbedding]] kernel (a
+    * pure projection — streaming-safe, zero state), embed the
+    * reference documents the same way, then the existing stateless
+    * stream-static anti-join gate. One call takes a raw text stream
+    * and the survivor DOCUMENT table to the filtered (idCol, cell)
+    * stream, with the embedder parameters pinned between the two sides
+    * by construction (a drift between serve-side and build-side
+    * embeddings would silently empty the gate). Use the same
+    * `centroids` and embedder settings the batch
+    * [[semanticDedupText]] pass used.
+    *
+    * Anchor-mode guarantee worth knowing at serve time: a document the
+    * batch pass DROPPED is always re-dropped by this filter against
+    * the batch survivors (its killer — the cell anchor — is kept by
+    * construction), so replaying the dropped set admits nothing
+    * (StreamingSpec pins this). Pairwise-mode kills can chain through
+    * dropped intermediates, so the same replay may legitimately admit
+    * a row whose killer was itself killed. */
+  def semanticFilterTextStream(stream: DataFrame, refDocs: DataFrame,
+                               centroids: Array[Array[Long]],
+                               thresholdPct: Int, textCol: String = "text",
+                               idCol: String = "doc_id", n: Int = 3,
+                               dim: Int = 64, hash: String = "xxhash64",
+                               scale: Int = 1000): DataFrame =
+    semanticFilterStream(
+      TextOps.hashedNgramEmbedding(stream.select(col(idCol), col(textCol)),
+        textCol, "_emb", n, dim, hash = hash),
+      TextOps.hashedNgramEmbedding(refDocs.select(col(textCol)),
+        textCol, "_emb", n, dim, hash = hash),
+      centroids, thresholdPct, idCol, "_emb", scale)
+
   def semanticFilterStream(stream: DataFrame, refs: DataFrame,
                            centroids: Array[Array[Long]],
                            thresholdPct: Int, idCol: String = "vec_id",
@@ -286,8 +335,8 @@ object SemDedup {
         element_at(Similarity.nearestCells(col("_qr"), centroids, 1), 1))
     prep.join(refPrep,
         col("_cell") === col("_cellr") &&
-          cosineGate(Similarity.dotLong(col("_q"), col("_qr")),
-            col("_n2"), col("_n2r"), thresholdPct),
+          killGate(col("_q"), col("_qr"), col("_n2"), col("_n2r"),
+            thresholdPct),
         "left_anti")
       .select(col(idCol), col("_cell").as("cell"))
   }

@@ -90,8 +90,8 @@ object SemIndex {
 
   private def killCond(tPct: Int): Column =
     col("_cell") === col("_cellr") &&
-      SemDedup.cosineGate(Similarity.dotLong(col("_q"), col("_qr")),
-        col("_n2"), col("_n2r"), tPct)
+      SemDedup.killGate(col("_q"), col("_qr"), col("_n2"), col("_n2r"),
+        tPct)
 
   /** Incremental curation: admit a new batch against the index. A
     * batch row is dropped iff it clears the gate against an EXISTING

@@ -2039,6 +2039,68 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused cosineKillGate is bit-equal to the Decimal Column gate " +
+    "(random pairs at many thresholds, exact boundary ties at " +
+    "magnitudes where doubles cannot decide, zero norms, ragged " +
+    "lengths, negative dots)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 300).map { i =>
+      val la = if (i % 7 == 0) 5 else 8
+      val lb = if (i % 11 == 0) 6 else 8
+      val a = Array.fill(la)((rnd.nextInt(2001) - 1000).toLong)
+      val b0 = Array.fill(lb)((rnd.nextInt(2001) - 1000).toLong)
+      // plant scaled near-parallels so the gate actually fires (cos=1
+      // pairs must pass at every threshold — the early exit must never
+      // abandon them)
+      val b = if (i % 3 == 0) java.util.Arrays.copyOf(a.map(_ * 2), lb)
+              else b0
+      (i.toLong, a, b)
+    } ++ Seq(
+      // cos = 24/25 = 96% EXACTLY at ~1e13-scale dots: 10^4*dot^2 and
+      // t^2*n2a*n2b are equal reals beyond double precision (~5.8e30),
+      // so the double screen's guard band must route to BigInteger and
+      // agree with the Decimal(38,0) spelling on >= at t=96, < at t=97
+      (1001L, Array(3000000L, 4000000L), Array(4000000L, 3000000L)),
+      // ... and one ulp off the tie on either side
+      (1002L, Array(3000000L, 4000000L), Array(4000000L, 3000001L)),
+      (1003L, Array(3000000L, 4000000L), Array(4000000L, 2999999L)),
+      (1004L, Array.fill(8)(0L), Array.fill(8)(7L)), // zero norm
+      (1005L, Array(1000000L, -1000000L), Array(-1000000L, 1000000L))) // dot < 0
+    val df = pairs.toDF("id", "a", "b").localCheckpoint()
+    val n2a = graft.expr.Exprs.dot_long(col("a"), col("a"))
+    val n2b = graft.expr.Exprs.dot_long(col("b"), col("b"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    for (t <- Seq(1, 50, 96, 97, 100)) {
+      // the Column contract re-spelled independently of SemDedup
+      val d = graft.expr.Exprs.dot_long(col("a"), col("b")).cast(dec)
+      val colGate = (n2a > 0) && (n2b > 0) &&
+        (graft.expr.Exprs.dot_long(col("a"), col("b")) >= 0) &&
+        (lit(10000L).cast(dec) * d * d >=
+          lit(t.toLong * t).cast(dec) * n2a.cast(dec) * n2b.cast(dec))
+      val fused =
+        graft.expr.Exprs.cosine_kill_gate(col("a"), col("b"), n2a, n2b, t)
+      val diverged = df
+        .where(coalesce(colGate, lit(false)) =!= coalesce(fused, lit(false)))
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(diverged.isEmpty, s"t=$t: rows $diverged diverge")
+    }
+    // the exact-tie row resolves inclusively at 96 and drops at 97
+    val tie = df.where(col("id") === 1001L).select(
+      graft.expr.Exprs.cosine_kill_gate(col("a"), col("b"), n2a, n2b, 96),
+      graft.expr.Exprs.cosine_kill_gate(col("a"), col("b"), n2a, n2b, 97))
+      .head()
+    assert(tie.getBoolean(0) && !tie.getBoolean(1))
+  }
+
+  test("TwoLevelCells rejects ragged centroid matrices (the dim-space " +
+    "prune is only exact for rectangular centers — round-16 ADVICE)") {
+    intercept[IllegalArgumentException] {
+      graft.expr.TwoLevelCells.build(
+        Array(Array(1L, 2L, 3L), Array(1L, 2L)))
+    }
+  }
+
   test("semanticDedup pairwise rank-band chunking is exact: every band " +
     "width produces the identical audit frame, including a hot cell " +
     "spanning many bands") {

@@ -645,6 +645,126 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == raw)
   }
 
+  test("SubstrIndex.serve: the hot set is derived once — the probe plan " +
+    "carries NO index scan, a multi-trigger serve equals the per-call " +
+    "probe, and handle mutations invalidate the pinned set") {
+    import spark.implicits._
+    import graft.ml.SubstrIndex
+    implicit val sqlCtx = spark.sqlContext
+    val db = TestDbs.perRun(spark, "graft_subsrv_")
+    val boiler = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val ref = Seq((1L, s"$boiler unique one"), (2L, s"prefix $boiler"),
+      (3L, "totally unrelated reference text")).toDF("doc_id", "text")
+    SubstrIndex.write(ref, s"$db.sub", minMatchTokens = 8, minOcc = 2,
+      buckets = 2)
+    val handle = SubstrIndex.serve(spark, s"$db.sub")
+    val probeDocs = Seq((10L, s"$boiler tail tokens here"),
+      (11L, "no overlap at all"),
+      (12L, "a1 a2 a3 a4 a5 a6 a7 a8 xyz")).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    // the serve-handle probe == the per-call probe (same hot set)
+    val served = handle.probe(probeDocs)
+    assert(rows(served) == rows(SubstrIndex.probe(spark, s"$db.sub",
+      probeDocs)))
+    // ... and the boiler span actually vanished (the set is real)
+    assert(served.where(col("doc_id") === 10L).head().getLong(3) == 8L)
+    // PLAN PIN (VERDICT r15 item #2): the handle's probe plan carries
+    // NO scan of the index table — the hot side is the checkpointed
+    // in-memory set — while the per-call probe re-scans (and
+    // re-aggregates) the index every invocation
+    assert(!served.queryExecution.executedPlan.toString.contains("graft_subsrv"),
+      "serve-handle probe plan still scans the index table")
+    assert(SubstrIndex.probe(spark, s"$db.sub", probeDocs)
+      .queryExecution.executedPlan.toString.contains("graft_subsrv"))
+    // multi-trigger serve: two micro-batches through the handle union
+    // to the one-shot batch probe (membership-only + pinned set)
+    val in = MemoryStream[(Long, String)]
+    val outPath = s"/tmp/${db}_served"
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        handle.probe(batch).write.mode("overwrite")
+          .parquet(s"$outPath/b$bid")
+      }
+      .start()
+    in.addData((10L, s"$boiler tail tokens here"))
+    q.processAllAvailable()
+    in.addData((11L, "no overlap at all"), (12L, "a1 a2 a3 a4 a5 a6 a7 a8 xyz"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .schema("doc_id LONG, text STRING, n_tokens LONG, n_removed LONG")
+      .parquet(outPath)
+    assert(rows(streamed) == rows(served))
+    // mutation THROUGH the handle invalidates: appending two docs that
+    // make the a1..a8 gram hot must change the next probe — doc 12
+    // kept everything before, loses the span after
+    handle.append(Seq((20L, "a1 a2 a3 a4 a5 a6 a7 a8 first"),
+      (21L, "again a1 a2 a3 a4 a5 a6 a7 a8")).toDF("doc_id", "text"))
+    val after = handle.probe(probeDocs)
+    assert(after.where(col("doc_id") === 12L).head().getLong(3) == 8L)
+    assert(rows(after) == rows(SubstrIndex.probe(spark, s"$db.sub",
+      probeDocs)))
+    // compact folds partials without changing serve results, and the
+    // refreshed plan is still index-scan-free
+    handle.compact()
+    val post = handle.probe(probeDocs)
+    assert(rows(post) == rows(after))
+    assert(!post.queryExecution.executedPlan.toString.contains("graft_subsrv"))
+  }
+
+  test("semanticFilterTextStream: the text serve twin of semanticDedupText — " +
+    "anchor-dropped docs are re-dropped against the batch survivors, fresh " +
+    "docs pass, and streamed == the batch spelling") {
+    import spark.implicits._
+    import graft.ml.{SemDedup, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    // 3 template families x 6 paraphrases (share ~10/13 shingles ->
+    // cosine ~0.77) + 2 unrelated singletons
+    val fams = for { f <- 0 until 3; i <- 0 until 6 } yield
+      ((f * 100 + i).toLong,
+        s"family $f shared template tokens alpha beta gamma delta " +
+          s"epsilon zeta eta theta iota kappa lambda mu variant token$i")
+    val solos = Seq(
+      (900L, "completely different words entirely unrelated content one"),
+      (901L, "nothing shared here either some other standalone text two"))
+    val docs = (fams ++ solos).toDF("doc_id", "text").localCheckpoint()
+    val cm = Similarity.trainIvfCentroids(
+      graft.ml.TextOps.hashedNgramEmbedding(docs), 8, sampleFraction = 1.0)
+    // ANCHOR mode: a dropped doc's killer (the cell anchor) is kept by
+    // construction, so replaying the dropped set against the survivors
+    // must admit nothing — the serve-time guarantee the scaladoc states
+    val out = SemDedup.semanticDedupText(docs, cm, 60, mode = "anchor")
+      .localCheckpoint()
+    val dropped = out.where(!col("kept")).select("doc_id")
+    assert(dropped.count() > 0, "corpus produced no drops at t=60")
+    val refDocs = docs.join(out.where(col("kept")).select("doc_id"),
+      Seq("doc_id"))
+    val droppedDocs = docs.join(dropped, Seq("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val fresh = (999L,
+      "a wholly novel subject matter sentence about volcanoes and tea")
+    val in = MemoryStream[(Long, String)]
+    val kept = SemDedup.semanticFilterTextStream(
+      in.toDF().toDF("doc_id", "text"), refDocs, cm, 60)
+    val name = s"semtextf_${System.nanoTime}"
+    val q = kept.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(droppedDocs: _*)
+    in.addData(fresh)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).collect().map(_.getLong(0)).toSet
+    assert(got == Set(999L),
+      s"expected only the fresh doc to survive, got $got")
+    // the operator is a plain stream-static plan: batch spelling over
+    // the same rows produces the identical survivor set
+    val batch = SemDedup.semanticFilterTextStream(
+      (droppedDocs :+ fresh).toDF("doc_id", "text"), refDocs, cm, 60)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == batch)
+  }
+
   test("streaming serve picks up an index delete on the next trigger (takedown)") {
     import graft.ml.{AnnIndex, Similarity}
     import org.apache.spark.sql.functions.col
