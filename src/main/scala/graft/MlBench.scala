@@ -886,6 +886,93 @@ object MlBench {
       first.unpersist()
     }
 
+    if (on("substrserve")) {
+      // UNCONTENDED SERVE WALL + LIFECYCLE CADENCE (VERDICT r15 item
+      // #4): the round-15 serve/index identity legs ran contended by a
+      // concurrent oracle pass and were loudly skipped above 4M. With
+      // the persisted index (q140) and the pinned-hot-set handle in
+      // place, measure the steady-state serve at full nDocs — index
+      // over the 3/4 reference split, the held-out 1/4 served through
+      // SubstrServe.probe (the foreachBatch body shape) — then the
+      // round-10 ann-lifecycle cadence: 3 append batches, a takedown,
+      // compact, with probe identity and file-count checks.
+      import graft.ml.SubstrIndex
+      val io = new IoListener; spark.sparkContext.addSparkListener(io)
+      def fpSrv(d: DataFrame): (Long, Long, Long) =
+        chunkFingerprint(d, Seq("doc_id", "text", "n_tokens", "n_removed"))
+      val docsPath = s"/tmp/mlbench_substrserve_$nDocs"
+      t(s"substrserve corpus->parquet @$nDocs") {
+        docs.write.mode("overwrite").parquet(docsPath)
+      }
+      val pdocs = spark.read.parquet(docsPath)
+      val refD = pdocs.where(col("doc_id") % 4 =!= 0)
+      val inD = pdocs.where(col("doc_id") % 4 === 0).localCheckpoint()
+      val nIn = inD.count()
+      spark.sql("CREATE DATABASE IF NOT EXISTS mlbench_subsrv")
+      val (swW0, spW0) = io.snap()
+      t(s"substrserve index write (3/4 of $nDocs docs, 32 buckets)") {
+        SubstrIndex.write(refD, "mlbench_subsrv.sub", buckets = 32)
+      }
+      val (swW1, spW1) = io.snap()
+      println(f"[mlbench] substrserve index write: shuffle " +
+        f"${(swW1 - swW0) / 1e9}%.2f GB, spill ${(spW1 - spW0) / 1e9}%.2f GB, " +
+        s"files ${graft.ml.Indexes.dataFileCount(spark, "mlbench_subsrv.sub")}")
+      val handle = t("substrserve hot-set derive+pin") {
+        val h = SubstrIndex.serve(spark, "mlbench_subsrv.sub")
+        h.hotSet.count()
+        h
+      }
+      println(s"[mlbench] substrserve hot grams pinned: ${handle.hotSet.count()}")
+      val (sw0, sp0) = io.snap()
+      val t0s = System.nanoTime()
+      val served = handle.probe(inD).localCheckpoint()
+      val w = (System.nanoTime() - t0s) / 1e9
+      val (sw1, sp1) = io.snap()
+      val s1 = served.agg(sum("n_tokens"), sum("n_removed")).head()
+      println(f"[mlbench] substrserve probe: $nIn docs in $w%.1fs = " +
+        f"${nIn / w}%.0f docs/s, removed ${s1.getLong(1)}/${s1.getLong(0)} tokens, " +
+        f"shuffle ${(sw1 - sw0) / 1e9}%.2f GB, spill ${(sp1 - sp0) / 1e9}%.2f GB")
+      // identity vs the per-call probe (re-derives the hot set per call
+      // — the cost the handle exists to avoid; also times that cost)
+      val perCall = t(s"substrserve PER-CALL probe (re-derives hot) @$nDocs") {
+        SubstrIndex.probe(spark, "mlbench_subsrv.sub", inD).localCheckpoint()
+      }
+      val fpS = fpSrv(served)
+      val fpP = fpSrv(perCall)
+      println(s"[mlbench] substrserve handle==per-call: $fpS vs $fpP " +
+        (if (fpS == fpP) "[BIT-IDENTICAL]" else "[MISMATCH]"))
+      perCall.unpersist(); served.unpersist()
+      // LIFECYCLE CADENCE: append the held-out split in thirds
+      // (doc_id % 12 in {0,4,8}), retire the middle batch, compact.
+      // Every mutation refreshes the handle; after compaction the file
+      // count must fold to one per bucket and the handle's probe must
+      // equal a FRESH per-call probe (negative-count exactness at
+      // scale rides on this identity)
+      for (res <- Seq(0L, 4L, 8L)) {
+        t(s"substrserve append batch %12==$res") {
+          handle.append(inD.where(col("doc_id") % 12 === res))
+        }
+      }
+      t("substrserve takedown (retire %12==4 batch)") {
+        handle.removeDocs(inD.where(col("doc_id") % 12 === 4))
+      }
+      val preFiles = graft.ml.Indexes.dataFileCount(spark, "mlbench_subsrv.sub")
+      t("substrserve compact") { handle.compact() }
+      val postFiles = graft.ml.Indexes.dataFileCount(spark, "mlbench_subsrv.sub")
+      println(s"[mlbench] substrserve compact: files $preFiles -> $postFiles " +
+        (if (postFiles == 32) "[== buckets]" else "[UNEXPECTED]"))
+      val probeSample = pdocs.where(col("doc_id") % 4 === 1)
+      val afterH = t("substrserve post-cadence probe (handle)") {
+        handle.probe(probeSample).localCheckpoint()
+      }
+      val afterP = SubstrIndex.probe(spark, "mlbench_subsrv.sub", probeSample)
+      val fpH = fpSrv(afterH)
+      val fpF = fpSrv(afterP)
+      println(s"[mlbench] substrserve post-cadence handle==fresh: $fpH vs $fpF " +
+        (if (fpH == fpF) "[BIT-IDENTICAL]" else "[MISMATCH]"))
+      afterH.unpersist(); inD.unpersist()
+    }
+
     // the planted-cluster vector corpus (256 directions, ~10% relative
     // noise), its label-mean (converged k-means) centroids, and the
     // semdedup audit-frame fingerprint — ONE definition each, shared
@@ -1338,6 +1425,21 @@ object MlBench {
         truth(pw, s"pairwise t=$tp")
         if (tp == 70) pw70 = pw else pw.unpersist()
       }
+      // ONE-CALL product entry point at soak scale (VERDICT r15 item
+      // #5): the same chain through SemDedup.semanticDedupText itself —
+      // the embed projection rides INSIDE the operator's plan, so this
+      // leg proves the product surface (tokenize -> embed -> cell ->
+      // rank -> gate in one call), not just its ingredients. Output
+      // must be bit-identical to the piecewise path (same embedder,
+      // same centroids, same gate) — fingerprint-pinned every run.
+      val oc = t(s"semtext ONE-CALL semanticDedupText t=70 @$nDocs") {
+        SemDedup.semanticDedupText(docs, km, 70).localCheckpoint()
+      }
+      val fpOc = fpSem(oc.withColumnRenamed("doc_id", "vec_id"))
+      val fpPw = fpSem(pw70)
+      println(s"[mlbench] semtext one-call==piecewise: $fpOc vs $fpPw " +
+        (if (fpOc == fpPw) "[BIT-IDENTICAL]" else "[MISMATCH]"))
+      oc.unpersist()
       val an = t(s"semtext anchor t=70 @$nDocs") {
         SemDedup.semanticDedup(emb, km, 70, mode = "anchor").localCheckpoint()
       }
