@@ -908,17 +908,21 @@ object MlBench {
       val refD = pdocs.where(col("doc_id") % 4 =!= 0)
       val inD = pdocs.where(col("doc_id") % 4 === 0).localCheckpoint()
       val nIn = inD.count()
-      spark.sql("CREATE DATABASE IF NOT EXISTS mlbench_subsrv")
+      // per-run DB (the serve-mode pattern): a reused name would hit
+      // LOCATION_ALREADY_EXISTS on the next JVM's fresh catalog
+      val db = s"graft_subsrv_${System.nanoTime}"
+      spark.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
+      val tbl = s"$db.sub"
       val (swW0, spW0) = io.snap()
       t(s"substrserve index write (3/4 of $nDocs docs, 32 buckets)") {
-        SubstrIndex.write(refD, "mlbench_subsrv.sub", buckets = 32)
+        SubstrIndex.write(refD, tbl, buckets = 32)
       }
       val (swW1, spW1) = io.snap()
       println(f"[mlbench] substrserve index write: shuffle " +
         f"${(swW1 - swW0) / 1e9}%.2f GB, spill ${(spW1 - spW0) / 1e9}%.2f GB, " +
-        s"files ${graft.ml.Indexes.dataFileCount(spark, "mlbench_subsrv.sub")}")
+        s"files ${graft.ml.Indexes.dataFileCount(spark, tbl)}")
       val handle = t("substrserve hot-set derive+pin") {
-        val h = SubstrIndex.serve(spark, "mlbench_subsrv.sub")
+        val h = SubstrIndex.serve(spark, tbl)
         h.hotSet.count()
         h
       }
@@ -935,7 +939,7 @@ object MlBench {
       // identity vs the per-call probe (re-derives the hot set per call
       // — the cost the handle exists to avoid; also times that cost)
       val perCall = t(s"substrserve PER-CALL probe (re-derives hot) @$nDocs") {
-        SubstrIndex.probe(spark, "mlbench_subsrv.sub", inD).localCheckpoint()
+        SubstrIndex.probe(spark, tbl, inD).localCheckpoint()
       }
       val fpS = fpSrv(served)
       val fpP = fpSrv(perCall)
@@ -956,16 +960,16 @@ object MlBench {
       t("substrserve takedown (retire %12==4 batch)") {
         handle.removeDocs(inD.where(col("doc_id") % 12 === 4))
       }
-      val preFiles = graft.ml.Indexes.dataFileCount(spark, "mlbench_subsrv.sub")
+      val preFiles = graft.ml.Indexes.dataFileCount(spark, tbl)
       t("substrserve compact") { handle.compact() }
-      val postFiles = graft.ml.Indexes.dataFileCount(spark, "mlbench_subsrv.sub")
+      val postFiles = graft.ml.Indexes.dataFileCount(spark, tbl)
       println(s"[mlbench] substrserve compact: files $preFiles -> $postFiles " +
         (if (postFiles == 32) "[== buckets]" else "[UNEXPECTED]"))
       val probeSample = pdocs.where(col("doc_id") % 4 === 1)
       val afterH = t("substrserve post-cadence probe (handle)") {
         handle.probe(probeSample).localCheckpoint()
       }
-      val afterP = SubstrIndex.probe(spark, "mlbench_subsrv.sub", probeSample)
+      val afterP = SubstrIndex.probe(spark, tbl, probeSample)
       val fpH = fpSrv(afterH)
       val fpF = fpSrv(afterP)
       println(s"[mlbench] substrserve post-cadence handle==fresh: $fpH vs $fpF " +
