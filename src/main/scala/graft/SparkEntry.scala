@@ -1736,6 +1736,61 @@ object SparkEntry {
       graft.ml.SemDedup.semanticDedupText(pq(s, dir, "documents"),
         Similarity.ivfCentroids(16, 16), thresholdPct = 30,
         n = 3, dim = 16, hash = "md5")),
+    "q142_stream_semtext" -> ((s, dir) => {
+      // TEXT-IN STREAMING SEMANTIC SERVE (the q134 pattern through the
+      // text product surface): a batch semanticDedupText pass over the
+      // reference split (doc_id % 4 != 0) builds the survivor DOCUMENT
+      // set; the incoming text stream (doc_id % 4 == 0) re-embeds per
+      // row INSIDE the stream plan (semanticFilterTextStream — the
+      // fused kernel is a pure projection, streaming-safe) and drops
+      // anything within the cosine gate of a same-cell survivor.
+      // hash="md5" + literal centroids so the oracle replays embed,
+      // cells, the batch dedup, and the per-row anti-join gate
+      // end to end.
+      val db = perRunDb(s, "graft_q142_")
+      val cm = Similarity.ivfCentroids(16, 16)
+      val d = pq(s, dir, "documents")
+      val refPath = s"/tmp/${db}_refs"
+      graft.ml.SemDedup.semanticDedupText(
+          d.where(col("doc_id") % 4 =!= 0), cm, thresholdPct = 30,
+          n = 3, dim = 16, hash = "md5")
+        .where(col("kept")).select(col("doc_id"))
+        .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .write.mode("overwrite").parquet(refPath)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val outPath = s"/tmp/${db}_kept"
+      new java.io.File(outPath).mkdirs()
+      withStreamParts(s, 4) { ss =>
+        val src = ss.readStream.schema(schema).parquet(s"$dir/documents.parq*")
+          .where(col("doc_id") % 4 === 0)
+        val refs = ss.read.parquet(refPath)
+        val kept = graft.ml.SemDedup.semanticFilterTextStream(src, refs,
+          cm, thresholdPct = 30, n = 3, dim = 16, hash = "md5")
+        val q = kept.writeStream
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            // batchId-keyed overwrite: retry-idempotent (q131's contract)
+            batch.write.mode("overwrite").parquet(s"$outPath/b$bid")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val surv = s.read.schema("doc_id LONG, cell LONG")
+        .option("recursiveFileLookup", "true").parquet(outPath)
+      // audit frame over every streamed doc (the q134 shape): the cell
+      // column from ONE spelling — the batch-side embed + argmin —
+      // survivors join by id only
+      val embS = graft.ml.TextOps.hashedNgramEmbedding(
+        d.where(col("doc_id") % 4 === 0).select(col("doc_id"), col("text")),
+        "text", "_emb", n = 3, dim = 16, hash = "md5")
+      val qv = Similarity.quantize(col("_emb"), 1000)
+      embS.select(col("doc_id"),
+          element_at(Similarity.nearestCells(qv, cm, 1), 1).as("cell"))
+        .join(surv.select(col("doc_id"), lit(true).as("_k")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cell"),
+          coalesce(col("_k"), lit(false)).as("kept"))
+    }),
     "q139_hashed_embedding" -> ((s, dir) =>
       // the PRODUCT text->embedding front-end (in-row signed
       // hashed-3-gram feature hashing — zero shuffle, zero explode;
@@ -1970,11 +2025,16 @@ object SparkEntry {
     * reference split (the [[semDedupOracleSql]] pipeline), then the
     * stream's anti-join gate — a streamed row is kept iff NO same-cell
     * reference survivor clears the exact HUGEINT cosine gate. */
-  private def semStreamOracleSql(nCells: Int, dim: Int, tPct: Int): String = {
+  private def semStreamOracleSql(nCells: Int, dim: Int, tPct: Int,
+                                 qCte: String = null,
+                                 idAs: String = "vec_id"): String = {
     val cmLit = Similarity.ivfCentroids(nCells, dim)
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val d = s"list_sum(list_transform(range(1, ${dim + 1}), x -> i.v[x] * r.v[x]))"
-    s"WITH $quantCte, cm AS (SELECT $cmLit AS m), " +
+    // qCte: any CTE chain ending in q(vec_id, v) — default is the
+    // quantized embeddings table; q142 passes the text-embedder chain
+    val src = Option(qCte).getOrElse(quantCte)
+    s"WITH $src, cm AS (SELECT $cmLit AS m), " +
       s"cel AS (SELECT vec_id, v, CASE WHEN len(v) > 0 THEN list_sort([{'d': list_sum(list_transform(range(1, ${dim + 1}), i -> (v[i] - m[c + 1][i]) * (v[i] - m[c + 1][i]))), 'c': c} FOR c IN range(0, $nCells)])[1].c ELSE -1 END AS cell FROM q, cm), " +
       s"cd AS (SELECT vec_id, v, cell, CASE WHEN cell >= 0 THEN CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * m[cell + 1][i])) AS BIGINT) END AS cdot, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS n2 FROM cel, cm WHERE vec_id % 4 <> 0), " +
       "rk AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cdot ASC, vec_id ASC) AS rn FROM cd), " +
@@ -1984,7 +2044,7 @@ object SparkEntry {
       "ref AS (SELECT rk.vec_id, rk.v, rk.cell, rk.n2 FROM rk LEFT JOIN dup ON rk.vec_id = dup.vec_id WHERE dup.vec_id IS NULL), " +
       s"inc AS (SELECT vec_id, v, cell, CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS n2 FROM cel WHERE vec_id % 4 = 0), " +
       s"hit AS (SELECT DISTINCT i.vec_id FROM inc i JOIN ref r ON i.cell = r.cell AND i.n2 > 0 AND r.n2 > 0 AND $d >= 0 AND 10000 * CAST($d AS HUGEINT) * $d >= CAST(${tPct.toLong * tPct} AS HUGEINT) * i.n2 * r.n2) " +
-      "SELECT i.vec_id, i.cell, (h.vec_id IS NULL) AS kept " +
+      s"SELECT i.vec_id AS $idAs, i.cell, (h.vec_id IS NULL) AS kept " +
       "FROM inc i LEFT JOIN hit h ON i.vec_id = h.vec_id"
   }
 
@@ -2957,6 +3017,12 @@ object SparkEntry {
     "q141_semdedup_text" -> semDedupOracleSql(nCells = 16, dim = 16,
       tPct = 30, mode = "pairwise", keep = "edge",
       qCte = textEmbedQCte(n = 3, dim = 16), idAs = "doc_id"),
+
+    // the q134 stream-serve replay over the q141 text-embedder chain:
+    // batch dedup on the reference split, per-row anti-join gate on
+    // the held-out split — all in the md5/HUGEINT contract
+    "q142_stream_semtext" -> semStreamOracleSql(nCells = 16, dim = 16,
+      tPct = 30, qCte = textEmbedQCte(n = 3, dim = 16), idAs = "doc_id"),
 
     // identical tokenization + distinct 3-gram shingles; bucket = the
     // first 6 md5 hex digits (decoded digit-by-digit, the hash24
