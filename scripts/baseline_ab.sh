@@ -21,10 +21,12 @@ cd "$(git rev-parse --show-toplevel)"
 git worktree add --detach "$WT" "$COMMIT" 2>/dev/null || true
 cd "$WT"
 sbt -batch compile >/dev/null
+# Run the pinned commit's FULL suite and read baseline20Sec off its
+# total line — a 20-query-only run pays all its own JIT/codegen and
+# reads ~3x the in-suite subtotal (measured 2026-08-16: 77.95 s subset
+# vs 25-30 s in-suite on the same host hour), so only full-suite
+# numbers are comparable to the captures recorded in BASELINE.md.
 SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-  sbt -batch "runMain graft.Bench q01_agg q02_boundaries q03_merge \
-q04_cluster q05_complement q06_extend q07_window q08_tile q09_cumsum \
-q10_split q11_rle q12_overlap q13_overlap_invert q14_join q15_intersect \
-q16_count q17_subtract q18_nearest q19_setint q20_setunion" 2>&1 |
-  grep -oE '\{"(q|metric)".*\}'
+  sbt -batch "runMain graft.Bench" 2>&1 |
+  grep -oE '\{"metric":"total".*\}'
 echo "# cleanup: git worktree remove --force $WT" >&2
