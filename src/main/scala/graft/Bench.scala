@@ -119,18 +119,31 @@ object Bench {
     // to other rounds' baselineSameDaySec, never to a cold first pass.
     // Full-suite runs only (the driver's shape); per-query profiling
     // invocations skip it and report -1.
+    // FAILURE-HONEST (round-16 ADVICE / VERDICT r16 item #3): a warm-pass
+    // crash must not silently deflate the yardstick — a broken query
+    // contributes ~0 s and the "host got faster" reading would be the r7
+    // silent-pass failure mode all over again. Count failures, surface
+    // them per-query, and report -1 for the yardstick itself when any
+    // subset query errored (a partial sum is not a yardstick).
+    var nFailedWarm = 0
     val baselineSameDaySec = if (only.isEmpty) {
       val subset = SparkEntry.queries.filter {
         case (n, _) => baseline20.contains(n)
       }
-      subset.map { case (_, fn) =>
+      val s = subset.map { case (n, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => }
+        try fn(spark, sfDir).count() catch { case e: Throwable =>
+          nFailedWarm += 1
+          println(s"""{"q":"$n","warmErr":"${Option(e.getMessage)
+            .getOrElse(e.getClass.getName)
+            .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)}"}""")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         System.gc()
         dt
       }.sum
+      if (nFailedWarm > 0) -1.0 else s
     } else -1.0
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
@@ -146,6 +159,6 @@ object Bench {
     // attribute a 0.53x reading to host degradation — with start load AND
     // total GC on the one line the driver parses, a degraded capture
     // self-reports (adjudication rule recorded in BASELINE.md)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"nFailed":$nFailed,"baseline20Sec":${math.round(baseline20Sec * 1000) / 1000.0},"baselineSameDaySec":${math.round(baselineSameDaySec * 1000) / 1000.0},"sf":"$sfDir","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"gcTotalMs":${gcMillis()},"loadAvgStart":$loadStart,"loadAvg":$load}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"nFailed":$nFailed,"baseline20Sec":${math.round(baseline20Sec * 1000) / 1000.0},"baselineSameDaySec":${math.round(baselineSameDaySec * 1000) / 1000.0},"nFailedWarm":$nFailedWarm,"sf":"$sfDir","heapMaxMb":${Runtime.getRuntime.maxMemory >> 20},"gcTotalMs":${gcMillis()},"loadAvgStart":$loadStart,"loadAvg":$load}""")
   }
 }

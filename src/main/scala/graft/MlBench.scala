@@ -900,7 +900,31 @@ object MlBench {
       val io = new IoListener; spark.sparkContext.addSparkListener(io)
       def fpSrv(d: DataFrame): (Long, Long, Long) =
         chunkFingerprint(d, Seq("doc_id", "text", "n_tokens", "n_removed"))
-      val docsPath = s"/tmp/mlbench_substrserve_$nDocs"
+      // reap stale per-run state FIRST (round-16 ADVICE: repeated soak
+      // rounds accumulated multi-GB /tmp warehouses with no reaper) —
+      // the SparkEntry.perRunDb protocol: only dirs untouched >= 10
+      // minutes, so a concurrent live run's state is never deleted
+      locally {
+        val staleBefore = System.currentTimeMillis() - 10 * 60 * 1000
+        for (old <- Option(new java.io.File("/tmp").listFiles())
+               .getOrElse(Array.empty)
+             if old.getName.startsWith("graft_subsrv_") && old.isDirectory &&
+               old.lastModified() < staleBefore) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete()
+          }
+          rm(old)
+        }
+      }
+      // per-run DB (the serve-mode pattern): a reused name would hit
+      // LOCATION_ALREADY_EXISTS on the next JVM's fresh catalog. The
+      // corpus parquet is keyed by the SAME per-run name (round-16
+      // ADVICE: keying it by nDocs alone raced two concurrent runs at
+      // the same size onto one path), and the reaper above sweeps both.
+      val db = s"graft_subsrv_${System.nanoTime}"
+      spark.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
+      val docsPath = s"/tmp/${db}_corpus"
       t(s"substrserve corpus->parquet @$nDocs") {
         docs.write.mode("overwrite").parquet(docsPath)
       }
@@ -908,10 +932,6 @@ object MlBench {
       val refD = pdocs.where(col("doc_id") % 4 =!= 0)
       val inD = pdocs.where(col("doc_id") % 4 === 0).localCheckpoint()
       val nIn = inD.count()
-      // per-run DB (the serve-mode pattern): a reused name would hit
-      // LOCATION_ALREADY_EXISTS on the next JVM's fresh catalog
-      val db = s"graft_subsrv_${System.nanoTime}"
-      spark.sql(s"CREATE DATABASE $db LOCATION '/tmp/${db}_warehouse'")
       val tbl = s"$db.sub"
       val (swW0, spW0) = io.snap()
       t(s"substrserve index write (3/4 of $nDocs docs, 32 buckets)") {
