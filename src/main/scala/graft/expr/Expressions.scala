@@ -305,7 +305,20 @@ object ExprKernels {
     * the DecimalType(38,0) Column spelling the DuckDB oracles replay
     * in HUGEINT (q132/q133). Boundary ties (10^4*dot^2 == t^2*n2a*n2b)
     * land in the band and resolve exactly — OpsSpec pins gate ==
-    * unguarded on constructed ties. */
+    * unguarded on constructed ties.
+    *
+    * MAGNITUDE CONTRACT (round-16 ADVICE): `n2a`/`n2b` must be the
+    * EXACT squared norms — i.e. sum(x_i^2) must not wrap a Long
+    * (sum |x_i|^2 < 2^63, guaranteed whenever dim * max(x_i)^2 < 2^63
+    * — e.g. any dim <= 2^23 at the quantize contract's |x_i| <~ 2^20,
+    * and every realistic embedding far below that). The one-sided
+    * Cauchy–Schwarz abandon derives suffix norms as n2 minus the exact
+    * prefix sums; with a WRAPPED n2 the suffix is garbage and the
+    * bound is no longer one-sided — the documented bit-equality with
+    * the Column gate (itself deterministic even on wrapped dots) would
+    * silently break. Callers quantizing with [[graft.ml.Similarity]]
+    * defaults (scale 1000, |component| <= ~10^6, dim <= ~10^4) sit
+    * ~6 orders inside the bound. */
   def cosineKillGate(a: ArrayData, b: ArrayData, n2a: Long, n2b: Long,
                      tPct: Int): Boolean = {
     if (n2a <= 0 || n2b <= 0) return false
@@ -339,6 +352,93 @@ object ExprKernels {
     if (dot < 0) return false
     // exact verdict: double screen outside the guard band, BigInteger
     // inside it (ties and near-ties — rare by construction)
+    val lhs = 1e4 * dot.toDouble * dot.toDouble
+    val rhs = tPct.toDouble * tPct * n2a.toDouble * n2b.toDouble
+    if (lhs > rhs * (1 + 1e-9)) true
+    else if (lhs < rhs * (1 - 1e-9)) false
+    else {
+      val big = java.math.BigInteger.valueOf(dot)
+      val l = big.multiply(big)
+        .multiply(java.math.BigInteger.valueOf(10000L))
+      val r = java.math.BigInteger.valueOf(tPct.toLong * tPct)
+        .multiply(java.math.BigInteger.valueOf(n2a))
+        .multiply(java.math.BigInteger.valueOf(n2b))
+      l.compareTo(r) >= 0
+    }
+  }
+
+  /** Stride-16 prefix squared norms of a quantized vector: entry k =
+    * sum(x_i^2) over i in [0, min(16*(k+1), len)) — so the LAST entry
+    * is the full squared norm and entry k is the exact prefix the
+    * [[cosineKillGatePre]] checkpoint at element 16*(k+1) needs. An
+    * empty vector yields [0] (norm 0 — the gate's n2 > 0 guard catches
+    * it). Computed ONCE per row; the v1 [[cosineKillGate]] recomputes
+    * both prefix sums per PAIR (3 multiplies per component on the kill
+    * join's quadratic hot path — this rider drops it to 1). */
+  def prefixNorms16(a: ArrayData): ArrayData = {
+    val len = a.numElements()
+    val k = math.max(1, (len + 15) / 16)
+    val out = new Array[Long](k)
+    var s = 0L
+    var i = 0
+    var ck = 0
+    while (i < len) {
+      val lim = math.min(i + 16, len)
+      while (i < lim) { val x = a.getLong(i); s += x * x; i += 1 }
+      out(ck) = s
+      ck += 1
+    }
+    if (len == 0) out(0) = 0L
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** The v2 kill gate: identical VERDICT to [[cosineKillGate]] (and
+    * therefore to the Decimal Column gate — one-sided abandons plus the
+    * same exact completed-dot verdict), but the per-pair prefix norms
+    * come from the per-ROW [[prefixNorms16]] riders instead of being
+    * re-accumulated per pair, so the hot loop is ONE multiply-add per
+    * component (dot only), and the Cauchy–Schwarz checkpoint compares
+    * in SQUARED form (rem_a * rem_b < gap^2) — no per-checkpoint sqrt.
+    * One sqrt per pair remains (the threshold right-hand side). The
+    * abandon stays one-sided: rem products inflate and the needed dot
+    * deflates by 4e-9 relative (double rounding is ~1e-15), so a skip
+    * is PROVABLY below threshold; in-band completed dots re-run in
+    * BigInteger exactly as v1. Same magnitude contract as v1: the
+    * prefix sums (hence the full norms) must be exact Longs. */
+  def cosineKillGatePre(a: ArrayData, b: ArrayData, pna: ArrayData,
+                        pnb: ArrayData, tPct: Int): Boolean = {
+    val n2a = pna.getLong(pna.numElements() - 1)
+    val n2b = pnb.getLong(pnb.numElements() - 1)
+    if (n2a <= 0 || n2b <= 0) return false
+    val n = math.min(a.numElements(), b.numElements())
+    val needD = 0.01 * tPct *
+      Math.sqrt(n2a.toDouble * n2b.toDouble) * (1 - 1e-9)
+    var dot = 0L
+    var i = 0
+    var ck = 0
+    while (i < n) {
+      val lim = math.min(i + 16, n)
+      while (i < lim) { dot += a.getLong(i) * b.getLong(i); i += 1 }
+      if (i < n) {
+        // i == 16*(ck+1) exactly, and 16*(ck+1) < n <= both lengths, so
+        // pn*(ck) is the exact prefix over the consumed elements
+        val remA = (n2a - pna.getLong(ck)).toDouble
+        val remB = (n2b - pnb.getLong(ck)).toDouble
+        val dd = dot.toDouble
+        // abandon iff dot + sqrt(remA*remB) provably < needD, in squared
+        // form. The gap carries an ABSOLUTE slack scaled to the operand
+        // magnitudes (dots past 2^53 round in toDouble — a relative
+        // inflation of the squared compare alone would not cover a
+        // rounding error larger than a small gap), and the rem product
+        // inflates relatively (+1e-9 absolute for the rounds-to-zero
+        // edge) — both one-sided, 3-6 orders beyond double rounding
+        val gap = (needD - dd) - (Math.abs(dd) + needD) * 1e-12
+        if (gap > 0 && remA * remB * (1 + 4e-9) + 1e-9 < gap * gap)
+          return false
+        ck += 1
+      }
+    }
+    if (dot < 0) return false
     val lhs = 1e4 * dot.toDouble * dot.toDouble
     val rhs = tPct.toDouble * tPct * n2a.toDouble * n2b.toDouble
     if (lhs > rhs * (1 + 1e-9)) true
@@ -754,6 +854,52 @@ case class CosineKillGate(first: Expression, second: Expression,
     copy(first = f, second = s, third = t, fourth = q)
 }
 
+/** Stride-16 prefix squared norms ([[ExprKernels.prefixNorms16]]) as a
+  * native codegen'd expression — the per-ROW rider that lets
+  * [[CosineKillGatePre]] drop the kill join's per-PAIR prefix
+  * accumulation (3 multiplies per component -> 1 on the quadratic hot
+  * path). Last element = the full squared norm. */
+case class PrefixNorms16(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(LongType))
+  override protected def nullSafeEval(v: Any): Any =
+    ExprKernels.prefixNorms16(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ExprKernels.prefixNorms16($c)")
+  override protected def withNewChildInternal(c: Expression): PrefixNorms16 =
+    copy(c)
+}
+
+/** The v2 fused kill gate ([[ExprKernels.cosineKillGatePre]]): verdict
+  * bit-equal to [[CosineKillGate]] and the Decimal Column gate (OpsSpec
+  * pins all three incl. constructed boundary ties), with the prefix
+  * norms read off per-row [[PrefixNorms16]] riders — the batch kill
+  * join's hot-path spelling (SemDedup.audit), where every (candidate,
+  * better-ranked) pair paid 3 multiplies per component re-deriving
+  * prefix sums the rows could carry once. */
+case class CosineKillGatePre(first: Expression, second: Expression,
+                             third: Expression, fourth: Expression,
+                             tPct: Int)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType), ArrayType(LongType),
+      ArrayType(LongType))
+  override protected def nullSafeEval(a: Any, b: Any, pna: Any,
+                                      pnb: Any): Any =
+    ExprKernels.cosineKillGatePre(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], pna.asInstanceOf[ArrayData],
+      pnb.asInstanceOf[ArrayData], tPct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, x, y) =>
+      s"graft.expr.ExprKernels.cosineKillGatePre($a, $b, $x, $y, $tPct)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression,
+      q: Expression): CosineKillGatePre =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 /** Long gcd as a codegen'd expression — replaces a BigInt-allocating
   * Scala UDF on the bigWig divide payload's hot tail. */
 case class GcdLong(left: Expression, right: Expression)
@@ -796,6 +942,14 @@ object Exprs {
     GraftColumnBridge.column(CosineKillGate(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
       GraftColumnBridge.expression(n2a), GraftColumnBridge.expression(n2b),
+      tPct))
+  def prefix_norms(c: Column): Column =
+    GraftColumnBridge.column(PrefixNorms16(GraftColumnBridge.expression(c)))
+  def cosine_kill_gate_pre(a: Column, b: Column, pna: Column, pnb: Column,
+                           tPct: Int): Column =
+    GraftColumnBridge.column(CosineKillGatePre(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+      GraftColumnBridge.expression(pna), GraftColumnBridge.expression(pnb),
       tPct))
   def gcd_long(a: Column, b: Column): Column =
     GraftColumnBridge.column(GcdLong(

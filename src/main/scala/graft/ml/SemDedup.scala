@@ -74,10 +74,12 @@ import org.apache.spark.sql.types.DataTypes
   * Distributed shape: one narrow projection (id, quantized vector) +
   * cell/centroid-dot as codegen'd literal-matrix expressions (no
   * centroid join), ONE shuffle on cell for the rank window (which also
-  * carries the per-cell population census for free), an equi-join on
-  * (cell, rank band) for the kill candidates (anchor mode joins
-  * against a <=nCells-row side — broadcast), and a distinct on the
-  * dropped ids. Nothing driver-side, nothing quadratic outside a cell,
+  * carries the per-cell population census for free), and a LEFT SEMI
+  * equi-join on (cell, rank band) for the kill verdicts (anchor mode
+  * probes a <=nCells-row broadcast side): existence is all the rule
+  * asks, so a dropped candidate's probe stops at its FIRST kill, no
+  * matched-pair rows are ever materialized, and no distinct exchange
+  * follows. Nothing driver-side, nothing quadratic outside a cell,
   * and inside a hot cell the quadratic spreads over rank-band blocks.
   *
   * Rows whose vector is NULL or empty carry no similarity evidence:
@@ -120,6 +122,19 @@ object SemDedup {
   private[ml] def killGate(q: Column, qk: Column, n2a: Column,
                            n2b: Column, tPct: Int): Column =
     graft.expr.Exprs.cosine_kill_gate(q, qk, n2a, n2b, tPct)
+
+  /** The v2 spelling of [[killGate]] for the BATCH kill join
+    * (graft.expr.CosineKillGatePre): same verdict bit-for-bit, but the
+    * prefix norms the one-sided abandon needs ride as per-ROW stride-16
+    * prefix-sum arrays (`_pn`, computed once in [[audit]]'s base
+    * projection) instead of being re-accumulated per PAIR — the hot
+    * loop drops from 3 multiplies per component to 1 on the join whose
+    * pair count is quadratic in the cell (VERDICT r16 item #1; the
+    * serve paths keep the 4-ary [[killGate]]: their index tables store
+    * (_q, _n2) and their pair volume is linear in the batch). */
+  private[ml] def killGatePre(q: Column, qk: Column, pn: Column,
+                              pnk: Column, tPct: Int): Column =
+    graft.expr.Exprs.cosine_kill_gate_pre(q, qk, pn, pnk, tPct)
 
   /** 0-based rank band of a 1-based rank for band width `bandL`:
     * floor((rn - 1) / bandRows) — integer-exact at any rank (the
@@ -193,6 +208,10 @@ object SemDedup {
         element_at(cmLit, col("_cell").cast("int") + 1)))
         .otherwise(lit(null).cast("long")))
       .withColumn("_n2", Similarity.dotLong(col("_q"), col("_q")))
+      // the stride-16 prefix-norm rider for the v2 kill gate: ~40 bytes
+      // per row through the rank shuffle buys the kill join's quadratic
+      // inner loop down from 3 multiplies per component to 1
+      .withColumn("_pn", graft.expr.Exprs.prefix_norms(col("_q")))
     val ord =
       if (keep == "edge") Seq(col("_cd").asc, col(idCol).asc)
       else Seq(col("_cd").desc, col(idCol).asc)
@@ -204,17 +223,29 @@ object SemDedup {
     // semantics, and in anchor mode it means a degenerate rank-1 row
     // (an encoder-failure zero vector that happens to sort first)
     // can never FREEZE its cell — the anchor is the best-ranked
-    // member that can actually kill
+    // member that can actually kill.
+    // The kill join is a LEFT SEMI (round-17): only EXISTENCE of a
+    // better-ranked killer matters, so the semi (a) short-circuits a
+    // dropped candidate's probe at its FIRST kill instead of paying the
+    // gate against every remaining killer, (b) never materializes the
+    // matched-pair rows the old inner-join spelling produced (a
+    // mega-cluster member was matched by THOUSANDS of killers before
+    // the distinct), and (c) retires the distinct's exchange — the semi
+    // output is at most one row per candidate by construction.
     val dropped = (if (mode == "anchor") {
       // anchor mode's killer side is one row per cell — broadcastable
       val k = ranked.where(col("_n2") > 0)
         .groupBy(col("_cell"))
-        .agg(min_by(struct(col("_q").as("_qk"), col("_n2").as("_n2k"),
+        .agg(min_by(struct(col("_q").as("_qk"), col("_pn").as("_pnk"),
           col("_rn").as("_rk")), col("_rn")).as("_w"))
-        .select(col("_cell"), col("_w").getField("_qk").as("_qk"),
-          col("_w").getField("_n2k").as("_n2k"),
+        .select(col("_cell").as("_cellk"), col("_w").getField("_qk").as("_qk"),
+          col("_w").getField("_pnk").as("_pnk"),
           col("_w").getField("_rk").as("_rk"))
-      ranked.join(broadcast(k), Seq("_cell"))
+      ranked.join(broadcast(k),
+        col("_cell") === col("_cellk") && col("_rk") < col("_rn") &&
+          killGatePre(col("_q"), col("_qk"), col("_pn"), col("_pnk"),
+            thresholdPct),
+        "left_semi")
     } else {
       // RANK-BAND CHUNKED pairwise — the hot-cell guard. The rank
       // window's free census (count over the same partition key; zero
@@ -238,17 +269,18 @@ object SemDedup {
       val withCnt = ranked.withColumn("_cnt", count(lit(1)).over(wCell))
       val killers = withCnt.where(col("_n2") > 0)
         .select(col("_cell").as("_cellk"), col("_q").as("_qk"),
-          col("_n2").as("_n2k"), col("_rn").as("_rk"),
+          col("_pn").as("_pnk"), col("_rn").as("_rk"),
           explode(sequence(bandOf(col("_rn"), bandL),
             bandOf(col("_cnt"), bandL))).as("_jb"))
       withCnt.withColumn("_band", bandOf(col("_rn"), bandL))
         .join(killers,
-          col("_cell") === col("_cellk") && col("_band") === col("_jb"))
+          col("_cell") === col("_cellk") && col("_band") === col("_jb") &&
+            col("_rk") < col("_rn") &&
+            killGatePre(col("_q"), col("_qk"), col("_pn"), col("_pnk"),
+              thresholdPct),
+          "left_semi")
     })
-      .where(col("_rk") < col("_rn") &&
-        killGate(col("_q"), col("_qk"), col("_n2"), col("_n2k"),
-          thresholdPct))
-      .select(col(idCol)).distinct()
+      .select(col(idCol))
       .withColumn("_dup", lit(true))
     ranked.join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("_cell"), col("_cd"), col("_q"), col("_n2"),
@@ -306,13 +338,66 @@ object SemDedup {
                                thresholdPct: Int, textCol: String = "text",
                                idCol: String = "doc_id", n: Int = 3,
                                dim: Int = 64, hash: String = "xxhash64",
-                               scale: Int = 1000): DataFrame =
-    semanticFilterStream(
-      TextOps.hashedNgramEmbedding(stream.select(col(idCol), col(textCol)),
-        textCol, "_emb", n, dim, hash = hash),
+                               scale: Int = 1000): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct must be in [1, 100], got $thresholdPct")
+    // PIN the reference side (VERDICT r16 item #2 — the SubstrServe
+    // lesson at the operator level): a stream-static join re-evaluates
+    // the static plan EVERY trigger, so without the pin the whole
+    // survivor corpus re-pays tokenize + embed + quantize + argmin per
+    // micro-batch. localCheckpoint materializes the PREPARED ref frame
+    // (quantized, norm'd, cell-assigned) once at plan-build; every
+    // trigger then joins in-memory rows — only the incoming batch's
+    // embed projection remains on the stream side. For a long-lived
+    // survivor corpus persist a [[SemIndex]] (writeText) and serve with
+    // [[SemIndex.filterTextStream]] instead — same plan property plus
+    // catalog durability and append/takedown lifecycle.
+    val refPinned = prepRefs(
       TextOps.hashedNgramEmbedding(refDocs.select(col(textCol)),
         textCol, "_emb", n, dim, hash = hash),
-      centroids, thresholdPct, idCol, "_emb", scale)
+      centroids, "_emb", scale).localCheckpoint()
+    filterAgainst(
+      prepProbe(
+        TextOps.hashedNgramEmbedding(stream.select(col(idCol), col(textCol)),
+          textCol, "_emb", n, dim, hash = hash),
+        centroids, idCol, "_emb", scale),
+      refPinned, thresholdPct, idCol)
+  }
+
+  /** The probe-side preparation shared by the stream/batch serve paths:
+    * (idCol, _q quantized, _cell with the audit convention's -1 for
+    * NULL/empty vectors, _n2). */
+  private[ml] def prepProbe(df: DataFrame, centroids: Array[Array[Long]],
+                            idCol: String, vecCol: String,
+                            scale: Int): DataFrame = {
+    val validV = col("_q").isNotNull && size(col("_q")) > 0
+    df.select(col(idCol).cast("long").as(idCol),
+        Similarity.quantize(col(vecCol), scale).as("_q"))
+      .withColumn("_cell", when(validV,
+        element_at(Similarity.nearestCells(col("_q"), centroids, 1), 1))
+        .otherwise(lit(-1L)))
+      .withColumn("_n2", Similarity.dotLong(col("_q"), col("_q")))
+  }
+
+  /** The reference-side preparation: quantize, prune zero-norm rows
+    * (inert killers), assign cells. */
+  private[ml] def prepRefs(refs: DataFrame, centroids: Array[Array[Long]],
+                           vecCol: String, scale: Int): DataFrame =
+    refs.select(Similarity.quantize(col(vecCol), scale).as("_qr"))
+      .withColumn("_n2r", Similarity.dotLong(col("_qr"), col("_qr")))
+      .where(col("_n2r") > 0)
+      .withColumn("_cellr",
+        element_at(Similarity.nearestCells(col("_qr"), centroids, 1), 1))
+
+  /** The stateless anti-join gate over prepared sides. */
+  private[ml] def filterAgainst(prep: DataFrame, refPrep: DataFrame,
+                                thresholdPct: Int, idCol: String): DataFrame =
+    prep.join(refPrep,
+        col("_cell") === col("_cellr") &&
+          killGate(col("_q"), col("_qr"), col("_n2"), col("_n2r"),
+            thresholdPct),
+        "left_anti")
+      .select(col(idCol), col("_cell").as("cell"))
 
   def semanticFilterStream(stream: DataFrame, refs: DataFrame,
                            centroids: Array[Array[Long]],
@@ -321,23 +406,7 @@ object SemDedup {
                            scale: Int = 1000): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"thresholdPct must be in [1, 100], got $thresholdPct")
-    val validV = col("_q").isNotNull && size(col("_q")) > 0
-    val prep = stream.select(col(idCol).cast("long").as(idCol),
-        Similarity.quantize(col(vecCol), scale).as("_q"))
-      .withColumn("_cell", when(validV,
-        element_at(Similarity.nearestCells(col("_q"), centroids, 1), 1))
-        .otherwise(lit(-1L)))
-      .withColumn("_n2", Similarity.dotLong(col("_q"), col("_q")))
-    val refPrep = refs.select(Similarity.quantize(col(vecCol), scale).as("_qr"))
-      .withColumn("_n2r", Similarity.dotLong(col("_qr"), col("_qr")))
-      .where(col("_n2r") > 0)
-      .withColumn("_cellr",
-        element_at(Similarity.nearestCells(col("_qr"), centroids, 1), 1))
-    prep.join(refPrep,
-        col("_cell") === col("_cellr") &&
-          killGate(col("_q"), col("_qr"), col("_n2"), col("_n2r"),
-            thresholdPct),
-        "left_anti")
-      .select(col(idCol), col("_cell").as("cell"))
+    filterAgainst(prepProbe(stream, centroids, idCol, vecCol, scale),
+      prepRefs(refs, centroids, vecCol, scale), thresholdPct, idCol)
   }
 }

@@ -2091,6 +2091,48 @@ class OpsSpec extends AnyFunSuite {
       graft.expr.Exprs.cosine_kill_gate(col("a"), col("b"), n2a, n2b, 97))
       .head()
     assert(tie.getBoolean(0) && !tie.getBoolean(1))
+    // ... and the v2 prefix-rider gate (CosineKillGatePre, the batch
+    // kill join's spelling) agrees with BOTH on every row x threshold,
+    // with the riders built by the production PrefixNorms16 expression
+    val pna = graft.expr.Exprs.prefix_norms(col("a"))
+    val pnb = graft.expr.Exprs.prefix_norms(col("b"))
+    for (t <- Seq(1, 50, 96, 97, 100)) {
+      val v1 =
+        graft.expr.Exprs.cosine_kill_gate(col("a"), col("b"), n2a, n2b, t)
+      val v2 = graft.expr.Exprs.cosine_kill_gate_pre(
+        col("a"), col("b"), pna, pnb, t)
+      val diverged = df
+        .where(coalesce(v1, lit(false)) =!= coalesce(v2, lit(false)))
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(diverged.isEmpty, s"v2 gate t=$t: rows $diverged diverge")
+    }
+    val tie2 = df.where(col("id") === 1001L).select(
+      graft.expr.Exprs.cosine_kill_gate_pre(col("a"), col("b"), pna, pnb, 96),
+      graft.expr.Exprs.cosine_kill_gate_pre(col("a"), col("b"), pna, pnb, 97))
+      .head()
+    assert(tie2.getBoolean(0) && !tie2.getBoolean(1))
+  }
+
+  test("PrefixNorms16: last element is the full squared norm, entries " +
+    "are the exact stride-16 prefixes, and the empty/short shapes hold") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array.tabulate(40)(i => (i - 20).toLong)),
+      (2L, Array.tabulate(16)(i => i.toLong)),
+      (3L, Array(7L)),
+      (4L, Array.empty[Long]))
+    val got = rows.toDF("id", "v")
+      .select(col("id"), graft.expr.Exprs.prefix_norms(col("v")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    for ((id, v) <- rows) {
+      val expect =
+        if (v.isEmpty) Array(0L)
+        else Array.tabulate((v.length + 15) / 16) { k =>
+          v.take(math.min(16 * (k + 1), v.length)).map(x => x * x).sum
+        }
+      assert(java.util.Arrays.equals(got(id), expect),
+        s"id=$id: ${got(id).toSeq} vs ${expect.toSeq}")
+    }
   }
 
   test("TwoLevelCells rejects ragged centroid matrices (the dim-space " +
