@@ -43,6 +43,24 @@ object SemIndex {
   def storedThresholdPct(spark: SparkSession, table: String): Int =
     semProps(spark, table)("graft.sem.thresholdPct").toInt
 
+  /** The embedder spec a TEXT-built index stores about itself
+    * ((n, dim, hash, distinct) — [[TextOps.hashedNgramEmbedding]]'s
+    * knobs). Fail-fast on a vector-built index: probing text through
+    * an index whose survivors were embedded under ANY other spec would
+    * silently join a disjoint embedding space (the [[SubstrIndex]]
+    * stored-k lesson, embedder edition). */
+  def storedEmbedder(spark: SparkSession,
+                     table: String): (Int, Int, String, Boolean) = {
+    val p = semProps(spark, table)
+    require(p.contains("graft.sem.text.n"),
+      s"SemIndex: table $table carries no graft.sem.text.* embedder " +
+        "spec — it was built from vectors (write), not text " +
+        "(writeText); serve it with filterStream/probe on the " +
+        "embedding column instead")
+    (p("graft.sem.text.n").toInt, p("graft.sem.text.dim").toInt,
+      p("graft.sem.text.hash"), p("graft.sem.text.distinct").toBoolean)
+  }
+
   /** Build the survivor index: run the batch dedup at `thresholdPct`
     * and persist the killers-capable survivor set (id, quantized
     * vector, cell, squared norm) bucketed + sorted by `_cell`. */
@@ -66,6 +84,66 @@ object SemIndex {
         AnnIndex.ivfPropsSql(centroids, scale) + "," +
         s"'graft.sem.thresholdPct'='$thresholdPct'," +
         s"'graft.sem.mode'='$mode','graft.sem.keep'='$keep')")
+  }
+
+  /** Build the survivor index straight from TEXT — the persisted twin
+    * of [[SemDedup.semanticDedupText]]: embed with the fused
+    * hashed-n-gram kernel, run the batch dedup, store the survivors
+    * cell-bucketed and PRE-QUANTIZED, and stamp the embedder spec
+    * (n/dim/hash/distinct) as table properties so the text serve paths
+    * replay the exact build embedding by construction — a caller
+    * cannot drift the serve-side embedder from the build side (a
+    * drift would silently empty the gate). This is the durable form
+    * of the [[SemDedup.semanticFilterTextStream]] reference pin
+    * (VERDICT r16 item #2): the stream side of
+    * [[filterTextStream]] carries ONLY the embed projection of the
+    * incoming batch; the survivor side is a bucketed scan with zero
+    * exchange and zero per-trigger recompute. */
+  def writeText(docs: DataFrame, table: String,
+                centroids: Array[Array[Long]], thresholdPct: Int,
+                textCol: String = "text", idCol: String = "doc_id",
+                n: Int = 3, dim: Int = 64, hash: String = "xxhash64",
+                mode: String = "pairwise", keep: String = "edge",
+                scale: Int = 1000, buckets: Int = 8,
+                bandRows: Int = 8192): Unit = {
+    write(TextOps.hashedNgramEmbedding(
+        docs.select(col(idCol), col(textCol)), textCol, "_emb", n, dim,
+        hash = hash),
+      table, centroids, thresholdPct, idCol, "_emb", mode, keep, scale,
+      buckets, bandRows)
+    docs.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES(" +
+        s"'graft.sem.text.n'='$n','graft.sem.text.dim'='$dim'," +
+        s"'graft.sem.text.hash'='$hash'," +
+        "'graft.sem.text.distinct'='true')")
+  }
+
+  /** Batch probe of raw DOCUMENTS against a text-built index: embed
+    * under the STORED spec, then [[probe]]. Output (idCol, cell,
+    * kept). */
+  def probeText(spark: SparkSession, table: String, docs: DataFrame,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val (n, dim, hash, distinct) = storedEmbedder(spark, table)
+    probe(spark, table,
+      TextOps.hashedNgramEmbedding(docs.select(col(idCol), col(textCol)),
+        textCol, "_emb", n, dim, distinct, hash),
+      idCol, "_emb")
+  }
+
+  /** STREAMING text serve against the persisted index — the durable
+    * twin of [[SemDedup.semanticFilterTextStream]]: the stream side
+    * embeds each incoming document under the STORED spec (a pure
+    * projection); the survivor side is the bucketed pre-quantized
+    * scan. Emits survivors as (idCol, cell). */
+  def filterTextStream(spark: SparkSession, table: String,
+                       stream: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val (n, dim, hash, distinct) = storedEmbedder(spark, table)
+    filterStream(spark, table,
+      TextOps.hashedNgramEmbedding(stream.select(col(idCol), col(textCol)),
+        textCol, "_emb", n, dim, distinct, hash),
+      idCol, "_emb")
   }
 
   /** The static probe side: (cell, quantized vector, norm) read

@@ -765,6 +765,112 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("semanticFilterTextStream pins the reference side: a multi-trigger " +
+    "serve embeds the survivors ONCE — the executed plan's static side is " +
+    "the checkpointed frame, not a re-embed (VERDICT r16 item #2)") {
+    import spark.implicits._
+    import graft.ml.{SemDedup, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    val refDocs = (0 until 12).map(i =>
+      (i.toLong, s"reference doc number $i with some shared words " +
+        s"alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val cm = Similarity.ivfCentroids(4, 64)
+    val in = MemoryStream[(Long, String)]
+    val kept = SemDedup.semanticFilterTextStream(
+      in.toDF().toDF("doc_id", "text"), refDocs, cm, 80)
+    val name = s"semtextpin_${System.nanoTime}"
+    val q = kept.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData((100L, "a first probe document about something else"))
+    q.processAllAvailable()
+    in.addData((101L, "a second probe document across another trigger"))
+    q.processAllAvailable()
+    val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming
+      .runtime.StreamingQueryWrapper].streamingQuery.lastExecution
+      .executedPlan.toString
+    q.stop()
+    // exactly ONE hashed-n-gram embed in the per-trigger plan — the
+    // incoming batch's projection; the survivor side shows up as the
+    // materialized checkpoint (an RDD scan), embedded zero times.
+    // AQE's toString prints Final AND Initial plan sections — count
+    // within the final section only (the whole string when no AQE)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val embeds = "(?i)hashedngramembed".r.findAllIn(finalPlan).size
+    assert(embeds == 1,
+      s"expected exactly 1 embed (the probe side), found $embeds in:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"static side is not the checkpointed frame:\n$plan")
+    assert(spark.table(name).collect().map(_.getLong(0)).toSet ==
+      Set(100L, 101L))
+  }
+
+  test("SemIndex text twins: writeText stamps the embedder spec, " +
+    "probeText/filterTextStream replay it, results match the raw text " +
+    "operators, and a vector-built index fails fast on text serve") {
+    import spark.implicits._
+    import graft.ml.{SemDedup, SemIndex, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    val fams = for { f <- 0 until 3; i <- 0 until 5 } yield
+      ((f * 100 + i).toLong,
+        s"family $f template words alpha$f beta gamma delta epsilon " +
+          s"zeta eta theta iota kappa variant token$i")
+    val solos = Seq((900L, "entirely different standalone text one"),
+      (901L, "another unrelated standalone document two"))
+    val docs = (fams ++ solos).toDF("doc_id", "text").localCheckpoint()
+    val cm = Similarity.trainIvfCentroids(
+      graft.ml.TextOps.hashedNgramEmbedding(docs), 6, sampleFraction = 1.0)
+    val db = TestDbs.perRun(spark, "graft_semtx_")
+    SemIndex.writeText(docs, s"$db.sem", cm, 60, mode = "anchor",
+      buckets = 2)
+    assert(SemIndex.storedEmbedder(spark, s"$db.sem") ==
+      ((3, 64, "xxhash64", true)))
+    // batch probe == the audit semantics: a doc the build DROPPED is
+    // re-dropped (anchor mode — its killer is stored), fresh docs keep
+    val audit = SemDedup.semanticDedupText(docs, cm, 60, mode = "anchor")
+    val droppedIds = audit.where(!col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(droppedIds.nonEmpty, "no drops at t=60 — corpus too easy")
+    val probed = SemIndex.probeText(spark, s"$db.sem", docs)
+    val probedDropped = probed.where(!col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(droppedIds.subsetOf(probedDropped),
+      s"build-dropped $droppedIds not re-dropped by probeText " +
+        s"($probedDropped)")
+    // streaming serve == the in-memory text filter over the SAME
+    // survivor documents (the index stores exactly the kept rows)
+    val refDocs = docs.join(audit.where(col("kept")).select("doc_id"),
+      Seq("doc_id"))
+    val probeDocs = (droppedIds.toSeq.sorted.map(i =>
+        (i, docs.where(col("doc_id") === i).head().getString(1))) :+
+      (999L, "a wholly novel sentence about volcanoes and tea"))
+    val in = MemoryStream[(Long, String)]
+    val served = SemIndex.filterTextStream(spark, s"$db.sem",
+      in.toDF().toDF("doc_id", "text"))
+    val name = s"semtxidx_${System.nanoTime}"
+    val q = served.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(probeDocs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).collect().map(_.getLong(0)).toSet
+    val raw = SemDedup.semanticFilterTextStream(
+      probeDocs.toDF("doc_id", "text"), refDocs, cm, 60)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == raw, s"index serve $got != raw text filter $raw")
+    assert(got.contains(999L) && !got.exists(droppedIds.contains),
+      s"dropped docs must not pass the index serve: $got")
+    // a VECTOR-built index must refuse text serve (no embedder spec)
+    val emb = Tables.pq(spark, "/root/testdata/sf0.001", "embeddings")
+    SemIndex.write(emb, s"$db.vec", Similarity.ivfCentroids(4, 64), 60,
+      buckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      SemIndex.probeText(spark, s"$db.vec",
+        Seq((1L, "text")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("graft.sem.text"))
+  }
+
   test("streaming serve picks up an index delete on the next trigger (takedown)") {
     import graft.ml.{AnnIndex, Similarity}
     import org.apache.spark.sql.functions.col
