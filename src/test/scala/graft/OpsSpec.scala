@@ -2216,6 +2216,44 @@ class OpsSpec extends AnyFunSuite {
     assert(distinct.forall(c => c.count(_ == 1000L) == 1 && c.count(_ == 0L) == 7))
   }
 
+  test("trainIvfCentroidsLloyd: partitioning-invariant (order-free " +
+    "integer stages), recovers planted directions, and respects the " +
+    "sample cap") {
+    import spark.implicits._
+    // 3 planted directions with per-copy jitter in a disjoint dim, so
+    // vectors are DISTINCT (exercises the content-hash init draw), yet
+    // means land back on the directions
+    val df = (0 until 600)
+      .map { i =>
+        (i.toLong, Array.tabulate(8) { j =>
+          if (j == i % 3) 1f
+          else if (j == 3 + i % 3) (i % 5) * 0.001f
+          else 0f
+        })
+      }
+      .toDF("vec_id", "embedding")
+    val m1 = Similarity.trainIvfCentroidsLloyd(df.repartition(7),
+      nCells = 3, sampleFraction = 1.0)
+    val m2 = Similarity.trainIvfCentroidsLloyd(df.repartition(3),
+      nCells = 3, sampleFraction = 1.0)
+    assert(java.util.Arrays.deepEquals(
+        m1.asInstanceOf[Array[AnyRef]], m2.asInstanceOf[Array[AnyRef]]),
+      "Lloyd matrices differ across input partitionings")
+    assert(m1.length == 3 && m1.forall(_.length == 8))
+    // each direction dominates exactly one trained center
+    val majors = m1.map(c => c.indexOf(c.max)).toSet
+    assert(majors == Set(0, 1, 2), s"planted dims not separated: $majors")
+    // cap respected + padding when distinct contents < nCells
+    val tiny = Seq(Tuple1(Array(1f, 0f)), Tuple1(Array(0f, 1f)))
+      .toDF("embedding")
+    val padded = Similarity.trainIvfCentroidsLloyd(tiny, nCells = 4,
+      sampleFraction = 1.0)
+    assert(padded.length == 4)
+    intercept[IllegalArgumentException] {
+      Similarity.trainIvfCentroidsLloyd(df, nCells = 0)
+    }
+  }
+
   test("exportShards resume validates the export spec and distrusts " +
     "empty shard directories") {
     import spark.implicits._
