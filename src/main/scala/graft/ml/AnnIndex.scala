@@ -45,16 +45,23 @@ object AnnIndex {
     * wrong-cell join the fingerprint exists to prevent. Rebuild with
     * [[writeIvf]]. */
   private[ml] def readProps(spark: SparkSession, table: String): Map[String, String] =
-    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // straight catalog-metadata read, not `SHOW TBLPROPERTIES`: the SQL
+    // command spelling pays a parse + command execution + collect per
+    // call, and the spec-validation paths read properties once per
+    // probe/append/serve-build — pure driver overhead (guide §5)
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).properties
 
   /** The centroid matrix the index stores about itself (stamped by
     * [[writeIvf]], preserved through compact/delete rewrites) — so
     * serve paths can probe WITHOUT the caller reconstructing the
     * matrix. Chunked across <= 2000-char properties because real
     * metastores cap property-value length. */
-  def storedCentroids(spark: SparkSession, table: String): Array[Array[Long]] = {
-    val props = readProps(spark, table)
+  def storedCentroids(spark: SparkSession, table: String): Array[Array[Long]] =
+    centroidsFrom(readProps(spark, table), table)
+
+  private def centroidsFrom(props: Map[String, String],
+                            table: String): Array[Array[Long]] = {
     val n = props.getOrElse("graft.ivf.centroids.n",
       throw new IllegalStateException(
         s"AnnIndex: table $table stores no centroid matrix (built by an " +
@@ -65,7 +72,10 @@ object AnnIndex {
 
   /** The quantization scale the index was built under. */
   def storedScale(spark: SparkSession, table: String): Int =
-    readProps(spark, table).getOrElse("graft.ivf.scale",
+    scaleFrom(readProps(spark, table), table)
+
+  private def scaleFrom(props: Map[String, String], table: String): Int =
+    props.getOrElse("graft.ivf.scale",
       throw new IllegalStateException(
         s"AnnIndex: table $table stores no graft.ivf.scale")).toInt
 
@@ -73,8 +83,10 @@ object AnnIndex {
     * about itself (chunked like the centroid matrix; subspaces joined
     * with '|'), or null when the index was built without PQ. */
   def storedCodebooks(spark: SparkSession,
-                      table: String): Array[Array[Array[Long]]] = {
-    val props = readProps(spark, table)
+                      table: String): Array[Array[Array[Long]]] =
+    codebooksFrom(readProps(spark, table))
+
+  private def codebooksFrom(props: Map[String, String]): Array[Array[Array[Long]]] = {
     props.get("graft.pq.codebooks.n") match {
       case None => null
       case Some(n) =>
@@ -92,18 +104,24 @@ object AnnIndex {
       }.mkString(",")
   }
 
-  /** Resolve (centroids, scale): the caller's values, or the table's
-    * own stored spec when centroids is null. */
-  private def resolveSpec(spark: SparkSession, table: String,
+  /** Resolve (centroids, scale) against pre-read `props`: the caller's
+    * values, or the table's own stored spec when centroids is null.
+    * Threading the property map keeps each probe/append at ONE catalog
+    * metadata read instead of one per stored-field accessor. */
+  private def resolveSpec(props: Map[String, String], table: String,
                           centroids: Array[Array[Long]],
                           scale: Int): (Array[Array[Long]], Int) =
-    if (centroids == null) (storedCentroids(spark, table), storedScale(spark, table))
+    if (centroids == null) (centroidsFrom(props, table), scaleFrom(props, table))
     else (centroids, scale)
 
   private[ml] def validateSpec(spark: SparkSession, table: String,
                            centroids: Array[Array[Long]],
-                           scale: Int): Unit = {
-    val props = readProps(spark, table)
+                           scale: Int): Unit =
+    validateSpecProps(readProps(spark, table), table, centroids, scale)
+
+  private def validateSpecProps(props: Map[String, String], table: String,
+                                centroids: Array[Array[Long]],
+                                scale: Int): Unit = {
     props.get("graft.ivf.fp") match {
       case Some(stored) =>
         require(stored == centroidFp(centroids, scale),
@@ -207,15 +225,16 @@ object AnnIndex {
   def appendIvf(df: DataFrame, table: String,
                 centroids: Array[Array[Long]] = null, idCol: String = "vec_id",
                 vecCol: String = "embedding", scale: Int = 1000): Unit = {
-    val (cm, sc) = resolveSpec(df.sparkSession, table, centroids, scale)
-    validateSpec(df.sparkSession, table, cm, sc)
+    val props = readProps(df.sparkSession, table)
+    val (cm, sc) = resolveSpec(props, table, centroids, scale)
+    validateSpecProps(props, table, cm, sc)
     val base = df.select(col(idCol).cast("long").as(idCol),
         Similarity.quantize(col(vecCol), sc).as("_q"))
       .withColumn("_cell",
         Similarity.nearestCells(col("_q"), cm, 1).getItem(0))
     // a PQ-carrying index appends PQ-carrying rows (insertInto is
     // positional — the schema must match the table's)
-    val cbs = storedCodebooks(df.sparkSession, table)
+    val cbs = codebooksFrom(props)
     (if (cbs == null) base
      else base.withColumn("_codes", Pq.pqEncode(col("_q"), cbs)))
       .write.mode("append")
@@ -236,8 +255,9 @@ object AnnIndex {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
                       scale: Int = 1000): DataFrame = {
-    val (cm, sc) = resolveSpec(spark, table, centroids, scale)
-    validateSpec(spark, table, cm, sc)
+    val props = readProps(spark, table)
+    val (cm, sc) = resolveSpec(props, table, centroids, scale)
+    validateSpecProps(props, table, cm, sc)
     val idx = spark.table(table)
       .select(col(idCol).as("nb"), col("_q").as("_qb"), col("_cell"))
     val probes = queryStream
@@ -266,10 +286,11 @@ object AnnIndex {
                          queryStream: DataFrame, nProbe: Int,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
-    val cm = storedCentroids(spark, table)
-    val sc = storedScale(spark, table)
-    validateSpec(spark, table, cm, sc)
-    val cbs = storedCodebooks(spark, table)
+    val props = readProps(spark, table)
+    val cm = centroidsFrom(props, table)
+    val sc = scaleFrom(props, table)
+    validateSpecProps(props, table, cm, sc)
+    val cbs = codebooksFrom(props)
     require(cbs != null,
       s"AnnIndex: table $table stores no PQ codebooks — build with " +
         "writeIvf(codebooks = ...) or serve with probeStreamBest")
@@ -310,8 +331,9 @@ object AnnIndex {
                k: Int, nProbe: Int, centroids: Array[Array[Long]] = null,
                idCol: String = "vec_id", vecCol: String = "embedding",
                scale: Int = 1000): DataFrame = {
-    val (cm, sc) = resolveSpec(spark, table, centroids, scale)
-    validateSpec(spark, table, cm, sc)
+    val props = readProps(spark, table)
+    val (cm, sc) = resolveSpec(props, table, centroids, scale)
+    validateSpecProps(props, table, cm, sc)
     val idx = spark.table(table)
       .select(col(idCol).as("nb"), col("_q").as("_qb"), col("_cell"))
     val probes = graft.core.Sizing.fanOutSmallScan(queries)
@@ -343,10 +365,11 @@ object AnnIndex {
   def probeIvfAdc(spark: SparkSession, table: String, queries: DataFrame,
                   k: Int, nProbe: Int, rerank: Int = 0,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cm = storedCentroids(spark, table)
-    val sc = storedScale(spark, table)
-    validateSpec(spark, table, cm, sc)
-    val cbs = storedCodebooks(spark, table)
+    val props = readProps(spark, table)
+    val cm = centroidsFrom(props, table)
+    val sc = scaleFrom(props, table)
+    validateSpecProps(props, table, cm, sc)
+    val cbs = codebooksFrom(props)
     require(cbs != null,
       s"AnnIndex: table $table stores no PQ codebooks — build with " +
         "writeIvf(codebooks = ...) or probe with probeIvf")

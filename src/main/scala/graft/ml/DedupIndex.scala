@@ -78,8 +78,7 @@ object DedupIndex {
   private def validateSpec(spark: SparkSession, table: String,
                            numHashes: Int, bandSize: Int,
                            shingleK: Int): Unit = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = AnnIndex.readProps(spark, table)
     Seq("numHashes" -> numHashes, "bandSize" -> bandSize,
         "shingleK" -> shingleK).foreach { case (k, v) =>
       props.get(s"graft.lsh.$k") match {
