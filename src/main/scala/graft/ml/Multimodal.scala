@@ -170,12 +170,12 @@ object Multimodal {
         val fmt = if (bytes == null) "unknown" else sniffFormat(bytes)
         val img =
           if (fmt == "unknown" || fmt == "wav" || fmt == "avi") null
-          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
+          else readImage(bytes)
         val f = new Array[Float](dim)
         if (img != null) {
           val w = img.getWidth
           val h = img.getHeight
+          val px = rgbRows(img)
           val sums = new Array[Long](dim)
           val counts = new Array[Long](dim)
           var y = 0
@@ -184,7 +184,7 @@ object Multimodal {
             var x = 0
             while (x < w) {
               val cx = math.min(gridW - 1, x * gridW / w)
-              val rgb = img.getRGB(x, y)
+              val rgb = px(y * w + x)
               val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
               val c = cy * gridW + cx
               sums(c) += luma
@@ -227,6 +227,42 @@ object Multimodal {
   case class ImageInfo(media_id: Long, format: String, width: Int,
                        height: Int, px_sum: Long, px_weighted: Long)
 
+  /** Decode an in-memory image WITHOUT the ImageIO disk cache
+    * (round-17): `ImageIO.read(InputStream)` consults the global
+    * use-cache flag and, at its default, wraps every blob in a
+    * FileCacheImageInputStream — one temp-FILE create/write/delete per
+    * decoded image. On a media corpus that is a hidden disk round-trip
+    * per row (and a /tmp dependency executors may not want); wrapping
+    * the blob in a MemoryCacheImageInputStream ourselves skips it with
+    * no global state touched. Decoded pixels are identical — only the
+    * stream plumbing changes. Returns null on undecodable input (the
+    * callers' honest-partial contract). */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => null }
+
+  /** Bulk default-RGB pixel fetch: one array per image instead of one
+    * ColorModel conversion call per PIXEL (`getRGB(x, y)` in a 2-D
+    * loop). Values are bit-identical — both entry points convert the
+    * same raster through the same default color model. */
+  private def rgbRows(img: java.awt.image.BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
+  /** PNG-encode to memory WITHOUT the ImageIO disk cache — the write
+    * twin of [[readImage]]: `ImageIO.write(img, fmt, OutputStream)`
+    * consults the same global use-cache flag and spools every encode
+    * through a temp file at its default. Encoded bytes are identical
+    * (same JDK PNG writer, same defaults). */
+  private[ml] def encodePngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    javax.imageio.ImageIO.write(img, "png", ios)
+    ios.close()
+    bos.toByteArray
+  }
+
   /** Detect the container from magic bytes (JVM-side twin of the
     * column-expression sniff in withMediaMeta, for mapPartitions
     * kernels). */
@@ -265,21 +301,19 @@ object Multimodal {
         val id = row.getLong(0)
         val bytes = row.getAs[Array[Byte]](1)
         val fmt = sniffFormat(bytes)
-        val img =
-          if (fmt == "unknown") null
-          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
+        val img = if (fmt == "unknown") null else readImage(bytes)
         if (img == null) ImageInfo(id, fmt, -1, -1, -1L, -1L)
         else {
           val w = img.getWidth
           val h = img.getHeight
+          val px = rgbRows(img)
           var s = 0L
           var sw = 0L
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = px(y * w + x)
               val v = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
               s += v
               sw += (x + 1).toLong * (y + 1) * v
@@ -337,9 +371,7 @@ object Multimodal {
       }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    encodePngBytes(img)
   }
 
   case class AudioInfo(media_id: Long, format: String, sample_rate: Int,
@@ -462,26 +494,27 @@ object Multimodal {
         val fmt = if (bytes == null) "unknown" else sniffFormat(bytes)
         val img =
           if (fmt == "unknown" || fmt == "wav" || fmt == "avi") null
-          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
+          else readImage(bytes)
         val res =
           if (img != null) {
-            val w = math.max(1, img.getWidth / factor)
+            val sw = img.getWidth
+            val w = math.max(1, sw / factor)
             val h = math.max(1, img.getHeight / factor)
-            val outImg = new java.awt.image.BufferedImage(w, h,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val px = rgbRows(img)
+            val outPx = new Array[Int](w * h)
             var y = 0
             while (y < h) {
               var x = 0
               while (x < w) {
-                outImg.setRGB(x, y, img.getRGB(x * factor, y * factor))
+                outPx(y * w + x) = px(y * factor * sw + x * factor)
                 x += 1
               }
               y += 1
             }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(outImg, "png", bos)
-            bos.toByteArray
+            val outImg = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            outImg.setRGB(0, 0, w, h, outPx, 0, w)
+            encodePngBytes(outImg)
           } else if (bytes == null) Array.empty[Byte]
           else {
             val n = (bytes.length + factor - 1) / factor
