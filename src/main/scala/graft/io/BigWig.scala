@@ -289,9 +289,20 @@ object BigWig {
     // stage (or a header require) fails mid-write.
     var out: java.io.RandomAccessFile = null
     var ok = false
+    // stage marks (GRAFT_BW_DEBUG=1): the write is a driver-paced
+    // multi-job pipeline, so wall attribution needs in-situ marks —
+    // the GRAFT_CC_DEBUG pattern
+    val dbg = sys.env.contains("GRAFT_BW_DEBUG")
+    var tMark = System.nanoTime()
+    def mark(what: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[bw] $what: ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
     try {
       val maxEnds = typed.groupBy(col(Chrom)).agg(max(col(End)).cast("long"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      mark("maxEnds collect")
       val names = maxEnds.keys.toSeq.sortBy(n => graft.expr.ExprKernels
         .natsortKey(org.apache.spark.unsafe.types.UTF8String.fromString(n)).toString)
       val sizes = names.map(c => chromSizes.getOrElse(c, maxEnds(c)))
@@ -390,15 +401,29 @@ object BigWig {
         .select(col("_cid"), col("_sec"),
           compressSection(col("_cid"), col("_items")).as("_blk"),
           col("_nb"), col("_mn"), col("_mx"), col("_sd"), col("_sq"))
-        .orderBy(col("_cid"), col("_sec"))
+        // the zoom path's measured lesson applied to the MAIN sections
+        // (round-17): toLocalIterator runs one job per post-shuffle
+        // partition, and at bench scale those per-job round trips
+        // dominated the drain — collapse the final range exchange to ONE
+        // partition when the INPUT is small (leaf-bytes gate, the
+        // Sizing.fanOutSmallScan threshold: a 256 MB input yields well
+        // under a million ~60 B section tuples, trivially one task);
+        // large inputs keep the full range-partitioned width. The
+        // aggregation/compression stages keep full parallelism either
+        // way — only the tiny post-shuffle merge is single-task.
+        .repartitionByRange(
+          if (graft.core.Sizing.leafScanBytes(df) <= (256L << 20)) 1
+          else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+          col("_cid"), col("_sec"))
+        .sortWithinPartitions(col("_cid"), col("_sec"))
         .toLocalIterator() // stream: driver holds ONE PARTITION's compressed
                            // sections at a time (toLocalIterator runs one job
                            // per partition and buffers that partition), not
-                           // the whole file — orderBy range-partitions the
-                           // plan and partitions are fetched in order, so
-                           // write order is preserved with driver memory
-                           // bounded by the largest partition (the r3
-                           // collect() materialized the entire payload)
+                           // the whole file — the range partitioning is
+                           // fetched in order, so write order is preserved
+                           // with driver memory bounded by the largest
+                           // partition (the r3 collect() materialized the
+                           // entire payload)
       var nBases = 0L
       var minV = Double.PositiveInfinity
       var maxV = Double.NegativeInfinity
@@ -418,9 +443,12 @@ object BigWig {
         sumSq += r.getDouble(7)
       }
 
+      mark("sections drain")
+
       // ---- R-tree index over the data sections ----
       val fullIndexOff = writeRTree(out, leaves.toSeq, itemsPerSlot)
       val n = leaves.size
+      mark("main rtree")
 
       // ---- zoom levels (round-5): per-level fixed-width bucket
       // summaries so external display clients get real multi-resolution
@@ -545,6 +573,7 @@ object BigWig {
         finishLevel()
         // every run emits >= 1 bucket at every level, so a non-empty
         // input fills all zoomReds.size levels
+        mark("zoom drain")
         require(zoomHeaders.size == zoomReds.size,
           s"zoom levels written ${zoomHeaders.size} != planned ${zoomReds.size}")
       }
