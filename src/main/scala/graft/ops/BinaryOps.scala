@@ -219,7 +219,15 @@ object BinaryOps {
     * the gaps — window over row_id, no collect. */
   def subtract(left: DataFrame, right: DataFrame, keys: Seq[String],
                binSize: Long = graft.join.RangeJoin.defaultBinSize): DataFrame = {
-    val merged = UnaryOps.merge(right, keys)
+    // the merged right feeds BOTH the pair join and the anti join below;
+    // without a pin the merge subtree (a full shuffle + window sweep
+    // over the right side) is inlined — and recomputed — in each join
+    // (round-17, guide §2.4: two consumers, one materialization). At
+    // 100 TB that is a whole extra pass over the right side; at bench
+    // scale the extra checkpoint job costs about what the recompute
+    // did, and the dispatchers' bounded samples now read materialized
+    // blocks instead of re-running the merge.
+    val merged = UnaryOps.merge(right, keys).localCheckpoint()
     val p = RangeJoin.pairsDispatch(left, merged, keys, 0, binSize)
     val rs = col(Start + "_b")
     val re = col(End + "_b")
