@@ -141,10 +141,28 @@ object Dedup {
     // representation via [[verifyArrays]] (auto = this leaf-bytes gate).
     // Zero-intersection candidates surface with n_intersect=0 in both
     // spellings; candidates whose doc has no shingles drop in both.
+    //
+    // SEMI-PREFILTER the corpus to the candidates' own doc ids before
+    // any shingling (round-17, guide §3.2 / §8): this is the serve-time
+    // exact-verify primitive (probeStream hits -> foreachBatch verify),
+    // where one micro-batch's candidate set touches a sliver of the
+    // corpus — without the prefilter every batch re-tokenizes and
+    // re-shingles ALL of `docs` (twice, once per join side). The semi
+    // join ships only ids (broadcast at serve scale), so per-batch cost
+    // becomes proportional to the batch's documents, not the corpus;
+    // result-identical by construction (both downstream joins are inner
+    // on those same ids). A full-coverage batch pays one extra id
+    // semi-join — noise next to the shingling it cannot avoid. No
+    // forced broadcast: the planner broadcasts the distinct-id frame
+    // when it is small (the serve shape) and falls back to a shuffled
+    // semi when a batch-mode caller verifies corpus-scale pair lists.
+    val candIds = candidates.select(col("a").as(idCol))
+      .union(candidates.select(col("b").as(idCol))).distinct()
+    val docsPre = docs.join(candIds, Seq(idCol), "left_semi")
     val useArrays = verifyArrays(
       graft.core.Sizing.decide("pairJaccardShingles", 64L << 20, docs))
     if (useArrays) {
-      val arr = graft.core.Sizing.fanOutSmallScan(docs)
+      val arr = graft.core.Sizing.fanOutSmallScan(docsPre)
         .select(col(idCol),
           array_distinct(TextOps.wordShingles(col(textCol), shingleK)).as("_shs"))
         .where(size(col("_shs")) > 0)
@@ -158,7 +176,7 @@ object Dedup {
         .select(col("a"), col("b"), col("ni").as("n_intersect"),
           (col("nsa") + col("nsb") - col("ni")).as("n_union"))
     } else {
-      val sh = graft.core.Sizing.fanOutSmallScan(docs)
+      val sh = graft.core.Sizing.fanOutSmallScan(docsPre)
         .select(col(idCol), explode(TextOps.wordShingles(col(textCol), shingleK)).as("sh"))
         .distinct()
       val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("ns"))

@@ -880,6 +880,40 @@ class OpsSpec extends AnyFunSuite {
     assert(!a.exists(t => t._2 == 4L), "the shingle-less doc's candidate must drop")
   }
 
+  test("pairJaccard: candidate-id semi-prefilter is invisible — results " +
+       "keyed only by the candidates' docs, absent ids drop, untouched " +
+       "corpus rows change nothing (round-17 serve-path prefilter)") {
+    import spark.implicits._
+    // 6-doc corpus, candidates touch only docs 1-3; doc 99 is absent
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta theta"),
+      (3L, "one two three four five six seven"),
+      (4L, "untouched filler document words here now"),
+      (5L, "another untouched corpus row with text"),
+      (6L, "yet more corpus ballast never referenced")
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L), (2L, 99L)).toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame, key: String) = {
+      spark.conf.set("spark.graft.dedup.verifyKey", key)
+      try Dedup.pairJaccard(d, cands).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      finally spark.conf.unset("spark.graft.dedup.verifyKey")
+    }
+    for (key <- Seq("array", "string")) {
+      val full = run(docs, key)
+      // the corpus minus the never-referenced rows yields the SAME
+      // verdicts: the prefilter must make untouched rows structurally
+      // irrelevant, not just usually-unread
+      val trimmed = run(docs.filter(col("doc_id") <= 3), key)
+      assert(full == trimmed, s"[$key] full=$full trimmed=$trimmed")
+      // candidate with an id absent from the corpus drops (inner joins
+      // on the candidate ids — unchanged by the prefilter)
+      assert(!full.exists(t => t._2 == 99L), s"[$key] absent-id candidate must drop")
+      assert(full.map(t => (t._1, t._2)) == Set((1L, 2L), (1L, 3L)), s"[$key] $full")
+    }
+  }
+
   test("simhashNearDupPairs: templated corpus (collapsed fingerprints) stays linear") {
     import spark.implicits._
     // 600 identical docs -> ONE distinct fingerprint: the banded
