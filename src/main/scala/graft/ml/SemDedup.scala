@@ -136,6 +136,12 @@ object SemDedup {
                               pnk: Column, tPct: Int): Column =
     graft.expr.Exprs.cosine_kill_gate_pre(q, qk, pn, pnk, tPct)
 
+  /** Kill-join shape selector — "semi" (default) or "inner" (the
+    * round-16 inner-join + distinct spelling, kept ONLY as the
+    * interleaved-A/B control; both produce identical verdicts). */
+  private def killJoinConf(df: DataFrame): String =
+    df.sparkSession.conf.get("spark.graft.semdedup.killJoin", "semi")
+
   /** 0-based rank band of a 1-based rank for band width `bandL`:
     * floor((rn - 1) / bandRows) — integer-exact at any rank (the
     * numerator is reduced to an exact multiple before the double
@@ -272,8 +278,22 @@ object SemDedup {
           col("_pn").as("_pnk"), col("_rn").as("_rk"),
           explode(sequence(bandOf(col("_rn"), bandL),
             bandOf(col("_cnt"), bandL))).as("_jb"))
-      withCnt.withColumn("_band", bandOf(col("_rn"), bandL))
-        .join(killers,
+      val cand = withCnt.withColumn("_band", bandOf(col("_rn"), bandL))
+      // A/B hook (round-17 bench-trust norm): `inner` restores the
+      // round-16 inner-join + distinct spelling verbatim so the semi
+      // rewrite can be adjudicated INTERLEAVED in one session (the 8M
+      // legs swing ±20% across sessions on this host generation —
+      // cross-session walls cannot decide a lever this size). Same
+      // verdicts by construction; default stays `semi`.
+      if (killJoinConf(df) == "inner")
+        cand.join(killers,
+            col("_cell") === col("_cellk") && col("_band") === col("_jb"))
+          .where(col("_rk") < col("_rn") &&
+            killGatePre(col("_q"), col("_qk"), col("_pn"), col("_pnk"),
+              thresholdPct))
+          .select(col(idCol)).distinct()
+      else
+        cand.join(killers,
           col("_cell") === col("_cellk") && col("_band") === col("_jb") &&
             col("_rk") < col("_rn") &&
             killGatePre(col("_q"), col("_qk"), col("_pn"), col("_pnk"),
