@@ -54,6 +54,23 @@ object PlanCheck {
       spark.stop()
       return
     }
+    // --formatted <outdir> <query...>: write each query's
+    // explain("formatted") to <outdir>/<query>.txt — the optimization-
+    // round evidence files (plans/r{N}/<query>_{before,after}.txt)
+    if (args.length > 2 && args(1) == "--formatted") {
+      val outDir = new java.io.File(args(2))
+      outDir.mkdirs()
+      for (n <- args.drop(3)) {
+        val df = SparkEntry.queries(n)(spark, dir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val w = new java.io.PrintWriter(new java.io.File(outDir, s"$n.txt"))
+        try w.write(txt) finally w.close()
+        println(s"[plancheck] wrote ${outDir}/$n.txt (${txt.length} chars)")
+      }
+      spark.stop()
+      return
+    }
     val names = if (args.length > 1) args.drop(1).toSeq
                 else Seq("q03_merge", "q14_join", "q16_count", "q20_setunion")
     for (n <- names) {
