@@ -43,10 +43,13 @@ import org.apache.spark.sql.functions._
   *     check; substrserve the uncontended SubstrIndex serve-throughput
   *     + append/takedown/compact lifecycle soak; trainprof the
   *     centroid-trainer decomposition — sample wall vs fit wall —
-  *     with the MLlib-vs-Lloyd A/B on wall AND cell fidelity). "all"
+  *     with the MLlib-vs-Lloyd A/B on wall AND cell fidelity; killab
+  *     the same-session interleaved semi-vs-inner kill-join A/B over
+  *     the spark.graft.semdedup.killJoin hook). "all"
   *     covers the per-round soak set, not starab/recall/annrecall/
   *     serve/paradedup/pq/semdedup/semthresh/semtext/traincap/substr/
-  *     embed/assign/substrserve/trainprof, which are targeted studies.
+  *     embed/assign/substrserve/trainprof/killab, which are targeted
+  *     studies.
   */
 object MlBench {
 
@@ -149,7 +152,8 @@ object MlBench {
       (modes.contains("all") &&
         !Set("starab", "recall", "annrecall", "serve", "paradedup", "pq",
           "semdedup", "semthresh", "semtext", "traincap",
-          "substr", "embed", "assign", "substrserve", "trainprof")
+          "substr", "embed", "assign", "substrserve", "trainprof",
+          "killab")
         .contains(m))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -1573,6 +1577,41 @@ object MlBench {
       fid(km, "mllib")
       fid(ll, "lloyd")
       emb.unpersist()
+    }
+
+    if (on("killab")) {
+      // SEMI-VS-INNER KILL-JOIN INTERLEAVE (optimization round 17): the
+      // only wall comparison this host generation supports is adjacent
+      // legs in ONE session (same-work legs swing up to 1.4x across a
+      // session, ±20%+ across sessions — BASELINE round17-killsemi-8m).
+      // One corpus, one trained matrix, legs A(semi) B(inner) A B at
+      // t=80; kept counts must be identical all four legs. `inner` is
+      // the round-16 spelling behind spark.graft.semdedup.killJoin.
+      import graft.ml.{SemDedup, Similarity, TextOps}
+      val tp = 80
+      val emb = t(s"killab corpus+embed @$nDocs") {
+        TextOps.hashedNgramEmbedding(corpus(spark, nDocs), "text",
+            "embedding", n = 3, dim = 64)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+          .localCheckpoint()
+      }
+      val kCells = math.max(1024, math.min(8192, (nDocs / 2000).toInt))
+      val km = t(s"killab trainIvfCentroids k=$kCells") {
+        Similarity.trainIvfCentroids(emb, kCells)
+      }
+      var kepts = Set.empty[Long]
+      for (rep <- 1 to 2; shape <- Seq("semi", "inner")) {
+        spark.conf.set("spark.graft.semdedup.killJoin", shape)
+        var kept = 0L
+        t(s"killab $shape rep$rep t=$tp @$nDocs") {
+          kept = SemDedup.semanticDedup(emb, km, tp)
+            .agg(sum(when(col("kept"), 1L).otherwise(0L))).head().getLong(0)
+        }
+        println(s"[mlbench] killab $shape rep$rep kept=$kept")
+        kepts += kept
+      }
+      spark.conf.unset("spark.graft.semdedup.killJoin")
+      println(s"[mlbench] killab kept-identical: ${kepts.size == 1} ($kepts)")
     }
     spark.stop()
   }
