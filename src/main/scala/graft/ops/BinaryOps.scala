@@ -223,11 +223,19 @@ object BinaryOps {
     // without a pin the merge subtree (a full shuffle + window sweep
     // over the right side) is inlined — and recomputed — in each join
     // (round-17, guide §2.4: two consumers, one materialization). At
-    // 100 TB that is a whole extra pass over the right side; at bench
-    // scale the extra checkpoint job costs about what the recompute
-    // did, and the dispatchers' bounded samples now read materialized
-    // blocks instead of re-running the merge.
-    val merged = UnaryOps.merge(right, keys).localCheckpoint()
+    // 100 TB that is a whole extra pass over the right side.
+    // persist(MEMORY_AND_DISK), not localCheckpoint (round-17 ADVICE /
+    // VERDICT r17 item #9): the pin is LAZY (constructing the frame runs
+    // no job, so plan-only audits stay plan-only), keeps LINEAGE (a lost
+    // executor recomputes its blocks instead of failing the query — a
+    // localCheckpoint block is unreplicated and unrecoverable), keeps
+    // the merge subtree visible to plan audits (InMemoryRelation carries
+    // it), and is reclaimable (clearCache()/ContextCleaner; checkpoint
+    // blocks pinned executor storage for the session). Both consumer
+    // joins resolve to the same InMemoryRelation, so the merge still
+    // runs once.
+    val merged = UnaryOps.merge(right, keys)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val p = RangeJoin.pairsDispatch(left, merged, keys, 0, binSize)
     val rs = col(Start + "_b")
     val re = col(End + "_b")
