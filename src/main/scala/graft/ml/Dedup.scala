@@ -159,8 +159,21 @@ object Dedup {
     val candIds = candidates.select(col("a").as(idCol))
       .union(candidates.select(col("b").as(idCol))).distinct()
     val docsPre = docs.join(candIds, Seq(idCol), "left_semi")
+    // The representation gate sizes the frame that is actually SHINGLED
+    // — the PREFILTERED corpus (round-18, VERDICT r17 item #7). Leaf
+    // stats cannot see through the semi join (docsPre's leaves are docs'
+    // plus candidates'), so the bound is spelled min-wise: docsPre is
+    // large only when BOTH the corpus is large AND the candidate list is
+    // (each pair touches <= 2 docs, so a serve micro-batch caps the
+    // trimmed corpus at batch size no matter how many terabytes the
+    // full corpus scans). The candidate bar is the shingle bar scaled
+    // by representation (~20 B/pair vs ~1 KB/doc text, 2 docs/pair):
+    // 1 MB of pairs ~ 50k pairs ~ <= 100k docs ~ the 64 MB text bar.
+    // Forcing via spark.graft.dedup.verifyKey overrides both reads.
     val useArrays = verifyArrays(
-      graft.core.Sizing.decide("pairJaccardShingles", 64L << 20, docs))
+      graft.core.Sizing.decide("pairJaccardShingles", 64L << 20, docs) &&
+        graft.core.Sizing.decide("pairJaccardCandidates", 1L << 20,
+          candidates))
     if (useArrays) {
       val arr = graft.core.Sizing.fanOutSmallScan(docsPre)
         .select(col(idCol),
