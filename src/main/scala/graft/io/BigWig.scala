@@ -289,6 +289,7 @@ object BigWig {
     // stage (or a header require) fails mid-write.
     var out: java.io.RandomAccessFile = null
     var ok = false
+    var secAgg: DataFrame = null
     // stage marks (GRAFT_BW_DEBUG=1): the write is a driver-paced
     // multi-job pipeline, so wall attribution needs in-situ marks —
     // the GRAFT_CC_DEBUG pattern
@@ -300,9 +301,36 @@ object BigWig {
       tMark = now
     }
     try {
-      val maxEnds = typed.groupBy(col(Chrom)).agg(max(col(End)).cast("long"))
+      // ONE pass over the input for header + sections (round-18,
+      // VERDICT r17 item #5, §2.4 share one computation): the per-chrom
+      // max(End) the header needs used to be its own full aggregation
+      // pass over the persisted input (1.8 s steady at bench, a whole
+      // extra cache read at 100 TB); now the section run-table — the
+      // window + per-(chrom, section) aggregate that the drain below
+      // needs anyway — is built FIRST, carries a per-section max(End)
+      // rider (a long column; no float aggregation is reordered, so
+      // bytes are identical), and is persisted, and the header's
+      // maxEnds reduce over the ~rows/512 section rows instead of the
+      // corpus. The drain reuses the persisted run table, so the
+      // window/aggregate never re-runs; the run table unpersists right
+      // after the drain, before the zoom pass touches the input again.
+      val wSec = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(Chrom)).orderBy(col(Start), col(End))
+      secAgg = typed
+        .withColumn("_sec",
+          floor((row_number().over(wSec) - 1) / itemsPerSlot.toDouble).cast("long"))
+        .groupBy(col(Chrom), col("_sec"))
+        .agg(sort_array(collect_list(struct(col(Start), col(End), col("_v")))).as("_items"),
+          sum(col(End) - col(Start)).as("_nb"), min(col("_v")).as("_mn"),
+          max(col("_v")).as("_mx"),
+          sum(col("_v") * (col(End) - col(Start))).as("_sd"),
+          sum(col("_v") * col("_v") * (col(End) - col(Start))).as("_sq"),
+          max(col(End)).as("_semax"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val maxEnds = secAgg.groupBy(col(Chrom))
+        .agg(max(col("_semax")).cast("long"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      mark("maxEnds collect")
+      mark("secAgg+maxEnds collect")
       val names = maxEnds.keys.toSeq.sortBy(n => graft.expr.ExprKernels
         .natsortKey(org.apache.spark.unsafe.types.UTF8String.fromString(n)).toString)
       val sizes = names.map(c => chromSizes.getOrElse(c, maxEnds(c)))
@@ -386,17 +414,7 @@ object BigWig {
       }
       val cidDf = spark.createDataFrame(names.zipWithIndex.map { case (n, i) =>
         (n, i) }).toDF(Chrom, "_cid")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(Chrom)).orderBy(col(Start), col(End))
-      val sections = typed
-        .withColumn("_sec",
-          floor((row_number().over(w) - 1) / itemsPerSlot.toDouble).cast("long"))
-        .groupBy(col(Chrom), col("_sec"))
-        .agg(sort_array(collect_list(struct(col(Start), col(End), col("_v")))).as("_items"),
-          sum(col(End) - col(Start)).as("_nb"), min(col("_v")).as("_mn"),
-          max(col("_v")).as("_mx"),
-          sum(col("_v") * (col(End) - col(Start))).as("_sd"),
-          sum(col("_v") * col("_v") * (col(End) - col(Start))).as("_sq"))
+      val sections = secAgg
         .join(broadcast(cidDf), Seq(Chrom))
         .select(col("_cid"), col("_sec"),
           compressSection(col("_cid"), col("_items")).as("_blk"),
@@ -411,8 +429,17 @@ object BigWig {
         // large inputs keep the full range-partitioned width. The
         // aggregation/compression stages keep full parallelism either
         // way — only the tiny post-shuffle merge is single-task.
+        // The gate reads the same conf as fanOutSmallScan (round-17
+        // ADVICE): leafScanBytes underestimates checkpointed/synthetic
+        // frames ~14x, and an underestimated BIG input collapsed to one
+        // partition would buffer its whole compressed payload on the
+        // driver — the conf makes the collapse tunable (and 0 disables
+        // it outright, restoring full width) without a code change.
         .repartitionByRange(
-          if (graft.core.Sizing.leafScanBytes(df) <= (256L << 20)) 1
+          if (graft.core.Sizing.leafScanBytes(df) <=
+              org.apache.spark.sql.internal.SQLConf.get
+                .getConfString(graft.core.Sizing.FanoutKey,
+                  (256L << 20).toString).toLong) 1
           else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt,
           col("_cid"), col("_sec"))
         .sortWithinPartitions(col("_cid"), col("_sec"))
@@ -444,6 +471,9 @@ object BigWig {
       }
 
       mark("sections drain")
+      // free the run table before the zoom pass re-reads the input —
+      // at scale the two cached frames together would double storage
+      secAgg.unpersist()
 
       // ---- R-tree index over the data sections ----
       val fullIndexOff = writeRTree(out, leaves.toSeq, itemsPerSlot)
@@ -604,6 +634,9 @@ object BigWig {
         try out.close() catch { case scala.util.control.NonFatal(_) => () }
       }
       typed.unpersist()
+      // idempotent (already unpersisted on the success path right
+      // after the drain); covers mid-write failures
+      if (secAgg != null) secAgg.unpersist()
       if (!ok) new java.io.File(path).delete()
     }
   }
