@@ -43,7 +43,14 @@ object AnnIndex {
     * crashed between the two steps (or a table nothing in this library
     * wrote), and validating it vacuously would be exactly the silent
     * wrong-cell join the fingerprint exists to prevent. Rebuild with
-    * [[writeIvf]]. */
+    * [[writeIvf]].
+    *
+    * CONTRACT (round-17 ADVICE): `table` must be a 1- or 2-part v1
+    * session-catalog identifier (`tbl` or `db.tbl`) — the shape every
+    * index in this library writes (`saveAsTable` into the session
+    * catalog). A 3-part `catalog.db.tbl` or v2-catalog name fails here
+    * with a parse/NoSuchTable error; route such tables through their
+    * own catalog's metadata API instead. */
   private[ml] def readProps(spark: SparkSession, table: String): Map[String, String] =
     // straight catalog-metadata read, not `SHOW TBLPROPERTIES`: the SQL
     // command spelling pays a parse + command execution + collect per
