@@ -4,8 +4,39 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Width dispatch for the quantized-vector expressions (round-18
+  * narrowing, guide §2.3): the kernels accept array<int> OR array<long>
+  * children natively, so an int-quantized vector is read at 4 bytes per
+  * component with NO per-row cast — the `inputTypes` contract returns
+  * the child's own type for those two spellings and falls back to
+  * ArrayType(LongType) (an implicit up-cast) for anything else,
+  * preserving the old coercion behavior for exotic callers. */
+private[expr] object VecWidth {
+  def isIntArray(e: Expression): Boolean =
+    e.resolved && (e.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    })
+
+  /** The accepted input type for one vector child. */
+  def accept(e: Expression): DataType =
+    if (!e.resolved) ArrayType(LongType)
+    else e.dataType match {
+      case t @ ArrayType(IntegerType, _) => t
+      case t @ ArrayType(LongType, _) => t
+      case _ => ArrayType(LongType)
+    }
+
+  /** The accepted type for a PAIR of vector children that a kernel
+    * requires to share one width: int only when BOTH are int (the
+    * mixed case up-casts the odd side to long). */
+  def acceptPair(a: Expression, b: Expression): DataType =
+    if (isIntArray(a) && isIntArray(b)) ArrayType(IntegerType)
+    else ArrayType(LongType)
+}
 
 /** Single-pass implementations behind the custom Catalyst expressions.
   * Kept as static-style helpers so whole-stage codegen can call them
@@ -281,6 +312,40 @@ object ExprKernels {
     s
   }
 
+  /** The array<int> spellings of [[dotLong]] (round-18 narrowing, guide
+    * §2.3 narrower types): quantized embedding components fit int32 —
+    * the kill-gate magnitude contract (sum x_i^2 < 2^63) already caps
+    * every |x_i| well inside int for any dim >= 4 — so the vectors can
+    * ride the rank shuffle and the quadratic kill join at 4 bytes per
+    * component instead of 8. Products widen to long BEFORE multiplying;
+    * the accumulated sums are bit-identical to the long spelling for
+    * any in-contract input. Mixed variants cover int vectors dotted
+    * against long literal matrices (centroid dots) without a per-row
+    * array cast. */
+  def dotIntInt(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var s = 0L
+    while (i < n) { s += a.getInt(i).toLong * b.getInt(i); i += 1 }
+    s
+  }
+
+  def dotIntLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var s = 0L
+    while (i < n) { s += a.getInt(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  def dotLongInt(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var s = 0L
+    while (i < n) { s += a.getLong(i) * b.getInt(i); i += 1 }
+    s
+  }
+
   /** The exact integer cosine kill gate — `n2a > 0 AND n2b > 0 AND
     * dot(a,b) >= 0 AND 10^4 * dot^2 >= tPct^2 * n2a * n2b` (cosine >=
     * tPct/100 on quantized vectors, the SemDedup contract) — fused
@@ -367,6 +432,54 @@ object ExprKernels {
     }
   }
 
+  /** The array<int> spelling of [[cosineKillGate]] — identical verdict
+    * bit-for-bit for in-contract inputs (the int components widen to
+    * long before every multiply; the accumulated dot/prefix sums are the
+    * same longs), at half the memory traffic per pair on the serve
+    * paths whose index tables store int vectors (round-18 narrowing). */
+  def cosineKillGateInt(a: ArrayData, b: ArrayData, n2a: Long, n2b: Long,
+                        tPct: Int): Boolean = {
+    if (n2a <= 0 || n2b <= 0) return false
+    val n = math.min(a.numElements(), b.numElements())
+    val needD = 0.01 * tPct *
+      Math.sqrt(n2a.toDouble * n2b.toDouble) * (1 - 1e-9)
+    var dot = 0L
+    var pa = 0L
+    var pb = 0L
+    var i = 0
+    while (i < n) {
+      val lim = math.min(i + 16, n)
+      while (i < lim) {
+        val x = a.getInt(i).toLong
+        val y = b.getInt(i).toLong
+        dot += x * y
+        pa += x * x
+        pb += y * y
+        i += 1
+      }
+      if (i < n) {
+        val remA = (n2a - pa).toDouble
+        val remB = (n2b - pb).toDouble
+        val ub = (dot.toDouble + Math.sqrt(remA * remB)) * (1 + 1e-9) + 1e-9
+        if (ub < needD) return false
+      }
+    }
+    if (dot < 0) return false
+    val lhs = 1e4 * dot.toDouble * dot.toDouble
+    val rhs = tPct.toDouble * tPct * n2a.toDouble * n2b.toDouble
+    if (lhs > rhs * (1 + 1e-9)) true
+    else if (lhs < rhs * (1 - 1e-9)) false
+    else {
+      val big = java.math.BigInteger.valueOf(dot)
+      val l = big.multiply(big)
+        .multiply(java.math.BigInteger.valueOf(10000L))
+      val r = java.math.BigInteger.valueOf(tPct.toLong * tPct)
+        .multiply(java.math.BigInteger.valueOf(n2a))
+        .multiply(java.math.BigInteger.valueOf(n2b))
+      l.compareTo(r) >= 0
+    }
+  }
+
   /** Stride-16 prefix squared norms of a quantized vector: entry k =
     * sum(x_i^2) over i in [0, min(16*(k+1), len)) — so the LAST entry
     * is the full squared norm and entry k is the exact prefix the
@@ -385,6 +498,25 @@ object ExprKernels {
     while (i < len) {
       val lim = math.min(i + 16, len)
       while (i < lim) { val x = a.getLong(i); s += x * x; i += 1 }
+      out(ck) = s
+      ck += 1
+    }
+    if (len == 0) out(0) = 0L
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** The array<int> spelling of [[prefixNorms16]] — identical output
+    * longs (components widen before squaring). */
+  def prefixNorms16Int(a: ArrayData): ArrayData = {
+    val len = a.numElements()
+    val k = math.max(1, (len + 15) / 16)
+    val out = new Array[Long](k)
+    var s = 0L
+    var i = 0
+    var ck = 0
+    while (i < len) {
+      val lim = math.min(i + 16, len)
+      while (i < lim) { val x = a.getInt(i).toLong; s += x * x; i += 1 }
       out(ck) = s
       ck += 1
     }
@@ -432,6 +564,52 @@ object ExprKernels {
         // rounding error larger than a small gap), and the rem product
         // inflates relatively (+1e-9 absolute for the rounds-to-zero
         // edge) — both one-sided, 3-6 orders beyond double rounding
+        val gap = (needD - dd) - (Math.abs(dd) + needD) * 1e-12
+        if (gap > 0 && remA * remB * (1 + 4e-9) + 1e-9 < gap * gap)
+          return false
+        ck += 1
+      }
+    }
+    if (dot < 0) return false
+    val lhs = 1e4 * dot.toDouble * dot.toDouble
+    val rhs = tPct.toDouble * tPct * n2a.toDouble * n2b.toDouble
+    if (lhs > rhs * (1 + 1e-9)) true
+    else if (lhs < rhs * (1 - 1e-9)) false
+    else {
+      val big = java.math.BigInteger.valueOf(dot)
+      val l = big.multiply(big)
+        .multiply(java.math.BigInteger.valueOf(10000L))
+      val r = java.math.BigInteger.valueOf(tPct.toLong * tPct)
+        .multiply(java.math.BigInteger.valueOf(n2a))
+        .multiply(java.math.BigInteger.valueOf(n2b))
+      l.compareTo(r) >= 0
+    }
+  }
+
+  /** The array<int> spelling of [[cosineKillGatePre]] — identical
+    * verdict bit-for-bit for in-contract inputs (components widen to
+    * long before the multiply-add; the prefix-norm riders stay long
+    * arrays either way). This is THE hot loop of the quadratic kill
+    * join: at 4 bytes per component each (candidate, killer) pair reads
+    * half the memory the long spelling did (round-18 narrowing, §2.3). */
+  def cosineKillGatePreInt(a: ArrayData, b: ArrayData, pna: ArrayData,
+                           pnb: ArrayData, tPct: Int): Boolean = {
+    val n2a = pna.getLong(pna.numElements() - 1)
+    val n2b = pnb.getLong(pnb.numElements() - 1)
+    if (n2a <= 0 || n2b <= 0) return false
+    val n = math.min(a.numElements(), b.numElements())
+    val needD = 0.01 * tPct *
+      Math.sqrt(n2a.toDouble * n2b.toDouble) * (1 - 1e-9)
+    var dot = 0L
+    var i = 0
+    var ck = 0
+    while (i < n) {
+      val lim = math.min(i + 16, n)
+      while (i < lim) { dot += a.getInt(i).toLong * b.getInt(i); i += 1 }
+      if (i < n) {
+        val remA = (n2a - pna.getLong(ck)).toDouble
+        val remB = (n2b - pnb.getLong(ck)).toDouble
+        val dd = dot.toDouble
         val gap = (needD - dd) - (Math.abs(dd) + needD) * 1e-12
         if (gap > 0 && remA * remB * (1 + 4e-9) + 1e-9 < gap * gap)
           return false
@@ -516,6 +694,62 @@ object ExprKernels {
       if (live) {
         // insertion ordered by (d asc, cell asc): strict < keeps the
         // earlier (smaller) cell id in front on distance ties
+        var pos = filled
+        while (pos > 0 && d < dBest(pos - 1)) pos -= 1
+        if (pos < k) {
+          val upto = math.min(filled, k - 1)
+          var m = upto
+          while (m > pos) { dBest(m) = dBest(m - 1); cBest(m) = cBest(m - 1); m -= 1 }
+          dBest(pos) = d
+          cBest(pos) = c
+          if (filled < k) filled += 1
+        }
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(cBest, filled))
+  }
+
+  /** The array<int> spelling of [[nearestCells]] — identical cells and
+    * ordering bit-for-bit (the int components widen to long before the
+    * subtract; distances are the same longs), with the per-row vector
+    * read at half the bytes (round-18 narrowing). Same partial-distance
+    * early exit, same stride-16 check cadence. */
+  def nearestCellsInt(v: ArrayData, centers: Array[Array[Long]],
+                      nProbe: Int): ArrayData = {
+    val k = math.min(nProbe, centers.length)
+    val dBest = new Array[Long](k)
+    val cBest = new Array[Long](k)
+    var filled = 0
+    var c = 0
+    val nv = v.numElements()
+    while (c < centers.length) {
+      val row = centers(c)
+      val n = math.min(nv, row.length)
+      val worst = if (filled == k) dBest(k - 1) else Long.MaxValue
+      var d = 0L
+      var j = 0
+      var live = true
+      while (live && j < n) {
+        val lim = math.min(j + 16, n)
+        while (j < lim) {
+          val t = row(j) - v.getInt(j)
+          d += t * t
+          j += 1
+        }
+        if (d > worst) live = false
+      }
+      while (live && j < row.length) {
+        val lim = math.min(j + 16, row.length)
+        while (j < lim) {
+          val w = row(j)
+          d += w * w
+          j += 1
+        }
+        if (d > worst) live = false
+      }
+      if (live) {
         var pos = filled
         while (pos > 0 && d < dBest(pos - 1)) pos -= 1
         if (pos < k) {
@@ -709,14 +943,31 @@ case class TranslateCodons(child: Expression, table: String)
 case class DotLong(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
-  // pin array<long> inputs: the kernel reads 8-byte slots, so an un-cast
-  // array<int> child would read garbage under codegen while the
-  // interpreted path silently widened — the cast keeps both paths equal
-  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    ExprKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // width-polymorphic (round-18, §2.3): each side is read at its OWN
+  // declared width — array<int> children stay 4 bytes/component with no
+  // per-row cast; anything else up-casts to array<long> as before. The
+  // kernel is picked by type so codegen never reads an 8-byte slot off
+  // a 4-byte array (the hazard the old mandatory cast guarded against).
+  override def inputTypes = Seq(VecWidth.accept(left), VecWidth.accept(right))
+  private def kernel: String = (VecWidth.isIntArray(left),
+      VecWidth.isIntArray(right)) match {
+    case (true, true) => "dotIntInt"
+    case (true, false) => "dotIntLong"
+    case (false, true) => "dotLongInt"
+    case (false, false) => "dotLong"
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    kernel match {
+      case "dotIntInt" => ExprKernels.dotIntInt(x, y)
+      case "dotIntLong" => ExprKernels.dotIntLong(x, y)
+      case "dotLongInt" => ExprKernels.dotLongInt(x, y)
+      case _ => ExprKernels.dotLong(x, y)
+    }
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels.dotLong($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels.$kernel($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotLong =
     copy(left = newLeft, right = newRight)
@@ -734,7 +985,11 @@ case class NearestCellsLong(child: Expression, centers: Array[Array[Long]],
                             nProbe: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def inputTypes = Seq(ArrayType(LongType))
+  // width-polymorphic (round-18): an int-quantized vector is scanned at
+  // 4 bytes/component by the nearestCellsInt kernel, bit-equal cells
+  override def inputTypes = Seq(VecWidth.accept(child))
+  private def kernel: String =
+    if (VecWidth.isIntArray(child)) "nearestCellsInt" else "nearestCells"
   // Array fields compare by REFERENCE under case-class equality, which
   // would break expression canonicalization (sameResult / ReuseExchange
   // / subexpression elimination) between plans built from equal-content
@@ -752,10 +1007,12 @@ case class NearestCellsLong(child: Expression, centers: Array[Array[Long]],
         centers.asInstanceOf[Array[AnyRef]])),
       Integer.valueOf(nProbe))
   override protected def nullSafeEval(v: Any): Any =
-    ExprKernels.nearestCells(v.asInstanceOf[ArrayData], centers, nProbe)
+    if (VecWidth.isIntArray(child))
+      ExprKernels.nearestCellsInt(v.asInstanceOf[ArrayData], centers, nProbe)
+    else ExprKernels.nearestCells(v.asInstanceOf[ArrayData], centers, nProbe)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cellMatrix", centers, "long[][]")
-    defineCodeGen(ctx, ev, c => s"graft.expr.ExprKernels.nearestCells($c, $ref, $nProbe)")
+    defineCodeGen(ctx, ev, c => s"graft.expr.ExprKernels.$kernel($c, $ref, $nProbe)")
   }
   override protected def withNewChildInternal(c: Expression): NearestCellsLong =
     copy(child = c)
@@ -838,16 +1095,29 @@ case class CosineKillGate(first: Expression, second: Expression,
                           third: Expression, fourth: Expression, tPct: Int)
     extends QuaternaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  // width-polymorphic on the vector pair (round-18): int kernel only
+  // when BOTH sides are int (a mixed pair up-casts the odd side — a
+  // shape no product path builds; serve sides derive their width from
+  // the stored index schema, so probe and index always agree)
   override def inputTypes =
-    Seq(ArrayType(LongType), ArrayType(LongType), LongType, LongType)
+    Seq(VecWidth.acceptPair(first, second), VecWidth.acceptPair(first, second),
+      LongType, LongType)
+  private def intPair: Boolean =
+    VecWidth.isIntArray(first) && VecWidth.isIntArray(second)
   override protected def nullSafeEval(a: Any, b: Any, n2a: Any,
                                       n2b: Any): Any =
-    ExprKernels.cosineKillGate(a.asInstanceOf[ArrayData],
+    if (intPair)
+      ExprKernels.cosineKillGateInt(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], n2a.asInstanceOf[Long],
+        n2b.asInstanceOf[Long], tPct)
+    else ExprKernels.cosineKillGate(a.asInstanceOf[ArrayData],
       b.asInstanceOf[ArrayData], n2a.asInstanceOf[Long],
       n2b.asInstanceOf[Long], tPct)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = if (intPair) "cosineKillGateInt" else "cosineKillGate"
     defineCodeGen(ctx, ev, (a, b, x, y) =>
-      s"graft.expr.ExprKernels.cosineKillGate($a, $b, $x, $y, $tPct)")
+      s"graft.expr.ExprKernels.$k($a, $b, $x, $y, $tPct)")
+  }
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression,
       q: Expression): CosineKillGate =
@@ -862,11 +1132,17 @@ case class CosineKillGate(first: Expression, second: Expression,
 case class PrefixNorms16(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def inputTypes = Seq(ArrayType(LongType))
+  // width-polymorphic (round-18): the rider's OUTPUT stays array<long>
+  // (prefix sums of squares outgrow int), only the vector read narrows
+  override def inputTypes = Seq(VecWidth.accept(child))
+  private def kernel: String =
+    if (VecWidth.isIntArray(child)) "prefixNorms16Int" else "prefixNorms16"
   override protected def nullSafeEval(v: Any): Any =
-    ExprKernels.prefixNorms16(v.asInstanceOf[ArrayData])
+    if (VecWidth.isIntArray(child))
+      ExprKernels.prefixNorms16Int(v.asInstanceOf[ArrayData])
+    else ExprKernels.prefixNorms16(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.ExprKernels.prefixNorms16($c)")
+    defineCodeGen(ctx, ev, c => s"graft.expr.ExprKernels.$kernel($c)")
   override protected def withNewChildInternal(c: Expression): PrefixNorms16 =
     copy(c)
 }
@@ -883,17 +1159,28 @@ case class CosineKillGatePre(first: Expression, second: Expression,
                              tPct: Int)
     extends QuaternaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  // width-polymorphic on the vector pair (round-18, §2.3): THE hot loop
+  // of the quadratic kill join reads 4 bytes/component under the int
+  // kernel; the prefix-norm riders stay array<long> either way
   override def inputTypes =
-    Seq(ArrayType(LongType), ArrayType(LongType), ArrayType(LongType),
-      ArrayType(LongType))
+    Seq(VecWidth.acceptPair(first, second), VecWidth.acceptPair(first, second),
+      ArrayType(LongType), ArrayType(LongType))
+  private def intPair: Boolean =
+    VecWidth.isIntArray(first) && VecWidth.isIntArray(second)
   override protected def nullSafeEval(a: Any, b: Any, pna: Any,
                                       pnb: Any): Any =
-    ExprKernels.cosineKillGatePre(a.asInstanceOf[ArrayData],
+    if (intPair)
+      ExprKernels.cosineKillGatePreInt(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], pna.asInstanceOf[ArrayData],
+        pnb.asInstanceOf[ArrayData], tPct)
+    else ExprKernels.cosineKillGatePre(a.asInstanceOf[ArrayData],
       b.asInstanceOf[ArrayData], pna.asInstanceOf[ArrayData],
       pnb.asInstanceOf[ArrayData], tPct)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = if (intPair) "cosineKillGatePreInt" else "cosineKillGatePre"
     defineCodeGen(ctx, ev, (a, b, x, y) =>
-      s"graft.expr.ExprKernels.cosineKillGatePre($a, $b, $x, $y, $tPct)")
+      s"graft.expr.ExprKernels.$k($a, $b, $x, $y, $tPct)")
+  }
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression,
       q: Expression): CosineKillGatePre =

@@ -136,11 +136,33 @@ object SemDedup {
                               pnk: Column, tPct: Int): Column =
     graft.expr.Exprs.cosine_kill_gate_pre(q, qk, pn, pnk, tPct)
 
+  /** Vector-width selector (round-18 narrowing, guide §2.3 narrower
+    * types) — "int" (default: quantized components ride every shuffle
+    * and the quadratic kill join at 4 bytes each; bit-equal verdicts,
+    * OpsSpec pins it) or "long" (the historical spelling, kept as the
+    * interleaved-A/B control). Serve paths against a PERSISTED index
+    * ignore this and follow the stored schema ([[SemIndex]]). */
+  private[ml] def intWidthConf(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("spark.graft.semdedup.vecWidth", "int") match {
+      case "int" => true
+      case "long" => false
+      case other =>
+        throw new IllegalArgumentException(
+          s"spark.graft.semdedup.vecWidth must be int|long, got '$other'")
+    }
+
   /** Kill-join shape selector — "semi" (default) or "inner" (the
     * round-16 inner-join + distinct spelling, kept ONLY as the
     * interleaved-A/B control; both produce identical verdicts). */
   private def killJoinConf(df: DataFrame): String =
-    df.sparkSession.conf.get("spark.graft.semdedup.killJoin", "semi")
+    df.sparkSession.conf.get("spark.graft.semdedup.killJoin", "semi") match {
+      case s @ ("semi" | "inner") => s
+      case other =>
+        // reject typos loudly (the verifyArrays norm): an A/B hook that
+        // silently falls back to the default measures the WRONG leg
+        throw new IllegalArgumentException(
+          s"spark.graft.semdedup.killJoin must be semi|inner, got '$other'")
+    }
 
   /** 0-based rank band of a 1-based rank for band width `bandL`:
     * floor((rn - 1) / bandRows) — integer-exact at any rank (the
@@ -188,7 +210,8 @@ object SemDedup {
   private[ml] def audit(df: DataFrame, centroids: Array[Array[Long]],
                         thresholdPct: Int, idCol: String, vecCol: String,
                         mode: String, keep: String, scale: Int,
-                        bandRows: Int): DataFrame = {
+                        bandRows: Int,
+                        int32Override: Option[Boolean] = None): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"thresholdPct must be in [1, 100], got $thresholdPct")
     require(mode == "pairwise" || mode == "anchor",
@@ -203,10 +226,11 @@ object SemDedup {
     // (the gate's n2 > 0 guards), so they come out kept — a second
     // scan + union for the invalid branch would re-read the corpus at
     // exactly the scale where fanOutSmallScan is a no-op (review find)
+    val int32 = int32Override.getOrElse(intWidthConf(df))
     val validV = col("_q").isNotNull && size(col("_q")) > 0
     val base = graft.core.Sizing.fanOutSmallScan(df).select(
         col(idCol).cast("long").as(idCol),
-        Similarity.quantize(col(vecCol), scale).as("_q"))
+        Similarity.quantizeW(col(vecCol), scale, int32).as("_q"))
       .withColumn("_cell", when(validV,
         element_at(Similarity.nearestCells(col("_q"), centroids, 1), 1))
         .otherwise(lit(-1L)))
@@ -372,15 +396,16 @@ object SemDedup {
     // survivor corpus persist a [[SemIndex]] (writeText) and serve with
     // [[SemIndex.filterTextStream]] instead — same plan property plus
     // catalog durability and append/takedown lifecycle.
+    val i32 = intWidthConf(refDocs)
     val refPinned = prepRefs(
       TextOps.hashedNgramEmbedding(refDocs.select(col(textCol)),
         textCol, "_emb", n, dim, hash = hash),
-      centroids, "_emb", scale).localCheckpoint()
+      centroids, "_emb", scale, i32).localCheckpoint()
     filterAgainst(
       prepProbe(
         TextOps.hashedNgramEmbedding(stream.select(col(idCol), col(textCol)),
           textCol, "_emb", n, dim, hash = hash),
-        centroids, idCol, "_emb", scale),
+        centroids, idCol, "_emb", scale, i32),
       refPinned, thresholdPct, idCol)
   }
 
@@ -388,11 +413,11 @@ object SemDedup {
     * (idCol, _q quantized, _cell with the audit convention's -1 for
     * NULL/empty vectors, _n2). */
   private[ml] def prepProbe(df: DataFrame, centroids: Array[Array[Long]],
-                            idCol: String, vecCol: String,
-                            scale: Int): DataFrame = {
+                            idCol: String, vecCol: String, scale: Int,
+                            int32: Boolean = true): DataFrame = {
     val validV = col("_q").isNotNull && size(col("_q")) > 0
     df.select(col(idCol).cast("long").as(idCol),
-        Similarity.quantize(col(vecCol), scale).as("_q"))
+        Similarity.quantizeW(col(vecCol), scale, int32).as("_q"))
       .withColumn("_cell", when(validV,
         element_at(Similarity.nearestCells(col("_q"), centroids, 1), 1))
         .otherwise(lit(-1L)))
@@ -402,8 +427,9 @@ object SemDedup {
   /** The reference-side preparation: quantize, prune zero-norm rows
     * (inert killers), assign cells. */
   private[ml] def prepRefs(refs: DataFrame, centroids: Array[Array[Long]],
-                           vecCol: String, scale: Int): DataFrame =
-    refs.select(Similarity.quantize(col(vecCol), scale).as("_qr"))
+                           vecCol: String, scale: Int,
+                           int32: Boolean = true): DataFrame =
+    refs.select(Similarity.quantizeW(col(vecCol), scale, int32).as("_qr"))
       .withColumn("_n2r", Similarity.dotLong(col("_qr"), col("_qr")))
       .where(col("_n2r") > 0)
       .withColumn("_cellr",
@@ -426,7 +452,8 @@ object SemDedup {
                            scale: Int = 1000): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"thresholdPct must be in [1, 100], got $thresholdPct")
-    filterAgainst(prepProbe(stream, centroids, idCol, vecCol, scale),
-      prepRefs(refs, centroids, vecCol, scale), thresholdPct, idCol)
+    val i32 = intWidthConf(refs)
+    filterAgainst(prepProbe(stream, centroids, idCol, vecCol, scale, i32),
+      prepRefs(refs, centroids, vecCol, scale, i32), thresholdPct, idCol)
   }
 }

@@ -154,12 +154,25 @@ object SemIndex {
       .select(col("_cell").as("_cellr"), col("_q").as("_qr"),
         col("_n2").as("_n2r"))
 
+  /** Whether the stored `_q` column is the int32 spelling (round-18
+    * narrowing). The STORED schema is the source of truth for every
+    * serve/append path: the probe side quantizes to the SAME width, so
+    * the kill gate always compares same-width vectors (the fast
+    * kernels) and an index written under either width — or by an older
+    * build — serves correctly. */
+  private def storedIntWidth(spark: SparkSession, table: String): Boolean =
+    spark.table(table).schema("_q").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    }
+
   private def probePrep(queries: DataFrame, centroids: Array[Array[Long]],
                         idCol: String, vecCol: String,
-                        scale: Int): DataFrame = {
+                        scale: Int, int32: Boolean): DataFrame = {
     val validV = col("_q").isNotNull && size(col("_q")) > 0
     queries.select(col(idCol).cast("long").as(idCol),
-        Similarity.quantize(col(vecCol), scale).as("_q"))
+        Similarity.quantizeW(col(vecCol), scale, int32).as("_q"))
       .withColumn("_cell", when(validV,
         element_at(Similarity.nearestCells(col("_q"), centroids, 1), 1))
         .otherwise(lit(-1L)))
@@ -193,13 +206,16 @@ object SemIndex {
     val tPct = props("graft.sem.thresholdPct").toInt
     val mode = props.getOrElse("graft.sem.mode", "pairwise")
     val keep = props.getOrElse("graft.sem.keep", "edge")
-    val freshIds = probePrep(df, cm, idCol, vecCol, sc)
+    val i32 = storedIntWidth(spark, table)
+    val freshIds = probePrep(df, cm, idCol, vecCol, sc, i32)
       .join(idxSide(spark, table), killCond(tPct), "left_anti")
       .select(col(idCol))
     val fresh = df.select(col(idCol).cast("long").as(idCol), col(vecCol))
       .join(freshIds, Seq(idCol))
+    // the appended rows must match the table's stored width (insertInto
+    // is positional): override the conf with the schema's own spelling
     SemDedup.audit(fresh, cm, tPct, idCol, vecCol, mode, keep, sc,
-        bandRows)
+        bandRows, int32Override = Some(i32))
       .where(col("kept") && col("_n2") > 0)
       .select(col(idCol), col("_q"), col("_n2"), col("_cell"))
       .write.mode("append")
@@ -236,7 +252,7 @@ object SemIndex {
     AnnIndex.validateSpec(spark, table, cm, sc)
     val tPct = storedThresholdPct(spark, table)
     val prep = probePrep(graft.core.Sizing.fanOutSmallScan(queries),
-      cm, idCol, vecCol, sc)
+      cm, idCol, vecCol, sc, storedIntWidth(spark, table))
     val hits = prep.join(idxSide(spark, table), killCond(tPct), "left_semi")
       .select(col(idCol)).withColumn("_h", lit(true))
     prep.select(col(idCol), col("_cell"))
@@ -258,7 +274,7 @@ object SemIndex {
     val sc = AnnIndex.storedScale(spark, table)
     AnnIndex.validateSpec(spark, table, cm, sc)
     val tPct = storedThresholdPct(spark, table)
-    probePrep(stream, cm, idCol, vecCol, sc)
+    probePrep(stream, cm, idCol, vecCol, sc, storedIntWidth(spark, table))
       .join(idxSide(spark, table), killCond(tPct), "left_anti")
       .select(col(idCol), col("_cell").as("cell"))
   }

@@ -22,6 +22,26 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
+  /** The array<int> spelling of [[quantize]] (round-18 narrowing, guide
+    * §2.3 narrower types): identical values for any input satisfying the
+    * kill-gate magnitude contract (sum x_i^2 must not wrap a long, which
+    * already caps every |floor(x*scale)| well inside int32 for dim >= 4
+    * — the [[graft.expr.ExprKernels.cosineKillGate]] scaladoc), at half
+    * the bytes per component through every shuffle and quadratic join
+    * that carries the vector. The dot/gate/argmin expressions dispatch
+    * on the array's element type, so the two spellings are drop-in
+    * interchangeable and bit-equal in every verdict (OpsSpec pins it);
+    * out-of-contract magnitudes were undefined under the long spelling
+    * too (wrapped norms break the one-sided abandon). */
+  def quantizeInt(vec: Column, scale: Int = 1000): Column =
+    transform(vec, x => floor(x.cast("double") * scale).cast("int"))
+
+  /** Width-dispatching quantize: int32 components when `int32` (the
+    * semdedup family's default via spark.graft.semdedup.vecWidth),
+    * the historical array<long> otherwise. */
+  private[ml] def quantizeW(vec: Column, scale: Int, int32: Boolean): Column =
+    if (int32) quantizeInt(vec, scale) else quantize(vec, scale)
+
   /** Integer dot product of two equally-sized long arrays — a codegen'd
     * Catalyst expression (graft.expr.DotLong); the previous
     * aggregate(zip_with(...)) higher-order-function chain paid per-element

@@ -2147,6 +2147,143 @@ class OpsSpec extends AnyFunSuite {
     assert(tie2.getBoolean(0) && !tie2.getBoolean(1))
   }
 
+  test("int-width vector kernels are bit-equal to the long spellings " +
+    "(round-18 narrowing): dot in all four width combinations, " +
+    "nearestCells, PrefixNorms16, and both kill gates incl. the exact " +
+    "boundary tie that only BigInteger can decide") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pairs = (1 to 200).map { i =>
+      val la = if (i % 7 == 0) 5 else 8
+      val lb = if (i % 11 == 0) 6 else 8
+      val a = Array.fill(la)((rnd.nextInt(2001) - 1000).toLong)
+      val b0 = Array.fill(lb)((rnd.nextInt(2001) - 1000).toLong)
+      val b = if (i % 3 == 0) java.util.Arrays.copyOf(a.map(_ * 2), lb)
+              else b0
+      (i.toLong, a, b)
+    } ++ Seq(
+      // the exact 96% tie at dots ~2.4e13 (inside long, components
+      // inside int): the int kernels must route to the same BigInteger
+      // compare and agree on >= at t=96, < at t=97
+      (1001L, Array(3000000L, 4000000L), Array(4000000L, 3000000L)),
+      (1002L, Array(3000000L, 4000000L), Array(4000000L, 3000001L)),
+      (1003L, Array(3000000L, 4000000L), Array(4000000L, 2999999L)),
+      (1004L, Array.fill(8)(0L), Array.fill(8)(7L)),
+      (1005L, Array(1000000L, -1000000L), Array(-1000000L, 1000000L)))
+    val df = pairs.toDF("id", "a", "b")
+      .withColumn("ai", col("a").cast("array<int>"))
+      .withColumn("bi", col("b").cast("array<int>"))
+      .localCheckpoint()
+    // dot: all four width combinations agree
+    val dotDiverged = df.where(
+        graft.expr.Exprs.dot_long(col("a"), col("b")) =!=
+          graft.expr.Exprs.dot_long(col("ai"), col("bi")) ||
+        graft.expr.Exprs.dot_long(col("a"), col("b")) =!=
+          graft.expr.Exprs.dot_long(col("ai"), col("b")) ||
+        graft.expr.Exprs.dot_long(col("a"), col("b")) =!=
+          graft.expr.Exprs.dot_long(col("a"), col("bi")))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(dotDiverged.isEmpty, s"dot width combos diverge on $dotDiverged")
+    // prefix norms: identical long arrays off either width
+    val pnDiverged = df.where(not(
+        graft.expr.Exprs.prefix_norms(col("a")) <=>
+          graft.expr.Exprs.prefix_norms(col("ai"))))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(pnDiverged.isEmpty, s"prefix norms diverge on $pnDiverged")
+    // nearestCells: same cells in the same order at nProbe 1 and 3
+    val cm = graft.ml.Similarity.ivfCentroids(16, 8)
+    for (np <- Seq(1, 3)) {
+      val ncDiverged = df.where(not(
+          graft.expr.Exprs.nearest_cells(col("a"), cm, np) <=>
+            graft.expr.Exprs.nearest_cells(col("ai"), cm, np)))
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(ncDiverged.isEmpty, s"nearestCells np=$np diverge on $ncDiverged")
+    }
+    // both kill gates, all thresholds incl. the band-routed tie
+    val n2a = graft.expr.Exprs.dot_long(col("a"), col("a"))
+    val n2b = graft.expr.Exprs.dot_long(col("b"), col("b"))
+    val pna = graft.expr.Exprs.prefix_norms(col("a"))
+    val pnb = graft.expr.Exprs.prefix_norms(col("b"))
+    val pnai = graft.expr.Exprs.prefix_norms(col("ai"))
+    val pnbi = graft.expr.Exprs.prefix_norms(col("bi"))
+    for (t <- Seq(1, 50, 96, 97, 100)) {
+      val g = df.where(
+          coalesce(graft.expr.Exprs.cosine_kill_gate(
+            col("a"), col("b"), n2a, n2b, t), lit(false)) =!=
+          coalesce(graft.expr.Exprs.cosine_kill_gate(
+            col("ai"), col("bi"), n2a, n2b, t), lit(false)) ||
+          coalesce(graft.expr.Exprs.cosine_kill_gate_pre(
+            col("a"), col("b"), pna, pnb, t), lit(false)) =!=
+          coalesce(graft.expr.Exprs.cosine_kill_gate_pre(
+            col("ai"), col("bi"), pnai, pnbi, t), lit(false)))
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(g.isEmpty, s"kill gates t=$t diverge on $g")
+    }
+    val tie = df.where(col("id") === 1001L).select(
+      graft.expr.Exprs.cosine_kill_gate_pre(col("ai"), col("bi"), pnai, pnbi, 96),
+      graft.expr.Exprs.cosine_kill_gate_pre(col("ai"), col("bi"), pnai, pnbi, 97))
+      .head()
+    assert(tie.getBoolean(0) && !tie.getBoolean(1))
+  }
+
+  test("semanticDedup vecWidth int and long produce identical audit " +
+    "frames in every mode x keep (round-18 narrowing A/B hook), and a " +
+    "typo'd width fails loudly") {
+    val cm = graft.ml.Similarity.ivfCentroids(8, 8)
+    def run(width: String, mode: String, keep: String) = {
+      spark.conf.set("spark.graft.semdedup.vecWidth", width)
+      try graft.ml.SemDedup.semanticDedup(semCorpus, cm, 60,
+          mode = mode, keep = keep)
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq
+      finally spark.conf.unset("spark.graft.semdedup.vecWidth")
+    }
+    for (mode <- Seq("pairwise", "anchor"); keep <- Seq("edge", "central")) {
+      assert(run("int", mode, keep) == run("long", mode, keep),
+        s"width int vs long diverge in mode=$mode keep=$keep")
+    }
+    spark.conf.set("spark.graft.semdedup.vecWidth", "Int32")
+    try intercept[IllegalArgumentException] {
+      graft.ml.SemDedup.semanticDedup(semCorpus, cm, 60).collect()
+    } finally spark.conf.unset("spark.graft.semdedup.vecWidth")
+  }
+
+  test("SemIndex serve width follows the STORED schema: an index " +
+    "written under either vecWidth probes identically, and appendNew " +
+    "matches the table's own spelling (round-18 narrowing)") {
+    val cm = graft.ml.Similarity.ivfCentroids(8, 8)
+    val build = semCorpus.where(col("vec_id") % 3 =!= 0)
+    val extra = semCorpus.where(col("vec_id") % 3 === 1)
+    val queries = semCorpus.where(col("vec_id") % 3 === 0)
+    def lifecycle(width: String, table: String) = {
+      spark.conf.set("spark.graft.semdedup.vecWidth", width)
+      try {
+        graft.ml.SemIndex.write(build, table, cm, thresholdPct = 60)
+        // flip the conf to the OTHER width before appendNew: the append
+        // must follow the stored schema, not the session conf
+        spark.conf.set("spark.graft.semdedup.vecWidth",
+          if (width == "int") "long" else "int")
+        graft.ml.SemIndex.appendNew(extra, table)
+        graft.ml.SemIndex.probe(spark, table, queries)
+          .orderBy("vec_id").collect().map(_.toSeq).toSeq
+      } finally spark.conf.unset("spark.graft.semdedup.vecWidth")
+    }
+    val a = lifecycle("int", "semwidth_int")
+    val b = lifecycle("long", "semwidth_long")
+    assert(a == b, "int-written and long-written indexes probe differently")
+    // the stored schemas really are the two spellings
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+    assert(spark.table("semwidth_int").schema("_q").dataType ==
+      ArrayType(IntegerType, containsNull = true) ||
+      spark.table("semwidth_int").schema("_q").dataType ==
+        ArrayType(IntegerType, containsNull = false))
+    assert(spark.table("semwidth_long").schema("_q").dataType ==
+      ArrayType(LongType, containsNull = true) ||
+      spark.table("semwidth_long").schema("_q").dataType ==
+        ArrayType(LongType, containsNull = false))
+    spark.sql("DROP TABLE IF EXISTS semwidth_int")
+    spark.sql("DROP TABLE IF EXISTS semwidth_long")
+  }
+
   test("PrefixNorms16: last element is the full squared norm, entries " +
     "are the exact stride-16 prefixes, and the empty/short shapes hold") {
     import spark.implicits._
