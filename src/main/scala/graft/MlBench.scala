@@ -45,11 +45,13 @@ import org.apache.spark.sql.functions._
   *     centroid-trainer decomposition — sample wall vs fit wall —
   *     with the MLlib-vs-Lloyd A/B on wall AND cell fidelity; killab
   *     the same-session interleaved semi-vs-inner kill-join A/B over
-  *     the spark.graft.semdedup.killJoin hook). "all"
+  *     the spark.graft.semdedup.killJoin hook; widthab the same-session
+  *     interleaved int-vs-long vector-width A/B over the
+  *     spark.graft.semdedup.vecWidth hook). "all"
   *     covers the per-round soak set, not starab/recall/annrecall/
   *     serve/paradedup/pq/semdedup/semthresh/semtext/traincap/substr/
-  *     embed/assign/substrserve/trainprof/killab, which are targeted
-  *     studies.
+  *     embed/assign/substrserve/trainprof/killab/widthab, which are
+  *     targeted studies.
   */
 object MlBench {
 
@@ -153,7 +155,7 @@ object MlBench {
         !Set("starab", "recall", "annrecall", "serve", "paradedup", "pq",
           "semdedup", "semthresh", "semtext", "traincap",
           "substr", "embed", "assign", "substrserve", "trainprof",
-          "killab")
+          "killab", "widthab")
         .contains(m))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -180,6 +182,22 @@ object MlBench {
       println(f"[mlbench] $what: ${(System.nanoTime() - t0) / 1e9}%.1fs")
       r
     }
+    // Soak-default centroid trainer (VERDICT r17 item #4): the graft
+    // Lloyd trainer measured 2.5x the MLlib fit at 8M/k=4000 with
+    // equivalent cell fidelity (BASELINE round17-trainprof-8m), so the
+    // soaks train through it by default. The two init families produce
+    // DIFFERENT (both valid) matrices, so kept/cluster statistics
+    // recorded under MLlib cells do not carry over numerically — pass
+    // SPARK_GRAFT_CONF=spark.graft.soak.trainer=mllib for continuity
+    // runs against pre-round-18 rows. trainprof/traincap keep explicit
+    // trainers (they study the trainers themselves).
+    def trainCells(emb: DataFrame, k: Int): Array[Array[Long]] =
+      spark.conf.get("spark.graft.soak.trainer", "lloyd") match {
+        case "lloyd" => graft.ml.Similarity.trainIvfCentroidsLloyd(emb, k)
+        case "mllib" => graft.ml.Similarity.trainIvfCentroids(emb, k)
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.soak.trainer must be lloyd|mllib, got '$other'")
+      }
     // the checkpointed synthetic corpus inherits range-leaf stats
     // (~22 B/doc vs ~300 B real), so the auto verify dispatch would
     // trip its 64 MB gate ~14x late — pin the scale path the soaks
@@ -1188,7 +1206,7 @@ object MlBench {
       // (Similarity.trainIvfCentroids). The label-informed means above
       // are the ceiling; this measures how close k-means gets to it.
       val km = t(s"trainIvfCentroids k=256 @$nVec (10% sample)") {
-        Similarity.trainIvfCentroids(emb, 256)
+        trainCells(emb, 256)
       }
       for (i <- 1 to 2) {
         val ak = t(s"semanticDedup anchor t=90 cells=kmeans @$nVec rep$i") {
@@ -1322,8 +1340,8 @@ object MlBench {
           .localCheckpoint()
       }
       val kCells = math.max(1024, math.min(8192, (nDocs / 2000).toInt))
-      val km = t(s"assign trainIvfCentroids k=$kCells @$nDocs") {
-        Similarity.trainIvfCentroids(emb, kCells)
+      val km = t(s"assign trainCells k=$kCells @$nDocs") {
+        trainCells(emb, kCells)
       }
       val q = Similarity.quantize(col("embedding"), 1000)
       // order-free but COLLISION-RESISTANT reduction of the probed cell
@@ -1423,8 +1441,8 @@ object MlBench {
       // (the banded pairwise guard's operating point): 1024 at <= 2M —
       // preserving the recorded 2M contract — 4000 at 8M
       val kCells = math.max(1024, math.min(8192, (nDocs / 2000).toInt))
-      val km = t(s"semtext trainIvfCentroids k=$kCells @$nDocs") {
-        Similarity.trainIvfCentroids(emb, kCells)
+      val km = t(s"semtext trainCells k=$kCells @$nDocs") {
+        trainCells(emb, kCells)
       }
       def truth(out: DataFrame, what: String): Unit = {
         // true >=2-member cluster members: how many did semdedup drop,
@@ -1596,22 +1614,73 @@ object MlBench {
           .localCheckpoint()
       }
       val kCells = math.max(1024, math.min(8192, (nDocs / 2000).toInt))
-      val km = t(s"killab trainIvfCentroids k=$kCells") {
-        Similarity.trainIvfCentroids(emb, kCells)
+      val km = t(s"killab trainCells k=$kCells") {
+        trainCells(emb, kCells)
       }
       var kepts = Set.empty[Long]
-      for (rep <- 1 to 2; shape <- Seq("semi", "inner")) {
-        spark.conf.set("spark.graft.semdedup.killJoin", shape)
-        var kept = 0L
-        t(s"killab $shape rep$rep t=$tp @$nDocs") {
-          kept = SemDedup.semanticDedup(emb, km, tp)
-            .agg(sum(when(col("kept"), 1L).otherwise(0L))).head().getLong(0)
+      // finally-guarded (round-17 ADVICE): a failed leg must not leave
+      // the legacy 'inner' hook set for whatever soak mode runs next in
+      // this session, and a kept-count divergence — the one thing the
+      // A/B must never have — must fail the run, not scroll past
+      try {
+        for (rep <- 1 to 2; shape <- Seq("semi", "inner")) {
+          spark.conf.set("spark.graft.semdedup.killJoin", shape)
+          var kept = 0L
+          t(s"killab $shape rep$rep t=$tp @$nDocs") {
+            kept = SemDedup.semanticDedup(emb, km, tp)
+              .agg(sum(when(col("kept"), 1L).otherwise(0L))).head().getLong(0)
+          }
+          println(s"[mlbench] killab $shape rep$rep kept=$kept")
+          kepts += kept
         }
-        println(s"[mlbench] killab $shape rep$rep kept=$kept")
-        kepts += kept
-      }
-      spark.conf.unset("spark.graft.semdedup.killJoin")
+      } finally spark.conf.unset("spark.graft.semdedup.killJoin")
       println(s"[mlbench] killab kept-identical: ${kepts.size == 1} ($kepts)")
+      require(kepts.size == 1,
+        s"killab: semi/inner legs diverged on kept counts: $kepts")
+    }
+
+    if (on("widthab")) {
+      // INT-VS-LONG VECTOR-WIDTH INTERLEAVE (optimization round 18,
+      // VERDICT r17 item #1): quantized components narrowed to int32
+      // halve the rank shuffle's vector bytes and the kill join's
+      // per-pair memory reads (guide §2.3 narrower types). The killab
+      // protocol verbatim — one corpus, one trained matrix, adjacent
+      // legs A(int) B(long) A B in one session at t=70 (the banded
+      // pairwise wall's recorded operating point) — because same-work
+      // legs swing ±20%+ across sessions on this host generation.
+      // Verdicts must be identical on every leg (the kernels are
+      // bit-equal by construction; OpsSpec pins it at unit scale, this
+      // pins it at soak scale via the order-free fingerprint).
+      import graft.ml.{SemDedup, TextOps}
+      val tp = 70
+      val emb = t(s"widthab corpus+embed @$nDocs") {
+        TextOps.hashedNgramEmbedding(corpus(spark, nDocs), "text",
+            "embedding", n = 3, dim = 64)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+          .localCheckpoint()
+      }
+      val kCells = math.max(1024, math.min(8192, (nDocs / 2000).toInt))
+      val km = t(s"widthab trainCells k=$kCells") {
+        trainCells(emb, kCells)
+      }
+      var fps = Set.empty[(Long, Long, Long)]
+      try {
+        for (rep <- 1 to 2; width <- Seq("int", "long")) {
+          spark.conf.set("spark.graft.semdedup.vecWidth", width)
+          var out: DataFrame = null
+          t(s"widthab $width rep$rep t=$tp @$nDocs") {
+            out = SemDedup.semanticDedup(emb, km, tp).localCheckpoint()
+            out.count()
+          }
+          val fp = fpSem(out)
+          println(s"[mlbench] widthab $width rep$rep fp=$fp")
+          fps += fp
+          out.unpersist()
+        }
+      } finally spark.conf.unset("spark.graft.semdedup.vecWidth")
+      println(s"[mlbench] widthab fingerprint-identical: ${fps.size == 1} ($fps)")
+      require(fps.size == 1,
+        s"widthab: int/long legs diverged on audit fingerprints: $fps")
     }
     spark.stop()
   }
