@@ -1664,16 +1664,22 @@ object MlBench {
         trainCells(emb, kCells)
       }
       var fps = Set.empty[(Long, Long, Long)]
+      val io = new IoListener
+      spark.sparkContext.addSparkListener(io)
       try {
         for (rep <- 1 to 2; width <- Seq("int", "long")) {
           spark.conf.set("spark.graft.semdedup.vecWidth", width)
+          val (sw0, sp0) = io.snap()
           var out: DataFrame = null
           t(s"widthab $width rep$rep t=$tp @$nDocs") {
             out = SemDedup.semanticDedup(emb, km, tp).localCheckpoint()
             out.count()
           }
+          val (sw1, sp1) = io.snap()
           val fp = fpSem(out)
-          println(s"[mlbench] widthab $width rep$rep fp=$fp")
+          println(f"[mlbench] widthab $width rep$rep fp=$fp footprint: " +
+            f"shuffleWrite=${(sw1 - sw0) / 1e9}%.2f GB " +
+            f"spill=${(sp1 - sp0) / 1e9}%.2f GB")
           fps += fp
           out.unpersist()
         }
