@@ -2331,7 +2331,17 @@ object SparkEntry {
       "SELECT chrom, pos AS istart, np AS iend FROM (SELECT chrom, pos, lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS np FROM (SELECT DISTINCT chrom, pos FROM (SELECT chrom, istart AS pos FROM grs UNION ALL SELECT chrom, iend AS pos FROM grs))) WHERE np IS NOT NULL"),
 
     "q52_join_first" -> sql(Seq(GR_CTE, GR2_CTE,
-      "j AS (SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, o.row_id AS row_id_b, o.istart AS istart_b, o.iend AS iend_b, row_number() OVER (PARTITION BY g.row_id ORDER BY o.istart, o.iend) AS rn FROM gr g JOIN gr2 o ON g.chrom = o.chrom AND g.istart < o.iend AND g.iend > o.istart)"),
+      // the pick partitions by the FULL left row, not row_id alone
+      // (round-18): the sf0.001 lineitem data has one duplicated
+      // (orderkey, linenumber, partkey, suppkey) key, so two distinct
+      // gr rows share a row_id — each must pick its own first match
+      // (the reference's per-row multiple="first" semantics, and what
+      // the sweep/pick operators compute). With row_id alone the
+      // window merged both rows' candidates and rn=1 kept ONE row by
+      // DuckDB's internal tie order — an ill-defined contract. A pure
+      // refinement wherever row_id is unique (sf0.01/sf0.1: verified
+      // count(distinct row_id) == count(*)).
+      "j AS (SELECT g.row_id, g.chrom, g.strand, g.istart, g.iend, o.row_id AS row_id_b, o.istart AS istart_b, o.iend AS iend_b, row_number() OVER (PARTITION BY g.row_id, g.chrom, g.strand, g.istart, g.iend ORDER BY o.istart, o.iend) AS rn FROM gr g JOIN gr2 o ON g.chrom = o.chrom AND g.istart < o.iend AND g.iend > o.istart)"),
       "SELECT row_id, chrom, strand, istart, iend, row_id_b, istart_b, iend_b FROM j WHERE rn = 1"),
 
     "q53_overlap_contained" -> sql(Seq(GR_CTE, GR2_CTE),

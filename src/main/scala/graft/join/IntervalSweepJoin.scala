@@ -172,7 +172,13 @@ object IntervalSweepJoin {
           if (!last) col(c) else (if (c == re || c == rs) (-col(c)).as(c) else col(c))
         }: _*)
         val payload = struct((rCols ++ lCols).map(col): _*)
-        val m = raw.groupBy(col(rowIdCol)).agg(min_by(payload, ord).as("_m"))
+        // the global reduce keys on the FULL left row (round-18, the
+        // duplicate-row_id find): two distinct left rows sharing a
+        // row_id each keep their own winner — the unsalted sweep
+        // decides per physical row, and the binned pickOne fix
+        // mirrors this; group keys are null-safe, no rejoin either way
+        val m = raw.groupBy((Seq(rowIdCol) ++ lCols).map(col): _*)
+          .agg(min_by(payload, ord).as("_m"))
         val unpacked = (rCols ++ lCols).foldLeft(m)((d, c) =>
           d.withColumn(c, col(s"_m.$c"))).drop("_m")
         unpacked.select(raw.columns.map(col): _*)
@@ -205,12 +211,20 @@ object IntervalSweepJoin {
     megaBin match {
       case None => raw
       case Some(_) =>
+        // per-bin partials reduce by the FULL left row, not rowIdCol
+        // alone (round-18, the duplicate-row_id find): two distinct
+        // left rows sharing a row_id must keep separate counts — the
+        // unsalted branch counts per physical row, and the binned
+        // dispatch fix mirrors this. The bin copies carry every left
+        // column unchanged, so the group key is exactly the left row;
+        // groupBy is null-safe, the rejoin's equality is not (the
+        // coordinate/key columns are non-null by the library contract).
         require(left.columns.contains(rowIdCol),
-          s"salted sweep count needs a unique '$rowIdCol' on the left side")
-        val partials = raw.groupBy(col(rowIdCol))
+          s"salted sweep count needs '$rowIdCol' on the left side")
+        val lcols = left.columns.toSeq
+        val partials = raw.groupBy(lcols.map(col): _*)
           .agg(sum(col(countCol)).as(countCol))
-        left.join(partials.select(col(rowIdCol), col(countCol)),
-            Seq(rowIdCol), "left")
+        left.join(partials, lcols, "left")
           .na.fill(0L, Seq(countCol))
     }
   }

@@ -107,7 +107,13 @@ object BinaryOps {
         if (minimize) col(c) else (if (c == re || c == rs) (-col(c)).as(c) else col(c))
       }: _*)
       val payload = struct((rCols ++ lCols).map(col): _*)
-      val m = p.groupBy(col(RowId)).agg(min_by(payload, ord).as("_m"))
+      // group by the FULL left row, not row_id alone (round-18, the
+      // countOverlaps duplicate-row_id find): two distinct left rows
+      // sharing a row_id must each pick their own match — the group
+      // keys are null-safe and the payload already carries every
+      // column, so no rejoin is needed either way
+      val m = p.groupBy((Seq(RowId) ++ lCols).map(col): _*)
+        .agg(min_by(payload, ord).as("_m"))
       val unpacked = (rCols ++ lCols).foldLeft(m)((d, c) =>
         d.withColumn(c, col(s"_m.$c"))).drop("_m")
       unpacked.select(p.columns.map(col): _*)
@@ -126,6 +132,10 @@ object BinaryOps {
     // (keys) on the right side — deeper ties are broken by whichever
     // row_id the combine saw, vs pickOne's full-column tie-break — so
     // callers opt in where that holds (q52: right starts are unique).
+    // ALSO requires row_id unique on the LEFT (round-18: the rejoin
+    // would attach one shared winner to every row of a duplicated id,
+    // where pickOne/the sweep pick decide each physical row); q52's
+    // data satisfies it at every SF the pick gate routes here.
     def pickOnePacked(minimize: Boolean): DataFrame = {
       val rId = RowId + suffix
       val pack0 = shiftleft(col(rs), 32) + col(re)
@@ -198,8 +208,21 @@ object BinaryOps {
         graft.join.IntervalSweepJoin.count(left, right, keys, slack, countCol, mb)
       case None =>
         val p = RangeJoin.pairsDispatch(left, right, keys, slack, binSize)
-        val counts = p.groupBy(col(RowId)).agg(count(lit(1)).as(countCol))
-        left.join(counts, Seq(RowId), "left")
+        // row identity = the FULL left row, not row_id alone (round-18
+        // correctness find): the sf0.001 lineitem data carries one
+        // genuine duplicate (orderkey, linenumber, partkey, suppkey)
+        // key, so two distinct left rows can share a row_id — the
+        // oracle contract (GROUP BY every left column) and the sweep
+        // branch (a counter per physical row) both count such rows
+        // separately, while grouping by row_id alone summed both rows'
+        // counts into both (q16/q35 mismatched at sf0.001; row_id is
+        // unique at sf0.01/sf0.1, where this is a pure refinement).
+        // groupBy is null-safe; the rejoin's equality is not, but the
+        // coordinate/key columns are non-null by the library contract.
+        val lcols = left.columns.toSeq
+        val counts = p.groupBy(lcols.map(col): _*)
+          .agg(count(lit(1)).as(countCol))
+        left.join(counts, lcols, "left")
           .na.fill(0L, Seq(countCol))
     }
 

@@ -233,6 +233,36 @@ class OpsSpec extends AnyFunSuite {
       Set(("c", 2L, 4L)))
   }
 
+  test("duplicate row_id rows stay separate in countOverlaps and " +
+    "join_first picks per physical row, in BOTH gate states (round-18: " +
+    "the sf0.001 lineitem duplicate-key find — row identity is the full " +
+    "left row, not row_id alone)") {
+    import spark.implicits._
+    // two DISTINCT left rows sharing row_id 1: A=[0,10) matches only
+    // r1, B=[20,40) matches only r2; row_id 2 is a control
+    val l = Seq(("c", 0L, 10L, 1L), ("c", 20L, 40L, 1L), ("c", 50L, 60L, 2L))
+      .toDF(Chrom, Start, End, RowId)
+    val r = Seq(("c", 5L, 8L), ("c", 25L, 30L), ("c", 26L, 31L), ("c", 55L, 56L))
+      .toDF(Chrom, Start, End)
+      .withColumn(RowId, monotonically_increasing_id())
+    for (force <- Seq("plain", "salted")) {
+      spark.conf.set(graft.core.Sizing.ForceKey, force)
+      try {
+        val n = BinaryOps.countOverlaps(l, r, Seq(Chrom), countCol = "n")
+          .select(Start, "n").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toMap
+        assert(n == Map(0L -> 1L, 20L -> 2L, 50L -> 1L),
+          s"countOverlaps per-row counts wrong under force=$force: $n")
+        val first = BinaryOps.joinOverlaps(l, r, Seq(Chrom),
+            multiple = "first")
+          .select(col(Start), col(Start + "_b")).collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toMap
+        assert(first == Map(0L -> 5L, 20L -> 25L, 50L -> 55L),
+          s"join_first per-row pick wrong under force=$force: $first")
+      } finally spark.conf.unset(graft.core.Sizing.ForceKey)
+    }
+  }
+
   // subtract_overlaps (reference core/pyranges_main.py:3522-3643 doctest:
   // one row can split into many; covered rows disappear).
   test("subtract splits and drops covered rows") {
